@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The FastAPI query layer re-expressed as composable Column predicates
+  * (/root/reference/src/sec_xbrl_finwarehouse/api.py). No string SQL: the
+  * reference's f-string WHERE assembly (api.py:71-90) becomes a fold of
+  * Option[Column] — injection-proof and Catalyst-optimizable.
+  */
+object Screener {
+
+  /** F8 parameters (api.py:63-69). limit defaults/caps mirror the FastAPI
+    * validators (1..200, default 25). */
+  case class ScreenerParams(
+      fiscalYear: Option[Int] = None,
+      minRoe: Option[Double] = None,
+      minFcfMargin: Option[Double] = None,
+      minNetMargin: Option[Double] = None,
+      limit: Int = 25) {
+    require(limit >= 1 && limit <= 200, "limit must be in 1..200 (api.py:69)")
+  }
+
+  /** GET /screener (api.py:63-119): dynamic filters + join companies +
+    * multi-key sort + top-k. companies is dimension-sized → broadcast; the
+    * sort+limit plans as TakeOrderedAndProject (no global sort). `cik` is
+    * appended to the sort as a deterministic tie-breaker (ties on roe are
+    * otherwise broken arbitrarily — SURVEY §7.4). */
+  def screener(ratios: DataFrame, companies: DataFrame, p: ScreenerParams): DataFrame = {
+    val filters: Seq[Column] = Seq(
+      p.fiscalYear.map(y => col("fiscal_year") === y),
+      p.minRoe.map(v => col("roe") >= v),
+      p.minFcfMargin.map(v => col("fcf_margin") >= v),
+      p.minNetMargin.map(v => col("net_margin") >= v)).flatten
+    filters.foldLeft(ratios)(_.filter(_))
+      .join(broadcast(companies), "cik")
+      .select(col("ticker"), col("name"), col("cik"), col("fiscal_year"),
+        col("roe"), col("fcf_margin"), col("net_margin"))
+      .orderBy(col("fiscal_year").desc, col("roe").desc_nulls_last, col("cik").asc)
+      .limit(p.limit)
+  }
+
+  /** GET /company/{ticker} (api.py:6-19): point lookup, ticker upper-cased. */
+  def companyLookup(companies: DataFrame, ticker: String): DataFrame =
+    companies.filter(col("ticker") === lit(ticker.toUpperCase))
+      .select("cik", "ticker", "name")
+
+  /** GET /ratios/{ticker} (api.py:21-61): the reference does a manual 2-step
+    * lookup-then-query (a semi-join spelled as two round-trips, J3); here it
+    * is a single broadcast join + top-k by fiscal_year. */
+  def ratiosForTicker(ratios: DataFrame, companies: DataFrame,
+      ticker: String, limit: Int = 10): DataFrame = {
+    require(limit >= 1 && limit <= 50, "limit must be in 1..50 (api.py:22)")
+    ratios
+      .join(broadcast(companyLookup(companies, ticker).select("cik")), "cik")
+      .select(col("cik"), col("fiscal_year"), col("gross_margin"),
+        col("operating_margin"), col("net_margin"), col("roa"), col("roe"),
+        col("leverage"), col("fcf_margin"), col("asset_turnover"))
+      .orderBy(col("fiscal_year").desc)
+      .limit(limit)
+  }
+}

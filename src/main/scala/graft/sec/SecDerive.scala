@@ -1,0 +1,232 @@
+package graft.sec
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic derivation of the reference's warehouse tables (`facts`,
+  * `filings`, `companies` — db/schema.sql:4-40) from the driver's TPC-H-ish
+  * parquet, so the whole SEC pipeline can run (and be oracle-checked) on
+  * `/root/testdata`. Every expression here is mirrored 1:1 by the DuckDB SQL
+  * in [[SecSql]]; the derivations themselves are exposed as queries so the
+  * driver verifies the mirror directly.
+  *
+  * Shape goals (FIXTURES.md §1.1): all 12 CORE_TAGS plus 2 noise tags, a
+  * non-USD unit slice, a non-us-gaap taxonomy slice, 10-Q/20-F/10-K forms,
+  * flow durations 300..399 days straddling the 330–380 filter boundary
+  * (_v3.py:58), stock facts with NULL period_start, negative capex values
+  * (sign fix _v3.py:136-139), several revenue-candidate tags per company-year
+  * (coalesce _v3.py:118-123), and same-key rows with different `filed` so the
+  * latest-wins window dedup (_v3.py:60-70) has real work to do.
+  */
+object SecDerive {
+  // 14 tags: the 12 CORE_TAGS + 2 noise tags that every CORE_TAGS filter must drop.
+  val tagByIdx: Seq[String] = SecTags.coreTags ++
+    Seq("EntityCommonStockSharesOutstanding", "DeferredRevenueCurrent")
+  private val stockIdx = Seq(9, 10, 11) // Assets, Liabilities, StockholdersEquity
+
+  /** facts: one row per lineitem line. Narrow EAV fact table (schema.sql:26-40). */
+  def facts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val tagIdx = (col("l_partkey") + col("l_linenumber")) % 14
+    val shipDate = to_date(col("l_shipdate"))
+    val days = (lit(300) + col("l_suppkey") % 100).cast("int")
+    val tagCase = tagByIdx.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (tag, i)) => when(tagIdx === i, tag).otherwise(acc)
+    }
+    li.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("fact_id"),
+      lpad((col("l_orderkey") % 37).cast("string"), 10, "0").as("cik"),
+      when(col("l_partkey") % 13 === 0, "dei").otherwise("us-gaap").as("taxonomy"),
+      tagCase.as("tag"),
+      when(col("l_partkey") % 11 === 0, "EUR").otherwise("USD").as("unit"),
+      when(tagIdx.isin(stockIdx: _*), lit(null).cast("date"))
+        .otherwise(date_sub(shipDate, days)).as("period_start"),
+      shipDate.as("period_end"),
+      when(tagIdx === 8 && col("l_suppkey") % 3 === 0, -col("l_extendedprice"))
+        .otherwise(col("l_extendedprice")).as("value"),
+      concat(lit("ACC-"), col("l_orderkey").cast("string")).as("filing_accession_no"),
+      when((col("l_orderkey") + col("l_linenumber")) % 10 === 0, "10-Q")
+        .when((col("l_orderkey") + col("l_linenumber")) % 10 === 1, "20-F")
+        .otherwise("10-K").as("form"),
+      date_add(shipDate, (col("l_partkey") % 90).cast("int")).as("filed"),
+      concat(lit("CY"), year(shipDate).cast("string")).as("frame"))
+  }
+
+  /** filings: one row per order, with ~1/7 dropped so the facts→filings FK
+    * check (anti-join orphan detection) has hits (schema.sql:14-23). */
+  def filings(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val orderDate = to_date(col("o_orderdate"))
+    o.filter(col("o_orderkey") % 7 =!= 0).select(
+      concat(lit("ACC-"), col("o_orderkey").cast("string")).as("accession_no"),
+      lpad((col("o_custkey") % 37).cast("string"), 10, "0").as("cik"),
+      when(col("o_orderkey") % 10 === 0, "10-Q")
+        .when(col("o_orderkey") % 10 === 1, "20-F")
+        .otherwise("10-K").as("form"),
+      orderDate.as("filing_date"),
+      orderDate.as("report_date"),
+      year(orderDate).cast("int").as("fiscal_year"),
+      when(col("o_orderkey") % 4 === 0, "FY")
+        .otherwise(concat(lit("Q"), (col("o_orderkey") % 4).cast("string")))
+        .as("fiscal_period"))
+  }
+
+  /** companies: ticker→CIK dimension, 37 rows (schema.sql:4-12; seeded in the
+    * reference from the SEC ticker map, seed_companies.py:8-22). */
+  def companies(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.select((col("c_custkey") % 37).cast("long").as("k"), col("c_name"))
+      .groupBy("k")
+      .agg(min("c_name").as("name"))
+      .select(
+        lpad(col("k").cast("string"), 10, "0").as("cik"),
+        concat(lit("TKR"), col("k").cast("string")).as("ticker"),
+        col("name"))
+  }
+}
+
+/** DuckDB-SQL mirrors of [[SecDerive]] as CTE bodies, composed into every
+  * SEC-pipeline oracle. Kept adjacent to the Spark code so the two stay in
+  * lock-step; the driver's oracle gate is the proof they agree.
+  */
+object SecSql {
+  private val tagCaseSql: String = SecDerive.tagByIdx.zipWithIndex
+    .map { case (t, i) => s"WHEN $i THEN '$t'" }
+    .mkString("CASE (l_partkey + l_linenumber) % 14 ", " ", " END")
+
+  val factsCte: String = s"""
+facts AS (
+  SELECT
+    l_orderkey * 10 + l_linenumber AS fact_id,
+    lpad(CAST(l_orderkey % 37 AS VARCHAR), 10, '0') AS cik,
+    CASE WHEN l_partkey % 13 = 0 THEN 'dei' ELSE 'us-gaap' END AS taxonomy,
+    $tagCaseSql AS tag,
+    CASE WHEN l_partkey % 11 = 0 THEN 'EUR' ELSE 'USD' END AS unit,
+    CASE WHEN (l_partkey + l_linenumber) % 14 IN (9, 10, 11) THEN NULL
+         ELSE CAST(l_shipdate AS DATE) - CAST(300 + l_suppkey % 100 AS INTEGER)
+    END AS period_start,
+    CAST(l_shipdate AS DATE) AS period_end,
+    CASE WHEN (l_partkey + l_linenumber) % 14 = 8 AND l_suppkey % 3 = 0
+         THEN -l_extendedprice ELSE l_extendedprice END AS value,
+    'ACC-' || CAST(l_orderkey AS VARCHAR) AS filing_accession_no,
+    CASE (l_orderkey + l_linenumber) % 10
+      WHEN 0 THEN '10-Q' WHEN 1 THEN '20-F' ELSE '10-K' END AS form,
+    CAST(l_shipdate AS DATE) + CAST(l_partkey % 90 AS INTEGER) AS filed,
+    'CY' || CAST(year(CAST(l_shipdate AS DATE)) AS VARCHAR) AS frame
+  FROM lineitem
+)"""
+
+  val filingsCte: String = """
+filings AS (
+  SELECT
+    'ACC-' || CAST(o_orderkey AS VARCHAR) AS accession_no,
+    lpad(CAST(o_custkey % 37 AS VARCHAR), 10, '0') AS cik,
+    CASE o_orderkey % 10
+      WHEN 0 THEN '10-Q' WHEN 1 THEN '20-F' ELSE '10-K' END AS form,
+    CAST(o_orderdate AS DATE) AS filing_date,
+    CAST(o_orderdate AS DATE) AS report_date,
+    CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS fiscal_year,
+    CASE WHEN o_orderkey % 4 = 0 THEN 'FY'
+         ELSE 'Q' || CAST(o_orderkey % 4 AS VARCHAR) END AS fiscal_period
+  FROM orders
+  WHERE o_orderkey % 7 <> 0
+)"""
+
+  val companiesCte: String = """
+companies AS (
+  SELECT lpad(CAST(k AS VARCHAR), 10, '0') AS cik,
+         'TKR' || CAST(k AS VARCHAR) AS ticker,
+         name
+  FROM (SELECT c_custkey % 37 AS k, min(c_name) AS name FROM customer GROUP BY 1)
+)"""
+
+  private def quoted(ts: Seq[String]): String = ts.map(t => s"'$t'").mkString(", ")
+
+  /** Mirror of Statements.flowFacts + stockFacts + dedupLatest (v3 semantics,
+    * _v3.py:40-109, with the deterministic tie-breakers SURVEY §7.4 demands). */
+  val dedupedCte: String = s"""
+flow AS (
+  SELECT cik, CAST(year(period_end) AS INTEGER) AS fiscal_year, tag, value, filed, fact_id
+  FROM facts
+  WHERE taxonomy = 'us-gaap' AND unit = 'USD'
+    AND tag IN (${quoted(SecTags.flowTags)})
+    AND form IN ('10-K', '20-F')
+    AND period_start IS NOT NULL AND period_end IS NOT NULL
+    AND date_diff('day', period_start, period_end) BETWEEN 330 AND 380
+),
+stock AS (
+  SELECT cik, CAST(year(period_end) AS INTEGER) AS fiscal_year, tag, value, filed, fact_id
+  FROM facts
+  WHERE taxonomy = 'us-gaap' AND unit = 'USD'
+    AND tag IN (${quoted(SecTags.stockTags)})
+    AND form IN ('10-K', '20-F')
+    AND period_end IS NOT NULL AND period_start IS NULL
+),
+deduped AS (
+  SELECT cik, fiscal_year, tag, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cik, fiscal_year, tag
+      ORDER BY filed DESC NULLS LAST, value DESC NULLS LAST, fact_id ASC
+    ) AS rn
+    FROM (SELECT * FROM flow UNION ALL SELECT * FROM stock)
+  ) WHERE rn = 1
+)"""
+
+  /** Mirror of Statements.buildV3 (pivot + derive; _v3.py:111-152). */
+  val statementsCte: String = {
+    val pivotCols = SecDerive.tagByIdx.take(12).map { t =>
+      s"    max(CASE WHEN tag = '$t' THEN value END) AS \"$t\""
+    }.mkString(",\n")
+    val revCoalesce = SecTags.revenueCandidates.map(t => s"\"$t\"").mkString("coalesce(", ", ", ")")
+    s"""
+wide AS (
+  SELECT cik, fiscal_year,
+$pivotCols
+  FROM deduped
+  GROUP BY cik, fiscal_year
+),
+statements AS (
+  SELECT cik, fiscal_year,
+    $revCoalesce AS revenues,
+    "GrossProfit" AS gross_profit,
+    "OperatingIncomeLoss" AS operating_income,
+    "NetIncomeLoss" AS net_income,
+    "Assets" AS total_assets,
+    "Liabilities" AS total_liabilities,
+    "StockholdersEquity" AS total_equity,
+    "NetCashProvidedByUsedInOperatingActivities" AS operating_cash_flow,
+    abs("PaymentsToAcquirePropertyPlantAndEquipment") AS capex,
+    "NetCashProvidedByUsedInOperatingActivities"
+      - abs("PaymentsToAcquirePropertyPlantAndEquipment") AS free_cash_flow
+  FROM wide
+)"""
+  }
+
+  /** Mirror of Ratios.compute (compute_ratios.py:29-39, null/zero-safe A7). */
+  val ratiosCte: String = {
+    def div(a: String, b: String) =
+      s"CASE WHEN $b IS NULL OR $b = 0 THEN NULL ELSE $a / $b END"
+    s"""
+ratios AS (
+  SELECT cik, fiscal_year,
+    ${div("gross_profit", "revenues")} AS gross_margin,
+    ${div("operating_income", "revenues")} AS operating_margin,
+    ${div("net_income", "revenues")} AS net_margin,
+    ${div("net_income", "total_assets")} AS roa,
+    ${div("net_income", "total_equity")} AS roe,
+    ${div("total_assets", "total_equity")} AS leverage,
+    ${div("free_cash_flow", "revenues")} AS fcf_margin,
+    ${div("revenues", "total_assets")} AS asset_turnover
+  FROM statements
+)"""
+  }
+
+  /** Full prelude: WITH facts, filings, companies, flow..ratios. */
+  val fullPrelude: String =
+    s"WITH $factsCte, $filingsCte, $companiesCte, $dedupedCte, $statementsCte, $ratiosCte"
+
+  val basePrelude: String =
+    s"WITH $factsCte, $filingsCte, $companiesCte"
+}
