@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Per-round benchmark: runs every registered query at SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line. Two round-1 harness bugs fixed:
+  *   - materialization is a `noop`-format write, not `.count()` (count lets
+  *     Catalyst strip sorts/projections, flattering the numbers);
+  *   - the JSON goes to stdout unprefixed (build.sbt `run / outputStrategy :=
+  *     StdoutOutput`) AND to `bench_out.json` in the cwd, so the driver's
+  *     parser has a clean line even if sbt/log noise wraps stdout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +17,28 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+    val results = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val sfToken = sfDir.split("/").last.stripPrefix("sf")
+    // Numeric if parseable, else a JSON string — never bare non-numeric text.
+    val sf = sfToken.toDoubleOption.map(_.toString).getOrElse("\"" + sfToken + "\"")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}"""
+    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }

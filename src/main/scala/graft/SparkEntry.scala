@@ -75,11 +75,13 @@ object SparkEntry {
         SELECT cik, ticker, name FROM companies WHERE ticker = upper('tkr7')""")),
 
     // J1: facts ⋈ filings equi-join on accession (build_statements_annual.py:43-44).
+    // filings is fact-scale (one row per order) — no broadcast hint; AQE picks
+    // the strategy, and at 100 TB this is a co-partitionable shuffle join.
     Q("q04_join_facts_filings",
       (s, dir) => {
         val f = SecDerive.facts(s, dir)
         val fl = SecDerive.filings(s, dir)
-        f.join(broadcast(fl), f("filing_accession_no") === fl("accession_no"), "inner")
+        f.join(fl, f("filing_accession_no") === fl("accession_no"), "inner")
           .select(f("fact_id"), f("cik"), f("tag"), f("value"),
             fl("fiscal_year").as("filing_fiscal_year"),
             fl("fiscal_period"), fl("form").as("filing_form"))
@@ -97,21 +99,8 @@ object SparkEntry {
     Q("q05_annual_facts_v1",
       (s, dir) => Statements.annualFactsV1(SecDerive.facts(s, dir), SecDerive.filings(s, dir))
         .orderBy("cik", "fiscal_year", "tag"),
-      Some(s"""${SecSql.basePrelude}
-        , joined AS (
-          SELECT f.cik, fl.fiscal_year AS fiscal_year, f.tag, f.value, f.filed, f.form, f.fact_id
-          FROM facts f
-          JOIN filings fl ON fl.accession_no = f.filing_accession_no
-          WHERE f.taxonomy = 'us-gaap' AND f.unit = 'USD'
-            AND f.tag IN (${graft.sec.SecTags.coreTags.map(t => s"'$t'").mkString(", ")})
-            AND fl.fiscal_year IS NOT NULL AND fl.fiscal_period = 'FY'
-        )
-        SELECT cik, fiscal_year, tag, value FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY cik, fiscal_year, tag
-            ORDER BY CASE WHEN form = '10-K' THEN 0 ELSE 1 END ASC,
-                     filed DESC NULLS LAST, value DESC NULLS LAST, fact_id ASC) AS rn
-          FROM joined) WHERE rn = 1
+      Some(s"""${SecSql.basePrelude}, ${SecSql.annualV1Cte}
+        SELECT cik, fiscal_year, tag, value FROM annual_v1
         ORDER BY cik, fiscal_year, tag""")),
 
     // J3 generalization: semi-join (EXISTS).
@@ -132,7 +121,7 @@ object SparkEntry {
       (s, dir) => {
         val f = SecDerive.facts(s, dir)
         val fl = SecDerive.filings(s, dir)
-        f.join(broadcast(fl), f("filing_accession_no") === fl("accession_no"), "left_anti")
+        f.join(fl, f("filing_accession_no") === fl("accession_no"), "left_anti")
           .select("fact_id", "cik", "filing_accession_no")
           .orderBy("fact_id")
       },
@@ -174,14 +163,32 @@ object SparkEntry {
         ORDER BY r.fiscal_year DESC, r.roe DESC NULLS LAST, r.cik ASC
         LIMIT 25""")),
 
-    // O1: /ratios/{ticker} — lookup + order + limit (api.py:21-61).
+    // O1: /ratios/{ticker} — lookup + order + limit (api.py:21-61). The cik
+    // predicate is pushed BEFORE the window/pivot (point query, not a
+    // full-table pipeline).
     Q("q12_ratios_for_ticker",
-      (s, dir) => Screener.ratiosForTicker(ratiosV3(s, dir),
+      (s, dir) => Screener.ratiosForTicker(SecDerive.facts(s, dir),
         SecDerive.companies(s, dir), "TKR5", limit = 10),
       Some(s"""${SecSql.fullPrelude}
         SELECT r.* FROM ratios r
         WHERE r.cik IN (SELECT cik FROM companies WHERE ticker = 'TKR5')
-        ORDER BY r.fiscal_year DESC LIMIT 10""")))
+        ORDER BY r.fiscal_year DESC LIMIT 10""")),
+
+    // The v2 statements build: v1/v2 join path + v2 revenue-candidate order
+    // (`Revenues` first — _v2.py:5-10; SURVEY §7.4 item 6).
+    Q("q17_statements_v2",
+      (s, dir) => Statements.buildV2(SecDerive.facts(s, dir), SecDerive.filings(s, dir))
+        .orderBy("cik", "fiscal_year"),
+      Some(s"""${SecSql.basePrelude}, ${SecSql.annualV1Cte}, ${SecSql.statementsV2Cte}
+        SELECT * FROM statements_v2 ORDER BY cik, fiscal_year""")),
+
+    // S6/O3 exact shape: dimension scan ordered by ticker
+    // (ingest_facts.py:100).
+    Q("q18_companies_by_ticker",
+      (s, dir) => SecDerive.companies(s, dir).select("cik", "ticker")
+        .orderBy("ticker"),
+      Some(s"""${SecSql.basePrelude}
+        SELECT cik, ticker FROM companies ORDER BY ticker""")))
 
   // ---------------------------------------------------------------------------
   // Generic relational operators over the TPC-H tables.

@@ -40,19 +40,23 @@ object Screener {
       .limit(p.limit)
   }
 
-  /** GET /company/{ticker} (api.py:6-19): point lookup, ticker upper-cased. */
+  /** GET /company/{ticker} (api.py:6-19): point lookup, ticker upper-cased.
+    * Locale.ROOT: the JVM default locale (e.g. tr-TR 'i'→'İ') would diverge
+    * from Python str.upper() / DuckDB upper(). */
   def companyLookup(companies: DataFrame, ticker: String): DataFrame =
-    companies.filter(col("ticker") === lit(ticker.toUpperCase))
+    companies.filter(col("ticker") === lit(ticker.toUpperCase(java.util.Locale.ROOT)))
       .select("cik", "ticker", "name")
 
   /** GET /ratios/{ticker} (api.py:21-61): the reference does a manual 2-step
-    * lookup-then-query (a semi-join spelled as two round-trips, J3); here it
-    * is a single broadcast join + top-k by fiscal_year. */
-  def ratiosForTicker(ratios: DataFrame, companies: DataFrame,
+    * lookup-then-query (a semi-join spelled as two round-trips, J3); here the
+    * 1-row cik lookup is broadcast-semi-joined against `facts` BEFORE the
+    * window/pivot (both partition by cik, so the pushdown is semantics-
+    * preserving) — a point query scans one cik's slice, not the world. */
+  def ratiosForTicker(facts: DataFrame, companies: DataFrame,
       ticker: String, limit: Int = 10): DataFrame = {
     require(limit >= 1 && limit <= 50, "limit must be in 1..50 (api.py:22)")
-    ratios
-      .join(broadcast(companyLookup(companies, ticker).select("cik")), "cik")
+    val cikLookup = broadcast(companyLookup(companies, ticker).select("cik"))
+    Ratios.compute(Statements.buildV3(facts.join(cikLookup, Seq("cik"), "left_semi")))
       .select(col("cik"), col("fiscal_year"), col("gross_margin"),
         col("operating_margin"), col("net_margin"), col("roa"), col("roe"),
         col("leverage"), col("fcf_margin"), col("asset_turnover"))

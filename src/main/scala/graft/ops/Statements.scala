@@ -77,15 +77,17 @@ object Statements {
       .pivot("tag", SecTags.coreTags)
       .agg(max("value"))
 
-  /** A4/A5/A6: revenue-candidate coalesce (_v3.py:118-123), capex sign fix
-    * (_v3.py:136-139), fcf = ocf − capex with null propagation matching the
-    * both-non-null guard (_v3.py:141-143). */
-  def derive(wide: DataFrame): DataFrame = {
+  /** A4/A5/A6: revenue-candidate coalesce (_v3.py:118-123 — v2 uses a
+    * different priority order, _v2.py:5-10, so the order is a parameter),
+    * capex sign fix (_v3.py:136-139), fcf = ocf − capex with null propagation
+    * matching the both-non-null guard (_v3.py:141-143). */
+  def derive(wide: DataFrame,
+      revenueCandidates: Seq[String] = SecTags.revenueCandidates): DataFrame = {
     val capexRaw = col("PaymentsToAcquirePropertyPlantAndEquipment")
     val ocf = col("NetCashProvidedByUsedInOperatingActivities")
     wide.select(
       Seq(col("cik"), col("fiscal_year"),
-        coalesce(SecTags.revenueCandidates.map(col): _*).as("revenues")) ++
+        coalesce(revenueCandidates.map(col): _*).as("revenues")) ++
       SecTags.tagToColumn.map { case (tag, name) => col(tag).as(name) } ++
       Seq(abs(capexRaw).as("capex"),
         (ocf - abs(capexRaw)).as("free_cash_flow")): _*)
@@ -95,18 +97,26 @@ object Statements {
   def buildV3(facts: DataFrame): DataFrame =
     derive(pivotWide(dedupedFacts(facts)))
 
+  /** The v2 build (build_statements_annual_v2.py): filings-join + fp='FY'
+    * annual facts (v1/v2 path) pivoted wide, with the v2 revenue-candidate
+    * priority order (`Revenues` first — _v2.py:5-10,75-79). */
+  def buildV2(facts: DataFrame, filings: DataFrame): DataFrame =
+    derive(pivotWide(annualFactsV1(facts, filings)), SecTags.revenueCandidatesV2)
+
   /** v1/v2 path: facts ⋈ filings on accession (J1), fiscal metadata from the
     * filing, fp='FY' only (F5), form-priority-then-filed ranking (A2;
-    * build_statements_annual.py:36-51). Kept as a distinct operator — the
-    * filings side is dimension-sized, so broadcast it. */
+    * build_statements_annual.py:36-51). Kept as a distinct operator. filings
+    * is fact-scale (one row per filing, grows with the data) — NOT broadcast;
+    * the fiscal_period filter shrinks it first and AQE picks the strategy. */
   def annualFactsV1(facts: DataFrame, filings: DataFrame): DataFrame = {
     val joined = facts
       .filter(col("taxonomy") === "us-gaap" && col("unit") === "USD" &&
         col("tag").isin(SecTags.coreTags: _*))
-      .join(broadcast(filings.select(col("accession_no"),
-          col("fiscal_year").as("f_fiscal_year"), col("fiscal_period"))),
+      .join(filings
+          .filter(col("fiscal_year").isNotNull && col("fiscal_period") === "FY")
+          .select(col("accession_no"),
+            col("fiscal_year").as("f_fiscal_year"), col("fiscal_period")),
         col("filing_accession_no") === col("accession_no"), "inner")
-      .filter(col("f_fiscal_year").isNotNull && col("fiscal_period") === "FY")
     val formPriority = when(col("form") === "10-K", 0).otherwise(1)
     latestWins(Seq("cik", "f_fiscal_year", "tag"),
       Seq(formPriority.asc, col("filed").desc_nulls_last,

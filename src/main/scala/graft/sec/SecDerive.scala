@@ -26,8 +26,22 @@ object SecDerive {
     Seq("EntityCommonStockSharesOutstanding", "DeferredRevenueCurrent")
   private val stockIdx = Seq(9, 10, 11) // Assets, Liabilities, StockholdersEquity
 
+  /** The derived warehouse tables stand in for materialized parquet (the
+    * reference reads `facts` from Postgres, not re-deriving per query) — so
+    * memoize + persist per (session, dir): ~15 registered queries share one
+    * derivation instead of re-running the 14-deep tag CASE each time. */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  private def cached(spark: SparkSession, dir: String, name: String)
+      (mk: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((System.identityHashCode(spark), dir, name),
+      mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** facts: one row per lineitem line. Narrow EAV fact table (schema.sql:26-40). */
-  def facts(spark: SparkSession, dir: String): DataFrame = {
+  def facts(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "facts")(factsPlan(spark, dir))
+
+  private def factsPlan(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val tagIdx = (col("l_partkey") + col("l_linenumber")) % 14
     val shipDate = to_date(col("l_shipdate"))
@@ -56,7 +70,10 @@ object SecDerive {
 
   /** filings: one row per order, with ~1/7 dropped so the facts→filings FK
     * check (anti-join orphan detection) has hits (schema.sql:14-23). */
-  def filings(spark: SparkSession, dir: String): DataFrame = {
+  def filings(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "filings")(filingsPlan(spark, dir))
+
+  private def filingsPlan(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val orderDate = to_date(col("o_orderdate"))
     o.filter(col("o_orderkey") % 7 =!= 0).select(
@@ -174,20 +191,43 @@ deduped AS (
   ) WHERE rn = 1
 )"""
 
-  /** Mirror of Statements.buildV3 (pivot + derive; _v3.py:111-152). */
-  val statementsCte: String = {
+  /** Mirror of Statements.annualFactsV1 (v1/v2 join path + form-priority
+    * ranking; build_statements_annual.py:36-51). */
+  val annualV1Cte: String = s"""
+annual_v1 AS (
+  SELECT cik, fiscal_year, tag, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cik, fiscal_year, tag
+      ORDER BY CASE WHEN form = '10-K' THEN 0 ELSE 1 END ASC,
+               filed DESC NULLS LAST, value DESC NULLS LAST, fact_id ASC) AS rn
+    FROM (
+      SELECT f.cik, fl.fiscal_year AS fiscal_year, f.tag, f.value, f.filed,
+             f.form, f.fact_id
+      FROM facts f
+      JOIN filings fl ON fl.accession_no = f.filing_accession_no
+      WHERE f.taxonomy = 'us-gaap' AND f.unit = 'USD'
+        AND f.tag IN (${quoted(SecTags.coreTags)})
+        AND fl.fiscal_year IS NOT NULL AND fl.fiscal_period = 'FY')
+  ) WHERE rn = 1
+)"""
+
+  /** Mirror of Statements.pivotWide + derive (_v3.py:111-152), parameterized
+    * by the narrow source CTE and the revenue-coalesce priority order (v2 vs
+    * v3 differ — _v2.py:5-10 vs _v3.py:5-10). */
+  private def statementsCtes(wideName: String, stmtName: String,
+      source: String, candidates: Seq[String]): String = {
     val pivotCols = SecDerive.tagByIdx.take(12).map { t =>
       s"    max(CASE WHEN tag = '$t' THEN value END) AS \"$t\""
     }.mkString(",\n")
-    val revCoalesce = SecTags.revenueCandidates.map(t => s"\"$t\"").mkString("coalesce(", ", ", ")")
+    val revCoalesce = candidates.map(t => s"\"$t\"").mkString("coalesce(", ", ", ")")
     s"""
-wide AS (
+$wideName AS (
   SELECT cik, fiscal_year,
 $pivotCols
-  FROM deduped
+  FROM $source
   GROUP BY cik, fiscal_year
 ),
-statements AS (
+$stmtName AS (
   SELECT cik, fiscal_year,
     $revCoalesce AS revenues,
     "GrossProfit" AS gross_profit,
@@ -200,9 +240,17 @@ statements AS (
     abs("PaymentsToAcquirePropertyPlantAndEquipment") AS capex,
     "NetCashProvidedByUsedInOperatingActivities"
       - abs("PaymentsToAcquirePropertyPlantAndEquipment") AS free_cash_flow
-  FROM wide
+  FROM $wideName
 )"""
   }
+
+  /** Mirror of Statements.buildV3 (pivot + derive; _v3.py:111-152). */
+  val statementsCte: String =
+    statementsCtes("wide", "statements", "deduped", SecTags.revenueCandidates)
+
+  /** Mirror of Statements.buildV2 (v1/v2 join path + v2 coalesce order). */
+  val statementsV2Cte: String =
+    statementsCtes("wide_v2", "statements_v2", "annual_v1", SecTags.revenueCandidatesV2)
 
   /** Mirror of Ratios.compute (compute_ratios.py:29-39, null/zero-safe A7). */
   val ratiosCte: String = {
