@@ -18,12 +18,6 @@ import graft.ops.{Ratios, Screener, Statements}
   */
 object SparkEntry {
 
-  /** One registered query: Spark side + optional DuckDB oracle. */
-  final case class Q(
-      name: String,
-      run: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
-
   // ---------------------------------------------------------------------------
   // SEC warehouse pipeline (SURVEY §2) over facts/filings/companies derived
   // deterministically from the TPC-H tables (mirrored CTEs in SecSql).
@@ -269,7 +263,8 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------------
 
-  val allQueries: Seq[Q] = secQueries ++ relationalQueries
+  val allQueries: Seq[Q] =
+    secQueries ++ relationalQueries ++ graft.llm.LlmQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * ingest-shaped pipeline facts → statements → ratios → screener. */

@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Deduplication operators over the `documents` table — the training-data
+  * pipeline's first pass. Four strategies, cheapest first:
+  *
+  *   1. exact      — hash-groupBy on md5(normalized text); one shuffle on the
+  *                   hash key, keep-one by deterministic rank.
+  *   2. MinHash/LSH — shingle -> minhash signature -> banded buckets ->
+  *                   within-bucket candidate pairs -> exact Jaccard verify.
+  *                   NEVER all-pairs: at 100 TB the only shuffle is the
+  *                   band-bucket exchange, and bucket sizes are bounded by
+  *                   collision probability, not corpus size.
+  *   3. SimHash    — 32-bit fingerprint; near-dup pairs via 8-bit bands +
+  *                   Hamming-distance verify (bit_count(xor)).
+  *   4. n-gram Jaccard — exact character-trigram Jaccard, bucketed by a
+  *                   grouping column so the pair space is per-bucket, not
+  *                   global.
+  *
+  * All pure Column expressions; DuckDB mirrors in [[LlmSql]].
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per md5(normalized text). Deterministic
+    * keep-one (lowest doc_id, then source) — the `latestWins` shape from the
+    * SEC pipeline (Statements.latestWins) applied to content hashes. Input
+    * may contain repeated crawls of the same doc (see q20, which feeds the
+    * table unioned with itself). */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("text_hash")
+      .orderBy(col("doc_id").asc, col("source").asc)
+    docs
+      .withColumn("text_hash", md5(normText(col("text"))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("doc_id", "text_hash", "lang", "source", "n_chars")
+  }
+
+  /** Per-doc MinHash signatures over word 2-gram shingles. Three chained
+    * projections, each materializing an array the next references many times
+    * (shingles -> base hashes -> 16 permutation minima) — keeps every md5
+    * evaluated exactly once per shingle. */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      shingles(toks(col("text")), 2).as("shingle_set"))
+      .withColumn("hs", shingleBaseHashes(col("shingle_set")))
+      .select(col("doc_id"), col("shingle_set"),
+        minhashSignature(col("hs")).as("sig"))
+
+  /** MinHash/LSH near-dup pairs with exact-Jaccard verification.
+    *
+    * Plan shape (scale-critical): signatures are a narrow map over docs; the
+    * band explode multiplies rows x4; the self-join shuffles on
+    * (band_idx, band_hash) — a key whose cardinality grows with the corpus,
+    * so buckets stay small; candidate pairs are deduped per-pair before the
+    * (doc_id-keyed, co-partitionable) joins that fetch shingle sets for the
+    * verify. No step is quadratic in the corpus.
+    */
+  def minhashNearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bands = sigs
+      .select(col("doc_id"), explode(lshBands(col("sig"))).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val candidates = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_id_a"), col("shingle_set").as("sh_a"))
+    val sb = sigs.select(col("doc_id").as("doc_id_b"), col("shingle_set").as("sh_b"))
+    candidates
+      .join(sa, "doc_id_a")
+      .join(sb, "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-doc 32-bit SimHash fingerprints (token hashes materialized before
+    * the 32 bit-sum passes). */
+  def simhashFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokenHashes(toks(col("text"))).as("th"))
+      .select(col("doc_id"), simhash(col("th")).as("simhash"))
+
+  /** SimHash near-dup pairs: docs sharing any 8-bit band of the fingerprint,
+    * verified by Hamming distance <= maxHamming. Same banded-LSH plan shape
+    * as MinHash — no all-pairs. */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fps = simhashFingerprints(docs)
+    val bands = fps.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimBands).map { t =>
+        struct(lit(t).as("band_idx"),
+          shiftright(col("simhash"), t * SimBandBits)
+            .bitwiseAND(lit((1L << SimBandBits) - 1)).as("band_val"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+        col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id_a", "doc_id_b", "hamming")
+  }
+
+  /** Exact character-trigram Jaccard pairs, bucketed by `bucketCol` (e.g.
+    * `source`): the pair space is quadratic only within a bucket, and the
+    * join shuffles on the bucket key. */
+  def ngramJaccardPairs(docs: DataFrame, bucketCol: String,
+      threshold: Double = 0.6): DataFrame = {
+    val g = docs.select(col("doc_id"), col(bucketCol).as("bucket"),
+      charGrams(col("text"), 3).as("grams"))
+    val a = g.as("a")
+    val b = g.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.bucket").as("bucket"),
+        col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+        jaccard(col("a.grams"), col("b.grams")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,244 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import TextOps._
+
+/** Driver-registered queries for the LLM-data-pipeline operators, each with a
+  * DuckDB oracle generated from the SAME Scala constants (perms, planes,
+  * stopwords, profiles) the Spark expressions use — so both engines evaluate
+  * literally identical arithmetic.
+  *
+  * Portability notes (verified empirically, see TextOps):
+  *   - hash60:  conv(substr(md5,1,15),16,10)  ==  ('0x'||substr(md5,1,15))::BIGINT
+  *   - dot:     aggregate(zip_with(...)) strict left fold == list_dot_product
+  *              over DOUBLE[] — bit-identical.
+  *   - tokens:  split(trim(lower s), '\s+') == regexp_split_to_array(...).
+  */
+object LlmQueries {
+
+  // ---------------------------------------------------------------------------
+  // DuckDB SQL fragments
+  // ---------------------------------------------------------------------------
+
+  private def h60(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+
+  private val tokCte =
+    "tok AS (SELECT *, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents)"
+
+  /** Distinct word 2-gram shingles per doc. */
+  private val shingleCte =
+    s"""$tokCte,
+sh AS (SELECT doc_id, list_distinct([array_to_string(t[i+1:i+2], ' ')
+                                     for i in range(0, len(t)-1)]) AS s
+       FROM tok)"""
+
+  private def jaccardSql(a: String, b: String): String =
+    s"len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE"
+
+  /** The 16 MinHash minima, from the same (a,b) coefficients as Spark. */
+  private val sigSql: String = perms
+    .map { case (a, b) => s"list_min([(x * $a + $b) % $P for x in hs])" }
+    .mkString("[\n    ", ",\n    ", "]")
+
+  /** 32 SimHash bit terms. */
+  private val simhashSql: String = (0 until SimBits).map { j =>
+    s"(CASE WHEN list_sum([CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END for x in h]) > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString("(", "\n   + ", ")")
+
+  private def planeSql(i: Int): String =
+    Similarity.planes(i).map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** Per-table LSH bucket expressions over vector column `v`. */
+  private val bucketsSql: String = (0 until Similarity.Tables).map { t =>
+    (0 until Similarity.PlanesPerTable).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${planeSql(t * Similarity.PlanesPerTable + p)}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }.mkString("[\n    ", ",\n    ", "]")
+
+  private def cosineSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val embCte =
+    "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
+
+  private val lshCte =
+    s"""$embCte,
+eb AS (SELECT vec_id, label, v, $bucketsSql AS bks FROM e),
+b AS (SELECT vec_id, label, v, rb.table_id, bks[rb.table_id + 1] AS bucket
+      FROM eb, range(${Similarity.Tables}) rb(table_id))"""
+
+  // ---------------------------------------------------------------------------
+  // Queries
+  // ---------------------------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup over a simulated double-crawl (documents ∪ documents):
+    // md5(normalized text) hash-groupBy, deterministic keep-one.
+    Q("q20_exact_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Dedup.exactDedup(d.unionByName(d)).orderBy("doc_id")
+      },
+      Some("""
+WITH u AS (SELECT * FROM documents UNION ALL SELECT * FROM documents),
+h AS (SELECT *, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash FROM u),
+r AS (SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id ASC, source ASC) AS rn FROM h)
+SELECT doc_id, text_hash, lang, source, n_chars FROM r WHERE rn = 1 ORDER BY doc_id""")),
+
+    // MinHash/LSH near-dup pairs (banded buckets, exact-Jaccard verify).
+    Q("q21_minhash_neardup",
+      (s, dir) => Dedup.minhashNearDupPairs(Tables.documents(s, dir), 0.8)
+        .orderBy("doc_id_a", "doc_id_b"),
+      Some(s"""
+WITH $shingleCte,
+hx AS (SELECT doc_id, [${h60("x")} % $P for x in s] AS hs FROM sh),
+sig AS (SELECT doc_id, $sigSql AS g FROM hx),
+bands AS (SELECT doc_id, rb.band_idx,
+            md5(array_to_string([CAST(x AS VARCHAR)
+                                 for x in g[rb.band_idx*$Rows+1 : rb.band_idx*$Rows+$Rows]], ',')) AS band_hash
+          FROM sig, range($Bands) rb(band_idx)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+j AS (SELECT doc_id_a, doc_id_b, ${jaccardSql("sa.s", "sb.s")} AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.doc_id_a
+      JOIN sh sb ON sb.doc_id = cand.doc_id_b)
+SELECT doc_id_a, doc_id_b, jaccard FROM j WHERE jaccard >= 0.8
+ORDER BY doc_id_a, doc_id_b""")),
+
+    // SimHash near-dup pairs (8-bit bands, Hamming verify).
+    Q("q22_simhash_neardup",
+      (s, dir) => Dedup.simhashNearDupPairs(Tables.documents(s, dir), 3)
+        .orderBy("doc_id_a", "doc_id_b"),
+      Some(s"""
+WITH $tokCte,
+th AS (SELECT doc_id, [${h60("x")} for x in t] AS h FROM tok),
+fp AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash FROM th),
+bands AS (SELECT doc_id, simhash, rb.band_idx,
+            (simhash >> (rb.band_idx * $SimBandBits)) & ${(1L << SimBandBits) - 1} AS band_val
+          FROM fp, range($SimBands) rb(band_idx)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                a.simhash AS sa, b.simhash AS sb
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY doc_id_a, doc_id_b""")),
+
+    // Exact character-trigram Jaccard pairs, bucketed by `source`.
+    Q("q23_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "source", 0.6)
+        .orderBy("doc_id_a", "doc_id_b"),
+      Some(s"""
+WITH g AS (SELECT doc_id, source AS bucket,
+             list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)]) AS grams
+           FROM documents),
+p AS (SELECT a.bucket, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        ${jaccardSql("a.grams", "b.grams")} AS jaccard
+      FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT bucket, doc_id_a, doc_id_b, jaccard FROM p WHERE jaccard >= 0.6
+ORDER BY doc_id_a, doc_id_b""")),
+
+    // Brute-force cosine top-k against vec_id=0 (correctness baseline).
+    Q("q24_cosine_topk",
+      (s, dir) => Similarity.bruteTopK(Tables.embeddings(s, dir), 0L, 20),
+      Some(s"""
+WITH $embCte,
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, label, ${cosineSql("v", "qv")} AS cosine
+FROM e, q ORDER BY cosine DESC, vec_id ASC LIMIT 20""")),
+
+    // LSH ANN top-k: only vectors sharing a (table, bucket) with the query.
+    Q("q25_lsh_ann_topk",
+      (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), 0L, 10),
+      Some(s"""
+WITH $lshCte,
+qb AS (SELECT table_id, bucket, v AS qv FROM b WHERE vec_id = 0),
+m AS (SELECT b.vec_id, b.label, ${cosineSql("b.v", "qb.qv")} AS cosine
+      FROM b JOIN qb ON b.table_id = qb.table_id AND b.bucket = qb.bucket)
+SELECT vec_id, label, cosine, count(*) AS n_tables FROM m GROUP BY 1, 2, 3
+ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
+
+    // Embedding-cosine near-dup pairs via multi-table LSH candidates.
+    Q("q34_embedding_neardup",
+      (s, dir) => Similarity.nearDupPairs(Tables.embeddings(s, dir), 0.4)
+        .orderBy("vec_id_a", "vec_id_b"),
+      Some(s"""
+WITH $lshCte,
+cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b2.vec_id AS vec_id_b
+         FROM b a JOIN b b2
+           ON a.table_id = b2.table_id AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+c AS (SELECT vec_id_a, vec_id_b, ${cosineSql("ea.v", "eb2.v")} AS cosine
+      FROM cand
+      JOIN e ea ON ea.vec_id = cand.vec_id_a
+      JOIN e eb2 ON eb2.vec_id = cand.vec_id_b)
+SELECT vec_id_a, vec_id_b, cosine FROM c WHERE cosine >= 0.4
+ORDER BY vec_id_a, vec_id_b""")),
+
+    // Quality/statistics block over documents.
+    Q("q26_text_stats",
+      (s, dir) => TextAnalysis.textStats(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""
+WITH $tokCte
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars_txt,
+  len(t)::BIGINT AS n_tokens,
+  len(regexp_extract_all(text, '${TextAnalysis.bpePattern}'))::BIGINT AS n_bpe_tokens,
+  length(array_to_string(t, ''))::DOUBLE / len(t)::DOUBLE AS avg_token_len,
+  len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS distinct_ratio,
+  len(list_filter(t, x -> x IN (${stopwords.map(w => s"'$w'").mkString(", ")})))::DOUBLE
+    / len(t)::DOUBLE AS stopword_ratio,
+  (length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')))::DOUBLE
+    / length(text)::DOUBLE AS punct_ratio,
+  ((len(list_distinct(t))::DOUBLE / len(t)::DOUBLE) * 0.5)
+    + ((len(list_filter(t, x -> x IN (${stopwords.map(w => s"'$w'").mkString(", ")})))::DOUBLE
+        / len(t)::DOUBLE) * 0.3)
+    + ((CASE WHEN len(t) >= 20 THEN 1.0 ELSE len(t)::DOUBLE / 20.0 END) * 0.2) AS quality_score
+FROM tok ORDER BY doc_id""")),
+
+    // n-gram language-ID heuristic.
+    Q("q27_lang_id",
+      (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some {
+        val scores = langProfiles.map { case (l, p) =>
+          p.map(tri => s"(length(text) - length(replace(text, '$tri', '')))")
+            .mkString("(", " + ", s")::BIGINT AS score_$l")
+        }.mkString(",\n  ")
+        val best = langProfiles.map { case (l, _) => s"score_$l" }
+          .reduce((a, b) => s"greatest($a, $b)")
+        val cases = langProfiles.map { case (l, _) =>
+          s"WHEN score_$l = $best AND $best > 0 THEN '$l'"
+        }.mkString("\n    ")
+        s"""
+WITH scored AS (
+  SELECT doc_id,
+  $scores
+  FROM documents)
+SELECT doc_id, ${langProfiles.map { case (l, _) => s"score_$l" }.mkString(", ")},
+  CASE $cases
+    ELSE 'und' END AS pred_lang
+FROM scored ORDER BY doc_id"""
+      }),
+
+    // Winnowing fingerprints (positional 3-gram hashes, window-4 minima).
+    Q("q28_fingerprint",
+      (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""
+WITH $tokCte,
+hs AS (SELECT doc_id,
+         [${h60("array_to_string(t[i+1:i+3], ' ')")} % $P for i in range(0, len(t)-2)] AS h
+       FROM tok),
+m AS (SELECT doc_id,
+        CASE WHEN len(h) >= 4 THEN [list_min(h[i+1:i+4]) for i in range(0, len(h)-3)]
+             WHEN len(h) > 0 THEN [list_min(h)]
+             ELSE []::BIGINT[] END AS mins
+      FROM hs)
+SELECT doc_id, len(list_distinct(mins))::BIGINT AS n_fp,
+       list_sort(list_distinct(mins)) AS fingerprint
+FROM m ORDER BY doc_id""")))
+}

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Text-analysis operators over `documents`: quality stats, token counting,
+  * n-gram language ID, and winnowing fingerprints. All narrow projections —
+  * zero shuffles; they fuse into whatever scan feeds them, which is exactly
+  * what a 100 TB quality-filter pass needs (one read, one write).
+  */
+object TextAnalysis {
+
+  /** BPE-ish token pattern: runs of <=4 letters, digit runs, or single
+    * non-alnum chars — a deterministic stand-in for a real subword
+    * tokenizer's piece count. */
+  val bpePattern = "[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]"
+
+  /** Quality/statistics block: char & token counts, BPE-ish token count,
+    * average token length, distinct-token ratio, stopword ratio, punctuation
+    * ratio, and a composite quality score. */
+  def textStats(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val nToks = size(t).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val alphaLen = length(array_join(t, "")).cast("long")
+    val stopHits = size(filter(t, x => x.isin(stopwords: _*))).cast("long")
+    val punct = (nChars -
+      length(regexp_replace(col("text"), "[^a-z0-9\\s]", "")).cast("long"))
+    val distinctRatio = size(array_distinct(t)).cast("double") / nToks.cast("double")
+    val stopRatio = stopHits.cast("double") / nToks.cast("double")
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars_txt"),
+      nToks.as("n_tokens"),
+      regexp_count(col("text"), lit(bpePattern)).cast("long").as("n_bpe_tokens"),
+      (alphaLen.cast("double") / nToks.cast("double")).as("avg_token_len"),
+      distinctRatio.as("distinct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      (punct.cast("double") / nChars.cast("double")).as("punct_ratio"),
+      // Composite score: association order matters for float parity — the
+      // DuckDB mirror in LlmSql reproduces it term by term.
+      ((distinctRatio * lit(0.5)) + (stopRatio * lit(0.3)) +
+        (when(nToks >= 20, lit(1.0)).otherwise(nToks.cast("double") / lit(20.0))
+          * lit(0.2))).as("quality_score"))
+  }
+
+  /** n-gram language ID: score = total matched characters of each language's
+    * char-trigram markers (substring counting via literal-replace length
+    * delta — `replace`, not regex, for exact DuckDB parity); predicted
+    * language = argmax with ties broken by profile order. */
+  def langId(docs: DataFrame): DataFrame = {
+    def score(profile: Seq[String]): Column =
+      profile.map { tri =>
+        length(col("text")) - length(replace(col("text"), lit(tri), lit("")))
+      }.reduce(_ + _).cast("long")
+    val scored = docs.select(
+      (col("doc_id") +: langProfiles.map { case (l, p) => score(p).as(s"score_$l") }): _*)
+    val names = langProfiles.map(_._1)
+    val best = names.map(l => col(s"score_$l"))
+      .reduce((a, b) => greatest(a, b))
+    // `when` chains evaluate first-to-last, so building the chain in profile
+    // order makes earlier languages win score ties (the documented tie-break).
+    val predOrdered = names.foldLeft(Option.empty[Column]) { (acc, l) =>
+      val cond = col(s"score_$l") === best && best > 0
+      Some(acc.fold(when(cond, lit(l)))(c => c.when(cond, lit(l))))
+    }.get.otherwise("und")
+    scored.select(
+      (col("doc_id") +: names.map(l => col(s"score_$l"))) :+
+        predOrdered.as("pred_lang"): _*)
+  }
+
+  /** Winnowing document fingerprint: positional word 3-gram hashes, sliding
+    * window of 4, keep each window's min hash, distinct + sort. The classic
+    * local fingerprinting scheme (Schleimer et al., SIGMOD'03) as pure array
+    * expressions. */
+  def fingerprints(docs: DataFrame, k: Int = 3, window: Int = 4): DataFrame = {
+    // hs materialized in its own projection: the window pass references it
+    // O(n) times, and an inlined expression would re-run the md5 chain per
+    // window (measured 50x slowdown before this split).
+    val hs = col("hs")
+    val mins = when(size(hs) >= window,
+      transform(sequence(lit(0), size(hs) - window),
+        i => array_min(slice(hs, i + lit(1), lit(window)))))
+      .otherwise(when(size(hs) > 0, array(array_min(hs)))
+        .otherwise(array().cast("array<bigint>")))
+    docs.select(col("doc_id"), shingleHashSeq(toks(col("text")), k).as("hs"))
+      .select(col("doc_id"), array_sort(array_distinct(mins)).as("fingerprint"))
+      .select(col("doc_id"), size(col("fingerprint")).cast("long").as("n_fp"),
+        col("fingerprint"))
+  }
+}

@@ -1,0 +1,152 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text primitives for the LLM-data-pipeline operators (dedup,
+  * similarity, text analysis) — the 100 TB extension surface the reference
+  * warehouse doesn't have (BASELINE "north star"; SURVEY §7.2 step 4).
+  *
+  * Everything here is a pure Catalyst `Column` expression (no UDFs) so the
+  * whole pipeline stays inside whole-stage codegen, and every function has an
+  * exact DuckDB mirror in [[LlmSql]] — the constants below are embedded as
+  * literals on BOTH sides so the oracle can hash-match bit-for-bit.
+  *
+  * Portable hashing: `hash60(s)` = the first 15 hex digits of md5 as a 60-bit
+  * non-negative long. Spark `conv(substring(md5(s),1,15),16,10)` and DuckDB
+  * `('0x' || substr(md5(s),1,15))::BIGINT` agree exactly (verified), unlike
+  * the engines' native `hash()` functions which use different algorithms.
+  */
+object TextOps {
+
+  /** Modulus for MinHash permutations: 2^31 - 1 (Mersenne prime). Keeps
+    * `a*x + b` inside 62 bits — no int64 overflow in either engine. */
+  val P: Long = 2147483647L
+
+  /** MinHash permutation count / LSH banding: 16 hashes = 4 bands x 4 rows.
+    * Collision prob for Jaccard j is 1-(1-j^4)^4: ~0.95 at j=0.8, ~0.04 at
+    * j=0.3 — tuned for the >=0.8 near-dup threshold used by q21. */
+  val NumPerms = 16
+  val Bands = 4
+  val Rows = 4
+
+  /** (a, b) coefficients for the MinHash permutations h_i(x) = (a*x+b) mod P.
+    * Fixed seed so Spark and the generated DuckDB SQL share the values. */
+  val perms: Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(NumPerms)((1L + rng.nextInt((P - 1).toInt).toLong,
+      rng.nextInt(P.toInt).toLong))
+  }
+
+  /** SimHash fingerprint width (bits) and banding (4 bands x 8 bits). */
+  val SimBits = 32
+  val SimBands = 4
+  val SimBandBits = 8
+
+  /** Stopword list for quality stats (tiny, matches the synthetic corpus). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "is", "in", "it")
+
+  /** char-trigram profiles for the n-gram language-ID heuristic. Priority
+    * order = tie-break order (first match wins on equal scores). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th"),
+    "es" -> Seq(" de", "os ", "la "),
+    "fr" -> Seq(" le", "es ", "que"),
+    "de" -> Seq("er ", "ein", "sch"),
+    "zh" -> Seq("zh_", "hi_", "ng_"))
+
+  // -------------------------------------------------------------------------
+  // Core expressions
+  // -------------------------------------------------------------------------
+
+  /** Whitespace tokenization after trim+lower. DuckDB mirror:
+    * regexp_split_to_array(trim(lower(x)), '\s+'). */
+  def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Canonical normalization for exact dedup: lower, trim, collapse runs of
+    * whitespace. */
+  def normText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** 60-bit non-negative hash from the md5 hex prefix — engine-portable. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Word k-gram shingles over a token array, distinct (set semantics for
+    * Jaccard). Guarded: Spark's `sequence(0, n)` turns DESCENDING for n<0,
+    * so short docs must short-circuit to an empty array. */
+  def shingles(tokens: Column, k: Int): Column =
+    when(size(tokens) >= k,
+      array_distinct(transform(sequence(lit(0), size(tokens) - k),
+        i => array_join(slice(tokens, i + lit(1), lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Positional (non-distinct) word k-gram hashes mod P — order preserved for
+    * winnowing windows.
+    *
+    * NOTE for callers: alias this into its own projection before referencing
+    * it more than once. Referencing the raw expression N times in one select
+    * evaluates the md5 chain N times per row (codegen does not CSE inside
+    * higher-order-function lambdas) — materializing via a separate aliased
+    * projection is what keeps downstream window scans O(n), not O(n*md5). */
+  def shingleHashSeq(tokens: Column, k: Int): Column =
+    when(size(tokens) >= k,
+      transform(sequence(lit(0), size(tokens) - k),
+        i => pmod(hash60(array_join(slice(tokens, i + lit(1), lit(k)), " ")), lit(P))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Distinct character n-grams of a string. */
+  def charGrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Jaccard similarity of two (already-distinct) string arrays, as double.
+    * Mirrors len(list_intersect)/len(list_distinct(list_concat)). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Base hashes of a shingle set, mod P. Alias before fanning out into the
+    * per-permutation minima (see shingleHashSeq note). */
+  def shingleBaseHashes(shingleSet: Column): Column =
+    transform(shingleSet, s => pmod(hash60(s), lit(P)))
+
+  /** MinHash signature: array of NumPerms minima of (a*x+b) mod P over a
+    * PRE-MATERIALIZED base-hash array column. One integer pass per
+    * permutation, all inside codegen — at 100 TB this is a narrow map, no
+    * shuffle. */
+  def minhashSignature(baseHashes: Column): Column =
+    array(perms.map { case (a, b) =>
+      array_min(transform(baseHashes, x => pmod(x * lit(a) + lit(b), lit(P))))
+    }: _*)
+
+  /** LSH band structs [(band_idx, band_hash)] from a MinHash signature:
+    * band_hash = md5 of the comma-joined row values. Docs agreeing on ANY
+    * band become candidate pairs. */
+  def lshBands(sig: Column): Column =
+    array((0 until Bands).map { b =>
+      struct(
+        lit(b).as("band_idx"),
+        md5(concat_ws(",",
+          (0 until Rows).map(r => sig.getItem(b * Rows + r).cast("string")): _*))
+          .as("band_hash"))
+    }: _*)
+
+  /** Token-stream hashes for SimHash. Alias before the 32 bit-sum passes. */
+  def tokenHashes(tokens: Column): Column = transform(tokens, t => hash60(t))
+
+  /** 32-bit SimHash over a PRE-MATERIALIZED token-hash array: per bit j, sum
+    * +1/-1 by whether bit j of the token hash is set; fingerprint sets bit j
+    * iff the sum is positive. */
+  def simhash(tokenHashes: Column): Column = {
+    val bitSums = (0 until SimBits).map { j =>
+      aggregate(tokenHashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+    }
+    bitSums.zipWithIndex
+      .map { case (s, j) => when(s > 0, lit(1L << j)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+  }
+}
