@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -16,6 +17,19 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark's
+    * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the
+    * nanos as a long (legacy conf) and truncate to microseconds with integer
+    * division — the same floor-truncation DuckDB applies reading the file,
+    * so both engines see identical microsecond timestamps. (`div`, not `/`:
+    * double division loses integer precision above 2^53 — epoch-nanos are
+    * ~1.7e18.) */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
@@ -23,7 +37,7 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame     = loadEvents(spark, dir)
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

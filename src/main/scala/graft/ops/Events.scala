@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Q, Tables}
+
+/** Event-stream analytics over the `events` table (ts, user_id, event_type,
+  * value, props) — the batch shapes that carry over 1:1 to Structured
+  * Streaming (`window()` aggregation is the same expression under
+  * `readStream`; sessionization maps to flatMapGroupsWithState; see
+  * graft.streaming).
+  *
+  * Scale notes: the window aggregation shuffles once on
+  * (window, event_type) — bounded cardinality per hour, so partial (map-side)
+  * aggregation does nearly all the work. Sessionization shuffles once on
+  * user_id; within a partition the two window functions (lag + running sum)
+  * share the same sort, so Catalyst plans ONE sort, two window ops.
+  */
+object Events {
+
+  private val dec = DecimalType(38, 6)
+
+  /** Decimal-routed double sum: order-insensitive addition so the result is
+    * identical across Spark's partial-aggregation order and DuckDB's
+    * sequential scan (same trick as q15; SURVEY §7.4). */
+  private def sumExact(c: String) = sum(col(c).cast(dec)).cast("double")
+
+  /** Tumbling 1-hour windowed aggregation per event type. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sumExact("value").as("sum_value"),
+        (sumExact("value") / count(lit(1)).cast("double")).as("avg_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("avg_value"))
+
+  /** JSON access over the props column: both the lazy path
+    * (get_json_object) and the schema-projected path (from_json). */
+  def jsonProps(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_json"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").as("k_struct"))
+
+  /** Sessionization (gaps-and-islands): a new session starts when the gap
+    * since the user's previous event exceeds `gapSeconds`. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 86400L): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val prev = lag(col("ts"), 1).over(byUser)
+    val newSession = when(prev.isNull ||
+      unix_timestamp(col("ts")) - unix_timestamp(prev) > gapSeconds, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("__new", newSession)
+      .withColumn("session_id",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sumExact("value").as("sum_value"))
+  }
+
+  // ---------------------------------------------------------------------------
+
+  private val sumSql = "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
+
+  val queries: Seq[Q] = Seq(
+    Q("q29_events_hourly",
+      (s, dir) => hourlyAgg(Tables.events(s, dir))
+        .orderBy("window_start", "event_type"),
+      Some(s"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+  count(*) AS n_events,
+  $sumSql AS sum_value,
+  $sumSql / CAST(count(*) AS DOUBLE) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q("q31_json_props",
+      (s, dir) => jsonProps(Tables.events(s, dir)).orderBy("event_id"),
+      Some("""
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_json,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
+FROM events ORDER BY event_id""")),
+
+    Q("q33_sessionize",
+      (s, dir) => sessionize(Tables.events(s, dir))
+        .orderBy("user_id", "session_id"),
+      Some(s"""
+WITH b AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 86400
+                 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+s AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM b)
+SELECT user_id, session_id, count(*) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end,
+  $sumSql AS sum_value
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""")))
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.sec.{SecDerive, SecSql, SecTags}
+
+/** The ingest layer: JSON shredding / nested flatten (S3/X11) and the
+  * ticker-map seed (S1/X3) — the reference's hand-written Python loops
+  * (/root/reference/scripts/ingest_facts.py:39-88,
+  * /root/reference/scripts/seed_companies.py:8-22) re-expressed as
+  * explode-chains and from_json over columns.
+  *
+  * The companyfacts document shape facts→taxonomy→tag→units→USD[items] is
+  * reconstructed from the flat facts table (collect_list/struct), then
+  * flattened back with explode ×2 + getField — an oracle-checkable round
+  * trip: flatten(nest(facts)) == facts.
+  */
+object Ingest {
+
+  /** Fields carried through the nested items array (ingest_facts.py:72-86). */
+  private val itemFields =
+    Seq("fact_id", "period_start", "period_end", "value",
+      "filing_accession_no", "form", "filed", "frame")
+
+  /** Nest flat facts into the companyfacts document shape: one row per cik,
+    * with tag-units[] -> items[] nesting. The CORE_TAGS ∩ USD ∩ non-null
+    * filter (F1/F2/F3) runs BEFORE nesting, same as the reference's ingest. */
+  def nestCompanyFacts(facts: DataFrame): DataFrame = {
+    val filtered = facts.filter(
+      col("taxonomy") === "us-gaap" &&
+        col("tag").isin(SecTags.coreTags: _*) &&
+        col("unit") === "USD" && col("value").isNotNull)
+    filtered
+      .groupBy("cik", "taxonomy", "tag", "unit")
+      .agg(collect_list(struct(itemFields.map(col): _*)).as("items"))
+      .groupBy("cik")
+      .agg(collect_list(struct(col("taxonomy"), col("tag"), col("unit"),
+        col("items"))).as("tag_units"))
+  }
+
+  /** Flatten the nested document back to flat fact rows: explode the
+    * tag-level array, then the item-level array, then getField each leaf
+    * (the Generator-shaped op — SURVEY §2.10). */
+  def flattenCompanyFacts(nested: DataFrame): DataFrame =
+    nested
+      .select(col("cik"), explode(col("tag_units")).as("tu"))
+      .select(col("cik"), col("tu.taxonomy").as("taxonomy"),
+        col("tu.tag").as("tag"), col("tu.unit").as("unit"),
+        explode(col("tu.items")).as("item"))
+      .select(
+        (Seq(col("item.fact_id").as("fact_id"), col("cik"), col("taxonomy"),
+          col("tag"), col("unit")) ++
+          itemFields.drop(1).map(f => col(s"item.$f").as(f))): _*)
+
+  /** S1/X3/X1/X2: the ticker-map seed. A JSON document per company (the
+    * reference's dict entries) is built with to_json, parsed back with
+    * from_json, normalized (upper ticker, zero-padded cik), and filtered to
+    * an env-style comma-separated ticker list (split + trim + upper —
+    * seed_companies.py:37). */
+  def seedCompanies(companies: DataFrame, tickersEnv: String): DataFrame = {
+    val wanted = tickersEnv.split(",").toSeq
+      .map(_.trim.toUpperCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+    companies
+      .select(to_json(struct(col("cik").as("cik_str"), col("ticker"),
+        col("name").as("title"))).as("js"))
+      .select(from_json(col("js"), org.apache.spark.sql.types.StructType
+        .fromDDL("cik_str STRING, ticker STRING, title STRING")).as("d"))
+      .select(
+        lpad(col("d.cik_str"), 10, "0").as("cik"),
+        upper(col("d.ticker")).as("ticker"),
+        col("d.title").as("name"))
+      .filter(col("ticker").isin(wanted: _*))
+  }
+
+  // ---------------------------------------------------------------------------
+
+  val queries: Seq[Q] = Seq(
+    // S3/X11: the nest->flatten round trip equals the filtered facts slice.
+    Q("q16_json_flatten",
+      (s, dir) => flattenCompanyFacts(nestCompanyFacts(SecDerive.facts(s, dir)))
+        .orderBy("fact_id"),
+      Some(s"""${SecSql.basePrelude}
+        SELECT fact_id, cik, taxonomy, tag, unit, period_start, period_end,
+               value, filing_accession_no, form, filed, frame
+        FROM facts
+        WHERE taxonomy = 'us-gaap'
+          AND tag IN (${SecTags.coreTags.map(t => s"'$t'").mkString(", ")})
+          AND unit = 'USD' AND value IS NOT NULL
+        ORDER BY fact_id""")),
+
+    // S1/X3: seed from the ticker-map document shape, env-filtered.
+    Q("q19_seed_companies",
+      (s, dir) => seedCompanies(SecDerive.companies(s, dir),
+        "tkr1, tkr3 ,TKR5,tkr12 , tkr28").orderBy("ticker"),
+      Some(s"""${SecSql.basePrelude}
+        SELECT cik, ticker, name FROM companies
+        WHERE ticker IN ('TKR1', 'TKR3', 'TKR5', 'TKR12', 'TKR28')
+        ORDER BY ticker""")))
+}

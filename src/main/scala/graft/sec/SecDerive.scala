@@ -50,7 +50,12 @@ object SecDerive {
       case (acc, (tag, i)) => when(tagIdx === i, tag).otherwise(acc)
     }
     li.select(
-      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("fact_id"),
+      // Injective over the lineitem natural key (l_orderkey, l_linenumber,
+      // l_partkey, l_suppkey) — (orderkey, linenumber) alone collides in the
+      // synthetic data. Multipliers leave headroom through sf1+ (orderkey
+      // ~1.5e7 x 1e11 = 1.5e18 < 2^63; partkey < 1e6, suppkey < 1e5).
+      ((col("l_orderkey") * 10 + col("l_linenumber")) * lit(100000000000L) +
+        col("l_partkey") * 100000 + col("l_suppkey")).cast("long").as("fact_id"),
       lpad((col("l_orderkey") % 37).cast("string"), 10, "0").as("cik"),
       when(col("l_partkey") % 13 === 0, "dei").otherwise("us-gaap").as("taxonomy"),
       tagCase.as("tag"),
@@ -116,7 +121,7 @@ object SecSql {
   val factsCte: String = s"""
 facts AS (
   SELECT
-    l_orderkey * 10 + l_linenumber AS fact_id,
+    (l_orderkey * 10 + l_linenumber) * 100000000000 + l_partkey * 100000 + l_suppkey AS fact_id,
     lpad(CAST(l_orderkey % 37 AS VARCHAR), 10, '0') AS cik,
     CASE WHEN l_partkey % 13 = 0 THEN 'dei' ELSE 'us-gaap' END AS taxonomy,
     $tagCaseSql AS tag,
