@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.ops.{Ratios, Statements}
+
+/** Property-based invariants (SURVEY §5 item 3) over generated fact tables:
+  * dedup emits <=1 row per key; pivot row-count == distinct keys; fcf
+  * null-propagation + A6 sign; safeDiv totality. Plain ScalaCheck (no
+  * scalatest bridge in the offline cache); Spark jobs are expensive so
+  * minSuccessful is kept low. */
+object PropertiesSpec extends Properties("graft") {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5).withMaxSize(30)
+
+  private val factGen = for {
+    cik <- Gen.oneOf("c1", "c2", "c3")
+    fy <- Gen.choose(2018, 2021)
+    tag <- Gen.oneOf("Revenues", "Assets", "NetIncomeLoss")
+    value <- Gen.choose(-1000.0, 1000.0)
+    filedDay <- Gen.choose(0, 364)
+    id <- Gen.choose(1L, 100000L)
+  } yield (cik, fy, tag, value,
+    Date.valueOf(java.time.LocalDate.of(2022, 1, 1).plusDays(filedDay)), id)
+
+  private val tableGen = Gen.nonEmptyListOf(factGen)
+
+  property("latestWins emits exactly one row per distinct key") =
+    Prop.forAll(tableGen) { facts =>
+      val df = facts.toDF("cik", "fiscal_year", "tag", "value", "filed", "fact_id")
+      val out = Statements.latestWins(
+        Seq("cik", "fiscal_year", "tag"), Statements.dedupOrder)(df)
+      val maxPerKey = out.groupBy("cik", "fiscal_year", "tag").count()
+        .agg(max("count")).collect().head.getLong(0)
+      val keys = df.select("cik", "fiscal_year", "tag").distinct().count()
+      maxPerKey == 1L && out.count() == keys
+    }
+
+  property("pivot row-count equals distinct (cik, fiscal_year)") =
+    Prop.forAll(tableGen) { facts =>
+      val df = facts.toDF("cik", "fiscal_year", "tag", "value", "filed", "fact_id")
+      val deduped = Statements.latestWins(
+        Seq("cik", "fiscal_year", "tag"), Statements.dedupOrder)(df)
+        .select("cik", "fiscal_year", "tag", "value")
+      Statements.pivotWide(deduped).count() ==
+        df.select("cik", "fiscal_year").distinct().count()
+    }
+
+  private val pairGen = Gen.nonEmptyListOf(for {
+    a <- Gen.option(Gen.choose(-100.0, 100.0))
+    b <- Gen.option(Gen.frequency(1 -> Gen.const(0.0), 3 -> Gen.choose(-100.0, 100.0)))
+  } yield (a, b))
+
+  property("safeDiv: null iff denominator null/zero or numerator null") =
+    Prop.forAll(pairGen) { pairs =>
+      pairs.toDF("a", "b")
+        .select(col("a"), col("b"), Ratios.safeDiv(col("a"), col("b")).as("r"))
+        .collect().forall { r =>
+          val ok = (r.isNullAt(0), r.isNullAt(1)) match {
+            case (false, false) if r.getDouble(1) != 0.0 =>
+              !r.isNullAt(2) && r.getDouble(2) == r.getDouble(0) / r.getDouble(1)
+            case _ => r.isNullAt(2)
+          }
+          ok
+        }
+    }
+
+  private val wideGen = Gen.nonEmptyListOf(for {
+    n <- Gen.choose(0, 1000000)
+    ocf <- Gen.option(Gen.choose(-500.0, 500.0))
+    capex <- Gen.option(Gen.choose(-500.0, 500.0))
+  } yield (s"c$n", 2020, ocf, capex))
+
+  property("fcf defined iff ocf and capex both present; capex >= 0 after A6") =
+    Prop.forAll(wideGen) { rows0 =>
+      val base = rows0.toDF("cik", "fiscal_year",
+        "NetCashProvidedByUsedInOperatingActivities",
+        "PaymentsToAcquirePropertyPlantAndEquipment")
+      val padded = graft.sec.SecTags.coreTags
+        .filterNot(t => t == "NetCashProvidedByUsedInOperatingActivities" ||
+          t == "PaymentsToAcquirePropertyPlantAndEquipment")
+        .foldLeft(base)((df, t) => df.withColumn(t, lit(null).cast("double")))
+      Statements.derive(padded)
+        .select("operating_cash_flow", "capex", "free_cash_flow")
+        .collect().forall { r =>
+          val defined = !r.isNullAt(0) && !r.isNullAt(1)
+          defined == !r.isNullAt(2) && (r.isNullAt(1) || r.getDouble(1) >= 0.0)
+        }
+    }
+}

@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** LLM dedup operators: exact keep-one, MinHash signature invariants, LSH
+  * pair symmetry, short-document guards. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s1", 43L),
+    (2L, "the quick brown fox jumps over the lazy dog", "en", "s2", 43L), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "en", "s1", 43L), // near dup of 1
+    (4L, "completely different text about spark engines", "en", "s2", 45L),
+    (5L, "  THE  quick  brown fox jumps over the lazy dog ", "en", "s3", 49L) // normalizes to 1
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exactDedup: normalization collapses case/whitespace; lowest doc_id wins") {
+    val out = Dedup.exactDedup(docs)
+    assert(out.count() === 3) // {1,2,5} collapse, 3, 4
+    assert(singleCol[Long](out.select("doc_id").orderBy("doc_id")) === Seq(1L, 3L, 4L))
+  }
+
+  test("minhash: identical docs get identical signatures; signature length fixed") {
+    val sigs = Dedup.minhashSignatures(docs)
+    val byId = sigs.select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(byId(1L) === byId(2L))
+    assert(byId.values.forall(_.length === TextOps.NumPerms))
+    assert(byId(1L) !== byId(4L))
+  }
+
+  test("minhashNearDupPairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, 0.5)
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.forall { case (a, b) => a < b }) // canonical orientation
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated excluded
+  }
+
+  test("simhash: identical docs equal; near dups within small Hamming distance") {
+    val fps = Dedup.simhashFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) <= 6)
+  }
+
+  test("shingles guard: docs shorter than k yield empty set, no crash") {
+    val tiny = Seq((1L, "one", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sigs = Dedup.minhashSignatures(tiny).collect()
+    assert(sigs.head.getSeq[String](1).isEmpty) // shingle_set empty
+    val fp = TextAnalysis.fingerprints(tiny).collect()
+    assert(fp.head.getAs[Long]("n_fp") === 0L)
+  }
+
+  test("ngramJaccardPairs stays within buckets") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "source", 0.5)
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L))) // same source s1, near dup
+    assert(!pairs.contains((1L, 2L))) // dup but different buckets -> not compared
+  }
+}

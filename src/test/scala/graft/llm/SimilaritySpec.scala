@@ -1,0 +1,44 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Similarity search: cosine identities, top-k ordering, LSH bucket
+  * determinism, near-dup recall of planted duplicates. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),   // identical to 0
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),   // close to 0
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1),   // orthogonal
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1)   // opposite
+  ).toDF("vec_id", "embedding", "label")
+
+  test("bruteTopK: self first with cosine 1, opposite last, ordering correct") {
+    val out = Similarity.bruteTopK(vecs, 0L, 5).collect()
+    assert(out.head.getLong(0) === 0L)
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(out(1).getLong(0) === 1L) // identical vector, tie broken by vec_id
+    assert(out.last.getLong(0) === 4L)
+    assert(out.last.getAs[Double]("cosine") === -1.0)
+  }
+
+  test("cosine is symmetric and bounded") {
+    // padded to Dim not required: dot/cosine are length-generic
+    val out = Similarity.nearDupPairs(vecs, -2.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("cosine"))).toMap
+    out.values.foreach(c => assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12))
+    // identical pair found with cosine ~ 1
+    assert(out.get((0L, 1L)).exists(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("lshTopK returns the query itself first (same buckets in every table)") {
+    val out = Similarity.lshTopK(vecs, 0L, 3).collect()
+    assert(out.head.getLong(0) === 0L)
+    assert(out.head.getAs[Long]("n_tables") === Similarity.Tables.toLong)
+    // identical vector collides in all tables too
+    val v1 = out.find(_.getLong(0) == 1L)
+    assert(v1.exists(_.getAs[Long]("n_tables") === Similarity.Tables.toLong))
+  }
+}
