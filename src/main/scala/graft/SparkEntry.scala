@@ -268,12 +268,13 @@ object SparkEntry {
       Events.queries ++ Ingest.queries ++ Sinks.queries ++ Multimodal.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
-    * ingest-shaped pipeline facts → statements → ratios → screener. */
+    * ingest-shaped pipeline facts → statements → ratios → screener, surfaced
+    * through the typed Dataset edge (SecModel.ScreenerHit). */
   def entry(spark: SparkSession): DataFrame =
-    Screener.screener(
+    Screener.screenerTyped(
       Ratios.compute(Statements.buildV3(SecDerive.facts(spark, "/root/testdata/sf0.001"))),
       SecDerive.companies(spark, "/root/testdata/sf0.001"),
-      Screener.ScreenerParams(limit = 25))
+      Screener.ScreenerParams(limit = 25)).toDF()
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** The FastAPI query layer re-expressed as composable Column predicates
@@ -38,6 +38,24 @@ object Screener {
         col("roe"), col("fcf_margin"), col("net_margin"))
       .orderBy(col("fiscal_year").desc, col("roe").desc_nulls_last, col("cik").asc)
       .limit(p.limit)
+  }
+
+  /** Typed serving edge: the same screener as a Dataset[ScreenerHit] — what
+    * the API layer would serialize to JSON (SecModel.ScreenerHit mirrors the
+    * /screener response shape). The plan is identical to [[screener]]; only
+    * the collect-side type changes. */
+  def screenerTyped(ratios: DataFrame, companies: DataFrame,
+      p: ScreenerParams): Dataset[graft.sec.SecModel.ScreenerHit] = {
+    val s = ratios.sparkSession
+    import s.implicits._
+    screener(ratios, companies, p).as[graft.sec.SecModel.ScreenerHit]
+  }
+
+  /** Typed edge for the per-company ratios endpoint. */
+  def ratiosTyped(ratios: DataFrame): Dataset[graft.sec.SecModel.RatioAnnual] = {
+    val s = ratios.sparkSession
+    import s.implicits._
+    ratios.as[graft.sec.SecModel.RatioAnnual]
   }
 
   /** GET /company/{ticker} (api.py:6-19): point lookup, ticker upper-cased.

@@ -47,7 +47,10 @@ object SecTags {
 }
 
 /** Case classes for the warehouse tables (db/schema.sql:4-80), used where a
-  * typed Dataset improves safety at API edges. value is Double, faithful to the
+  * typed Dataset improves safety at API edges (SURVEY §7.1: DataFrames in the
+  * core, Dataset[T] at the edges). Values are Option[Double]/Option[Int]
+  * wherever the schema allows NULL — a non-nullable field over a nullable
+  * column fails at encode time. Double (not decimal) is faithful to the
   * reference's actual ingested precision (float(val), ingest_facts.py:80).
   */
 object SecModel {
@@ -56,13 +59,19 @@ object SecModel {
   case class Filing(
       accession_no: String, cik: String, form: String,
       filing_date: java.sql.Date, report_date: java.sql.Date,
-      fiscal_year: Integer, fiscal_period: String)
+      fiscal_year: Option[Int], fiscal_period: String)
 
   case class Fact(
       fact_id: Long, cik: String, taxonomy: String, tag: String, unit: String,
-      period_start: java.sql.Date, period_end: java.sql.Date, value: Double,
-      filing_accession_no: String, form: String, filed: java.sql.Date,
-      frame: String)
+      period_start: Option[java.sql.Date], period_end: Option[java.sql.Date],
+      value: Option[Double], filing_accession_no: String, form: String,
+      filed: java.sql.Date, frame: String)
+
+  /** One screener hit (GET /screener response row, api.py:105-118). */
+  case class ScreenerHit(
+      ticker: String, name: String, cik: String, fiscal_year: Int,
+      roe: Option[Double], fcf_margin: Option[Double],
+      net_margin: Option[Double])
 
   case class StatementAnnual(
       cik: String, fiscal_year: Int,
