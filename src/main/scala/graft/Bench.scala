@@ -21,7 +21,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val results = SparkEntry.allQueries.map { q =>
+    // Optional comma-separated name-prefix filter for targeted timing runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = only.fold(SparkEntry.allQueries)(ps =>
+      SparkEntry.allQueries.filter(q => ps.exists(q.name.startsWith)))
+    val results = selected.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

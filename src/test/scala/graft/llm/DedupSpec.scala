@@ -58,7 +58,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("ngramJaccardPairs stays within buckets") {
-    val pairs = Dedup.ngramJaccardPairs(docs, "source", 0.5)
+    val pairs = Dedup.ngramJaccardPairs(docs, Seq("source"), 0.5)
       .select("doc_id_a", "doc_id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 3L))) // same source s1, near dup
