@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface for the events pipeline. The reference is
+  * pure batch (SURVEY §2.9), but the engine's event operators are written so
+  * the SAME expressions run under `readStream`: this module wires them with
+  * watermarks, plus a stateful sessionizer (flatMapGroupsWithState) — the
+  * streaming twin of Events.sessionize's gaps-and-islands.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * horizon x group cardinality; the session store keeps one small record per
+  * active user and emits+evicts on event-time timeout, so state size tracks
+  * ACTIVE users, not history.
+  */
+object StreamOps {
+
+  private val dec = DecimalType(38, 6)
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark — the
+    * streaming form of Events.hourlyAgg (same aggregates; append mode emits
+    * each window once its watermark passes). */
+  def hourlyAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** One event on the wire. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** A closed (or flushed) session. */
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** In-flight session state (public: codegen'd encoders need access). */
+  case class SessionBuf(t0: Long, t1: Long, cnt: Long, total: Double)
+
+  /** Stateful sessionization: one state record per user; a session closes
+    * when `gapMillis` passes without events (event-time timeout) and is
+    * emitted downstream. flatMapGroupsWithState = the custom-state tier the
+    * brief calls for; the batch twin (Events.sessionize) is the oracle-checked
+    * one. */
+  def sessionizeStream(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionBuf]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(s.t0),
+              new java.sql.Timestamp(s.t1), s.cnt, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var buf = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              buf match {
+                case null =>
+                  buf = SessionBuf(t, t, 1L, e.value)
+                case b if t - b.t1 > gapMillis =>
+                  closed += Session(userId, new java.sql.Timestamp(b.t0),
+                    new java.sql.Timestamp(b.t1), b.cnt, b.total)
+                  buf = SessionBuf(t, t, 1L, e.value)
+                case b =>
+                  buf = SessionBuf(b.t0, math.max(b.t1, t), b.cnt + 1, b.total + e.value)
+              }
+            }
+            state.update(buf)
+            state.setTimeoutTimestamp(buf.t1 + gapMillis)
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** File-source form: tail a directory of event parquet (schema inferred
+    * from the batch table) into the hourly aggregation, writing parquet +
+    * checkpoint under `outDir`. Returns the running query. */
+  def runFileStream(spark: SparkSession, srcDir: String, outDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    hourlyAggStream(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .outputMode(OutputMode.Append)
+      .start()
+  }
+}

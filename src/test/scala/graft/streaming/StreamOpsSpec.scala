@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Structured Streaming: windowed agg emits per-window rows under watermark
+  * advance; stateful sessionizer closes sessions on gap. MemoryStream +
+  * processAllAvailable keeps it hermetic. */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourlyAggStream: windows close as the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.hourlyAggStream(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        StreamOps.Event(1, ts(5), 1, "click", 1.0),
+        StreamOps.Event(2, ts(20), 1, "click", 2.0),
+        StreamOps.Event(3, ts(70), 2, "view", 5.0))
+      q.processAllAvailable()
+      // watermark = max(ts) - 2h: hour-0 window not closed yet
+      assert(spark.table("hourly_test").count() === 0)
+      mem.addData(StreamOps.Event(4, ts(260), 1, "click", 1.0)) // advance watermark past hour 0+2h
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))
+      assert(rows.contains((ts(60), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream: gap timeout closes a session per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionizeStream(mem.toDS(), gapMillis = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 5 min apart (one session), then silence
+      mem.addData(
+        StreamOps.Event(1, ts(0), 1, "click", 1.0),
+        StreamOps.Event(2, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      // push event time (and watermark) far ahead so the session times out
+      mem.addData(StreamOps.Event(3, ts(300), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(StreamOps.Event(4, ts(400), 2, "view", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_test").as[StreamOps.Session].collect()
+      val u1 = sessions.filter(_.user_id == 1L)
+      assert(u1.length === 1)
+      assert(u1.head.n_events === 2L)
+      assert(u1.head.sum_value === 3.0)
+      assert(u1.head.session_start === ts(0) && u1.head.session_end === ts(5))
+    } finally q.stop()
+  }
+}
