@@ -25,6 +25,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = only.fold(SparkEntry.allQueries)(ps =>
       SparkEntry.allQueries.filter(q => ps.exists(q.name.startsWith)))
+    // Untimed warmup: session init + codegen/JIT machinery otherwise lands
+    // ~6s on whichever query happens to run first (measured q01 6.4s cold vs
+    // 0.6s warm), corrupting per-query attribution.
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_regionkey").count()
+      .write.format("noop").mode("overwrite").save()
     val results = selected.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
