@@ -171,6 +171,27 @@ m AS (SELECT b.vec_id, b.label, ${cosineSql("b.v", "qb.qv")} AS cosine
 SELECT vec_id, label, cosine, count(*) AS n_tables FROM m GROUP BY 1, 2, 3
 ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
 
+    // IVF ANN: sampled-centroid coarse quantizer, nprobe-cell search.
+    Q("q35_ivf_ann_topk",
+      (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), 42L, 10, 16, 4),
+      Some(s"""
+WITH $embCte,
+cents AS (SELECT vec_id AS cell, v AS cent FROM e WHERE vec_id < 16),
+assign0 AS (SELECT e.vec_id, e.label, e.v, c.cell, ${cosineSql("e.v", "c.cent")} AS sim
+            FROM e, cents c),
+assigned AS (SELECT vec_id, label, v, cell FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, cell ASC) AS rn FROM assign0)
+             WHERE rn = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 42),
+probes AS (SELECT cell FROM (
+             SELECT c.cell, ${cosineSql("c.cent", "q.qv")} AS sim FROM cents c, q
+             ORDER BY sim DESC, cell ASC LIMIT 4)),
+m AS (SELECT a.vec_id, a.label, a.cell, ${cosineSql("a.v", "q.qv")} AS cosine
+      FROM assigned a JOIN probes p ON a.cell = p.cell, q)
+SELECT vec_id, label, cell, cosine FROM m
+ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
+
     // Embedding-cosine near-dup pairs via multi-table LSH candidates.
     Q("q34_embedding_neardup",
       (s, dir) => Similarity.nearDupPairs(Tables.embeddings(s, dir), 0.4)

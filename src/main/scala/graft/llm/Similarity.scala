@@ -93,6 +93,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN — the other standard scale path beside LSH.
+    *
+    * Coarse quantizer: the first `nlist` vectors serve as centroids
+    * (k-means++-style seeding without Lloyd iterations — deterministic, so
+    * the oracle can mirror it; production would refine with k-means).
+    * Assignment: argmax cosine over centroids (broadcast join + one window —
+    * a narrow pass at corpus scale; the cell id is what you'd partition the
+    * table by, so a query reads only nprobe partitions of the corpus).
+    * Search: the query probes its `nprobe` nearest cells and ranks only the
+    * vectors assigned there.
+    */
+  def ivfAssign(embeddings: DataFrame, nlist: Int): DataFrame = {
+    val cents = broadcast(embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("embedding").as("cent")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cell").asc)
+    embeddings.join(cents)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("cent")).as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("vec_id", "label", "embedding", "cell")
+  }
+
+  /** IVF top-k: rank candidates from the query's nprobe nearest cells. */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+      nlist: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(embeddings, nlist)
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val cents = embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("embedding").as("cent"))
+    val probes = broadcast(cents.crossJoin(broadcast(q))
+      .select(col("cell"), cosine(col("cent"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("cell").asc)
+      .limit(nprobe)
+      .select("cell"))
+    assigned.join(probes, "cell")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("cell"),
+        cosine(col("embedding"), col("q_emb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding near-dup pairs: candidates = same bucket in any table
     * (banded-LSH shape, no all-pairs), verified by exact cosine >= threshold. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {

@@ -33,6 +33,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.get((0L, 1L)).exists(c => math.abs(c - 1.0) < 1e-12))
   }
 
+  test("ivfTopK: query's own cell probed; self ranked first") {
+    val out = Similarity.ivfTopK(vecs, 0L, 3, nlist = 2, nprobe = 1).collect()
+    assert(out.head.getLong(0) === 0L)
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+    // nprobe=1 -> only vectors quantized to the query's cell are candidates
+    val cells = Similarity.ivfAssign(vecs, 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("cell")).toMap
+    val qCell = cells(0L)
+    assert(out.forall(r => cells(r.getLong(0)) === qCell))
+  }
+
   test("lshTopK returns the query itself first (same buckets in every table)") {
     val out = Similarity.lshTopK(vecs, 0L, 3).collect()
     assert(out.head.getLong(0) === 0L)
