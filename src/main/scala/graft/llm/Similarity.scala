@@ -22,11 +22,18 @@ object Similarity {
 
   /** Hyperplane LSH geometry: T tables x R planes over DIM dims. Weights are
     * 3-decimal rationals from a fixed seed: exactly representable in the
-    * generated DuckDB SQL literals. 8 tables of 4 planes -> P(collide in >=1
-    * table) ~ (1-(1-(1-theta/pi)^4)^8): ~0.75 at cosine 0.4. */
+    * generated DuckDB SQL literals.
+    *
+    * R sizes the bucket space (2^R per table) and must scale with the corpus:
+    * R ~ log2(N / target_bucket_size), else candidate density degenerates
+    * toward all-pairs (R=4 at N=2000 measured 41% of all pairs as
+    * candidates; R=6 bounds buckets at ~N/64). T trades recall for work:
+    * P(candidate) = 1-(1-(1-theta/pi)^R)^T ~ 0.5 at cosine 0.5 with T=8,
+    * R=6. At 100 TB, R grows with log(N) and the (table, bucket) key is the
+    * partition key. */
   val Dim = 64
   val Tables = 8
-  val PlanesPerTable = 4
+  val PlanesPerTable = 6
 
   val planes: Seq[Seq[Double]] = {
     val rng = new scala.util.Random(7)
@@ -34,11 +41,11 @@ object Similarity {
       Seq.fill(Dim)((rng.nextInt(2001) - 1000) / 1000.0))
   }
 
-  /** Strict left-fold dot product of a vector column against another vector
-    * column, both cast elementwise to double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Strict left-fold dot product of two vector columns, elementwise-cast to
+    * double. Backed by the codegen'd native expression (graft.expr.DotProduct)
+    * — the HOF formulation `aggregate(zip_with(...))` computes the identical
+    * value but runs interpreted, which dominated the near-dup verify. */
+  def dot(a: Column, b: Column): Column = graft.expr.DotProduct(a, b)
 
   /** Dot product against a constant plane (literal array). */
   def dotPlane(v: Column, plane: Seq[Double]): Column =
