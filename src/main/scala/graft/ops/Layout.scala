@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical layout: what replaces the reference's two B-tree indexes
+  * (`idx_facts_cik_tag_end`, `idx_filings_cik_date` — db/schema.sql:65-66)
+  * in an immutable columnar store (SURVEY §4 "access-path selection").
+  *
+  *   - Hash-bucketed partition column on cik: point/company queries prune to
+  *     one directory out of `nBuckets` — the moral equivalent of the index's
+  *     leading column. Bucket count scales with data volume (at 100 TB,
+  *     thousands of buckets keep partitions in the 100 MB - 1 GB band).
+  *   - sortWithinPartitions(cik, tag, period_end): parquet row-group min/max
+  *     stats become selective for the index's trailing columns, so pushed
+  *     filters skip row groups the way a B-tree skips pages.
+  *
+  * The bucket function is the engine-portable md5-based hash (stable across
+  * releases — Spark's own `hash()` is fine too but pins the layout to one
+  * implementation).
+  */
+object Layout {
+
+  def bucketOf(cik: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(cik), 1, 15), 16, 10).cast("long"), lit(nBuckets)).cast("int")
+
+  /** Write facts partitioned by cik-bucket, row-group-sorted by
+    * (cik, tag, period_end). */
+  def writeFactsPartitioned(facts: DataFrame, path: String, nBuckets: Int = 16): Unit =
+    facts
+      .withColumn("cik_bucket", bucketOf(col("cik"), nBuckets))
+      .repartition(col("cik_bucket"))
+      .sortWithinPartitions("cik", "tag", "period_end")
+      .write.mode("overwrite")
+      .partitionBy("cik_bucket")
+      .parquet(path)
+
+  /** Point read for one company: the bucket predicate prunes partitions, the
+    * cik/tag predicates push into parquet and skip row groups. */
+  def factsForCik(spark: SparkSession, path: String, cik: String,
+      nBuckets: Int = 16): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("cik_bucket") === bucketOf(lit(cik), nBuckets) &&
+        col("cik") === cik)
+}

