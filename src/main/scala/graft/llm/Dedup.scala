@@ -63,21 +63,30 @@ object Dedup {
     * verify. No step is quadratic in the corpus.
     */
   def minhashNearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    // The verify joins need only the shingle STRINGS — keep them on a cheap
+    // subtree (split/slice, no hashing) so the md5+permutation signature work
+    // is evaluated only under the bands exchange, not re-run per verify side.
+    val shingleSets = docs.select(
+      col("doc_id"), shingles(toks(col("text")), 2).as("shingle_set"))
     val sigs = minhashSignatures(docs)
+    // Repartition on the band key: both self-join sides share ONE exchange
+    // (ReuseExchange), so the md5+permutation signature prep runs once, and
+    // shuffle_hash is the strategy that still exists at corpus scale.
     val bands = sigs
       .select(col("doc_id"), explode(lshBands(col("sig"))).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
         col("band.band_hash").as("band_hash"))
+      .repartition(col("band_idx"), col("band_hash"))
     val a = bands.as("a")
-    val b = bands.as("b")
+    val b = bands.hint("shuffle_hash").as("b")
     val candidates = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
       .distinct()
-    val sa = sigs.select(col("doc_id").as("doc_id_a"), col("shingle_set").as("sh_a"))
-    val sb = sigs.select(col("doc_id").as("doc_id_b"), col("shingle_set").as("sh_b"))
+    val sa = shingleSets.select(col("doc_id").as("doc_id_a"), col("shingle_set").as("sh_a"))
+    val sb = shingleSets.select(col("doc_id").as("doc_id_b"), col("shingle_set").as("sh_b"))
     candidates
       .join(sa, "doc_id_a")
       .join(sb, "doc_id_b")
@@ -105,8 +114,9 @@ object Dedup {
       }: _*)).as("band"))
       .select(col("doc_id"), col("simhash"),
         col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+      .repartition(col("band_idx"), col("band_val"))
     val a = bands.as("a")
-    val b = bands.as("b")
+    val b = bands.hint("shuffle_hash").as("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -142,18 +152,34 @@ object Dedup {
       .select(col("doc_id"),
         concat_ws("|", bucketCols.map(col): _*).as("bucket"),
         charGrams(col("text"), 3).as("grams0"))
+      // sorted ascending: the pair stage's merge-intersect kernel
+      // (graft.expr.SortedIntersectCount) requires it; sorting costs
+      // O(n log n) ONCE per doc vs a hash set per PAIR.
       .select(col("doc_id"), col("bucket"),
-        array_distinct(transform(col("grams0"), x => hash60(x))).as("grams"))
+        array_sort(array_distinct(transform(col("grams0"), x => hash60(x)))).as("grams"))
       .withColumn("n_grams", size(col("grams")))
+      // Self-join plumbing: both sides repartition on the SAME plan, so
+      // ReuseExchange materializes the (md5-heavy) prep exactly once and the
+      // join consumes one shuffle twice. shuffle_hash (not broadcast) keeps
+      // the exchange shared — and is the only strategy that exists when the
+      // corpus outgrows a broadcast anyway.
+      .repartition(col("bucket"))
     val a = g.as("a")
-    val b = g.as("b")
+    val b = g.hint("shuffle_hash").as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id") &&
         least(col("a.n_grams"), col("b.n_grams")).cast("double") >=
           lit(threshold) * greatest(col("a.n_grams"), col("b.n_grams")).cast("double"))
       .select(col("a.bucket").as("bucket"),
         col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
-        jaccard(col("a.grams"), col("b.grams")).as("jaccard"))
+        graft.expr.SortedIntersectCount(col("a.grams"), col("b.grams")).as("icnt"),
+        (col("a.n_grams") + col("b.n_grams")).as("nsum"))
+      // |A ∪ B| = |A| + |B| - |A ∩ B|: same integers as the array_union
+      // formulation, so the oracle's list_intersect/list_distinct mirror
+      // produces the identical double.
+      .select(col("bucket"), col("doc_id_a"), col("doc_id_b"),
+        (col("icnt").cast("double") / (col("nsum") - col("icnt")).cast("double"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

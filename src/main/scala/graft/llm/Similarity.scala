@@ -148,10 +148,14 @@ object Similarity {
   /** Embedding near-dup pairs: candidates = same bucket in any table
     * (banded-LSH shape, no all-pairs), verified by exact cosine >= threshold. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val b = embeddings.select(col("vec_id"), col("embedding"),
+    // Shared shuffle on the bucket key: one exchange feeds both self-join
+    // sides (ReuseExchange), so the 48 plane dot products per vector run
+    // once, not twice.
+    val b = embeddings.select(col("vec_id"),
       posexplode(buckets(col("embedding"))).as(Seq("table_id", "bucket")))
+      .repartition(col("table_id"), col("bucket"))
     val a = b.as("a")
-    val c = b.as("b")
+    val c = b.hint("shuffle_hash").as("b")
     val candidates = a.join(c,
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&

@@ -75,19 +75,15 @@ object TextAnalysis {
     * window of 4, keep each window's min hash, distinct + sort. The classic
     * local fingerprinting scheme (Schleimer et al., SIGMOD'03) as pure array
     * expressions. */
-  def fingerprints(docs: DataFrame, k: Int = 3, window: Int = 4): DataFrame = {
+  def fingerprints(docs: DataFrame, k: Int = 3, window: Int = 4): DataFrame =
     // hs materialized in its own projection: the window pass references it
     // O(n) times, and an inlined expression would re-run the md5 chain per
-    // window (measured 50x slowdown before this split).
-    val hs = col("hs")
-    val mins = when(size(hs) >= window,
-      transform(sequence(lit(0), size(hs) - window),
-        i => array_min(slice(hs, i + lit(1), lit(window)))))
-      .otherwise(when(size(hs) > 0, array(array_min(hs)))
-        .otherwise(array().cast("array<bigint>")))
+    // window (measured 50x slowdown before this split). The sliding-window
+    // minima run in the native kernel (graft.expr.WindowMins).
     docs.select(col("doc_id"), shingleHashSeq(toks(col("text")), k).as("hs"))
-      .select(col("doc_id"), array_sort(array_distinct(mins)).as("fingerprint"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(graft.expr.WindowMins(col("hs"), window)))
+          .as("fingerprint"))
       .select(col("doc_id"), size(col("fingerprint")).cast("long").as("n_fp"),
         col("fingerprint"))
-  }
 }

@@ -68,9 +68,10 @@ object TextOps {
   def normText(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
-  /** 60-bit non-negative hash from the md5 hex prefix — engine-portable. */
-  def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  /** 60-bit non-negative hash from the md5 hex prefix — engine-portable.
+    * Native digest-byte implementation (graft.expr.Hash60); exactly equal to
+    * `conv(substring(md5(s), 1, 15), 16, 10)`. */
+  def hash60(s: Column): Column = graft.expr.Hash60(s)
 
   /** Word k-gram shingles over a token array, distinct (set semantics for
     * Jaccard). Guarded: Spark's `sequence(0, n)` turns DESCENDING for n<0,
@@ -90,10 +91,7 @@ object TextOps {
     * higher-order-function lambdas) — materializing via a separate aliased
     * projection is what keeps downstream window scans O(n), not O(n*md5). */
   def shingleHashSeq(tokens: Column, k: Int): Column =
-    when(size(tokens) >= k,
-      transform(sequence(lit(0), size(tokens) - k),
-        i => pmod(hash60(array_join(slice(tokens, i + lit(1), lit(k)), " ")), lit(P))))
-      .otherwise(array().cast("array<bigint>"))
+    graft.expr.ShingleHashSeq(tokens, k, P)
 
   /** Distinct character n-grams of a string. */
   def charGrams(text: Column, n: Int): Column =
@@ -108,19 +106,18 @@ object TextOps {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** Base hashes of a shingle set, mod P. Alias before fanning out into the
-    * per-permutation minima (see shingleHashSeq note). */
+  /** Base hashes of a shingle set, mod P (native array-wide hash60; values
+    * are already < 2^60 and non-negative so % P == pmod). Alias before
+    * fanning out into the per-permutation minima (see shingleHashSeq note). */
   def shingleBaseHashes(shingleSet: Column): Column =
-    transform(shingleSet, s => pmod(hash60(s), lit(P)))
+    graft.expr.Hash60Array(shingleSet, P)
 
   /** MinHash signature: array of NumPerms minima of (a*x+b) mod P over a
-    * PRE-MATERIALIZED base-hash array column. One integer pass per
-    * permutation, all inside codegen — at 100 TB this is a narrow map, no
-    * shuffle. */
+    * PRE-MATERIALIZED base-hash array column — the native one-pass kernel
+    * (graft.expr.MinhashSig; the HOF spelling ran its lambdas interpreted).
+    * A narrow map at any scale, no shuffle. */
   def minhashSignature(baseHashes: Column): Column =
-    array(perms.map { case (a, b) =>
-      array_min(transform(baseHashes, x => pmod(x * lit(a) + lit(b), lit(P))))
-    }: _*)
+    graft.expr.MinhashSig(baseHashes, perms, P)
 
   /** LSH band structs [(band_idx, band_hash)] from a MinHash signature:
     * band_hash = md5 of the comma-joined row values. Docs agreeing on ANY
@@ -134,19 +131,12 @@ object TextOps {
           .as("band_hash"))
     }: _*)
 
-  /** Token-stream hashes for SimHash. Alias before the 32 bit-sum passes. */
-  def tokenHashes(tokens: Column): Column = transform(tokens, t => hash60(t))
+  /** Token-stream hashes for SimHash (native array-wide pass). */
+  def tokenHashes(tokens: Column): Column = graft.expr.Hash60Array(tokens)
 
   /** 32-bit SimHash over a PRE-MATERIALIZED token-hash array: per bit j, sum
     * +1/-1 by whether bit j of the token hash is set; fingerprint sets bit j
-    * iff the sum is positive. */
-  def simhash(tokenHashes: Column): Column = {
-    val bitSums = (0 until SimBits).map { j =>
-      aggregate(tokenHashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-    }
-    bitSums.zipWithIndex
-      .map { case (s, j) => when(s > 0, lit(1L << j)).otherwise(lit(0L)) }
-      .reduce(_ + _)
-  }
+    * iff the sum is positive. Native kernel (graft.expr.Simhash32). */
+  def simhash(tokenHashes: Column): Column =
+    graft.expr.Simhash32(tokenHashes)
 }
