@@ -1,0 +1,51 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Text analysis: stat formulas, language argmax + tie-break, fingerprint
+  * locality. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+
+  test("textStats: counts and ratios") {
+    val df = Seq(doc(1, "the cat and the hat")).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.textStats(df).collect().head
+    assert(r.getAs[Long]("n_tokens") === 5L)
+    assert(r.getAs[Long]("n_chars_txt") === 19L)
+    assert(r.getAs[Double]("distinct_ratio") === 0.8) // the,cat,and,hat
+    assert(r.getAs[Double]("stopword_ratio") === 0.6) // the,and,the
+    assert(r.getAs[Double]("punct_ratio") === 0.0)
+    assert(r.getAs[Long]("n_bpe_tokens") === 5L) // all pieces <= 4 chars
+  }
+
+  test("langId: marker trigrams drive the argmax; tie -> first profile") {
+    val df = Seq(
+      doc(1, "the theory then"),      // 'the' x3 -> en
+      doc(2, " de los de la "),       // ' de' x2, 'la ' -> es
+      doc(3, "qqqq xxxx zzzz")        // no markers -> und
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.langId(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("pred_lang") === "en")
+    assert(out(1).getAs[String]("pred_lang") === "es")
+    assert(out(2).getAs[String]("pred_lang") === "und")
+  }
+
+  test("fingerprints: shared text regions share fingerprint hashes") {
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      doc(1, common + " one two three"),
+      doc(2, common + " four five six"),
+      doc(3, "totally unrelated words forming another document body here")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fps = TextAnalysis.fingerprints(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty) // winnowing keeps shared mins
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    val nfp = TextAnalysis.fingerprints(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_fp")).toMap
+    assert(nfp(1L) > 0 && nfp(1L) === fps(1L).size.toLong)
+  }
+}
