@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Skew mitigation: two-stage salted aggregation.
+  *
+  * A hot grouping key (one mega-filer cik, one dominant event_type) turns a
+  * single-shuffle groupBy into one straggler task at 100 TB. Salting splits
+  * each key into `salt` sub-keys for the first (partial) aggregation, then
+  * combines the partials in a second, tiny aggregation keyed on the true key
+  * — the classic two-stage combine, expressed so Catalyst plans two hash
+  * aggregations with a shuffle each, the first uniformly spread.
+  *
+  * Only aggregations with a combine function decompose this way (sum, count,
+  * min, max — not exact median). AQE's skew-join handling covers the JOIN
+  * case; this covers aggregation.
+  */
+object Skew {
+
+  /** Decimal-exact salted sum + count per key: deterministic results (the
+    * decimal route makes addition order-insensitive) AND skew-proof. */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      salt: Int = 16): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val keyCols: Seq[Column] = keys.map(col)
+    df
+      .withColumn("__salt", pmod(col(valueCol).cast("long") + monotonically_increasing_id(), lit(salt)))
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(
+        sum(col(valueCol).cast(dec)).as("__psum"),
+        count(lit(1)).as("__pcnt"))
+      .groupBy(keyCols: _*)
+      .agg(
+        sum(col("__psum")).cast("double").as("sum_value"),
+        sum(col("__pcnt")).as("n_rows"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    // Salted two-stage aggregation == plain GROUP BY for the oracle: the
+    // salt is internal plumbing, invisible in the result.
+    Q("q36_salted_agg",
+      (s, dir) => saltedSumCount(Tables.events(s, dir),
+        Seq("event_type"), "value")
+        .orderBy("event_type"),
+      Some("""
+SELECT event_type,
+  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+  count(*) AS n_rows
+FROM events GROUP BY event_type ORDER BY event_type""")))
+}
