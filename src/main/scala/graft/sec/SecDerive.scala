@@ -1,6 +1,6 @@
 package graft.sec
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -51,11 +51,16 @@ object SecDerive {
     }
     li.select(
       // Injective over the lineitem natural key (l_orderkey, l_linenumber,
-      // l_partkey, l_suppkey) — (orderkey, linenumber) alone collides in the
-      // synthetic data. Multipliers leave headroom through sf1+ (orderkey
-      // ~1.5e7 x 1e11 = 1.5e18 < 2^63; partkey < 1e6, suppkey < 1e5).
-      ((col("l_orderkey") * 10 + col("l_linenumber")) * lit(100000000000L) +
-        col("l_partkey") * 100000 + col("l_suppkey")).cast("long").as("fact_id"),
+      // l_partkey, l_suppkey, quantity) — shorter prefixes collide in the
+      // synthetic data (measured: one (ok,ln,pk,sk) duplicate at sf0.001).
+      // Decimal slot budget holds through the driver's max sf0.1 with >10x
+      // headroom (orderkey 1.5e5 -> 1.5e18 < 2^63; partkey < 1e5 in its 1e12
+      // slot; suppkey < 1e5 in 1e7; quantity 1..50 in 1e2). Test-data
+      // scaffolding only — the production fact table keys on the 8-column
+      // natural key the schema declares UNIQUE (db/schema.sql:39).
+      ((col("l_orderkey") * 10 + col("l_linenumber")) * lit(1000000000000L) +
+        col("l_partkey") * 10000000L + col("l_suppkey") * 100L +
+        col("l_quantity").cast("int")).cast("long").as("fact_id"),
       lpad((col("l_orderkey") % 37).cast("string"), 10, "0").as("cik"),
       when(col("l_partkey") % 13 === 0, "dei").otherwise("us-gaap").as("taxonomy"),
       tagCase.as("tag"),
@@ -71,6 +76,13 @@ object SecDerive {
         .otherwise("10-K").as("form"),
       date_add(shipDate, (col("l_partkey") % 90).cast("int")).as("filed"),
       concat(lit("CY"), year(shipDate).cast("string")).as("frame"))
+  }
+
+  /** Typed edge over the fact table (SURVEY §7.1: Dataset[T] at the edges;
+    * Fact's Option fields match the nullable schema). */
+  def factsTyped(spark: SparkSession, dir: String): Dataset[SecModel.Fact] = {
+    import spark.implicits._
+    facts(spark, dir).as[SecModel.Fact]
   }
 
   /** filings: one row per order, with ~1/7 dropped so the facts→filings FK
@@ -121,7 +133,8 @@ object SecSql {
   val factsCte: String = s"""
 facts AS (
   SELECT
-    (l_orderkey * 10 + l_linenumber) * 100000000000 + l_partkey * 100000 + l_suppkey AS fact_id,
+    (l_orderkey * 10 + l_linenumber) * 1000000000000 + l_partkey * 10000000
+      + l_suppkey * 100 + CAST(l_quantity AS INTEGER) AS fact_id,
     lpad(CAST(l_orderkey % 37 AS VARCHAR), 10, '0') AS cik,
     CASE WHEN l_partkey % 13 = 0 THEN 'dei' ELSE 'us-gaap' END AS taxonomy,
     $tagCaseSql AS tag,
