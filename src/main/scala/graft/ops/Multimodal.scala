@@ -72,6 +72,11 @@ object Multimodal {
           (col("doc_id") % 480 + 48).cast("int").as("height"),
           lit(3).as("channels"),
           md5(col("text")).as("checksum"),
+          // frame-sampling plan for "video" payloads: every 12th frame of a
+          // synthetic frame count — pure arithmetic, so the sample schedule
+          // is columnar metadata, computable without decoding bytes.
+          sequence(lit(0L), (col("n_chars") % 240 + 23).cast("long"), lit(12L))
+            .as("frame_sample"),
           feat(0), feat(1), feat(2), feat(3))
           .orderBy("doc_id")
       },
@@ -82,6 +87,7 @@ SELECT doc_id,
   CAST(doc_id % 480 + 48 AS INTEGER) AS height,
   3 AS channels,
   md5(text) AS checksum,
+  [i for i in range(0, CAST(n_chars % 240 + 24 AS INTEGER), 12)] AS frame_sample,
   ${(0 until 4).map(i =>
         s"((('0x' || substr(md5(text || '|$i'), 1, 15))::BIGINT % 1000)::DOUBLE / 1000.0) AS f$i")
         .mkString(",\n  ")}
