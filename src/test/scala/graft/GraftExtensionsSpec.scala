@@ -9,13 +9,24 @@ import org.scalatest.funsuite.AnyFunSuite
   * bind at session build time.) */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  // getOrCreate() would reuse the shared extension-less test session, so
+  // temporarily clear the default, build an extended session, and restore.
+  private lazy val spark: SparkSession = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    prevDefault.foreach(SparkSession.setDefaultSession)
+    prevActive.foreach(SparkSession.setActiveSession)
+    s
+  }
 
   test("native kernels callable from SQL") {
     assert(spark.sql("SELECT graft_hash60('hello')").collect().head.getLong(0) ===
