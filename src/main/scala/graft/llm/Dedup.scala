@@ -66,6 +66,9 @@ object Dedup {
     // The verify joins need only the shingle STRINGS — keep them on a cheap
     // subtree (split/slice, no hashing) so the md5+permutation signature work
     // is evaluated only under the bands exchange, not re-run per verify side.
+    // (Hashing the verify sets was tried and measured SLOWER: the verify is
+    // candidate-bound — ~100 pairs — while the hashing ran per corpus row
+    // twice.)
     val shingleSets = docs.select(
       col("doc_id"), shingles(toks(col("text")), 2).as("shingle_set"))
     val sigs = minhashSignatures(docs)
