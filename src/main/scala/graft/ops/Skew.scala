@@ -38,7 +38,23 @@ object Skew {
         sum(col("__pcnt")).as("n_rows"))
   }
 
+  /** Approximate distinct counts per event type: the HLL++ path for
+    * cardinality at 100 TB (exact distinct = full shuffle of the key space;
+    * the sketch is mergeable map-side state). rsd 1% keeps the estimate
+    * within oracle row-count tolerance on small data but the VALUES are
+    * sketch-dependent, so this query gets the rows-only check (no oracleSql)
+    * and its accuracy contract lives in SkewSpec. */
+  def approxDistinct(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
   val queries: Seq[Q] = Seq(
+    Q("q37_approx_distinct",
+      (s, dir) => approxDistinct(Tables.events(s, dir)).orderBy("event_type"),
+      None), // sketch values are engine-specific: rows-only check by design
+
     // Salted two-stage aggregation == plain GROUP BY for the oracle: the
     // salt is internal plumbing, invisible in the result.
     Q("q36_salted_agg",
