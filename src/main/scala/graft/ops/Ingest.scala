@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.{Q, Tables}
+import graft.Q
 import graft.sec.{SecDerive, SecSql, SecTags}
 
 /** The ingest layer: JSON shredding / nested flatten (S3/X11) and the

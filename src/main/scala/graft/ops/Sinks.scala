@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.{Q, Tables}
+import graft.Q
 import graft.sec.{SecDerive, SecSql}
 
 /** Sink semantics the reference gets from Postgres constraints
