@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-critical plan properties, asserted against the physical plans so a
+  * regression (a lost pushdown, a forced broadcast of a fact-scale table, a
+  * global sort where top-k should plan) fails the build, not the review.
+  * Uses the pre-AQE sparkPlan — these are static properties. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
+
+  test("filtered scan pushes predicates into the parquet reader") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("l_discount") && p.contains("l_quantity"))
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    assert(plan("q13_topk_orders").contains("TakeOrderedAndProject"))
+    assert(plan("q11_screener").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregation has a partial (map-side) stage") {
+    val p = plan("q15_agg_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_"))
+  }
+
+  test("screener broadcasts only the bounded dimension") {
+    val p = plan("q11_screener")
+    assert(p.contains("BroadcastHashJoin"))
+    // the fact-scale joins must NOT carry a broadcast hint: filings-side
+    // joins plan as non-broadcast at scale (AQE decides; no hint forces it)
+    val q4 = SparkEntry.queries("q04_join_facts_filings")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!q4.contains("ResolvedHint"))
+  }
+
+  test("events hourly agg groups by window with partial aggregation") {
+    val p = plan("q29_events_hourly")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"))
+  }
+
+  test("sessionize plans ONE sort for both window functions") {
+    val p = plan("q33_sessionize")
+    // lag + running sum over the same (user_id; ts, event_id) order share a
+    // single Sort below the Window operators
+    val sorts = "(?m)^\\s*[+:]?-? *\\*?\\(?\\d*\\)? ?Sort ".r
+      .findAllIn(p).size
+    val windowSorts = p.split("\n").count(l => l.trim.startsWith("+- Sort") ||
+      l.trim.startsWith(":- Sort") || l.trim.startsWith("Sort "))
+    assert(windowSorts <= 2, s"expected shared sort, got:\n$p") // 1 window sort + 1 output sort
+  }
+
+  test("native kernels appear in the similarity plans (codegen'd, not HOF)") {
+    assert(plan("q24_cosine_topk").contains("graft_dot"))
+    assert(plan("q21_minhash_neardup").contains("graft_minhash_sig"))
+    assert(plan("q28_fingerprint").contains("graft_window_mins"))
+  }
+}
