@@ -68,11 +68,33 @@ object Events {
         sumExact("value").as("sum_value"))
   }
 
+  /** Multi-level aggregation in one pass: GROUP BY ROLLUP(event_type, day)
+    * — per-(type, day), per-type, and grand-total rows from a single
+    * shuffle (Expand feeds the grouping sets map-side). */
+  def rollupDaily(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", to_date(col("ts")))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sumExact("value").as("sum_value"),
+        grouping_id().cast("long").as("gid"))
+
   // ---------------------------------------------------------------------------
 
   private val sumSql = "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
 
   val queries: Seq[Q] = Seq(
+    Q("q38_rollup",
+      (s, dir) => rollupDaily(Tables.events(s, dir))
+        .orderBy(col("gid"), col("event_type").asc_nulls_last,
+          col("day").asc_nulls_last),
+      Some(s"""
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+  count(*) AS n_events, $sumSql AS sum_value,
+  CAST(GROUPING(event_type) * 2 + GROUPING(CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS gid
+FROM events
+GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts) AS DATE))
+ORDER BY gid, event_type ASC NULLS LAST, day ASC NULLS LAST""")),
+
     Q("q29_events_hourly",
       (s, dir) => hourlyAgg(Tables.events(s, dir))
         .orderBy("window_start", "event_type"),

@@ -40,6 +40,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runFileStream: tails a parquet directory into windowed output") {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream")
+    val src = base.resolve("src").toString
+    val out = base.resolve("out").toString
+    // stage the driver's events table (micro-slice) as the source directory
+    graft.Tables.events(spark, "/root/testdata/sf0.001").limit(500)
+      .write.parquet(src)
+    val q = StreamOps.runFileStream(spark, src, out)
+    try {
+      q.processAllAvailable()
+      // append mode holds windows until the watermark passes; feed a late
+      // batch far in the future to flush, then check the sink
+      spark.read.parquet(src).limit(1)
+        .withColumn("ts", org.apache.spark.sql.functions.expr("ts + INTERVAL 90 DAYS"))
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val result = spark.read.parquet(s"$out/data")
+      assert(result.count() > 0)
+      assert(result.columns.toSet ===
+        Set("window_start", "event_type", "n_events", "sum_value"))
+    } finally q.stop()
+  }
+
   test("sessionizeStream: gap timeout closes a session per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
