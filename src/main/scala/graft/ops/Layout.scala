@@ -42,4 +42,17 @@ object Layout {
     spark.read.parquet(path)
       .filter(col("cik_bucket") === bucketOf(lit(cik), nBuckets) &&
         col("cik") === cik)
+
+  /** Bucketed (hash-clustered) table write: two tables bucketed on the same
+    * join key with the same bucket count join WITHOUT any exchange — the
+    * co-located join that makes the repeated facts⋈filings shape free at
+    * 100 TB (each bucket pair joins locally; only the within-bucket sort
+    * remains, and sortBy at write removes even that for SMJ). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }

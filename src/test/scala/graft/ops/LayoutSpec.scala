@@ -36,6 +36,22 @@ class LayoutSpec extends SparkSpec {
     assert(scanned("numFiles").value >= 1)
   }
 
+  test("bucketed tables join with NO exchange (co-located join)") {
+    val base = Files.createTempDirectory("graft_buckets")
+    val facts = Seq(("A-1", 1.0), ("A-2", 2.0), ("A-3", 3.0))
+      .toDF("accession_no", "value")
+    val filings = Seq(("A-1", "10-K"), ("A-2", "10-Q"))
+      .toDF("accession_no", "form")
+    Layout.writeBucketed(facts, "b_facts", s"$base/facts", "accession_no", 4)
+    Layout.writeBucketed(filings, "b_filings", s"$base/filings", "accession_no", 4)
+    val joined = spark.table("b_facts")
+      .join(spark.table("b_filings").hint("merge"), "accession_no")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+    assert(joined.count() === 2)
+    spark.sql("DROP TABLE b_facts"); spark.sql("DROP TABLE b_filings")
+  }
+
   test("different ciks land deterministically in stable buckets") {
     val b1 = facts.select(Layout.bucketOf(col("cik"), 8)).distinct().count()
     assert(b1 >= 1 && b1 <= 8)
