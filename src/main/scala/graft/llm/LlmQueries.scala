@@ -208,6 +208,40 @@ c AS (SELECT vec_id_a, vec_id_b, ${cosineSql("ea.v", "eb2.v")} AS cosine
 SELECT vec_id_a, vec_id_b, cosine FROM c WHERE cosine >= 0.4
 ORDER BY vec_id_a, vec_id_b""")),
 
+    // Scalar int8 quantization of the embedding corpus, with per-vector
+    // scale and reconstruction-error audit.
+    Q("q39_quantize_int8",
+      (s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))
+        .orderBy("vec_id"),
+      Some("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT vec_id, v, list_reduce(list_prepend(0.0::DOUBLE,
+        [abs(x) for x in v]), (a, b) -> greatest(a, b)) AS maxabs FROM e),
+q AS (SELECT vec_id, maxabs,
+        [greatest(-127, least(127, CAST(floor(x * (127.0 / maxabs) + 0.5) AS BIGINT)))
+         for x in v] AS q, v
+      FROM m)
+SELECT vec_id, maxabs, q,
+  list_reduce(list_prepend(0.0::DOUBLE,
+    [abs(qe[1]::DOUBLE * (maxabs / 127.0) - qe[2]) for qe in list_zip(q, v)]),
+    (a, b) -> greatest(a, b)) AS max_err
+FROM q ORDER BY vec_id""")),
+
+    // Corpus token frequencies: the explode -> shuffle-by-token shape (word
+    // count), top-k by count with deterministic tie-break.
+    Q("q40_token_counts",
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50),
+      Some("""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""")),
+
     // Quality/statistics block over documents.
     Q("q26_text_stats",
       (s, dir) => TextAnalysis.textStats(Tables.documents(s, dir)).orderBy("doc_id"),

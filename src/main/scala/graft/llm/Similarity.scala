@@ -145,6 +145,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar int8 quantization: q = clamp(floor(x * 127/maxabs + 0.5)), with
+    * the per-vector scale kept alongside for dequantization — 4x storage
+    * cut for ANN candidate generation (exact re-rank reads the fp32 copy).
+    * floor(x+0.5) instead of round(): explicit arithmetic both engines
+    * compute identically (round() ties differ across engines). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val maxabs = aggregate(col("embedding"),
+      lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = lit(127.0) / col("maxabs")
+    embeddings
+      .select(col("vec_id"), col("embedding"), maxabs.as("maxabs"))
+      .select(col("vec_id"), col("maxabs"), col("embedding"),
+        transform(col("embedding"), x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x.cast("double") * scale + lit(0.5)).cast("long")))).as("q"))
+      .select(col("vec_id"), col("maxabs"), col("q"),
+        // reconstruction error: max |dequant - original|
+        aggregate(
+          zip_with(col("q"), col("embedding"), (qi, x) =>
+            abs(qi.cast("double") * (col("maxabs") / lit(127.0)) - x.cast("double"))),
+          lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"))
+  }
+
   /** Embedding near-dup pairs: candidates = same bucket in any table
     * (banded-LSH shape, no all-pairs), verified by exact cosine >= threshold. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
