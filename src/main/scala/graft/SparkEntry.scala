@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sec.{SecDerive, SecSql}
-import graft.ops.{AsofJoin, Events, Ingest, Multimodal, Ratios, Screener, Sinks, Skew, Statements}
+import graft.ops.{AsofJoin, Events, Ingest, Multimodal, RangeJoin, Ratios, Screener, Sinks, Skew, Statements}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -266,7 +266,8 @@ object SparkEntry {
   val allQueries: Seq[Q] =
     secQueries ++ relationalQueries ++ graft.llm.LlmQueries.all ++
       Events.queries ++ Ingest.queries ++ Sinks.queries ++
-      Multimodal.queries ++ Skew.queries ++ AsofJoin.queries
+      Multimodal.queries ++ Skew.queries ++ AsofJoin.queries ++
+      RangeJoin.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * ingest-shaped pipeline facts → statements → ratios → screener, surfaced
