@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sec.{SecDerive, SecSql}
-import graft.ops.{AsofJoin, Events, Ingest, Multimodal, RangeJoin, Ratios, Screener, Sinks, Skew, Statements}
+import graft.ops.{AsofJoin, Events, Ingest, Multimodal, Quality, RangeJoin, Ratios, Screener, Sinks, Skew, Statements}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -239,6 +239,26 @@ object SparkEntry {
           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_coalesced
         FROM orders ORDER BY o_orderkey""")),
 
+    // Top-k per group: rank window + filter (the per-group analogue of O1).
+    Q("q43_topk_per_group",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_orderpriority"), col("rk").cast("long").as("rk"),
+            col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderpriority", "rk")
+      },
+      Some("""SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders) WHERE rk <= 3
+        ORDER BY o_orderpriority, rk""")),
+
     // Hash aggregation with exact (decimal-routed) float sums — TPC-H Q1 shape.
     Q("q15_agg_pricing_summary",
       (s, dir) => Tables.lineitem(s, dir)
@@ -267,7 +287,7 @@ object SparkEntry {
     secQueries ++ relationalQueries ++ graft.llm.LlmQueries.all ++
       Events.queries ++ Ingest.queries ++ Sinks.queries ++
       Multimodal.queries ++ Skew.queries ++ AsofJoin.queries ++
-      RangeJoin.queries
+      RangeJoin.queries ++ Quality.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * ingest-shaped pipeline facts → statements → ratios → screener, surfaced
