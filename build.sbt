@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Defensive headroom: ~50 queries of whole-stage-codegen classes sit near
+  // the default 240 MB JIT code-cache ceiling; when it fills, the compiler
+  // disables and late queries run interpreted. (Reserved = virtual, committed
+  // lazily — no cost when unused.)
+  "-XX:ReservedCodeCacheSize=1g",
 )
