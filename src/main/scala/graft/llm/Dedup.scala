@@ -146,8 +146,11 @@ object Dedup {
     *     intersections compare longs, not strings;
     *   - the size prefilter from set-similarity joins (PPJoin-family):
     *     J(A,B) >= t  ==>  min(|A|,|B|) >= t * max(|A|,|B|) — a constant-time
-    *     predicate in the join condition that prunes most pairs before any
-    *     intersection is computed (measured 20x on the bench).
+    *     predicate in the join condition that prunes length-mismatched pairs
+    *     before any intersection is computed. (This synthetic corpus has
+    *     near-uniform doc lengths, so the big win here came from hashing +
+    *     the merge kernel; on real corpora with varied lengths the prefilter
+    *     is the dominant pruner.)
     */
   def ngramJaccardPairs(docs: DataFrame, bucketCols: Seq[String],
       threshold: Double = 0.6): DataFrame = {
@@ -159,7 +162,7 @@ object Dedup {
       // (graft.expr.SortedIntersectCount) requires it; sorting costs
       // O(n log n) ONCE per doc vs a hash set per PAIR.
       .select(col("doc_id"), col("bucket"),
-        array_sort(array_distinct(transform(col("grams0"), x => hash60(x)))).as("grams"))
+        array_sort(array_distinct(graft.expr.Hash60Array(col("grams0")))).as("grams"))
       .withColumn("n_grams", size(col("grams")))
       // Self-join plumbing: both sides repartition on the SAME plan, so
       // ReuseExchange materializes the (md5-heavy) prep exactly once and the
