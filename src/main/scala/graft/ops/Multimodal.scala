@@ -77,6 +77,15 @@ object Multimodal {
           // is columnar metadata, computable without decoding bytes.
           sequence(lit(0L), (col("n_chars") % 240 + 23).cast("long"), lit(12L))
             .as("frame_sample"),
+          // resize plan: fit into a 224-box preserving aspect ratio — the
+          // target geometry is metadata; the pixel work happens in the
+          // per-partition decode seam.
+          floor((col("n_chars") % 640 + 64).cast("double") * lit(224.0) /
+            greatest((col("n_chars") % 640 + 64).cast("double"),
+              (col("doc_id") % 480 + 48).cast("double"))).cast("int").as("resized_w"),
+          floor((col("doc_id") % 480 + 48).cast("double") * lit(224.0) /
+            greatest((col("n_chars") % 640 + 64).cast("double"),
+              (col("doc_id") % 480 + 48).cast("double"))).cast("int").as("resized_h"),
           feat(0), feat(1), feat(2), feat(3))
           .orderBy("doc_id")
       },
@@ -88,6 +97,10 @@ SELECT doc_id,
   3 AS channels,
   md5(text) AS checksum,
   [i for i in range(0, CAST(n_chars % 240 + 24 AS INTEGER), 12)] AS frame_sample,
+  CAST(floor((n_chars % 640 + 64)::DOUBLE * 224.0
+       / greatest((n_chars % 640 + 64)::DOUBLE, (doc_id % 480 + 48)::DOUBLE)) AS INTEGER) AS resized_w,
+  CAST(floor((doc_id % 480 + 48)::DOUBLE * 224.0
+       / greatest((n_chars % 640 + 64)::DOUBLE, (doc_id % 480 + 48)::DOUBLE)) AS INTEGER) AS resized_h,
   ${(0 until 4).map(i =>
         s"((('0x' || substr(md5(text || '|$i'), 1, 15))::BIGINT % 1000)::DOUBLE / 1000.0) AS f$i")
         .mkString(",\n  ")}

@@ -71,6 +71,69 @@ object PropertiesSpec extends Properties("graft") {
         }
     }
 
+  // ---------------------------------------------------------------------
+  // Custom joins vs brute-force references on generated tables
+  // ---------------------------------------------------------------------
+
+  private val asofGen = for {
+    lefts <- Gen.nonEmptyListOf(for {
+      k <- Gen.oneOf("a", "b")
+      t <- Gen.choose(0, 50)
+    } yield (k, t))
+    rights <- Gen.listOf(for {
+      k <- Gen.oneOf("a", "b")
+      t <- Gen.choose(0, 50)
+    } yield (k, t))
+  } yield (lefts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+    // as-of contract requires <=1 right row per (key, time)
+    rights.distinct.zipWithIndex.map { case ((k, t), i) => (k, t, s"r$i") })
+
+  property("asof join == brute-force latest right at-or-before, per key") =
+    Prop.forAll(asofGen) { case (lefts, rights) =>
+      val l = lefts.toDF("id", "k", "t")
+      val r = rights.toDF("k", "rt", "tag")
+      val out = graft.ops.AsofJoin.asof(l, r, Seq("k"), "t", "rt", Seq("tag"))
+        .collect().map(x => x.getLong(0) -> Option(x.getAs[String]("asof_tag"))).toMap
+      lefts.forall { case (id, k, t) =>
+        val expected = rights.filter(x => x._1 == k && x._2 <= t)
+          .sortBy(x => (x._2, x._3)).lastOption.map(_._3)
+        // ties on rt impossible (distinct) so lastOption by rt is THE answer
+        out(id) == expected
+      }
+    }
+
+  private val rangeGen = for {
+    ivs <- Gen.nonEmptyListOf(for {
+      k <- Gen.oneOf("a", "b")
+      s <- Gen.choose(0, 300)
+      len <- Gen.choose(0, 400)
+    } yield (k, s, s + len))
+    pts <- Gen.nonEmptyListOf(for {
+      k <- Gen.oneOf("a", "b")
+      t <- Gen.choose(0, 700)
+    } yield (k, t))
+  } yield (ivs.zipWithIndex.map { case ((k, s, e), i) => (i.toLong, k, s, e) },
+    pts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) })
+
+  property("bucketed range join == brute-force containment filter") =
+    Prop.forAll(rangeGen) { case (ivs, pts) =>
+      def date(days: Int) = Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(days))
+      val ivDf = ivs.map { case (id, k, s, e) => (id, k, date(s), date(e)) }
+        .toDF("iv_id", "k", "start", "end")
+      val ptDf = pts.map { case (id, k, t) => (id, k, date(t)) }
+        .toDF("pt_id", "k", "t")
+      val out = graft.ops.RangeJoin.containmentJoin(ivDf, ptDf,
+        Seq("k"), "start", "end", "t")
+        .select("iv_id", "pt_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (ivId, ik, s, e) <- ivs
+        (ptId, pk, t) <- pts
+        if ik == pk && t >= s && t <= e
+      } yield (ivId, ptId)).toSet
+      out == expected
+    }
+
   private val wideGen = Gen.nonEmptyListOf(for {
     n <- Gen.choose(0, 1000000)
     ocf <- Gen.option(Gen.choose(-500.0, 500.0))
