@@ -255,6 +255,11 @@ SELECT doc_id,
   len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS distinct_ratio,
   len(list_filter(t, x -> x IN (${stopwords.map(w => s"'$w'").mkString(", ")})))::DOUBLE
     / len(t)::DOUBLE AS stopword_ratio,
+  CASE WHEN len(t) >= 2
+       THEN 1.0 - len(list_distinct([array_to_string(t[i+1:i+2], ' ')
+                                     for i in range(0, len(t)-1)]))::DOUBLE
+                  / (len(t) - 1)::DOUBLE
+       ELSE 0.0 END AS rep_2gram_ratio,
   (length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')))::DOUBLE
     / length(text)::DOUBLE AS punct_ratio,
   ((len(list_distinct(t))::DOUBLE / len(t)::DOUBLE) * 0.5)
@@ -262,6 +267,30 @@ SELECT doc_id,
         / len(t)::DOUBLE) * 0.3)
     + ((CASE WHEN len(t) >= 20 THEN 1.0 ELSE len(t)::DOUBLE / 20.0 END) * 0.2) AS quality_score
 FROM tok ORDER BY doc_id""")),
+
+    // The quality-filter pass over the corpus (the op the stats exist for).
+    Q("q46_quality_filter",
+      (s, dir) => TextAnalysis.qualityFilter(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some(s"""
+WITH $tokCte,
+st AS (SELECT doc_id, lang, source,
+         len(t)::BIGINT AS n_tokens,
+         CASE WHEN len(t) >= 2
+              THEN 1.0 - len(list_distinct([array_to_string(t[i+1:i+2], ' ')
+                                            for i in range(0, len(t)-1)]))::DOUBLE
+                         / (len(t) - 1)::DOUBLE
+              ELSE 0.0 END AS rep_2gram_ratio,
+         len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS distinct_ratio,
+         ((len(list_distinct(t))::DOUBLE / len(t)::DOUBLE) * 0.5)
+           + ((len(list_filter(t, x -> x IN (${stopwords.map(w => s"'$w'").mkString(", ")})))::DOUBLE
+               / len(t)::DOUBLE) * 0.3)
+           + ((CASE WHEN len(t) >= 20 THEN 1.0 ELSE len(t)::DOUBLE / 20.0 END) * 0.2) AS quality_score
+       FROM tok)
+SELECT doc_id, lang, source, n_tokens, rep_2gram_ratio, distinct_ratio, quality_score
+FROM st
+WHERE n_tokens >= 20 AND rep_2gram_ratio <= 0.2 AND distinct_ratio >= 0.5
+ORDER BY doc_id""")),
 
     // n-gram language-ID heuristic.
     Q("q27_lang_id",

@@ -30,6 +30,11 @@ object TextAnalysis {
       length(regexp_replace(col("text"), "[^a-z0-9\\s]", "")).cast("long"))
     val distinctRatio = size(array_distinct(t)).cast("double") / nToks.cast("double")
     val stopRatio = stopHits.cast("double") / nToks.cast("double")
+    // Gopher-style repetition signal: fraction of word 2-grams that are
+    // repeats of an earlier 2-gram in the same doc (1 - distinct/total).
+    val rep2 = when(nToks >= 2,
+      lit(1.0) - size(shingles(t, 2)).cast("double") / (nToks - 1).cast("double"))
+      .otherwise(lit(0.0))
     docs.select(
       col("doc_id"),
       nChars.as("n_chars_txt"),
@@ -38,6 +43,7 @@ object TextAnalysis {
       (alphaLen.cast("double") / nToks.cast("double")).as("avg_token_len"),
       distinctRatio.as("distinct_ratio"),
       stopRatio.as("stopword_ratio"),
+      rep2.as("rep_2gram_ratio"),
       (punct.cast("double") / nChars.cast("double")).as("punct_ratio"),
       // Composite score: association order matters for float parity — the
       // DuckDB mirror in LlmSql reproduces it term by term.
@@ -45,6 +51,21 @@ object TextAnalysis {
         (when(nToks >= 20, lit(1.0)).otherwise(nToks.cast("double") / lit(20.0))
           * lit(0.2))).as("quality_score"))
   }
+
+  /** The corpus quality-filter pass: keep documents whose stats clear the
+    * thresholds — the operation the stats exist FOR. One narrow
+    * filter+project fused with the scan; at 100 TB this is the single-read
+    * pass that writes the training shard. */
+  def qualityFilter(docs: DataFrame,
+      minTokens: Long = 20, maxRep2: Double = 0.2,
+      minDistinct: Double = 0.5): DataFrame =
+    docs.join(textStats(docs).select("doc_id", "n_tokens", "rep_2gram_ratio",
+      "distinct_ratio", "quality_score"), "doc_id")
+      .filter(col("n_tokens") >= minTokens &&
+        col("rep_2gram_ratio") <= maxRep2 &&
+        col("distinct_ratio") >= minDistinct)
+      .select("doc_id", "lang", "source", "n_tokens", "rep_2gram_ratio",
+        "distinct_ratio", "quality_score")
 
   /** n-gram language ID: score = total matched characters of each language's
     * char-trigram markers (substring counting via literal-replace length
