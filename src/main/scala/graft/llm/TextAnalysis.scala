@@ -58,14 +58,24 @@ object TextAnalysis {
     * pass that writes the training shard. */
   def qualityFilter(docs: DataFrame,
       minTokens: Long = 20, maxRep2: Double = 0.2,
-      minDistinct: Double = 0.5): DataFrame =
-    docs.join(textStats(docs).select("doc_id", "n_tokens", "rep_2gram_ratio",
-      "distinct_ratio", "quality_score"), "doc_id")
+      minDistinct: Double = 0.5): DataFrame = {
+    val t = toks(col("text"))
+    val nToks = size(t).cast("long")
+    val distinctRatio = size(array_distinct(t)).cast("double") / nToks.cast("double")
+    val stopRatio = size(filter(t, x => x.isin(stopwords: _*))).cast("long")
+      .cast("double") / nToks.cast("double")
+    val rep2 = when(nToks >= 2,
+      lit(1.0) - size(shingles(t, 2)).cast("double") / (nToks - 1).cast("double"))
+      .otherwise(lit(0.0))
+    val quality = (distinctRatio * lit(0.5)) + (stopRatio * lit(0.3)) +
+      (when(nToks >= 20, lit(1.0)).otherwise(nToks.cast("double") / lit(20.0)) * lit(0.2))
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        nToks.as("n_tokens"), rep2.as("rep_2gram_ratio"),
+        distinctRatio.as("distinct_ratio"), quality.as("quality_score"))
       .filter(col("n_tokens") >= minTokens &&
         col("rep_2gram_ratio") <= maxRep2 &&
         col("distinct_ratio") >= minDistinct)
-      .select("doc_id", "lang", "source", "n_tokens", "rep_2gram_ratio",
-        "distinct_ratio", "quality_score")
+  }
 
   /** n-gram language ID: score = total matched characters of each language's
     * char-trigram markers (substring counting via literal-replace length
