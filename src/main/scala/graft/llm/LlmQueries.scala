@@ -256,7 +256,7 @@ SELECT doc_id,
   len(list_filter(t, x -> x IN (${stopwords.map(w => s"'$w'").mkString(", ")})))::DOUBLE
     / len(t)::DOUBLE AS stopword_ratio,
   CASE WHEN len(t) >= 2
-       THEN 1.0 - len(list_distinct([array_to_string(t[i+1:i+2], ' ')
+       THEN 1.0 - len(list_distinct([(('0x' || substr(md5(array_to_string(t[i+1:i+2], ' ')), 1, 15))::BIGINT % 2147483647)
                                      for i in range(0, len(t)-1)]))::DOUBLE
                   / (len(t) - 1)::DOUBLE
        ELSE 0.0 END AS rep_2gram_ratio,
@@ -277,7 +277,7 @@ WITH $tokCte,
 st AS (SELECT doc_id, lang, source,
          len(t)::BIGINT AS n_tokens,
          CASE WHEN len(t) >= 2
-              THEN 1.0 - len(list_distinct([array_to_string(t[i+1:i+2], ' ')
+              THEN 1.0 - len(list_distinct([(('0x' || substr(md5(array_to_string(t[i+1:i+2], ' ')), 1, 15))::BIGINT % 2147483647)
                                             for i in range(0, len(t)-1)]))::DOUBLE
                          / (len(t) - 1)::DOUBLE
               ELSE 0.0 END AS rep_2gram_ratio,

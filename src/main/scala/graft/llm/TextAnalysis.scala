@@ -31,10 +31,10 @@ object TextAnalysis {
     val distinctRatio = size(array_distinct(t)).cast("double") / nToks.cast("double")
     val stopRatio = stopHits.cast("double") / nToks.cast("double")
     // Gopher-style repetition signal: fraction of word 2-grams that are
-    // repeats of an earlier 2-gram in the same doc (1 - distinct/total).
-    val rep2 = when(nToks >= 2,
-      lit(1.0) - size(shingles(t, 2)).cast("double") / (nToks - 1).cast("double"))
-      .otherwise(lit(0.0))
+    // repeats of an earlier 2-gram in the same doc (1 - distinct/total),
+    // counted over POSITIONAL 2-GRAM HASHES (native kernel; the oracle
+    // hashes identically, so any collision hits both engines the same way).
+    val rep2 = rep2gramRatio(t, nToks)
     docs.select(
       col("doc_id"),
       nChars.as("n_chars_txt"),
@@ -52,6 +52,13 @@ object TextAnalysis {
           * lit(0.2))).as("quality_score"))
   }
 
+  private def rep2gramRatio(t: org.apache.spark.sql.Column,
+      nToks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(nToks >= 2,
+      lit(1.0) - size(array_distinct(shingleHashSeq(t, 2))).cast("double") /
+        (nToks - 1).cast("double"))
+      .otherwise(lit(0.0))
+
   /** The corpus quality-filter pass: keep documents whose stats clear the
     * thresholds — the operation the stats exist FOR. One narrow
     * filter+project fused with the scan; at 100 TB this is the single-read
@@ -64,9 +71,7 @@ object TextAnalysis {
     val distinctRatio = size(array_distinct(t)).cast("double") / nToks.cast("double")
     val stopRatio = size(filter(t, x => x.isin(stopwords: _*))).cast("long")
       .cast("double") / nToks.cast("double")
-    val rep2 = when(nToks >= 2,
-      lit(1.0) - size(shingles(t, 2)).cast("double") / (nToks - 1).cast("double"))
-      .otherwise(lit(0.0))
+    val rep2 = rep2gramRatio(t, nToks)
     val quality = (distinctRatio * lit(0.5)) + (stopRatio * lit(0.3)) +
       (when(nToks >= 20, lit(1.0)).otherwise(nToks.cast("double") / lit(20.0)) * lit(0.2))
     docs.select(col("doc_id"), col("lang"), col("source"),
