@@ -157,6 +157,19 @@ object SparkEntry {
         ORDER BY r.fiscal_year DESC, r.roe DESC NULLS LAST, r.cik ASC
         LIMIT 25""")),
 
+    // F8 with the fiscal_year equality predicate exercised (api.py:71-74 —
+    // the one screener parameter q11 leaves None).
+    Q("q11b_screener_year",
+      (s, dir) => Screener.screener(ratiosV3(s, dir), SecDerive.companies(s, dir),
+        Screener.ScreenerParams(fiscalYear = Some(1995), minNetMargin = Some(0.1),
+          limit = 50)),
+      Some(s"""${SecSql.fullPrelude}
+        SELECT c.ticker, c.name, r.cik, r.fiscal_year, r.roe, r.fcf_margin, r.net_margin
+        FROM ratios r JOIN companies c ON c.cik = r.cik
+        WHERE r.fiscal_year = 1995 AND r.net_margin >= 0.1
+        ORDER BY r.fiscal_year DESC, r.roe DESC NULLS LAST, r.cik ASC
+        LIMIT 50""")),
+
     // O1: /ratios/{ticker} — lookup + order + limit (api.py:21-61). The cik
     // predicate is pushed BEFORE the window/pivot (point query, not a
     // full-table pipeline).

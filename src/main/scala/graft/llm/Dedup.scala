@@ -69,9 +69,16 @@ object Dedup {
     // (Hashing the verify sets was tried and measured SLOWER: the verify is
     // candidate-bound — ~100 pairs — while the hashing ran per corpus row
     // twice.)
+    // Docs with <2 tokens have NO shingles: their MinhashSig would be all
+    // Long.MaxValue sentinels (DuckDB's list_min([]) yields NULL instead) and
+    // a candidate pair against one would hit 0/0 Jaccard — engines disagree
+    // on both. Filter them out of BOTH the band and verify stages (mirrored
+    // by `WHERE len(s) > 0` in the q21 oracle); an empty doc cannot be a
+    // near-dup of anything under set-Jaccard semantics anyway.
     val shingleSets = docs.select(
       col("doc_id"), shingles(toks(col("text")), 2).as("shingle_set"))
-    val sigs = minhashSignatures(docs)
+      .filter(size(col("shingle_set")) > 0)
+    val sigs = minhashSignatures(docs).filter(size(col("shingle_set")) > 0)
     // Repartition on the band key: both self-join sides share ONE exchange
     // (ReuseExchange), so the md5+permutation signature prep runs once, and
     // shuffle_hash is the strategy that still exists at corpus scale.

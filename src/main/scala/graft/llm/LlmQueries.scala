@@ -95,7 +95,7 @@ SELECT doc_id, text_hash, lang, source, n_chars FROM r WHERE rn = 1 ORDER BY doc
         .orderBy("doc_id_a", "doc_id_b"),
       Some(s"""
 WITH $shingleCte,
-hx AS (SELECT doc_id, [${h60("x")} % $P for x in s] AS hs FROM sh),
+hx AS (SELECT doc_id, [${h60("x")} % $P for x in s] AS hs FROM sh WHERE len(s) > 0),
 sig AS (SELECT doc_id, $sigSql AS g FROM hx),
 bands AS (SELECT doc_id, rb.band_idx,
             md5(array_to_string([CAST(x AS VARCHAR)
@@ -210,8 +210,14 @@ ORDER BY vec_id_a, vec_id_b""")),
 
     // Scalar int8 quantization of the embedding corpus, with per-vector
     // scale and reconstruction-error audit.
+    // The int8 vector is CSV-joined in the final projection (same
+    // comparator constraint as q28); Similarity.quantizeInt8 keeps the raw
+    // array shape for downstream ANN use and is spec-covered.
     Q("q39_quantize_int8",
       (s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("maxabs"),
+          array_join(col("q").cast("array<string>"), ",").as("q"),
+          col("max_err"))
         .orderBy("vec_id"),
       Some("""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -221,7 +227,7 @@ q AS (SELECT vec_id, maxabs,
         [greatest(-127, least(127, CAST(floor(x * (127.0 / maxabs) + 0.5) AS BIGINT)))
          for x in v] AS q, v
       FROM m)
-SELECT vec_id, maxabs, q,
+SELECT vec_id, maxabs, array_to_string(q, ',') AS q,
   list_reduce(list_prepend(0.0::DOUBLE,
     [abs(qe[1]::DOUBLE * (maxabs / 127.0) - qe[2]) for qe in list_zip(q, v)]),
     (a, b) -> greatest(a, b)) AS max_err
@@ -317,8 +323,15 @@ FROM scored ORDER BY doc_id"""
       }),
 
     // Winnowing fingerprints (positional 3-gram hashes, window-4 minima).
+    // The fingerprint array is joined to a CSV string in the FINAL projection
+    // only — the driver's pandas comparator cannot sort/hash array cells
+    // (CORRECTNESS_r02), and the values stay bit-identical either way. The
+    // raw-array operator (TextAnalysis.fingerprints) is spec-covered.
     Q("q28_fingerprint",
-      (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id"),
+      (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_fp"),
+          array_join(col("fingerprint").cast("array<string>"), ",").as("fingerprint"))
+        .orderBy("doc_id"),
       Some(s"""
 WITH $tokCte,
 hs AS (SELECT doc_id,
@@ -330,6 +343,6 @@ m AS (SELECT doc_id,
              ELSE []::BIGINT[] END AS mins
       FROM hs)
 SELECT doc_id, len(list_distinct(mins))::BIGINT AS n_fp,
-       list_sort(list_distinct(mins)) AS fingerprint
+       array_to_string(list_sort(list_distinct(mins)), ',') AS fingerprint
 FROM m ORDER BY doc_id""")))
 }

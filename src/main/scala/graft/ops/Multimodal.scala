@@ -75,7 +75,11 @@ object Multimodal {
           // frame-sampling plan for "video" payloads: every 12th frame of a
           // synthetic frame count — pure arithmetic, so the sample schedule
           // is columnar metadata, computable without decoding bytes.
-          sequence(lit(0L), (col("n_chars") % 240 + 23).cast("long"), lit(12L))
+          // CSV-joined: the driver's pandas comparator cannot hash array
+          // cells (CORRECTNESS_r02); values are identical either way.
+          array_join(
+            sequence(lit(0L), (col("n_chars") % 240 + 23).cast("long"), lit(12L))
+              .cast("array<string>"), ",")
             .as("frame_sample"),
           // resize plan: fit into a 224-box preserving aspect ratio — the
           // target geometry is metadata; the pixel work happens in the
@@ -96,7 +100,7 @@ SELECT doc_id,
   CAST(doc_id % 480 + 48 AS INTEGER) AS height,
   3 AS channels,
   md5(text) AS checksum,
-  [i for i in range(0, CAST(n_chars % 240 + 24 AS INTEGER), 12)] AS frame_sample,
+  array_to_string([i for i in range(0, CAST(n_chars % 240 + 24 AS INTEGER), 12)], ',') AS frame_sample,
   CAST(floor((n_chars % 640 + 64)::DOUBLE * 224.0
        / greatest((n_chars % 640 + 64)::DOUBLE, (doc_id % 480 + 48)::DOUBLE)) AS INTEGER) AS resized_w,
   CAST(floor((doc_id % 480 + 48)::DOUBLE * 224.0

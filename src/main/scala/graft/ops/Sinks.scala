@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -56,6 +56,64 @@ object Sinks {
     recomputed.withColumn("updated_at", current_timestamp())
       .write.mode("overwrite").parquet(path)
 
+  /** Incremental alternative to [[upsertOverwrite]] (SURVEY §1.3): merge a
+    * batch into the existing table keeping the best row per natural key under
+    * `order` — `ON CONFLICT DO UPDATE` without recomputing untouched rows.
+    * `order` must be a TOTAL order (Statements.latestWins contract), which
+    * also makes the merge idempotent: re-merging the same batch is a no-op.
+    * At 100 TB the union shuffles once on the key — co-partitioned with the
+    * table's bucketing — and only partitions the batch touches rewrite when
+    * the store supports partition overwrite. */
+  def mergeLatestWins(existing: DataFrame, batch: DataFrame,
+      naturalKey: Seq[String], order: Seq[Column]): DataFrame =
+    Statements.latestWins(naturalKey, order)(existing.unionByName(batch))
+
+  // ---------------------------------------------------------------------------
+  // JDBC variants — the BASELINE-named approach is "Spark SQL + JDBC to
+  // Postgres"; the reference upserts into Postgres (ingest_facts.py:119-143,
+  // _v3.py:156-176). Same sink semantics as the parquet forms, targeting a
+  // JDBC URL. Tested against embedded Derby (JdbcSinkSpec); in production the
+  // URL is Postgres and the driver jar sits on the executor classpath.
+  // ---------------------------------------------------------------------------
+
+  /** Read an existing JDBC table; empty relation with `batch`'s schema if the
+    * table doesn't exist yet (first load). */
+  private def readJdbcOrEmpty(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties, like: DataFrame): DataFrame =
+    try spark.read.jdbc(url, table, props)
+    catch { case _: Exception =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        like.schema)
+    }
+
+  /** S7 over JDBC: `INSERT ... ON CONFLICT DO NOTHING` — anti-join the batch
+    * against the current table contents, append the absent rows. Idempotent
+    * (JdbcSinkSpec). `batchsize` tunes the JDBC insert batching: at scale
+    * each executor task holds one connection and writes its partition in
+    * `batchsize`-row batches. */
+  def jdbcAppendIfAbsent(spark: SparkSession, url: String, table: String,
+      batch: DataFrame, naturalKey: Seq[String],
+      batchsize: Int = 10000,
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    val existing = readJdbcOrEmpty(spark, url, table, props, batch)
+    dedupBatch(batch, naturalKey)
+      .join(existing.select(naturalKey.map(col): _*), naturalKey, "left_anti")
+      .write.mode("append")
+      .option("batchsize", batchsize.toString)
+      .jdbc(url, table, props)
+  }
+
+  /** S8 over JDBC: full-recompute upsert — truncate-and-reload, the JDBC
+    * equivalent of the overwrite directory swap (TRUNCATE preserves the DDL
+    * the reference declares in schema.sql). */
+  def jdbcUpsertOverwrite(url: String, table: String, recomputed: DataFrame,
+      batchsize: Int = 10000,
+      props: java.util.Properties = new java.util.Properties): Unit =
+    recomputed.write.mode("overwrite")
+      .option("truncate", "true")
+      .option("batchsize", batchsize.toString)
+      .jdbc(url, table, props)
+
   // ---------------------------------------------------------------------------
 
   val queries: Seq[Q] = Seq(
@@ -71,5 +129,34 @@ object Sinks {
       Some(s"""${SecSql.basePrelude}
         SELECT DISTINCT * FROM
           (SELECT * FROM filings UNION ALL SELECT * FROM filings)
-        ORDER BY accession_no""")))
+        ORDER BY accession_no""")),
+
+    // The incremental latest-wins merge: a batch of amended filings (re-filed
+    // 10 days later as 10-K/A for even fiscal years) merged into the existing
+    // table — amendments win on filing_date, untouched keys pass through.
+    Q("q47_merge_latest_wins",
+      (s, dir) => {
+        val fl = SecDerive.filings(s, dir)
+        val amended = fl.filter(col("fiscal_year") % 2 === 0)
+          .withColumn("form", lit("10-K/A"))
+          .withColumn("filing_date", date_add(col("filing_date"), 10))
+        mergeLatestWins(fl, amended, Seq("accession_no"),
+          Seq(col("filing_date").desc_nulls_last, col("form").asc))
+          .orderBy("accession_no")
+      },
+      Some(s"""${SecSql.basePrelude},
+        amended AS (
+          SELECT accession_no, cik, '10-K/A' AS form,
+                 filing_date + 10 AS filing_date, report_date,
+                 fiscal_year, fiscal_period
+          FROM filings WHERE fiscal_year % 2 = 0),
+        merged AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY accession_no
+              ORDER BY filing_date DESC NULLS LAST, form ASC) AS rn
+            FROM (SELECT * FROM filings UNION ALL SELECT * FROM amended))
+          WHERE rn = 1)
+        SELECT accession_no, cik, form, filing_date, report_date,
+               fiscal_year, fiscal_period
+        FROM merged ORDER BY accession_no""")))
 }

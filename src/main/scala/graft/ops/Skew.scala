@@ -27,7 +27,12 @@ object Skew {
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
     val keyCols: Seq[Column] = keys.map(col)
     df
-      .withColumn("__salt", pmod(col(valueCol).cast("long") + monotonically_increasing_id(), lit(salt)))
+      // Salt = hash of the row's own columns: spreads hot keys like a random
+      // salt but is RETRY-DETERMINISTIC — a re-executed task recomputes the
+      // same salt per row (monotonically_increasing_id is not stable under
+      // task retries; the decimal sums masked that, but no query path should
+      // carry a nondeterministic expression).
+      .withColumn("__salt", pmod(hash(keyCols :+ col(valueCol): _*), lit(salt)))
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(
         sum(col(valueCol).cast(dec)).as("__psum"),
@@ -41,19 +46,37 @@ object Skew {
   /** Approximate distinct counts per event type: the HLL++ path for
     * cardinality at 100 TB (exact distinct = full shuffle of the key space;
     * the sketch is mergeable map-side state). rsd 1% keeps the estimate
-    * within oracle row-count tolerance on small data but the VALUES are
-    * sketch-dependent, so this query gets the rows-only check (no oracleSql)
-    * and its accuracy contract lives in SkewSpec. */
+    * within oracle row-count tolerance on small data; the raw estimate is
+    * engine-specific, so the ORACLE-checked form is [[approxDistinctAudit]]. */
   def approxDistinct(events: DataFrame): DataFrame =
     events.groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  /** Oracle-checkable form of the sketch: emit the EXACT distinct count plus
+    * a `within_tol` flag asserting the HLL++ estimate lands within `tol` of
+    * it. DuckDB mirrors the exact counts and a constant TRUE — so the
+    * estimate's accuracy contract is itself part of the hash-matched gate
+    * (a drifting sketch flips within_tol to false and the row hash diverges). */
+  def approxDistinctAudit(events: DataFrame, tol: Double = 0.03): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("approx_users").cast("double") - col("exact_users").cast("double")) /
+          col("exact_users").cast("double") <= tol).as("within_tol"))
+
   val queries: Seq[Q] = Seq(
     Q("q37_approx_distinct",
-      (s, dir) => approxDistinct(Tables.events(s, dir)).orderBy("event_type"),
-      None), // sketch values are engine-specific: rows-only check by design
+      (s, dir) => approxDistinctAudit(Tables.events(s, dir)).orderBy("event_type"),
+      Some("""
+SELECT event_type, count(*) AS n_events,
+  count(DISTINCT user_id) AS exact_users,
+  TRUE AS within_tol
+FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // Salted two-stage aggregation == plain GROUP BY for the oracle: the
     // salt is internal plumbing, invisible in the result.

@@ -30,12 +30,40 @@ object SecDerive {
     * reference reads `facts` from Postgres, not re-deriving per query) — so
     * memoize + persist per (session, dir): ~15 registered queries share one
     * derivation instead of re-running the 14-deep tag CASE each time. */
+  // WeakHashMap keyed on the session itself (identity semantics — SparkSession
+  // doesn't override equals): entries vanish with the session, so cached plans
+  // never outlive it and a recycled identityHashCode can't resurrect a
+  // DataFrame bound to a dead session.
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), DataFrame]]()
   private def cached(spark: SparkSession, dir: String, name: String)
       (mk: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(spark), dir, name),
-      mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    memo.synchronized {
+      memo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate((dir, name),
+          mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** Swap the memoized facts/filings for materialized BUCKETED tables
+    * (Layout.writeBucketed): facts hash-clustered on `filing_accession_no`,
+    * filings on `accession_no`, same bucket count — so every facts⋈filings
+    * join in the registered queries runs exchange-free on the join key (the
+    * co-located physical design SCALE.md promises; the bench warmup calls
+    * this so the recorded numbers measure the bucketed path). */
+  def installBucketed(spark: SparkSession, dir: String, basePath: String,
+      nBuckets: Int = 16): Unit = {
+    graft.ops.Layout.writeBucketed(factsPlan(spark, dir),
+      "graft_facts_bkt", s"$basePath/facts_bkt", "filing_accession_no", nBuckets)
+    graft.ops.Layout.writeBucketed(filingsPlan(spark, dir),
+      "graft_filings_bkt", s"$basePath/filings_bkt", "accession_no", nBuckets)
+    memo.synchronized {
+      val m = memo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+      m.put((dir, "facts"), spark.table("graft_facts_bkt"))
+      m.put((dir, "filings"), spark.table("graft_filings_bkt"))
+    }
+    ()
+  }
 
   /** facts: one row per lineitem line. Narrow EAV fact table (schema.sql:26-40). */
   def facts(spark: SparkSession, dir: String): DataFrame =

@@ -80,7 +80,11 @@ object StreamOps {
               }
             }
             state.update(buf)
-            state.setTimeoutTimestamp(buf.t1 + gapMillis)
+            // Clamp: a batch of late events can put t1+gap at or below the
+            // current watermark, and setTimeoutTimestamp throws on a
+            // non-future timeout — which would kill the streaming query.
+            state.setTimeoutTimestamp(
+              math.max(buf.t1 + gapMillis, state.getCurrentWatermarkMs() + 1))
             closed.result().iterator
           }
       }
