@@ -45,6 +45,15 @@ object SecDerive {
           mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** Drop (and unpersist) this session's memoized derivations — for callers
+    * recycling a long-lived session after the inputs change, and for tests
+    * that install/uninstall the bucketed tables. */
+  def evictMemo(spark: SparkSession): Unit = memo.synchronized {
+    Option(memo.remove(spark)).foreach(_.values.foreach { df =>
+      try df.unpersist() catch { case _: Exception => () }
+    })
+  }
+
   /** Swap the memoized facts/filings for materialized BUCKETED tables
     * (Layout.writeBucketed): facts hash-clustered on `filing_accession_no`,
     * filings on `accession_no`, same bucket count — so every facts⋈filings

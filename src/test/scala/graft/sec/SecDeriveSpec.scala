@@ -27,4 +27,28 @@ class SecDeriveSpec extends SparkSpec {
     assert(c.forall(_.getAs[String]("cik").length == 10))
     assert(c.forall(_.getAs[String]("ticker").startsWith("TKR")))
   }
+
+  test("installBucketed: facts⋈filings joins exchange-free, same results") {
+    val q04 = graft.SparkEntry.queries("q04_join_facts_filings")
+    val expected = q04(spark, dir).count()
+    SecDerive.evictMemo(spark)
+    // Force the sort-merge path so the assertion tests the BUCKETED exchange
+    // elimination, not AQE's broadcast choice on tiny test data.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      SecDerive.installBucketed(spark, dir,
+        java.nio.file.Files.createTempDirectory("graft_bkt_spec").toString,
+        nBuckets = 4)
+      val bucketed = q04(spark, dir)
+      val plan = bucketed.queryExecution.sparkPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(bucketed.count() === expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      SecDerive.evictMemo(spark)
+      spark.sql("DROP TABLE IF EXISTS graft_facts_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_filings_bkt")
+    }
+  }
 }
