@@ -60,11 +60,20 @@ object Skew {
     * estimate's accuracy contract is itself part of the hash-matched gate
     * (a drifting sketch flips within_tol to false and the row hash diverges). */
   def approxDistinctAudit(events: DataFrame, tol: Double = 0.03): DataFrame =
-    events.groupBy("event_type")
+    // Exact distinct via explicit two-level aggregation (pre-aggregate on
+    // (event_type, user_id), then count rows per event_type) instead of a
+    // COUNT(DISTINCT) in the same aggregate as the sketch — both levels get
+    // map-side partials and the hot-key shuffle is spread by user_id, the
+    // same decomposition the salted aggregation uses. The sketch is
+    // duplicate-insensitive, so feeding it the deduped pairs yields the
+    // identical HLL estimate.
+    events.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
-        count_distinct(col("user_id")).as("exact_users"),
-        count(lit(1)).as("n_events"))
+        count(lit(1)).as("exact_users"),
+        sum(col("__c")).as("n_events"))
       .select(col("event_type"), col("n_events"), col("exact_users"),
         (abs(col("approx_users").cast("double") - col("exact_users").cast("double")) /
           col("exact_users").cast("double") <= tol).as("within_tol"))
