@@ -109,6 +109,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over the near-dup pair graph — the step that turns
+    * pairwise matches into DEDUP DECISIONS: docs in one component are copies
+    * of each other; the canonical survivor is the minimum doc id.
+    *
+    * Algorithm: iterative min-label propagation (each round every node takes
+    * the min label among itself and its neighbors), the standard
+    * DataFrame-native CC formulation. Each round is one join + one
+    * aggregation, both shuffling on the node id — no driver-side graph state;
+    * the per-round `count` action (convergence test) is a distributed
+    * aggregate. Rounds needed = graph diameter; near-dup components are
+    * near-cliques (diameter ~1-2, LSH pairs are mutually similar), so this
+    * converges in 2-3 rounds. A corpus with long chain-shaped components
+    * would want the alternating large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce", SoCC'14) — same building blocks,
+    * O(log^2 n) rounds.
+    *
+    * `localCheckpoint` per round truncates the growing lineage — without it
+    * round k re-executes all k-1 previous joins AND the pair generation.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("label").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("is_canonical"))
+  }
+
   /** Per-doc 32-bit SimHash fingerprints (token hashes materialized before
     * the 32 bit-sum passes). */
   def simhashFingerprints(docs: DataFrame): DataFrame =

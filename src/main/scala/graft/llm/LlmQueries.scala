@@ -70,6 +70,22 @@ eb AS (SELECT vec_id, label, v, $bucketsSql AS bks FROM e),
 b AS (SELECT vec_id, label, v, rb.table_id, bks[rb.table_id + 1] AS bucket
       FROM eb, range(${Similarity.Tables}) rb(table_id))"""
 
+  /** The MinHash/LSH candidate+verify CTE chain (shared by q21 and q48). */
+  private val minhashCtes: String = s"""$shingleCte,
+hx AS (SELECT doc_id, [${h60("x")} % $P for x in s] AS hs FROM sh WHERE len(s) > 0),
+sig AS (SELECT doc_id, $sigSql AS g FROM hx),
+bands AS (SELECT doc_id, rb.band_idx,
+            md5(array_to_string([CAST(x AS VARCHAR)
+                                 for x in g[rb.band_idx*$Rows+1 : rb.band_idx*$Rows+$Rows]], ',')) AS band_hash
+          FROM sig, range($Bands) rb(band_idx)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+j AS (SELECT doc_id_a, doc_id_b, ${jaccardSql("sa.s", "sb.s")} AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.doc_id_a
+      JOIN sh sb ON sb.doc_id = cand.doc_id_b)"""
+
   // ---------------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------------
@@ -94,22 +110,46 @@ SELECT doc_id, text_hash, lang, source, n_chars FROM r WHERE rn = 1 ORDER BY doc
       (s, dir) => Dedup.minhashNearDupPairs(Tables.documents(s, dir), 0.8)
         .orderBy("doc_id_a", "doc_id_b"),
       Some(s"""
-WITH $shingleCte,
-hx AS (SELECT doc_id, [${h60("x")} % $P for x in s] AS hs FROM sh WHERE len(s) > 0),
-sig AS (SELECT doc_id, $sigSql AS g FROM hx),
-bands AS (SELECT doc_id, rb.band_idx,
-            md5(array_to_string([CAST(x AS VARCHAR)
-                                 for x in g[rb.band_idx*$Rows+1 : rb.band_idx*$Rows+$Rows]], ',')) AS band_hash
-          FROM sig, range($Bands) rb(band_idx)),
-cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         FROM bands a JOIN bands b
-           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-j AS (SELECT doc_id_a, doc_id_b, ${jaccardSql("sa.s", "sb.s")} AS jaccard
-      FROM cand
-      JOIN sh sa ON sa.doc_id = cand.doc_id_a
-      JOIN sh sb ON sb.doc_id = cand.doc_id_b)
+WITH $minhashCtes
 SELECT doc_id_a, doc_id_b, jaccard FROM j WHERE jaccard >= 0.8
 ORDER BY doc_id_a, doc_id_b""")),
+
+    // Near-dup CLUSTERING: connected components over the q21 pair graph —
+    // the step that turns pairwise matches into dedup decisions (canonical
+    // survivor = min doc_id per component). Oracle: recursive-CTE transitive
+    // closure, min reachable id per node.
+    Q("q48_neardup_clusters",
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.minhashNearDupPairs(Tables.documents(s, dir), 0.8),
+        "doc_id_a", "doc_id_b")
+        .orderBy("doc_id"),
+      Some(s"""
+WITH RECURSIVE $minhashCtes,
+pairs AS (SELECT doc_id_a, doc_id_b FROM j WHERE jaccard >= 0.8),
+edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+          UNION SELECT doc_id_b, doc_id_a FROM pairs),
+reach AS (SELECT src, dst FROM edges
+          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+FROM labels ORDER BY doc_id""")),
+
+    // Deterministic hash split: repeatable, salt-keyed train/val/test
+    // assignment (and, via the same bucket, stratified sampling).
+    Q("q49_split_assign",
+      (s, dir) => Sampling.assignSplit(
+        Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""
+WITH b AS (SELECT doc_id, lang,
+             CAST(${h60("CAST(doc_id AS VARCHAR) || '|graft'")} % 100 AS INTEGER) AS bucket
+           FROM documents)
+SELECT doc_id, lang, bucket,
+  CASE WHEN bucket < 90 THEN 'train'
+       WHEN bucket < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM b ORDER BY doc_id""")),
 
     // SimHash near-dup pairs (8-bit bands, Hamming verify).
     Q("q22_simhash_neardup",

@@ -64,4 +64,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L))) // same source s1, near dup
     assert(!pairs.contains((1L, 2L))) // dup but different buckets -> not compared
   }
+
+  test("connectedComponents: transitive chains collapse, canonical is the min") {
+    // chain 1-2-3 (1 and 3 never directly paired) + isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.connectedComponents(pairs, "doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (7L, 7L, true), (9L, 7L, false)))
+  }
+
+  test("connectedComponents: long chain still converges (diameter > 2)") {
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.connectedComponents(chain, "doc_id_a", "doc_id_b")
+    assert(got.filter(col("cluster_id") === 1L).count() === 9L)
+    assert(got.filter(col("is_canonical")).count() === 1L)
+  }
 }

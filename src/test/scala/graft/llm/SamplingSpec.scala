@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deterministic hash sampling/splitting: disjoint+exhaustive splits, run-
+  * and table-independent assignment, per-stratum rate uniformity. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 2000L)
+    .map(i => (i, if (i % 4 == 0) "es" else "en"))
+    .toDF("doc_id", "lang")
+
+  test("assignSplit: disjoint, exhaustive, and roughly proportional") {
+    val s = Sampling.assignSplit(docs, "doc_id", trainPct = 80, valPct = 10)
+    assert(s.count() === 2000L) // exhaustive: every row assigned
+    val byn = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byn.keySet === Set("train", "val", "test")) // disjoint labels only
+    assert(byn("train") > 1400 && byn("train") < 1800) // ~80% of 2000
+    assert(byn("val") > 100 && byn("val") < 300)       // ~10%
+  }
+
+  test("assignment is deterministic and independent of the carrying table") {
+    val a = Sampling.assignSplit(docs, "doc_id").select("doc_id", "split")
+    // a different table (different columns, order, partitioning), same keys
+    val other = docs.repartition(7).withColumn("extra", lit(1))
+    val b = Sampling.assignSplit(other, "doc_id").select("doc_id", "split")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("hashSample: same rows every run; strata sampled at the same rate") {
+    val s1 = Sampling.hashSample(docs, "doc_id", 10)
+    val s2 = Sampling.hashSample(docs, "doc_id", 10)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    val rates = docs.groupBy("lang").count()
+      .join(s1.groupBy("lang").count().withColumnRenamed("count", "kept"), "lang")
+      .select(col("lang"), col("kept").cast("double") / col("count"))
+      .collect().map(_.getDouble(1))
+    assert(rates.forall(r => r > 0.05 && r < 0.15)) // each stratum ~10%
+  }
+
+  test("different salts draw independent splits") {
+    val a = Sampling.hashSample(docs, "doc_id", 50, salt = "a")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, "doc_id", 50, salt = "b")
+      .select("doc_id").as[Long].collect().toSet
+    val overlap = (a & b).size.toDouble / a.size
+    assert(overlap > 0.3 && overlap < 0.7) // ~independent 50% draws
+  }
+}
