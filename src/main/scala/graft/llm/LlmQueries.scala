@@ -191,6 +191,36 @@ p AS (SELECT a.bucket, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
 SELECT bucket, doc_id_a, doc_id_b, jaccard FROM p WHERE jaccard >= 0.6
 ORDER BY doc_id_a, doc_id_b""")),
 
+    // Benchmark decontamination: docs from source 'src1' play the eval set;
+    // every other doc is flagged by distinct word-3-gram overlap with it.
+    Q("q50_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Decontam.contaminationReport(
+          docs.filter(col("source") =!= "src1"),
+          docs.filter(col("source") === "src1"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH tok3 AS (SELECT doc_id, source,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+sh3 AS (SELECT doc_id, source,
+          list_distinct([array_to_string(t[i+1:i+3], ' ')
+                         for i in range(0, len(t)-2)]) AS s
+        FROM tok3),
+bench AS (SELECT DISTINCT ${h60("g.x")} AS gh
+          FROM sh3, unnest(s) g(x) WHERE source = 'src1'),
+tg AS (SELECT doc_id, ${h60("g.x")} AS gh
+       FROM sh3, unnest(s) g(x) WHERE source <> 'src1'),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM tg
+         WHERE gh IN (SELECT gh FROM bench) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> 'src1') d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id""")),
+
     // Brute-force cosine top-k against vec_id=0 (correctness baseline).
     Q("q24_cosine_topk",
       (s, dir) => Similarity.bruteTopK(Tables.embeddings(s, dir), 0L, 20),

@@ -1,0 +1,42 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** n-gram benchmark decontamination: overlap detection, zero-hit inclusion,
+  * and the filter form. */
+class DecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private val bench = docs(100L -> "the quick brown fox jumps over lazy dogs")
+
+  test("contaminationReport counts distinct shared 3-grams; zero-hit docs kept") {
+    val train = docs(
+      1L -> "we saw the quick brown fox yesterday evening", // shares 2 trigrams
+      2L -> "completely unrelated text about spark plans here", // clean
+      3L -> "hi there") // <3 tokens: no shingles at all
+    val got = Decontam.contaminationReport(train, bench)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) === ((2L, true))) // "the quick brown", "quick brown fox"
+    assert(got(2L) === ((0L, false)))
+    assert(got(3L) === ((0L, false))) // present despite having no shingles
+  }
+
+  test("decontaminate drops exactly the contaminated docs") {
+    val train = docs(
+      1L -> "we saw the quick brown fox yesterday evening",
+      2L -> "completely unrelated text about spark plans here")
+    val kept = Decontam.decontaminate(train, bench)
+    assert(singleCol[Long](kept.select("doc_id")) === Seq(2L))
+  }
+
+  test("contamination is case/whitespace-normalized like the tokenizer") {
+    val train = docs(1L -> "  THE   Quick BROWN fox  ")
+    val got = Decontam.contaminationReport(train, bench).collect().head
+    assert(got.getBoolean(2)) // matches despite case and spacing differences
+  }
+}
