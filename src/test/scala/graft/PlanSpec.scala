@@ -61,4 +61,10 @@ class PlanSpec extends SparkSpec {
     assert(plan("q21_minhash_neardup").contains("graft_minhash_sig"))
     assert(plan("q28_fingerprint").contains("graft_window_mins"))
   }
+
+  test("decontamination broadcasts the benchmark side (corpus never shuffles on grams)") {
+    val p = plan("q50_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast semi-join:\n$p")
+  }
 }

@@ -42,6 +42,12 @@ class SamplingSpec extends SparkSpec {
     assert(rates.forall(r => r > 0.05 && r < 0.15)) // each stratum ~10%
   }
 
+  test("assignSplit is a pure narrow projection (no exchange, no shuffle)") {
+    val p = Sampling.assignSplit(docs, "doc_id")
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("Exchange"), s"split must fuse with the scan:\n$p")
+  }
+
   test("different salts draw independent splits") {
     val a = Sampling.hashSample(docs, "doc_id", 50, salt = "a")
       .select("doc_id").as[Long].collect().toSet
