@@ -77,12 +77,13 @@ object ShingleHashSeq {
         sb.append(toks.getUTF8String(i + j).toString)
         j += 1
       }
-      out(i) = Hash60.compute(UTF8String.fromString(sb.toString)) % p
+      val h = Hash60.compute(UTF8String.fromString(sb.toString))
+      out(i) = if (p > 0) h % p else h
       i += 1
     }
     new GenericArrayData(out)
   }
 
-  def apply(c: Column, k: Int, p: Long): Column =
+  def apply(c: Column, k: Int, p: Long = -1L): Column =
     GraftSqlBridge.column(ShingleHashSeq(GraftSqlBridge.expression(c), k, p))
 }

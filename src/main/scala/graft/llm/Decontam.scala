@@ -23,14 +23,14 @@ object Decontam {
     * doc appears (zero-hit docs included). */
   def contaminationReport(train: DataFrame, benchmark: DataFrame,
       k: Int = 3): DataFrame = {
-    val benchGrams = broadcast(
-      benchmark
-        .select(explode(shingles(toks(col("text")), k)).as("g"))
-        .select(hash60(col("g")).as("gh"))
-        .distinct())
-    val hits = train
-      .select(col("doc_id"), explode(shingles(toks(col("text")), k)).as("g"))
-      .select(col("doc_id"), hash60(col("g")).as("gh"))
+    // Distinct k-gram hashes per doc in ONE native pass (positional hashes
+    // kernel + array_distinct) — no interpreted string-array lambdas, and
+    // the distinct-hash set equals the hash of the distinct-gram set.
+    def gramHashes(df: DataFrame) = df.select(col("doc_id"),
+      explode(array_distinct(graft.expr.ShingleHashSeq(toks(col("text")), k)))
+        .as("gh"))
+    val benchGrams = broadcast(gramHashes(benchmark).select("gh").distinct())
+    val hits = gramHashes(train)
       .join(benchGrams, Seq("gh"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))

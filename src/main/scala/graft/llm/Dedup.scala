@@ -41,17 +41,16 @@ object Dedup {
       .select("doc_id", "text_hash", "lang", "source", "n_chars")
   }
 
-  /** Per-doc MinHash signatures over word 2-gram shingles. Three chained
-    * projections, each materializing an array the next references many times
-    * (shingles -> base hashes -> 16 permutation minima) — keeps every md5
-    * evaluated exactly once per shingle. */
+  /** Per-doc MinHash signatures over word 2-gram shingles — one native pass:
+    * tokens -> positional shingle hashes (graft.expr.ShingleHashSeq, no
+    * intermediate string arrays) -> 16 permutation minima. The positional
+    * sequence repeats a hash where the doc repeats a shingle; minima are
+    * duplicate-insensitive, so the signature equals the one computed over
+    * the distinct shingle SET (which is what the oracle hashes). */
   def minhashSignatures(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      shingles(toks(col("text")), 2).as("shingle_set"))
-      .withColumn("hs", shingleBaseHashes(col("shingle_set")))
-      .select(col("doc_id"), col("shingle_set"),
-        minhashSignature(col("hs")).as("sig"))
+      minhashSignature(shingleHashSeq(toks(col("text")), 2)).as("sig"))
 
   /** MinHash/LSH near-dup pairs with exact-Jaccard verification.
     *
@@ -63,25 +62,25 @@ object Dedup {
     * verify. No step is quadratic in the corpus.
     */
   def minhashNearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    // The verify joins need only the shingle STRINGS — keep them on a cheap
-    // subtree (split/slice, no hashing) so the md5+permutation signature work
-    // is evaluated only under the bands exchange, not re-run per verify side.
-    // (Hashing the verify sets was tried and measured SLOWER: the verify is
-    // candidate-bound — ~100 pairs — while the hashing ran per corpus row
-    // twice.)
     // Docs with <2 tokens have NO shingles: their MinhashSig would be all
-    // Long.MaxValue sentinels (DuckDB's list_min([]) yields NULL instead) and
-    // a candidate pair against one would hit 0/0 Jaccard — engines disagree
-    // on both. Filter them out BEFORE the shingle projection (mirrored by
-    // `WHERE len(s) > 0` in the q21 oracle — equivalent: a doc has >=1
-    // 2-gram shingle iff it has >=2 tokens); an empty doc cannot be a
-    // near-dup of anything under set-Jaccard semantics anyway. Filtering on
-    // the CHEAP token count, pre-projection, matters: a post-projection
+    // Long.MaxValue sentinels (DuckDB's list_min([]) yields NULLs instead)
+    // and a candidate pair against one would hit 0/0 Jaccard — engines
+    // disagree on both. Filter them out BEFORE the shingle projection
+    // (mirrored by `WHERE len(s) > 0` in the q21 oracle — equivalent: a doc
+    // has >=1 2-gram shingle iff it has >=2 tokens); an empty doc cannot be
+    // a near-dup of anything under set-Jaccard semantics. Filtering on the
+    // CHEAP token count, pre-projection, matters: a post-projection
     // `size(shingle_set) > 0` predicate gets pushed below the projection and
     // re-evaluates the whole shingle pipeline per row (measured +60% on q21).
     val eligible = docs.filter(size(toks(col("text"))) >= 2)
+    // Verify sets: sorted distinct shingle HASHES (the q23 merge-intersect
+    // spelling) — native kernels end to end, no interpreted string-array
+    // lambdas. Jaccard over 60-bit hashes equals Jaccard over the shingle
+    // strings (collisions are ~n^2/2^61 per doc and both engines hash
+    // identically, so even one would hit both sides the same way).
     val shingleSets = eligible.select(
-      col("doc_id"), shingles(toks(col("text")), 2).as("shingle_set"))
+      col("doc_id"),
+      array_sort(array_distinct(shingleHashSeq(toks(col("text")), 2))).as("shingle_set"))
     val sigs = minhashSignatures(eligible)
     // Repartition on the band key: both self-join sides share ONE exchange
     // (ReuseExchange), so the md5+permutation signature prep runs once, and
@@ -105,7 +104,13 @@ object Dedup {
       .join(sa, "doc_id_a")
       .join(sb, "doc_id_b")
       .select(col("doc_id_a"), col("doc_id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        graft.expr.SortedIntersectCount(col("sh_a"), col("sh_b")).as("icnt"),
+        (size(col("sh_a")) + size(col("sh_b"))).as("nsum"))
+      // |A ∪ B| = |A| + |B| − |A ∩ B|: same integers as the oracle's
+      // list_intersect / list_distinct(list_concat) over the hash lists.
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (col("icnt").cast("double") / (col("nsum") - col("icnt")).cast("double"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

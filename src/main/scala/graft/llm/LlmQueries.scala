@@ -70,9 +70,14 @@ eb AS (SELECT vec_id, label, v, $bucketsSql AS bks FROM e),
 b AS (SELECT vec_id, label, v, rb.table_id, bks[rb.table_id + 1] AS bucket
       FROM eb, range(${Similarity.Tables}) rb(table_id))"""
 
-  /** The MinHash/LSH candidate+verify CTE chain (shared by q21 and q48). */
+  /** The MinHash/LSH candidate+verify CTE chain (shared by q21 and q48).
+    * The verify Jaccard runs over the distinct shingle HASH lists (mirroring
+    * the Spark side's sorted-hash merge-intersect); the hash is injective on
+    * this data and identical in both engines, so the value equals the
+    * string-set Jaccard. */
   private val minhashCtes: String = s"""$shingleCte,
 hx AS (SELECT doc_id, [${h60("x")} % $P for x in s] AS hs FROM sh WHERE len(s) > 0),
+hd AS (SELECT doc_id, list_distinct(hs) AS h FROM hx),
 sig AS (SELECT doc_id, $sigSql AS g FROM hx),
 bands AS (SELECT doc_id, rb.band_idx,
             md5(array_to_string([CAST(x AS VARCHAR)
@@ -81,10 +86,10 @@ bands AS (SELECT doc_id, rb.band_idx,
 cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
          FROM bands a JOIN bands b
            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-j AS (SELECT doc_id_a, doc_id_b, ${jaccardSql("sa.s", "sb.s")} AS jaccard
+j AS (SELECT doc_id_a, doc_id_b, ${jaccardSql("ha.h", "hb.h")} AS jaccard
       FROM cand
-      JOIN sh sa ON sa.doc_id = cand.doc_id_a
-      JOIN sh sb ON sb.doc_id = cand.doc_id_b)"""
+      JOIN hd ha ON ha.doc_id = cand.doc_id_a
+      JOIN hd hb ON hb.doc_id = cand.doc_id_b)"""
 
   // ---------------------------------------------------------------------------
   // Queries

@@ -73,15 +73,6 @@ object TextOps {
     * `conv(substring(md5(s), 1, 15), 16, 10)`. */
   def hash60(s: Column): Column = graft.expr.Hash60(s)
 
-  /** Word k-gram shingles over a token array, distinct (set semantics for
-    * Jaccard). Guarded: Spark's `sequence(0, n)` turns DESCENDING for n<0,
-    * so short docs must short-circuit to an empty array. */
-  def shingles(tokens: Column, k: Int): Column =
-    when(size(tokens) >= k,
-      array_distinct(transform(sequence(lit(0), size(tokens) - k),
-        i => array_join(slice(tokens, i + lit(1), lit(k)), " "))))
-      .otherwise(array().cast("array<string>"))
-
   /** Positional (non-distinct) word k-gram hashes mod P — order preserved for
     * winnowing windows.
     *
@@ -100,22 +91,12 @@ object TextOps {
         i => text.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Jaccard similarity of two (already-distinct) string arrays, as double.
-    * Mirrors len(list_intersect)/len(list_distinct(list_concat)). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
-
-  /** Base hashes of a shingle set, mod P (native array-wide hash60; values
-    * are already < 2^60 and non-negative so % P == pmod). Alias before
-    * fanning out into the per-permutation minima (see shingleHashSeq note). */
-  def shingleBaseHashes(shingleSet: Column): Column =
-    graft.expr.Hash60Array(shingleSet, P)
-
   /** MinHash signature: array of NumPerms minima of (a*x+b) mod P over a
-    * PRE-MATERIALIZED base-hash array column — the native one-pass kernel
-    * (graft.expr.MinhashSig; the HOF spelling ran its lambdas interpreted).
-    * A narrow map at any scale, no shuffle. */
+    * base-hash array (typically shingleHashSeq output) — the native one-pass
+    * kernel (graft.expr.MinhashSig; the HOF spelling ran its lambdas
+    * interpreted). Duplicate-insensitive, so positional (non-distinct)
+    * hashes give the same signature as the distinct set. A narrow map at
+    * any scale, no shuffle. */
   def minhashSignature(baseHashes: Column): Column =
     graft.expr.MinhashSig(baseHashes, perms, P)
 

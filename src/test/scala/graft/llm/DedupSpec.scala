@@ -48,11 +48,14 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) <= 6)
   }
 
-  test("shingles guard: docs shorter than k yield empty set, no crash") {
+  test("shingles guard: docs shorter than k produce sentinels, no crash") {
     val tiny = Seq((1L, "one", "en", "s", 3L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // no shingles -> all-sentinel signature; near-dup pairing filters these
+    // docs out before the band stage (they can't be near-dups of anything)
     val sigs = Dedup.minhashSignatures(tiny).collect()
-    assert(sigs.head.getSeq[String](1).isEmpty) // shingle_set empty
+    assert(sigs.head.getSeq[Long](1).forall(_ === Long.MaxValue))
+    assert(Dedup.minhashNearDupPairs(tiny, 0.5).count() === 0L)
     val fp = TextAnalysis.fingerprints(tiny).collect()
     assert(fp.head.getAs[Long]("n_fp") === 0L)
   }
