@@ -87,3 +87,41 @@ object ShingleHashSeq {
   def apply(c: Column, k: Int, p: Long = -1L): Column =
     GraftSqlBridge.column(ShingleHashSeq(GraftSqlBridge.expression(c), k, p))
 }
+
+/** Positional character n-gram hashing fused into one pass over the string:
+  * hash60 of every length-n character substring — equals
+  * `transform(sequence(1, len-n+1), i -> hash60(substr(text, i, n)))`
+  * without materializing the gram strings (whose lambdas run interpreted).
+  * Character (not byte) indexing, matching substr semantics in both
+  * engines. */
+case class CharGramHashSeq(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_chargram_hash_seq"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharGramHashSeq.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.CharGramHashSeq.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashSeq =
+    copy(child = newChild)
+}
+
+object CharGramHashSeq {
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val chars = text.numChars()
+    if (chars < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](chars - n + 1)
+    var i = 0
+    while (i <= chars - n) {
+      out(i) = Hash60.compute(text.substringSQL(i + 1, n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(c: Column, n: Int): Column =
+    GraftSqlBridge.column(CharGramHashSeq(GraftSqlBridge.expression(c), n))
+}

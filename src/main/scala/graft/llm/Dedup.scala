@@ -218,12 +218,13 @@ object Dedup {
     val g = docs
       .select(col("doc_id"),
         concat_ws("|", bucketCols.map(col): _*).as("bucket"),
-        charGrams(col("text"), 3).as("grams0"))
-      // sorted ascending: the pair stage's merge-intersect kernel
-      // (graft.expr.SortedIntersectCount) requires it; sorting costs
-      // O(n log n) ONCE per doc vs a hash set per PAIR.
-      .select(col("doc_id"), col("bucket"),
-        array_sort(array_distinct(graft.expr.Hash60Array(col("grams0")))).as("grams"))
+        // positional trigram hashes in one native pass (no interpreted
+        // string-gram lambdas); distinct hashes == hashes of distinct grams.
+        // sorted ascending: the pair stage's merge-intersect kernel
+        // (graft.expr.SortedIntersectCount) requires it; sorting costs
+        // O(n log n) ONCE per doc vs a hash set per PAIR.
+        array_sort(array_distinct(graft.expr.CharGramHashSeq(col("text"), 3)))
+          .as("grams"))
       .withColumn("n_grams", size(col("grams")))
       // Self-join plumbing: both sides repartition on the SAME plan, so
       // ReuseExchange materializes the (md5-heavy) prep exactly once and the

@@ -84,13 +84,6 @@ object TextOps {
   def shingleHashSeq(tokens: Column, k: Int): Column =
     graft.expr.ShingleHashSeq(tokens, k, P)
 
-  /** Distinct character n-grams of a string. */
-  def charGrams(text: Column, n: Int): Column =
-    when(length(text) >= n,
-      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-
   /** MinHash signature: array of NumPerms minima of (a*x+b) mod P over a
     * base-hash array (typically shingleHashSeq output) — the native one-pass
     * kernel (graft.expr.MinhashSig; the HOF spelling ran its lambdas
