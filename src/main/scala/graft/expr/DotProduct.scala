@@ -1,10 +1,11 @@
 package graft.expr
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Strict left-fold dot product over two double arrays, as a native Catalyst
   * expression with whole-stage codegen.
@@ -24,24 +25,42 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Input typing is guaranteed by the Column-level constructor below, which
-  // casts both sides to array<double> before the expression is built.
   override def dataType: DataType = DoubleType
 
   override def nullable: Boolean = true
 
   override def prettyName: String = "graft_dot"
 
+  // Accept array<float> directly (widening each ELEMENT during the fold —
+  // exact, so identical to casting the whole array first) as well as
+  // array<double>: the former avoids materializing a casted copy of the
+  // array per call, which mattered with 48 plane dots per row in the LSH
+  // bucket computation.
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float|double> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xf, yf) = (isFloat(left), isFloat(right))
     val n = x.numElements()
     if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      sum += x.getDouble(i) * y.getDouble(i)
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      sum += xv * yv
       i += 1
     }
     sum
@@ -52,6 +71,8 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      def get(arr: String, side: Expression) =
+        if (isFloat(side)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
         |final int $n = $a.numElements();
         |if ($n != $b.numElements()) {
@@ -60,7 +81,7 @@ case class DotProduct(left: Expression, right: Expression)
         |  double $sum = 0.0;
         |  for (int $i = 0; $i < $n; $i++) {
         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-        |    $sum += $a.getDouble($i) * $b.getDouble($i);
+        |    $sum += ${get(a, left)} * ${get(b, right)};
         |  }
         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
         |}
@@ -73,10 +94,9 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  /** Column-level entry: elementwise-cast both sides to array<double>
-    * (exact widening for float embeddings). */
+  /** Column-level entry: float arrays are consumed directly (per-element
+    * exact widening); anything else must already be array<double>. */
   def apply(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(
-      GraftSqlBridge.expression(a.cast("array<double>")),
-      GraftSqlBridge.expression(b.cast("array<double>"))))
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
