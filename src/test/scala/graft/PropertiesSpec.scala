@@ -156,4 +156,29 @@ object PropertiesSpec extends Properties("graft") {
           defined == !r.isNullAt(2) && (r.isNullAt(1) || r.getDouble(1) >= 0.0)
         }
     }
+
+  private val edgeListGen = Gen.nonEmptyListOf(for {
+    a <- Gen.choose(1L, 12L)
+    b <- Gen.choose(1L, 12L)
+    if a != b
+  } yield (math.min(a, b), math.max(a, b)))
+
+  property("connectedComponents matches brute-force union-find") =
+    Prop.forAll(edgeListGen) { edges =>
+      val got = graft.llm.Dedup.connectedComponents(
+        edges.toDF("doc_id_a", "doc_id_b"), "doc_id_a", "doc_id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: textbook union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      got == expected
+    }
 }

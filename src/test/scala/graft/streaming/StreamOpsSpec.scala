@@ -88,4 +88,29 @@ class StreamOpsSpec extends SparkSpec {
       assert(u1.head.session_start === ts(0) && u1.head.session_end === ts(5))
     } finally q.stop()
   }
+
+  test("sessionizeStream survives events behind the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionizeStream(mem.toDS(), gapMillis = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions_late_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(StreamOps.Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past user 1's session (+1h watermark delay)
+      mem.addData(StreamOps.Event(2, ts(600), 2, "view", 1.0))
+      q.processAllAvailable()
+      // a straggler far behind the watermark: must not kill the query
+      // (pre-clamp, a timeout at/below the watermark throws and aborts)
+      mem.addData(StreamOps.Event(3, ts(10), 1, "click", 9.0))
+      q.processAllAvailable()
+      mem.addData(StreamOps.Event(4, ts(900), 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty) // alive through the late batch
+      val u1 = spark.table("sessions_late_test")
+        .as[StreamOps.Session].collect().filter(_.user_id == 1L)
+      assert(u1.length === 1 && u1.head.n_events === 1L) // late row dropped
+    } finally q.stop()
+  }
 }
