@@ -226,6 +226,31 @@ FROM (SELECT doc_id FROM documents WHERE source <> 'src1') d
 LEFT JOIN hits h ON h.doc_id = d.doc_id
 ORDER BY d.doc_id""")),
 
+    // Sequence packing: per-lang shard streams cut into 512-token training
+    // chunks; output is the chunk→doc manifest with per-chunk token counts.
+    Q("q51_pack_chunks",
+      (s, dir) => Packing.chunkManifest(Tables.documents(s, dir), "lang", 512)
+        .orderBy("shard", "chunk_id", "doc_id"),
+      Some("""
+WITH t AS (SELECT doc_id, lang AS shard,
+             len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS n_tokens
+           FROM documents),
+o AS (SELECT doc_id, shard, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+          AS end_offset
+      FROM t),
+p AS (SELECT doc_id, shard, end_offset - n_tokens AS start_offset, end_offset,
+        CAST((end_offset - n_tokens) // 512 AS BIGINT) AS first_chunk,
+        CAST((end_offset - 1) // 512 AS BIGINT) AS last_chunk
+      FROM o),
+m AS (SELECT shard, doc_id, start_offset, end_offset,
+        unnest(generate_series(first_chunk, last_chunk)) AS chunk_id
+      FROM p)
+SELECT shard, chunk_id, doc_id,
+  least(end_offset, (chunk_id + 1) * 512) - greatest(start_offset, chunk_id * 512)
+    AS tokens_in_chunk
+FROM m ORDER BY shard, chunk_id, doc_id""")),
+
     // Brute-force cosine top-k against vec_id=0 (correctness baseline).
     Q("q24_cosine_topk",
       (s, dir) => Similarity.bruteTopK(Tables.embeddings(s, dir), 0L, 20),

@@ -1,0 +1,52 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps.toks
+
+/** Sequence packing: lay each shard's documents end-to-end into one token
+  * stream and cut it into fixed-size training chunks (the concat-and-split
+  * packing step that turns a filtered corpus into model-ready sequences).
+  *
+  * Per doc this yields its token offsets and the chunk range it lands in;
+  * exploding the range gives the chunk→doc manifest (which docs a chunk
+  * reads, for attention masking / provenance).
+  *
+  * Scale: offsets come from a cumulative sum windowed PER SHARD — a global
+  * order would funnel 100 TB through one partition, so the shard key (here
+  * a column; in production the shard a writer task owns) bounds every
+  * window. One shuffle on the shard key; chunk explode fan-out is
+  * n_tokens/chunk per doc.
+  */
+object Packing {
+
+  /** Per-doc packing plan: token offsets within the shard stream and the
+    * [first_chunk, last_chunk] range of `chunkTokens`-sized chunks the doc's
+    * tokens fall into. Deterministic: shard stream order is (doc_id). */
+  def packPlan(docs: DataFrame, shardCol: String, chunkTokens: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col(shardCol).as("shard"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("end_offset", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("end_offset") - col("n_tokens")).as("start_offset"),
+        col("end_offset"))
+      .withColumn("first_chunk", floor(col("start_offset") / chunkTokens))
+      .withColumn("last_chunk", floor((col("end_offset") - 1) / chunkTokens))
+  }
+
+  /** The chunk→doc manifest: one row per (shard, chunk, doc) the chunk
+    * covers, with how many of the doc's tokens it holds. Chunk sizes sum
+    * back to chunkTokens except each shard's tail chunk. */
+  def chunkManifest(docs: DataFrame, shardCol: String, chunkTokens: Int): DataFrame =
+    packPlan(docs, shardCol, chunkTokens)
+      .select(col("shard"), col("doc_id"), col("start_offset"), col("end_offset"),
+        explode(sequence(col("first_chunk"), col("last_chunk"))).as("chunk_id"))
+      .select(col("shard"), col("chunk_id"), col("doc_id"),
+        (least(col("end_offset"), (col("chunk_id") + 1) * chunkTokens) -
+          greatest(col("start_offset"), col("chunk_id") * chunkTokens))
+          .as("tokens_in_chunk"))
+}

@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sequence packing invariants: contiguous offsets, full coverage, exact
+  * chunk capacities except the shard tail. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // token counts 3, 5, 4, 2 in one shard; chunk size 4 ->
+  // stream [0,14): chunks 0..3, last chunk holds 2 tokens
+  private val docs = Seq(
+    (1L, "a b c", "en"),
+    (2L, "d e f g h", "en"),
+    (3L, "i j k l", "en"),
+    (4L, "m n", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("packPlan: offsets are contiguous per shard in doc_id order") {
+    val p = Packing.packPlan(docs, "lang", 4).orderBy("doc_id").collect()
+    assert(p.map(_.getAs[Long]("start_offset")).toSeq === Seq(0L, 3L, 8L, 12L))
+    assert(p.map(_.getAs[Long]("end_offset")).toSeq === Seq(3L, 8L, 12L, 14L))
+    assert(p.map(_.getAs[Long]("first_chunk")).toSeq === Seq(0L, 0L, 2L, 3L))
+    assert(p.map(_.getAs[Long]("last_chunk")).toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("chunkManifest: chunks sum to capacity except the tail; docs fully covered") {
+    val m = Packing.chunkManifest(docs, "lang", 4)
+    val perChunk = m.groupBy("chunk_id").agg(sum("tokens_in_chunk").as("n"))
+      .orderBy("chunk_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(perChunk === Seq(0L -> 4L, 1L -> 4L, 2L -> 4L, 3L -> 2L))
+    // every doc's tokens are fully assigned across its chunks
+    val perDoc = m.groupBy("doc_id").agg(sum("tokens_in_chunk").as("n"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(perDoc.toSeq === Seq(3L, 5L, 4L, 2L))
+  }
+
+  test("shards pack independently") {
+    val two = docs.withColumn("lang",
+      when(col("doc_id") % 2 === 0, "es").otherwise("en"))
+    val m = Packing.chunkManifest(two, "lang", 4)
+    // en: docs 1,3 -> 7 tokens; es: docs 2,4 -> 7 tokens; both start at chunk 0
+    val starts = m.groupBy("shard").agg(min("chunk_id").as("c0"), sum("tokens_in_chunk").as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(starts("en") === ((0L, 7L)) && starts("es") === ((0L, 7L)))
+  }
+}
