@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{DotProduct, Hash60, Simhash32, SortedIntersectCount}
+import graft.expr.{CharGramHashSeq, DotProduct, Hash60, ShingleHashSeq, Simhash32, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: exposes the native kernels as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works alongside
@@ -31,5 +31,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_sorted_isect"),
       info("graft_sorted_isect", "graft_sorted_isect(a, b) - |A intersect B| for sorted long arrays"),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+    // k / n / p parameters must be integer literals (they shape the kernel,
+    // not the per-row data).
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(tokens, k[, p]) - positional word k-gram hash60s, mod p if given"),
+      (args: Seq[Expression]) => ShingleHashSeq(args(0),
+        litInt(args, 1, "k"), if (args.length > 2) litLong(args, 2, "p") else -1L)))
+    ext.injectFunction((FunctionIdentifier("graft_chargram_hashes"),
+      info("graft_chargram_hashes",
+        "graft_chargram_hashes(text, n) - positional character n-gram hash60s"),
+      (args: Seq[Expression]) => CharGramHashSeq(args(0), litInt(args, 1, "n"))))
+  }
+
+  private def litInt(args: Seq[Expression], i: Int, name: String): Int =
+    litLong(args, i, name).toInt
+
+  private def litLong(args: Seq[Expression], i: Int, name: String): Long = {
+    val e = args(i)
+    require(e.foldable, s"argument '$name' must be an integer literal")
+    e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"argument '$name' must be an integer literal, got $other")
+    }
   }
 }

@@ -33,6 +33,15 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Exactly-once ingestion from an at-least-once source: drop re-delivered
+    * events by id, keeping dedup state only within the watermark horizon so
+    * the state store tracks the RECENT id space, not history — the streaming
+    * twin of the batch insert-if-absent sink (Sinks.insertIfAbsent). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** One event on the wire. */
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

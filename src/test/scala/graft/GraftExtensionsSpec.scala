@@ -39,5 +39,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 2L)
     assert(spark.sql(
       "SELECT graft_simhash32(array(3L))").collect().head.getLong(0) === 3L)
+    // kernel == the equivalent built-in spelling, from SQL text
+    assert(spark.sql(
+      "SELECT graft_shingle_hashes(array('a','b','c'), 2)").collect()
+      .head.getSeq[Long](0) ===
+      Seq("a b", "b c").map(s => spark.sql(s"SELECT graft_hash60('$s')")
+        .collect().head.getLong(0)))
+    assert(spark.sql(
+      "SELECT graft_chargram_hashes('abc', 2)").collect()
+      .head.getSeq[Long](0) ===
+      Seq("ab", "bc").map(s => spark.sql(s"SELECT graft_hash60('$s')")
+        .collect().head.getLong(0)))
+  }
+
+  test("kernel shape parameters must be constant (non-foldable args rejected)") {
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_chargram_hashes('abc', CAST(rand() * 2 + 2 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("literal"))
   }
 }

@@ -89,6 +89,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: re-delivered events emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.dedupStream(mem.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        StreamOps.Event(1, ts(0), 1, "click", 1.0),
+        StreamOps.Event(1, ts(0), 1, "click", 1.0)) // duplicate in-batch
+      q.processAllAvailable()
+      mem.addData(StreamOps.Event(1, ts(1), 1, "click", 1.0)) // re-delivery later
+      q.processAllAvailable()
+      mem.addData(StreamOps.Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionizeStream survives events behind the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
