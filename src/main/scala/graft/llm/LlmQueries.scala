@@ -226,6 +226,26 @@ FROM (SELECT doc_id FROM documents WHERE source <> 'src1') d
 LEFT JOIN hits h ON h.doc_id = d.doc_id
 ORDER BY d.doc_id""")),
 
+    // Weighted mixture: upsample en to 250%, downsample zh to 40%, keep the
+    // rest — the per-source reweighting step of corpus assembly.
+    Q("q52_weighted_mixture",
+      (s, dir) => Sampling.weightedMixture(
+        Tables.documents(s, dir).select("doc_id", "lang"), "lang",
+        Map("en" -> 250, "zh" -> 40))
+        .orderBy("doc_id", "copy"),
+      Some(s"""
+WITH w AS (SELECT doc_id, lang,
+             CASE lang WHEN 'zh' THEN 40 WHEN 'en' THEN 250 ELSE 100 END AS wt,
+             CAST(${h60("CAST(doc_id AS VARCHAR) || '|mix'")} % 100 AS INTEGER) AS b
+           FROM documents),
+c AS (SELECT doc_id, lang,
+        CAST(wt // 100 AS BIGINT) +
+          CASE WHEN b < wt % 100 THEN 1 ELSE 0 END AS n_copies
+      FROM w)
+SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy
+FROM c WHERE n_copies >= 1
+ORDER BY doc_id, copy""")),
+
     // Sequence packing: per-lang shard streams cut into 512-token training
     // chunks; output is the chunk→doc manifest with per-chunk token counts.
     Q("q51_pack_chunks",

@@ -34,6 +34,31 @@ object Sampling {
       salt: String = "graft"): DataFrame =
     df.filter(hashBucket(col(keyCol), salt) < pct)
 
+  /** Weighted source mixture: materialize each stratum at `weightPct`% of
+    * its natural rate — the mixture-building step that turns per-source
+    * weights (e.g. upsample curated text, downsample crawl) into a concrete
+    * row multiset. Integer percentages keep both engines in exact integer
+    * arithmetic: copies = pct/100, plus one more iff the row's hash bucket
+    * falls under pct%100. Replicas carry a `copy` index so downstream
+    * shuffles/dedup can tell them apart. Deterministic and retry-safe like
+    * every hash-keyed op here; a narrow map + bounded explode at any scale. */
+  def weightedMixture(df: DataFrame, stratumCol: String,
+      weightPct: Map[String, Int], defaultPct: Int = 100,
+      keyCol: String = "doc_id", salt: String = "mix"): DataFrame = {
+    require((weightPct.values ++ Seq(defaultPct)).forall(_ >= 0),
+      "weights must be non-negative percentages")
+    val wt = weightPct.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
+      when(col(stratumCol) === k, lit(pct)).otherwise(acc)
+    }
+    df.withColumn("__wt", wt)
+      .withColumn("n_copies",
+        (col("__wt") / 100).cast("long") +
+          when(hashBucket(col(keyCol), salt) < col("__wt") % 100, 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("__wt", "n_copies")
+  }
+
   /** Train/val/test assignment: buckets [0,trainPct) -> train,
     * [trainPct, trainPct+valPct) -> val, rest -> test. Splits are disjoint
     * and exhaustive by construction. */

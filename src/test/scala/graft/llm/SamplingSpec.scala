@@ -48,6 +48,24 @@ class SamplingSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"split must fuse with the scan:\n$p")
   }
 
+  test("weightedMixture: strata land at their weights; copies indexed; 0% drops") {
+    val m = Sampling.weightedMixture(docs, "lang",
+      Map("en" -> 250, "es" -> 0), defaultPct = 50)
+    val byLang = m.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("es")) // weight 0 removes the stratum
+    assert(byLang("en") > 1500 * 2.3 && byLang("en") < 1500 * 2.7) // ~250% of the 1500 en docs
+    // each doc's replicas are 1..n with distinct copy indices
+    val copies = m.filter(col("lang") === "en").groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct("copy").as("d"),
+        max("copy").as("mx"))
+    assert(copies.filter(col("n") =!= col("d") || col("mx") =!= col("n")).isEmpty)
+    // deterministic: same call, same multiset
+    val m2 = Sampling.weightedMixture(docs, "lang",
+      Map("en" -> 250, "es" -> 0), defaultPct = 50)
+    assert(m.exceptAll(m2).isEmpty && m2.exceptAll(m).isEmpty)
+  }
+
   test("different salts draw independent splits") {
     val a = Sampling.hashSample(docs, "doc_id", 50, salt = "a")
       .select("doc_id").as[Long].collect().toSet
