@@ -70,6 +70,16 @@ eb AS (SELECT vec_id, label, v, $bucketsSql AS bks FROM e),
 b AS (SELECT vec_id, label, v, rb.table_id, bks[rb.table_id + 1] AS bucket
       FROM eb, range(${Similarity.Tables}) rb(table_id))"""
 
+  /** IVF coarse-quantizer assignment CTEs (shared by q35 and q53). */
+  private def ivfAssignCtes(nlist: Int): String = s"""$embCte,
+cents AS (SELECT vec_id AS cell, v AS cent FROM e WHERE vec_id < $nlist),
+assign0 AS (SELECT e.vec_id, e.label, e.v, c.cell, ${cosineSql("e.v", "c.cent")} AS sim
+            FROM e, cents c),
+assigned AS (SELECT vec_id, label, v, cell FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, cell ASC) AS rn FROM assign0)
+             WHERE rn = 1)"""
+
   /** The MinHash/LSH candidate+verify CTE chain (shared by q21 and q48).
     * The verify Jaccard runs over the distinct shingle HASH lists (mirroring
     * the Spark side's sorted-hash merge-intersect); the hash is injective on
@@ -295,14 +305,7 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
     Q("q35_ivf_ann_topk",
       (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), 42L, 10, 16, 4),
       Some(s"""
-WITH $embCte,
-cents AS (SELECT vec_id AS cell, v AS cent FROM e WHERE vec_id < 16),
-assign0 AS (SELECT e.vec_id, e.label, e.v, c.cell, ${cosineSql("e.v", "c.cent")} AS sim
-            FROM e, cents c),
-assigned AS (SELECT vec_id, label, v, cell FROM (
-               SELECT *, row_number() OVER (PARTITION BY vec_id
-                 ORDER BY sim DESC, cell ASC) AS rn FROM assign0)
-             WHERE rn = 1),
+WITH ${ivfAssignCtes(16)},
 q AS (SELECT v AS qv FROM e WHERE vec_id = 42),
 probes AS (SELECT cell FROM (
              SELECT c.cell, ${cosineSql("c.cent", "q.qv")} AS sim FROM cents c, q
@@ -311,6 +314,20 @@ m AS (SELECT a.vec_id, a.label, a.cell, ${cosineSql("a.v", "q.qv")} AS cosine
       FROM assigned a JOIN probes p ON a.cell = p.cell, q)
 SELECT vec_id, label, cell, cosine FROM m
 ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
+
+    // One Lloyd refinement step over the IVF assignment: refreshed centroids
+    // as (cell, dim, centroid) with decimal-routed (order-insensitive) means.
+    Q("q53_kmeans_step",
+      (s, dir) => Similarity.kmeansStep(Tables.embeddings(s, dir), 16)
+        .orderBy("cell", "dim"),
+      Some(s"""
+WITH ${ivfAssignCtes(16)},
+x AS (SELECT cell, g.i AS dim, v[g.i + 1] AS val
+      FROM assigned, unnest(generate_series(0, ${Similarity.Dim - 1})) g(i))
+SELECT cell, CAST(dim AS INTEGER) AS dim,
+  CAST(sum(CAST(val AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    AS centroid
+FROM x GROUP BY cell, dim ORDER BY cell, dim""")),
 
     // Embedding-cosine near-dup pairs via multi-table LSH candidates.
     Q("q34_embedding_neardup",

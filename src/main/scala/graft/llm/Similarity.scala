@@ -124,6 +124,24 @@ object Similarity {
       .select("vec_id", "label", "embedding", "cell")
   }
 
+  /** One Lloyd (k-means) refinement step for the IVF coarse quantizer: the
+    * offline pass production runs to tighten [[ivfAssign]]'s seeded
+    * centroids. Emits the refreshed centroids as (cell, dim, centroid)
+    * rows — narrow explode + one shuffle on (cell, dim), partial aggregation
+    * map-side; no step touches the driver, so it iterates at corpus scale.
+    * Means route through DECIMAL(38,6) so the per-dimension sums are
+    * order-insensitive (deterministic AND oracle-matchable; float inputs
+    * cannot land on decimal rounding ties, so both engines round alike). */
+  def kmeansStep(embeddings: DataFrame, nlist: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    ivfAssign(embeddings, nlist)
+      .select(col("cell"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg((sum(col("v").cast(dec)).cast("double") /
+        count(lit(1)).cast("double")).as("centroid"))
+  }
+
   /** IVF top-k: rank candidates from the query's nprobe nearest cells. */
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
       nlist: Int, nprobe: Int): DataFrame = {

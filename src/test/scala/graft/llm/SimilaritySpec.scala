@@ -52,4 +52,17 @@ class SimilaritySpec extends SparkSpec {
     val v1 = out.find(_.getLong(0) == 1L)
     assert(v1.exists(_.getAs[Long]("n_tables") === Similarity.Tables.toLong))
   }
+
+  test("kmeansStep: refreshed centroid is the element-wise mean of its cell") {
+    val assigned = Similarity.ivfAssign(vecs, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val byVec = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val out = Similarity.kmeansStep(vecs, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (cell <- assigned.values.toSet[Long]; dim <- 0 until 4) {
+      val members = assigned.collect { case (v, c) if c == cell => byVec(v)(dim).toDouble }
+      assert(math.abs(out((cell, dim)) - members.sum / members.size) < 1e-6,
+        s"cell $cell dim $dim")
+    }
+  }
 }
