@@ -37,21 +37,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_shingle_hashes",
         "graft_shingle_hashes(tokens, k[, p]) - positional word k-gram hash60s, mod p if given"),
       (args: Seq[Expression]) => ShingleHashSeq(args(0),
-        litInt(args, 1, "k"), if (args.length > 2) litLong(args, 2, "p") else -1L)))
+        litInt(args, 1, "k"),
+        if (args.length > 2) {
+          val p = litLong(args, 2, "p")
+          require(p >= 1, s"argument 'p' must be a positive modulus, got $p")
+          p
+        } else -1L)))
     ext.injectFunction((FunctionIdentifier("graft_chargram_hashes"),
       info("graft_chargram_hashes",
         "graft_chargram_hashes(text, n) - positional character n-gram hash60s"),
       (args: Seq[Expression]) => CharGramHashSeq(args(0), litInt(args, 1, "n"))))
   }
 
-  private def litInt(args: Seq[Expression], i: Int, name: String): Int =
-    litLong(args, i, name).toInt
+  private def litInt(args: Seq[Expression], i: Int, name: String): Int = {
+    val v = litLong(args, i, name)
+    require(v >= 1 && v <= Int.MaxValue,
+      s"argument '$name' must be a positive integer literal, got $v")
+    v.toInt
+  }
 
+  // Integral literal only: a fractional or non-numeric constant must be an
+  // analysis error, not a silent truncation into a different kernel shape.
   private def litLong(args: Seq[Expression], i: Int, name: String): Long = {
     val e = args(i)
     require(e.foldable, s"argument '$name' must be an integer literal")
     e.eval() match {
-      case n: java.lang.Number => n.longValue()
+      case n: java.lang.Byte => n.longValue()
+      case n: java.lang.Short => n.longValue()
+      case n: java.lang.Integer => n.longValue()
+      case n: java.lang.Long => n.longValue()
       case other => throw new IllegalArgumentException(
         s"argument '$name' must be an integer literal, got $other")
     }

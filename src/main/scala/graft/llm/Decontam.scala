@@ -18,35 +18,38 @@ import TextOps._
   */
 object Decontam {
 
+  // Distinct k-gram hashes per doc in ONE native pass (positional hashes
+  // kernel + array_distinct) — no interpreted string-array lambdas, and
+  // the distinct-hash set equals the hash of the distinct-gram set.
+  private def gramHashes(df: DataFrame, k: Int): DataFrame =
+    df.select(col("doc_id"),
+      explode(array_distinct(graft.expr.ShingleHashSeq(toks(col("text")), k)))
+        .as("gh"))
+
+  /** doc_id -> distinct overlapping-gram count, for docs with >=1 hit. */
+  private def hitCounts(train: DataFrame, benchmark: DataFrame, k: Int): DataFrame = {
+    val benchGrams = broadcast(gramHashes(benchmark, k).select("gh").distinct())
+    gramHashes(train, k)
+      .join(benchGrams, Seq("gh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Per-doc contamination report: `n_hits` = distinct `k`-gram overlaps
     * with the benchmark set, `contaminated` = any overlap. Every `train`
     * doc appears (zero-hit docs included). */
   def contaminationReport(train: DataFrame, benchmark: DataFrame,
-      k: Int = 3): DataFrame = {
-    // Distinct k-gram hashes per doc in ONE native pass (positional hashes
-    // kernel + array_distinct) — no interpreted string-array lambdas, and
-    // the distinct-hash set equals the hash of the distinct-gram set.
-    def gramHashes(df: DataFrame) = df.select(col("doc_id"),
-      explode(array_distinct(graft.expr.ShingleHashSeq(toks(col("text")), k)))
-        .as("gh"))
-    val benchGrams = broadcast(gramHashes(benchmark).select("gh").distinct())
-    val hits = gramHashes(train)
-      .join(benchGrams, Seq("gh"), "left_semi")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"))
+      k: Int = 3): DataFrame =
     train.select("doc_id")
-      .join(hits, Seq("doc_id"), "left")
+      .join(hitCounts(train, benchmark, k), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
-  }
 
-  /** The filter form: drop contaminated docs from the training shard. */
+  /** The filter form: drop contaminated docs from the training shard —
+    * anti-join straight against the hit keys (no report round-trip). */
   def decontaminate(train: DataFrame, benchmark: DataFrame,
       k: Int = 3): DataFrame =
-    train.join(
-      contaminationReport(train, benchmark, k)
-        .filter(col("contaminated"))
-        .select("doc_id"),
+    train.join(hitCounts(train, benchmark, k).select("doc_id"),
       Seq("doc_id"), "left_anti")
 }

@@ -75,12 +75,14 @@ object Dedup {
     val eligible = docs.filter(size(toks(col("text"))) >= 2)
     // Verify sets: sorted distinct shingle HASHES (the q23 merge-intersect
     // spelling) — native kernels end to end, no interpreted string-array
-    // lambdas. Jaccard over 60-bit hashes equals Jaccard over the shingle
-    // strings (collisions are ~n^2/2^61 per doc and both engines hash
-    // identically, so even one would hit both sides the same way).
+    // lambdas. RAW 60-bit hashes here (not the signatures' mod-P images,
+    // whose ~n²/2^32 per-doc collision rate would quietly shrink distinct
+    // sets): at 2^60 a collision is ~n²/2^61, so the hash-set Jaccard equals
+    // the string-set Jaccard, and both engines hash identically anyway.
     val shingleSets = eligible.select(
       col("doc_id"),
-      array_sort(array_distinct(shingleHashSeq(toks(col("text")), 2))).as("shingle_set"))
+      array_sort(array_distinct(
+        graft.expr.ShingleHashSeq(toks(col("text")), 2))).as("shingle_set"))
     val sigs = minhashSignatures(eligible)
     // Repartition on the band key: both self-join sides share ONE exchange
     // (ReuseExchange), so the md5+permutation signature prep runs once, and
@@ -155,6 +157,12 @@ object Dedup {
       labels = next
       round += 1
     }
+    // Fail loudly: partial labels would split true components and let extra
+    // duplicate copies survive the dedup decision without anyone knowing.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds — the pair " +
+        "graph has a component with diameter > maxRounds; raise maxRounds or " +
+        "switch to the large/small-star formulation for chain-shaped graphs")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("is_canonical"))
   }

@@ -87,7 +87,8 @@ assigned AS (SELECT vec_id, label, v, cell FROM (
     * string-set Jaccard. */
   private val minhashCtes: String = s"""$shingleCte,
 hx AS (SELECT doc_id, [${h60("x")} % $P for x in s] AS hs FROM sh WHERE len(s) > 0),
-hd AS (SELECT doc_id, list_distinct(hs) AS h FROM hx),
+hd AS (SELECT doc_id, list_distinct([${h60("x")} for x in s]) AS h
+       FROM sh WHERE len(s) > 0),
 sig AS (SELECT doc_id, $sigSql AS g FROM hx),
 bands AS (SELECT doc_id, rb.band_idx,
             md5(array_to_string([CAST(x AS VARCHAR)

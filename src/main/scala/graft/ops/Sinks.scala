@@ -77,13 +77,22 @@ object Sinks {
   // ---------------------------------------------------------------------------
 
   /** Read an existing JDBC table; empty relation with `batch`'s schema if the
-    * table doesn't exist yet (first load). */
+    * table doesn't exist yet (first load). A read failure alone must NOT be
+    * taken as "table missing" — a transient connection error would then skip
+    * the anti-join and re-append the whole batch as duplicates — so on
+    * failure a trivial probe query discriminates: if the DATABASE answers,
+    * the table is genuinely absent; if the probe also fails, rethrow. */
   private def readJdbcOrEmpty(spark: SparkSession, url: String, table: String,
       props: java.util.Properties, like: DataFrame): DataFrame =
     try spark.read.jdbc(url, table, props)
-    catch { case _: Exception =>
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        like.schema)
+    catch {
+      case e: Exception =>
+        try {
+          Option(props.getProperty("driver")).foreach(Class.forName)
+          java.sql.DriverManager.getConnection(url, props).close()
+        } catch { case _: Exception => throw e } // connectivity problem: surface it
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
     }
 
   /** S7 over JDBC: `INSERT ... ON CONFLICT DO NOTHING` — anti-join the batch

@@ -27,12 +27,15 @@ object Skew {
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
     val keyCols: Seq[Column] = keys.map(col)
     df
-      // Salt = hash of the row's own columns: spreads hot keys like a random
+      // Salt = hash of ALL the row's columns: spreads hot keys like a random
       // salt but is RETRY-DETERMINISTIC — a re-executed task recomputes the
       // same salt per row (monotonically_increasing_id is not stable under
-      // task retries; the decimal sums masked that, but no query path should
-      // carry a nondeterministic expression).
-      .withColumn("__salt", pmod(hash(keyCols :+ col(valueCol): _*), lit(salt)))
+      // task retries; no query path should carry a nondeterministic
+      // expression). Degenerate case: a hot key whose rows are fully
+      // IDENTICAL collapses to one salt bucket — harmless, because stage 1's
+      // map-side partial aggregation compresses identical-group rows to one
+      // per partition before the shuffle, so no straggler can form there.
+      .withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salt)))
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(
         sum(col(valueCol).cast(dec)).as("__psum"),
@@ -70,9 +73,13 @@ object Skew {
     events.groupBy("event_type", "user_id")
       .agg(count(lit(1)).as("__c"))
       .groupBy("event_type")
+      // count(user_id), not count(*): a NULL user_id forms its own stage-1
+      // group, and SQL's COUNT(DISTINCT) semantics (the oracle) exclude it —
+      // as does approx_count_distinct, so the tolerance compares like for
+      // like. n_events still counts every event, null-user ones included.
       .agg(
         approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
-        count(lit(1)).as("exact_users"),
+        count(col("user_id")).as("exact_users"),
         sum(col("__c")).as("n_events"))
       .select(col("event_type"), col("n_events"), col("exact_users"),
         (abs(col("approx_users").cast("double") - col("exact_users").cast("double")) /

@@ -30,19 +30,31 @@ object SecDerive {
     * reference reads `facts` from Postgres, not re-deriving per query) — so
     * memoize + persist per (session, dir): ~15 registered queries share one
     * derivation instead of re-running the 14-deep tag CASE each time. */
-  // WeakHashMap keyed on the session itself (identity semantics — SparkSession
-  // doesn't override equals): entries vanish with the session, so cached plans
-  // never outlive it and a recycled identityHashCode can't resurrect a
-  // DataFrame bound to a dead session.
+  // Keyed on the session itself (identity semantics — SparkSession doesn't
+  // override equals), so a recycled identityHashCode can never resurrect a
+  // DataFrame bound to a dead session. NOTE the values (DataFrames) strongly
+  // reference their session, which would pin a WeakHashMap key forever — so
+  // eviction is EXPLICIT instead: a context-end listener registered per
+  // session clears its entries, and [[evictMemo]] serves callers recycling
+  // long-lived sessions after input changes.
   private val memo =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[(String, String), DataFrame]]()
+  private def entriesFor(spark: SparkSession) =
+    memo.computeIfAbsent(spark, _ => {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            evictMemo(spark)
+        })
+      scala.collection.mutable.Map.empty
+    })
   private def cached(spark: SparkSession, dir: String, name: String)
       (mk: => DataFrame): DataFrame =
     memo.synchronized {
-      memo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate((dir, name),
-          mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      entriesFor(spark).getOrElseUpdate((dir, name),
+        mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
   /** Drop (and unpersist) this session's memoized derivations — for callers
@@ -67,7 +79,13 @@ object SecDerive {
     graft.ops.Layout.writeBucketed(filingsPlan(spark, dir),
       "graft_filings_bkt", s"$basePath/filings_bkt", "accession_no", nBuckets)
     memo.synchronized {
-      val m = memo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+      val m = entriesFor(spark)
+      // unpersist any previously memoized derivations being replaced, so
+      // their MEMORY_AND_DISK blocks don't linger orphaned in the session
+      Seq("facts", "filings").foreach { n =>
+        m.remove((dir, n)).foreach(df =>
+          try df.unpersist() catch { case _: Exception => () })
+      }
       m.put((dir, "facts"), spark.table("graft_facts_bkt"))
       m.put((dir, "filings"), spark.table("graft_filings_bkt"))
     }

@@ -84,4 +84,12 @@ class DedupSpec extends SparkSpec {
     assert(got.filter(col("cluster_id") === 1L).count() === 9L)
     assert(got.filter(col("is_canonical")).count() === 1L)
   }
+
+  test("connectedComponents throws (not partial labels) when rounds run out") {
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "doc_id_a", "doc_id_b", maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

@@ -40,9 +40,17 @@ class SecDeriveSpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("graft_bkt_spec").toString,
         nBuckets = 4)
       val bucketed = q04(spark, dir)
-      val plan = bucketed.queryExecution.sparkPlan.toString
-      assert(!plan.contains("ShuffleExchange"),
-        s"bucketed join must not shuffle:\n$plan")
+      // ShuffleExchangeExec prints as plain "Exchange", so scope the
+      // assertion to the JOIN SUBTREE (the query's final global orderBy
+      // legitimately plans a range-partitioning Exchange above it): with
+      // broadcast disabled, any Exchange under the join would be a shuffle.
+      val join = bucketed.queryExecution.sparkPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(join.isDefined, "expected a shuffle-family join in the plan")
+      assert(!join.get.toString.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${join.get}")
       assert(bucketed.count() === expected)
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
