@@ -181,4 +181,28 @@ object PropertiesSpec extends Properties("graft") {
       val expected = parent.keys.map(x => x -> find(x)).toMap
       got == expected
     }
+
+  private val packDocsGen = Gen.nonEmptyListOf(for {
+    id <- Gen.choose(1L, 1000000L)
+    nTok <- Gen.choose(1, 40)
+    shard <- Gen.oneOf("en", "es")
+  } yield (id, Seq.fill(nTok)("w").mkString(" "), shard))
+    .map(_.distinctBy(_._1))
+
+  property("packing: chunks at capacity except shard tails; tokens fully covered") =
+    Prop.forAll(packDocsGen, Gen.choose(4, 16)) { (docs, chunkTokens) =>
+      val df = docs.toDF("doc_id", "text", "lang")
+      val m = graft.llm.Packing.chunkManifest(df, "lang", chunkTokens).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val perDoc = m.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+      val tokensOf = docs.map { case (id, text, _) =>
+        id -> text.split(" ").length.toLong }.toMap
+      val covered = tokensOf.forall { case (id, n) => perDoc.getOrElse(id, 0L) == n }
+      val lastChunk = m.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val capacities = m.groupBy(x => (x._1, x._2)).forall { case ((sh, c), rows) =>
+        val s = rows.map(_._4).sum
+        if (c == lastChunk(sh)) s <= chunkTokens else s == chunkTokens
+      }
+      covered && capacities
+    }
 }
