@@ -125,3 +125,47 @@ object CharGramHashSeq {
   def apply(c: Column, n: Int): Column =
     GraftSqlBridge.column(CharGramHashSeq(GraftSqlBridge.expression(c), n))
 }
+
+/** Count of array elements contained in a fixed string set — equals
+  * `size(filter(arr, x -> x IN (...)))` without the interpreted per-element
+  * lambda. The set ships as a codegen reference object (hash lookups, not a
+  * linear `isin` scan per element). */
+case class MembershipCount(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_membership_count"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MembershipCount.compute(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("memberSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.expr.MembershipCount.compute($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MembershipCount =
+    copy(child = newChild)
+}
+
+object MembershipCount {
+  def compute(arr: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
+    val n = arr.numElements()
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  def apply(c: Column, words: Seq[String]): Column =
+    GraftSqlBridge.column(MembershipCount(GraftSqlBridge.expression(c), words))
+}

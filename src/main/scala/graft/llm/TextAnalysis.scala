@@ -25,7 +25,9 @@ object TextAnalysis {
     val nToks = size(t).cast("long")
     val nChars = length(col("text")).cast("long")
     val alphaLen = length(array_join(t, "")).cast("long")
-    val stopHits = size(filter(t, x => x.isin(stopwords: _*))).cast("long")
+    // native membership count: size(filter(t, isin)) runs its lambda
+    // interpreted per token (see graft.expr scaladoc)
+    val stopHits = graft.expr.MembershipCount(t, stopwords)
     val punct = (nChars -
       length(regexp_replace(col("text"), "[^a-z0-9\\s]", "")).cast("long"))
     val distinctRatio = size(array_distinct(t)).cast("double") / nToks.cast("double")
@@ -69,7 +71,7 @@ object TextAnalysis {
     val t = toks(col("text"))
     val nToks = size(t).cast("long")
     val distinctRatio = size(array_distinct(t)).cast("double") / nToks.cast("double")
-    val stopRatio = size(filter(t, x => x.isin(stopwords: _*))).cast("long")
+    val stopRatio = graft.expr.MembershipCount(t, stopwords)
       .cast("double") / nToks.cast("double")
     val rep2 = rep2gramRatio(t, nToks)
     val quality = (distinctRatio * lit(0.5)) + (stopRatio * lit(0.3)) +

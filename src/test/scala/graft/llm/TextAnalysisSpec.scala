@@ -1,5 +1,7 @@
 package graft.llm
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Text analysis: stat formulas, language argmax + tie-break, fingerprint
@@ -47,5 +49,19 @@ class TextAnalysisSpec extends SparkSpec {
     val nfp = TextAnalysis.fingerprints(df).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("n_fp")).toMap
     assert(nfp(1L) > 0 && nfp(1L) === fps(1L).size.toLong)
+  }
+
+  test("MembershipCount kernel equals the size(filter(isin)) spelling") {
+    val df = Seq(
+      Seq("the", "cat", "and", "the", "dog"),
+      Seq("no", "matches", "here"),
+      Seq.empty[String]
+    ).toDF("t")
+    val out = df.select(
+      graft.expr.MembershipCount(col("t"), TextOps.stopwords).as("k"),
+      size(filter(col("t"), x => x.isin(TextOps.stopwords: _*))).cast("long").as("h"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(out.map(_.getLong(0)).toSeq === Seq(3L, 0L, 0L))
   }
 }
