@@ -80,6 +80,25 @@ assigned AS (SELECT vec_id, label, v, cell FROM (
                  ORDER BY sim DESC, cell ASC) AS rn FROM assign0)
              WHERE rn = 1)"""
 
+  /** Quality-stats CTE over `tok` + the filter predicate (shared by q46 and
+    * q54). */
+  private val qualityStCte: String = s"""st AS (SELECT doc_id, lang, source,
+         len(t)::BIGINT AS n_tokens,
+         CASE WHEN len(t) >= 2
+              THEN 1.0 - len(list_distinct([(('0x' || substr(md5(array_to_string(t[i+1:i+2], ' ')), 1, 15))::BIGINT % 2147483647)
+                                            for i in range(0, len(t)-1)]))::DOUBLE
+                         / (len(t) - 1)::DOUBLE
+              ELSE 0.0 END AS rep_2gram_ratio,
+         len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS distinct_ratio,
+         ((len(list_distinct(t))::DOUBLE / len(t)::DOUBLE) * 0.5)
+           + ((len(list_filter(t, x -> x IN (${stopwords.map(w => s"'$w'").mkString(", ")})))::DOUBLE
+               / len(t)::DOUBLE) * 0.3)
+           + ((CASE WHEN len(t) >= 20 THEN 1.0 ELSE len(t)::DOUBLE / 20.0 END) * 0.2) AS quality_score
+       FROM tok)"""
+
+  private val qualityPredSql =
+    "n_tokens >= 20 AND rep_2gram_ratio <= 0.2 AND distinct_ratio >= 0.5"
+
   /** The MinHash/LSH candidate+verify CTE chain (shared by q21 and q48).
     * The verify Jaccard runs over the distinct shingle HASH lists (mirroring
     * the Spark side's sorted-hash merge-intersect); the hash is injective on
@@ -418,23 +437,40 @@ FROM tok ORDER BY doc_id""")),
         .orderBy("doc_id"),
       Some(s"""
 WITH $tokCte,
-st AS (SELECT doc_id, lang, source,
-         len(t)::BIGINT AS n_tokens,
-         CASE WHEN len(t) >= 2
-              THEN 1.0 - len(list_distinct([(('0x' || substr(md5(array_to_string(t[i+1:i+2], ' ')), 1, 15))::BIGINT % 2147483647)
-                                            for i in range(0, len(t)-1)]))::DOUBLE
-                         / (len(t) - 1)::DOUBLE
-              ELSE 0.0 END AS rep_2gram_ratio,
-         len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS distinct_ratio,
-         ((len(list_distinct(t))::DOUBLE / len(t)::DOUBLE) * 0.5)
-           + ((len(list_filter(t, x -> x IN (${stopwords.map(w => s"'$w'").mkString(", ")})))::DOUBLE
-               / len(t)::DOUBLE) * 0.3)
-           + ((CASE WHEN len(t) >= 20 THEN 1.0 ELSE len(t)::DOUBLE / 20.0 END) * 0.2) AS quality_score
-       FROM tok)
+$qualityStCte
 SELECT doc_id, lang, source, n_tokens, rep_2gram_ratio, distinct_ratio, quality_score
 FROM st
-WHERE n_tokens >= 20 AND rep_2gram_ratio <= 0.2 AND distinct_ratio >= 0.5
+WHERE $qualityPredSql
 ORDER BY doc_id""")),
+
+    // Hybrid retrieval: cosine ranking restricted to quality-passing docs —
+    // the composition a RAG-style pipeline runs (filter the corpus on text
+    // quality, rank the survivors by embedding similarity). documents and
+    // embeddings share ids (doc_id == vec_id).
+    Q("q54_hybrid_search",
+      (s, dir) => {
+        val quality = TextAnalysis.qualityFilter(Tables.documents(s, dir))
+          .select(col("doc_id"), col("quality_score"))
+        val e = Tables.embeddings(s, dir)
+        val qv = broadcast(e.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("q_emb")))
+        e.crossJoin(qv)
+          .select(col("vec_id").as("doc_id"),
+            Similarity.cosine(col("embedding"), col("q_emb")).as("cosine"))
+          .join(quality, "doc_id")
+          .orderBy(col("cosine").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some(s"""
+WITH $tokCte,
+$qualityStCte,
+$embCte,
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+m AS (SELECT e.vec_id AS doc_id, ${cosineSql("e.v", "qv.qv")} AS cosine FROM e, qv)
+SELECT m.doc_id, m.cosine, st.quality_score
+FROM m JOIN st ON st.doc_id = m.doc_id
+WHERE $qualityPredSql
+ORDER BY m.cosine DESC, m.doc_id ASC LIMIT 10""")),
 
     // n-gram language-ID heuristic.
     Q("q27_lang_id",
