@@ -134,9 +134,21 @@ object Dedup {
     *
     * `localCheckpoint` per round truncates the growing lineage — without it
     * round k re-executes all k-1 previous joins AND the pair generation.
+    * Each round's checkpoint blocks are unpersisted as soon as the next
+    * round's are materialized (and `edges`' before returning) — otherwise
+    * executor storage grows linearly in round count and the blocks outlive
+    * the call.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 20): DataFrame = {
+    // Free a localCheckpoint's executor blocks: the checkpointed Dataset is a
+    // LogicalRDD over the persisted internal RDD — unpersist that RDD.
+    def free(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
@@ -148,15 +160,19 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("label").as("nbr_min"))
+      // Carry the previous label through the checkpoint so convergence is a
+      // cheap scan of the just-materialized blocks, not an extra join+shuffle.
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          col("label").as("prev"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).isEmpty
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      free(labels)
       labels = next
       round += 1
     }
+    free(edges)
     // Fail loudly: partial labels would split true components and let extra
     // duplicate copies survive the dedup decision without anyone knowing.
     if (!converged) throw new IllegalStateException(

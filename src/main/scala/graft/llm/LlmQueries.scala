@@ -284,7 +284,8 @@ ORDER BY doc_id, copy""")),
       Some("""
 WITH t AS (SELECT doc_id, lang AS shard,
              len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS n_tokens
-           FROM documents),
+           FROM documents
+           WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 1),
 o AS (SELECT doc_id, shard, n_tokens,
         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
           AS end_offset

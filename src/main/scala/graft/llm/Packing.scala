@@ -30,6 +30,13 @@ object Packing {
     docs
       .select(col("doc_id"), col(shardCol).as("shard"),
         size(toks(col("text"))).cast("long").as("n_tokens"))
+      // A NULL text makes size() yield -1; a tokenless doc contributes no
+      // chunk. Dropping n_tokens < 1 keeps the explode range below provably
+      // ascending (sequence(first, last) with last >= first) and the
+      // cumulative offsets monotone — without the guard a null doc emits a
+      // DESCENDING sequence range (spurious negative-token chunk rows) and
+      // corrupts every later offset in its shard.
+      .filter(col("n_tokens") >= 1)
       .withColumn("end_offset", sum("n_tokens").over(w))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         (col("end_offset") - col("n_tokens")).as("start_offset"),

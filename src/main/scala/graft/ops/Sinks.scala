@@ -78,21 +78,47 @@ object Sinks {
 
   /** Read an existing JDBC table; empty relation with `batch`'s schema if the
     * table doesn't exist yet (first load). A read failure alone must NOT be
-    * taken as "table missing" — a transient connection error would then skip
-    * the anti-join and re-append the whole batch as duplicates — so on
-    * failure a trivial probe query discriminates: if the DATABASE answers,
-    * the table is genuinely absent; if the probe also fails, rethrow. */
+    * taken as "table missing" — a transient connection error, a revoked
+    * SELECT grant, or a lock timeout would then skip the anti-join and
+    * re-append the whole batch as duplicates — so on failure the table's
+    * ABSENCE is confirmed explicitly through the catalog: connect, list
+    * matching tables via `DatabaseMetaData.getTables` (a catalog read that
+    * needs no SELECT grant on the table itself), and only return the empty
+    * frame when the catalog confirms no such table. Any other state —
+    * connection refused, catalog says the table exists but the read failed —
+    * rethrows the original read failure. */
   private def readJdbcOrEmpty(spark: SparkSession, url: String, table: String,
       props: java.util.Properties, like: DataFrame): DataFrame =
     try spark.read.jdbc(url, table, props)
     catch {
       case e: Exception =>
-        try {
-          Option(props.getProperty("driver")).foreach(Class.forName)
-          java.sql.DriverManager.getConnection(url, props).close()
-        } catch { case _: Exception => throw e } // connectivity problem: surface it
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+        val absent =
+          try {
+            Option(props.getProperty("driver")).foreach(Class.forName)
+            val conn = java.sql.DriverManager.getConnection(url, props)
+            try {
+              // `table` may be schema-qualified; identifiers may be stored
+              // folded either way (Derby/Postgres fold differently), so probe
+              // the given, upper, and lower spellings.
+              val parts = table.split("\\.")
+              val (schemaPat, namePat) =
+                if (parts.length > 1) (parts(parts.length - 2), parts.last)
+                else (null: String, table)
+              def exists(s: String, n: String): Boolean = {
+                val rs = conn.getMetaData.getTables(null, s, n, null)
+                try rs.next() finally rs.close()
+              }
+              val spellings = Seq[String => String](identity,
+                _.toUpperCase(java.util.Locale.ROOT),
+                _.toLowerCase(java.util.Locale.ROOT))
+              !spellings.exists(f =>
+                exists(Option(schemaPat).map(f).orNull, f(namePat)))
+            } finally conn.close()
+          } catch { case _: Exception => throw e } // can't confirm absence: surface the read failure
+        if (absent)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+        else throw e // table present but unreadable: NOT a first load
     }
 
   /** S7 over JDBC: `INSERT ... ON CONFLICT DO NOTHING` — anti-join the batch

@@ -34,22 +34,32 @@ object SecDerive {
   // override equals), so a recycled identityHashCode can never resurrect a
   // DataFrame bound to a dead session. NOTE the values (DataFrames) strongly
   // reference their session, which would pin a WeakHashMap key forever — so
-  // eviction is EXPLICIT instead: a context-end listener registered per
-  // session clears its entries, and [[evictMemo]] serves callers recycling
+  // eviction is EXPLICIT instead: ONE context-end listener per SparkContext
+  // (NOT per session — a per-session listener closes over the session and
+  // pins it until application end, defeating the weak keys for many
+  // short-lived sessions over one long context) clears every entry of that
+  // context's sessions, and [[evictMemo]] serves callers recycling
   // long-lived sessions after input changes.
   private val memo =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[(String, String), DataFrame]]()
-  private def entriesFor(spark: SparkSession) =
-    memo.computeIfAbsent(spark, _ => {
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            evictMemo(spark)
-        })
-      scala.collection.mutable.Map.empty
-    })
+  private val hookedContexts = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+  private def entriesFor(spark: SparkSession) = {
+    val sc = spark.sparkContext
+    if (hookedContexts.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          val mine = memo.synchronized {
+            import scala.jdk.CollectionConverters._
+            memo.keySet.asScala.filter(_.sparkContext eq sc).toList
+          }
+          mine.foreach(evictMemo)
+        }
+      })
+    memo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+  }
   private def cached(spark: SparkSession, dir: String, name: String)
       (mk: => DataFrame): DataFrame =
     memo.synchronized {

@@ -85,6 +85,18 @@ class DedupSpec extends SparkSpec {
     assert(got.filter(col("is_canonical")).count() === 1L)
   }
 
+  test("connectedComponents leaves at most one checkpoint's blocks behind") {
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Dedup.connectedComponents(chain, "doc_id_a", "doc_id_b")
+    got.collect() // materialize the result off the surviving checkpoint
+    // per-round checkpoints and the edges checkpoint are freed inside the
+    // call; only the final labels checkpoint (which the result reads) may
+    // remain persisted.
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked checkpoint RDDs: $leaked")
+  }
+
   test("connectedComponents throws (not partial labels) when rounds run out") {
     val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
     val e = intercept[IllegalStateException] {

@@ -37,6 +37,20 @@ class PackingSpec extends SparkSpec {
     assert(perDoc.toSeq === Seq(3L, 5L, 4L, 2L))
   }
 
+  test("null-text docs are dropped, not exploded into descending ranges") {
+    val withNull = docs.unionByName(
+      Seq((5L, null: String, "en")).toDF("doc_id", "text", "lang"))
+    // size(split(NULL)) = -1 would make last_chunk < first_chunk and emit a
+    // DESCENDING sequence range; the guard drops the row instead, leaving
+    // every other doc's offsets untouched.
+    val p = Packing.packPlan(withNull, "lang", 4).orderBy("doc_id").collect()
+    assert(p.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(p.map(_.getAs[Long]("end_offset")).toSeq === Seq(3L, 8L, 12L, 14L))
+    val m = Packing.chunkManifest(withNull, "lang", 4)
+    assert(m.filter(col("tokens_in_chunk") <= 0).isEmpty)
+    assert(m.filter(col("doc_id") === 5L).isEmpty)
+  }
+
   test("shards pack independently") {
     val two = docs.withColumn("lang",
       when(col("doc_id") % 2 === 0, "es").otherwise("en"))
