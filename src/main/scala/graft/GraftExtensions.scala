@@ -47,6 +47,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_chargram_hashes",
         "graft_chargram_hashes(text, n) - positional character n-gram hash60s"),
       (args: Seq[Expression]) => CharGramHashSeq(args(0), litInt(args, 1, "n"))))
+    // Spark ships a distributed Bloom-filter aggregate + probe (the pair its
+    // InjectRuntimeFilter optimization builds runtime row filters from) but
+    // registers neither for end users; exposing them gives the decontamination
+    // pipeline its no-broadcast scale path (Decontam.bloomContaminationReport)
+    // without reimplementing the sketch. The probe's filter side must be a
+    // scalar subquery or constant (its own type check) — see the SQL shape in
+    // Decontam.
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(xxhash64_value[, est_items]) - Bloom-filter sketch (binary) over long values"),
+      (args: Seq[Expression]) =>
+        if (args.length > 1)
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            args(0), litLong(args, 1, "est_items"))
+        else
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain",
+        "graft_might_contain(bloom, xxhash64_value) - sketch membership probe (false positives possible, no false negatives)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))))
   }
 
   private def litInt(args: Seq[Expression], i: Int, name: String): Int = {

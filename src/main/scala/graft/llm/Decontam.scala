@@ -52,4 +52,38 @@ object Decontam {
       k: Int = 3): DataFrame =
     train.join(hitCounts(train, benchmark, k).select("doc_id"),
       Seq("doc_id"), "left_anti")
+
+  /** [[contaminationReport]] for a benchmark side TOO BIG TO BROADCAST: the
+    * corpus grams are prefiltered map-side through a distributed Bloom
+    * sketch of the benchmark grams (Spark's own BloomFilterAggregate /
+    * BloomFilterMightContain pair, SQL-registered by GraftExtensions), and
+    * only the surviving sliver shuffles into the exact semi-join. The sketch
+    * admits false positives — the exact join removes them, so the OUTPUT is
+    * identical to [[contaminationReport]] (no false negatives by
+    * construction) — but never ships the corpus: the pattern Spark's
+    * InjectRuntimeFilter applies to joins, spelled explicitly.
+    *
+    * The probe's filter argument must be a scalar subquery (its type check
+    * rejects a plain column), so the prefilter step is SQL over session temp
+    * views; everything else stays on the DataFrame API. */
+  def bloomContaminationReport(train: DataFrame, benchmark: DataFrame,
+      k: Int = 3, estItems: Long = 1L << 20): DataFrame = {
+    val spark = train.sparkSession
+    val bg = gramHashes(benchmark, k).select("gh").distinct()
+    gramHashes(train, k).createOrReplaceTempView("graft_bloom_train_grams")
+    bg.createOrReplaceTempView("graft_bloom_bench_grams")
+    val candidates = spark.sql(s"""
+      SELECT doc_id, gh FROM graft_bloom_train_grams
+      WHERE graft_might_contain(
+        (SELECT graft_bloom_agg(xxhash64(gh), ${estItems}L)
+         FROM graft_bloom_bench_grams),
+        xxhash64(gh))""")
+    val hits = candidates.join(bg, Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    train.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
 }

@@ -121,6 +121,28 @@ j AS (SELECT doc_id_a, doc_id_b, ${jaccardSql("ha.h", "hb.h")} AS jaccard
       JOIN hd ha ON ha.doc_id = cand.doc_id_a
       JOIN hd hb ON hb.doc_id = cand.doc_id_b)"""
 
+  /** Exact per-doc contamination report (shared by q50 and q58 — the Bloom
+    * prefilter path must produce the IDENTICAL exact output). */
+  private val decontamOracleSql: String = s"""
+WITH tok3 AS (SELECT doc_id, source,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+sh3 AS (SELECT doc_id, source,
+          list_distinct([array_to_string(t[i+1:i+3], ' ')
+                         for i in range(0, len(t)-2)]) AS s
+        FROM tok3),
+bench AS (SELECT DISTINCT ${h60("g.x")} AS gh
+          FROM sh3, unnest(s) g(x) WHERE source = 'src1'),
+tg AS (SELECT doc_id, ${h60("g.x")} AS gh
+       FROM sh3, unnest(s) g(x) WHERE source <> 'src1'),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM tg
+         WHERE gh IN (SELECT gh FROM bench) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> 'src1') d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
   // ---------------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------------
@@ -236,25 +258,22 @@ ORDER BY doc_id_a, doc_id_b""")),
           docs.filter(col("source") === "src1"))
           .orderBy("doc_id")
       },
-      Some(s"""
-WITH tok3 AS (SELECT doc_id, source,
-                regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-              FROM documents),
-sh3 AS (SELECT doc_id, source,
-          list_distinct([array_to_string(t[i+1:i+3], ' ')
-                         for i in range(0, len(t)-2)]) AS s
-        FROM tok3),
-bench AS (SELECT DISTINCT ${h60("g.x")} AS gh
-          FROM sh3, unnest(s) g(x) WHERE source = 'src1'),
-tg AS (SELECT doc_id, ${h60("g.x")} AS gh
-       FROM sh3, unnest(s) g(x) WHERE source <> 'src1'),
-hits AS (SELECT doc_id, count(*) AS n_hits FROM tg
-         WHERE gh IN (SELECT gh FROM bench) GROUP BY doc_id)
-SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
-       coalesce(h.n_hits, 0) > 0 AS contaminated
-FROM (SELECT doc_id FROM documents WHERE source <> 'src1') d
-LEFT JOIN hits h ON h.doc_id = d.doc_id
-ORDER BY d.doc_id""")),
+      Some(decontamOracleSql)),
+
+    // The no-broadcast decontamination path: same semantics as q50, but the
+    // corpus grams pass through a distributed Bloom sketch of the benchmark
+    // grams before the exact verify join — the sketch has no false
+    // negatives and the verify removes its false positives, so the ORACLE
+    // IS IDENTICAL to q50's (that equality is the correctness claim).
+    Q("q58_bloom_decontam",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Decontam.bloomContaminationReport(
+          docs.filter(col("source") =!= "src1"),
+          docs.filter(col("source") === "src1"))
+          .orderBy("doc_id")
+      },
+      Some(decontamOracleSql)),
 
     // Weighted mixture: upsample en to 250%, downsample zh to 40%, keep the
     // rest — the per-source reweighting step of corpus assembly.
@@ -366,6 +385,21 @@ c AS (SELECT vec_id_a, vec_id_b, ${cosineSql("ea.v", "eb2.v")} AS cosine
 SELECT vec_id_a, vec_id_b, cosine FROM c WHERE cosine >= 0.4
 ORDER BY vec_id_a, vec_id_b""")),
 
+    // SemDeDup: semantic dedup decisions — IVF-cell clustering, within-cell
+    // cosine pairs only, drop any vector with a lower-id neighbor >= 0.4.
+    Q("q57_semdedup",
+      (s, dir) => Similarity.semDedup(Tables.embeddings(s, dir), 16, 0.4)
+        .orderBy("vec_id"),
+      Some(s"""
+WITH ${ivfAssignCtes(16)},
+dups AS (SELECT DISTINCT b.vec_id
+         FROM assigned a JOIN assigned b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE ${cosineSql("a.v", "b.v")} >= 0.4)
+SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS is_dup
+FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id""")),
+
     // Scalar int8 quantization of the embedding corpus, with per-vector
     // scale and reconstruction-error audit.
     // The int8 vector is CSV-joined in the final projection (same
@@ -405,6 +439,28 @@ SELECT token, count(*) AS n
 FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
       FROM documents)
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""")),
+
+    // tf-idf top-3 terms per doc. Scores quantized to integer micro-units
+    // BEFORE ranking (ln() agrees across libms only to ~1 ulp; the
+    // quantized integers are engine-identical).
+    Q("q56_tfidf",
+      (s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 3)
+        .orderBy("doc_id", "rk"),
+      Some("""
+WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents),
+tfm AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfm AS (SELECT token, count(*) AS df FROM tfm GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT doc_id, token, tf, df,
+        CAST(floor(CAST(tf AS DOUBLE)
+                   * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM tfm JOIN dfm USING (token) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY score_micro DESC, token ASC) AS rk FROM s)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, df, score_micro
+FROM r WHERE rk <= 3 ORDER BY doc_id, rk""")),
 
     // Quality/statistics block over documents.
     Q("q26_text_stats",

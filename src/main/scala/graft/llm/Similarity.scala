@@ -186,6 +186,35 @@ object Similarity {
           lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"))
   }
 
+  /** SemDeDup-style semantic dedup decisions (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the corpus with the IVF coarse quantizer, compare vectors ONLY
+    * within their cell, and drop every vector that has a higher-priority
+    * (lower vec_id) neighbor at cosine >= threshold — the survivor of each
+    * duplicate neighborhood is its minimum id.
+    *
+    * Scale shape: the pair space is quadratic only within a cell (cell count
+    * grows with the corpus, so occupancy is bounded by nlist tuning, same
+    * lever as IVF search); both self-join sides read ONE repartition-by-cell
+    * exchange (ReuseExchange), and the dup-id set joins back on vec_id — no
+    * all-pairs step at any size. */
+  def semDedup(embeddings: DataFrame, nlist: Int, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(embeddings, nlist)
+      .select("vec_id", "embedding", "cell")
+      .repartition(col("cell"))
+    val a = assigned.as("a")
+    val b = assigned.hint("shuffle_hash").as("b")
+    val dupIds = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    assigned.select("vec_id", "cell")
+      .join(dupIds.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
   /** Embedding near-dup pairs: candidates = same bucket in any table
     * (banded-LSH shape, no all-pairs), verified by exact cosine >= threshold. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {

@@ -109,6 +109,39 @@ object TextAnalysis {
         predOrdered.as("pred_lang"): _*)
   }
 
+  /** tf-idf top terms per document: tf from one explode+count, document
+    * frequency from a second aggregation over the (doc, token) pairs, idf =
+    * ln(N/df), top `topK` terms per doc by score.
+    *
+    * Scale shape: two shuffles (token-grouped df, doc-grouped rank window) —
+    * both on keys whose cardinality grows with the corpus; the corpus-size
+    * scalar N broadcasts. The score is quantized to integer micro-units
+    * (floor(x*1e6+0.5)) BEFORE ranking: ln() is correct only to ~1 ulp and
+    * the last ulp may differ between libm implementations, so both the
+    * emitted value and the rank order live on the quantized integers, which
+    * the engines compute identically. */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val scoreMicro = floor(
+      col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")) *
+        lit(1000000) + lit(0.5)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .crossJoin(n)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        scoreMicro.as("score_micro"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select("doc_id", "rk", "token", "tf", "df", "score_micro")
+  }
+
   /** Winnowing document fingerprint: positional word 3-gram hashes, sliding
     * window of 4, keep each window's min hash, distinct + sort. The classic
     * local fingerprinting scheme (Schleimer et al., SIGMOD'03) as pure array

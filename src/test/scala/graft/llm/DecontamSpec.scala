@@ -39,4 +39,17 @@ class DecontamSpec extends SparkSpec {
     val got = Decontam.contaminationReport(train, bench).collect().head
     assert(got.getBoolean(2)) // matches despite case and spacing differences
   }
+
+  test("bloom path output equals the exact broadcast path (no false negatives survive)") {
+    val train = docs(
+      1L -> "we saw the quick brown fox yesterday evening",
+      2L -> "completely unrelated text about spark plans here",
+      3L -> "the quick brown fox jumps over lazy dogs",
+      4L -> "hi there")
+    val exact = Decontam.contaminationReport(train, bench)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val bloom = Decontam.bloomContaminationReport(train, bench)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(bloom === exact)
+  }
 }

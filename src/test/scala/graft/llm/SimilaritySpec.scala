@@ -53,6 +53,17 @@ class SimilaritySpec extends SparkSpec {
     assert(v1.exists(_.getAs[Long]("n_tables") === Similarity.Tables.toLong))
   }
 
+  test("semDedup: higher-id twins flagged, survivor is the min id, distinct kept") {
+    val out = Similarity.semDedup(vecs, nlist = 2, threshold = 0.9).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(0L) === false) // min id of the duplicate neighborhood survives
+    assert(out(1L) === true)  // identical to 0
+    assert(out(2L) === true)  // cosine(0,2) ~ 0.994 >= 0.9
+    assert(out(3L) === false) // orthogonal
+    assert(out(4L) === false) // opposite
+    assert(out.size === 5)    // every vector gets a decision
+  }
+
   test("kmeansStep: refreshed centroid is the element-wise mean of its cell") {
     val assigned = Similarity.ivfAssign(vecs, 2).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap

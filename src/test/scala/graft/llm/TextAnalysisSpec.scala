@@ -23,6 +23,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_bpe_tokens") === 5L) // all pieces <= 4 chars
   }
 
+  test("tfidf: rare terms outrank common ones; scores are quantized micro-units") {
+    val df = Seq(
+      doc(1, "apple banana apple"),
+      doc(2, "banana cherry"),
+      doc(3, "cherry durian cherry")).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.tfidfTopTerms(df, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // doc 1: apple tf=2 df=1 -> 2*ln(3) = 2.19722457... -> 2197225 micro
+    assert(got((1L, 1L)) === (("apple", 2L, 1L, 2197225L)))
+    // banana appears in 2 of 3 docs: 1*ln(1.5) = 0.40546510... -> 405465
+    assert(got((1L, 2L)) === (("banana", 1L, 2L, 405465L)))
+    // doc 3: cherry tf=2 df=2 -> 2*ln(1.5) -> 810930; durian tf=1 df=1 -> ln(3)
+    assert(got((3L, 1L))._1 === "durian") // 1098612 > 810930
+    assert(got((3L, 2L)) === (("cherry", 2L, 2L, 810930L)))
+  }
+
   test("langId: marker trigrams drive the argmax; tie -> first profile") {
     val df = Seq(
       doc(1, "the theory then"),      // 'the' x3 -> en
