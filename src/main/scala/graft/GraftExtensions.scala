@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{CharGramHashSeq, DotProduct, Hash60, ShingleHashSeq, Simhash32, SortedIntersectCount}
+import graft.expr.{CharGramHashSeq, DotProduct, Hash60, MisraGriesTopK, ShingleHashSeq, Simhash32, SortedIntersectCount, ThresholdedIntersectCount}
 
 /** SparkSessionExtensions entry point: exposes the native kernels as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works alongside
@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_sorted_isect"),
       info("graft_sorted_isect", "graft_sorted_isect(a, b) - |A intersect B| for sorted long arrays"),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_thresholded_isect"),
+      info("graft_thresholded_isect",
+        "graft_thresholded_isect(a, b, min_count) - |A intersect B| if >= min_count, early-exits below"),
+      (args: Seq[Expression]) => ThresholdedIntersectCount(args(0), args(1), args(2))))
     // k / n / p parameters must be integer literals (they shape the kernel,
     // not the per-row data).
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
@@ -47,6 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_chargram_hashes",
         "graft_chargram_hashes(text, n) - positional character n-gram hash60s"),
       (args: Seq[Expression]) => CharGramHashSeq(args(0), litInt(args, 1, "n"))))
+    ext.injectFunction((FunctionIdentifier("graft_mg_topk"),
+      info("graft_mg_topk",
+        "graft_mg_topk(value, k, out_k) - Misra-Gries heavy-hitters: top out_k strings by frequency with <= k counters of state"),
+      (args: Seq[Expression]) =>
+        new MisraGriesTopK(args(0), litInt(args, 1, "k"), litInt(args, 2, "out_k"))))
     // Spark ships a distributed Bloom-filter aggregate + probe (the pair its
     // InjectRuntimeFilter optimization builds runtime row filters from) but
     // registers neither for end users; exposing them gives the decontamination

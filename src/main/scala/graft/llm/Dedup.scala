@@ -106,7 +106,13 @@ object Dedup {
       .join(sa, "doc_id_a")
       .join(sb, "doc_id_b")
       .select(col("doc_id_a"), col("doc_id_b"),
-        graft.expr.SortedIntersectCount(col("sh_a"), col("sh_b")).as("icnt"),
+        // early-exit walk: most candidates fail the threshold, and the
+        // kernel abandons them at the first provably-hopeless position; a
+        // bailed pair yields icnt=-1 -> negative jaccard -> filtered. The
+        // bound is floor-conservative, so no passing pair is ever pruned.
+        graft.expr.ThresholdedIntersectCount(col("sh_a"), col("sh_b"),
+          graft.expr.ThresholdedIntersectCount.jaccardBound(
+            size(col("sh_a")) + size(col("sh_b")), threshold)).as("icnt"),
         (size(col("sh_a")) + size(col("sh_b"))).as("nsum"))
       // |A ∪ B| = |A| + |B| − |A ∩ B|: same integers as the oracle's
       // list_intersect / list_distinct(list_concat) over the hash lists.
@@ -264,7 +270,11 @@ object Dedup {
           lit(threshold) * greatest(col("a.n_grams"), col("b.n_grams")).cast("double"))
       .select(col("a.bucket").as("bucket"),
         col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
-        graft.expr.SortedIntersectCount(col("a.grams"), col("b.grams")).as("icnt"),
+        // early-exit verify (see minhashNearDupPairs): bailed pairs were
+        // provably below threshold; icnt=-1 fails the jaccard filter.
+        graft.expr.ThresholdedIntersectCount(col("a.grams"), col("b.grams"),
+          graft.expr.ThresholdedIntersectCount.jaccardBound(
+            col("a.n_grams") + col("b.n_grams"), threshold)).as("icnt"),
         (col("a.n_grams") + col("b.n_grams")).as("nsum"))
       // |A ∪ B| = |A| + |B| - |A ∩ B|: same integers as the array_union
       // formulation, so the oracle's list_intersect/list_distinct mirror

@@ -440,6 +440,34 @@ FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
       FROM documents)
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""")),
 
+    // Per-lang heavy hitters through the Misra-Gries sketch aggregate
+    // (graft.expr.MisraGriesTopK): bounded state per group, map-side partial
+    // aggregation — the shuffle is O(langs * k), not O(langs * vocab) like
+    // the q43 window spelling. k=64 sits above the corpus vocabulary, so the
+    // sketch is provably exact here and the oracle checks it against the
+    // exact groupBy counts; the approximation regime (k below cardinality)
+    // is property-tested in MisraGriesSpec.
+    Q("q59_heavy_hitters",
+      (s, dir) => {
+        import graft.expr.MisraGriesTopK
+        Tables.documents(s, dir)
+          .select(col("lang"), explode(toks(col("text"))).as("token"))
+          .groupBy("lang")
+          .agg(MisraGriesTopK(col("token"), 64, 5).as("top"))
+          .select(col("lang"), posexplode(col("top")).as(Seq("pos", "entry")))
+          .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+            col("entry.token").as("token"), col("entry.n").as("n"))
+          .orderBy("lang", "rk")
+      },
+      Some("""
+WITH tok AS (SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents),
+c AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        ORDER BY n DESC, token ASC) AS rk FROM c)
+SELECT lang, CAST(rk AS BIGINT) AS rk, token, n
+FROM r WHERE rk <= 5 ORDER BY lang, rk""")),
+
     // tf-idf top-3 terms per doc. Scores quantized to integer micro-units
     // BEFORE ranking (ln() agrees across libms only to ~1 ulp; the
     // quantized integers are engine-identical).
