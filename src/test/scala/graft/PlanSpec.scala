@@ -67,4 +67,51 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"expected broadcast semi-join:\n$p")
   }
+
+  test("trend windows share one exchange+sort across lag/lead/frame functions") {
+    val p = plan("q55_trend_windows")
+    // all four window functions partition by cik alone and order by
+    // fiscal_year: exactly ONE single-column cik exchange must feed them
+    // (the statements build below shuffles on (cik, fiscal_year[, tag]) —
+    // different keys, matched out by the closing paren after one column).
+    // executedPlan, not sparkPlan: EnsureRequirements inserts the exchanges.
+    val q = SparkEntry.queries("q55_trend_windows")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(cik#\\d+, \\d+\\)".r
+      .findAllIn(q).size
+    assert(exchanges === 1, s"expected one cik-only exchange:\n$q")
+  }
+
+  test("semdedup reuses ONE cell exchange across self-join sides and output") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // `assigned` feeds three consumers (both self-join sides + the decision
+    // table); all three repartitions must stay canonically identical so the
+    // runtime executes one exchange, not three
+    val ex = SparkEntry.queries("q57_semdedup")(spark, dir)
+      .queryExecution.sparkPlan.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.outputPartitioning.toString.contains("cell"))
+    assert(ex.size === 3, s"expected three cell repartitions, got ${ex.size}")
+    // the two embedding-carrying self-join sides must stay canonically
+    // identical (one physical exchange at runtime); the decision branch is
+    // ALLOWED to diverge — column pruning drops the embedding below its
+    // repartition, which is the cheaper plan
+    val joinSides = ex.filter(_.output.exists(_.name == "embedding"))
+    assert(joinSides.size === 2 &&
+      joinSides(0).canonicalized == joinSides(1).canonicalized,
+      "self-join sides diverged: the cell exchange can no longer be reused")
+  }
+
+  test("bloom decontamination probes the sketch map-side before any gram join") {
+    val p = plan("q58_bloom_decontam")
+    assert(p.contains("might_contain") || p.contains("graft_might_contain"),
+      s"expected a Bloom probe filter:\n$p")
+    assert(p.contains("bloom_filter_agg") || p.contains("graft_bloom_agg") ||
+      p.contains("Subquery"), s"expected the sketch subquery:\n$p")
+  }
+
+  test("heavy hitters aggregate has a partial (map-side) sketch stage") {
+    val p = plan("q59_heavy_hitters")
+    assert(p.contains("partial_graft_mg_topk"),
+      s"expected map-side partial Misra-Gries stage:\n$p")
+  }
 }
