@@ -603,5 +603,33 @@ m AS (SELECT doc_id,
       FROM hs)
 SELECT doc_id, len(list_distinct(mins))::BIGINT AS n_fp,
        array_to_string(list_sort(list_distinct(mins)), ',') AS fingerprint
-FROM m ORDER BY doc_id""")))
+FROM m ORDER BY doc_id""")),
+
+    // Corpus profile over explicit GROUPING SETS (Dataset.groupingSets —
+    // the general form q38's rollup is a special case of): per-source,
+    // per-lang, per-(source,lang), and grand-total doc/token counts in ONE
+    // Expand + ONE shuffle — four aggregations for the price of one pass.
+    // Token sums are exact BIGINT sums (DuckDB's HUGEINT recast to BIGINT).
+    Q("q60_grouping_sets",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("n_tokens", size(toks(col("text"))).cast("long"))
+        .groupingSets(
+          Seq(Seq(col("source"), col("lang")), Seq(col("source")),
+            Seq(col("lang")), Seq()),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("source").asc_nulls_last,
+          col("lang").asc_nulls_last),
+      Some("""
+WITH t AS (SELECT source, lang,
+             len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS n_tokens
+           FROM documents)
+SELECT source, lang, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
+FROM t
+GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+ORDER BY gid, source NULLS LAST, lang NULLS LAST""")))
 }
