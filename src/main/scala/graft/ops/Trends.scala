@@ -47,8 +47,7 @@ object Trends {
 
   val queries: Seq[Q] = Seq(
     Q("q55_trend_windows",
-      (s, dir) => revenueTrends(
-        Statements.buildV3(SecDerive.facts(s, dir)))
+      (s, dir) => revenueTrends(SecDerive.statementsV3(s, dir))
         .orderBy("cik", "fiscal_year"),
       Some(s"""${SecSql.fullPrelude},
         t AS (SELECT cik, fiscal_year, revenues,

@@ -90,9 +90,10 @@ object SecDerive {
       "graft_filings_bkt", s"$basePath/filings_bkt", "accession_no", nBuckets)
     memo.synchronized {
       val m = entriesFor(spark)
-      // unpersist any previously memoized derivations being replaced, so
-      // their MEMORY_AND_DISK blocks don't linger orphaned in the session
-      Seq("facts", "filings").foreach { n =>
+      // unpersist any previously memoized derivations being replaced (and
+      // the marts derived FROM them), so their MEMORY_AND_DISK blocks don't
+      // linger orphaned in the session
+      Seq("facts", "filings", "statements_v3", "ratios_v3").foreach { n =>
         m.remove((dir, n)).foreach(df =>
           try df.unpersist() catch { case _: Exception => () })
       }
@@ -101,6 +102,22 @@ object SecDerive {
     }
     ()
   }
+
+  /** The statements mart as a STORED table: the reference builds
+    * statements_annual once (build_statements_annual_v3.py) and every
+    * consumer — compute_ratios.py:18-25, api.py — READS it; consumers never
+    * rebuild from facts. Memoized+persisted per (session, dir) to mirror
+    * that: q10/q11/q12/q55 read the mart, while q09/q17 keep calling
+    * Statements.buildV3/V2 directly and measure the honest build. */
+  def statementsV3(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "statements_v3")(
+      graft.ops.Statements.buildV3(facts(spark, dir)))
+
+  /** ratios_annual as a stored table (compute_ratios.py writes it; the API
+    * reads it — api.py:21-61). */
+  def ratiosV3(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "ratios_v3")(
+      graft.ops.Ratios.compute(statementsV3(spark, dir)))
 
   /** facts: one row per lineitem line. Narrow EAV fact table (schema.sql:26-40). */
   def facts(spark: SparkSession, dir: String): DataFrame =
