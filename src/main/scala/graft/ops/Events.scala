@@ -82,7 +82,39 @@ object Events {
 
   private val sumSql = "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
 
+  /** Trailing event-time features per user: how many events (and how much
+    * value) landed in the preceding hour, per event — the RANGE-frame
+    * (value-based) sliding window feature engineering runs for rate
+    * limiting / fraud features, WITHOUT a self-join or interval explode.
+    * The frame is over integer epoch-MICROSECONDS (both engines read the
+    * nanos file floor-truncated to µs — Tables.loadEvents), closed at
+    * [t-1h+1µs, t]; ties at equal timestamps are frame-peers, so the result
+    * is deterministic without a tie-breaker. One shuffle on user_id, one
+    * sort, sliding aggregation inside the Window operator. */
+  def trailingFeatures(events: DataFrame,
+      windowMicros: Long = 3600L * 1000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-(windowMicros - 1), 0)
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .withColumn("sum_trailing_1h", sum(col("value").cast(dec)).over(w).cast("double"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q61_range_frame",
+      (s, dir) => trailingFeatures(Tables.events(s, dir)).orderBy("event_id"),
+      Some("""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+  CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+  CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+ORDER BY event_id""")),
+
     Q("q38_rollup",
       (s, dir) => rollupDaily(Tables.events(s, dir))
         .orderBy(col("gid"), col("event_type").asc_nulls_last,

@@ -43,6 +43,17 @@ class EventsSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 2L) === 1)
   }
 
+  test("trailingFeatures: RANGE frame counts exactly the preceding hour, per user") {
+    val out = Events.trailingFeatures(events).orderBy("event_id").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_trailing_1h"),
+        r.getAs[Double]("sum_trailing_1h")))).toMap
+    assert(out(1L) === ((1L, 1.0)))   // nothing before
+    assert(out(2L) === ((2L, 3.0)))   // 10:05 is inside [09:59:59.000001, 10:59:59]
+    assert(out(3L) === ((3L, 7.0)))   // both prior events within the hour
+    assert(out(4L) === ((1L, 8.0)))   // two days later: window empty again
+    assert(out(5L) === ((1L, 16.0)))  // user 2 isolated from user 1
+  }
+
   test("jsonProps: both extraction paths agree; null props -> null") {
     val out = Events.jsonProps(events).orderBy("event_id").collect()
     assert(out.take(4).forall(r => r.getInt(1) == r.getInt(2)))
