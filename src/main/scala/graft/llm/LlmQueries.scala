@@ -121,6 +121,12 @@ j AS (SELECT doc_id_a, doc_id_b, ${jaccardSql("ha.h", "hb.h")} AS jaccard
       JOIN hd ha ON ha.doc_id = cand.doc_id_a
       JOIN hd hb ON hb.doc_id = cand.doc_id_b)"""
 
+  // Shared with graft.ops.Quality's q63 oracle (set-ops over the same
+  // quality and near-dup-cluster CTE chains).
+  private[graft] def minhashCtesShared: String = minhashCtes
+  private[graft] def qualityCtesShared: String = qualityStCte
+  private[graft] def qualityPredShared: String = qualityPredSql
+
   /** Exact per-doc contamination report (shared by q50 and q58 — the Bloom
     * prefilter path must produce the IDENTICAL exact output). */
   private val decontamOracleSql: String = s"""

@@ -66,5 +66,61 @@ SELECT event_type,
   quantile_cont(value, 0.99) AS p99,
   min(value) AS vmin,
   max(value) AS vmax
-FROM events GROUP BY event_type ORDER BY event_type""")))
+FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // The rank-function family (ntile / percent_rank / cume_dist) as a
+    // score-calibration pass: decile + distributional position of every doc
+    // by size. The order (n_chars, doc_id) is TOTAL, so all three functions
+    // are deterministic; one shuffle on lang, one sort serves all three.
+    Q("q62_rank_family",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            ntile(10).over(w).cast("long").as("decile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("doc_id")
+      },
+      Some("""
+SELECT doc_id, lang, n_chars,
+  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC)
+ORDER BY doc_id""")),
+
+    // Set operators INTERSECT / EXCEPT (distinct set semantics on both
+    // engines): quality-passing docs that are ALSO near-dup cluster members
+    // (intersect), and quality-passing docs that are NOT (except) — the
+    // set-algebra spelling of corpus slicing. Both plan as aggregations
+    // over one shuffle; at scale they co-partition with any doc_id layout.
+    Q("q63_set_ops",
+      (s, dir) => {
+        val quality = graft.llm.TextAnalysis
+          .qualityFilter(Tables.documents(s, dir)).select("doc_id")
+        val clustered = graft.llm.Dedup.connectedComponents(
+          graft.llm.Dedup.minhashNearDupPairs(Tables.documents(s, dir), 0.8),
+          "doc_id_a", "doc_id_b").select("doc_id")
+        quality.intersect(clustered).withColumn("in_cluster", lit(true))
+          .unionByName(
+            quality.except(clustered).withColumn("in_cluster", lit(false)))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH RECURSIVE ${graft.llm.LlmQueries.minhashCtesShared},
+pairs AS (SELECT doc_id_a, doc_id_b FROM j WHERE jaccard >= 0.8),
+edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+          UNION SELECT doc_id_b, doc_id_a FROM pairs),
+clustered AS (SELECT DISTINCT src AS doc_id FROM edges),
+${graft.llm.LlmQueries.qualityCtesShared},
+quality AS (SELECT doc_id FROM st WHERE ${graft.llm.LlmQueries.qualityPredShared})
+SELECT doc_id, TRUE AS in_cluster FROM
+  (SELECT doc_id FROM quality INTERSECT SELECT doc_id FROM clustered)
+UNION ALL
+SELECT doc_id, FALSE AS in_cluster FROM
+  (SELECT doc_id FROM quality EXCEPT SELECT doc_id FROM clustered)
+ORDER BY doc_id""")))
 }
