@@ -45,7 +45,38 @@ object Trends {
           / count(col("revenues")).over(w3).cast("double"))
   }
 
+  /** Forward-fill imputation: carry the last NON-NULL revenue forward
+    * within each cik's year series (`last_value IGNORE NULLS` over a
+    * running frame) — the standard time-series gap-filling pass downstream
+    * models want before differencing. Same single (cik) shuffle + sort as
+    * the trend windows; `filled_from` records the provenance year so the
+    * imputation is auditable. */
+  def forwardFill(statements: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cik").orderBy("fiscal_year")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    statements
+      .select(col("cik"), col("fiscal_year"), col("revenues"))
+      .withColumn("revenues_filled",
+        last(col("revenues"), ignoreNulls = true).over(w))
+      .withColumn("filled_from",
+        last(when(col("revenues").isNotNull, col("fiscal_year")),
+          ignoreNulls = true).over(w))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q64_forward_fill",
+      (s, dir) => forwardFill(SecDerive.statementsV3(s, dir))
+        .orderBy("cik", "fiscal_year"),
+      Some(s"""${SecSql.fullPrelude}
+        SELECT cik, fiscal_year, revenues,
+          last_value(revenues IGNORE NULLS) OVER w AS revenues_filled,
+          last_value(CASE WHEN revenues IS NOT NULL THEN fiscal_year END
+                     IGNORE NULLS) OVER w AS filled_from
+        FROM statements
+        WINDOW w AS (PARTITION BY cik ORDER BY fiscal_year
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY cik, fiscal_year""")),
+
     Q("q55_trend_windows",
       (s, dir) => revenueTrends(SecDerive.statementsV3(s, dir))
         .orderBy("cik", "fiscal_year"),

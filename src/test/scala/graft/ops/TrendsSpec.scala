@@ -26,6 +26,15 @@ class TrendsSpec extends SparkSpec {
     assert(got.last === (("B", 2000, None, None)))        // B sees nothing of A
   }
 
+  test("forwardFill carries the last non-null value and records its year") {
+    val got = Trends.forwardFill(statements).orderBy("cik", "fiscal_year")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got(("A", 2002)) === ((Some(121.0), Some(2002)))) // present: itself
+    assert(got(("A", 2003)) === ((Some(121.0), Some(2002)))) // null: carried
+    assert(got(("B", 2000)) === ((Some(50.0), Some(2000))))  // partition-local
+  }
+
   test("yoy is null-safe and exact; ma3 averages the non-null trailing frame") {
     val byKey = Trends.revenueTrends(statements).collect()
       .map(r => (r.getString(0), r.getInt(1)) ->
