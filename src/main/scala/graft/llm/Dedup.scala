@@ -189,6 +189,67 @@ object Dedup {
       (col("id") === col("label")).as("is_canonical"))
   }
 
+  /** [[connectedComponents]] for graphs whose components are NOT
+    * near-cliques: min-label propagation alone needs diameter rounds (a
+    * 10^6-node chain = 10^6 joins), so each round here follows the
+    * neighbor-min step with POINTER JUMPING — l(x) := l(l(x)) — which
+    * doubles the propagation distance per round: O(log diameter) rounds
+    * total (the label-contraction idea behind the alternating star
+    * algorithms of Kiveris et al., SoCC'14 / Rastogi et al.'s hash-to-min).
+    *
+    * Same building blocks as the simple variant — two joins + one
+    * aggregation per round, everything shuffling on node id, checkpoints
+    * freed as rounds retire — and the same fixed point: labels monotonically
+    * decrease toward the component minimum, the jump is the identity once
+    * propagation fixes, so the result is identical (property-tested against
+    * the simple variant and shared with q48's transitive-closure oracle).
+    */
+  def connectedComponentsFast(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 35): DataFrame = {
+    def free(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("label").as("nbr_min"))
+      val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          col("label").as("prev"))
+      // pointer jump: follow the label one more hop — label values ARE node
+      // ids, so self-joining resolves l(l(x)) and halves remaining distance
+      val p = propagated.as("p")
+      val l2 = propagated.select(col("id").as("jid"), col("label").as("jlabel")).as("j")
+      val next = p.join(l2, col("p.label") === col("j.jid"), "left")
+        .select(col("p.id").as("id"),
+          least(col("p.label"), coalesce(col("j.jlabel"), col("p.label"))).as("label"),
+          col("p.prev").as("prev"))
+        .localCheckpoint()
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      free(labels)
+      labels = next
+      round += 1
+    }
+    free(edges)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsFast did not converge in $maxRounds rounds — " +
+        "components this deep (diameter ~2^rounds) indicate a pathological " +
+        "pair graph; inspect the input before raising maxRounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("is_canonical"))
+  }
+
   /** Per-doc 32-bit SimHash fingerprints (token hashes materialized before
     * the 32 bit-sum passes). */
   def simhashFingerprints(docs: DataFrame): DataFrame =

@@ -121,6 +121,20 @@ j AS (SELECT doc_id_a, doc_id_b, ${jaccardSql("ha.h", "hb.h")} AS jaccard
       JOIN hd ha ON ha.doc_id = cand.doc_id_a
       JOIN hd hb ON hb.doc_id = cand.doc_id_b)"""
 
+  /** Transitive-closure clustering oracle, shared by q48 (min-label CC) and
+    * q65 (pointer-jumping CC) — one ground truth, two implementations. */
+  private val ccOracleSql: String = s"""
+WITH RECURSIVE $minhashCtes,
+pairs AS (SELECT doc_id_a, doc_id_b FROM j WHERE jaccard >= 0.8),
+edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+          UNION SELECT doc_id_b, doc_id_a FROM pairs),
+reach AS (SELECT src, dst FROM edges
+          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+FROM labels ORDER BY doc_id"""
+
   // Shared with graft.ops.Quality's q63 oracle (set-ops over the same
   // quality and near-dup-cluster CTE chains).
   private[graft] def minhashCtesShared: String = minhashCtes
@@ -186,17 +200,18 @@ ORDER BY doc_id_a, doc_id_b""")),
         Dedup.minhashNearDupPairs(Tables.documents(s, dir), 0.8),
         "doc_id_a", "doc_id_b")
         .orderBy("doc_id"),
-      Some(s"""
-WITH RECURSIVE $minhashCtes,
-pairs AS (SELECT doc_id_a, doc_id_b FROM j WHERE jaccard >= 0.8),
-edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
-          UNION SELECT doc_id_b, doc_id_a FROM pairs),
-reach AS (SELECT src, dst FROM edges
-          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-           FROM reach GROUP BY src)
-SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
-FROM labels ORDER BY doc_id""")),
+      Some(ccOracleSql)),
+
+    // The same clustering through the pointer-jumping variant
+    // (connectedComponentsFast, O(log diameter) rounds) — sharing q48's
+    // transitive-closure oracle IS the claim that both implementations
+    // compute identical components.
+    Q("q65_neardup_clusters_fast",
+      (s, dir) => Dedup.connectedComponentsFast(
+        Dedup.minhashNearDupPairs(Tables.documents(s, dir), 0.8),
+        "doc_id_a", "doc_id_b")
+        .orderBy("doc_id"),
+      Some(ccOracleSql)),
 
     // Deterministic hash split: repeatable, salt-keyed train/val/test
     // assignment (and, via the same bucket, stratified sampling).

@@ -85,6 +85,31 @@ class DedupSpec extends SparkSpec {
     assert(got.filter(col("is_canonical")).count() === 1L)
   }
 
+  test("connectedComponentsFast equals the simple variant on random graphs") {
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(40)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("doc_id_a", "doc_id_b")
+      val simple = Dedup.connectedComponents(pairs, "doc_id_a", "doc_id_b")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val fast = Dedup.connectedComponentsFast(pairs, "doc_id_a", "doc_id_b")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(fast === simple, s"trial $trial diverged")
+    }
+  }
+
+  test("connectedComponentsFast: 300-node chain converges in log rounds") {
+    // min-label alone would need ~300 rounds (it throws at its default 20);
+    // pointer jumping reaches the component min in O(log n)
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.connectedComponentsFast(chain, "doc_id_a", "doc_id_b",
+      maxRounds = 12)
+    assert(got.filter(col("cluster_id") === 1L).count() === 300L)
+    assert(got.filter(col("is_canonical")).count() === 1L)
+  }
+
   test("connectedComponents leaves at most one checkpoint's blocks behind") {
     val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
     val before = spark.sparkContext.getPersistentRDDs.keySet
