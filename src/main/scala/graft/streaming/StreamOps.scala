@@ -99,6 +99,23 @@ object StreamOps {
       }
   }
 
+  /** Stream-static enrichment join: attach a bounded dimension to every
+    * event as it arrives. The static side is broadcast, so each micro-batch
+    * enriches map-side — no stream-side shuffle, no state store; the
+    * standard dimension-lookup shape (and the streaming twin of the
+    * screener's J2 broadcast join). Left join: an event with no dimension
+    * row passes through with nulls rather than silently dropping. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      key: Seq[String]): DataFrame =
+    events.join(broadcast(dim), key, "left")
+
+  /** The corpus quality-filter pass under `readStream`: the SAME pure
+    * column expressions as the batch q46 (TextAnalysis.qualityFilter) —
+    * zero shuffle, zero state; proof the narrow operators run unchanged in
+    * streaming jobs (the engine's batch/streaming reuse contract). */
+  def qualityFilterStream(docsStream: DataFrame): DataFrame =
+    graft.llm.TextAnalysis.qualityFilter(docsStream)
+
   /** File-source form: tail a directory of event parquet (schema inferred
     * from the batch table) into the hourly aggregation, writing parquet +
     * checkpoint under `outDir`. Returns the running query. */

@@ -110,6 +110,46 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream: every micro-batch row picks up its dimension attributes") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", 1), ("view", 2)).toDF("event_type", "priority")
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.enrichStream(mem.toDF(), dim, Seq("event_type"))
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        StreamOps.Event(1, ts(0), 1, "click", 1.0),
+        StreamOps.Event(2, ts(1), 1, "view", 2.0),
+        StreamOps.Event(3, ts(2), 2, "scroll", 3.0)) // no dim row
+      q.processAllAvailable()
+      val got = spark.table("enrich_test")
+        .select("event_id", "priority").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(got(1L) === Some(1) && got(2L) === Some(2))
+      assert(got(3L) === None) // left join: unmatched event passes through
+    } finally q.stop()
+  }
+
+  test("qualityFilterStream: the batch expressions run unchanged under readStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val good = ("the quick brown fox jumps over a lazy dog and then " +
+      "runs far away to find some other fun game to play all day") // 24 distinct-ish tokens
+    val q = StreamOps.qualityFilterStream(
+        mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .writeStream.format("memory").queryName("quality_stream_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, good, "en", "s", good.length.toLong),
+        (2L, "tiny doc", "en", "s", 8L)) // fails min-token threshold
+      q.processAllAvailable()
+      val ids = spark.table("quality_stream_test").select("doc_id")
+        .as[Long].collect().toSeq
+      assert(ids === Seq(1L))
+    } finally q.stop()
+  }
+
   test("sessionizeStream survives events behind the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
