@@ -55,4 +55,23 @@ object Layout {
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** The ANN-side layout: embeddings written partitioned by their IVF cell
+    * (graft.llm.Similarity.ivfAssign), so an nprobe search READS ONLY nprobe
+    * DIRECTORIES of the corpus — the storage half of the IVF design
+    * (SCALE.md: "cell id is the partition column"). At 100 TB, cells
+    * subpartition by hash when a single cell outgrows the file-size band. */
+  def writeEmbeddingsByCell(assigned: DataFrame, path: String): Unit =
+    assigned
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .partitionBy("cell")
+      .parquet(path)
+
+  /** Probe-side read: `cells` travels into PartitionFilters, so the scan
+    * touches only those directories — nothing outside the probed cells is
+    * even opened. */
+  def embeddingsInCells(spark: SparkSession, path: String,
+      cells: Seq[Long]): DataFrame =
+    spark.read.parquet(path).filter(col("cell").isin(cells: _*))
 }

@@ -52,6 +52,22 @@ class LayoutSpec extends SparkSpec {
     spark.sql("DROP TABLE b_facts"); spark.sql("DROP TABLE b_filings")
   }
 
+  test("cell-partitioned embeddings: an nprobe read prunes to the probed directories") {
+    val base = Files.createTempDirectory("graft_cells")
+    val assigned = graft.llm.Similarity.ivfAssign(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"), nlist = 8)
+    Layout.writeEmbeddingsByCell(assigned, s"$base/emb")
+    val probed = Layout.embeddingsInCells(spark, s"$base/emb", Seq(0L, 3L))
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"expected cell partition pruning:\n$scan")
+    // result only holds the probed cells, and matches the assignment exactly
+    val got = probed.select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = assigned.filter(col("cell").isin(0L, 3L))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("different ciks land deterministically in stable buckets") {
     val b1 = facts.select(Layout.bucketOf(col("cik"), 8)).distinct().count()
     assert(b1 >= 1 && b1 <= 8)
