@@ -213,6 +213,23 @@ ORDER BY doc_id_a, doc_id_b""")),
         .orderBy("doc_id"),
       Some(ccOracleSql)),
 
+    // Deterministic corpus shuffle into training shards: independent hashes
+    // pick the shard and the within-shard order, so the training-example
+    // sequence is fixed across runs/retries/cluster sizes — the
+    // shuffle-then-shard step upstream of q51's packing.
+    Q("q66_shuffle_shards",
+      (s, dir) => Sampling.shuffleShards(
+        Tables.documents(s, dir).select("doc_id", "lang"), "doc_id", 8)
+        .orderBy("shard", "pos"),
+      Some(s"""
+WITH h AS (SELECT doc_id, lang,
+             CAST(${h60("CAST(doc_id AS VARCHAR) || '|shard|graft'")} % 8 AS INTEGER) AS shard,
+             ${h60("CAST(doc_id AS VARCHAR) || '|order|graft'")} AS sort_key
+           FROM documents)
+SELECT doc_id, lang, shard, sort_key,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+FROM h ORDER BY shard, pos""")),
+
     // Deterministic hash split: repeatable, salt-keyed train/val/test
     // assignment (and, via the same bucket, stratified sampling).
     Q("q49_split_assign",

@@ -59,6 +59,28 @@ object Sampling {
       .drop("__wt", "n_copies")
   }
 
+  /** Deterministic corpus shuffle into training shards: shard =
+    * hash(key|shardSalt) % nShards, order within shard = an INDEPENDENT
+    * hash (different salt) — the shuffle-then-shard step that fixes
+    * training-example order before packing (q51 packs within shards).
+    * Hash-ordering is the distributed replacement for a global `rand()`
+    * sort: repeatable across runs/retries/cluster sizes, one shuffle on the
+    * shard key, and the per-shard sort parallelizes per shard instead of
+    * funneling the corpus through one global order. `pos` is the final
+    * 1-based position of the doc inside its shard's stream. */
+  def shuffleShards(df: DataFrame, keyCol: String, nShards: Int,
+      salt: String = "graft"): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+      .orderBy(col("sort_key"), col(keyCol))
+    df.withColumn("shard",
+        pmod(hash60(concat(col(keyCol).cast("string"), lit("|shard|" + salt))),
+          lit(nShards.toLong)).cast("int"))
+      .withColumn("sort_key",
+        hash60(concat(col(keyCol).cast("string"), lit("|order|" + salt))))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Train/val/test assignment: buckets [0,trainPct) -> train,
     * [trainPct, trainPct+valPct) -> val, rest -> test. Splits are disjoint
     * and exhaustive by construction. */

@@ -66,6 +66,21 @@ class SamplingSpec extends SparkSpec {
     assert(m.exceptAll(m2).isEmpty && m2.exceptAll(m).isEmpty)
   }
 
+  test("shuffleShards: deterministic, balanced-ish, contiguous positions per shard") {
+    val s1 = Sampling.shuffleShards(docs, "doc_id", 4)
+    val s2 = Sampling.shuffleShards(docs, "doc_id", 4)
+    assert(s1.exceptAll(s2).isEmpty) // repeatable run to run
+    // positions are 1..n_shard with no gaps
+    val bad = s1.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(bad.isEmpty)
+    // the shard order is NOT doc_id order (it actually shuffles)
+    val firstShard = s1.filter(col("shard") === s1.select(min("shard")).as[Int].head)
+      .orderBy("pos").select("doc_id").as[Long].collect().toSeq
+    assert(firstShard !== firstShard.sorted)
+  }
+
   test("different salts draw independent splits") {
     val a = Sampling.hashSample(docs, "doc_id", 50, salt = "a")
       .select("doc_id").as[Long].collect().toSet
