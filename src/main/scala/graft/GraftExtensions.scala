@@ -77,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_might_contain(bloom, xxhash64_value) - sketch membership probe (false positives possible, no false negatives)"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))))
+    // Whole-operator extension (tier c): the as-of merge join's planner
+    // strategy — the logical node (graft.plans.AsofMergeJoinPlan) reaches
+    // the physical AsofMergeJoinExec through it.
+    ext.injectPlannerStrategy(_ => graft.plans.AsofMergeJoinStrategy)
   }
 
   private def litInt(args: Seq[Expression], i: Int, name: String): Int = {

@@ -79,5 +79,37 @@ SELECT f.fact_id, f.cik, f.filed,
        f1.filing_date AS asof_filing_date
 FROM (SELECT fact_id, cik, filed FROM facts) f
 ASOF LEFT JOIN f1 ON f.cik = f1.cik AND f1.filing_date <= f.filed
+ORDER BY f.fact_id""")),
+
+    // The SAME point-in-time lookup through the dedicated physical operator
+    // (graft.plans.AsofMergeJoinExec — custom LogicalPlan + Strategy +
+    // SparkPlan, tier (c) of the extension ladder): per-side cluster+sort,
+    // one streaming merge walk per co-partition, O(1) state. Oracle: the
+    // identical DuckDB ASOF LEFT JOIN — one ground truth for both the
+    // composition (q41) and the physical operator.
+    Q("q67_asof_exec",
+      (s, dir) => {
+        val facts = SecDerive.facts(s, dir)
+          .select("fact_id", "cik", "filed")
+        val filings = Statements.latestWins(Seq("cik", "filing_date"),
+          Seq(col("accession_no").asc))(SecDerive.filings(s, dir))
+          .select(col("cik").as("f_cik"), col("filing_date"), col("accession_no"))
+        graft.plans.AsofMerge.join(facts, filings,
+          Seq("cik"), Seq("f_cik"), "filed", "filing_date")
+          .select(col("fact_id"), col("cik"), col("filed"),
+            col("accession_no").as("asof_accession_no"),
+            col("filing_date").as("asof_filing_date"))
+          .orderBy("fact_id")
+      },
+      Some(s"""${SecSql.basePrelude},
+f1 AS (SELECT cik, filing_date, accession_no FROM (
+         SELECT *, row_number() OVER (PARTITION BY cik, filing_date
+                                      ORDER BY accession_no ASC) AS rn
+         FROM filings) WHERE rn = 1)
+SELECT f.fact_id, f.cik, f.filed,
+       f1.accession_no AS asof_accession_no,
+       f1.filing_date AS asof_filing_date
+FROM (SELECT fact_id, cik, filed FROM facts) f
+ASOF LEFT JOIN f1 ON f.cik = f1.cik AND f1.filing_date <= f.filed
 ORDER BY f.fact_id""")))
 }

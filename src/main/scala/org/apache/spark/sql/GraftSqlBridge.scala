@@ -10,4 +10,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Lift a hand-built LogicalPlan (e.g. graft.plans.AsofMergeJoinPlan) into
+    * a DataFrame — `Dataset.ofRows` is `private[sql]`, same one-hop pattern
+    * as the expression lifts above. */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (for embedding as a child of a
+    * custom node). */
+  def analyzed(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

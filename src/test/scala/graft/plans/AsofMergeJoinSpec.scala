@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The custom as-of merge join (LogicalPlan + Strategy + SparkPlan):
+  * semantics vs hand-computed truth and vs the composition spelling, plan
+  * shape, and unmatched-row behavior. */
+class AsofMergeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val quotes = Seq(("A", 10L, 1.0), ("A", 20L, 2.0), ("B", 15L, 9.0))
+    .toDF("q_ticker", "q_t", "px")
+  private val trades = Seq((1L, "A", 5L), (2L, "A", 10L), (3L, "A", 25L),
+    (4L, "B", 14L), (5L, "C", 99L))
+    .toDF("trade_id", "ticker", "t")
+
+  test("latest right at-or-before left time, per key; unmatched rows null") {
+    val out = AsofMerge.join(trades, quotes,
+      Seq("ticker"), Seq("q_ticker"), "t", "q_t")
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) === None)        // before any quote
+    assert(out(2L) === Some(1.0))   // equal timestamp: inclusive <=
+    assert(out(3L) === Some(2.0))   // latest of two
+    assert(out(4L) === None)        // B's only quote is later
+    assert(out(5L) === None)        // key with no right rows at all
+  }
+
+  test("survives pre-shuffled inputs (exchanges re-cluster both sides)") {
+    val out = AsofMerge.join(trades.repartition(7), quotes.repartition(3),
+      Seq("ticker"), Seq("q_ticker"), "t", "q_t")
+    assert(out.count() === 5) // every left row exactly once
+    assert(out.filter(col("trade_id") === 3L).select("px").head.getDouble(0) === 2.0)
+  }
+
+  test("plans as the custom physical node with co-clustered sorted children") {
+    val out = AsofMerge.join(trades, quotes,
+      Seq("ticker"), Seq("q_ticker"), "t", "q_t")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofMergeJoin"), s"custom node missing:\n$plan")
+    assert(plan.contains("Sort") && plan.contains("Exchange hashpartitioning"),
+      s"expected per-side cluster+sort:\n$plan")
+  }
+
+  test("agrees with the composition spelling on the SEC q41 shape") {
+    val dir = "/root/testdata/sf0.001"
+    val facts = graft.sec.SecDerive.facts(spark, dir)
+      .select("fact_id", "cik", "filed")
+    val filings = graft.ops.Statements.latestWins(Seq("cik", "filing_date"),
+      Seq(col("accession_no").asc))(graft.sec.SecDerive.filings(spark, dir))
+      .select(col("cik").as("f_cik"), col("filing_date"), col("accession_no"))
+    val viaExec = AsofMerge.join(facts, filings,
+      Seq("cik"), Seq("f_cik"), "filed", "filing_date")
+      .select(col("fact_id"), col("accession_no").as("asof_accession_no"),
+        col("filing_date").as("asof_filing_date"))
+      .orderBy("fact_id").collect().map(_.toSeq).toSeq
+    val viaWindow = graft.ops.AsofJoin.asof(facts,
+      filings.withColumnRenamed("f_cik", "cik"),
+      Seq("cik"), "filed", "filing_date",
+      Seq("accession_no", "filing_date"),
+      tieBreak = Seq(col("fact_id").asc_nulls_first))
+      .select(col("fact_id"), col("asof_accession_no"), col("asof_filing_date"))
+      .orderBy("fact_id").collect().map(_.toSeq).toSeq
+    assert(viaExec === viaWindow)
+  }
+}
