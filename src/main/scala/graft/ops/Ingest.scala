@@ -97,5 +97,25 @@ object Ingest {
       Some(s"""${SecSql.basePrelude}
         SELECT cik, ticker, name FROM companies
         WHERE ticker IN ('TKR1', 'TKR3', 'TKR5', 'TKR12', 'TKR28')
+        ORDER BY ticker""")),
+
+    // S1 through the DataSourceV2 connector (graft.sources.JsonlSource):
+    // the ticker map lands as JSONL, the scan prunes to 3 fields and pushes
+    // the string-range predicate into the reader (JsonlSourceSpec pins
+    // both), and the normalize step stays downstream. Oracle: the same
+    // predicate over the companies dim the landing file derives from.
+    Q("q68_dsv2_ticker_scan",
+      (s, dir) => {
+        val landing = graft.sources.JsonlLanding.ensure(s, dir)
+        s.read.format("graft-jsonl").load(landing)
+          .filter(col("ticker") >= "TKR1" && col("ticker") < "TKR3")
+          .select(
+            col("cik_str").as("cik"), col("ticker"),
+            col("title").as("name"))
+          .orderBy("ticker")
+      },
+      Some(s"""${SecSql.basePrelude}
+        SELECT cik, ticker, name FROM companies
+        WHERE ticker >= 'TKR1' AND ticker < 'TKR3'
         ORDER BY ticker""")))
 }

@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The graft-jsonl DataSourceV2 connector: read correctness, column
+  * pruning, filter pushdown (and the leftover contract), and the byte-range
+  * line-split invariant (every record exactly once at any split size). */
+class JsonlSourceSpec extends SparkSpec {
+
+  private lazy val file: String = {
+    val lines = Seq(
+      """{"cik_str":"0000000001","ticker":"AAPL","title":"Apple Inc."}""",
+      """{"cik_str":"0000000002","ticker":"MSFT","title":"Microsoft"}""",
+      """{"cik_str":"0000000003","ticker":"MSTR","title":null}""",
+      """{"cik_str":"0000000004","title":"NoTicker Corp"}""",
+      "",
+      """{"cik_str":"0000000005","ticker":"ZZZ","title":"Zed — ünïcödé"}""")
+    val p = Files.createTempFile("graft_jsonl_spec_", ".jsonl")
+    Files.write(p, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  private def read = spark.read.format("graft-jsonl").load(file)
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): JsonlScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[JsonlScan]
+    }.getOrElse(fail("no BatchScanExec in plan"))
+
+  test("reads all records; missing/null fields surface as nulls") {
+    val got = rows(read.orderBy("cik_str"))
+    assert(got.size === 5)
+    assert(got(2) === Seq("0000000003", "MSTR", null))
+    assert(got(3) === Seq("0000000004", null, "NoTicker Corp"))
+    assert(got(4) === Seq("0000000005", "ZZZ", "Zed — ünïcödé"))
+  }
+
+  test("column pruning reaches the scan (readSchema is the projection)") {
+    val df = read.select("ticker")
+    assert(scanOf(df).readSchema().fieldNames.toSeq === Seq("ticker"))
+  }
+
+  test("supported filters push into the scan and Spark elides its re-filter") {
+    val df = read.filter(col("ticker").startsWith("MS") &&
+      col("cik_str") >= "0000000003")
+    val pushed = scanOf(df).pushed.map(_.toString).toSet
+    assert(pushed.exists(_.contains("StringStartsWith")))
+    assert(pushed.exists(_.contains("GreaterThanOrEqual")))
+    assert(singleCol[String](df.select("ticker")) === Seq("MSTR"))
+    // pushed conjuncts don't reappear as a FilterExec above the scan
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Filter ("), planStr)
+  }
+
+  test("unsupported predicates stay with Spark as leftovers") {
+    val df = read.filter(col("ticker") === "AAPL" || col("ticker") === "ZZZ")
+    assert(scanOf(df).pushed.isEmpty) // Or is not pushable
+    assert(df.count() === 2)          // but Spark still applies it
+  }
+
+  test("byte-range splits: every record exactly once at any partitionBytes") {
+    val all = rows(read.orderBy("cik_str"))
+    for (split <- Seq(1, 7, 32, 64, 1 << 20)) {
+      val df = spark.read.format("graft-jsonl")
+        .option("partitionBytes", split.toString).load(file)
+      assert(rows(df.orderBy("cik_str")) === all, s"partitionBytes=$split")
+    }
+    val tiny = spark.read.format("graft-jsonl")
+      .option("partitionBytes", "32").load(file)
+    assert(scanOf(tiny).planInputPartitions().length > 1)
+  }
+
+  test("landing file derivation matches the companies dim (q68 contract)") {
+    val dir = "/root/testdata/sf0.001"
+    val landing = JsonlLanding.ensure(spark, dir)
+    val viaSource = spark.read.format("graft-jsonl").load(landing)
+      .select(col("cik_str").as("cik"), col("ticker"), col("title").as("name"))
+    val dim = graft.sec.SecDerive.companies(spark, dir)
+    assert(viaSource.exceptAll(dim).isEmpty && dim.exceptAll(viaSource).isEmpty)
+  }
+}
