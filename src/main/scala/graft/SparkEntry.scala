@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sec.{SecDerive, SecSql}
-import graft.ops.{AsofJoin, Events, Ingest, Multimodal, Quality, RangeJoin, Ratios, Screener, Sinks, Skew, Statements, Trends}
+import graft.ops.{AsofJoin, Events, IncrementalAgg, Ingest, Multimodal, Quality, RangeJoin, Ratios, Screener, Sinks, Skew, Statements, Trends}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -303,7 +303,8 @@ object SparkEntry {
     secQueries ++ relationalQueries ++ graft.llm.LlmQueries.all ++
       Events.queries ++ Ingest.queries ++ Sinks.queries ++
       Multimodal.queries ++ Skew.queries ++ AsofJoin.queries ++
-      RangeJoin.queries ++ Quality.queries ++ Trends.queries
+      RangeJoin.queries ++ Quality.queries ++ Trends.queries ++
+      IncrementalAgg.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * ingest-shaped pipeline facts → statements → ratios → screener, surfaced
