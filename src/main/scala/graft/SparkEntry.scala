@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sec.{SecDerive, SecSql}
-import graft.ops.{AsofJoin, Events, IncrementalAgg, Ingest, Multimodal, Quality, RangeJoin, Ratios, Screener, Sinks, Skew, Statements, Trends}
+import graft.ops.{AsofJoin, Events, IncrementalAgg, Ingest, Multimodal, Quality, RangeJoin, Ratios, Scd, Screener, Sinks, Skew, Statements, Trends}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -304,7 +304,7 @@ object SparkEntry {
       Events.queries ++ Ingest.queries ++ Sinks.queries ++
       Multimodal.queries ++ Skew.queries ++ AsofJoin.queries ++
       RangeJoin.queries ++ Quality.queries ++ Trends.queries ++
-      IncrementalAgg.queries
+      IncrementalAgg.queries ++ Scd.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * ingest-shaped pipeline facts → statements → ratios → screener, surfaced
