@@ -74,4 +74,33 @@ object Layout {
   def embeddingsInCells(spark: SparkSession, path: String,
       cells: Seq[Long]): DataFrame =
     spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+
+  /** Small-file compaction: rewrite a parquet directory into files near
+    * `targetBytes`. The operational tax of incremental pipelines (each
+    * micro-batch/delta append lands its own files; a 100 TB table fed by
+    * 10k daily tasks degrades into millions of kilobyte files whose open
+    * cost dwarfs the scan). File count = ceil(on-disk bytes / target);
+    * `coalesce` (not repartition) so compaction is a SHUFFLE-FREE read-
+    * concatenate-write — each output task concatenates a set of input
+    * files. Write lands in `outPath` (swap-in is the caller's move — object
+    * stores rename atomically per key, so publish-by-rename or a manifest
+    * flip, never in-place).
+    *
+    * Returns (input file count, output file count). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    def parquetFiles(p: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(p))
+    }
+    val inFiles = parquetFiles(inPath)
+    val totalBytes = inFiles.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .coalesce(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    (inFiles.size, parquetFiles(outPath).size)
+  }
 }
