@@ -81,6 +81,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // strategy — the logical node (graft.plans.AsofMergeJoinPlan) reaches
     // the physical AsofMergeJoinExec through it.
     ext.injectPlannerStrategy(_ => graft.plans.AsofMergeJoinStrategy)
+    // Optimizer extension: left-side predicate pushdown through the as-of
+    // node (Catalyst's PushDownPredicates can't see through unknown nodes).
+    ext.injectOptimizerRule(_ => graft.plans.PushLeftFilterThroughAsof)
   }
 
   private def litInt(args: Seq[Expression], i: Int, name: String): Int = {
