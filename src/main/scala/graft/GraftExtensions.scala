@@ -84,6 +84,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer extension: left-side predicate pushdown through the as-of
     // node (Catalyst's PushDownPredicates can't see through unknown nodes).
     ext.injectOptimizerRule(_ => graft.plans.PushLeftFilterThroughAsof)
+    // Parser extension: the COMPACT PARQUET maintenance statement; all
+    // other SQL falls through to Spark's parser untouched.
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 
   private def litInt(args: Seq[Expression], i: Int, name: String): Int = {
