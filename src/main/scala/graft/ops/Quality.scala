@@ -122,5 +122,38 @@ SELECT doc_id, TRUE AS in_cluster FROM
 UNION ALL
 SELECT doc_id, FALSE AS in_cluster FROM
   (SELECT doc_id FROM quality EXCEPT SELECT doc_id FROM clustered)
-ORDER BY doc_id""")))
+ORDER BY doc_id""")),
+
+    // Typed Aggregator surface (expr.VarMoments): per-group sample variance
+    // from exact integer moments through the Dataset API
+    // (groupByKey().agg(toColumn)) — merge-order-insensitive by
+    // construction; the oracle mirrors the finish formula literally.
+    Q("q71_typed_variance",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"),
+            floor(col("l_quantity") * 1000 + 0.5).cast("long").as("q"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(graft.expr.VarMoments.toColumn)
+          .map { case (k, (n, mean, v)) => (k, n, mean, v) }
+          .toDF("l_returnflag", "n_rows", "mean_qty", "var_qty")
+          .orderBy("l_returnflag")
+      },
+      Some("""
+WITH q AS (SELECT l_returnflag,
+                  CAST(floor(l_quantity*1000 + 0.5) AS BIGINT) AS q
+           FROM lineitem),
+m AS (SELECT l_returnflag, count(*) AS n,
+             CAST(sum(q) AS BIGINT) AS sq,
+             CAST(sum(q*q) AS BIGINT) AS sqq
+      FROM q GROUP BY l_returnflag)
+SELECT l_returnflag, n AS n_rows,
+       CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0 AS mean_qty,
+       (CAST(sqq AS DOUBLE)
+          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1.0) / 1000000.0 AS var_qty
+FROM m ORDER BY l_returnflag""")))
 }
