@@ -109,6 +109,29 @@ object StreamOps {
       key: Seq[String]): DataFrame =
     events.join(broadcast(dim), key, "left")
 
+  /** Stream-stream interval join: correlate two live event streams per
+    * user — each left event matches right events at most `lagMinutes`
+    * BEFORE it (the attribution shape: purchase joined to the views that
+    * preceded it). Both sides carry watermarks and the join condition
+    * bounds right's event time relative to left's, which is exactly what
+    * lets the state store EXPIRE buffered rows: state per side is the
+    * watermark horizon + lag window of events, not the stream's history.
+    * Without the time-bound condition Spark would (rightly) refuse to plan
+    * an inner stream-stream join as unbounded-state. */
+  def correlateStreams(left: DataFrame, right: DataFrame,
+      lagMinutes: Int): DataFrame = {
+    val l = left.withWatermark("ts", "1 hour").alias("l")
+    val r = right.withWatermark("ts", "1 hour").alias("r")
+    l.join(r,
+      col("l.user_id") === col("r.user_id") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $lagMinutes MINUTES") &&
+        col("r.ts") <= col("l.ts"),
+      "inner")
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+        col("l.ts").as("left_ts"), col("r.ts").as("right_ts"))
+  }
+
   /** The corpus quality-filter pass under `readStream`: the SAME pure
     * column expressions as the batch q46 (TextAnalysis.qualityFilter) —
     * zero shuffle, zero state; proof the narrow operators run unchanged in

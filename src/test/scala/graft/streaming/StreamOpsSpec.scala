@@ -174,4 +174,30 @@ class StreamOpsSpec extends SparkSpec {
       assert(u1.length === 1 && u1.head.n_events === 1L) // late row dropped
     } finally q.stop()
   }
+
+  test("correlateStreams: interval-bounded stream-stream join per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[StreamOps.Event]
+    val buys = MemoryStream[StreamOps.Event]
+    val q = StreamOps.correlateStreams(buys.toDF(), views.toDF(),
+      lagMinutes = 30)
+      .writeStream.format("memory").queryName("correlate_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        StreamOps.Event(101, ts(0), 1, "view", 0), // 40 min before: outside lag
+        StreamOps.Event(102, ts(20), 1, "view", 0), // 20 min before: inside
+        StreamOps.Event(103, ts(35), 1, "view", 0), // 5 min before: inside
+        StreamOps.Event(104, ts(40), 1, "view", 0), // same minute as the buy
+        StreamOps.Event(105, ts(30), 2, "view", 0)) // other user
+      buys.addData(StreamOps.Event(201, ts(40), 1, "buy", 9.99))
+      q.processAllAvailable()
+      val got = spark.table("correlate_test")
+        .select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 104 has ts equal to the buy's — r.ts <= l.ts makes it a match too
+      assert(got === Set((201L, 102L), (201L, 103L), (201L, 104L)))
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
 }
