@@ -368,6 +368,25 @@ q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
 SELECT vec_id, label, ${cosineSql("v", "qv")} AS cosine
 FROM e, q ORDER BY cosine DESC, vec_id ASC LIMIT 20""")),
 
+    // Hard-negative mining: per query, top-k most-similar NON-duplicate
+    // vectors (cosine < dup threshold) — contrastive-training negatives.
+    Q("q72_hard_negatives",
+      (s, dir) => Similarity.hardNegatives(Tables.embeddings(s, dir),
+        nQueries = 4, k = 5, dupMax = 0.4)
+        .orderBy("query_id", "rank"),
+      Some(s"""
+WITH $embCte,
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+s AS (SELECT q.query_id, e.vec_id, ${cosineSql("e.v", "q.qv")} AS cosine
+      FROM e, q WHERE e.vec_id <> q.query_id),
+f AS (SELECT * FROM s WHERE cosine < 0.4),
+r AS (SELECT query_id, vec_id, cosine,
+        CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+      FROM f)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank""")),
+
     // LSH ANN top-k: only vectors sharing a (table, bucket) with the query.
     Q("q25_lsh_ann_topk",
       (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), 0L, 10),
@@ -527,6 +546,28 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY score_micro DESC, token ASC) AS rk FROM s)
 SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, df, score_micro
 FROM r WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // Unigram-LM surprisal (perplexity-filter proxy): per-doc mean -ln
+    // p(token), micro-quantized per token before the exact integer sum.
+    Q("q73_unigram_surprisal",
+      (s, dir) => TextAnalysis.unigramSurprisal(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""
+WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT count(*) AS n_total FROM tok),
+s AS (SELECT doc_id,
+        CAST(floor((ln(CAST(n_total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+                   * 1000000 + 0.5) AS BIGINT) AS s_micro
+      FROM tok JOIN freq USING (token) CROSS JOIN tot),
+a AS (SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(s_micro) AS BIGINT) AS sum_micro
+      FROM s GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       CAST(sum_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+         AS avg_surprisal
+FROM a ORDER BY doc_id""")),
 
     // Quality/statistics block over documents.
     Q("q26_text_stats",

@@ -239,4 +239,31 @@ object Similarity {
         cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Hard-negative mining for contrastive embedding training: for each
+    * query vector, the top-k most-similar vectors that are NOT duplicates —
+    * high-cosine-but-below-`dupMax` neighbors are the informative negatives
+    * (confusable with the query yet genuinely different); at-or-above
+    * `dupMax` they're positives/near-dups (q34/q57 territory) and polluting
+    * negatives with them teaches the model to split duplicates apart.
+    *
+    * Scale shape: the query set broadcasts (queries ≪ corpus), scoring is
+    * one narrow pass producing |corpus|×|queries| bounded rows, and the
+    * per-query rank is a window over the small post-dup-filter survivor
+    * set. Batched queries amortize the corpus scan — the production form
+    * runs a training epoch's query batch in ONE pass. */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int, k: Int,
+      dupMax: Double): DataFrame = {
+    val q = broadcast(embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = embeddings.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cosine"))
+      .filter(col("cosine") < dupMax)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -142,6 +142,38 @@ object TextAnalysis {
       .select("doc_id", "rk", "token", "tf", "df", "score_micro")
   }
 
+  /** Unigram-LM surprisal score — the perplexity-filter proxy (the CCNet
+    * recipe scores docs with a KenLM model; the unigram form is the
+    * model-free tier with the same plan shape): per-doc mean of
+    * −ln p(token) under the corpus unigram distribution. Low mean surprisal
+    * = repetitive/common text, high = rare-token soup; both tails are the
+    * filter's prey.
+    *
+    * Per-token surprisal is quantized to integer micro-units BEFORE the
+    * per-doc aggregation (the q56 recipe): all cross-engine float risk is
+    * confined to one ln() rounding per DISTINCT frequency value, and the
+    * doc-level sum is exact integer arithmetic.
+    *
+    * Scale shape: one shuffle on token (freq), one back-join (vocab-sized
+    * right side — broadcastable at corpus scale), one shuffle on doc_id for
+    * the final mean. Same plan family as tf-idf (q56). */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val freq = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(tokens.agg(count(lit(1)).as("n_total")))
+    val surprisalMicro = floor(
+      (log(col("n_total").cast("double")) - log(col("cnt").cast("double")))
+        * lit(1000000) + lit(0.5)).cast("long")
+    tokens.join(freq, "token")
+      .crossJoin(tot)
+      .select(col("doc_id"), surprisalMicro.as("s_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_micro").cast("double") / col("n_tokens").cast("double")
+          / lit(1000000.0)).as("avg_surprisal"))
+  }
+
   /** Winnowing document fingerprint: positional word 3-gram hashes, sliding
     * window of 4, keep each window's min hash, distinct + sort. The classic
     * local fingerprinting scheme (Schleimer et al., SIGMOD'03) as pure array
