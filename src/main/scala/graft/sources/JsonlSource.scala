@@ -14,8 +14,10 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** S1's landing format as a first-class DataSourceV2 connector: JSON-lines
@@ -151,13 +153,25 @@ case class JsonlReaderFactory(required: StructType, pushed: Array[Filter])
     val p = partition.asInstanceOf[JsonlPartition]
     new JsonlPartitionReader(p, required, pushed)
   }
+  // Vectorized handoff: the engine consumes ColumnarBatches (BatchScanExec
+  // inserts ColumnarToRow, which whole-stage-codegen fuses into a tight
+  // per-batch loop) instead of one virtual next()/get() pair per record.
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[JsonlPartition]
+    new JsonlColumnarReader(p, required, pushed)
+  }
 }
 
-/** Reads records whose first byte lies in [start, end); a record crossing
-  * `end` is finished here, and a split with start > 0 discards the partial
-  * record it lands inside (its owner is the previous split). */
-class JsonlPartitionReader(p: JsonlPartition, required: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+/** The shared scan kernel: walks records whose first byte lies in
+  * [start, end) — a record crossing `end` is finished here, and a split
+  * with start > 0 discards the partial record it lands inside (its owner
+  * is the previous split) — applying pushed filters during the parse and
+  * materializing only the projected fields. `advance()` returns the next
+  * surviving record's projected values (null slots for missing/null JSON
+  * fields), or null at end-of-split. */
+private class JsonlCursor(p: JsonlPartition, required: StructType,
+    pushed: Array[Filter]) {
   private val in = new BufferedInputStream(new FileInputStream(p.file))
   // Hadoop line-split contract: seek to start-1 and discard one line, so a
   // record beginning exactly at `start` survives (the discarded "partial"
@@ -174,7 +188,6 @@ class JsonlPartitionReader(p: JsonlPartition, required: StructType,
   }
   private val mapper = new ObjectMapper
   private val buf = new ByteArrayOutputStream(256)
-  private var row: InternalRow = _
   if (p.start > 0) readLine() // partial record: previous split owns it
 
   /** Bytes up to and including '\n' (or EOF); null at EOF. Advances pos. */
@@ -206,30 +219,84 @@ class JsonlPartitionReader(p: JsonlPartition, required: StructType,
     case other => throw new IllegalStateException(s"unpushable filter $other")
   }
 
-  override def next(): Boolean = {
-    row = null
-    while (row == null) {
-      if (pos >= p.end) return false // next record starts in the next split
+  /** Projected values of the next surviving record, or null at end. */
+  def advance(): Array[String] = {
+    while (true) {
+      if (pos >= p.end) return null // next record starts in the next split
       val line = readLine()
-      if (line == null) return false
+      if (line == null) return null
       val trimmed = line.trim
       if (trimmed.nonEmpty) {
         val node = mapper.readTree(trimmed)
         val get = (n: String) => fieldOf(node, n)
         if (pushed.forall(eval(_, get))) {
-          val vals = new Array[Any](required.size)
+          val vals = new Array[String](required.size)
           var i = 0
           while (i < required.size) { // only projected fields materialize
-            val s = get(required.fields(i).name)
-            vals(i) = if (s == null) null else UTF8String.fromString(s)
+            vals(i) = get(required.fields(i).name)
             i += 1
           }
-          row = new GenericInternalRow(vals)
+          return vals
         }
       }
     }
+    null // unreachable
+  }
+
+  def close(): Unit = in.close()
+}
+
+/** Row-at-a-time reader over the cursor. */
+class JsonlPartitionReader(p: JsonlPartition, required: StructType,
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+  private val cursor = new JsonlCursor(p, required, pushed)
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    val vals = cursor.advance()
+    if (vals == null) { row = null; return false }
+    val converted = new Array[Any](vals.length)
+    var i = 0
+    while (i < vals.length) {
+      converted(i) = if (vals(i) == null) null else UTF8String.fromString(vals(i))
+      i += 1
+    }
+    row = new GenericInternalRow(converted)
     true
   }
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = cursor.close()
+}
+
+/** Vectorized reader: fills OnHeapColumnVectors in `batchSize` strides and
+  * hands the engine whole ColumnarBatches. */
+class JsonlColumnarReader(p: JsonlPartition, required: StructType,
+    pushed: Array[Filter], batchSize: Int = 4096)
+    extends PartitionReader[ColumnarBatch] {
+  private val cursor = new JsonlCursor(p, required, pushed)
+  private val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
+  private val batch = new ColumnarBatch(vectors.toArray[ColumnVector])
+
+  override def next(): Boolean = {
+    vectors.foreach(_.reset())
+    var n = 0
+    var vals = if (n < batchSize) cursor.advance() else null
+    while (vals != null) {
+      var i = 0
+      while (i < vals.length) {
+        if (vals(i) == null) vectors(i).putNull(n)
+        else {
+          val bytes = vals(i).getBytes(StandardCharsets.UTF_8)
+          vectors(i).putByteArray(n, bytes, 0, bytes.length)
+        }
+        i += 1
+      }
+      n += 1
+      vals = if (n < batchSize) cursor.advance() else null
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { batch.close(); cursor.close() }
 }

