@@ -247,13 +247,19 @@ object Similarity {
     * `dupMax` they're positives/near-dups (q34/q57 territory) and polluting
     * negatives with them teaches the model to split duplicates apart.
     *
-    * Scale shape: the query set broadcasts (queries ≪ corpus), scoring is
-    * one narrow pass producing |corpus|×|queries| bounded rows, and the
-    * per-query rank is a window over the small post-dup-filter survivor
-    * set. Batched queries amortize the corpus scan — the production form
-    * runs a training epoch's query batch in ONE pass. */
+    * Scale shape: the query set broadcasts (queries ≪ corpus) and scoring
+    * is one narrow pass producing |corpus|×|queries| bounded rows. The
+    * top-k is TWO-PHASE: a query_id-only rank window would funnel a whole
+    * corpus copy into one task per query (the low-cardinality-partition
+    * straggler), so phase 1 ranks within (query_id, salt) — uniform
+    * partitions, each emitting ≤ k survivors — and phase 2 re-ranks the
+    * |queries|×salt×k union, which is trivially small. Global top-k equals
+    * top-k of the union of local top-ks, so results are identical to the
+    * single-window spelling (q43 keeps that canonical form; this is the
+    * shape that survives a corpus 1000× bigger). Batched queries amortize
+    * the corpus scan — a training epoch's query batch runs in ONE pass. */
   def hardNegatives(embeddings: DataFrame, nQueries: Int, k: Int,
-      dupMax: Double): DataFrame = {
+      dupMax: Double, salts: Int = 64): DataFrame = {
     val q = broadcast(embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     val scored = embeddings.crossJoin(q)
@@ -261,9 +267,16 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("q_emb")).as("cosine"))
       .filter(col("cosine") < dupMax)
-    val w = org.apache.spark.sql.expressions.Window
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), pmod(hash(col("vec_id")), lit(salts)))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val wGlobal = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    scored
+      .withColumn("__r_local", row_number().over(wLocal))
+      .filter(col("__r_local") <= k)
+      .withColumn("rank", row_number().over(wGlobal).cast("long"))
       .filter(col("rank") <= k)
+      .drop("__r_local")
   }
 }
