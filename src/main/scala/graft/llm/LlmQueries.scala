@@ -359,6 +359,35 @@ SELECT shard, chunk_id, doc_id,
     AS tokens_in_chunk
 FROM m ORDER BY shard, chunk_id, doc_id""")),
 
+    // Sliding-window chunking with overlap (window 512, stride 256): the
+    // context-overlap form of q51's packing; every boundary token appears
+    // in two windows.
+    Q("q74_sliding_windows",
+      (s, dir) => Packing.slidingManifest(Tables.documents(s, dir), "lang",
+        512, 256)
+        .orderBy("shard", "window_id", "doc_id"),
+      Some("""
+WITH t AS (SELECT doc_id, lang AS shard,
+             len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS n_tokens
+           FROM documents
+           WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 1),
+o AS (SELECT doc_id, shard, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+          AS end_offset
+      FROM t),
+p AS (SELECT doc_id, shard, end_offset - n_tokens AS start_offset, end_offset,
+        greatest(0, CAST((end_offset - n_tokens - 512 + 256) // 256 AS BIGINT))
+          AS first_win,
+        CAST((end_offset - 1) // 256 AS BIGINT) AS last_win
+      FROM o),
+m AS (SELECT shard, doc_id, start_offset, end_offset,
+        unnest(generate_series(first_win, last_win)) AS window_id
+      FROM p)
+SELECT shard, window_id, doc_id,
+  least(end_offset, window_id * 256 + 512) - greatest(start_offset, window_id * 256)
+    AS tokens_in_window
+FROM m ORDER BY shard, window_id, doc_id""")),
+
     // Brute-force cosine top-k against vec_id=0 (correctness baseline).
     Q("q24_cosine_topk",
       (s, dir) => Similarity.bruteTopK(Tables.embeddings(s, dir), 0L, 20),

@@ -22,28 +22,32 @@ import TextOps.toks
   */
 object Packing {
 
-  /** Per-doc packing plan: token offsets within the shard stream and the
-    * [first_chunk, last_chunk] range of `chunkTokens`-sized chunks the doc's
-    * tokens fall into. Deterministic: shard stream order is (doc_id). */
-  def packPlan(docs: DataFrame, shardCol: String, chunkTokens: Int): DataFrame = {
+  /** Per-doc token offsets within the shard stream (deterministic: stream
+    * order is (doc_id)). The base layer both chunkers share. */
+  def offsets(docs: DataFrame, shardCol: String): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
     docs
       .select(col("doc_id"), col(shardCol).as("shard"),
         size(toks(col("text"))).cast("long").as("n_tokens"))
       // A NULL text makes size() yield -1; a tokenless doc contributes no
-      // chunk. Dropping n_tokens < 1 keeps the explode range below provably
-      // ascending (sequence(first, last) with last >= first) and the
-      // cumulative offsets monotone — without the guard a null doc emits a
-      // DESCENDING sequence range (spurious negative-token chunk rows) and
-      // corrupts every later offset in its shard.
+      // chunk. Dropping n_tokens < 1 keeps every explode range downstream
+      // provably ascending (sequence(first, last) with last >= first) and
+      // the cumulative offsets monotone — without the guard a null doc
+      // emits a DESCENDING sequence range (spurious negative-token chunk
+      // rows) and corrupts every later offset in its shard.
       .filter(col("n_tokens") >= 1)
       .withColumn("end_offset", sum("n_tokens").over(w))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         (col("end_offset") - col("n_tokens")).as("start_offset"),
         col("end_offset"))
+  }
+
+  /** Per-doc packing plan: token offsets plus the [first_chunk, last_chunk]
+    * range of `chunkTokens`-sized chunks the doc's tokens fall into. */
+  def packPlan(docs: DataFrame, shardCol: String, chunkTokens: Int): DataFrame =
+    offsets(docs, shardCol)
       .withColumn("first_chunk", floor(col("start_offset") / chunkTokens))
       .withColumn("last_chunk", floor((col("end_offset") - 1) / chunkTokens))
-  }
 
   /** The chunk→doc manifest: one row per (shard, chunk, doc) the chunk
     * covers, with how many of the doc's tokens it holds. Chunk sizes sum
@@ -56,4 +60,36 @@ object Packing {
         (least(col("end_offset"), (col("chunk_id") + 1) * chunkTokens) -
           greatest(col("start_offset"), col("chunk_id") * chunkTokens))
           .as("tokens_in_chunk"))
+
+  /** Sliding-window manifest: windows of `windowTokens` starting every
+    * `stride` tokens in the shard stream (stride < window ⇒ overlap — the
+    * context-overlap chunking RAG indexes and long-context pretraining use
+    * so no boundary loses its context; stride == window degenerates to
+    * `chunkManifest`). One row per (shard, window, doc) the window reads.
+    *
+    * `windowTokens >= stride` is required: it makes coverage total (every
+    * token lands in >= 1 window) and the per-doc window range provably
+    * ascending. Window w covers [w*stride, w*stride + windowTokens); a doc
+    * [s, e) overlaps windows ceil((s - W + 1)/stride) .. floor((e-1)/stride)
+    * (clamped at 0). Same single shard-key shuffle as packPlan; fan-out is
+    * bounded by n_tokens/stride + W/stride per doc. */
+  def slidingManifest(docs: DataFrame, shardCol: String, windowTokens: Int,
+      stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be positive")
+    require(windowTokens >= stride,
+      "windowTokens < stride leaves tokens uncovered between windows")
+    // ceil((s - W + 1) / stride) == floor((s - W + stride) / stride); exact
+    // in double for any offset < 2^53.
+    val firstWin = greatest(lit(0L),
+      floor((col("start_offset") - windowTokens + stride) / stride.toDouble)
+        .cast("long"))
+    val lastWin = floor((col("end_offset") - 1) / stride.toDouble).cast("long")
+    offsets(docs, shardCol)
+      .select(col("shard"), col("doc_id"), col("start_offset"), col("end_offset"),
+        explode(sequence(firstWin, lastWin)).as("window_id"))
+      .select(col("shard"), col("window_id"), col("doc_id"),
+        (least(col("end_offset"), col("window_id") * stride + windowTokens) -
+          greatest(col("start_offset"), col("window_id") * stride))
+          .as("tokens_in_window"))
+  }
 }

@@ -60,4 +60,28 @@ class PackingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(starts("en") === ((0L, 7L)) && starts("es") === ((0L, 7L)))
   }
+
+  test("slidingManifest with stride == window equals chunkManifest") {
+    val sliding = Packing.slidingManifest(docs, "lang", 4, 4)
+      .withColumnRenamed("window_id", "chunk_id")
+      .withColumnRenamed("tokens_in_window", "tokens_in_chunk")
+    val chunks = Packing.chunkManifest(docs, "lang", 4)
+    assert(sliding.exceptAll(chunks).isEmpty && chunks.exceptAll(sliding).isEmpty)
+  }
+
+  test("slidingManifest overlap: stream [0,14), window 4, stride 2") {
+    val m = Packing.slidingManifest(docs, "lang", 4, 2)
+    // windows start at 0,2,...,12: 7 windows; all full except the last
+    val perWin = m.groupBy("window_id").agg(sum("tokens_in_window").as("n"))
+      .orderBy("window_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(perWin === Seq(0L -> 4L, 1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L,
+      5L -> 4L, 6L -> 2L))
+    // interior tokens are covered twice: doc coverage = n_tokens*2 +/- edges
+    // doc 2 spans [3,8): windows 0..3 hold 1, 3, 4, 2 of its tokens -> 10
+    val d2 = m.filter(col("doc_id") === 2L)
+      .agg(sum("tokens_in_window")).head.getLong(0)
+    assert(d2 === 10L)
+    // every window's doc spans are contiguous: min start = window start
+    assert(m.filter(col("tokens_in_window") <= 0).count() === 0)
+  }
 }
