@@ -114,4 +114,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_graft_mg_topk"),
       s"expected map-side partial Misra-Gries stage:\n$p")
   }
+
+  test("incremental agg merge is exchange-free (reuses partials' partitioning)") {
+    // executedPlan: EnsureRequirements decides the merge's distribution.
+    // Stored + delta partials each shuffle once on the group keys; the
+    // union'd re-aggregation must NOT add a third exchange — both inputs
+    // are already hash-partitioned on those keys.
+    val p = SparkEntry.queries("q69_incremental_agg")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val beforeSort = p.split("Union").head // exchanges above the union: sort only
+    val n = "Exchange hashpartitioning".r.findAllIn(beforeSort).size
+    assert(n === 0, s"merge re-agg added a hash exchange:\n$p")
+  }
+
+  test("sliding windows and SCD2 are single-shuffle window plans") {
+    for (q <- Seq("q74_sliding_windows", "q70_scd2_filings")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n === 1, s"$q expected exactly one hash exchange:\n$p")
+    }
+  }
+
+  test("dsv2 scan carries its pushed filters and pruned schema") {
+    val p = SparkEntry.queries("q68_dsv2_ticker_scan")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft-jsonl"), p)
+    assert(p.contains("GreaterThanOrEqual(ticker,TKR1)") &&
+      p.contains("LessThan(ticker,TKR3)"),
+      s"expected the range conjuncts in PushedFilters:\n$p")
+  }
+
+  test("hard negatives ranks two-phase (salted local window before global)") {
+    val p = SparkEntry.queries("q72_hard_negatives")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // two window operators: (query_id, salt) then query_id
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("pmod") || p.contains("hash("), p)
+  }
 }
