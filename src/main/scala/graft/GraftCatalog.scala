@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The SQL front door: register the whole warehouse as temp views so a user
+  * lives entirely in `spark.sql` — the raw TPC-H tables, the derived SEC
+  * tables (the reference's Postgres tables `facts`/`filings`/`companies`,
+  * db/schema.sql:4-62), the stored marts (`statements_annual`/
+  * `ratios_annual`, the tables the reference's API reads), and the corpus
+  * tables. With GraftExtensions on the session, the registered native
+  * kernels (graft_hash60, bloom agg/probe, Misra-Gries) and the COMPACT
+  * PARQUET statement are available in the same SQL session.
+  *
+  * Temp views are lazy plans, not copies: a view of a memoized mart shares
+  * the persisted mart; a view of a parquet table is the scan with full
+  * pushdown. At 100 TB these would be catalog tables over the same paths —
+  * the query text is identical.
+  */
+object GraftCatalog {
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Tables.names.foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(n)
+    }
+    sec.SecDerive.facts(spark, dir).createOrReplaceTempView("facts")
+    sec.SecDerive.filings(spark, dir).createOrReplaceTempView("filings")
+    sec.SecDerive.companies(spark, dir).createOrReplaceTempView("companies")
+    sec.SecDerive.statementsV3(spark, dir)
+      .createOrReplaceTempView("statements_annual")
+    sec.SecDerive.ratiosV3(spark, dir).createOrReplaceTempView("ratios_annual")
+  }
+}
