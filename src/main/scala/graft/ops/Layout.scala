@@ -75,6 +75,35 @@ object Layout {
       cells: Seq[Long]): DataFrame =
     spark.read.parquet(path).filter(col("cell").isin(cells: _*))
 
+  /** Event-time layout: day-partitioned directories, the standard
+    * append-only fact layout — each day's load lands in its own directory,
+    * time-range predicates prune to the covered days (PartitionFilters, no
+    * file even opened outside the range), and retention/compliance deletes
+    * are directory drops. At 100 TB with years of history this is the
+    * difference between scanning a day and scanning an archive. */
+  def writeEventsByDay(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .repartition(col("event_date"))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(path)
+
+  /** Time-range read over the day layout: the date predicate is a partition
+    * filter (directory pruning), anything else pushes into parquet. */
+  def eventsBetween(spark: SparkSession, path: String,
+      fromDate: String, toDate: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("event_date") >= fromDate && col("event_date") <= toDate)
+
+  /** Schema-evolution read: years of parquet written under drifting schemas
+    * (columns added over time) read as ONE table — parquet's mergeSchema
+    * unions the field sets; files missing a column surface nulls. The
+    * operational contract: ADD columns only (a type change or rename is a
+    * rewrite, not an evolution — same rule as every columnar warehouse). */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Small-file compaction: rewrite a parquet directory into files near
     * `targetBytes`. The operational tax of incremental pipelines (each
     * micro-batch/delta append lands its own files; a 100 TB table fed by

@@ -76,4 +76,31 @@ class LayoutSpec extends SparkSpec {
       .groupBy("cik").agg(countDistinct("b").as("n"))
     assert(singleCol[Long](again.select("n").distinct()) === Seq(1L))
   }
+
+  test("day-partitioned events: a range read prunes to the covered days") {
+    val path = Files.createTempDirectory("graft_layout_days").toString + "/events"
+    val events = Seq(
+      (1L, "2021-03-01 10:00:00", 1.0), (2L, "2021-03-02 11:00:00", 2.0),
+      (3L, "2021-03-03 12:00:00", 3.0), (4L, "2021-03-08 13:00:00", 4.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    Layout.writeEventsByDay(events, path)
+    val q = Layout.eventsBetween(spark, path, "2021-03-02", "2021-03-03")
+    assert(singleCol[Long](q.select("event_id").orderBy("event_id")) === Seq(2L, 3L))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("event_date"), p)
+  }
+
+  test("schema-evolution read: added columns surface as nulls for old files") {
+    val v1 = Files.createTempDirectory("graft_layout_v1").toString
+    val v2 = Files.createTempDirectory("graft_layout_v2").toString
+    Seq((1L, "a")).toDF("id", "text").write.mode("overwrite").parquet(v1)
+    Seq((2L, "b", "en")).toDF("id", "text", "lang")
+      .write.mode("overwrite").parquet(v2)
+    val merged = Layout.readEvolved(spark, v1, v2)
+    assert(merged.columns.toSet === Set("id", "text", "lang"))
+    val byId = merged.orderBy("id").collect()
+    assert(byId(0).getAs[String]("lang") === null) // v1 file: column absent
+    assert(byId(1).getAs[String]("lang") === "en")
+  }
 }
