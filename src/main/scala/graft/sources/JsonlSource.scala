@@ -56,7 +56,11 @@ class JsonlSource extends TableProvider with DataSourceRegister {
     val split = Option(properties.get("partitionBytes")).map(_.toLong)
       .getOrElse(JsonlSource.DefaultPartitionBytes)
     require(split > 0, "partitionBytes must be positive")
-    JsonlTable(schema, path, split)
+    val mode = Option(properties.get("mode")).getOrElse("failfast")
+      .toLowerCase(java.util.Locale.ROOT)
+    require(JsonlSource.Modes.contains(mode),
+      s"mode must be one of ${JsonlSource.Modes.mkString("/")}, got '$mode'")
+    JsonlTable(schema, path, split, mode)
   }
 }
 
@@ -67,6 +71,12 @@ object JsonlSource {
     StructField("title", StringType)))
   /** Default split size: 128 MiB, the parquet-row-group-ish sweet spot. */
   val DefaultPartitionBytes: Long = 128L * 1024 * 1024
+
+  /** Malformed-record handling, mirroring Spark's JSON source contract:
+    * failfast (default here — a landing file is OUR artifact, corruption
+    * means the fetch is broken), dropmalformed (skip the record), or
+    * permissive (emit it with every projected field null). */
+  val Modes: Set[String] = Set("failfast", "dropmalformed", "permissive")
 
   /** Files under `path` (itself, or its *.jsonl children), stable order. */
   def listFiles(path: String): Seq[File] = {
@@ -80,17 +90,19 @@ object JsonlSource {
   }
 }
 
-case class JsonlTable(tableSchema: StructType, path: String, partitionBytes: Long)
+case class JsonlTable(tableSchema: StructType, path: String, partitionBytes: Long,
+    mode: String)
     extends Table with SupportsRead {
   override def name(): String = s"graft-jsonl `$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonlScanBuilder(tableSchema, path, partitionBytes)
+    new JsonlScanBuilder(tableSchema, path, partitionBytes, mode)
 }
 
-class JsonlScanBuilder(full: StructType, path: String, partitionBytes: Long)
+class JsonlScanBuilder(full: StructType, path: String, partitionBytes: Long,
+    mode: String)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var required: StructType = full
@@ -121,11 +133,12 @@ class JsonlScanBuilder(full: StructType, path: String, partitionBytes: Long)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = JsonlScan(path, required, pushed, partitionBytes)
+  override def build(): Scan = JsonlScan(path, required, pushed, partitionBytes, mode)
 }
 
 case class JsonlScan(path: String, required: StructType,
-    pushed: Array[Filter], partitionBytes: Long) extends Scan with Batch {
+    pushed: Array[Filter], partitionBytes: Long, mode: String)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -141,17 +154,18 @@ case class JsonlScan(path: String, required: StructType,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    JsonlReaderFactory(required, pushed)
+    JsonlReaderFactory(required, pushed, mode)
 }
 
 case class JsonlPartition(file: String, start: Long, end: Long)
     extends InputPartition
 
-case class JsonlReaderFactory(required: StructType, pushed: Array[Filter])
+case class JsonlReaderFactory(required: StructType, pushed: Array[Filter],
+    mode: String)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlPartition]
-    new JsonlPartitionReader(p, required, pushed)
+    new JsonlPartitionReader(p, required, pushed, mode)
   }
   // Vectorized handoff: the engine consumes ColumnarBatches (BatchScanExec
   // inserts ColumnarToRow, which whole-stage-codegen fuses into a tight
@@ -159,7 +173,7 @@ case class JsonlReaderFactory(required: StructType, pushed: Array[Filter])
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[JsonlPartition]
-    new JsonlColumnarReader(p, required, pushed)
+    new JsonlColumnarReader(p, required, pushed, mode)
   }
 }
 
@@ -171,7 +185,7 @@ case class JsonlReaderFactory(required: StructType, pushed: Array[Filter])
   * surviving record's projected values (null slots for missing/null JSON
   * fields), or null at end-of-split. */
 private class JsonlCursor(p: JsonlPartition, required: StructType,
-    pushed: Array[Filter]) {
+    pushed: Array[Filter], mode: String) {
   private val in = new BufferedInputStream(new FileInputStream(p.file))
   // Hadoop line-split contract: seek to start-1 and discard one line, so a
   // record beginning exactly at `start` survives (the discarded "partial"
@@ -227,16 +241,33 @@ private class JsonlCursor(p: JsonlPartition, required: StructType,
       if (line == null) return null
       val trimmed = line.trim
       if (trimmed.nonEmpty) {
-        val node = mapper.readTree(trimmed)
-        val get = (n: String) => fieldOf(node, n)
-        if (pushed.forall(eval(_, get))) {
-          val vals = new Array[String](required.size)
-          var i = 0
-          while (i < required.size) { // only projected fields materialize
-            vals(i) = get(required.fields(i).name)
-            i += 1
+        // Malformed = unparseable OR not a JSON object (a bare scalar line
+        // parses fine but is not a record).
+        val parsed =
+          try {
+            val n = mapper.readTree(trimmed)
+            if (n.isObject) n else null
+          } catch {
+            case _: com.fasterxml.jackson.core.JacksonException => null
           }
-          return vals
+        val node = if (parsed != null) parsed else mode match {
+          case "failfast" => throw new IllegalStateException(
+            s"malformed JSONL record in ${p.file} " +
+              s"(mode=failfast): ${trimmed.take(80)}")
+          case "dropmalformed" => null
+          case "permissive" => mapper.createObjectNode() // all-null row
+        }
+        if (node != null) {
+          val get = (n: String) => fieldOf(node, n)
+          if (pushed.forall(eval(_, get))) {
+            val vals = new Array[String](required.size)
+            var i = 0
+            while (i < required.size) { // only projected fields materialize
+              vals(i) = get(required.fields(i).name)
+              i += 1
+            }
+            return vals
+          }
         }
       }
     }
@@ -248,8 +279,8 @@ private class JsonlCursor(p: JsonlPartition, required: StructType,
 
 /** Row-at-a-time reader over the cursor. */
 class JsonlPartitionReader(p: JsonlPartition, required: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
-  private val cursor = new JsonlCursor(p, required, pushed)
+    pushed: Array[Filter], mode: String) extends PartitionReader[InternalRow] {
+  private val cursor = new JsonlCursor(p, required, pushed, mode)
   private var row: InternalRow = _
 
   override def next(): Boolean = {
@@ -271,9 +302,9 @@ class JsonlPartitionReader(p: JsonlPartition, required: StructType,
 /** Vectorized reader: fills OnHeapColumnVectors in `batchSize` strides and
   * hands the engine whole ColumnarBatches. */
 class JsonlColumnarReader(p: JsonlPartition, required: StructType,
-    pushed: Array[Filter], batchSize: Int = 4096)
+    pushed: Array[Filter], mode: String, batchSize: Int = 4096)
     extends PartitionReader[ColumnarBatch] {
-  private val cursor = new JsonlCursor(p, required, pushed)
+  private val cursor = new JsonlCursor(p, required, pushed, mode)
   private val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
   private val batch = new ColumnarBatch(vectors.toArray[ColumnVector])
 

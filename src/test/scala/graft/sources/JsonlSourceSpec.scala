@@ -84,6 +84,24 @@ class JsonlSourceSpec extends SparkSpec {
     assert(df.count() === 5)
   }
 
+  test("parse modes: failfast throws, dropmalformed skips, permissive nulls") {
+    val lines = Seq(
+      """{"cik_str":"1","ticker":"A","title":"Ok"}""",
+      "this is not json",
+      "42", // parses, but not an object: malformed
+      """{"cik_str":"2","ticker":"B","title":"Ok2"}""")
+    val p = Files.createTempFile("graft_jsonl_bad_", ".jsonl")
+    Files.write(p, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    def load(mode: String) = spark.read.format("graft-jsonl")
+      .option("mode", mode).load(p.toString)
+
+    intercept[Exception](load("failfast").count()) // default mode as well
+    assert(singleCol[String](load("dropmalformed").select("cik_str")
+      .orderBy("cik_str")) === Seq("1", "2"))
+    val perm = load("permissive").select("cik_str").collect().map(_.getString(0))
+    assert(perm.count(_ == null) === 2 && perm.count(_ != null) === 2)
+  }
+
   test("landing file derivation matches the companies dim (q68 contract)") {
     val dir = "/root/testdata/sf0.001"
     val landing = JsonlLanding.ensure(spark, dir)
