@@ -111,5 +111,33 @@ SELECT f.fact_id, f.cik, f.filed,
        f1.filing_date AS asof_filing_date
 FROM (SELECT fact_id, cik, filed FROM facts) f
 ASOF LEFT JOIN f1 ON f.cik = f1.cik AND f1.filing_date <= f.filed
-ORDER BY f.fact_id""")))
+ORDER BY f.fact_id""")),
+
+    // Point-in-time feature join (the feature-store read pattern): each
+    // filing is scored with the latest ratios available AT OR BEFORE its
+    // fiscal year — never a later year's numbers (leakage). Through the
+    // custom exec again, on an INTEGER time axis this time (the merge
+    // compares (key, time) with natural ordering, so the operator is
+    // type-generic across date/timestamp/int keys). ratios has one row per
+    // (cik, fiscal_year) by construction — the ≤1-per-(key,time) contract.
+    Q("q75_asof_features",
+      (s, dir) => {
+        val fl = SecDerive.filings(s, dir)
+          .select("accession_no", "cik", "fiscal_year")
+        val rt = SecDerive.ratiosV3(s, dir)
+          .select(col("cik").as("r_cik"),
+            col("fiscal_year").as("feature_year"),
+            col("roe"), col("net_margin"))
+        graft.plans.AsofMerge.join(fl, rt,
+          Seq("cik"), Seq("r_cik"), "fiscal_year", "feature_year")
+          .select(col("accession_no"), col("cik"), col("fiscal_year"),
+            col("feature_year"), col("roe"), col("net_margin"))
+          .orderBy("accession_no")
+      },
+      Some(s"""${SecSql.fullPrelude}
+SELECT f.accession_no, f.cik, f.fiscal_year,
+       r.fiscal_year AS feature_year, r.roe, r.net_margin
+FROM (SELECT accession_no, cik, fiscal_year FROM filings) f
+ASOF LEFT JOIN ratios r ON f.cik = r.cik AND r.fiscal_year <= f.fiscal_year
+ORDER BY f.accession_no""")))
 }
