@@ -585,7 +585,7 @@ FROM r WHERE rk <= 3 ORDER BY doc_id, rk""")),
 WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
              FROM documents),
 freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
-tot AS (SELECT count(*) AS n_total FROM tok),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM freq),
 s AS (SELECT doc_id,
         CAST(floor((ln(CAST(n_total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
                    * 1000000 + 0.5) AS BIGINT) AS s_micro

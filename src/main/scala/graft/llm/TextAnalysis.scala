@@ -160,7 +160,9 @@ object TextAnalysis {
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
     val freq = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val tot = broadcast(tokens.agg(count(lit(1)).as("n_total")))
+    // total token count summed from the vocab-sized freq table — NOT a
+    // second pass over the corpus tokens
+    val tot = broadcast(freq.agg(sum(col("cnt")).as("n_total")))
     val surprisalMicro = floor(
       (log(col("n_total").cast("double")) - log(col("cnt").cast("double")))
         * lit(1000000) + lit(0.5)).cast("long")
