@@ -139,6 +139,36 @@ object StreamOps {
   def qualityFilterStream(docsStream: DataFrame): DataFrame =
     graft.llm.TextAnalysis.qualityFilter(docsStream)
 
+  /** The streaming→warehouse bridge: foreachBatch + the batch merge sink.
+    * Each micro-batch merges into the stored table with
+    * Sinks.mergeLatestWins (best row per natural key under a TOTAL order),
+    * which makes the sink IDEMPOTENT — exactly the property foreachBatch
+    * needs, because after a failure Spark re-delivers the last batch
+    * (at-least-once per batch id); re-merging the same rows is a no-op, so
+    * end-to-end the table is exactly-once. At 100 TB the merge shuffles
+    * once on the key, co-partitioned with the table's bucketing; here the
+    * store is a parquet path swapped whole (the small-dim form).
+    * Returns the running query. */
+  def mergeStream(events: DataFrame, tablePath: String, checkpoint: String,
+      naturalKey: Seq[String], order: Seq[org.apache.spark.sql.Column]): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(tablePath)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+          }
+        val merged = graft.ops.Sinks
+          .mergeLatestWins(existing, batch.toDF(), naturalKey, order)
+          .localCheckpoint() // cut lineage BEFORE overwriting what we read
+        merged.write.mode("overwrite").parquet(tablePath)
+        ()
+      }
+      .start()
+
   /** File-source form: tail a directory of event parquet (schema inferred
     * from the batch table) into the hourly aggregation, writing parquet +
     * checkpoint under `outDir`. Returns the running query. */

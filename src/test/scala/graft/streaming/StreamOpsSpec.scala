@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -172,6 +173,33 @@ class StreamOpsSpec extends SparkSpec {
       val u1 = spark.table("sessions_late_test")
         .as[StreamOps.Session].collect().filter(_.user_id == 1L)
       assert(u1.length === 1 && u1.head.n_events === 1L) // late row dropped
+    } finally q.stop()
+  }
+
+  test("mergeStream: foreachBatch merge is latest-wins and re-delivery-proof") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_merge_stream")
+    val table = base.resolve("table").toString
+    val ckpt = base.resolve("ckpt").toString
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.mergeStream(mem.toDF(), table, ckpt,
+      naturalKey = Seq("event_id"),
+      order = Seq(col("ts").desc, col("value").desc))
+    try {
+      mem.addData(
+        StreamOps.Event(1, ts(0), 1, "click", 1.0),
+        StreamOps.Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      // a later version of event 1 plus a re-delivered duplicate of event 2
+      mem.addData(
+        StreamOps.Event(1, ts(5), 1, "click", 9.0),
+        StreamOps.Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(table)
+        .select("event_id", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === Map(1L -> 9.0, 2L -> 2.0)) // latest wins, dup a no-op
+      assert(q.exception.isEmpty)
     } finally q.stop()
   }
 
