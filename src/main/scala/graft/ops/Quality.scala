@@ -124,6 +124,56 @@ SELECT doc_id, FALSE AS in_cluster FROM
   (SELECT doc_id FROM quality EXCEPT SELECT doc_id FROM clustered)
 ORDER BY doc_id""")),
 
+    // Per-company outlier flags: z-score of each year's ROE against the
+    // company's own history — the anomaly screen an analyst runs over the
+    // mart ("which year is out of line for THIS company"). Exact integer
+    // moments over an unbounded per-cik window (the q71 recipe at window
+    // shape): micro-quantized roe, long sums, one float block at the end in
+    // a pinned association order. sqrt is IEEE-correctly-rounded (unlike
+    // ln), so no quantization is needed on the output. Degenerate histories
+    // (n < 3 or zero variance) are excluded rather than emitting inf/NaN.
+    Q("q76_outlier_flags",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("cik")
+        val nD = col("n").cast("double")
+        val sD = col("s").cast("double")
+        val ssD = col("ss").cast("double")
+        val qD = col("q").cast("double")
+        val varNum = ssD - sD * sD / nD
+        val z = (qD - sD / nD) / sqrt(varNum / (nD - lit(1.0)))
+        SecDerive.ratiosV3(s, dir)
+          .filter(col("roe").isNotNull)
+          .select(col("cik"), col("fiscal_year"),
+            floor(col("roe") * 1000000 + 0.5).cast("long").as("q"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("s", sum(col("q")).over(w))
+          .withColumn("ss", sum(col("q") * col("q")).over(w))
+          .filter(col("n") >= 3 && varNum > 0)
+          .select(col("cik"), col("fiscal_year"), z.as("z"),
+            (abs(z) > 2.0).cast("int").as("is_outlier"))
+          .orderBy("cik", "fiscal_year")
+      },
+      Some(s"""${SecSql.fullPrelude},
+r AS (SELECT cik, fiscal_year,
+        CAST(floor(roe*1000000 + 0.5) AS BIGINT) AS q
+      FROM ratios WHERE roe IS NOT NULL),
+m AS (SELECT cik, fiscal_year, q,
+        CAST(count(*) OVER w AS BIGINT) AS n,
+        CAST(sum(q) OVER w AS BIGINT) AS s,
+        CAST(sum(q*q) OVER w AS BIGINT) AS ss
+      FROM r WINDOW w AS (PARTITION BY cik)),
+z AS (SELECT cik, fiscal_year,
+        (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+          / sqrt((CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0)) AS z
+      FROM m
+      WHERE n >= 3
+        AND (CAST(ss AS DOUBLE)
+               - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE)) > 0)
+SELECT cik, fiscal_year, z, CAST(abs(z) > 2.0 AS INT) AS is_outlier
+FROM z ORDER BY cik, fiscal_year""")),
+
     // Typed Aggregator surface (expr.VarMoments): per-group sample variance
     // from exact integer moments through the Dataset API
     // (groupByKey().agg(toColumn)) — merge-order-insensitive by
