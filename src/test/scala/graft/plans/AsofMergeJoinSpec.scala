@@ -28,6 +28,24 @@ class AsofMergeJoinSpec extends SparkSpec {
     assert(out(5L) === None)        // key with no right rows at all
   }
 
+  test("empty right side: every left row emits with nulls") {
+    val out = AsofMerge.join(trades, quotes.limit(0),
+      Seq("ticker"), Seq("q_ticker"), "t", "q_t")
+    assert(out.count() === 5)
+    assert(out.filter(col("px").isNotNull).count() === 0)
+  }
+
+  test("duplicate left timestamps each emit (left is never deduped)") {
+    import spark.implicits._
+    val dupTrades = Seq((1L, "A", 10L), (2L, "A", 10L), (3L, "A", 10L))
+      .toDF("trade_id", "ticker", "t")
+    val out = AsofMerge.join(dupTrades, quotes,
+      Seq("ticker"), Seq("q_ticker"), "t", "q_t")
+    val px = out.select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(px === Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+  }
+
   test("survives pre-shuffled inputs (exchanges re-cluster both sides)") {
     val out = AsofMerge.join(trades.repartition(7), quotes.repartition(3),
       Seq("ticker"), Seq("q_ticker"), "t", "q_t")
