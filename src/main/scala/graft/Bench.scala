@@ -59,26 +59,42 @@ object Bench {
     // stays timed in q09/q17, which call the builders directly.
     graft.sec.SecDerive.ratiosV3(spark, sfDir).count()
 
-    def timeOnce(q: Q): Option[Double] = {
+    // Contention forensics: whole-JVM CPU time per query alongside wall
+    // time. On a contended shared host, wall inflates while the work's CPU
+    // seconds stay ~constant (r2: 308.6 s driver vs 64.2 s quiet; r4: six
+    // >2x phantom regressions on untouched plans) — cpu_sec is the
+    // corroborating evidence that separates "host was busy" from "plan got
+    // slower". Both raw wall runs are recorded too, so min-of-2 can't hide
+    // a genuinely bimodal query.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def loadavg: Double = osBean.getSystemLoadAverage
+    val loadStart = loadavg
+
+    def timeOnce(q: Q): Option[(Double, Double)] = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       try {
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        Some(((System.nanoTime() - t0) / 1e9,
+          (osBean.getProcessCpuTime - c0) / 1e9))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           None
       }
     }
-    val results = selected.map { q =>
-      val best = (timeOnce(q), timeOnce(q)) match {
-        case (Some(a), Some(b)) => math.min(a, b)
-        case (Some(a), None)    => a  // flaky second run: keep the evidence
-        case (None, Some(b))    => b
-        case (None, None)       => -1.0
+    val detailed = selected.map { q =>
+      val (best, runs, cpu) = (timeOnce(q), timeOnce(q)) match {
+        case (Some((a, ca)), Some((b, cb))) =>
+          (math.min(a, b), Seq(a, b), if (a <= b) ca else cb)
+        case (Some((a, ca)), None) => (a, Seq(a), ca) // flaky 2nd: keep evidence
+        case (None, Some((b, cb))) => (b, Seq(b), cb)
+        case (None, None)          => (-1.0, Nil, -1.0)
       }
-      q.name -> best
+      (q.name, best, runs, cpu)
     }
+    val results = detailed.map { case (n, best, _, _) => n -> best }
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -87,8 +103,17 @@ object Bench {
     val sfToken = sfDir.split("/").last.stripPrefix("sf")
     // Numeric if parseable, else a JSON string — never bare non-numeric text.
     val sf = sfToken.toDoubleOption.map(_.toString).getOrElse("\"" + sfToken + "\"")
+    def fmt(d: Double): String = f"$d%.4f"
+    val cpuJson = detailed.map { case (n, _, _, c) => "\"" + n + "\":" + fmt(c) }
+      .mkString("{", ",", "}")
+    val runsJson = detailed.map { case (n, _, rs, _) =>
+      "\"" + n + "\":" + rs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val totalCpu = detailed.map(_._4).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":$sf}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":$sf,""" +
+        s""""cpu_sec":$cpuJson,"runs":$runsJson,"total_cpu_sec":${fmt(totalCpu)},""" +
+        s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"cpus":$cpus}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     println(json)
     spark.stop()

@@ -16,10 +16,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    new java.io.File(s"$outDir/_debug").mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Adjudication artifact (r4's q69 hash-mismatched in the driver
+        // env only): re-read the parquet EXACTLY as the comparator will
+        // (post-write row order) and dump small results verbatim, so a
+        // driver-side red can be diffed against the oracle row-by-row.
+        val back = spark.read.parquet(s"$outDir/$name")
+        val rows = back.limit(65).collect()
+        if (rows.length <= 64) {
+          val cols = back.columns
+          val lines = rows.map { r =>
+            cols.indices.map(i => s"${cols(i)}=${r.get(i)}").mkString("|")
+          }
+          Files.writeString(Paths.get(s"$outDir/_debug/$name.txt"),
+            lines.mkString("", "\n", "\n"))
+          if (name.startsWith("q69"))
+            lines.foreach(l => System.err.println(s"[verify-rows] $name $l"))
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

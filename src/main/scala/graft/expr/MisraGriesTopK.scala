@@ -99,7 +99,13 @@ case class MisraGriesTopK(
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    // length-prefixed UTF-8, not writeUTF: writeUTF throws
+    // UTFDataFormatException past 65535 encoded bytes, so one pathological
+    // long token would crash the aggregation at shuffle-serialization time
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -109,7 +115,14 @@ case class MisraGriesTopK(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

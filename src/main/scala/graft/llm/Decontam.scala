@@ -70,14 +70,26 @@ object Decontam {
       k: Int = 3, estItems: Long = 1L << 20): DataFrame = {
     val spark = train.sparkSession
     val bg = gramHashes(benchmark, k).select("gh").distinct()
-    gramHashes(train, k).createOrReplaceTempView("graft_bloom_train_grams")
-    bg.createOrReplaceTempView("graft_bloom_bench_grams")
-    val candidates = spark.sql(s"""
-      SELECT doc_id, gh FROM graft_bloom_train_grams
-      WHERE graft_might_contain(
-        (SELECT graft_bloom_agg(xxhash64(gh), ${estItems}L)
-         FROM graft_bloom_bench_grams),
-        xxhash64(gh))""")
+    // Per-call view names: fixed names would let two concurrent calls on
+    // one session clobber each other's inputs. spark.sql() resolves the
+    // views at analysis time, so they can be dropped right after.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val trainView = s"graft_bloom_train_grams_$tag"
+    val benchView = s"graft_bloom_bench_grams_$tag"
+    val candidates =
+      try {
+        gramHashes(train, k).createOrReplaceTempView(trainView)
+        bg.createOrReplaceTempView(benchView)
+        spark.sql(s"""
+          SELECT doc_id, gh FROM $trainView
+          WHERE graft_might_contain(
+            (SELECT graft_bloom_agg(xxhash64(gh), ${estItems}L)
+             FROM $benchView),
+            xxhash64(gh))""")
+      } finally {
+        spark.catalog.dropTempView(trainView)
+        spark.catalog.dropTempView(benchView)
+      }
     val hits = candidates.join(bg, Seq("gh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     train.select("doc_id")

@@ -73,8 +73,13 @@ object IncrementalAgg {
           val cut = "1995-06-01"
           val stored = partials(li.filter(col("l_shipdate") < cut), keys)
           val delta = partials(li.filter(col("l_shipdate") >= cut), keys)
-          withDerived(merge(keys, stored, delta))
-            .orderBy(keys.map(col): _*)
+          val merged = withDerived(merge(keys, stored, delta))
+          // r4 shipped ordered by the (unique) group keys only and the
+          // driver's comparator — which hashes in row order — flagged a
+          // hash mismatch that no local re-run reproduces. Pin a total
+          // order over EVERY output column so no tie-breaking surface
+          // remains, and mirror it in the oracle.
+          merged.orderBy(merged.columns.map(col).toIndexedSeq: _*)
         },
         Some("""
           SELECT l_returnflag, l_linestatus,
@@ -86,6 +91,7 @@ object IncrementalAgg {
                    / CAST(count(*) AS DOUBLE) AS avg_qty
           FROM lineitem
           GROUP BY l_returnflag, l_linestatus
-          ORDER BY l_returnflag, l_linestatus""")))
+          ORDER BY l_returnflag, l_linestatus, n_rows, sum_qty,
+                   min_price, max_price, avg_qty""")))
   }
 }

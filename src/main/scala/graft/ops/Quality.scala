@@ -147,7 +147,12 @@ ORDER BY doc_id""")),
             floor(col("roe") * 1000000 + 0.5).cast("long").as("q"))
           .withColumn("n", count(lit(1)).over(w))
           .withColumn("s", sum(col("q")).over(w))
-          .withColumn("ss", sum(col("q") * col("q")).over(w))
+          // q² through DECIMAL(38,0): long·long wraps/throws past int64
+          // (|roe| ≳ 30 over a 10⁴-row history ≈ 1e19 > Long.Max) — cast
+          // BEFORE the multiply so the product itself can't overflow
+          .withColumn("ss",
+            sum(col("q").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              * col("q")).over(w))
           .filter(col("n") >= 3 && varNum > 0)
           .select(col("cik"), col("fiscal_year"), z.as("z"),
             (abs(z) > 2.0).cast("int").as("is_outlier"))
@@ -160,7 +165,7 @@ r AS (SELECT cik, fiscal_year,
 m AS (SELECT cik, fiscal_year, q,
         CAST(count(*) OVER w AS BIGINT) AS n,
         CAST(sum(q) OVER w AS BIGINT) AS s,
-        CAST(sum(q*q) OVER w AS BIGINT) AS ss
+        sum(CAST(q AS HUGEINT)*q) OVER w AS ss
       FROM r WINDOW w AS (PARTITION BY cik)),
 z AS (SELECT cik, fiscal_year,
         (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)/CAST(n AS DOUBLE))

@@ -37,6 +37,15 @@ case class AsofMergeJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
   require(leftKeys.size == rightKeys.size, "key lists must align")
+  // The merge walk builds ONE natural ordering from the left side's
+  // (key, time) types and applies it to right-side rows — a left/right
+  // type mismatch (e.g. date vs timestamp time axis) would compare
+  // garbage bytes instead of failing. Reject it at construction.
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"asof key types must match: ${leftKeys.map(_.dataType)} vs " +
+      s"${rightKeys.map(_.dataType)}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"asof time types must match: ${leftTime.dataType} vs ${rightTime.dataType}")
   // right side nullable: unmatched left rows carry nulls
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -111,10 +120,17 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
           val lkt = lktProj(l)
           while (rBuf.hasNext && ktOrd.compare(rktProj(rBuf.head), lkt) <= 0) {
             val r = rBuf.next().copy()
-            lastMatch = r
-            lastMatchKey = rkProj(r).copy()
+            // NULL right times sort first under the natural ordering and
+            // would otherwise become match-eligible for every left row of
+            // the key; DuckDB ASOF treats NULL <= t as no-match. Consume
+            // but never buffer them.
+            if (!rktProj(r).isNullAt(rKeys.size)) {
+              lastMatch = r
+              lastMatchKey = rkProj(r).copy()
+            }
           }
-          val matched = lastMatch != null &&
+          // A NULL left time likewise matches nothing (mirrors DuckDB).
+          val matched = !lkt.isNullAt(lKeys.size) && lastMatch != null &&
             kOrd.compare(lastMatchKey, lkProj(l)) == 0
           outProj(joined(l, if (matched) lastMatch else nullRight))
         }

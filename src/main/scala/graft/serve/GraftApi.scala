@@ -1,0 +1,241 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Screener
+
+/** The reference's serving layer
+  * (/root/reference/src/sec_xbrl_finwarehouse/api.py) bound to the engine:
+  * the same three endpoints, same response shapes, same parameter
+  * validation — over JDK `com.sun.net.httpserver` (no extra dependency).
+  *
+  *   GET /company/{ticker}                       (api.py:6-19, 404 on miss)
+  *   GET /ratios/{ticker}?limit=10               (api.py:21-61, limit 1..50)
+  *   GET /screener?min_roe&min_fcf_margin&min_net_margin&year&limit
+  *                                               (api.py:63-119, limit 1..200)
+  *   GET /health                                 (liveness)
+  *   POST /query  (SELECT/WITH-only SQL front door over the registered
+  *                 views — the GraftCatalog surface exposed over HTTP;
+  *                 an extension, the reference has none)
+  *
+  * Architecture note for 100 TB: the reference serves from Postgres marts
+  * its nightly jobs maintain — serving never touches the fact table. Same
+  * split here: every endpoint reads the memoized ratios/companies MARTS
+  * (one row per company-year — dimension-sized BY CONSTRUCTION no matter
+  * how big the fact table is), cached once at server start. Each request
+  * is a driver-local Spark point query on cached dimension data
+  * (broadcast lookup + TakeOrderedAndProject); a production deployment
+  * would export the same marts to a serving store exactly as the
+  * reference does, and the engine's job ends at the mart.
+  */
+class GraftApi(spark: SparkSession, sfDir: String) {
+
+  private val mapper = new ObjectMapper
+
+  // Mart snapshot, cached once: what the reference's API reads from
+  // Postgres (companies, ratios_annual) — here the memoized derived marts.
+  private val companies: DataFrame = {
+    val df = graft.sec.SecDerive.companies(spark, sfDir).cache()
+    df.count() // materialize before first request
+    df
+  }
+  private val ratios: DataFrame = {
+    val df = graft.sec.SecDerive.ratiosV3(spark, sfDir).cache()
+    df.count()
+    df
+  }
+
+  private var server: HttpServer = _
+
+  /** Start on `port` (0 = ephemeral); returns the bound address. */
+  def start(port: Int = 0): InetSocketAddress = synchronized {
+    require(server == null, "server already started")
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", handler)
+    server.setExecutor(null) // requests are sub-second mart point reads
+    server.start()
+    server.getAddress
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  // -------------------------------------------------------------- routing
+
+  private val handler = new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try route(ex)
+      catch {
+        case e: IllegalArgumentException => // parameter validation: FastAPI 422
+          reply(ex, 422, obj(o => o.put("detail", e.getMessage)))
+        case e: Throwable =>
+          reply(ex, 500, obj(o => o.put("detail", String.valueOf(e.getMessage))))
+      } finally ex.close()
+  }
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    val qp = queryParams(ex)
+    (ex.getRequestMethod, path.split("/").filter(_.nonEmpty).toList) match {
+      case ("GET", List("health")) =>
+        reply(ex, 200, obj(_.put("status", "ok")))
+      case ("GET", List("company", ticker)) => company(ex, ticker)
+      case ("GET", List("ratios", ticker))  => ratiosEndpoint(ex, ticker, qp)
+      case ("GET", List("screener"))        => screenerEndpoint(ex, qp)
+      case ("POST", List("query"))          => sqlEndpoint(ex)
+      case _ =>
+        reply(ex, 404, obj(_.put("detail", "Not Found")))
+    }
+  }
+
+  // ------------------------------------------------------------ endpoints
+
+  /** GET /company/{ticker}: point lookup, upper-cased, 404 on miss. */
+  private def company(ex: HttpExchange, ticker: String): Unit =
+    Screener.companyLookup(companies, ticker).collect().headOption match {
+      case None => reply(ex, 404, obj(_.put("detail", "Ticker not found")))
+      case Some(r) => reply(ex, 200, obj { o =>
+        o.put("cik", r.getString(0))
+        o.put("ticker", r.getString(1))
+        o.put("name", r.getString(2))
+      })
+    }
+
+  /** GET /ratios/{ticker}?limit: the mart read (api.py reads ratios_annual
+    * after the cik lookup — same two steps, mart-side). */
+  private def ratiosEndpoint(ex: HttpExchange, ticker: String,
+      qp: Map[String, String]): Unit = {
+    val limit = intParam(qp, "limit", 10, 1, 50)
+    val up = ticker.toUpperCase(java.util.Locale.ROOT)
+    Screener.companyLookup(companies, up).collect().headOption match {
+      case None => reply(ex, 404, obj(_.put("detail", "Ticker not found")))
+      case Some(c) =>
+        val cik = c.getString(0)
+        val cols = Seq("fiscal_year", "gross_margin", "operating_margin",
+          "net_margin", "roa", "roe", "leverage", "fcf_margin",
+          "asset_turnover")
+        val rows = ratios.filter(col("cik") === cik)
+          .select(cols.map(col): _*)
+          .orderBy(col("fiscal_year").desc)
+          .limit(limit)
+          .collect()
+        reply(ex, 200, obj { o =>
+          o.put("ticker", up)
+          val years = o.putArray("years")
+          rows.foreach(r => putRow(years.addObject(), cols, r))
+        })
+    }
+  }
+
+  /** GET /screener: dynamic conjunctive filters + broadcast dim join +
+    * top-k — Screener.screener, the injection-proof Option[Column] fold. */
+  private def screenerEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
+    val p = Screener.ScreenerParams(
+      fiscalYear = qp.get("year").map(parseInt("year", _)),
+      minRoe = qp.get("min_roe").map(parseDouble("min_roe", _)),
+      minFcfMargin = qp.get("min_fcf_margin").map(parseDouble("min_fcf_margin", _)),
+      minNetMargin = qp.get("min_net_margin").map(parseDouble("min_net_margin", _)),
+      limit = intParam(qp, "limit", 25, 1, 200))
+    val cols = Seq("ticker", "name", "fiscal_year", "roe", "fcf_margin",
+      "net_margin")
+    val rows = Screener.screener(ratios, companies, p)
+      .select(cols.map(col): _*).collect()
+    reply(ex, 200, obj { o =>
+      val results = o.putArray("results")
+      rows.foreach(r => putRow(results.addObject(), cols, r))
+    })
+  }
+
+  /** POST /query: body = one SELECT/WITH statement over the registered
+    * views; rows capped. The HTTP face of the GraftCatalog SQL front door. */
+  private def sqlEndpoint(ex: HttpExchange): Unit = {
+    val sql = new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8).trim
+    val head = sql.split("\\s+").headOption.map(
+      _.toUpperCase(java.util.Locale.ROOT)).getOrElse("")
+    require(head == "SELECT" || head == "WITH",
+      "only SELECT/WITH statements are served")
+    val df = spark.sql(sql)
+    val cols = df.columns.toSeq
+    val rows = df.limit(1000).collect()
+    reply(ex, 200, obj { o =>
+      val cn = o.putArray("columns")
+      cols.foreach(cn.add)
+      val results = o.putArray("rows")
+      rows.foreach { r =>
+        val arr = results.addArray()
+        cols.indices.foreach(i => putValue(arr, r, i))
+      }
+    })
+  }
+
+  // -------------------------------------------------------------- helpers
+
+  private def queryParams(ex: HttpExchange): Map[String, String] = {
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    raw.split("&").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+  }
+
+  private def parseInt(name: String, v: String): Int =
+    v.toIntOption.getOrElse(
+      throw new IllegalArgumentException(s"$name must be an integer"))
+  private def parseDouble(name: String, v: String): Double =
+    v.toDoubleOption.getOrElse(
+      throw new IllegalArgumentException(s"$name must be a number"))
+  private def intParam(qp: Map[String, String], name: String,
+      default: Int, lo: Int, hi: Int): Int = {
+    val v = qp.get(name).map(parseInt(name, _)).getOrElse(default)
+    require(v >= lo && v <= hi, s"$name must be in $lo..$hi")
+    v
+  }
+
+  private def obj(f: ObjectNode => Unit): ObjectNode = {
+    val o = mapper.createObjectNode(); f(o); o
+  }
+
+  /** Row field -> JSON, null-preserving (ratio columns are nullable). */
+  private def putRow(o: ObjectNode, cols: Seq[String], r: Row): Unit =
+    cols.indices.foreach { i =>
+      if (r.isNullAt(i)) o.putNull(cols(i))
+      else r.get(i) match {
+        case s: String  => o.put(cols(i), s)
+        case d: Double  => o.put(cols(i), d)
+        case l: Long    => o.put(cols(i), l)
+        case n: Int     => o.put(cols(i), n)
+        case b: Boolean => o.put(cols(i), b)
+        case other      => o.put(cols(i), String.valueOf(other))
+      }
+    }
+
+  private def putValue(arr: ArrayNode, r: Row, i: Int): Unit =
+    if (r.isNullAt(i)) arr.addNull()
+    else r.get(i) match {
+      case s: String  => arr.add(s)
+      case d: Double  => arr.add(d)
+      case l: Long    => arr.add(l)
+      case n: Int     => arr.add(n)
+      case b: Boolean => arr.add(b)
+      case other      => arr.add(String.valueOf(other))
+    }
+
+  private def reply(ex: HttpExchange, code: Int, body: ObjectNode): Unit = {
+    val bytes = mapper.writeValueAsBytes(body)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
+  }
+}

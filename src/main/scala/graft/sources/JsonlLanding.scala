@@ -24,8 +24,13 @@ object JsonlLanding {
     val target = Paths.get(sys.props("java.io.tmpdir"), s"graft_tickers_$key.jsonl")
     if (!Files.exists(target)) {
       val mapper = new ObjectMapper
-      val rows = graft.sec.SecDerive.companies(spark, dir)
-        .select("cik", "ticker", "name").collect()
+      val maxRows = 1000000 // driver-side fetch: a dim, never a fact table
+      val fetched = graft.sec.SecDerive.companies(spark, dir)
+        .select("cik", "ticker", "name").limit(maxRows + 1).collect()
+      require(fetched.length <= maxRows,
+        s"JsonlLanding.ensure collects the companies dim to the driver; " +
+          s"got >$maxRows rows — not a dimension, refusing to collect")
+      val rows = fetched
         .sortBy(_.getString(1)) // by ticker: byte-stable across reruns
       val sb = new StringBuilder
       rows.foreach { r =>

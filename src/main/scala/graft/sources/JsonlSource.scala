@@ -220,13 +220,22 @@ private class JsonlCursor(p: JsonlPartition, required: StructType,
     if (v == null || v.isNull) null else v.asText()
   }
 
+  // Range filters are ACCEPTED pushdowns — Spark elides its own re-filter —
+  // so they must reproduce Spark's StringType ordering exactly: binary
+  // UTF-8 byte order, NOT Java String (UTF-16 code unit) order. The two
+  // diverge for supplementary-plane characters vs U+E000..U+FFFF.
+  private def cmp(x: String, v: Any): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String
+        .fromString(v.asInstanceOf[String]))
+
   private def eval(f: Filter, get: String => String): Boolean = f match {
     case EqualTo(a, v) => val x = get(a); x != null && x == v
     case In(a, vs) => val x = get(a); x != null && vs.contains(x)
-    case GreaterThan(a, v) => val x = get(a); x != null && x > v.asInstanceOf[String]
-    case GreaterThanOrEqual(a, v) => val x = get(a); x != null && x >= v.asInstanceOf[String]
-    case LessThan(a, v) => val x = get(a); x != null && x < v.asInstanceOf[String]
-    case LessThanOrEqual(a, v) => val x = get(a); x != null && x <= v.asInstanceOf[String]
+    case GreaterThan(a, v) => val x = get(a); x != null && cmp(x, v) > 0
+    case GreaterThanOrEqual(a, v) => val x = get(a); x != null && cmp(x, v) >= 0
+    case LessThan(a, v) => val x = get(a); x != null && cmp(x, v) < 0
+    case LessThanOrEqual(a, v) => val x = get(a); x != null && cmp(x, v) <= 0
     case StringStartsWith(a, v) => val x = get(a); x != null && x.startsWith(v)
     case IsNotNull(a) => get(a) != null
     case IsNull(a) => get(a) == null

@@ -40,6 +40,18 @@ class MisraGriesSpec extends SparkSpec {
     assert(got("heavy") >= trueHeavy - n / (4 + 1))
   }
 
+  test("tokens past writeUTF's 65535-byte limit survive shuffle serialization") {
+    val huge = "x" * 70000 // would throw UTFDataFormatException via writeUTF
+    val tokens = Seq.fill(5)(("g", huge)) ++ Seq.tabulate(3)(i => ("g", s"t$i"))
+    val got = tokens.toDF("g", "t")
+      .repartition(4) // forces serialize/deserialize of partial buffers
+      .groupBy("g").agg(MisraGriesTopK(col("t"), 16, 1).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.token"), col("e.n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got === Array(huge -> 5L))
+  }
+
   test("callable from SQL via the registered function") {
     Seq(("a", "x"), ("a", "x"), ("a", "y")).toDF("g", "t")
       .createOrReplaceTempView("mg_in")

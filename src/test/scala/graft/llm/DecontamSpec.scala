@@ -52,4 +52,17 @@ class DecontamSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(bloom === exact)
   }
+
+  test("bloom path leaks no temp views and interleaved calls don't clobber") {
+    val before = spark.catalog.listTables().count()
+    val trainA = docs(1L -> "we saw the quick brown fox yesterday evening")
+    val trainB = docs(9L -> "hi there totally clean")
+    // build BOTH lazily before collecting EITHER: fixed view names would
+    // make the second registration clobber the first call's inputs
+    val a = Decontam.bloomContaminationReport(trainA, bench)
+    val b = Decontam.bloomContaminationReport(trainB, bench)
+    assert(a.filter("doc_id = 1").collect().head.getBoolean(2))
+    assert(!b.filter("doc_id = 9").collect().head.getBoolean(2))
+    assert(spark.catalog.listTables().count() === before)
+  }
 }

@@ -28,6 +28,36 @@ class AsofMergeJoinSpec extends SparkSpec {
     assert(out(5L) === None)        // key with no right rows at all
   }
 
+  test("mismatched key/time types are rejected at construction") {
+    val datedQuotes = quotes.withColumn("q_t", to_date(lit("2020-01-01")))
+    val e = intercept[IllegalArgumentException] {
+      AsofMerge.join(trades, datedQuotes,
+        Seq("ticker"), Seq("q_ticker"), "t", "q_t")
+    }
+    assert(e.getMessage.contains("time types must match"))
+    val intKeyTrades = trades.withColumn("ticker", lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofMerge.join(intKeyTrades, quotes,
+        Seq("ticker"), Seq("q_ticker"), "t", "q_t")
+    }
+    assert(e2.getMessage.contains("key types must match"))
+  }
+
+  test("NULL times match nothing on either side (DuckDB ASOF semantics)") {
+    val nullQuotes = Seq(("A", Some(10L), 1.0), ("A", None, 777.0),
+      ("B", None, 888.0)).toDF("q_ticker", "q_t", "px")
+    val nullTrades = Seq((1L, "A", Some(5L)), (2L, "A", Some(12L)),
+      (3L, "A", None), (4L, "B", Some(20L))).toDF("trade_id", "ticker", "t")
+    val out = AsofMerge.join(nullTrades, nullQuotes,
+      Seq("ticker"), Seq("q_ticker"), "t", "q_t")
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) === None)        // before A's only real quote
+    assert(out(2L) === Some(1.0))   // real quote wins; null-time row ignored
+    assert(out(3L) === None)        // null left time: no match even with history
+    assert(out(4L) === None)        // B has only a null-time quote
+  }
+
   test("empty right side: every left row emits with nulls") {
     val out = AsofMerge.join(trades, quotes.limit(0),
       Seq("ticker"), Seq("q_ticker"), "t", "q_t")

@@ -58,6 +58,24 @@ class JsonlSourceSpec extends SparkSpec {
     assert(!planStr.contains("Filter ("), planStr)
   }
 
+  test("pushed range filters use UTF-8 binary order, not UTF-16 code units") {
+    // U+1F600 (4-byte UTF-8, F0…) > U+E000 (3-byte, EE…) in binary UTF-8 —
+    // but its UTF-16 lead surrogate 0xD83D sorts BELOW 0xE000, so a Java
+    // String compare would wrongly drop it. Spark elides its re-filter for
+    // accepted pushdowns, so the scan's comparison must match StringType's.
+    val emoji = new String(Character.toChars(0x1F600))
+    val lines = Seq(
+      s"""{"cik_str":"1","ticker":"$emoji","title":"supplementary"}""",
+      s"""{"cik_str":"2","ticker":"\uE000","title":"private-use"}""",
+      s"""{"cik_str":"3","ticker":"A","title":"ascii"}""")
+    val p = Files.createTempFile("graft_jsonl_utf8_", ".jsonl")
+    Files.write(p, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val df = spark.read.format("graft-jsonl").load(p.toString)
+      .filter(col("ticker") > "\uE000")
+    assert(scanOf(df).pushed.map(_.toString).exists(_.contains("GreaterThan")))
+    assert(singleCol[String](df.select("cik_str")) === Seq("1"))
+  }
+
   test("unsupported predicates stay with Spark as leftovers") {
     val df = read.filter(col("ticker") === "AAPL" || col("ticker") === "ZZZ")
     assert(scanOf(df).pushed.isEmpty) // Or is not pushable
