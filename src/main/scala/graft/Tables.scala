@@ -14,7 +14,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // events needs the nanos-timestamp handling — the raw parquet read would
+  // either fail ([PARQUET_TYPE_ILLEGAL]) or, with the legacy conf already
+  // set session-wide, silently expose raw nanos longs instead of timestamps
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir) else loadRaw(spark, dir, name)
+
+  private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** The events table carries TIMESTAMP(NANOS) parquet, which Spark's
@@ -26,7 +32,7 @@ object Tables {
     * ~1.7e18.) */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
+    loadRaw(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -30,4 +30,13 @@ class GraftCatalogSpec extends SparkSpec {
     val h = spark.sql("SELECT graft_hash60('hello') AS h").head.getLong(0)
     assert(h === 419982666956583591L) // pinned cross-engine hash60 value
   }
+
+  test("events view carries a real timestamp column, not raw nanos longs") {
+    GraftCatalog.registerViews(spark, dir)
+    val tsField = spark.table("events").schema("ts")
+    assert(tsField.dataType ===
+      org.apache.spark.sql.types.TimestampType, tsField)
+    assert(spark.sql("SELECT count(*) FROM events WHERE ts IS NOT NULL")
+      .head.getLong(0) > 0)
+  }
 }

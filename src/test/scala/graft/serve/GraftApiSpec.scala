@@ -1,0 +1,122 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.SparkSpec
+
+/** The HTTP serving layer: real round-trips against an ephemeral port,
+  * response shapes and status codes mirroring the reference's FastAPI
+  * endpoints (api.py), parameter validation, and the SQL front door. */
+class GraftApiSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper
+  private val client = HttpClient.newHttpClient()
+
+  private lazy val api = new GraftApi(spark, "/root/testdata/sf0.001")
+  private lazy val base: String = {
+    val addr = api.start(0)
+    s"http://127.0.0.1:${addr.getPort}"
+  }
+
+  override def withFixture(test: NoArgTest) =
+    try super.withFixture(test)
+    finally if (test.name.contains("LAST")) api.stop()
+
+  private def get(path: String): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  private def post(path: String, body: String): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(base + path))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  // a ticker guaranteed present: take one from the dim
+  private lazy val someTicker: String =
+    graft.sec.SecDerive.companies(spark, "/root/testdata/sf0.001")
+      .select("ticker").orderBy("ticker").limit(1)
+      .collect().head.getString(0)
+
+  test("GET /health returns ok") {
+    val (code, body) = get("/health")
+    assert(code === 200 && body.get("status").asText() === "ok")
+  }
+
+  test("GET /company/{ticker} returns the row; lower-case is upper-cased") {
+    val (code, body) = get(s"/company/${someTicker.toLowerCase}")
+    assert(code === 200)
+    assert(body.get("ticker").asText() === someTicker)
+    assert(body.get("cik").asText().nonEmpty)
+    assert(body.get("name").asText().nonEmpty)
+  }
+
+  test("GET /company/{ticker} 404s on a miss (api.py:17-18 shape)") {
+    val (code, body) = get("/company/NOSUCHTICKER")
+    assert(code === 404 && body.get("detail").asText() === "Ticker not found")
+  }
+
+  test("GET /ratios/{ticker} returns descending fiscal years, capped by limit") {
+    val (code, body) = get(s"/ratios/$someTicker?limit=3")
+    assert(code === 200)
+    assert(body.get("ticker").asText() === someTicker)
+    val years = body.get("years")
+    assert(years.isArray && years.size() <= 3)
+    val fy = (0 until years.size()).map(years.get(_).get("fiscal_year").asInt())
+    assert(fy === fy.sortBy(-_))
+    if (years.size() > 0) { // full 8-ratio block per year (api.py:46-58)
+      val y0 = years.get(0)
+      for (f <- Seq("gross_margin", "operating_margin", "net_margin", "roa",
+        "roe", "leverage", "fcf_margin", "asset_turnover"))
+        assert(y0.has(f), s"missing field $f")
+    }
+  }
+
+  test("GET /ratios validation: limit outside 1..50 is a 422") {
+    assert(get(s"/ratios/$someTicker?limit=0")._1 === 422)
+    assert(get(s"/ratios/$someTicker?limit=51")._1 === 422)
+    assert(get(s"/ratios/$someTicker?limit=abc")._1 === 422)
+  }
+
+  test("GET /screener filters and orders like the reference") {
+    val (code, body) = get("/screener?min_roe=-1000&limit=5")
+    assert(code === 200)
+    val rs = body.get("results")
+    assert(rs.isArray && rs.size() <= 5)
+    // ordered by fiscal_year desc then roe desc
+    val pairs = (0 until rs.size()).map { i =>
+      (rs.get(i).get("fiscal_year").asInt(), rs.get(i).get("roe").asDouble())
+    }
+    assert(pairs === pairs.sortBy { case (y, r) => (-y, -r) })
+    for (f <- Seq("ticker", "name", "fiscal_year", "roe", "fcf_margin",
+      "net_margin"))
+      assert(rs.size() == 0 || rs.get(0).has(f), s"missing field $f")
+  }
+
+  test("GET /screener year filter restricts results; bad limit 422s") {
+    val (code, body) = get("/screener?year=1900")
+    assert(code === 200 && body.get("results").size() === 0)
+    assert(get("/screener?limit=201")._1 === 422)
+    assert(get("/screener?min_roe=xyz")._1 === 422)
+  }
+
+  test("POST /query serves SELECT over registered views and rejects DML (LAST)") {
+    graft.GraftCatalog.registerViews(spark, "/root/testdata/sf0.001")
+    val (code, body) = post("/query",
+      "SELECT r_name FROM region ORDER BY r_name")
+    assert(code === 200)
+    assert(body.get("columns").get(0).asText() === "r_name")
+    assert(body.get("rows").size() === 5)
+    val (dmlCode, _) = post("/query", "DROP TABLE region")
+    assert(dmlCode === 422)
+    assert(get("/nosuch")._1 === 404)
+  }
+}
