@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Curation operators on synthetic data where every rule BINDS: caps
+  * exceeded, repetitive docs present, re-crawled content to drop. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runQ(name: String, dir: String) =
+    Curation.queries.find(_.name == name).get.run(spark, dir)
+
+  test("quota sample keeps at most K per stratum, deterministically") {
+    val k = 20
+    val docs = Seq.tabulate(100)(i =>
+      (i.toLong, s"text $i", if (i < 80) "en" else "de", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source")
+      .orderBy(TextOps.hash60(concat(col("doc_id").cast("string"),
+        lit("|quota"))), col("doc_id"))
+    val sampled = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select("doc_id", "lang")
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") === k.toLong) // 80 candidates capped to 20
+    assert(byLang("de") === k.toLong) // exactly at cap
+    // deterministic: same selection on re-run
+    val again = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select("doc_id", "lang")
+    assert(sampled.exceptAll(again).isEmpty)
+  }
+
+  test("repetition rules flag looping text and pass varied text") {
+    val docs = Seq(
+      (1L, Seq.fill(50)("spam spam").mkString(" "), "en", "web"), // one 2-gram
+      (2L, (1 to 60).map(i => s"w$i").mkString(" "), "en", "web")) // all unique
+      .toDF("doc_id", "text", "lang", "source")
+    docs.createOrReplaceTempView("curation_docs_tmp")
+    val grams = docs.select(col("doc_id"),
+      explode(TextOps.shingleHashSeq(TextOps.toks(col("text")), 2)).as("gh"))
+    val counts = grams.groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+    val m = counts.groupBy("doc_id").agg(
+      sum("c").as("n_grams"), count(lit(1)).as("n_distinct"),
+      max("c").as("top_count"))
+    val flags = m.withColumn("rep",
+      (lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double") > 0.5)
+        || (col("top_count").cast("double") / col("n_grams").cast("double") > 0.2))
+      .select("doc_id", "rep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags(1L))   // "spam spam spam…" is one repeated gram
+    assert(!flags(2L))  // 60 distinct words: every gram unique
+  }
+
+  test("registered queries run against testdata with sane shapes") {
+    val dir = "/root/testdata/sf0.001"
+    // quota: never more than K per stratum
+    val quota = runQ("q77_quota_sample", dir)
+      .groupBy("lang", "source").count()
+    assert(quota.filter(col("count") > 20).count() === 0)
+    // repetition: output covers every doc with >= 1 gram, flags are 0/1
+    val rep = runQ("q78_repetition_rules", dir)
+    assert(rep.filter(col("is_repetitive").isin(0, 1) === false).count() === 0)
+    assert(rep.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() === 0)
+    // snapshot delta: no surviving arrival shares content with standing
+    val delta = runQ("q79_snapshot_delta", dir)
+    assert(delta.count() > 0)
+    assert(delta.filter(col("doc_id") >= 1000000L).count() === 0) // re-crawls dropped
+    // histogram: shares per lang sum to 1
+    val hist = runQ("q80_length_histogram", dir)
+      .groupBy("lang").agg(sum("lang_share").as("s"))
+    assert(hist.filter(abs(col("s") - 1.0) > 1e-9).count() === 0)
+    // mixture weights: sum(weight * n_docs) == total/n_langs * n_langs = total
+    val mw = runQ("q81_mixture_weights", dir)
+    val total = mw.agg(sum("n_docs")).head.getLong(0)
+    val weighted = mw.agg(sum(col("weight") * col("n_docs"))).head.getDouble(0)
+    assert(math.abs(weighted - total.toDouble) < 1e-6)
+  }
+}
