@@ -80,6 +80,28 @@ assigned AS (SELECT vec_id, label, v, cell FROM (
                  ORDER BY sim DESC, cell ASC) AS rn FROM assign0)
              WHERE rn = 1)"""
 
+  /** One Lloyd iteration as CTEs: assign `e` against `cents${i-1}`, compute
+    * decimal-routed per-(cell, dim) means, rebuild the centroid lists, and
+    * carry forward the previous centroid for cells that lost all members —
+    * mirroring [[Similarity.kmeansTrain]]'s empty-cluster rule. */
+  private def lloydIterCtes(i: Int): String = {
+    val prev = s"cents${i - 1}"
+    s"""a$i AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${cosineSql("e.v", "c.cent")} DESC, c.cell ASC) AS rn
+        FROM e, $prev c) WHERE rn = 1),
+x$i AS (SELECT cell, g.i AS dim, v[g.i + 1] AS val
+        FROM a$i, unnest(generate_series(0, ${Similarity.Dim - 1})) g(i)),
+m$i AS (SELECT cell, dim,
+          CAST(sum(CAST(val AS DECIMAL(38,6))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS centroid
+        FROM x$i GROUP BY cell, dim),
+l$i AS (SELECT cell, list(centroid ORDER BY dim) AS cent FROM m$i GROUP BY cell),
+cents$i AS (SELECT p.cell, coalesce(l$i.cent, p.cent) AS cent
+            FROM $prev p LEFT JOIN l$i ON l$i.cell = p.cell)"""
+  }
+
   /** Quality-stats CTE over `tok` + the filter predicate (shared by q46 and
     * q54). */
   private val qualityStCte: String = s"""st AS (SELECT doc_id, lang, source,
@@ -454,6 +476,23 @@ SELECT cell, CAST(dim AS INTEGER) AS dim,
   CAST(sum(CAST(val AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
     AS centroid
 FROM x GROUP BY cell, dim ORDER BY cell, dim""")),
+
+    // Full Lloyd-iterated training of the IVF coarse quantizer (2 rounds),
+    // exploded to (cell, dim, centroid) for the comparator. Exercises the
+    // round-over-round chain — assignment against TRAINED (not seeded)
+    // centroids — that q53 alone cannot.
+    Q("q82_kmeans_train",
+      (s, dir) => Similarity.kmeansTrain(Tables.embeddings(s, dir), 16, 2)
+        .select(col("cell"), posexplode(col("cent")).as(Seq("dim", "centroid")))
+        .orderBy("cell", "dim"),
+      Some(s"""
+WITH $embCte,
+cents0 AS (SELECT vec_id AS cell, v AS cent FROM e WHERE vec_id < 16),
+${lloydIterCtes(1)},
+${lloydIterCtes(2)}
+SELECT cell, CAST(g.i AS INTEGER) AS dim, cent[g.i + 1] AS centroid
+FROM cents2, unnest(generate_series(0, ${Similarity.Dim - 1})) g(i)
+ORDER BY cell, dim""")),
 
     // Embedding-cosine near-dup pairs via multi-table LSH candidates.
     Q("q34_embedding_neardup",

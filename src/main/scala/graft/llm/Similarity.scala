@@ -111,9 +111,20 @@ object Similarity {
     * Search: the query probes its `nprobe` nearest cells and ranks only the
     * vectors assigned there.
     */
-  def ivfAssign(embeddings: DataFrame, nlist: Int): DataFrame = {
-    val cents = broadcast(embeddings.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cell"), col("embedding").as("cent")))
+  def ivfAssign(embeddings: DataFrame, nlist: Int): DataFrame =
+    ivfAssignWith(embeddings, seedCentroids(embeddings, nlist))
+
+  /** Deterministic seed centroids: the first `nlist` vectors (cell = vec_id). */
+  def seedCentroids(embeddings: DataFrame, nlist: Int): DataFrame =
+    embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("embedding").as("cent"))
+
+  /** Assignment against an explicit centroid table `(cell, cent)` — the seam
+    * that lets [[kmeansTrain]]ed centroids drive the same quantizer. The
+    * centroid side is always broadcast (nlist ≪ corpus); assignment is one
+    * narrow pass + a per-vector argmax window. */
+  def ivfAssignWith(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids.select(col("cell"), col("cent")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cell").asc)
     embeddings.join(cents)
@@ -132,9 +143,13 @@ object Similarity {
     * Means route through DECIMAL(38,6) so the per-dimension sums are
     * order-insensitive (deterministic AND oracle-matchable; float inputs
     * cannot land on decimal rounding ties, so both engines round alike). */
-  def kmeansStep(embeddings: DataFrame, nlist: Int): DataFrame = {
+  def kmeansStep(embeddings: DataFrame, nlist: Int): DataFrame =
+    kmeansStepWith(embeddings, seedCentroids(embeddings, nlist))
+
+  /** One Lloyd step against explicit centroids (see [[kmeansStep]]). */
+  def kmeansStepWith(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
-    ivfAssign(embeddings, nlist)
+    ivfAssignWith(embeddings, centroids)
       .select(col("cell"), posexplode(col("embedding").cast("array<double>"))
         .as(Seq("dim", "v")))
       .groupBy("cell", "dim")
@@ -142,14 +157,46 @@ object Similarity {
         count(lit(1)).cast("double")).as("centroid"))
   }
 
-  /** IVF top-k: rank candidates from the query's nprobe nearest cells. */
+  /** Lloyd-iterated training of the IVF coarse quantizer: `iters` rounds of
+    * assign + decimal-routed means, starting from [[seedCentroids]]. Returns
+    * the trained `(cell, cent: array<double>)` table, ready to feed
+    * [[ivfTopK]] / [[semDedup]] via their `centroids` parameter.
+    *
+    * Scale shape: every round is ONE distributed pass (broadcast-assign +
+    * (cell, dim) mean shuffle with map-side partials) and the only state that
+    * crosses rounds is the nlist x Dim centroid table — localCheckpoint'ed
+    * per round so lineage stays O(1), never collected to the driver. Cells
+    * that lose all members keep their previous centroid (the standard
+    * empty-cluster rule, and what keeps the cell directory stable for
+    * partition layouts built on it). Means are DECIMAL(38,6)-routed like
+    * [[kmeansStepWith]], so every round — and therefore the whole training
+    * run — is order-insensitive and oracle-matchable. */
+  def kmeansTrain(embeddings: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    var cents = seedCentroids(embeddings, nlist)
+      .select(col("cell"), col("cent").cast("array<double>").as("cent"))
+    for (_ <- 1 to iters) {
+      val means = kmeansStepWith(embeddings, cents)
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("centroid")))),
+          s => s.getField("centroid")).as("cent_new"))
+      cents = cents.join(means, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("cent_new"), col("cent")).as("cent"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** IVF top-k: rank candidates from the query's nprobe nearest cells.
+    * `centroids` overrides the seeded coarse quantizer with a trained one
+    * (from [[kmeansTrain]]); the search shape is identical either way. */
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
-      nlist: Int, nprobe: Int): DataFrame = {
-    val assigned = ivfAssign(embeddings, nlist)
+      nlist: Int, nprobe: Int, centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(seedCentroids(embeddings, nlist))
+    val assigned = ivfAssignWith(embeddings, cents)
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
-    val cents = embeddings.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cell"), col("embedding").as("cent"))
     val probes = broadcast(cents.crossJoin(broadcast(q))
       .select(col("cell"), cosine(col("cent"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("cell").asc)
@@ -198,8 +245,10 @@ object Similarity {
     * lever as IVF search); both self-join sides read ONE repartition-by-cell
     * exchange (ReuseExchange), and the dup-id set joins back on vec_id — no
     * all-pairs step at any size. */
-  def semDedup(embeddings: DataFrame, nlist: Int, threshold: Double): DataFrame = {
-    val assigned = ivfAssign(embeddings, nlist)
+  def semDedup(embeddings: DataFrame, nlist: Int, threshold: Double,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val assigned = ivfAssignWith(embeddings,
+        centroids.getOrElse(seedCentroids(embeddings, nlist)))
       .select("vec_id", "embedding", "cell")
       .repartition(col("cell"))
     val a = assigned.as("a")

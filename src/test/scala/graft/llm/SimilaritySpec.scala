@@ -76,4 +76,35 @@ class SimilaritySpec extends SparkSpec {
         s"cell $cell dim $dim")
     }
   }
+
+  test("kmeansTrain: one iteration reproduces kmeansStep's means; all cells kept") {
+    val trained = Similarity.kmeansTrain(vecs, nlist = 2, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val step = Similarity.kmeansStep(vecs, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(trained.keySet === Set(0L, 1L)) // empty-cluster rule keeps the directory
+    for (((cell, dim), v) <- step)
+      assert(trained(cell)(dim) === v, s"cell $cell dim $dim")
+  }
+
+  test("kmeansTrain centroids match-or-beat the seeded quantizer's recall") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val trained = Similarity.kmeansTrain(emb, nlist = 8, iters = 3)
+    assert(trained.count() === 8)
+    val queries = Seq(3L, 111L, 222L, 333L, 444L)
+    def recallAt10(centroids: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val per = queries.map { q =>
+        val truth = Similarity.bruteTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
+        val got = Similarity.ivfTopK(emb, q, 10, nlist = 8, nprobe = 2, centroids)
+          .collect().map(_.getLong(0)).toSet
+        (truth intersect got).size.toDouble / truth.size
+      }
+      per.sum / per.size
+    }
+    val seeded = recallAt10(None)
+    val tuned = recallAt10(Some(trained))
+    withClue(s"trained recall $tuned vs seeded $seeded: ") {
+      assert(tuned >= seeded)
+    }
+  }
 }
