@@ -285,58 +285,117 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "hamming")
   }
 
-  /** Exact character-trigram Jaccard pairs, bucketed by `bucketCol` (e.g.
-    * `source`): the pair space is quadratic only within a bucket, and the
-    * join shuffles on the bucket key.
-    *
-    * The bucket key is the scale lever: the pair count is sum over buckets of
-    * |bucket|^2/2, so a finer key (source+lang vs source alone) divides the
-    * work by the extra key's cardinality. Two further defenses against the
-    * within-bucket quadratic cost (a 250-doc bucket is 31k candidate pairs at
-    * sf0.1):
-    *   - grams are hashed to int64 before the join, so the surviving
-    *     intersections compare longs, not strings;
-    *   - the size prefilter from set-similarity joins (PPJoin-family):
-    *     J(A,B) >= t  ==>  min(|A|,|B|) >= t * max(|A|,|B|) — a constant-time
-    *     predicate in the join condition that prunes length-mismatched pairs
-    *     before any intersection is computed. (This synthetic corpus has
-    *     near-uniform doc lengths, so the big win here came from hashing +
-    *     the merge kernel; on real corpora with varied lengths the prefilter
-    *     is the dominant pruner.)
-    */
-  def ngramJaccardPairs(docs: DataFrame, bucketCols: Seq[String],
-      threshold: Double = 0.6): DataFrame = {
-    val g = docs
-      .select(col("doc_id"),
-        concat_ws("|", bucketCols.map(col): _*).as("bucket"),
-        // positional trigram hashes in one native pass (no interpreted
-        // string-gram lambdas); distinct hashes == hashes of distinct grams.
-        // sorted ascending: the pair stage's merge-intersect kernel
-        // (graft.expr.SortedIntersectCount) requires it; sorting costs
-        // O(n log n) ONCE per doc vs a hash set per PAIR.
-        array_sort(array_distinct(graft.expr.CharGramHashSeq(col("text"), 3)))
-          .as("grams"))
+  /** Shared gram prep for the exact-Jaccard tier: per doc, the distinct
+    * int64 trigram hashes sorted ascending — positional hashing in one
+    * native pass (no interpreted string-gram lambdas), and the sort is what
+    * the merge-intersect verify kernel (graft.expr.SortedIntersectCount)
+    * requires: O(n log n) ONCE per doc vs a hash set per PAIR. */
+  private def gramPrep(docs: DataFrame, bucketCols: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+      concat_ws("|", bucketCols.map(col): _*).as("bucket"),
+      array_sort(array_distinct(graft.expr.CharGramHashSeq(col("text"), 3)))
+        .as("grams"))
       .withColumn("n_grams", size(col("grams")))
-      // Self-join plumbing: both sides repartition on the SAME plan, so
-      // ReuseExchange materializes the (md5-heavy) prep exactly once and the
-      // join consumes one shuffle twice. shuffle_hash (not broadcast) keeps
-      // the exchange shared — and is the only strategy that exists when the
-      // corpus outgrows a broadcast anyway.
-      .repartition(col("bucket"))
-    val a = g.as("a")
-    val b = g.hint("shuffle_hash").as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id") &&
-        least(col("a.n_grams"), col("b.n_grams")).cast("double") >=
-          lit(threshold) * greatest(col("a.n_grams"), col("b.n_grams")).cast("double"))
-      .select(col("a.bucket").as("bucket"),
-        col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+
+  /** Candidate pairs for [[ngramJaccardPairs]], two tiers:
+    *
+    *   - `prefixFilter = false`: every same-bucket pair passing the length
+    *     filter min >= t*max — the pair space is sum over buckets of
+    *     |bucket|^2/2.
+    *   - `prefixFilter = true` (PPJoin prefix filter, Xiao et al. 2008,
+    *     "Efficient similarity joins for near duplicate detection"): a pair
+    *     with J >= t must share a gram among each side's first
+    *     n - ceil(t*n) + 1 grams in GLOBAL RARITY order (ascending document
+    *     frequency). Joining on (bucket, prefix_gram) instead of bucket
+    *     alone shrinks the candidate space from |bucket|^2/2 to the sum of
+    *     rare-gram posting-list squares — the standard exact-tier lever past
+    *     bucketing, and the reason the prefix must be df-ordered: a random
+    *     prefix would put ubiquitous grams ("the ", " and") in every
+    *     prefix and regenerate the bucket cross product.
+    *
+    * Correctness of the prefix tier (no false negatives): J(A,B) >= t with
+    * the length filter implies |A n B| >= t*|A| (and t*|B|), so the
+    * intersection cannot avoid the first |A| - ceil(t*|A|) + 1 elements of A
+    * in ANY consistent total order — rarity order is chosen purely for
+    * pruning power. The df pass is one linear groupBy; the per-doc prefix
+    * rank is a window over doc_id (max cardinality — no stragglers). */
+  def ngramJaccardCandidates(docs: DataFrame, bucketCols: Seq[String],
+      threshold: Double, prefixFilter: Boolean): DataFrame = {
+    val lengthOk =
+      least(col("a.n_grams"), col("b.n_grams")).cast("double") >=
+        lit(threshold) * greatest(col("a.n_grams"), col("b.n_grams")).cast("double")
+    if (!prefixFilter) {
+      val g = gramPrep(docs, bucketCols)
+        .select("doc_id", "bucket", "n_grams")
+        .repartition(col("bucket"))
+      val a = g.as("a")
+      val b = g.hint("shuffle_hash").as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id") && lengthOk)
+        .select(col("a.bucket").as("bucket"),
+          col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+    } else {
+      val ex = gramPrep(docs, bucketCols)
+        .select(col("doc_id"), col("bucket"), col("n_grams"),
+          explode(col("grams")).as("gram"))
+      val dfreq = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("df").asc, col("gram").asc)
+      val px = ex.join(dfreq, "gram")
+        .withColumn("__rn", row_number().over(w))
+        // -1e-9: if t*n computes a hair ABOVE its exact integer value, ceil
+        // would overshoot and shorten the prefix below the lossless bound;
+        // the epsilon only ever lengthens it (more candidates, never fewer).
+        .filter(col("__rn") <=
+          col("n_grams") - ceil(lit(threshold) * col("n_grams") - lit(1e-9)) + 1)
+        .select(col("doc_id"), col("bucket"), col("n_grams"),
+          col("gram").as("pgram"))
+        // one exchange on the candidate key feeds both self-join sides
+        .repartition(col("bucket"), col("pgram"))
+      val a = px.as("a")
+      val b = px.hint("shuffle_hash").as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") &&
+          col("a.pgram") === col("b.pgram") &&
+          col("a.doc_id") < col("b.doc_id") && lengthOk)
+        .select(col("a.bucket").as("bucket"),
+          col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+        .distinct()
+    }
+  }
+
+  /** Exact character-trigram Jaccard pairs, bucketed by `bucketCols` (e.g.
+    * `source`, `lang`): candidates from [[ngramJaccardCandidates]], verified
+    * by the early-exit merge-intersect kernel. Both tiers produce the
+    * identical pair set — the prefix filter is lossless — so the oracle does
+    * not change with the tier.
+    *
+    * The bucket key remains the outer scale lever (pair space is per-bucket);
+    * the prefix tier then divides the within-bucket quadratic by the
+    * rare-prefix collision rate. Default is the bucket tier: MEASURED on this
+    * synthetic corpus (sf0.1, local[32]) the prefix filter pruned only 0.06%
+    * of candidates (113,931 → 113,867; template-mates share even their rare
+    * grams) while its df pass + prefix window cost 2.3× wall time — so it
+    * would be a net loss here, and the honest default is off. On real
+    * corpora with Zipfian gram rarity and varied lengths the prefix tier is
+    * the dominant pruner (Xiao et al. 2008 report orders of magnitude); flip
+    * the flag per-corpus. Grams are int64 hashes either way, so surviving
+    * intersections compare longs, not strings. */
+  def ngramJaccardPairs(docs: DataFrame, bucketCols: Seq[String],
+      threshold: Double = 0.6, prefixFilter: Boolean = false): DataFrame = {
+    val g = gramPrep(docs, bucketCols)
+    val cand = ngramJaccardCandidates(docs, bucketCols, threshold, prefixFilter)
+    val ga = g.select(col("doc_id").as("doc_id_a"),
+      col("grams").as("grams_a"), col("n_grams").as("n_a"))
+    val gb = g.select(col("doc_id").as("doc_id_b"),
+      col("grams").as("grams_b"), col("n_grams").as("n_b"))
+    cand.join(ga, "doc_id_a").join(gb, "doc_id_b")
+      .select(col("bucket"), col("doc_id_a"), col("doc_id_b"),
         // early-exit verify (see minhashNearDupPairs): bailed pairs were
         // provably below threshold; icnt=-1 fails the jaccard filter.
-        graft.expr.ThresholdedIntersectCount(col("a.grams"), col("b.grams"),
+        graft.expr.ThresholdedIntersectCount(col("grams_a"), col("grams_b"),
           graft.expr.ThresholdedIntersectCount.jaccardBound(
-            col("a.n_grams") + col("b.n_grams"), threshold)).as("icnt"),
-        (col("a.n_grams") + col("b.n_grams")).as("nsum"))
+            col("n_a") + col("n_b"), threshold)).as("icnt"),
+        (col("n_a") + col("n_b")).as("nsum"))
       // |A ∪ B| = |A| + |B| - |A ∩ B|: same integers as the array_union
       // formulation, so the oracle's list_intersect/list_distinct mirror
       // produces the identical double.

@@ -68,6 +68,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 2L))) // dup but different buckets -> not compared
   }
 
+  test("ngramJaccard prefix tier: identical pairs, strictly fewer candidates") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairSet(prefix: Boolean): Set[(Long, Long, Double)] =
+      Dedup.ngramJaccardPairs(corpus, Seq("source", "lang"), 0.6, prefix)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b"),
+          r.getAs[Double]("jaccard"))).toSet
+    assert(pairSet(prefix = true) === pairSet(prefix = false))
+    val nBucket =
+      Dedup.ngramJaccardCandidates(corpus, Seq("source", "lang"), 0.6,
+        prefixFilter = false).count()
+    val nPrefix =
+      Dedup.ngramJaccardCandidates(corpus, Seq("source", "lang"), 0.6,
+        prefixFilter = true).count()
+    withClue(s"prefix candidates $nPrefix vs bucket candidates $nBucket: ") {
+      assert(nPrefix < nBucket)
+    }
+  }
+
   test("connectedComponents: transitive chains collapse, canonical is the min") {
     // chain 1-2-3 (1 and 3 never directly paired) + isolated pair 7-9
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_id_a", "doc_id_b")
