@@ -92,6 +92,46 @@ class AsofMergeJoinSpec extends SparkSpec {
       s"expected per-side cluster+sort:\n$plan")
   }
 
+  test("AQE coalescing keeps both sides on ONE co-partitioning (zipPartitions-safe)") {
+    // Force AQE's post-shuffle coalescing as hard as possible: if the rule
+    // ever coalesced the two exchanges independently, zipPartitions would
+    // throw a partition-count mismatch — this pins that either AQE keeps the
+    // sides aligned or skips the custom binary node entirely.
+    val forced = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256m")
+    val prev = forced.map { case (k, _) => k -> spark.conf.getOption(k) }
+    forced.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val facts = graft.sec.SecDerive.facts(spark, dir)
+        .select("fact_id", "cik", "filed")
+      val filings = graft.ops.Statements.latestWins(Seq("cik", "filing_date"),
+        Seq(col("accession_no").asc))(graft.sec.SecDerive.filings(spark, dir))
+        .select(col("cik").as("f_cik"), col("filing_date"), col("accession_no"))
+      val out = AsofMerge.join(facts.repartition(11), filings.repartition(5),
+        Seq("cik"), Seq("f_cik"), "filed", "filing_date")
+      val n = out.count() // executes (and finalizes) the adaptive plan
+      assert(n === facts.count())
+      out.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          val node = a.executedPlan.collectFirst { case e: AsofMergeJoinExec => e }
+          assert(node.isDefined, s"exec missing from final plan:\n${a.executedPlan}")
+          assert(node.get.left.outputPartitioning.numPartitions ===
+            node.get.right.outputPartitioning.numPartitions,
+            s"sides coalesced apart:\n${a.executedPlan}")
+        case p =>
+          val node = p.collectFirst { case e: AsofMergeJoinExec => e }
+          assert(node.isDefined, s"exec missing from final plan:\n$p")
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("agrees with the composition spelling on the SEC q41 shape") {
     val dir = "/root/testdata/sf0.001"
     val facts = graft.sec.SecDerive.facts(spark, dir)
