@@ -193,5 +193,152 @@ m AS (SELECT lang, n_docs,
 SELECT lang, n_docs,
   n_docs::DOUBLE / total::DOUBLE AS actual_share,
   (1.0 / n_langs::DOUBLE) / (n_docs::DOUBLE / total::DOUBLE) AS weight
-FROM m ORDER BY lang""")))
+FROM m ORDER BY lang""")),
+
+    // CCNet-style shared-segment (boilerplate) strip: segment each doc into
+    // consecutive 8-token chunks, count each segment's distinct-doc
+    // frequency within its source, drop segments appearing in >= 2 docs
+    // (nav chrome / legal footers / mirrored intros — the repeated matter
+    // that survives doc-level dedup because the REST of the doc differs),
+    // and reassemble the survivors in order. Scale shape: one segment
+    // explode (linear), one (source, segment) agg, one join back — no
+    // cross-doc comparisons; exact duplicates lose every segment, which is
+    // correct (q20 owns whole-doc dedup).
+    Q("q83_boilerplate_strip",
+      (s, dir) => {
+        val segLen = 8
+        val segs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+          .withColumn("n_segs",
+            expr(s"(size(t) + ${segLen - 1}) div $segLen"))
+          .select(col("doc_id"), col("source"),
+            posexplode(transform(sequence(lit(0), col("n_segs") - 1),
+              i => array_join(slice(col("t"), i * segLen + 1, lit(segLen)), " ")))
+              .as(Seq("seg_idx", "seg")))
+        val freq = segs.groupBy("source", "seg")
+          .agg(countDistinct("doc_id").as("seg_docs"))
+        segs.join(freq, Seq("source", "seg"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_segs"),
+            sum(when(col("seg_docs") < 2, 1L).otherwise(0L)).as("n_kept"),
+            array_join(transform(array_sort(collect_list(
+              when(col("seg_docs") < 2, struct(col("seg_idx"), col("seg"))))),
+              x => x.getField("seg")), " ").as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH tok AS (SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             FROM documents),
+sl AS (SELECT doc_id, source,
+         [{'seg_idx': i, 'seg': array_to_string(t[i*8+1 : i*8+8], ' ')}
+          for i in range(0, (len(t) + 7) // 8)] AS seglist
+       FROM tok),
+segs AS (SELECT doc_id, source, CAST(s.seg_idx AS INTEGER) AS seg_idx,
+           s.seg AS seg
+         FROM (SELECT doc_id, source, unnest(seglist) AS s FROM sl)),
+freq AS (SELECT source, seg, count(DISTINCT doc_id) AS seg_docs
+         FROM segs GROUP BY source, seg),
+f AS (SELECT s.doc_id, s.seg_idx, s.seg, q.seg_docs
+      FROM segs s JOIN freq q ON s.source = q.source AND s.seg = q.seg)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+  CAST(sum(CASE WHEN seg_docs < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  coalesce(string_agg(CASE WHEN seg_docs < 2 THEN seg END, ' '
+                      ORDER BY seg_idx), '') AS clean_text
+FROM f GROUP BY doc_id ORDER BY doc_id""")),
+
+    // PII masking: every 5th doc gets a deterministic synthetic email +
+    // phone appended (the corpus itself is clean — the injection is what
+    // gives the oracle both positive and negative rows), then both are
+    // regex-masked and counted. Patterns are RE2-safe so the DuckDB mirror
+    // executes them verbatim. A pure narrow map — nothing shuffles at any
+    // scale.
+    Q("q84_pii_scrub",
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b\\d{3}-\\d{4}\\b"
+        val withPii = Tables.documents(s, dir)
+          .withColumn("txt",
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" contact user"),
+                col("doc_id").cast("string"), lit("@mail.example.com or call 555-"),
+                lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+                lit(" now")))
+              .otherwise(col("text")))
+        withPii.select(col("doc_id"),
+          regexp_count(col("txt"), lit(email)).cast("long").as("n_emails"),
+          regexp_count(col("txt"), lit(phone)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("txt"), email, "<EMAIL>"),
+            phone, "<PHONE>").as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH p AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact user' || doc_id::VARCHAR ||
+                       '@mail.example.com or call 555-' ||
+                       lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now'
+                  ELSE text END AS txt
+           FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(txt,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+  regexp_replace(regexp_replace(txt,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text
+FROM p ORDER BY doc_id""")),
+
+    // Cross-source contamination matrix: distinct word-3-gram overlap and
+    // containment for every source pair — the audit that finds mirrored /
+    // syndicated content BETWEEN crawl domains before it skews mixture
+    // weights. Scale shape: distinct (source, gram) is one agg; the
+    // self-join's blowup is bounded by gram posting lists, and the output
+    // by sources² (tiny) — never doc-pair-quadratic.
+    Q("q85_source_overlap",
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(shingleHashSeq(toks(col("text")), 3)).as("gh"))
+          .distinct()
+        val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+        val a = grams.as("a")
+        val b = grams.hint("shuffle_hash").as("b")
+        a.join(b, col("a.gh") === col("b.gh") &&
+            col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("shared_grams"))
+          .join(broadcast(totals.select(col("source").as("src_a"),
+            col("n_grams").as("grams_a"))), Seq("src_a"))
+          .join(broadcast(totals.select(col("source").as("src_b"),
+            col("n_grams").as("grams_b"))), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("shared_grams"),
+            col("grams_a"), col("grams_b"),
+            (col("shared_grams").cast("double") /
+              least(col("grams_a"), col("grams_b")).cast("double"))
+              .as("containment"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""
+WITH tok AS (SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+             FROM documents),
+g0 AS (SELECT source,
+         unnest([(('0x' || substr(md5(array_to_string(t[i+1:i+3], ' ')), 1, 15))::BIGINT
+                  % ${P}) for i in range(0, len(t) - 2)]) AS gh
+       FROM tok),
+g AS (SELECT DISTINCT source, gh FROM g0),
+totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+           FROM g GROUP BY source),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+            CAST(count(*) AS BIGINT) AS shared_grams
+          FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+          GROUP BY a.source, b.source)
+SELECT src_a, src_b, shared_grams,
+  ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+  shared_grams::DOUBLE / least(ta.n_grams, tb.n_grams)::DOUBLE AS containment
+FROM pairs
+JOIN totals ta ON ta.source = pairs.src_a
+JOIN totals tb ON tb.source = pairs.src_b
+ORDER BY src_a, src_b""")))
 }

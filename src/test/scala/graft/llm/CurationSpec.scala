@@ -78,4 +78,56 @@ class CurationSpec extends SparkSpec {
     val weighted = mw.agg(sum(col("weight") * col("n_docs"))).head.getDouble(0)
     assert(math.abs(weighted - total.toDouble) < 1e-6)
   }
+
+  /** Synthetic documents table on disk so the REGISTERED queries (which read
+    * `Tables.documents(dir)`) run end-to-end against fixture content. */
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    rows.map { case (id, text, lang, source) =>
+      (id, text, lang, source, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("boilerplate strip drops cross-doc segments per source, keeps unique ones") {
+    val seg = (1 to 8).map(i => s"h$i").mkString(" ") // one full shared segment
+    val dir = docsDir(Seq(
+      (1L, seg + " " + (1 to 8).map(i => s"a$i").mkString(" "), "en", "s1"),
+      (2L, seg + " " + (1 to 8).map(i => s"b$i").mkString(" "), "en", "s1"),
+      (3L, seg + " " + (1 to 8).map(i => s"c$i").mkString(" "), "en", "s2")))
+    val out = runQ("q83_boilerplate_strip", dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((2L, 1L, (1 to 8).map(i => s"a$i").mkString(" "))))
+    assert(out(2L) === ((2L, 1L, (1 to 8).map(i => s"b$i").mkString(" "))))
+    // same header in a DIFFERENT source: frequency is per-source, all kept
+    assert(out(3L)._2 === 2L)
+    assert(out(3L)._3.startsWith("h1 h2"))
+  }
+
+  test("pii scrub masks injected and naturally-present identifiers") {
+    val dir = docsDir(Seq(
+      (1L, "plain text with no identifiers", "en", "s1"),
+      (2L, "write bob@mail.example.org today", "en", "s1"),
+      (5L, "gets the synthetic injection", "en", "s1")))
+    val out = runQ("q84_pii_scrub", dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((0L, 0L, "plain text with no identifiers")))
+    assert(out(2L) === ((1L, 0L, "write <EMAIL> today")))
+    assert(out(5L)._1 === 1L && out(5L)._2 === 1L)
+    assert(out(5L)._3.contains("<EMAIL>") && out(5L)._3.contains("<PHONE>"))
+    assert(!out(5L)._3.contains("@") && !out(5L)._3.contains("555-"))
+  }
+
+  test("source overlap counts shared distinct grams with containment") {
+    val dir = docsDir(Seq(
+      (1L, "t1 t2 t3 t4", "en", "a"),   // grams {t1t2t3, t2t3t4}
+      (2L, "t2 t3 t4 t5", "en", "b"))) // grams {t2t3t4, t3t4t5}
+    val out = runQ("q85_source_overlap", dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) === (("a", "b")))
+    assert(r.getLong(2) === 1L && r.getLong(3) === 2L && r.getLong(4) === 2L)
+    assert(r.getDouble(5) === 0.5)
+  }
 }
