@@ -27,6 +27,45 @@ import TextOps._
   */
 object Curation {
 
+  /** Cross-source distinct word-3-gram overlap/containment matrix (q85).
+    *
+    * `maxDfSources` is the scale lever from SCALE.md: a gram present in all
+    * S sources emits S²/2 join pairs, so at corpus scale the ubiquitous-gram
+    * head (stopword runs) is dropped BEFORE the self-join by a document-
+    * frequency ceiling. The capped tier is a documented approximation:
+    * per-source totals stay exact (the denominator never changes), shared
+    * counts become lower bounds that omit only grams common to > cap
+    * sources — exactly the grams that carry no syndication signal. None =
+    * exact, which is what q85's oracle checks. */
+  def sourceOverlap(docs: org.apache.spark.sql.DataFrame,
+      maxDfSources: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val grams0 = docs.select(col("source"),
+        explode(shingleHashSeq(toks(col("text")), 3)).as("gh"))
+      .distinct()
+    val grams = maxDfSources.fold(grams0) { cap =>
+      val w = Window.partitionBy("gh")
+      grams0.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= cap).drop("__df")
+    }
+    val totals = grams0.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val a = grams.as("a")
+    val b = grams.hint("shuffle_hash").as("b")
+    a.join(b, col("a.gh") === col("b.gh") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(totals.select(col("source").as("src_a"),
+        col("n_grams").as("grams_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"),
+        col("n_grams").as("grams_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        col("grams_a"), col("grams_b"),
+        (col("shared_grams").cast("double") /
+          least(col("grams_a"), col("grams_b")).cast("double"))
+          .as("containment"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Per-(lang, source) quota: keep at most K docs per stratum, chosen by
@@ -296,29 +335,7 @@ FROM p ORDER BY doc_id""")),
     // self-join's blowup is bounded by gram posting lists, and the output
     // by sources² (tiny) — never doc-pair-quadratic.
     Q("q85_source_overlap",
-      (s, dir) => {
-        val grams = Tables.documents(s, dir)
-          .select(col("source"),
-            explode(shingleHashSeq(toks(col("text")), 3)).as("gh"))
-          .distinct()
-        val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
-        val a = grams.as("a")
-        val b = grams.hint("shuffle_hash").as("b")
-        a.join(b, col("a.gh") === col("b.gh") &&
-            col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-          .agg(count(lit(1)).as("shared_grams"))
-          .join(broadcast(totals.select(col("source").as("src_a"),
-            col("n_grams").as("grams_a"))), Seq("src_a"))
-          .join(broadcast(totals.select(col("source").as("src_b"),
-            col("n_grams").as("grams_b"))), Seq("src_b"))
-          .select(col("src_a"), col("src_b"), col("shared_grams"),
-            col("grams_a"), col("grams_b"),
-            (col("shared_grams").cast("double") /
-              least(col("grams_a"), col("grams_b")).cast("double"))
-              .as("containment"))
-          .orderBy("src_a", "src_b")
-      },
+      (s, dir) => sourceOverlap(Tables.documents(s, dir)),
       Some(s"""
 WITH tok AS (SELECT doc_id, source,
                regexp_split_to_array(trim(lower(text)), '\\s+') AS t

@@ -35,11 +35,19 @@ object Similarity {
   val Tables = 8
   val PlanesPerTable = 6
 
-  val planes: Seq[Seq[Double]] = {
+  /** Plane weights for any (tables × planesPerTable) geometry, from the
+    * fixed seed — `planesFor(Tables, PlanesPerTable)` reproduces [[planes]]
+    * exactly, so the default geometry (and its generated oracle SQL) is
+    * unchanged while callers can grow R with the corpus: the sf0.1→sf1
+    * measurement (SCALE.md) showed candidate pairs ~100× at fixed R for 10×
+    * vectors; R ≈ log2(N / target_bucket_size) is the deployment rule. */
+  def planesFor(tables: Int, planesPerTable: Int): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(7)
-    Seq.fill(Tables * PlanesPerTable)(
+    Seq.fill(tables * planesPerTable)(
       Seq.fill(Dim)((rng.nextInt(2001) - 1000) / 1000.0))
   }
+
+  val planes: Seq[Seq[Double]] = planesFor(Tables, PlanesPerTable)
 
   /** Strict left-fold dot product of two vector columns, elementwise-cast to
     * double. Backed by the codegen'd native expression (graft.expr.DotProduct)
@@ -56,13 +64,19 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Per-table LSH bucket ids: bucket_t = sum over planes of sign bits. */
-  def buckets(v: Column): Column =
-    array((0 until Tables).map { t =>
-      (0 until PlanesPerTable).map { p =>
-        when(dotPlane(v, planes(t * PlanesPerTable + p)) > 0, lit(1L << p))
+  def buckets(v: Column): Column = bucketsWith(v, Tables, PlanesPerTable)
+
+  /** [[buckets]] for an explicit geometry (see [[planesFor]]). */
+  def bucketsWith(v: Column, tables: Int, planesPerTable: Int): Column = {
+    val pl = if (tables == Tables && planesPerTable == PlanesPerTable) planes
+             else planesFor(tables, planesPerTable)
+    array((0 until tables).map { t =>
+      (0 until planesPerTable).map { p =>
+        when(dotPlane(v, pl(t * planesPerTable + p)) > 0, lit(1L << p))
           .otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
+  }
 
   /** Brute-force cosine top-k against the embedding of `queryId`. The 1-row
     * query side is broadcast; the scan side is a narrow map; ORDER BY+LIMIT
@@ -264,23 +278,35 @@ object Similarity {
         coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 
-  /** Embedding near-dup pairs: candidates = same bucket in any table
-    * (banded-LSH shape, no all-pairs), verified by exact cosine >= threshold. */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  /** LSH candidate pairs for [[nearDupPairs]]: same bucket in any table.
+    * Geometry is the recall/cost knob — identical vectors collide in EVERY
+    * table at any R (sign patterns equal), so exact duplicates are never
+    * lost by raising R; near-dup recall at a given cosine is the
+    * 1-(1-(1-θ/π)^R)^T curve. */
+  def lshCandidates(embeddings: DataFrame,
+      tables: Int = Tables, planesPerTable: Int = PlanesPerTable): DataFrame = {
     // Shared shuffle on the bucket key: one exchange feeds both self-join
-    // sides (ReuseExchange), so the 48 plane dot products per vector run
+    // sides (ReuseExchange), so the T*R plane dot products per vector run
     // once, not twice.
     val b = embeddings.select(col("vec_id"),
-      posexplode(buckets(col("embedding"))).as(Seq("table_id", "bucket")))
+      posexplode(bucketsWith(col("embedding"), tables, planesPerTable))
+        .as(Seq("table_id", "bucket")))
       .repartition(col("table_id"), col("bucket"))
     val a = b.as("a")
     val c = b.hint("shuffle_hash").as("b")
-    val candidates = a.join(c,
+    a.join(c,
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"))
       .distinct()
+  }
+
+  /** Embedding near-dup pairs: candidates = same bucket in any table
+    * (banded-LSH shape, no all-pairs), verified by exact cosine >= threshold. */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double,
+      tables: Int = Tables, planesPerTable: Int = PlanesPerTable): DataFrame = {
+    val candidates = lshCandidates(embeddings, tables, planesPerTable)
     val ea = embeddings.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
     val eb = embeddings.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
     candidates.join(ea, "vec_id_a").join(eb, "vec_id_b")

@@ -130,4 +130,30 @@ class CurationSpec extends SparkSpec {
     assert(r.getLong(2) === 1L && r.getLong(3) === 2L && r.getLong(4) === 2L)
     assert(r.getDouble(5) === 0.5)
   }
+
+  test("source overlap df ceiling prunes only ubiquitous grams; totals stay exact") {
+    // gram "u1 u2 u3" appears in all three sources (df=3); "r1 r2 r3" only
+    // in a and b (df=2). cap=2 must drop the ubiquitous gram from SHARED
+    // counts while per-source totals are unchanged.
+    val dir = docsDir(Seq(
+      (1L, "u1 u2 u3 x1 x2 r1 r2 r3", "en", "a"),
+      (2L, "u1 u2 u3 y1 y2 r1 r2 r3", "en", "b"),
+      (3L, "u1 u2 u3 z1 z2", "en", "c")))
+    def byPair(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = graft.Tables.documents(spark, dir)
+    val exact = byPair(Curation.sourceOverlap(docs, None))
+    val capped = byPair(Curation.sourceOverlap(docs, Some(2)))
+    // every capped shared count is a lower bound; totals identical
+    for ((k, (sharedC, ga, gb)) <- capped) {
+      assert(sharedC <= exact(k)._1)
+      assert((ga, gb) === ((exact(k)._2, exact(k)._3)))
+    }
+    // the (a, b) pair keeps its rare overlap after the ubiquitous head drops
+    assert(capped(("a", "b"))._1 < exact(("a", "b"))._1)
+    assert(capped(("a", "b"))._1 >= 1L)
+    // pairs whose ONLY overlap was ubiquitous vanish from the capped matrix
+    assert(!capped.contains(("a", "c")) && exact.contains(("a", "c")))
+  }
 }

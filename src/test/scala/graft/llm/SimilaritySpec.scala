@@ -87,6 +87,23 @@ class SimilaritySpec extends SparkSpec {
       assert(trained(cell)(dim) === v, s"cell $cell dim $dim")
   }
 
+  test("LSH geometry knob: higher R cuts candidates; exact dups survive any R") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cLow = Similarity.lshCandidates(emb, 8, 6).count()
+    val cHigh = Similarity.lshCandidates(emb, 8, 9).count()
+    withClue(s"R=9 candidates $cHigh vs R=6 candidates $cLow: ") {
+      assert(cHigh < cLow)
+    }
+    // an identical vector collides in EVERY table regardless of R
+    val v0 = emb.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", lit(99999L))
+    val planted = emb.unionByName(v0)
+    val pairs = Similarity.nearDupPairs(planted, 0.999, 8, 9)
+      .filter(col("vec_id_a") === 0L && col("vec_id_b") === 99999L)
+    assert(pairs.count() === 1L)
+  }
+
   test("kmeansTrain centroids match-or-beat the seeded quantizer's recall") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val trained = Similarity.kmeansTrain(emb, nlist = 8, iters = 3)
