@@ -778,5 +778,68 @@ SELECT source, lang, count(*) AS n_docs,
   CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
 FROM t
 GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
-ORDER BY gid, source NULLS LAST, lang NULLS LAST""")))
+ORDER BY gid, source NULLS LAST, lang NULLS LAST""")),
+
+    // The flagship end-to-end curation pipeline: quality filter → exact
+    // dedup → benchmark decontamination → per-stratum quota — each stage is
+    // the already-oracle-checked operator (q46, q20, q50, q77), composed the
+    // way a production training-data run chains them. The oracle replays the
+    // whole chain in one CTE pipeline, so the gate checks the COMPOSITION
+    // (stage ordering, survivor threading), not just the pieces. Scale shape
+    // is the sum of its parts: every stage is linear or keyed-shuffle; no
+    // stage materializes to the driver.
+    Q("q86_curation_pipeline",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val kept1 = docs.join(TextAnalysis.qualityFilter(docs)
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        val kept2 = docs.join(Dedup.exactDedup(kept1).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val train = kept2.filter(col("source") =!= "src1")
+        val bench = docs.filter(col("source") === "src1")
+        val kept3 = Decontam.decontaminate(train, bench)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "source")
+          .orderBy(hash60(concat(col("doc_id").cast("string"), lit("|quota"))),
+            col("doc_id"))
+        kept3.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 50)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH $tokCte,
+$qualityStCte,
+kept1 AS (SELECT doc_id FROM st WHERE $qualityPredSql),
+d1 AS (SELECT d.* FROM documents d JOIN kept1 USING (doc_id)),
+hsh AS (SELECT doc_id, source, lang,
+          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS th
+        FROM d1),
+kept2 AS (SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY th
+              ORDER BY doc_id ASC, source ASC) AS rn FROM hsh)
+          WHERE rn = 1),
+d2 AS (SELECT d.* FROM d1 d JOIN kept2 USING (doc_id)),
+tok3 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         FROM d2 WHERE source <> 'src1'),
+sh3 AS (SELECT doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
+                                      for i in range(0, len(t)-2)]) AS s
+        FROM tok3),
+btok AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         FROM documents WHERE source = 'src1'),
+bsh AS (SELECT list_distinct([array_to_string(t[i+1:i+3], ' ')
+                              for i in range(0, len(t)-2)]) AS s
+        FROM btok),
+bench AS (SELECT DISTINCT ${h60("g.x")} AS gh FROM bsh, unnest(s) g(x)),
+tg AS (SELECT doc_id, ${h60("g.x")} AS gh FROM sh3, unnest(s) g(x)),
+bad AS (SELECT DISTINCT doc_id FROM tg WHERE gh IN (SELECT gh FROM bench)),
+d3 AS (SELECT doc_id, lang, source FROM d2
+       WHERE source <> 'src1'
+         AND doc_id NOT IN (SELECT doc_id FROM bad)),
+r AS (SELECT doc_id, lang, source,
+        row_number() OVER (PARTITION BY lang, source
+          ORDER BY (('0x' || substr(md5(doc_id::VARCHAR || '|quota'), 1, 15))::BIGINT),
+                   doc_id) AS rn
+      FROM d3)
+SELECT doc_id, lang, source FROM r WHERE rn <= 50 ORDER BY doc_id""")))
 }
