@@ -103,7 +103,10 @@ object Bench {
     val sfToken = sfDir.split("/").last.stripPrefix("sf")
     // Numeric if parseable, else a JSON string — never bare non-numeric text.
     val sf = sfToken.toDoubleOption.map(_.toString).getOrElse("\"" + sfToken + "\"")
-    def fmt(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which on
+    // comma-decimal locales would emit "1,5000" and corrupt the JSON line.
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val cpuJson = detailed.map { case (n, _, _, c) => "\"" + n + "\":" + fmt(c) }
       .mkString("{", ",", "}")
     val runsJson = detailed.map { case (n, _, rs, _) =>

@@ -29,17 +29,23 @@ object Verify {
         // env only): re-read the parquet EXACTLY as the comparator will
         // (post-write row order) and dump small results verbatim, so a
         // driver-side red can be diffed against the oracle row-by-row.
-        val back = spark.read.parquet(s"$outDir/$name")
-        val rows = back.limit(65).collect()
-        if (rows.length <= 64) {
-          val cols = back.columns
-          val lines = rows.map { r =>
-            cols.indices.map(i => s"${cols(i)}=${r.get(i)}").mkString("|")
+        // Best-effort in its OWN try: a debug-dump failure must not log
+        // "[verify] failed" for a query whose comparator input was written.
+        try {
+          val back = spark.read.parquet(s"$outDir/$name")
+          val rows = back.limit(65).collect()
+          if (rows.length <= 64) {
+            val cols = back.columns
+            val lines = rows.map { r =>
+              cols.indices.map(i => s"${cols(i)}=${r.get(i)}").mkString("|")
+            }
+            Files.writeString(Paths.get(s"$outDir/_debug/$name.txt"),
+              lines.mkString("", "\n", "\n"))
+            if (name.startsWith("q69"))
+              lines.foreach(l => System.err.println(s"[verify-rows] $name $l"))
           }
-          Files.writeString(Paths.get(s"$outDir/_debug/$name.txt"),
-            lines.mkString("", "\n", "\n"))
-          if (name.startsWith("q69"))
-            lines.foreach(l => System.err.println(s"[verify-rows] $name $l"))
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify-debug] $name dump skipped: ${e.getMessage}")
         }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

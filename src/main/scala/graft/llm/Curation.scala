@@ -27,6 +27,20 @@ import TextOps._
   */
 object Curation {
 
+  /** Deterministic cap-K per (lang, source) stratum — the q77 contract
+    * (hash-salted order with doc_id tie-break, retry-stable and
+    * cluster-size-independent), shared by the standalone query and the q86
+    * pipeline stage so the quota semantics cannot drift between them. */
+  def quotaSample(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(hash60(concat(col("doc_id").cast("string"), lit("|quota"))),
+        col("doc_id"))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("doc_id", "lang", "source")
+  }
+
   /** Cross-source distinct word-3-gram overlap/containment matrix (q85).
     *
     * `maxDfSources` is the scale lever from SCALE.md: a gram present in all
@@ -74,17 +88,7 @@ object Curation {
     // is what holds a runaway crawl domain to a bounded share of the
     // training mix.
     Q("q77_quota_sample",
-      (s, dir) => {
-        val k = 20
-        val docs = Tables.documents(s, dir)
-        val w = Window.partitionBy("lang", "source")
-          .orderBy(hash60(concat(col("doc_id").cast("string"), lit("|quota"))),
-            col("doc_id"))
-        docs.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= k)
-          .select("doc_id", "lang", "source")
-          .orderBy("doc_id")
-      },
+      (s, dir) => quotaSample(Tables.documents(s, dir), 20).orderBy("doc_id"),
       Some("""
 WITH r AS (SELECT doc_id, lang, source,
              row_number() OVER (PARTITION BY lang, source
@@ -149,9 +153,13 @@ FROM m ORDER BY doc_id""")),
         val d = Tables.documents(s, dir)
           .withColumn("h", hash60(normText(col("text"))))
         val standing = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        // recrawl ids offset by 1e12, outside any reachable doc_id band
+        // (ScaleGen strides at 1e7) — a colliding id would make the final
+        // ORDER BY doc_id a non-total order and the comparator row order
+        // engine-dependent.
         val recrawls = standing
           .filter(pmod(col("doc_id"), lit(5)) === 0)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+          .withColumn("doc_id", col("doc_id") + lit(1000000000000L))
         val arrivals = d.filter(pmod(col("doc_id"), lit(3)) === 0)
           .unionByName(recrawls)
         arrivals
@@ -166,7 +174,7 @@ WITH d AS (SELECT doc_id, lang, source,
 standing AS (SELECT * FROM d WHERE doc_id % 3 <> 0),
 arrivals AS (SELECT doc_id, lang, source, h FROM d WHERE doc_id % 3 = 0
              UNION ALL
-             SELECT doc_id + 1000000, lang, source, h FROM standing
+             SELECT doc_id + 1000000000000, lang, source, h FROM standing
              WHERE doc_id % 5 = 0)
 SELECT doc_id, lang, source FROM arrivals a
 WHERE NOT EXISTS (SELECT 1 FROM standing s WHERE s.h = a.h)

@@ -296,6 +296,12 @@ object Dedup {
       array_sort(array_distinct(graft.expr.CharGramHashSeq(col("text"), 3)))
         .as("grams"))
       .withColumn("n_grams", size(col("grams")))
+      // zero-gram docs (text shorter than the gram width) have an UNDEFINED
+      // jaccard (0/0 → NaN, which Spark's comparisons rank ABOVE the
+      // threshold while DuckDB's NULL filters out) and the prefix tier has
+      // no prefix to explode for them — excluding them keeps both tiers and
+      // both engines on the identical pair set.
+      .filter(col("n_grams") >= 1)
 
   /** Candidate pairs for [[ngramJaccardPairs]], two tiers:
     *
@@ -364,10 +370,11 @@ object Dedup {
   }
 
   /** Exact character-trigram Jaccard pairs, bucketed by `bucketCols` (e.g.
-    * `source`, `lang`): candidates from [[ngramJaccardCandidates]], verified
-    * by the early-exit merge-intersect kernel. Both tiers produce the
-    * identical pair set — the prefix filter is lossless — so the oracle does
-    * not change with the tier.
+    * `source`, `lang`), verified by the early-exit merge-intersect kernel.
+    * Both tiers produce the identical pair set — the prefix filter is
+    * lossless — so the oracle does not change with the tier
+    * ([[ngramJaccardCandidates]] exposes the candidate stages for
+    * measurement).
     *
     * The bucket key remains the outer scale lever (pair space is per-bucket);
     * the prefix tier then divides the within-bucket quadratic by the
@@ -382,13 +389,37 @@ object Dedup {
     * intersections compare longs, not strings. */
   def ngramJaccardPairs(docs: DataFrame, bucketCols: Seq[String],
       threshold: Double = 0.6, prefixFilter: Boolean = false): DataFrame = {
-    val g = gramPrep(docs, bucketCols)
-    val cand = ngramJaccardCandidates(docs, bucketCols, threshold, prefixFilter)
-    val ga = g.select(col("doc_id").as("doc_id_a"),
-      col("grams").as("grams_a"), col("n_grams").as("n_a"))
-    val gb = g.select(col("doc_id").as("doc_id_b"),
-      col("grams").as("grams_b"), col("n_grams").as("n_b"))
-    cand.join(ga, "doc_id_a").join(gb, "doc_id_b")
+    val verified =
+      if (!prefixFilter) {
+        // Bucket tier carries the gram arrays THROUGH the self-join: both
+        // sides repartition on the same plan, so ReuseExchange materializes
+        // the md5-heavy gramPrep exactly once and the join consumes one
+        // shuffle twice — the candidate/join-back spelling would re-derive
+        // gramPrep three times (candidates + each verify side).
+        val g = gramPrep(docs, bucketCols).repartition(col("bucket"))
+        val a = g.as("a")
+        val b = g.hint("shuffle_hash").as("b")
+        a.join(b, col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.n_grams"), col("b.n_grams")).cast("double") >=
+              lit(threshold) * greatest(col("a.n_grams"), col("b.n_grams")).cast("double"))
+          .select(col("a.bucket").as("bucket"),
+            col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+            col("a.grams").as("grams_a"), col("b.grams").as("grams_b"),
+            col("a.n_grams").as("n_a"), col("b.n_grams").as("n_b"))
+      } else {
+        val g = gramPrep(docs, bucketCols)
+        val cand = ngramJaccardCandidates(docs, bucketCols, threshold,
+          prefixFilter = true)
+        val ga = g.select(col("doc_id").as("doc_id_a"),
+          col("grams").as("grams_a"), col("n_grams").as("n_a"))
+        val gb = g.select(col("doc_id").as("doc_id_b"),
+          col("grams").as("grams_b"), col("n_grams").as("n_b"))
+        cand.join(ga, "doc_id_a").join(gb, "doc_id_b")
+          .select(col("bucket"), col("doc_id_a"), col("doc_id_b"),
+            col("grams_a"), col("grams_b"), col("n_a"), col("n_b"))
+      }
+    verified
       .select(col("bucket"), col("doc_id_a"), col("doc_id_b"),
         // early-exit verify (see minhashNearDupPairs): bailed pairs were
         // provably below threshold; icnt=-1 fails the jaccard filter.

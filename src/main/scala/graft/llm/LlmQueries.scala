@@ -300,9 +300,10 @@ g AS (SELECT doc_id, bucket,
         list_distinct([${h60("x")} for x in grams0]) AS grams,
         len(list_distinct([${h60("x")} for x in grams0])) AS n_grams
       FROM g0),
+gf AS (SELECT * FROM g WHERE n_grams >= 1),
 p AS (SELECT a.bucket, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
         ${jaccardSql("a.grams", "b.grams")} AS jaccard
-      FROM g a JOIN g b
+      FROM gf a JOIN gf b
         ON a.bucket = b.bucket AND a.doc_id < b.doc_id
        AND least(a.n_grams, b.n_grams)::DOUBLE >= 0.6 * greatest(a.n_grams, b.n_grams)::DOUBLE)
 SELECT bucket, doc_id_a, doc_id_b, jaccard FROM p WHERE jaccard >= 0.6
@@ -798,14 +799,7 @@ ORDER BY gid, source NULLS LAST, lang NULLS LAST""")),
         val train = kept2.filter(col("source") =!= "src1")
         val bench = docs.filter(col("source") === "src1")
         val kept3 = Decontam.decontaminate(train, bench)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang", "source")
-          .orderBy(hash60(concat(col("doc_id").cast("string"), lit("|quota"))),
-            col("doc_id"))
-        kept3.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= 50)
-          .select("doc_id", "lang", "source")
-          .orderBy("doc_id")
+        Curation.quotaSample(kept3, 50).orderBy("doc_id")
       },
       Some(s"""
 WITH $tokCte,

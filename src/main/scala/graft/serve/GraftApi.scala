@@ -156,7 +156,13 @@ class GraftApi(spark: SparkSession, sfDir: String) {
   }
 
   /** POST /query: body = one SELECT/WITH statement over the registered
-    * views; rows capped. The HTTP face of the GraftCatalog SQL front door. */
+    * views; rows capped. The HTTP face of the GraftCatalog SQL front door.
+    *
+    * Read-only is enforced on the PARSED PLAN, not the leading keyword: a
+    * first-token check alone is bypassable (Spark's grammar accepts
+    * `WITH ... INSERT OVERWRITE DIRECTORY ...`, whose first token is WITH),
+    * so any statement whose logical plan contains a Command or an insert is
+    * rejected before execution. */
   private def sqlEndpoint(ex: HttpExchange): Unit = {
     val sql = new String(ex.getRequestBody.readAllBytes(),
       StandardCharsets.UTF_8).trim
@@ -164,6 +170,13 @@ class GraftApi(spark: SparkSession, sfDir: String) {
       _.toUpperCase(java.util.Locale.ROOT)).getOrElse("")
     require(head == "SELECT" || head == "WITH",
       "only SELECT/WITH statements are served")
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val mutating = parsed.collectFirst {
+      case c: org.apache.spark.sql.catalyst.plans.logical.Command => c
+      case n if n.nodeName.toLowerCase(java.util.Locale.ROOT)
+        .contains("insert") => n
+    }.isDefined
+    require(!mutating, "only SELECT/WITH statements are served")
     val df = spark.sql(sql)
     val cols = df.columns.toSeq
     val rows = df.limit(1000).collect()

@@ -67,7 +67,7 @@ class CurationSpec extends SparkSpec {
     // snapshot delta: no surviving arrival shares content with standing
     val delta = runQ("q79_snapshot_delta", dir)
     assert(delta.count() > 0)
-    assert(delta.filter(col("doc_id") >= 1000000L).count() === 0) // re-crawls dropped
+    assert(delta.filter(col("doc_id") >= 1000000000000L).count() === 0) // re-crawls dropped
     // histogram: shares per lang sum to 1
     val hist = runQ("q80_length_histogram", dir)
       .groupBy("lang").agg(sum("lang_share").as("s"))

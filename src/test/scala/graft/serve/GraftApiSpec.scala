@@ -117,6 +117,15 @@ class GraftApiSpec extends SparkSpec {
     assert(body.get("rows").size() === 5)
     val (dmlCode, _) = post("/query", "DROP TABLE region")
     assert(dmlCode === 422)
+    // a WITH-prefixed mutating statement must not slip past the guard:
+    // Spark's grammar accepts `WITH ... INSERT ...`, first token WITH
+    val (smuggled, _) = post("/query",
+      "WITH x AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY '/tmp/graft_evil' SELECT * FROM x")
+    assert(smuggled === 422)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("/tmp/graft_evil")))
+    val (smuggled2, _) = post("/query",
+      "WITH x AS (SELECT 1 AS a) INSERT INTO region SELECT * FROM x")
+    assert(smuggled2 === 422)
     assert(get("/nosuch")._1 === 404)
   }
 }
