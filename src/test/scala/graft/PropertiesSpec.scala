@@ -205,4 +205,25 @@ object PropertiesSpec extends Properties("graft") {
       }
       covered && capacities
     }
+
+  // Adversarial corpora for the prefix-filter losslessness claim: tiny and
+  // empty-gram docs (text shorter than the trigram width), exact duplicates,
+  // shared prefixes, and multiple buckets.
+  private val jaccardDocsGen = Gen.nonEmptyListOf(for {
+    id <- Gen.choose(1L, 1000000L)
+    base <- Gen.oneOf("", "ab", "alpha beta gamma delta", "alpha beta gamma",
+      "the quick brown fox jumps", "the quick brown dog sits",
+      "zzz yyy xxx www", "lorem ipsum dolor sit amet")
+    suffix <- Gen.oneOf("", " tail", " tail two")
+    src <- Gen.oneOf("s1", "s2")
+  } yield (id, base + suffix, "en", src)).map(_.distinctBy(_._1))
+
+  property("ngram Jaccard: prefix tier emits the identical pair set (lossless)") =
+    Prop.forAll(jaccardDocsGen, Gen.oneOf(0.3, 0.5, 0.6, 0.8)) { (docs, t) =>
+      val df = docs.toDF("doc_id", "text", "lang", "source")
+      def pairs(prefix: Boolean) =
+        graft.llm.Dedup.ngramJaccardPairs(df, Seq("source"), t, prefix)
+          .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      pairs(prefix = true) == pairs(prefix = false)
+    }
 }
