@@ -139,6 +139,24 @@ object StreamOps {
   def qualityFilterStream(docsStream: DataFrame): DataFrame =
     graft.llm.TextAnalysis.qualityFilter(docsStream)
 
+  /** Streaming twin of q79's snapshot-delta dedup: arriving documents whose
+    * normalized-content hash is absent from the standing corpus survive; a
+    * re-crawl of standing content drops in-flight. The standing side is a
+    * STATIC hash set (8 bytes/doc, refreshed per corpus snapshot) so the
+    * join is stream-static left_anti — stateless for the stream, no
+    * watermark bookkeeping, and at scale the hash set is a broadcast or a
+    * bucketed table the micro-batch co-partitions into. Within-stream dups
+    * are the separate concern [[dedupStream]] owns (watermarked state). */
+  def snapshotDeltaStream(docsStream: DataFrame, standing: DataFrame): DataFrame =
+    docsStream
+      .withColumn("h", graft.llm.TextOps.hash60(
+        graft.llm.TextOps.normText(col("text"))))
+      .join(broadcast(standing
+        .select(graft.llm.TextOps.hash60(
+          graft.llm.TextOps.normText(col("text"))).as("h"))
+        .distinct()), Seq("h"), "left_anti")
+      .drop("h")
+
   /** The streaming→warehouse bridge: foreachBatch + the batch merge sink.
     * Each micro-batch merges into the stored table with
     * Sinks.mergeLatestWins (best row per natural key under a TOTAL order),

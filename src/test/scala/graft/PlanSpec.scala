@@ -68,6 +68,20 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast semi-join:\n$p")
   }
 
+  test("kmeans training broadcasts centroids every round; corpus never sort-merges") {
+    // The per-round assignment (what kmeansTrain executes each Lloyd round;
+    // its returned frame is post-checkpoint, so pin the round plan itself)
+    // must broadcast the nlist-sized centroid table against the corpus — a
+    // SortMergeJoin would mean the corpus shuffles once per round.
+    val emb = graft.Tables.embeddings(spark, dir)
+    val p = graft.llm.Similarity.ivfAssignWith(emb,
+      graft.llm.Similarity.seedCentroids(emb, 8))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast assignment:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus sort-merged per round:\n$p")
+  }
+
   test("trend windows share one exchange+sort across lag/lead/frame functions") {
     val p = plan("q55_trend_windows")
     // all four window functions partition by cik alone and order by

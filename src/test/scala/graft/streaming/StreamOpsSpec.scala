@@ -151,6 +151,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshotDeltaStream: re-crawled content drops in-flight, new docs pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Seq((100L, "known doc content", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.snapshotDeltaStream(
+        mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"), standing)
+      .writeStream.format("memory").queryName("delta_stream_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, "brand new content", "en", "s", 17L),
+        (2L, "  KNOWN   doc CONTENT ", "en", "s", 22L)) // re-crawl, renormalized
+      q.processAllAvailable()
+      val ids = spark.table("delta_stream_test").select("doc_id")
+        .as[Long].collect().toSeq
+      assert(ids === Seq(1L))
+    } finally q.stop()
+  }
+
   test("sessionizeStream survives events behind the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
