@@ -68,6 +68,42 @@ SELECT event_type,
   max(value) AS vmax
 FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Mergeable-sketch quantiles with a self-auditing gate (the q37
+    // exact+tolerance pattern): the deterministic KLL sketch estimates
+    // per-flag price quartiles, then the query checks each estimate's TRUE
+    // rank window against the 5% bound and emits only the booleans — the
+    // oracle is the all-true constant, so any bound violation (or any
+    // nondeterminism in the sketch) reds the gate. The sketch is the
+    // 100 TB path: exact percentile (q44) buffers whole groups; this ships
+    // O(k log n) doubles per group map-side.
+    Q("q87_sketch_quantiles",
+      (s, dir) => {
+        val eps = 0.05
+        val ps = Seq(0.25, 0.5, 0.75)
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"),
+            col("l_extendedprice").cast("double").as("x"))
+        val est = li.groupBy("flag")
+          .agg(graft.expr.QuantileSketch(col("x"), ps, 512).as("ests"))
+          .select(col("flag"), posexplode(col("ests")).as(Seq("pi", "est")))
+          .withColumn("p", element_at(array(ps.map(lit): _*), col("pi") + 1))
+        li.join(broadcast(est), Seq("flag"))
+          .groupBy("flag", "p", "est")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("x") < col("est"), 1L).otherwise(0L)).as("lt"),
+            sum(when(col("x") <= col("est"), 1L).otherwise(0L)).as("le"))
+          .select(col("flag"), col("p"),
+            ((col("lt").cast("double") / col("n").cast("double") - lit(eps) <= col("p")) &&
+              (col("p") <= col("le").cast("double") / col("n").cast("double") + lit(eps)))
+              .as("within_bound"))
+          .orderBy("flag", "p")
+      },
+      Some("""
+WITH flags AS (SELECT DISTINCT l_returnflag AS flag FROM lineitem)
+SELECT flag, g.p AS p, TRUE AS within_bound
+FROM flags, unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) g(p)
+ORDER BY flag, p""")),
+
     // The rank-function family (ntile / percent_rank / cume_dist) as a
     // score-calibration pass: decile + distributional position of every doc
     // by size. The order (n_chars, doc_id) is TOTAL, so all three functions
