@@ -495,6 +495,36 @@ SELECT cell, CAST(g.i AS INTEGER) AS dim, cent[g.i + 1] AS centroid
 FROM cents2, unnest(generate_series(0, ${Similarity.Dim - 1})) g(i)
 ORDER BY cell, dim""")),
 
+    // IVF search driven by the TRAINED coarse quantizer: the full
+    // production path (train → assign → probe → rank) oracle-checked end
+    // to end — q35 checks the seeded quantizer, q82 the training chain;
+    // this closes the loop by searching THROUGH the trained centroids.
+    Q("q88_ivf_trained_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb, 42L, 10, 16, 4,
+          Some(Similarity.kmeansTrain(emb, 16, 2)))
+      },
+      Some(s"""
+WITH $embCte,
+cents0 AS (SELECT vec_id AS cell, v AS cent FROM e WHERE vec_id < 16),
+${lloydIterCtes(1)},
+${lloydIterCtes(2)},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 42),
+probes AS (SELECT cell FROM (
+             SELECT c.cell, ${cosineSql("c.cent", "q.qv")} AS sim
+             FROM cents2 c, q
+             ORDER BY sim DESC, cell ASC LIMIT 4)),
+af AS (SELECT vec_id, label, v, cell FROM (
+         SELECT e.vec_id, e.label, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineSql("e.v", "c.cent")} DESC, c.cell ASC) AS rn
+         FROM e, cents2 c) WHERE rn = 1),
+m AS (SELECT a.vec_id, a.label, a.cell, ${cosineSql("a.v", "q.qv")} AS cosine
+      FROM af a JOIN probes p ON a.cell = p.cell, q)
+SELECT vec_id, label, cell, cosine FROM m
+ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
+
     // Embedding-cosine near-dup pairs via multi-table LSH candidates.
     Q("q34_embedding_neardup",
       (s, dir) => Similarity.nearDupPairs(Tables.embeddings(s, dir), 0.4)
