@@ -147,6 +147,46 @@ object StreamOps {
     * watermark bookkeeping, and at scale the hash set is a broadcast or a
     * bucketed table the micro-batch co-partitions into. Within-stream dups
     * are the separate concern [[dedupStream]] owns (watermarked state). */
+  /** Streaming twin of q59's heavy hitters: per group key, a running
+    * Misra–Gries sketch over the token stream with AT MOST `k` counters of
+    * state per group — the bounded-state property is what makes a
+    * heavy-hitters query runnable on an unbounded stream at all (a
+    * groupBy(token).count() stream would grow state with token
+    * cardinality). Same update rule as the batch aggregate
+    * (graft.expr.MisraGriesTopK), so the guarantee carries over: any token
+    * with true count > n/(k+1) is present in the sketch. Update mode: each
+    * micro-batch emits the group's refreshed top `outK` as a CSV'd
+    * "token:count" string (memory-sink-friendly). */
+  def heavyHittersStream(tokens: Dataset[(String, String)],
+      k: Int, outK: Int): DataFrame = {
+    import tokens.sparkSession.implicits._
+    tokens
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], (String, String)](
+        GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[(String, String)],
+            state: GroupState[Map[String, Long]]) =>
+          val buf = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(m => buf ++= m)
+          rows.foreach { case (_, tok) =>
+            buf.get(tok) match {
+              case Some(c) => buf.update(tok, c + 1)
+              case None if buf.size < k => buf.update(tok, 1L)
+              case None =>
+                buf.keys.toList.foreach { key =>
+                  val c = buf(key) - 1
+                  if (c == 0) buf.remove(key) else buf.update(key, c)
+                }
+            }
+          }
+          state.update(buf.toMap)
+          val top = buf.toSeq.sortBy { case (t, c) => (-c, t) }.take(outK)
+            .map { case (t, c) => s"$t:$c" }.mkString(",")
+          (group, top)
+      }
+      .toDF("group", "top")
+  }
+
   def snapshotDeltaStream(docsStream: DataFrame, standing: DataFrame): DataFrame =
     docsStream
       .withColumn("h", graft.llm.TextOps.hash60(

@@ -171,6 +171,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersStream: bounded state still surfaces the heavy token") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = StreamOps.heavyHittersStream(mem.toDS(), k = 4, outK = 2)
+      .writeStream.format("memory").queryName("hh_stream_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // 60 tokens, 30 of them "hot" (> n/(k+1) = 12): MG must keep it even
+      // though 10 distinct cold tokens churn through 4 counters
+      val cold = (1 to 30).map(i => ("g1", s"cold${i % 10}"))
+      val hot = (1 to 30).map(_ => ("g1", "hot"))
+      mem.addData(cold.zip(hot).flatMap { case (c, h) => Seq(c, h) }: _*)
+      q.processAllAvailable()
+      val top = spark.table("hh_stream_test")
+        .filter(col("group") === "g1").select("top")
+        .as[String].collect().last
+      assert(top.startsWith("hot:"), s"hot token missing from '$top'")
+    } finally q.stop()
+  }
+
   test("sessionizeStream survives events behind the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
