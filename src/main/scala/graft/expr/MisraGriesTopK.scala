@@ -55,18 +55,8 @@ case class MisraGriesTopK(
   override def update(buf: mutable.HashMap[String, Long],
       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
-      buf.get(s) match {
-        case Some(c) => buf.update(s, c + 1)
-        case None if buf.size < k => buf.update(s, 1L)
-        case None => // counters full: decrement everyone, drop the zeroed
-          buf.keys.toList.foreach { key =>
-            val c = buf(key) - 1
-            if (c == 0) buf.remove(key) else buf.update(key, c)
-          }
-      }
-    }
+    if (v != null)
+      MisraGriesTopK.updateToken(buf, v.asInstanceOf[UTF8String].toString, k)
     buf
   }
 
@@ -137,6 +127,23 @@ case class MisraGriesTopK(
 }
 
 object MisraGriesTopK {
+
+  /** The Misra–Gries update rule, shared by the batch aggregate and the
+    * streaming twin (StreamOps.heavyHittersStream) so the guarantee-bearing
+    * logic has exactly one implementation: increment a tracked token,
+    * insert below capacity, else decrement every counter and drop the
+    * zeroed. */
+  def updateToken(buf: mutable.HashMap[String, Long], tok: String, k: Int): Unit =
+    buf.get(tok) match {
+      case Some(c) => buf.update(tok, c + 1)
+      case None if buf.size < k => buf.update(tok, 1L)
+      case None => // counters full: decrement everyone, drop the zeroed
+        buf.keys.toList.foreach { key =>
+          val c = buf(key) - 1
+          if (c == 0) buf.remove(key) else buf.update(key, c)
+        }
+    }
+
   def apply(c: Column, k: Int, outK: Int): Column =
     GraftSqlBridge.column(
       new MisraGriesTopK(GraftSqlBridge.expression(c), k, outK)

@@ -139,24 +139,17 @@ object StreamOps {
   def qualityFilterStream(docsStream: DataFrame): DataFrame =
     graft.llm.TextAnalysis.qualityFilter(docsStream)
 
-  /** Streaming twin of q79's snapshot-delta dedup: arriving documents whose
-    * normalized-content hash is absent from the standing corpus survive; a
-    * re-crawl of standing content drops in-flight. The standing side is a
-    * STATIC hash set (8 bytes/doc, refreshed per corpus snapshot) so the
-    * join is stream-static left_anti — stateless for the stream, no
-    * watermark bookkeeping, and at scale the hash set is a broadcast or a
-    * bucketed table the micro-batch co-partitions into. Within-stream dups
-    * are the separate concern [[dedupStream]] owns (watermarked state). */
   /** Streaming twin of q59's heavy hitters: per group key, a running
     * Misra–Gries sketch over the token stream with AT MOST `k` counters of
     * state per group — the bounded-state property is what makes a
     * heavy-hitters query runnable on an unbounded stream at all (a
     * groupBy(token).count() stream would grow state with token
-    * cardinality). Same update rule as the batch aggregate
-    * (graft.expr.MisraGriesTopK), so the guarantee carries over: any token
-    * with true count > n/(k+1) is present in the sketch. Update mode: each
-    * micro-batch emits the group's refreshed top `outK` as a CSV'd
-    * "token:count" string (memory-sink-friendly). */
+    * cardinality). The update rule is LITERALLY the batch aggregate's
+    * (graft.expr.MisraGriesTopK.updateToken — one shared implementation, so
+    * the two tiers cannot drift), hence the guarantee carries over: any
+    * token with true count > n/(k+1) is present in the sketch. Update
+    * mode: each micro-batch emits the group's refreshed top `outK` as a
+    * CSV'd "token:count" string (memory-sink-friendly). */
   def heavyHittersStream(tokens: Dataset[(String, String)],
       k: Int, outK: Int): DataFrame = {
     import tokens.sparkSession.implicits._
@@ -169,15 +162,7 @@ object StreamOps {
           val buf = scala.collection.mutable.HashMap.empty[String, Long]
           state.getOption.foreach(m => buf ++= m)
           rows.foreach { case (_, tok) =>
-            buf.get(tok) match {
-              case Some(c) => buf.update(tok, c + 1)
-              case None if buf.size < k => buf.update(tok, 1L)
-              case None =>
-                buf.keys.toList.foreach { key =>
-                  val c = buf(key) - 1
-                  if (c == 0) buf.remove(key) else buf.update(key, c)
-                }
-            }
+            graft.expr.MisraGriesTopK.updateToken(buf, tok, k)
           }
           state.update(buf.toMap)
           val top = buf.toSeq.sortBy { case (t, c) => (-c, t) }.take(outK)
@@ -187,15 +172,32 @@ object StreamOps {
       .toDF("group", "top")
   }
 
-  def snapshotDeltaStream(docsStream: DataFrame, standing: DataFrame): DataFrame =
+  /** Streaming twin of q79's snapshot-delta dedup: arriving documents whose
+    * normalized-content hash is absent from the standing corpus survive; a
+    * re-crawl of standing content drops in-flight. The standing side is a
+    * STATIC hash set (8 bytes/doc) the CALLER materializes once per corpus
+    * snapshot (persist or write the [[standingHashes]] frame — deriving it
+    * inline here would re-hash and re-broadcast the whole corpus every
+    * micro-batch); the join is stream-static left_anti — stateless for the
+    * stream, no watermark bookkeeping. At scale the hash set broadcasts,
+    * or is a bucketed table the micro-batch co-partitions into (drop the
+    * broadcast hint). Within-stream dups are the separate concern
+    * [[dedupStream]] owns (watermarked state). */
+  def snapshotDeltaStream(docsStream: DataFrame, standingHashes: DataFrame): DataFrame =
     docsStream
       .withColumn("h", graft.llm.TextOps.hash60(
         graft.llm.TextOps.normText(col("text"))))
-      .join(broadcast(standing
-        .select(graft.llm.TextOps.hash60(
-          graft.llm.TextOps.normText(col("text"))).as("h"))
-        .distinct()), Seq("h"), "left_anti")
+      .join(broadcast(standingHashes.select("h")), Seq("h"), "left_anti")
       .drop("h")
+
+  /** The per-snapshot hash set [[snapshotDeltaStream]] anti-joins against:
+    * compute once when the standing corpus snapshot lands, persist or
+    * store, and reuse across every micro-batch until the next snapshot. */
+  def standingHashes(standing: DataFrame): DataFrame =
+    standing
+      .select(graft.llm.TextOps.hash60(
+        graft.llm.TextOps.normText(col("text"))).as("h"))
+      .distinct()
 
   /** The streaming→warehouse bridge: foreachBatch + the batch merge sink.
     * Each micro-batch merges into the stored table with

@@ -153,8 +153,11 @@ class StreamOpsSpec extends SparkSpec {
 
   test("snapshotDeltaStream: re-crawled content drops in-flight, new docs pass") {
     implicit val sqlCtx = spark.sqlContext
-    val standing = Seq((100L, "known doc content", "en", "s", 17L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the hash set is materialized ONCE per corpus snapshot (persist), so
+    // micro-batches anti-join 8-byte hashes, never re-hashing the corpus
+    val standing = StreamOps.standingHashes(
+      Seq((100L, "known doc content", "en", "s", 17L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")).persist()
     val mem = MemoryStream[(Long, String, String, String, Long)]
     val q = StreamOps.snapshotDeltaStream(
         mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"), standing)
