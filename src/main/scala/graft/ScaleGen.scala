@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *     documents get a per-copy source id (bucket cardinality grows with the
   *     corpus, bucket SIZE stays — the bucket-growth axis is measured
   *     separately in SCALE.md) plus a ~25% hash-keyed token perturbation
-  *     (cross-copy trigram Jaccard ≈ 0.5 < every dedup threshold);
+  *     (cross-copy trigram Jaccard ≈ 0.5 < every dedup threshold —
+  *     statistically: a doc whose distinct tokens all dodge the 1-in-4
+  *     perturbation stays a cross-copy dup with probability 0.75^distinct,
+  *     a sub-1% low-entropy residual ScaleGenSpec bounds);
   *     embeddings get a per-(dim, copy) hash sign flip (norm-preserving,
   *     expected cross-copy cosine ≈ 0); events offset event/user ids into
   *     the same time window (10× traffic, constant window count).
@@ -38,7 +41,6 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, outDir, copiesStr) = args
-    val copies = copiesStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,6 +49,12 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, baseDir, outDir, copiesStr.toInt)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int): Unit = {
     // events carries TIMESTAMP(NANOS) parquet: read the nanos as a plain
     // long and write that long back, so Tables.events' legacy-conf read +
     // div-1000 truncation works identically on the generated dir.
@@ -107,6 +115,5 @@ object ScaleGen {
       .drop("copy"), 8)
 
     println(s"[scalegen] wrote ${copies}x of $baseDir to $outDir")
-    spark.stop()
   }
 }
