@@ -242,6 +242,40 @@ SELECT lang, n_docs,
   (1.0 / n_langs::DOUBLE) / (n_docs::DOUBLE / total::DOUBLE) AS weight
 FROM m ORDER BY lang""")),
 
+    // Robust per-source length outliers: median/MAD z-score (the screen
+    // that survives the heavy-tailed length distributions real crawls have,
+    // where mean/stddev — q76's parametric form — is dragged by the very
+    // outliers it hunts). Two grouped exact medians + two broadcast
+    // join-backs; the aggregates are source-cardinality-sized, so nothing
+    // scales beyond the two linear passes.
+    Q("q89_robust_outliers",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val med = d.groupBy("source")
+          .agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+        val withMed = d.join(broadcast(med), Seq("source"))
+          .withColumn("adev", abs(col("n_chars").cast("double") - col("med")))
+        val mad = withMed.groupBy("source")
+          .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+        withMed.join(broadcast(mad), Seq("source"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("med"), col("mad"),
+            (col("adev") > lit(3.0) * col("mad")).as("is_outlier"))
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+             FROM documents GROUP BY source),
+wm AS (SELECT d.doc_id, d.source, d.n_chars, m.med,
+         abs(d.n_chars::DOUBLE - m.med) AS adev
+       FROM documents d JOIN med m ON d.source = m.source),
+mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad FROM wm GROUP BY source)
+SELECT wm.doc_id, wm.source, wm.n_chars, wm.med, mad.mad,
+  wm.adev > 3.0 * mad.mad AS is_outlier
+FROM wm JOIN mad ON wm.source = mad.source
+ORDER BY wm.doc_id""")),
+
     // CCNet-style shared-segment (boilerplate) strip: segment each doc into
     // consecutive 8-token chunks, count each segment's distinct-doc
     // frequency within its source, drop segments appearing in >= 2 docs

@@ -145,7 +145,9 @@ j AS (SELECT doc_id_a, doc_id_b, ${jaccardSql("ha.h", "hb.h")} AS jaccard
 
   /** Transitive-closure clustering oracle, shared by q48 (min-label CC) and
     * q65 (pointer-jumping CC) — one ground truth, two implementations. */
-  private val ccOracleSql: String = s"""
+  /** The recursive label CTE chain, shared by the q48/q65 label oracle and
+    * the q90 cluster-size histogram built over the same labels. */
+  private val ccLabelsCtes: String = s"""
 WITH RECURSIVE $minhashCtes,
 pairs AS (SELECT doc_id_a, doc_id_b FROM j WHERE jaccard >= 0.8),
 edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
@@ -153,7 +155,9 @@ edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
 reach AS (SELECT src, dst FROM edges
           UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
 labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-           FROM reach GROUP BY src)
+           FROM reach GROUP BY src)"""
+
+  private val ccOracleSql: String = s"""$ccLabelsCtes
 SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
 FROM labels ORDER BY doc_id"""
 
@@ -223,6 +227,24 @@ ORDER BY doc_id_a, doc_id_b""")),
         "doc_id_a", "doc_id_b")
         .orderBy("doc_id"),
       Some(ccOracleSql)),
+
+    // Dedup survivorship report: the cluster-size histogram over q48's
+    // labels — the number a curation run reads to decide whether near-dup
+    // pressure is a tail of twins or a few mega-clusters (which changes the
+    // dedup strategy: drop-all-but-one vs cap-per-cluster). Aggregates over
+    // the label table only — nothing rescans documents.
+    Q("q90_cluster_sizes",
+      (s, dir) => Dedup.connectedComponents(
+          Dedup.minhashNearDupPairs(Tables.documents(s, dir), 0.8),
+          "doc_id_a", "doc_id_b")
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz"),
+      Some(s"""$ccLabelsCtes,
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+          FROM labels GROUP BY cluster_id)
+SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY sz ORDER BY sz""")),
 
     // The same clustering through the pointer-jumping variant
     // (connectedComponentsFast, O(log diameter) rounds) — sharing q48's
