@@ -27,5 +27,11 @@ object GraftCatalog {
     sec.SecDerive.statementsV3(spark, dir)
       .createOrReplaceTempView("statements_annual")
     sec.SecDerive.ratiosV3(spark, dir).createOrReplaceTempView("ratios_annual")
+    // The curated training corpus (q86's quality→dedup→decontam→quota
+    // pipeline) as a view: SQL/HTTP consumers read the pipeline's OUTPUT
+    // contract without knowing its stages, the same way ratios_annual hides
+    // the statement build. Lazy plan — consumers' filters push into it.
+    SparkEntry.queries("q86_curation_pipeline")(spark, dir)
+      .createOrReplaceTempView("corpus_curated")
   }
 }

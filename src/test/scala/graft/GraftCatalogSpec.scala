@@ -29,6 +29,12 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM documents").head.getLong(0) > 0)
     val h = spark.sql("SELECT graft_hash60('hello') AS h").head.getLong(0)
     assert(h === 419982666956583591L) // pinned cross-engine hash60 value
+    // the curated-corpus view serves the q86 pipeline's output contract
+    val curated = spark.sql(
+      "SELECT lang, count(*) AS n FROM corpus_curated GROUP BY lang")
+    assert(curated.collect().map(_.getLong(1)).sum > 0)
+    assert(spark.sql("SELECT * FROM corpus_curated WHERE source = 'src1'")
+      .count() === 0) // benchmark source never reaches the training corpus
   }
 
   test("events view carries a real timestamp column, not raw nanos longs") {
