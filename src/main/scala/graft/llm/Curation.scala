@@ -41,6 +41,24 @@ object Curation {
       .select("doc_id", "lang", "source")
   }
 
+  /** RE2-safe PII patterns (run verbatim in the DuckDB mirrors). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII identify-and-mask over a `text` column: per-row counts plus the
+    * masked text. A pure narrow map (zero shuffles), which is why the
+    * STREAMING twin (StreamOps.piiScrubStream) is this same function applied
+    * to a readStream frame — batch/streaming parity by construction. The
+    * q84 gate injects synthetic identifiers so the oracle checks both the
+    * positive and negative paths. */
+  def piiScrub(docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("clean_text"))
+
   /** Cross-source distinct word-3-gram overlap/containment matrix (q85).
     *
     * `maxDfSources` is the scale lever from SCALE.md: a gram present in all
@@ -336,8 +354,6 @@ FROM f GROUP BY doc_id ORDER BY doc_id""")),
     // scale.
     Q("q84_pii_scrub",
       (s, dir) => {
-        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phone = "\\b\\d{3}-\\d{4}\\b"
         val withPii = Tables.documents(s, dir)
           .withColumn("txt",
             when(pmod(col("doc_id"), lit(5)) === 0,
@@ -346,12 +362,7 @@ FROM f GROUP BY doc_id ORDER BY doc_id""")),
                 lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
                 lit(" now")))
               .otherwise(col("text")))
-        withPii.select(col("doc_id"),
-          regexp_count(col("txt"), lit(email)).cast("long").as("n_emails"),
-          regexp_count(col("txt"), lit(phone)).cast("long").as("n_phones"),
-          regexp_replace(regexp_replace(col("txt"), email, "<EMAIL>"),
-            phone, "<PHONE>").as("clean_text"))
-          .orderBy("doc_id")
+        piiScrub(withPii, "txt").orderBy("doc_id")
       },
       Some("""
 WITH p AS (SELECT doc_id,

@@ -190,6 +190,12 @@ object StreamOps {
       .join(broadcast(standingHashes.select("h")), Seq("h"), "left_anti")
       .drop("h")
 
+  /** Streaming PII scrub: the batch expressions (Curation.piiScrub) applied
+    * unchanged to a readStream frame — a pure narrow map, so batch and
+    * streaming tiers share one implementation and cannot drift. */
+  def piiScrubStream(docsStream: DataFrame): DataFrame =
+    graft.llm.Curation.piiScrub(docsStream)
+
   /** The per-snapshot hash set [[snapshotDeltaStream]] anti-joins against:
     * compute once when the standing corpus snapshot lands, persist or
     * store, and reuse across every micro-batch until the next snapshot. */

@@ -174,6 +174,23 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("piiScrubStream: masking runs unchanged under readStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.piiScrubStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_stream_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, "mail bob@x.example.net or 555-1234 now"),
+        (2L, "nothing to mask"))
+      q.processAllAvailable()
+      val got = spark.table("pii_stream_test").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(got(1L) === ((1L, 1L, "mail <EMAIL> or <PHONE> now")))
+      assert(got(2L) === ((0L, 0L, "nothing to mask")))
+    } finally q.stop()
+  }
+
   test("heavyHittersStream: bounded state still surfaces the heavy token") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
