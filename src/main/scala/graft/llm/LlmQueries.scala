@@ -700,6 +700,27 @@ SELECT doc_id, n_tokens,
          AS avg_surprisal
 FROM a ORDER BY doc_id""")),
 
+    // Per-doc character-distribution entropy (micro-quantized ln, the q56
+    // recipe): the base64-soup / padding detector orthogonal to token stats.
+    Q("q91_char_entropy",
+      (s, dir) => TextAnalysis.charEntropy(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some("""
+WITH ch AS (SELECT doc_id,
+              unnest([substr(text, i, 1) for i in range(1, length(text) + 1)]) AS ch
+            FROM documents),
+c AS (SELECT doc_id, ch, count(*) AS nc FROM ch GROUP BY doc_id, ch),
+a AS (SELECT doc_id,
+        CAST(sum(CAST(floor(nc::DOUBLE * ln(nc::DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT)) AS BIGINT) AS s_micro,
+        CAST(sum(nc) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS n_distinct
+      FROM c GROUP BY doc_id)
+SELECT doc_id, n, n_distinct,
+  (floor(ln(n::DOUBLE) * 1000000 + 0.5) - s_micro::DOUBLE / n::DOUBLE)
+    / 1000000.0 AS entropy
+FROM a ORDER BY doc_id""")),
+
     // Quality/statistics block over documents.
     Q("q26_text_stats",
       (s, dir) => TextAnalysis.textStats(Tables.documents(s, dir)).orderBy("doc_id"),

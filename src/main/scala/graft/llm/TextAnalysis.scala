@@ -176,6 +176,34 @@ object TextAnalysis {
           / lit(1000000.0)).as("avg_surprisal"))
   }
 
+  /** Per-doc character-distribution Shannon entropy — the quality signal
+    * that separates natural text (≈ 4 bits/char neighborhoods) from both
+    * base64/hex soup (high) and repeated-char padding (low), orthogonal to
+    * the token-level stats (q26) and surprisal (q73).
+    *
+    * H = ln(n) − (Σ_c n_c·ln(n_c))/n, with each n_c·ln(n_c) term quantized
+    * to integer micro-units (the q56 recipe) so the per-doc sum is exact
+    * integer arithmetic and cross-engine float risk is confined to one ln()
+    * rounding per distinct (char, count). One explode + two keyed
+    * aggregations, both collapsing map-side; nothing scales past the
+    * char-count linear pass. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("nc"))
+    val termMicro = floor(col("nc").cast("double") *
+      log(col("nc").cast("double")) * lit(1000000) + lit(0.5)).cast("long")
+    counts.groupBy("doc_id")
+      .agg(sum(termMicro).as("s_micro"), sum("nc").as("n"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        ((floor(log(col("n").cast("double")) * lit(1000000) + lit(0.5))
+          - col("s_micro").cast("double") / col("n").cast("double"))
+          / lit(1000000.0)).as("entropy"))
+  }
+
   /** Winnowing document fingerprint: positional word 3-gram hashes, sliding
     * window of 4, keep each window's min hash, distinct + sort. The classic
     * local fingerprinting scheme (Schleimer et al., SIGMOD'03) as pure array

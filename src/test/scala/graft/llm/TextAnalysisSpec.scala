@@ -82,4 +82,16 @@ class TextAnalysisSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
     assert(out.map(_.getLong(0)).toSeq === Seq(3L, 0L, 0L))
   }
+
+  test("charEntropy: zero for repeated char, ln(k) for uniform, counts exact") {
+    val df = Seq(doc(1, "aaaaaaaa"), doc(2, "abcdefgh")).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.charEntropy(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getAs[Double]("entropy"))).toMap
+    assert(out(1L)._1 === 8L && out(1L)._2 === 1L)
+    assert(math.abs(out(1L)._3) < 1e-5)              // single symbol: H = 0
+    assert(out(2L)._1 === 8L && out(2L)._2 === 8L)
+    assert(math.abs(out(2L)._3 - math.log(8.0)) < 1e-3) // uniform: H = ln k
+  }
 }
