@@ -57,8 +57,23 @@ object ScaleGen {
       copies: Int): Unit = {
     // events carries TIMESTAMP(NANOS) parquet: read the nanos as a plain
     // long and write that long back, so Tables.events' legacy-conf read +
-    // div-1000 truncation works identically on the generated dir.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // div-1000 truncation works identically on the generated dir. The conf
+    // is restored on exit — run() may execute on a caller-owned (shared)
+    // session, and leaving the legacy flag set would make OTHER raw
+    // nanos-parquet reads silently surface longs instead of failing loudly
+    // (the exact corruption mode Tables.scala guards against).
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosPrev = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try runInner(spark, baseDir, outDir, copies)
+    finally nanosPrev match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None => spark.conf.unset(nanosKey)
+    }
+  }
+
+  private def runInner(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int): Unit = {
     import spark.implicits._
 
     def base(t: String): DataFrame = spark.read.parquet(s"$baseDir/$t.parquet")

@@ -276,10 +276,15 @@ FROM m ORDER BY lang""")),
           .withColumn("adev", abs(col("n_chars").cast("double") - col("med")))
         val mad = withMed.groupBy("source")
           .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+        // mad = 0 guard: a source where >= half the docs share one length
+        // would otherwise turn `adev > 3*mad` into a strict length-equality
+        // filter (every deviation flags); with no spread to calibrate
+        // against, the robust screen abstains rather than degenerates.
         withMed.join(broadcast(mad), Seq("source"))
           .select(col("doc_id"), col("source"), col("n_chars"),
             col("med"), col("mad"),
-            (col("adev") > lit(3.0) * col("mad")).as("is_outlier"))
+            (col("mad") > 0.0 && col("adev") > lit(3.0) * col("mad"))
+              .as("is_outlier"))
           .orderBy("doc_id")
       },
       Some("""
@@ -290,7 +295,7 @@ wm AS (SELECT d.doc_id, d.source, d.n_chars, m.med,
        FROM documents d JOIN med m ON d.source = m.source),
 mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad FROM wm GROUP BY source)
 SELECT wm.doc_id, wm.source, wm.n_chars, wm.med, mad.mad,
-  wm.adev > 3.0 * mad.mad AS is_outlier
+  (mad.mad > 0.0 AND wm.adev > 3.0 * mad.mad) AS is_outlier
 FROM wm JOIN mad ON wm.source = mad.source
 ORDER BY wm.doc_id""")),
 

@@ -49,6 +49,15 @@ object Similarity {
 
   val planes: Seq[Seq[Double]] = planesFor(Tables, PlanesPerTable)
 
+  /** The deployment rule for R: R = max(default, ceil(log2(N / 32))) keeps
+    * expected bucket occupancy ~32 as the corpus grows. Resolves to the
+    * default (= the generated oracle geometry) for every N <= 2048; the sf1
+    * run measured the fixed-R alternative at ~100× candidate growth for
+    * 10× vectors. */
+  def adaptiveR(n: Long): Int =
+    math.max(PlanesPerTable,
+      math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+
   /** Strict left-fold dot product of two vector columns, elementwise-cast to
     * double. Backed by the codegen'd native expression (graft.expr.DotProduct)
     * — the HOF formulation `aggregate(zip_with(...))` computes the identical

@@ -195,13 +195,21 @@ object TextAnalysis {
       .agg(count(lit(1)).as("nc"))
     val termMicro = floor(col("nc").cast("double") *
       log(col("nc").cast("double")) * lit(1000000) + lit(0.5)).cast("long")
-    counts.groupBy("doc_id")
+    val agg = counts.groupBy("doc_id")
       .agg(sum(termMicro).as("s_micro"), sum("nc").as("n"),
         count(lit(1)).as("n_distinct"))
       .select(col("doc_id"), col("n"), col("n_distinct"),
         ((floor(log(col("n").cast("double")) * lit(1000000) + lit(0.5))
           - col("s_micro").cast("double") / col("n").cast("double"))
           / lit(1000000.0)).as("entropy"))
+    // empty-text docs must still REPORT (n=0, H=0 by convention): a quality
+    // detector that silently omits the lowest-quality rows hands a
+    // downstream inner join an excuse to skip them entirely.
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
   }
 
   /** Winnowing document fingerprint: positional word 3-gram hashes, sliding

@@ -87,6 +87,15 @@ class SimilaritySpec extends SparkSpec {
       assert(trained(cell)(dim) === v, s"cell $cell dim $dim")
   }
 
+  test("adaptiveR: oracle geometry through N=2048, grows with log N past it") {
+    assert(Similarity.adaptiveR(5L) === 6)
+    assert(Similarity.adaptiveR(500L) === 6)    // sf0.001/sf0.01 verify scale
+    assert(Similarity.adaptiveR(2000L) === 6)   // sf0.1 bench scale
+    assert(Similarity.adaptiveR(2048L) === 6)   // boundary: still the oracle tier
+    assert(Similarity.adaptiveR(2049L) === 7)   // first step past the cliff
+    assert(Similarity.adaptiveR(20000L) === 10) // sf1 (measured 24.3 -> 8.8 s)
+  }
+
   test("LSH geometry knob: higher R cuts candidates; exact dups survive any R") {
     import org.apache.spark.sql.functions.{col, lit}
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
