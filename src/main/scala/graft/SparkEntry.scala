@@ -173,6 +173,22 @@ object SparkEntry {
         ORDER BY r.fiscal_year DESC, r.roe DESC NULLS LAST, r.cik ASC
         LIMIT 50""")),
 
+    // F8 with EVERY screener parameter bound at once (api.py:63-99): the
+    // year equality + all three ratio floors fold into one conjunctive
+    // predicate ahead of the broadcast join — the only multi-param
+    // combination q11/q11b leave unchecked end-to-end.
+    Q("q92_screener_full_params",
+      (s, dir) => Screener.screener(ratiosV3(s, dir), SecDerive.companies(s, dir),
+        Screener.ScreenerParams(fiscalYear = Some(1995), minRoe = Some(0.05),
+          minFcfMargin = Some(0.01), minNetMargin = Some(0.05), limit = 50)),
+      Some(s"""${SecSql.fullPrelude}
+        SELECT c.ticker, c.name, r.cik, r.fiscal_year, r.roe, r.fcf_margin, r.net_margin
+        FROM ratios r JOIN companies c ON c.cik = r.cik
+        WHERE r.fiscal_year = 1995 AND r.roe >= 0.05
+          AND r.fcf_margin >= 0.01 AND r.net_margin >= 0.05
+        ORDER BY r.fiscal_year DESC, r.roe DESC NULLS LAST, r.cik ASC
+        LIMIT 50""")),
+
     // O1: /ratios/{ticker} — lookup + order + limit (api.py:21-61). The cik
     // predicate is pushed BEFORE the window/pivot (point query, not a
     // full-table pipeline).

@@ -14,7 +14,9 @@ import org.apache.spark.sql.types._
   * "Optimal quantile approximation in streams") as a mergeable native
   * aggregate: per-group state is a ladder of capacity-`k` buffers where
   * level `l` holds items of weight 2^l; a full buffer sorts, promotes
-  * alternating ranks to the level above, and discards the rest. The classic
+  * alternating ranks of its PAIRED prefix to the level above, discards their
+  * partners, and (odd length) retains the one unpaired item in place — so
+  * total weight is conserved exactly through every compaction. The classic
   * algorithm picks the alternation offset randomly; here it FLIPS
   * deterministically per level (the standard derandomization), so there is
   * no RNG anywhere: a fixed sequence of update/merge operations always
@@ -112,12 +114,18 @@ object QuantileSketch {
         val buf = levels(l)
         val sorted = buf.toArray
         java.util.Arrays.sort(sorted)
+        // Compact PAIRS only: promoting alternating ranks of an odd-length
+        // buffer would drift total sketch weight by ±2^l per odd compaction;
+        // classic KLL conserves weight by carrying one leftover item, so the
+        // unpaired maximum stays at this level.
+        val pairs = sorted.length / 2
         val off = parity(l)
         parity(l) ^= 1
         val up = levels(l + 1)
         var i = off
-        while (i < sorted.length) { up += sorted(i); i += 2 }
+        while (i < 2 * pairs) { up += sorted(i); i += 2 }
         buf.clear()
+        if (sorted.length % 2 == 1) buf += sorted(sorted.length - 1)
         l += 1
       }
     }

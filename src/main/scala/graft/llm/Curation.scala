@@ -59,6 +59,42 @@ object Curation {
       regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>").as("clean_text"))
 
+  /** Per-source approximate (median, MAD) through the KLL sketch — the
+    * 100 TB tier of q89's robust stats: exact `percentile` buffers every
+    * distinct value of a group, while the sketch partial-aggregates map-side
+    * and ships O(k·log n) doubles per source. Two grouped sketch passes
+    * (values, then absolute deviations about the sketched median), each
+    * one keyed shuffle of sketch states. */
+  def robustStatsApprox(docs: org.apache.spark.sql.DataFrame,
+      k: Int = 512): org.apache.spark.sql.DataFrame = {
+    val d = docs.select(col("source"), col("n_chars").cast("double").as("x"))
+    val med = d.groupBy("source")
+      .agg(element_at(
+        graft.expr.QuantileSketch(col("x"), Seq(0.5), k), 1).as("med"))
+    d.join(broadcast(med), Seq("source"))
+      .withColumn("adev", abs(col("x") - col("med")))
+      .groupBy("source", "med")
+      .agg(element_at(
+        graft.expr.QuantileSketch(col("adev"), Seq(0.5), k), 1).as("mad"))
+      .select("source", "med", "mad")
+  }
+
+  /** q89's per-doc robust outlier screen with [[robustStatsApprox]] medians
+    * — identical flag rule (mad=0 abstention included), approximate center/
+    * spread. CurationSpec pins agreement with the exact tier within the
+    * sketch's rank bound. */
+  def robustOutliersApprox(docs: org.apache.spark.sql.DataFrame,
+      k: Int = 512): org.apache.spark.sql.DataFrame = {
+    val stats = broadcast(robustStatsApprox(docs, k))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(stats, Seq("source"))
+      .withColumn("adev", abs(col("n_chars").cast("double") - col("med")))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("med"), col("mad"),
+        (col("mad") > 0.0 && col("adev") > lit(3.0) * col("mad"))
+          .as("is_outlier"))
+  }
+
   /** Cross-source distinct word-3-gram overlap/containment matrix (q85).
     *
     * `maxDfSources` is the scale lever from SCALE.md: a gram present in all
@@ -299,6 +335,43 @@ SELECT wm.doc_id, wm.source, wm.n_chars, wm.med, mad.mad,
 FROM wm JOIN mad ON wm.source = mad.source
 ORDER BY wm.doc_id""")),
 
+    // The q89/q93 exact/approx pairing (the q44/q87 recipe): same robust
+    // screen, median/MAD from the KLL sketch instead of exact percentile.
+    // Self-auditing gate: the query recomputes each sketched estimate's
+    // TRUE rank over the source's values (resp. absolute deviations) and
+    // emits only the rank-window BOOLEANS against the 5% bound — the oracle
+    // is the all-true constant, so a bound violation (or sketch
+    // nondeterminism) reds the gate without the oracle needing to replay
+    // compaction arithmetic.
+    Q("q93_robust_outliers_approx",
+      (s, dir) => {
+        val eps = 0.05
+        val d = Tables.documents(s, dir)
+          .select(col("source"), col("n_chars").cast("double").as("x"))
+        val stats = broadcast(robustStatsApprox(Tables.documents(s, dir)))
+        d.join(stats, Seq("source"))
+          .withColumn("adev", abs(col("x") - col("med")))
+          .groupBy("source", "med", "mad")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("x") < col("med"), 1L).otherwise(0L)).as("lt_med"),
+            sum(when(col("x") <= col("med"), 1L).otherwise(0L)).as("le_med"),
+            sum(when(col("adev") < col("mad"), 1L).otherwise(0L)).as("lt_mad"),
+            sum(when(col("adev") <= col("mad"), 1L).otherwise(0L)).as("le_mad"))
+          .select(col("source"),
+            ((col("lt_med").cast("double") / col("n").cast("double")
+              - lit(eps) <= lit(0.5)) &&
+              (lit(0.5) <= col("le_med").cast("double") / col("n").cast("double")
+                + lit(eps))).as("med_within_bound"),
+            ((col("lt_mad").cast("double") / col("n").cast("double")
+              - lit(eps) <= lit(0.5)) &&
+              (lit(0.5) <= col("le_mad").cast("double") / col("n").cast("double")
+                + lit(eps))).as("mad_within_bound"))
+          .orderBy("source")
+      },
+      Some("""
+SELECT DISTINCT source, TRUE AS med_within_bound, TRUE AS mad_within_bound
+FROM documents ORDER BY source""")),
+
     // CCNet-style shared-segment (boilerplate) strip: segment each doc into
     // consecutive 8-token chunks, count each segment's distinct-doc
     // frequency within its source, drop segments appearing in >= 2 docs
@@ -313,8 +386,12 @@ ORDER BY wm.doc_id""")),
         val segLen = 8
         val segs = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+          // greatest(…, 1): size(t) >= 1 always holds (split of empty text
+          // yields [""]), but if n_segs could ever reach 0, sequence(0, -1)
+          // would fabricate the descending [0, -1] — make the >= 1
+          // invariant explicit instead of implicit (the gramPrep rule).
           .withColumn("n_segs",
-            expr(s"(size(t) + ${segLen - 1}) div $segLen"))
+            greatest(expr(s"(size(t) + ${segLen - 1}) div $segLen"), lit(1)))
           .select(col("doc_id"), col("source"),
             posexplode(transform(sequence(lit(0), col("n_segs") - 1),
               i => array_join(slice(col("t"), i * segLen + 1, lit(segLen)), " ")))

@@ -73,18 +73,20 @@ object IncrementalAgg {
           val cut = "1995-06-01"
           val stored = partials(li.filter(col("l_shipdate") < cut), keys)
           val delta = partials(li.filter(col("l_shipdate") >= cut), keys)
+          // The stored state stays DECIMAL(38,6) (merge-order invariance);
+          // only the comparator-facing edge casts to double. r5 adjudicated
+          // the residual hash mismatch to exactly this: q69 was the suite's
+          // only physical decimal128 output, and the driver's pyarrow read
+          // yields Decimal reprs while its DuckDB oracle yields float64 —
+          // identical values, different hashes.
           val merged = withDerived(merge(keys, stored, delta))
-          // r4 shipped ordered by the (unique) group keys only and the
-          // driver's comparator — which hashes in row order — flagged a
-          // hash mismatch that no local re-run reproduces. Pin a total
-          // order over EVERY output column so no tie-breaking surface
-          // remains, and mirror it in the oracle.
+            .withColumn("sum_qty", col("sum_qty").cast("double"))
           merged.orderBy(merged.columns.map(col).toIndexedSeq: _*)
         },
         Some("""
           SELECT l_returnflag, l_linestatus,
                  count(*) AS n_rows,
-                 sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
                  min(l_extendedprice) AS min_price,
                  max(l_extendedprice) AS max_price,
                  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)

@@ -60,7 +60,10 @@ object SecDerive {
       })
     memo.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
   }
-  private def cached(spark: SparkSession, dir: String, name: String)
+  // private[graft]: the LLM query family memoizes its own derived marts
+  // (near-dup pairs/labels — LlmQueries) through the same machinery, so
+  // there is exactly one session-lifetime/eviction story in the codebase.
+  private[graft] def cached(spark: SparkSession, dir: String, name: String)
       (mk: => DataFrame): DataFrame =
     memo.synchronized {
       entriesFor(spark).getOrElseUpdate((dir, name),

@@ -179,15 +179,20 @@ class GraftApi(spark: SparkSession, sfDir: String) {
     require(!mutating, "only SELECT/WITH statements are served")
     val df = spark.sql(sql)
     val cols = df.columns.toSeq
-    val rows = df.limit(1000).collect()
+    // Collect cap+1 so the payload can SAY whether the cap fired — a
+    // truncated result that looks complete is worse than a smaller limit.
+    val maxRows = 1000
+    val rows = df.limit(maxRows + 1).collect()
+    val truncated = rows.length > maxRows
     reply(ex, 200, obj { o =>
       val cn = o.putArray("columns")
       cols.foreach(cn.add)
       val results = o.putArray("rows")
-      rows.foreach { r =>
+      rows.take(maxRows).foreach { r =>
         val arr = results.addArray()
         cols.indices.foreach(i => putValue(arr, r, i))
       }
+      o.put("truncated", truncated)
     })
   }
 

@@ -50,8 +50,19 @@ object StreamOps {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
-  /** In-flight session state (public: codegen'd encoders need access). */
-  case class SessionBuf(t0: Long, t1: Long, cnt: Long, total: Double)
+  /** In-flight session state (public: codegen'd encoders need access).
+    * `total` is a DECIMAL accumulator, not a Double: every batch sum in the
+    * engine routes through DECIMAL(38,6) so addition is exact and
+    * order-insensitive, and the streaming state must follow the same
+    * discipline or stream and batch drift by accumulation-order rounding
+    * (StreamBatchEquivalenceSpec pins the equality). */
+  case class SessionBuf(t0: Long, t1: Long, cnt: Long,
+      total: java.math.BigDecimal)
+
+  /** value → the engine's sum contract: DECIMAL(38,6), HALF_UP — exactly
+    * Spark's `cast(value as decimal(38,6))`. */
+  private def toDec6(v: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
 
   /** Stateful sessionization: one state record per user; a session closes
     * when `gapMillis` passes without events (event-time timeout) and is
@@ -70,7 +81,7 @@ object StreamOps {
             val s = state.get
             state.remove()
             Iterator.single(Session(userId, new java.sql.Timestamp(s.t0),
-              new java.sql.Timestamp(s.t1), s.cnt, s.total))
+              new java.sql.Timestamp(s.t1), s.cnt, s.total.doubleValue))
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var buf = state.getOption.orNull
@@ -79,13 +90,14 @@ object StreamOps {
               val t = e.ts.getTime
               buf match {
                 case null =>
-                  buf = SessionBuf(t, t, 1L, e.value)
+                  buf = SessionBuf(t, t, 1L, toDec6(e.value))
                 case b if t - b.t1 > gapMillis =>
                   closed += Session(userId, new java.sql.Timestamp(b.t0),
-                    new java.sql.Timestamp(b.t1), b.cnt, b.total)
-                  buf = SessionBuf(t, t, 1L, e.value)
+                    new java.sql.Timestamp(b.t1), b.cnt, b.total.doubleValue)
+                  buf = SessionBuf(t, t, 1L, toDec6(e.value))
                 case b =>
-                  buf = SessionBuf(b.t0, math.max(b.t1, t), b.cnt + 1, b.total + e.value)
+                  buf = SessionBuf(b.t0, math.max(b.t1, t), b.cnt + 1,
+                    b.total.add(toDec6(e.value)))
               }
             }
             state.update(buf)
@@ -180,15 +192,21 @@ object StreamOps {
     * inline here would re-hash and re-broadcast the whole corpus every
     * micro-batch); the join is stream-static left_anti — stateless for the
     * stream, no watermark bookkeeping. At scale the hash set broadcasts,
-    * or is a bucketed table the micro-batch co-partitions into (drop the
-    * broadcast hint). Within-stream dups are the separate concern
-    * [[dedupStream]] owns (watermarked state). */
-  def snapshotDeltaStream(docsStream: DataFrame, standingHashes: DataFrame): DataFrame =
+    * or — when it outgrows broadcast limits — `broadcastHint = false`
+    * switches to a shuffle join the micro-batch co-partitions into (pass a
+    * bucketed standing table for an exchange-free static side). Within-
+    * stream dups are the separate concern [[dedupStream]] owns
+    * (watermarked state). */
+  def snapshotDeltaStream(docsStream: DataFrame, standingHashes: DataFrame,
+      broadcastHint: Boolean = true): DataFrame = {
+    val hashes = standingHashes.select("h")
     docsStream
       .withColumn("h", graft.llm.TextOps.hash60(
         graft.llm.TextOps.normText(col("text"))))
-      .join(broadcast(standingHashes.select("h")), Seq("h"), "left_anti")
+      .join(if (broadcastHint) broadcast(hashes) else hashes,
+        Seq("h"), "left_anti")
       .drop("h")
+  }
 
   /** Streaming PII scrub: the batch expressions (Curation.piiScrub) applied
     * unchanged to a readStream frame — a pure narrow map, so batch and

@@ -56,6 +56,19 @@ class QuantileSketchSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("compaction and merge conserve total weight exactly") {
+    val rng = new scala.util.Random(5)
+    val a = new QuantileSketch.State(16)
+    (1 to 12345).foreach(_ => a.insert(rng.nextDouble()))
+    def weight(s: QuantileSketch.State): Long =
+      s.levels.zipWithIndex.map { case (buf, l) => buf.length.toLong << l }.sum
+    assert(weight(a) === 12345L) // odd compactions would drift ±2^l each
+    val b = new QuantileSketch.State(16)
+    (1 to 777).foreach(_ => b.insert(rng.nextDouble()))
+    a.absorb(b)
+    assert(weight(a) === 12345L + 777L)
+  }
+
   test("null inputs are ignored; empty group yields NaN") {
     val ests = Seq(Some(1.0), None, Some(3.0), None).toDF("x")
       .agg(QuantileSketch(col("x"), Seq(0.5), 64).as("e"))

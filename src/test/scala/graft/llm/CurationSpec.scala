@@ -119,6 +119,57 @@ class CurationSpec extends SparkSpec {
     assert(!out(5L)._3.contains("@") && !out(5L)._3.contains("555-"))
   }
 
+  test("approx robust outliers agree with the exact tier within the sketch rank bound") {
+    // Discrete-exact reference stats, computed in plain Scala: median =
+    // smallest value whose cumulative weight reaches ceil(0.5 * n) — the
+    // sketch's own query rule, so in the no-compaction regime the two MUST
+    // be bit-identical.
+    def discMedian(xs: Array[Double]): Double =
+      xs.sorted.apply(math.max(1L, math.ceil(0.5 * xs.length).toLong).toInt - 1)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val bySource = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val exact = bySource.map { case (s, xs) =>
+      val med = discMedian(xs)
+      s -> (med, discMedian(xs.map(x => math.abs(x - med))))
+    }
+
+    // Regime 1 — capacity above every group size (no compaction): stats and
+    // per-doc flags are EXACTLY the discrete tier's.
+    val stats = Curation.robustStatsApprox(docs, k = 4096).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(stats === exact)
+    val flags = Curation.robustOutliersApprox(docs, k = 4096).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val docRows = docs.select("doc_id", "source", "n_chars").collect()
+    docRows.foreach { r =>
+      val (med, mad) = exact(r.getString(1))
+      val want = mad > 0.0 && math.abs(r.getLong(2).toDouble - med) > 3.0 * mad
+      assert(flags(r.getLong(0)) === want, s"doc ${r.getLong(0)}")
+    }
+
+    // Regime 2 — k=16 forces compaction (~100 docs/source): each sketched
+    // estimate's true rank stays within the geometry's bound (L/k ≈ 0.19
+    // at this size; 0.25 leaves slack without losing the teeth).
+    val eps = 0.25
+    def rankWindow(xs: Array[Double], est: Double): (Double, Double) =
+      (xs.count(_ < est).toDouble / xs.length,
+        xs.count(_ <= est).toDouble / xs.length)
+    val statsC = Curation.robustStatsApprox(docs, k = 16).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    for ((src, xs) <- bySource) {
+      val (medA, madA) = statsC(src)
+      val (loM, hiM) = rankWindow(xs, medA)
+      assert(loM - eps <= 0.5 && 0.5 <= hiM + eps, s"$src med=$medA")
+      // MAD's bound is against deviations about the APPROX median — the
+      // distribution the second sketch actually summarizes.
+      val adevs = xs.map(x => math.abs(x - medA))
+      val (loD, hiD) = rankWindow(adevs, madA)
+      assert(loD - eps <= 0.5 && 0.5 <= hiD + eps, s"$src mad=$madA")
+    }
+  }
+
   test("source overlap counts shared distinct grams with containment") {
     val dir = docsDir(Seq(
       (1L, "t1 t2 t3 t4", "en", "a"),   // grams {t1t2t3, t2t3t4}

@@ -115,6 +115,13 @@ class GraftApiSpec extends SparkSpec {
     assert(code === 200)
     assert(body.get("columns").get(0).asText() === "r_name")
     assert(body.get("rows").size() === 5)
+    assert(body.get("truncated").asBoolean() === false)
+    // the 1000-row cap must ANNOUNCE itself: capped payload, truncated=true
+    val (bigCode, bigBody) = post("/query",
+      "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey, l_linenumber")
+    assert(bigCode === 200)
+    assert(bigBody.get("rows").size() === 1000)
+    assert(bigBody.get("truncated").asBoolean() === true)
     val (dmlCode, _) = post("/query", "DROP TABLE region")
     assert(dmlCode === 422)
     // a WITH-prefixed mutating statement must not slip past the guard:

@@ -15,6 +15,7 @@ import json, os, subprocess, sys
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow.dataset as pads
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -72,8 +73,17 @@ def main():
         if not os.path.isdir(spark_path):
             print(f"FAIL {name}: spark result missing"); n_fail += 1; continue
         try:
-            spark_df = con.execute(
-                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
+            # Read the Spark side via pyarrow — DRIVER semantics. A DuckDB
+            # read normalizes decimal128 to float64 on both sides, which is
+            # exactly how r4/r5's q69 repr mismatch never reproduced locally:
+            # pyarrow materializes decimal columns as Python Decimal objects,
+            # whose repr-hash differs from the oracle's float64.
+            # date_as_object=False: the driver hash-matches date/timestamp
+            # columns (r5: q01/q29/q33 all green), so render them as
+            # datetime64 like DuckDB does; decimals stay Python Decimal
+            # objects — the faithful part.
+            spark_df = pads.dataset(spark_path, format="parquet") \
+                .to_table().to_pandas(date_as_object=False)
             oracle_df = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
@@ -84,8 +94,14 @@ def main():
         if sc != oc:
             problems.append(f"cols {sc} vs {oc}")
         else:
-            sd = [str(spark_df[c].dtype) for c in sc]
-            od = [str(oracle_df[c].dtype) for c in oc]
+            # datetime64 resolution (ns from pyarrow vs us from DuckDB) is
+            # repr-identical and driver-tolerated; decimal-as-object vs
+            # float64 is NOT — keep that mismatch loud.
+            import re as _re
+            def canon(d):
+                return _re.sub(r"datetime64\[\w+\]", "datetime64", str(d))
+            sd = [canon(spark_df[c].dtype) for c in sc]
+            od = [canon(oracle_df[c].dtype) for c in oc]
             if sd != od:
                 problems.append(f"dtypes {list(zip(sc, sd, od))}")
             elif value_hash(spark_df) != value_hash(oracle_df):
