@@ -23,9 +23,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Debug dumps live OUTSIDE outDir: the driver parquet-scans every
     // outDir entry, and r5's in-tree `_debug` txts produced a spurious
-    // error row in CORRECTNESS_r05.
-    val debugDir = "/tmp/graft_debug"
+    // error row in CORRECTNESS_r05. Per-run (keyed on outDir) so parallel
+    // or successive runs can't clobber each other's adjudication artifacts.
+    val debugDir =
+      s"/tmp/graft_debug_${Integer.toHexString(outDir.hashCode)}"
     new java.io.File(debugDir).mkdirs()
+    System.err.println(s"[verify] debug dumps at $debugDir")
     // Local-iteration filter (unset in the driver env → all queries).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.queries

@@ -63,12 +63,29 @@ object SecDerive {
   // private[graft]: the LLM query family memoizes its own derived marts
   // (near-dup pairs/labels — LlmQueries) through the same machinery, so
   // there is exactly one session-lifetime/eviction story in the codebase.
+  //
+  // `mk` is evaluated OUTSIDE the lock: some marts (the CC label table)
+  // run multi-round Spark jobs eagerly at build time, and holding the
+  // global memo lock for that duration would block every other cached()
+  // caller (e.g. a serving thread reading ratiosV3). The cost is a benign
+  // duplicate build if two threads race the same key — loser unpersists.
   private[graft] def cached(spark: SparkSession, dir: String, name: String)
-      (mk: => DataFrame): DataFrame =
-    memo.synchronized {
-      entriesFor(spark).getOrElseUpdate((dir, name),
-        mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      (mk: => DataFrame): DataFrame = {
+    val key = (dir, name)
+    memo.synchronized(entriesFor(spark).get(key)).getOrElse {
+      val built = mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      memo.synchronized {
+        entriesFor(spark).get(key) match {
+          case Some(winner) =>
+            try built.unpersist() catch { case _: Exception => () }
+            winner
+          case None =>
+            entriesFor(spark).put(key, built)
+            built
+        }
+      }
     }
+  }
 
   /** Drop (and unpersist) this session's memoized derivations — for callers
     * recycling a long-lived session after the inputs change, and for tests

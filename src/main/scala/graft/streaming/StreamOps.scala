@@ -46,23 +46,38 @@ object StreamOps {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** A closed (or flushed) session. */
+  /** A closed (or flushed) session. `sum_value` is None when the session saw
+    * no finite values — matching the batch twin, where `sum(cast(value as
+    * decimal))` over all-null inputs is NULL. */
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
-      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Option[Double])
 
   /** In-flight session state (public: codegen'd encoders need access).
     * `total` is a DECIMAL accumulator, not a Double: every batch sum in the
     * engine routes through DECIMAL(38,6) so addition is exact and
     * order-insensitive, and the streaming state must follow the same
     * discipline or stream and batch drift by accumulation-order rounding
-    * (StreamBatchEquivalenceSpec pins the equality). */
+    * (StreamBatchEquivalenceSpec pins the equality). `total == null` until
+    * the first finite value, mirroring SQL sum-of-nulls. NOTE: adopting the
+    * decimal accumulator changed the state-store schema (Double →
+    * Decimal(38,18)); checkpoints written by earlier builds cannot resume
+    * and must be discarded. */
   case class SessionBuf(t0: Long, t1: Long, cnt: Long,
       total: java.math.BigDecimal)
 
   /** value → the engine's sum contract: DECIMAL(38,6), HALF_UP — exactly
-    * Spark's `cast(value as decimal(38,6))`. */
+    * Spark's `cast(value as decimal(38,6))`, INCLUDING the non-finite rule:
+    * NaN/Infinity cast to decimal as NULL and the sum skips them
+    * (BigDecimal.valueOf would throw instead, killing the query). */
   private def toDec6(v: Double): java.math.BigDecimal =
-    java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+    if (java.lang.Double.isFinite(v))
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+    else null
+
+  /** SQL sum semantics over the nullable accumulator: null + v = v. */
+  private def accum(total: java.math.BigDecimal,
+      v: java.math.BigDecimal): java.math.BigDecimal =
+    if (v == null) total else if (total == null) v else total.add(v)
 
   /** Stateful sessionization: one state record per user; a session closes
     * when `gapMillis` passes without events (event-time timeout) and is
@@ -77,11 +92,14 @@ object StreamOps {
       .flatMapGroupsWithState[SessionBuf, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionBuf]) =>
+          def emit(b: SessionBuf): Session =
+            Session(userId, new java.sql.Timestamp(b.t0),
+              new java.sql.Timestamp(b.t1), b.cnt,
+              Option(b.total).map(_.doubleValue))
           if (rows.isEmpty && state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId, new java.sql.Timestamp(s.t0),
-              new java.sql.Timestamp(s.t1), s.cnt, s.total.doubleValue))
+            Iterator.single(emit(s))
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var buf = state.getOption.orNull
@@ -92,12 +110,11 @@ object StreamOps {
                 case null =>
                   buf = SessionBuf(t, t, 1L, toDec6(e.value))
                 case b if t - b.t1 > gapMillis =>
-                  closed += Session(userId, new java.sql.Timestamp(b.t0),
-                    new java.sql.Timestamp(b.t1), b.cnt, b.total.doubleValue)
+                  closed += emit(b)
                   buf = SessionBuf(t, t, 1L, toDec6(e.value))
                 case b =>
                   buf = SessionBuf(b.t0, math.max(b.t1, t), b.cnt + 1,
-                    b.total.add(toDec6(e.value)))
+                    accum(b.total, toDec6(e.value)))
               }
             }
             state.update(buf)

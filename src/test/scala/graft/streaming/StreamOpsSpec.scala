@@ -85,7 +85,7 @@ class StreamOpsSpec extends SparkSpec {
       val u1 = sessions.filter(_.user_id == 1L)
       assert(u1.length === 1)
       assert(u1.head.n_events === 2L)
-      assert(u1.head.sum_value === 3.0)
+      assert(u1.head.sum_value === Some(3.0))
       assert(u1.head.session_start === ts(0) && u1.head.session_end === ts(5))
     } finally q.stop()
   }

@@ -10,12 +10,19 @@ parquet tables, loads the Spark parquet result, and compares row count, schema
 (column names + dtypes after sorting columns by name), and a value hash.
 Mirrors what CORRECTNESS_r{N}.json reports so parity bugs surface locally.
 """
-import json, os, subprocess, sys
+import json, os, re, subprocess, sys
 
 import duckdb
 import pandas as pd
 import numpy as np
 import pyarrow.dataset as pads
+
+
+def canon_dtype(d) -> str:
+    """datetime64 resolution (ns from pyarrow vs us from DuckDB) is
+    repr-identical and driver-tolerated; decimal-as-object vs float64 is
+    NOT — that mismatch stays loud."""
+    return re.sub(r"datetime64\[\w+\]", "datetime64", str(d))
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -94,14 +101,8 @@ def main():
         if sc != oc:
             problems.append(f"cols {sc} vs {oc}")
         else:
-            # datetime64 resolution (ns from pyarrow vs us from DuckDB) is
-            # repr-identical and driver-tolerated; decimal-as-object vs
-            # float64 is NOT — keep that mismatch loud.
-            import re as _re
-            def canon(d):
-                return _re.sub(r"datetime64\[\w+\]", "datetime64", str(d))
-            sd = [canon(spark_df[c].dtype) for c in sc]
-            od = [canon(oracle_df[c].dtype) for c in oc]
+            sd = [canon_dtype(spark_df[c].dtype) for c in sc]
+            od = [canon_dtype(oracle_df[c].dtype) for c in oc]
             if sd != od:
                 problems.append(f"dtypes {list(zip(sc, sd, od))}")
             elif value_hash(spark_df) != value_hash(oracle_df):
