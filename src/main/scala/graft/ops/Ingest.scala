@@ -40,6 +40,29 @@ object Ingest {
         col("items"))).as("tag_units"))
   }
 
+  /** The bounded-document nesting tier (the SCALE.md q16 lever, in code):
+    * nest by (cik, year(period_end)) instead of cik alone, so document size
+    * is bounded by one year's facts regardless of corpus size and the heavy
+    * collect_list stage parallelizes over cik × years, not 37 companies.
+    * The sf1 measurement showed why this matters: one-document-per-company
+    * over a corpus whose facts grow 10× packs ~4.3M items into 37 rows
+    * (~100 MB each, 37-way parallelism — 19.8× wall). The round-trip
+    * identity is unchanged — [[flattenCompanyFacts]] ignores the extra doc
+    * key — so q94 shares q16's oracle verbatim. */
+  def nestCompanyFactsBounded(facts: DataFrame): DataFrame = {
+    val filtered = facts.filter(
+      col("taxonomy") === "us-gaap" &&
+        col("tag").isin(SecTags.coreTags: _*) &&
+        col("unit") === "USD" && col("value").isNotNull)
+      .withColumn("doc_year", year(col("period_end")))
+    filtered
+      .groupBy("cik", "doc_year", "taxonomy", "tag", "unit")
+      .agg(collect_list(struct(itemFields.map(col): _*)).as("items"))
+      .groupBy("cik", "doc_year")
+      .agg(collect_list(struct(col("taxonomy"), col("tag"), col("unit"),
+        col("items"))).as("tag_units"))
+  }
+
   /** Flatten the nested document back to flat fact rows: explode the
     * tag-level array, then the item-level array, then getField each leaf
     * (the Generator-shaped op — SURVEY §2.10). */
@@ -76,19 +99,32 @@ object Ingest {
 
   // ---------------------------------------------------------------------------
 
-  val queries: Seq[Q] = Seq(
-    // S3/X11: the nest->flatten round trip equals the filtered facts slice.
-    Q("q16_json_flatten",
-      (s, dir) => flattenCompanyFacts(nestCompanyFacts(SecDerive.facts(s, dir)))
-        .orderBy("fact_id"),
-      Some(s"""${SecSql.basePrelude}
+  /** flatten(nest(facts)) == the filtered facts slice — shared verbatim by
+    * q16 (reference-faithful one-doc-per-company nesting) and q94 (the
+    * bounded-document tier): identical oracle IS the identity claim. */
+  private val flattenOracle = s"""${SecSql.basePrelude}
         SELECT fact_id, cik, taxonomy, tag, unit, period_start, period_end,
                value, filing_accession_no, form, filed, frame
         FROM facts
         WHERE taxonomy = 'us-gaap'
           AND tag IN (${SecTags.coreTags.map(t => s"'$t'").mkString(", ")})
           AND unit = 'USD' AND value IS NOT NULL
-        ORDER BY fact_id""")),
+        ORDER BY fact_id"""
+
+  val queries: Seq[Q] = Seq(
+    // S3/X11: the nest->flatten round trip equals the filtered facts slice.
+    Q("q16_json_flatten",
+      (s, dir) => flattenCompanyFacts(nestCompanyFacts(SecDerive.facts(s, dir)))
+        .orderBy("fact_id"),
+      Some(flattenOracle)),
+
+    // The corpus-scale nesting tier: documents bounded by (cik, year), so
+    // the collect_list stage parallelizes over cik × years and row size is
+    // bounded at any corpus size (the measured q16 sf1 lever).
+    Q("q94_json_flatten_bounded",
+      (s, dir) => flattenCompanyFacts(nestCompanyFactsBounded(SecDerive.facts(s, dir)))
+        .orderBy("fact_id"),
+      Some(flattenOracle)),
 
     // S1/X3: seed from the ticker-map document shape, env-filtered.
     Q("q19_seed_companies",

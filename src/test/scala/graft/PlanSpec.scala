@@ -166,4 +166,32 @@ class PlanSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(p).size >= 2, p)
     assert(p.contains("pmod") || p.contains("hash("), p)
   }
+
+  test("full-param screener keeps the q11 shape: broadcast dim + top-k, no global sort") {
+    val p = plan("q92_screener_full_params")
+    assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k planned a sort:\n$p")
+  }
+
+  test("approx robust outliers partial-aggregates the sketch map-side; stats broadcast back") {
+    val p = plan("q93_robust_outliers_approx")
+    // two sketch aggregations, each with a partial stage — the shuffle
+    // carries sketch states, never raw values
+    assert("partial_graft_quantile_sketch".r.findAllIn(p).size >= 2,
+      s"sketch not partial-aggregated:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-source stats not broadcast:\n$p")
+  }
+
+  test("bounded nesting parallelizes over (cik, doc_year), not cik alone") {
+    val q16 = SparkEntry.queries("q16_json_flatten")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val q94 = SparkEntry.queries("q94_json_flatten_bounded")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the document-level exchange: cik-only for q16 (the reference-faithful
+    // 37-document shape), (cik, doc_year) for the bounded tier
+    assert("Exchange hashpartitioning\\(cik#\\d+, \\d+\\)".r
+      .findAllIn(q16).nonEmpty, s"q16 lost its cik document key:\n$q16")
+    assert("Exchange hashpartitioning\\(cik#\\d+, doc_year#\\d+, \\d+\\)".r
+      .findAllIn(q94).nonEmpty, s"q94 not keyed on (cik, doc_year):\n$q94")
+  }
 }
