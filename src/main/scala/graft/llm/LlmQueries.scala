@@ -616,9 +616,20 @@ ORDER BY vec_id_a, vec_id_b""")),
 
     // SemDeDup: semantic dedup decisions — IVF-cell clustering, within-cell
     // cosine pairs only, drop any vector with a lower-id neighbor >= 0.4.
+    // nlist resolves adaptively (occupancy ~128, the q34 recipe applied to
+    // the cell directory): 16 — the generated oracle geometry — at every
+    // verify scale, growing with N at bench-only scales so the within-cell
+    // pair space stays bounded.
     Q("q57_semdedup",
-      (s, dir) => Similarity.semDedup(Tables.embeddings(s, dir), 16, 0.4)
-        .orderBy("vec_id"),
+      (s, dir) => {
+        val nlist = Similarity.adaptiveNlist(embCount(s, dir))
+        if (sys.props.contains("graft.oracle.active"))
+          require(nlist == 16,
+            s"q57 oracle is generated for nlist=16; corpus resolves " +
+              s"adaptiveNlist=$nlist — regenerate the oracle")
+        Similarity.semDedup(Tables.embeddings(s, dir), nlist, 0.4)
+          .orderBy("vec_id")
+      },
       Some(s"""
 WITH ${ivfAssignCtes(16)},
 dups AS (SELECT DISTINCT b.vec_id

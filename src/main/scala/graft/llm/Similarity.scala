@@ -58,6 +58,15 @@ object Similarity {
     math.max(PlanesPerTable,
       math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
 
+  /** The same deployment rule for the IVF cell directory: nlist =
+    * max(16, ⌈N/128⌉) holds expected cell occupancy ~128 as the corpus
+    * grows — [[semDedup]]'s within-cell pair space is occupancy² × cells,
+    * so fixed nlist degenerates quadratically exactly like fixed R did for
+    * LSH (q57 measured 6.4× wall for 10× vectors at nlist=16). Resolves to
+    * 16 (= the generated oracle geometry) for every N ≤ 2048. */
+  def adaptiveNlist(n: Long): Int =
+    math.max(16, ((n + 127) / 128).toInt)
+
   /** Strict left-fold dot product of two vector columns, elementwise-cast to
     * double. Backed by the codegen'd native expression (graft.expr.DotProduct)
     * — the HOF formulation `aggregate(zip_with(...))` computes the identical

@@ -96,6 +96,17 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.adaptiveR(20000L) === 10) // sf1 (measured 24.3 -> 8.8 s)
   }
 
+  test("adaptiveNlist: oracle geometry through N=2048, occupancy-bounded past it") {
+    assert(Similarity.adaptiveNlist(5L) === 16)
+    assert(Similarity.adaptiveNlist(500L) === 16)   // verify scales
+    assert(Similarity.adaptiveNlist(2048L) === 16)  // boundary: still the oracle tier
+    assert(Similarity.adaptiveNlist(2049L) === 17)  // first step past the cliff
+    assert(Similarity.adaptiveNlist(20480L) === 160) // sf1: occupancy stays ~128
+    // occupancy bound: cells scale linearly, so occupancy ≈ 128 at any N
+    for (n <- Seq(10000L, 100000L, 10000000L))
+      assert(math.abs(n.toDouble / Similarity.adaptiveNlist(n) - 128.0) < 2.0)
+  }
+
   test("LSH geometry knob: higher R cuts candidates; exact dups survive any R") {
     import org.apache.spark.sql.functions.{col, lit}
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
