@@ -31,6 +31,18 @@ object LlmQueries {
   private def embCount(s: SparkSession, dir: String): Long =
     embCounts.getOrElseUpdate(dir, Tables.embeddings(s, dir).count())
 
+  /** The generated IVF oracles' cell-directory size — every quantizer
+    * literal (Scala call sites AND generated SQL) routes through this ONE
+    * constant, so regenerating the geometry is a one-line change. */
+  private val OracleNlist = 16
+
+  /** Loud failure for queries whose generated oracle SQL is pinned to a
+    * specific geometry: active only under the driver's verify run (the
+    * marker Verify.main sets), where a corpus outgrowing the generated
+    * geometry must abort instead of silently hash-mismatching. */
+  private def requireOracleGeometry(ok: Boolean, msg: => String): Unit =
+    if (sys.props.contains("graft.oracle.active")) require(ok, msg)
+
   /** The verified MinHash/LSH near-dup pair table, memoized per (session,
     * dir) — q21 keeps building it directly (it IS the honest-build query);
     * q48/q65/q90 read this mart, so a bench run pays for shingle→minhash→
@@ -501,9 +513,9 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
 
     // IVF ANN: sampled-centroid coarse quantizer, nprobe-cell search.
     Q("q35_ivf_ann_topk",
-      (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), 42L, 10, 16, 4),
+      (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), 42L, 10, OracleNlist, 4),
       Some(s"""
-WITH ${ivfAssignCtes(16)},
+WITH ${ivfAssignCtes(OracleNlist)},
 q AS (SELECT v AS qv FROM e WHERE vec_id = 42),
 probes AS (SELECT cell FROM (
              SELECT c.cell, ${cosineSql("c.cent", "q.qv")} AS sim FROM cents c, q
@@ -516,10 +528,10 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
     // One Lloyd refinement step over the IVF assignment: refreshed centroids
     // as (cell, dim, centroid) with decimal-routed (order-insensitive) means.
     Q("q53_kmeans_step",
-      (s, dir) => Similarity.kmeansStep(Tables.embeddings(s, dir), 16)
+      (s, dir) => Similarity.kmeansStep(Tables.embeddings(s, dir), OracleNlist)
         .orderBy("cell", "dim"),
       Some(s"""
-WITH ${ivfAssignCtes(16)},
+WITH ${ivfAssignCtes(OracleNlist)},
 x AS (SELECT cell, g.i AS dim, v[g.i + 1] AS val
       FROM assigned, unnest(generate_series(0, ${Similarity.Dim - 1})) g(i))
 SELECT cell, CAST(dim AS INTEGER) AS dim,
@@ -532,12 +544,12 @@ FROM x GROUP BY cell, dim ORDER BY cell, dim""")),
     // round-over-round chain — assignment against TRAINED (not seeded)
     // centroids — that q53 alone cannot.
     Q("q82_kmeans_train",
-      (s, dir) => Similarity.kmeansTrain(Tables.embeddings(s, dir), 16, 2)
+      (s, dir) => Similarity.kmeansTrain(Tables.embeddings(s, dir), OracleNlist, 2)
         .select(col("cell"), posexplode(col("cent")).as(Seq("dim", "centroid")))
         .orderBy("cell", "dim"),
       Some(s"""
 WITH $embCte,
-cents0 AS (SELECT vec_id AS cell, v AS cent FROM e WHERE vec_id < 16),
+cents0 AS (SELECT vec_id AS cell, v AS cent FROM e WHERE vec_id < $OracleNlist),
 ${lloydIterCtes(1)},
 ${lloydIterCtes(2)}
 SELECT cell, CAST(g.i AS INTEGER) AS dim, cent[g.i + 1] AS centroid
@@ -552,11 +564,11 @@ ORDER BY cell, dim""")),
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.ivfTopK(emb, 42L, 10, 16, 4,
-          Some(Similarity.kmeansTrain(emb, 16, 2)))
+          Some(Similarity.kmeansTrain(emb, OracleNlist, 2)))
       },
       Some(s"""
 WITH $embCte,
-cents0 AS (SELECT vec_id AS cell, v AS cent FROM e WHERE vec_id < 16),
+cents0 AS (SELECT vec_id AS cell, v AS cent FROM e WHERE vec_id < $OracleNlist),
 ${lloydIterCtes(1)},
 ${lloydIterCtes(2)},
 q AS (SELECT v AS qv FROM e WHERE vec_id = 42),
@@ -592,13 +604,10 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
         // (each bench repetition, plan inspection, catalog registration)
         // must not fire a corpus-scan count() job every time.
         val r = Similarity.adaptiveR(embCount(s, dir))
-        // The generated oracle SQL below is pinned to the R=6 geometry; if a
-        // verify corpus ever resolves past it, fail loudly rather than
-        // silently hash-mismatching the stale oracle.
-        if (sys.props.contains("graft.oracle.active"))
-          require(r == Similarity.PlanesPerTable,
-            s"q34 oracle is generated for R=${Similarity.PlanesPerTable}; " +
-              s"this corpus resolves adaptiveR=$r — regenerate the oracle")
+        // The generated oracle SQL below is pinned to the R=6 geometry.
+        requireOracleGeometry(r == Similarity.PlanesPerTable,
+          s"q34 oracle is generated for R=${Similarity.PlanesPerTable}; " +
+            s"this corpus resolves adaptiveR=$r — regenerate the oracle")
         Similarity.nearDupPairs(emb, 0.4, Similarity.Tables, r)
           .orderBy("vec_id_a", "vec_id_b")
       },
@@ -623,15 +632,14 @@ ORDER BY vec_id_a, vec_id_b""")),
     Q("q57_semdedup",
       (s, dir) => {
         val nlist = Similarity.adaptiveNlist(embCount(s, dir))
-        if (sys.props.contains("graft.oracle.active"))
-          require(nlist == 16,
-            s"q57 oracle is generated for nlist=16; corpus resolves " +
-              s"adaptiveNlist=$nlist — regenerate the oracle")
+        requireOracleGeometry(nlist == OracleNlist,
+          s"q57 oracle is generated for nlist=$OracleNlist; corpus " +
+            s"resolves adaptiveNlist=$nlist — regenerate the oracle")
         Similarity.semDedup(Tables.embeddings(s, dir), nlist, 0.4)
           .orderBy("vec_id")
       },
       Some(s"""
-WITH ${ivfAssignCtes(16)},
+WITH ${ivfAssignCtes(OracleNlist)},
 dups AS (SELECT DISTINCT b.vec_id
          FROM assigned a JOIN assigned b
            ON a.cell = b.cell AND a.vec_id < b.vec_id

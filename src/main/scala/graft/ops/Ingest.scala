@@ -24,21 +24,28 @@ object Ingest {
     Seq("fact_id", "period_start", "period_end", "value",
       "filing_accession_no", "form", "filed", "frame")
 
-  /** Nest flat facts into the companyfacts document shape: one row per cik,
-    * with tag-units[] -> items[] nesting. The CORE_TAGS ∩ USD ∩ non-null
-    * filter (F1/F2/F3) runs BEFORE nesting, same as the reference's ingest. */
-  def nestCompanyFacts(facts: DataFrame): DataFrame = {
-    val filtered = facts.filter(
-      col("taxonomy") === "us-gaap" &&
-        col("tag").isin(SecTags.coreTags: _*) &&
-        col("unit") === "USD" && col("value").isNotNull)
-    filtered
-      .groupBy("cik", "taxonomy", "tag", "unit")
+  /** The shared nesting kernel: the CORE_TAGS ∩ USD ∩ non-null filter
+    * (F1/F2/F3 — the clause [[flattenOracle]] mirrors, ONE copy so q16 and
+    * q94 cannot drift from it or each other) followed by the two-level
+    * tag-units[] → items[] collect_list nesting, parameterized by the
+    * document key. */
+  private def nestBy(facts: DataFrame,
+      docKeys: Seq[org.apache.spark.sql.Column]): DataFrame =
+    facts.filter(
+        col("taxonomy") === "us-gaap" &&
+          col("tag").isin(SecTags.coreTags: _*) &&
+          col("unit") === "USD" && col("value").isNotNull)
+      .groupBy(docKeys ++ Seq(col("taxonomy"), col("tag"), col("unit")): _*)
       .agg(collect_list(struct(itemFields.map(col): _*)).as("items"))
-      .groupBy("cik")
+      .groupBy(docKeys: _*)
       .agg(collect_list(struct(col("taxonomy"), col("tag"), col("unit"),
         col("items"))).as("tag_units"))
-  }
+
+  /** Nest flat facts into the companyfacts document shape: one row per cik,
+    * with tag-units[] -> items[] nesting — the reference-faithful shape
+    * (one document per company, ingest_facts.py). */
+  def nestCompanyFacts(facts: DataFrame): DataFrame =
+    nestBy(facts, Seq(col("cik")))
 
   /** The bounded-document nesting tier (the SCALE.md q16 lever, in code):
     * nest by (cik, year(period_end)) instead of cik alone, so document size
@@ -46,22 +53,12 @@ object Ingest {
     * collect_list stage parallelizes over cik × years, not 37 companies.
     * The sf1 measurement showed why this matters: one-document-per-company
     * over a corpus whose facts grow 10× packs ~4.3M items into 37 rows
-    * (~100 MB each, 37-way parallelism — 19.8× wall). The round-trip
-    * identity is unchanged — [[flattenCompanyFacts]] ignores the extra doc
-    * key — so q94 shares q16's oracle verbatim. */
-  def nestCompanyFactsBounded(facts: DataFrame): DataFrame = {
-    val filtered = facts.filter(
-      col("taxonomy") === "us-gaap" &&
-        col("tag").isin(SecTags.coreTags: _*) &&
-        col("unit") === "USD" && col("value").isNotNull)
-      .withColumn("doc_year", year(col("period_end")))
-    filtered
-      .groupBy("cik", "doc_year", "taxonomy", "tag", "unit")
-      .agg(collect_list(struct(itemFields.map(col): _*)).as("items"))
-      .groupBy("cik", "doc_year")
-      .agg(collect_list(struct(col("taxonomy"), col("tag"), col("unit"),
-        col("items"))).as("tag_units"))
-  }
+    * (~100 MB each, 37-way parallelism). The round-trip identity is
+    * unchanged — [[flattenCompanyFacts]] ignores the extra doc key — so
+    * q94 shares q16's oracle verbatim. */
+  def nestCompanyFactsBounded(facts: DataFrame): DataFrame =
+    nestBy(facts.withColumn("doc_year", year(col("period_end"))),
+      Seq(col("cik"), col("doc_year")))
 
   /** Flatten the nested document back to flat fact rows: explode the
     * tag-level array, then the item-level array, then getField each leaf
