@@ -98,6 +98,45 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream handles non-finite values like the batch decimal cast") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minute: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + minute * 60000L)
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionizeStream(mem.toDS(), gapMillis = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("equiv_nonfinite")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        StreamOps.Event(1, ts(0), 1, "click", Double.NaN),   // skipped in sum
+        StreamOps.Event(2, ts(5), 1, "click", 2.0),
+        StreamOps.Event(3, ts(0), 2, "view", Double.PositiveInfinity)) // only non-finite
+      q.processAllAvailable()
+      mem.addData(StreamOps.Event(4, ts(600), 3, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(StreamOps.Event(5, ts(900), 3, "view", 1.0))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty) // pre-fix: BigDecimal.valueOf(NaN) killed the query
+      val sessions = spark.table("equiv_nonfinite")
+        .as[StreamOps.Session].collect()
+      val u1 = sessions.filter(_.user_id == 1L).head
+      assert(u1.n_events === 2L && u1.sum_value === Some(2.0))
+      // all-non-finite session: batch sum(cast(v as decimal)) is NULL —
+      // verified against the live batch plan, same session
+      val u2 = sessions.filter(_.user_id == 2L).head
+      assert(u2.n_events === 1L && u2.sum_value === None)
+      val batch = graft.ops.Events.sessionize(Seq(
+        StreamOps.Event(1, ts(0), 1, "click", Double.NaN),
+        StreamOps.Event(2, ts(5), 1, "click", 2.0),
+        StreamOps.Event(3, ts(0), 2, "view", Double.PositiveInfinity)).toDF(),
+        gapSeconds = 600L)
+        .select("user_id", "sum_value").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(batch === Map(1L -> Some(2.0), 2L -> None))
+    } finally q.stop()
+  }
+
   test("dedupStream == batch dropDuplicates on a double-delivered fixture") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
