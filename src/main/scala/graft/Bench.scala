@@ -71,13 +71,25 @@ object Bench {
     def loadavg: Double = osBean.getSystemLoadAverage
     val loadStart = loadavg
 
-    def timeOnce(q: Q): Option[(Double, Double)] = {
+    // GC forensics: whole-JVM collection time per query run. The r6 q16/q94
+    // adjudication showed giant-row queries near the heap limit measure a
+    // GC-noise band 2-8× their plan cost — wall alone can't separate "plan
+    // got slower" from "heap thrashed"; gc_sec per query can.
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+    }
+
+    def timeOnce(q: Q): Option[(Double, Double, Double)] = {
+      val g0 = gcMillis
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       try {
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         Some(((System.nanoTime() - t0) / 1e9,
-          (osBean.getProcessCpuTime - c0) / 1e9))
+          (osBean.getProcessCpuTime - c0) / 1e9,
+          (gcMillis - g0) / 1e3))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
@@ -85,16 +97,17 @@ object Bench {
       }
     }
     val detailed = selected.map { q =>
-      val (best, runs, cpu) = (timeOnce(q), timeOnce(q)) match {
-        case (Some((a, ca)), Some((b, cb))) =>
-          (math.min(a, b), Seq(a, b), if (a <= b) ca else cb)
-        case (Some((a, ca)), None) => (a, Seq(a), ca) // flaky 2nd: keep evidence
-        case (None, Some((b, cb))) => (b, Seq(b), cb)
-        case (None, None)          => (-1.0, Nil, -1.0)
+      val (best, runs, cpu, gc) = (timeOnce(q), timeOnce(q)) match {
+        case (Some((a, ca, ga)), Some((b, cb, gb))) =>
+          (math.min(a, b), Seq(a, b),
+            if (a <= b) ca else cb, if (a <= b) ga else gb)
+        case (Some((a, ca, ga)), None) => (a, Seq(a), ca, ga) // flaky 2nd: keep evidence
+        case (None, Some((b, cb, gb))) => (b, Seq(b), cb, gb)
+        case (None, None)              => (-1.0, Nil, -1.0, -1.0)
       }
-      (q.name, best, runs, cpu)
+      (q.name, best, runs, cpu, gc)
     }
-    val results = detailed.map { case (n, best, _, _) => n -> best }
+    val results = detailed.map { case (n, best, _, _, _) => n -> best }
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -107,15 +120,17 @@ object Bench {
     // comma-decimal locales would emit "1,5000" and corrupt the JSON line.
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-    val cpuJson = detailed.map { case (n, _, _, c) => "\"" + n + "\":" + fmt(c) }
+    val cpuJson = detailed.map { case (n, _, _, c, _) => "\"" + n + "\":" + fmt(c) }
       .mkString("{", ",", "}")
-    val runsJson = detailed.map { case (n, _, rs, _) =>
+    val gcJson = detailed.map { case (n, _, _, _, g) => "\"" + n + "\":" + fmt(g) }
+      .mkString("{", ",", "}")
+    val runsJson = detailed.map { case (n, _, rs, _, _) =>
       "\"" + n + "\":" + rs.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val totalCpu = detailed.map(_._4).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":$sf,""" +
-        s""""cpu_sec":$cpuJson,"runs":$runsJson,"total_cpu_sec":${fmt(totalCpu)},""" +
+        s""""cpu_sec":$cpuJson,"gc_sec":$gcJson,"runs":$runsJson,"total_cpu_sec":${fmt(totalCpu)},""" +
         s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"cpus":$cpus}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     println(json)
