@@ -320,7 +320,8 @@ object SparkEntry {
       Events.queries ++ Ingest.queries ++ Sinks.queries ++
       Multimodal.queries ++ Skew.queries ++ AsofJoin.queries ++
       RangeJoin.queries ++ Quality.queries ++ Trends.queries ++
-      IncrementalAgg.queries ++ Scd.queries ++ graft.llm.Curation.queries
+      IncrementalAgg.queries ++ Scd.queries ++ graft.llm.Curation.queries ++
+      graft.llm.Selection.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * ingest-shaped pipeline facts → statements → ratios → screener, surfaced

@@ -286,6 +286,50 @@ sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
 SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY sz ORDER BY sz""")),
 
+    // Leakage-safe train/val/test split: the split key is the near-dup
+    // CLUSTER, not the doc, so near-duplicates can never straddle train and
+    // eval (the contamination mode a doc-keyed split allows: a paraphrase of
+    // a training doc landing in the test set). Docs outside any cluster key
+    // by their own id. The max_splits_per_cluster column is the live leakage
+    // audit — 1 by construction, and the oracle hash pins it. Aggregation
+    // output only: per (split, source) doc/cluster counts.
+    Q("q95_cluster_safe_split",
+      (s, dir) => {
+        val keyed = Tables.documents(s, dir).select("doc_id", "source")
+          .join(nearDupLabels(s, dir), Seq("doc_id"), "left")
+          .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("bucket", Sampling.hashBucket(col("ckey"), "graft"))
+          .withColumn("split",
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val")
+              .otherwise("test"))
+        val leak = keyed.groupBy("ckey")
+          .agg(countDistinct("split").as("nsp"))
+          .agg(max("nsp").as("max_splits_per_cluster"))
+        keyed.groupBy("split", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("ckey").as("n_clusters"))
+          .crossJoin(broadcast(leak))
+          .orderBy("split", "source")
+      },
+      Some(s"""$ccLabelsCtes,
+keyed AS (SELECT d.doc_id, d.source,
+            coalesce(l.cluster_id, d.doc_id) AS ckey
+          FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+sp AS (SELECT *, CASE WHEN bucket < 90 THEN 'train'
+                      WHEN bucket < 95 THEN 'val'
+                      ELSE 'test' END AS split
+       FROM (SELECT *, CAST(${h60("CAST(ckey AS VARCHAR) || '|graft'")} % 100
+                         AS INTEGER) AS bucket FROM keyed)),
+leak AS (SELECT CAST(max(nsp) AS BIGINT) AS max_splits_per_cluster
+         FROM (SELECT ckey, count(DISTINCT split) AS nsp
+               FROM sp GROUP BY ckey))
+SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT ckey) AS BIGINT) AS n_clusters,
+  leak.max_splits_per_cluster
+FROM sp, leak GROUP BY split, source, leak.max_splits_per_cluster
+ORDER BY split, source""")),
+
     // The same clustering through the pointer-jumping variant
     // (connectedComponentsFast, O(log diameter) rounds) — sharing q48's
     // transitive-closure oracle IS the claim that both implementations

@@ -1,0 +1,421 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import TextOps._
+
+/** Corpus-selection operators: the "which rows make the training set" layer
+  * that sits between dedup/quality scoring (Dedup, Curation, TextAnalysis)
+  * and shard writing (Sampling) in a training-data pipeline.
+  *
+  *   - substring-level duplication coverage (the Lee et al. 2022
+  *     "Deduplicating Training Data Makes Language Models Better" metric:
+  *     what fraction of a doc's k-gram spans also occur elsewhere) — doc-level
+  *     dedup (q20/q21) keeps one copy of near-identical DOCS; this measures
+  *     the repeated SUBSTRING matter that survives it;
+  *   - order/weighted sampling via sequential Poisson sampling (Ohlsson 1998):
+  *     probability-proportional-to-size samples from a deterministic hash,
+  *     no RNG state, no global sort;
+  *   - product-quantization ANN (Jégou et al. 2011 "Product Quantization for
+  *     Nearest Neighbor Search"): subspace codebooks + asymmetric-distance
+  *     candidate generation + exact re-rank — the memory-bound scale tier
+  *     between brute force (q24) and IVF (q88);
+  *   - per-source Zipf slope: the corpus-health diagnostic (natural text has
+  *     slope near −1; template/boilerplate corpora flatten or steepen it).
+  *
+  * All pure Column expressions — no UDFs, no driver-side loops. Cross-engine
+  * float discipline follows the q56 recipe: every transcendental (ln) is
+  * micro-quantized to integer units before any aggregation or ranking, and
+  * rank orders live on exactly-mirrorable doubles (IEEE division only) or
+  * integers.
+  */
+object Selection {
+
+  // -------------------------------------------------------------------------
+  // Substring-duplication coverage
+  // -------------------------------------------------------------------------
+
+  /** Per-doc fraction of distinct word k-grams that also appear in at least
+    * one other document, aggregated per source. A doc can be globally unique
+    * (survives q20/q21) while 90% of its spans are boilerplate shared with
+    * siblings — this is the metric that catches that.
+    *
+    * Scale shape: one linear explode (distinct k-grams per doc), one
+    * gram-keyed aggregation (cardinality ~ corpus grams), one join back, two
+    * keyed reductions. No pairwise comparisons anywhere — cost is O(total
+    * tokens), same family as q83's segment-frequency strip. The gram-keyed
+    * shuffle is the big one at 100 TB; it hash-partitions evenly (grams are
+    * near-unique) so no salting is needed, unlike rank windows.
+    *
+    * Coverage is exact integer arithmetic: cov_micro =
+    * (n_shared * 1e6) div n_grams — no float crosses the engine boundary. */
+  def dupSpanCoverage(docs: DataFrame, k: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("t")) - k),
+          i => array_join(slice(col("t"), i + 1, lit(k)), " ")))).as("gram"))
+    val dfreq = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("gram_docs"))
+    grams.join(dfreq, "gram")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gram_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("cov_micro",
+        expr("(n_shared * 1000000L) div n_grams"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("cov_micro").as("sum_cov_micro"),
+        sum(when(col("cov_micro") >= 500000L, 1L).otherwise(0L))
+          .as("docs_over_half"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Sequential Poisson (probability-proportional-to-size) sampling
+  // -------------------------------------------------------------------------
+
+  /** Deterministic weighted sample per stratum: rank key xi = u / w where
+    * u = (hash60(doc_id|salt) + 1) / 2^60 is a uniform in (0, 1] and w is the
+    * size weight — take the k smallest xi per source. This is Ohlsson's
+    * sequential Poisson sampling: inclusion probability approaches
+    * k*w/sum(w) (probability proportional to size), with the uniform drawn
+    * from the portable hash so both engines — and any two runs — agree
+    * bit-for-bit. No transcendentals: xi is two IEEE double divisions, which
+    * Spark and DuckDB round identically, unlike the classic exp-draw
+    * (-ln u / w) whose libm last-ulp is engine-specific.
+    *
+    * Scale shape: the hash fuses into the scan (zero shuffle), then a salted
+    * two-phase top-k per source (the q72 pattern) — per-(source, salt)
+    * partial winners first, so one mega-source never lands on one reducer. */
+  def seqPoissonSample(docs: DataFrame, k: Int = 5, salt: String = "sps",
+      salts: Int = 64): DataFrame = {
+    val u = (hash60(concat(col("doc_id").cast("string"), lit("|" + salt)))
+      + lit(1L)).cast("double") / lit(1152921504606846976L).cast("double")
+    val w = greatest(col("n_chars"), lit(1L)).cast("double")
+    val wLocal = Window
+      .partitionBy(col("source"), pmod(hash(col("doc_id")), lit(salts)))
+      .orderBy(col("xi").asc, col("doc_id").asc)
+    val wGlobal = Window.partitionBy("source")
+      .orderBy(col("xi").asc, col("doc_id").asc)
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"), (u / w).as("xi"))
+      .withColumn("__r_local", row_number().over(wLocal))
+      .filter(col("__r_local") <= k)
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .filter(col("rk") <= k)
+      .select("source", "rk", "doc_id", "n_chars")
+  }
+
+  // -------------------------------------------------------------------------
+  // Product-quantization ANN
+  // -------------------------------------------------------------------------
+
+  /** PQ geometry: M subspaces of SubDim dims each (M * SubDim = Similarity
+    * .Dim), Ks codewords per subspace. 16^8 = 4.3e9 distinct codes — far
+    * more than any corpus needs — at 8 bytes/vector vs 256 for the raw
+    * floats. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqKs = 16
+
+  /** Per-subspace codebook seeds: the first Ks vectors' subvectors (the q35
+    * `vec_id < nlist` convention — deterministic, no RNG). Output:
+    * (m, code, cw) — M * Ks rows, always broadcastable. */
+  def pqCodebook(embeddings: DataFrame): DataFrame =
+    subvectors(embeddings.filter(col("vec_id") < PqKs))
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cw"))
+
+  /** Lloyd-refine the seed codebooks: assign every subvector to its
+    * L2-nearest codeword, recompute per-(m, code, dim) means, keep the old
+    * codeword for emptied cells — the per-subspace twin of
+    * [[Similarity.kmeansTrain]], with the same discipline: means routed
+    * through Decimal(38,6) so the result is independent of partition
+    * accumulation order, and a localCheckpoint per round so lineage stays
+    * flat. M * Ks * SubDim mean cells (512 doubles) — trivially
+    * broadcastable at any corpus size. */
+  def pqTrain(embeddings: DataFrame, iters: Int = 1): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val sub = subvectors(embeddings)
+    var cb = pqCodebook(embeddings)
+    for (_ <- 1 to iters) {
+      val assigned = sub.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("sv"),
+          struct(l2sq(col("sv"), col("cw")).as("d2"), col("code").as("code"))
+            .as("dc"))
+        .groupBy("vec_id", "m")
+        // sv is functionally determined by (vec_id, m): first() is exact
+        .agg(min("dc").as("best"), first("sv").as("sv"))
+      val means = assigned
+        .select(col("m"), col("best.code").as("code"),
+          posexplode(col("sv")).as(Seq("dim", "v")))
+        .groupBy("m", "code", "dim")
+        .agg((sum(col("v").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("cv"))
+        .groupBy("m", "code")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cv")))),
+          s => s.getField("cv")).as("cw_new"))
+      cb = cb.join(means, Seq("m", "code"), "left")
+        .select(col("m"), col("code"),
+          coalesce(col("cw_new"), col("cw")).as("cw"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** Encode every vector: per subspace, the L2-nearest codeword (ties break
+    * to the lowest code id via the struct min — deterministic). Output:
+    * (vec_id, m, code). Scale shape: vectors x (M * Ks broadcast) with a
+    * keyed min — linear in corpus size, no shuffle beyond the final
+    * (vec_id, m) reduction. */
+  def pqEncode(embeddings: DataFrame, codebook: DataFrame): DataFrame =
+    subvectors(embeddings)
+      .join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"),
+        struct(l2sq(col("sv"), col("cw")).as("d2"), col("code").as("code"))
+          .as("dc"))
+      .groupBy("vec_id", "m")
+      .agg(min("dc").as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+
+  /** Asymmetric-distance-computation search with exact re-rank: build the
+    * query-to-codeword distance table (nQueries * M * Ks rows — broadcast),
+    * score every encoded vector by joining its M codes against the table
+    * (linear, map-side), keep the `candidates` best per query by approximate
+    * distance, then re-rank ONLY those with exact cosine and keep top k.
+    *
+    * At 100 TB the heavy side never materializes raw vectors: the ADC pass
+    * touches 8 small ints per vector; full floats are fetched (semi-join) for
+    * the `candidates`-sized survivor set per query only. */
+  def pqTopK(embeddings: DataFrame, codebook: DataFrame, nQueries: Int,
+      k: Int, candidates: Int): DataFrame = {
+    val codes = pqEncode(embeddings, codebook)
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    // distance table: per (query, m, code), ||q_m - cw||^2
+    val dt = subvectors(
+      embeddings.filter(col("vec_id") < nQueries)
+        .withColumnRenamed("vec_id", "qid"),
+      idCol = "qid")
+      .join(codebook, "m")
+      .select(col("qid").as("query_id"), col("m"), col("code"),
+        l2sq(col("sv"), col("cw")).as("d2"))
+    val adc = codes.join(broadcast(dt), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("d2").as("adc"))
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = adc.withColumn("__c", row_number().over(wCand))
+      .filter(col("__c") <= candidates)
+      .select("query_id", "vec_id")
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand
+      .join(embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cosine(col("v"), col("qv")).as("cosine"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact brute-force top-k for the same query set — the recall baseline. */
+  def exactTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val queries = broadcast(embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(queries)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cosine(col("v"), col("qv")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Self-auditing PQ recall gate (the q37/q87/q93 pattern for operators a
+    * SQL oracle can't replay): per query, |PQ top-k ∩ exact top-k| >= minHit.
+    * The oracle is the all-true constant, so any geometry or encoding bug
+    * that costs recall fails the hash match loudly. */
+  def pqRecallGate(embeddings: DataFrame, nQueries: Int, k: Int,
+      candidates: Int, minHit: Int, trainIters: Int = 1): DataFrame = {
+    val pq = pqTopK(embeddings, pqTrain(embeddings, trainIters), nQueries, k,
+      candidates)
+      .select("query_id", "vec_id")
+    val exact = exactTopK(embeddings, nQueries, k)
+      .select("query_id", "vec_id")
+    pq.join(exact, Seq("query_id", "vec_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("query_id"), (col("n_hit") >= minHit).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
+  /** Explode a vector column into its M subvectors: (id, m, sv). */
+  private def subvectors(embeddings: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    embeddings
+      .select(col(idCol), col("embedding").cast("array<double>").as("v"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(PqM - 1)),
+          m => slice(col("v"), m * PqSubDim + 1, lit(PqSubDim))))
+          .as(Seq("m", "sv")))
+
+  /** Squared L2 distance between two equal-length double arrays. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  // -------------------------------------------------------------------------
+  // Zipf slope
+  // -------------------------------------------------------------------------
+
+  /** Per-source least-squares slope of ln(freq) vs ln(rank) over the top
+    * `topN` terms — the Zipf diagnostic. Natural language sits near −1;
+    * machine-generated or template-heavy sources drift, which makes the
+    * slope a cheap corpus-mix monitor.
+    *
+    * Float discipline (q56 recipe): ln(rank) and ln(freq) are micro-quantized
+    * to integer units immediately; all sums/products are exact int64 (peak
+    * magnitude ~1e17 at topN=100, inside the 9.2e18 ceiling); the only
+    * cross-engine float op is one final IEEE division, then micro-quantized.
+    *
+    * Scale shape: token-keyed count (even hash partitioning), then the salted
+    * two-phase top-N per source so one mega-source's vocabulary never sorts
+    * on a single reducer. Sources with fewer than 2 ranked terms are dropped
+    * (slope undefined — the denominator would be 0). */
+  def zipfSlope(docs: DataFrame, topN: Int = 100, salts: Int = 32): DataFrame = {
+    val freq = docs
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("freq"))
+    val wLocal = Window
+      .partitionBy(col("source"), pmod(hash(col("token")), lit(salts)))
+      .orderBy(col("freq").desc, col("token").asc)
+    val wGlobal = Window.partitionBy("source")
+      .orderBy(col("freq").desc, col("token").asc)
+    val micro = (x: Column) => floor(log(x.cast("double")) * 1000000d + 0.5)
+      .cast("long")
+    freq
+      .withColumn("__r_local", row_number().over(wLocal))
+      .filter(col("__r_local") <= topN)
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .filter(col("rk") <= topN)
+      .select(col("source"), micro(col("rk")).as("x"), micro(col("freq")).as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_terms") >= 2)
+      .select(col("source"), col("n_terms"),
+        floor((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * 1000000d + 0.5).cast("long").as("slope_micro"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Registered queries + DuckDB oracles
+  // -------------------------------------------------------------------------
+
+  private def h60(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+
+  /** embeddings row count per dir, memoized so q98's candidate-budget
+    * resolution fires one count() per (JVM, dir), not one per query
+    * construction (the q34 lesson). */
+  private val embCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def embCount(s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    embCounts.getOrElseUpdate(dir, Tables.embeddings(s, dir).count())
+
+  private val tokCte =
+    "tok AS (SELECT * , regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents)"
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q96_dup_span_coverage",
+      (s, dir) => dupSpanCoverage(Tables.documents(s, dir)).orderBy("source"),
+      Some(s"""
+WITH $tokCte,
+g AS (SELECT doc_id, source,
+        unnest(list_distinct([array_to_string(t[i+1:i+8], ' ')
+                              for i in range(0, len(t) - 7)])) AS gram
+      FROM tok WHERE len(t) >= 8),
+dfq AS (SELECT gram, count(DISTINCT doc_id) AS gram_docs FROM g GROUP BY gram),
+d AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN gram_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM g JOIN dfq USING (gram) GROUP BY doc_id, source),
+c AS (SELECT source, (n_shared * 1000000) // n_grams AS cov_micro FROM d)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(cov_micro) AS BIGINT) AS sum_cov_micro,
+  CAST(sum(CASE WHEN cov_micro >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS docs_over_half
+FROM c GROUP BY source ORDER BY source""")),
+
+    Q("q97_pps_sample",
+      (s, dir) => seqPoissonSample(Tables.documents(s, dir))
+        .orderBy("source", "rk"),
+      Some(s"""
+WITH p AS (SELECT source, doc_id, n_chars,
+             (CAST(${h60("CAST(doc_id AS VARCHAR) || '|sps'")} + 1 AS DOUBLE)
+                / CAST(1152921504606846976 AS DOUBLE))
+               / CAST(greatest(n_chars, 1) AS DOUBLE) AS xi
+           FROM documents),
+r AS (SELECT source, doc_id, n_chars,
+        CAST(row_number() OVER (PARTITION BY source
+               ORDER BY xi ASC, doc_id ASC) AS BIGINT) AS rk
+      FROM p)
+SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 5
+ORDER BY source, rk""")),
+
+    // Candidate budget is a fixed 1/16 FRACTION of the corpus (floor 64) —
+    // the PQ value proposition at scale: the ADC pass scans 8-byte codes for
+    // everything, full vectors are fetched for N/16 rows only. A fixed
+    // absolute budget is the q34 scale bug (recall decays as N grows past
+    // it); measured min-hit with this geometry is 6/10 across
+    // sf0.001/0.01/0.1, gate at 4 leaves margin for mean-rounding drift.
+    Q("q98_pq_recall_gate",
+      (s, dir) => pqRecallGate(Tables.embeddings(s, dir),
+        nQueries = 8, k = 10,
+        candidates = math.max(64L, embCount(s, dir) / 16).toInt,
+        minHit = 4),
+      Some("""
+SELECT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 8 ORDER BY query_id""")),
+
+    Q("q99_zipf_slope",
+      (s, dir) => zipfSlope(Tables.documents(s, dir)).orderBy("source"),
+      Some(s"""
+WITH $tokCte,
+f AS (SELECT source, unnest(t) AS token FROM tok),
+freq AS (SELECT source, token, CAST(count(*) AS BIGINT) AS freq
+         FROM f GROUP BY source, token),
+r AS (SELECT source, freq,
+        CAST(row_number() OVER (PARTITION BY source
+               ORDER BY freq DESC, token ASC) AS BIGINT) AS rk
+      FROM freq),
+q AS (SELECT source,
+        CAST(floor(ln(rk) * 1000000 + 0.5) AS BIGINT) AS x,
+        CAST(floor(ln(freq) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM r WHERE rk <= 100),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM q GROUP BY source HAVING count(*) >= 2)
+SELECT source, n_terms,
+  CAST(floor(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+    / CAST(n_terms * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+    AS slope_micro
+FROM a ORDER BY source""")))
+}

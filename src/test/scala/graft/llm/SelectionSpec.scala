@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Selection operators on fixtures where every mechanism BINDS: shared spans
+  * without whole-doc duplication, skewed weights, clusterable vectors, an
+  * exact-Zipf corpus. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String, source: String = "web") =
+    (id, text, "en", source, text.length.toLong)
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  test("dupSpanCoverage: shared boilerplate scores high, unique text zero") {
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ") // 12 tokens, 5 8-grams
+    val docs = Seq(
+      doc(1L, boiler + " tail1 one two three four five six seven"),
+      doc(2L, boiler + " tail2 uno dos tres cuatro cinco seis siete"),
+      doc(3L, (1 to 20).map(i => s"u$i").mkString(" "))) // all grams unique
+      .toDF(docCols: _*)
+    val out = Selection.dupSpanCoverage(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") === 3L)
+    // doc 3 contributes 0; docs 1 and 2 share exactly the 5 grams fully
+    // inside the boilerplate prefix out of 13 grams each -> identical
+    // cov_micro, strictly between 0 and 1e6
+    val sum = r.getAs[Long]("sum_cov_micro")
+    assert(sum === 2L * (5L * 1000000L / 13L))
+    assert(r.getAs[Long]("docs_over_half") === 0L)
+  }
+
+  test("dupSpanCoverage: exact duplicates reach full coverage") {
+    val t = (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq(doc(1L, t), doc(2L, t)).toDF(docCols: _*)
+    val r = Selection.dupSpanCoverage(docs).collect().head
+    assert(r.getAs[Long]("sum_cov_micro") === 2000000L)
+    assert(r.getAs[Long]("docs_over_half") === 2L)
+  }
+
+  test("seqPoissonSample: deterministic, k per stratum, weight-scale invariant") {
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, s"t$i", "en", if (i % 2 == 0) "a" else "b",
+        (i % 7 + 1).toLong * 100L))
+      .toDF(docCols: _*)
+    val s1 = Selection.seqPoissonSample(docs, k = 5)
+    assert(s1.groupBy("source").count().collect()
+      .forall(_.getLong(1) === 5L))
+    // deterministic on re-run
+    assert(s1.exceptAll(Selection.seqPoissonSample(docs, k = 5)).isEmpty)
+    // xi = u/w ranking is invariant under scaling every weight by a
+    // constant (PPS is about RELATIVE size)
+    val scaled = docs.withColumn("n_chars", col("n_chars") * 1000L)
+    val s2 = Selection.seqPoissonSample(scaled, k = 5)
+      .select("source", "rk", "doc_id")
+    assert(s1.select("source", "rk", "doc_id").exceptAll(s2).isEmpty)
+  }
+
+  test("seqPoissonSample: heavier docs are sampled more often") {
+    // 500 docs; doc_ids 0..49 get 100x the weight of the rest. Across
+    // strata-free sampling the heavy 10% should take most of the k slots.
+    val docs = Seq.tabulate(500)(i =>
+      (i.toLong, s"t$i", "en", "web", if (i < 50) 100000L else 1000L))
+      .toDF(docCols: _*)
+    val picked = Selection.seqPoissonSample(docs, k = 20)
+      .select("doc_id").as[Long].collect()
+    assert(picked.count(_ < 50L) >= 15) // E[heavy] ~ 20 * (5e6/5.45e6) = 18.3
+  }
+
+  test("pq: codes stay in [0, Ks); trained codebook keeps full geometry") {
+    val rng = new scala.util.Random(7)
+    // 3 well-separated cluster centers in 64-dim space
+    val centers = Array.fill(3)(Array.fill(Selection.PqM * Selection.PqSubDim)(
+      rng.nextGaussian() * 10))
+    val vecs = Seq.tabulate(120) { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat).toSeq, i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val cb = Selection.pqTrain(vecs, iters = 1)
+    assert(cb.count() === (Selection.PqM * Selection.PqKs).toLong)
+    assert(cb.filter(col("cw").isNull || size(col("cw")) =!= Selection.PqSubDim)
+      .isEmpty)
+    val codes = Selection.pqEncode(vecs, cb)
+    assert(codes.count() === 120L * Selection.PqM)
+    assert(codes.filter(col("code") < 0 || col("code") >= Selection.PqKs)
+      .isEmpty)
+  }
+
+  test("pq recall gate: clustered vectors pass with full recall") {
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(64)(rng.nextGaussian() * 10))
+    val vecs = Seq.tabulate(160) { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.05).toFloat).toSeq, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val gate = Selection.pqRecallGate(vecs, nQueries = 4, k = 10,
+      candidates = 64, minHit = 4)
+    val out = gate.collect()
+    assert(out.length === 4)
+    assert(out.forall(_.getAs[Boolean]("recall_ok")))
+  }
+
+  test("zipfSlope: an exact power-law corpus recovers its exponent") {
+    // freq(rank r) = floor(10000 / r): slope of ln f vs ln r ~ -1
+    val words = (1 to 60).flatMap { r =>
+      Seq.fill(10000 / r)(s"w${"%03d".format(r)}")
+    }
+    val docs = Seq(doc(1L, words.mkString(" "))).toDF(docCols: _*)
+    val r = Selection.zipfSlope(docs, topN = 50).collect().head
+    assert(r.getAs[Long]("n_terms") === 50L)
+    val slope = r.getAs[Long]("slope_micro").toDouble / 1e6
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope")
+  }
+
+  test("zipfSlope: single-term sources are dropped, not divided by zero") {
+    val docs = Seq(
+      doc(1L, "only only only", source = "mono"),
+      doc(2L, (1 to 30).flatMap(r => Seq.fill(31 - r)(s"w$r")).mkString(" "),
+        source = "multi"))
+      .toDF(docCols: _*)
+    val out = Selection.zipfSlope(docs).collect()
+    assert(out.map(_.getAs[String]("source")).toSeq === Seq("multi"))
+  }
+
+  test("q95 split is a pure function of the cluster key (zero leakage)") {
+    // Force near-dup clusters: identical texts cluster; split must ride the
+    // cluster, so members always share a split.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 30).map { i =>
+      val text = if (i < 10) base + s" v$i" else s"unique ${"%d".format(i)} " +
+        (1 to 30).map(j => s"u${i}_$j").mkString(" ")
+      doc(i.toLong, text)
+    }.toDF(docCols: _*)
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashNearDupPairs(docs, 0.8), "doc_id_a", "doc_id_b")
+    val keyed = docs.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", Sampling.hashBucket(col("ckey"), "graft"))
+      .withColumn("split", when(col("bucket") < 90, "train")
+        .when(col("bucket") < 95, "val").otherwise("test"))
+    val leak = keyed.groupBy("ckey")
+      .agg(countDistinct("split").as("nsp"))
+      .agg(max("nsp")).collect().head.getLong(0)
+    assert(leak === 1L)
+    // and the clusters actually formed (the test binds)
+    assert(labels.select("cluster_id").distinct().count() <
+      labels.count())
+  }
+}
