@@ -182,6 +182,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"per-source stats not broadcast:\n$p")
   }
 
+  test("dup-span coverage prunes to 3 columns and never hints the gram join") {
+    val p = plan("q96_dup_span_coverage")
+    assert(p.contains("struct<doc_id:bigint,text:string,source:string>"),
+      s"scan not pruned:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial agg:\n$p")
+    // gram-frequency side is corpus-vocabulary-scale: the join must stay
+    // AQE's call (broadcast at toy SF is fine; a HINT would force it at 100TB)
+    val opt = SparkEntry.queries("q96_dup_span_coverage")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("ResolvedHint"), s"forced join strategy:\n$opt")
+  }
+
+  test("PPS sample rank-limits BEFORE both shuffles (WindowGroupLimit both phases)") {
+    val p = plan("q97_pps_sample")
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 2, p) // salted local + global
+    // Spark 4 rank-limit pushdown: a Partial WindowGroupLimit caps each map
+    // task's output at k before the exchange — the property that keeps one
+    // mega-source from shipping its whole stratum to one reducer
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed:\n$p")
+    assert(p.contains("struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"scan not pruned (text must not be read):\n$p")
+  }
+
+  test("zipf slope ranks two-phase with pushed rank limits") {
+    val p = plan("q99_zipf_slope")
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed:\n$p")
+    assert(p.contains("partial_"), s"token count has no map-side stage:\n$p")
+  }
+
+  test("PQ search broadcasts codebook/table/queries; no non-broadcast cartesian") {
+    val p = plan("q98_pq_recall_gate")
+    assert(p.contains("BroadcastHashJoin"), s"ADC join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a corpus-scale cartesian crept in:\n$p")
+  }
+
+  test("cluster-safe split broadcasts only the 1-row leakage scalar") {
+    val p = plan("q95_cluster_safe_split")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"leak scalar not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+  }
+
   test("bounded nesting parallelizes over (cik, doc_year), not cik alone") {
     val q16 = SparkEntry.queries("q16_json_flatten")(spark, dir)
       .queryExecution.executedPlan.toString
