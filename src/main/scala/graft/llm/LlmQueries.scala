@@ -28,7 +28,7 @@ object LlmQueries {
     * fires a count() job after the first (test dirs are immutable within a
     * JVM run). */
   private val embCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def embCount(s: SparkSession, dir: String): Long =
+  private[llm] def embCount(s: SparkSession, dir: String): Long =
     embCounts.getOrElseUpdate(dir, Tables.embeddings(s, dir).count())
 
   /** The generated IVF oracles' cell-directory size — every quantizer
@@ -67,10 +67,10 @@ object LlmQueries {
   // DuckDB SQL fragments
   // ---------------------------------------------------------------------------
 
-  private def h60(e: String): String =
+  private[llm] def h60(e: String): String =
     s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
 
-  private val tokCte =
+  private[llm] val tokCte =
     "tok AS (SELECT *, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents)"
 
   /** Distinct word 2-gram shingles per doc. */
@@ -295,14 +295,12 @@ FROM sizes GROUP BY sz ORDER BY sz""")),
     // output only: per (split, source) doc/cluster counts.
     Q("q95_cluster_safe_split",
       (s, dir) => {
-        val keyed = Tables.documents(s, dir).select("doc_id", "source")
-          .join(nearDupLabels(s, dir), Seq("doc_id"), "left")
-          .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
-          .withColumn("bucket", Sampling.hashBucket(col("ckey"), "graft"))
-          .withColumn("split",
-            when(col("bucket") < 90, "train")
-              .when(col("bucket") < 95, "val")
-              .otherwise("test"))
+        // the one split rule (Sampling.assignSplit), keyed on the cluster
+        val keyed = Sampling.assignSplit(
+          Tables.documents(s, dir).select("doc_id", "source")
+            .join(nearDupLabels(s, dir), Seq("doc_id"), "left")
+            .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id"))),
+          "ckey")
         val leak = keyed.groupBy("ckey")
           .agg(countDistinct("split").as("nsp"))
           .agg(max("nsp").as("max_splits_per_cluster"))

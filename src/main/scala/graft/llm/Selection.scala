@@ -53,6 +53,10 @@ object Selection {
     * Coverage is exact integer arithmetic: cov_micro =
     * (n_shared * 1e6) div n_grams — no float crosses the engine boundary. */
   def dupSpanCoverage(docs: DataFrame, k: Int = 8): DataFrame = {
+    // One gram-keyed exchange feeds BOTH the df build and the join probe
+    // (ReuseExchange — the lshCandidates pattern): without it the scan +
+    // tokenize + k-gram explode, the dominant cost at corpus scale, runs
+    // twice.
     val grams = docs
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= k)
@@ -60,6 +64,7 @@ object Selection {
         explode(array_distinct(transform(
           sequence(lit(0), size(col("t")) - k),
           i => array_join(slice(col("t"), i + 1, lit(k)), " ")))).as("gram"))
+      .repartition(col("gram"))
     val dfreq = grams.groupBy("gram")
       .agg(countDistinct("doc_id").as("gram_docs"))
     grams.join(dfreq, "gram")
@@ -115,13 +120,18 @@ object Selection {
   // Product-quantization ANN
   // -------------------------------------------------------------------------
 
-  /** PQ geometry: M subspaces of SubDim dims each (M * SubDim = Similarity
-    * .Dim), Ks codewords per subspace. 16^8 = 4.3e9 distinct codes — far
-    * more than any corpus needs — at 8 bytes/vector vs 256 for the raw
-    * floats. */
+  /** PQ geometry: M subspaces of SubDim dims each (SubDim derived so the
+    * M * SubDim = Dim invariant cannot drift — a mismatch would make
+    * `slice` silently truncate trailing subspaces), Ks codewords per
+    * subspace. 16^8 = 4.3e9 distinct codes — far more than any corpus
+    * needs — at 8 bytes/vector vs 256 for the raw floats. */
   val PqM = 8
-  val PqSubDim = 8
   val PqKs = 16
+  val PqSubDim: Int = {
+    require(Similarity.Dim % PqM == 0,
+      s"PQ subspaces ($PqM) must divide the embedding dim (${Similarity.Dim})")
+    Similarity.Dim / PqM
+  }
 
   /** Per-subspace codebook seeds: the first Ks vectors' subvectors (the q35
     * `vec_id < nlist` convention — deterministic, no RNG). Output:
@@ -192,9 +202,14 @@ object Selection {
     *
     * At 100 TB the heavy side never materializes raw vectors: the ADC pass
     * touches 8 small ints per vector; full floats are fetched (semi-join) for
-    * the `candidates`-sized survivor set per query only. */
+    * the `candidates`-sized survivor set per query only. Candidate selection
+    * is the salted two-phase rank (the q72/q97 pattern), so one query's
+    * corpus-wide ADC scores spread over `salts` reducers instead of one; at
+    * index scale PQ composes with IVF (ADC within the probed cells of
+    * [[Similarity.ivfTopK]] — the IVFADC scheme of the PQ paper), which
+    * bounds the window input independently of corpus size. */
   def pqTopK(embeddings: DataFrame, codebook: DataFrame, nQueries: Int,
-      k: Int, candidates: Int): DataFrame = {
+      k: Int, candidates: Long, salts: Int = 64): DataFrame = {
     val codes = pqEncode(embeddings, codebook)
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
@@ -211,9 +226,15 @@ object Selection {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum("d2").as("adc"))
+    val wCandLocal = Window
+      .partitionBy(col("query_id"), pmod(hash(col("vec_id")), lit(salts)))
+      .orderBy(col("adc").asc, col("vec_id").asc)
     val wCand = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("vec_id").asc)
-    val cand = adc.withColumn("__c", row_number().over(wCand))
+    val cand = adc
+      .withColumn("__c_local", row_number().over(wCandLocal).cast("long"))
+      .filter(col("__c_local") <= candidates)
+      .withColumn("__c", row_number().over(wCand).cast("long"))
       .filter(col("__c") <= candidates)
       .select("query_id", "vec_id")
     val wRank = Window.partitionBy("query_id")
@@ -250,7 +271,7 @@ object Selection {
     * The oracle is the all-true constant, so any geometry or encoding bug
     * that costs recall fails the hash match loudly. */
   def pqRecallGate(embeddings: DataFrame, nQueries: Int, k: Int,
-      candidates: Int, minHit: Int, trainIters: Int = 1): DataFrame = {
+      candidates: Long, minHit: Int, trainIters: Int = 1): DataFrame = {
     val pq = pqTopK(embeddings, pqTrain(embeddings, trainIters), nQueries, k,
       candidates)
       .select("query_id", "vec_id")
@@ -273,10 +294,14 @@ object Selection {
           m => slice(col("v"), m * PqSubDim + 1, lit(PqSubDim))))
           .as(Seq("m", "sv")))
 
-  /** Squared L2 distance between two equal-length double arrays. */
+  /** Squared L2 distance between two equal-length double arrays, expanded as
+    * |a|² − 2a·b + |b|² over the codegen'd DotProduct kernel — the HOF
+    * aggregate(zip_with(...)) spelling runs interpreted (the lesson recorded
+    * on [[Similarity.dot]]), and this is the hottest expression in the PQ
+    * path (N * M * Ks evaluations per encode pass). */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    Similarity.dot(a, a) - lit(2.0) * Similarity.dot(a, b) +
+      Similarity.dot(b, b)
 
   // -------------------------------------------------------------------------
   // Zipf slope
@@ -330,18 +355,10 @@ object Selection {
   // Registered queries + DuckDB oracles
   // -------------------------------------------------------------------------
 
-  private def h60(e: String): String =
-    s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
-
-  /** embeddings row count per dir, memoized so q98's candidate-budget
-    * resolution fires one count() per (JVM, dir), not one per query
-    * construction (the q34 lesson). */
-  private val embCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def embCount(s: org.apache.spark.sql.SparkSession, dir: String): Long =
-    embCounts.getOrElseUpdate(dir, Tables.embeddings(s, dir).count())
-
-  private val tokCte =
-    "tok AS (SELECT * , regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents)"
+  // DuckDB SQL fragments and the memoized embeddings count are shared with
+  // LlmQueries (private[llm]) — one copy to keep mirrors from drifting, one
+  // count() job per (JVM, dir).
+  import LlmQueries.{h60, tokCte}
 
   val queries: Seq[Q] = Seq(
 
@@ -388,7 +405,7 @@ ORDER BY source, rk""")),
     Q("q98_pq_recall_gate",
       (s, dir) => pqRecallGate(Tables.embeddings(s, dir),
         nQueries = 8, k = 10,
-        candidates = math.max(64L, embCount(s, dir) / 16).toInt,
+        candidates = math.max(64L, LlmQueries.embCount(s, dir) / 16),
         minHit = 4),
       Some("""
 SELECT vec_id AS query_id, TRUE AS recall_ok
