@@ -97,18 +97,25 @@ object Selection {
     * Scale shape: the hash fuses into the scan (zero shuffle), then a salted
     * two-phase top-k per source (the q72 pattern) — per-(source, salt)
     * partial winners first, so one mega-source never lands on one reducer. */
+  /** The PPS rank key xi = u / w — ONE spelling shared by the batch sampler
+    * and the streaming twin ([[graft.streaming.StreamOps.ppsSampleStream]])
+    * so the rule cannot drift between tiers. */
+  def ppsXi(docId: Column, weight: Column, salt: String): Column = {
+    val u = (hash60(concat(docId.cast("string"), lit("|" + salt)))
+      + lit(1L)).cast("double") / lit(1152921504606846976L).cast("double")
+    u / greatest(weight, lit(1L)).cast("double")
+  }
+
   def seqPoissonSample(docs: DataFrame, k: Int = 5, salt: String = "sps",
       salts: Int = 64): DataFrame = {
-    val u = (hash60(concat(col("doc_id").cast("string"), lit("|" + salt)))
-      + lit(1L)).cast("double") / lit(1152921504606846976L).cast("double")
-    val w = greatest(col("n_chars"), lit(1L)).cast("double")
     val wLocal = Window
       .partitionBy(col("source"), pmod(hash(col("doc_id")), lit(salts)))
       .orderBy(col("xi").asc, col("doc_id").asc)
     val wGlobal = Window.partitionBy("source")
       .orderBy(col("xi").asc, col("doc_id").asc)
     docs
-      .select(col("source"), col("doc_id"), col("n_chars"), (u / w).as("xi"))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        ppsXi(col("doc_id"), col("n_chars"), salt).as("xi"))
       .withColumn("__r_local", row_number().over(wLocal))
       .filter(col("__r_local") <= k)
       .withColumn("rk", row_number().over(wGlobal).cast("long"))

@@ -231,6 +231,47 @@ object StreamOps {
   def piiScrubStream(docsStream: DataFrame): DataFrame =
     graft.llm.Curation.piiScrub(docsStream)
 
+  /** Streaming twin of q97's sequential Poisson (PPS) sampler: per-source
+    * state is the k smallest (xi, doc_id) seen so far. Min-k under a total
+    * order is commutative and associative, so the final state equals the
+    * batch sampler over the same rows for ANY arrival order or micro-batch
+    * partitioning (the equivalence gate feeds two batches to prove the
+    * cross-batch merge). xi comes from the same expression as the batch
+    * tier ([[graft.llm.Selection.ppsXi]]) — one rule, two execution modes.
+    *
+    * State is O(k) doubles+longs per source — bounded regardless of stream
+    * length, no watermark needed (a sample-so-far never expires). Each
+    * update emits the group's full current sample plus n_seen, so a
+    * downstream consumer (or the gate) keeps the row with the highest
+    * n_seen per source. */
+  def ppsSampleStream(docsStream: DataFrame, k: Int,
+      salt: String = "sps"): DataFrame = {
+    import docsStream.sparkSession.implicits._
+    docsStream
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        graft.llm.Selection.ppsXi(col("doc_id"), col("n_chars"), salt)
+          .as("xi"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Vector[(Double, Long, Long)]),
+          (String, Long, Seq[(Long, Long, Long)])](
+        GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long, Long, Double)],
+            state: GroupState[(Long, Vector[(Double, Long, Long)])]) =>
+          val (seen0, best0) = state.getOption.getOrElse((0L, Vector.empty))
+          val incoming = rows.map { case (_, id, nc, xi) => (xi, id, nc) }
+            .toVector
+          val best = (best0 ++ incoming)
+            .sortBy { case (xi, id, _) => (xi, id) }.take(k)
+          val seen = seen0 + incoming.size
+          state.update((seen, best))
+          (source, seen, best.zipWithIndex.map { case ((_, id, nc), i) =>
+            (i + 1L, id, nc)
+          })
+      }
+      .toDF("source", "n_seen", "picks")
+  }
+
   /** The per-snapshot hash set [[snapshotDeltaStream]] anti-joins against:
     * compute once when the standing corpus snapshot lands, persist or
     * store, and reuse across every micro-batch until the next snapshot. */

@@ -213,6 +213,36 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     standing.unpersist()
   }
 
+  test("ppsSampleStream final state == Selection.seqPoissonSample, fed in two batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 5
+    // split mid-stream so the min-k state provably merges ACROSS batches
+    val (first, second) = docsFixture.splitAt(docsFixture.size / 2)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.ppsSampleStream(
+        mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"), k)
+      .writeStream.format("memory").queryName("equiv_pps")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+      // the memory table holds one update per (source, trigger); the row
+      // with the highest n_seen is each source's final sample
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_seen").desc)
+      val streamFinal = spark.table("equiv_pps")
+        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+        .select(col("source"), explode(col("picks")).as("p"))
+        .select(col("source"), col("p._1").as("rk"),
+          col("p._2").as("doc_id"), col("p._3").as("n_chars"))
+      val batch = graft.llm.Selection.seqPoissonSample(
+        docsFixture.toDF("doc_id", "text", "lang", "source", "n_chars"), k)
+      assertSameRows(streamFinal, batch, "ppsSample")
+    } finally q.stop()
+  }
+
   test("heavyHittersStream final state == exact batch top-k (k above vocabulary)") {
     implicit val sqlCtx = spark.sqlContext
     val outK = 5
