@@ -418,6 +418,34 @@ ORDER BY source, rk""")),
 SELECT vec_id AS query_id, TRUE AS recall_ok
 FROM embeddings WHERE vec_id < 8 ORDER BY query_id""")),
 
+    Q("q100_bm25_rank",
+      (s, dir) => TextAnalysis.bm25Rank(Tables.documents(s, dir),
+        Seq("hash", "join", "window")),
+      Some(s"""
+WITH $tokCte,
+d AS (SELECT doc_id, t, len(t)::BIGINT AS dl FROM tok),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+       WHERE term IN ('hash', 'join', 'window')
+       GROUP BY doc_id, dl, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+c AS (SELECT tf.doc_id,
+        CAST(floor(
+          CAST(CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+          * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+          + 0.5) AS BIGINT) AS cm
+      FROM tf JOIN dfq USING (term), stats)
+SELECT doc_id, CAST(sum(cm) AS BIGINT) AS score_micro,
+  CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM c GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT 20""")),
+
     Q("q99_zipf_slope",
       (s, dir) => zipfSlope(Tables.documents(s, dir)).orderBy("source"),
       Some(s"""

@@ -176,6 +176,56 @@ object TextAnalysis {
           / lit(1000000.0)).as("avg_surprisal"))
   }
 
+  /** BM25 lexical ranking (Robertson/Okapi) for a fixed query-term set — the
+    * lexical leg hybrid retrieval pairs with the embedding leg (q54):
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Float discipline (q56 recipe): idf is micro-quantized per TERM (one
+    * ln rounding per distinct df); the tf-normalization is division-only
+    * IEEE arithmetic with every constant spelled identically in both
+    * engines; each (doc, term) contribution is floored to integer micro
+    * units BEFORE the per-doc sum, which is exact long addition — so rank
+    * order never rides a libm last-ulp.
+    *
+    * Scale shape: `arrays_overlap` prunes non-matching docs BEFORE the
+    * explode (narrow); the surviving (doc, term) explode filters to the
+    * |terms|-bounded query set, so the tf table carries only matching
+    * postings; df and the (N, Σdl) scalar broadcast. One extra corpus pass
+    * computes doc lengths — partial-agged to two longs. Top-k is
+    * TakeOrderedAndProject, never a global sort. */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame = {
+    val termArr = array(terms.map(lit): _*)
+    val d = docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+    val stats = broadcast(d.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl")))
+    val tf = d
+      .filter(arrays_overlap(col("t"), termArr))
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idfMicro = floor(log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      * lit(1000000) + lit(0.5)).cast("long")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val tfNorm = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(stats)
+      .select(col("doc_id"),
+        floor(idfMicro.cast("double") * tfNorm + lit(0.5)).cast("long")
+          .as("cm"))
+      .groupBy("doc_id")
+      .agg(sum("cm").as("score_micro"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** Per-doc character-distribution Shannon entropy — the quality signal
     * that separates natural text (≈ 4 bits/char neighborhoods) from both
     * base64/hex soup (high) and repeated-char padding (low), orthogonal to

@@ -226,6 +226,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
   }
 
+  test("bm25 plans top-k + broadcast df; overlap prune precedes the explode") {
+    val p = plan("q100_bm25_rank")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k planned a sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df table not broadcast:\n$p")
+    assert(p.contains("arrays_overlap"), s"pre-explode prune missing:\n$p")
+  }
+
   test("bounded nesting parallelizes over (cik, doc_year), not cik alone") {
     val q16 = SparkEntry.queries("q16_json_flatten")(spark, dir)
       .queryExecution.executedPlan.toString

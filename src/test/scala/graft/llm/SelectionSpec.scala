@@ -126,6 +126,28 @@ class SelectionSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("source")).toSeq === Seq("multi"))
   }
 
+  test("bm25: term-dense short docs outrank diluted long ones; no-hit docs drop") {
+    val docs = Seq(
+      doc(1L, "alpha alpha alpha beta"),               // dense, short
+      doc(2L, "alpha " + (1 to 60).map(i => s"f$i").mkString(" ")), // diluted
+      doc(3L, (1 to 10).map(i => s"n$i").mkString(" ")), // no query terms
+      doc(4L, "alpha beta gamma delta"))                // two distinct terms
+      .toDF(docCols: _*)
+    val out = TextAnalysis.bm25Rank(docs, Seq("alpha", "beta"), topK = 10)
+      .collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(!ids.contains(3L)) // docs without any query term never score
+    assert(ids.head === 1L, s"expected dense doc first, got $ids")
+    // doc 4 hits both terms, doc 2 hits one diluted term
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("n_terms_hit")).toMap
+    assert(byId(4L) === 2L && byId(2L) === 1L)
+    // length normalization: doc 2's single diluted hit scores below doc 4's
+    val scores = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("score_micro")).toMap
+    assert(scores(4L) > scores(2L))
+  }
+
   test("q95 split is a pure function of the cluster key (zero leakage)") {
     // Force near-dup clusters: identical texts cluster; split must ride the
     // cluster, so members always share a split.
