@@ -33,5 +33,15 @@ object GraftCatalog {
     // the statement build. Lazy plan — consumers' filters push into it.
     SparkEntry.queries("q86_curation_pipeline")(spark, dir)
       .createOrReplaceTempView("corpus_curated")
+    // Per-doc leakage-safe split assignment (q95's input frame): training
+    // jobs SELECT doc_id WHERE split = 'train' without knowing the
+    // clustering; near-dups can never straddle train and eval by
+    // construction (split is a function of cluster_id).
+    llm.LlmQueries.clusterSafeSplitAssign(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("ckey").as("cluster_key"),
+        org.apache.spark.sql.functions.col("split"))
+      .createOrReplaceTempView("corpus_splits")
   }
 }

@@ -63,6 +63,18 @@ object LlmQueries {
     graft.sec.SecDerive.cached(s, dir, "neardup_labels")(
       Dedup.connectedComponents(nearDupPairs(s, dir), "doc_id_a", "doc_id_b"))
 
+  /** Per-doc leakage-safe split assignment — the frame q95 aggregates and
+    * the `corpus_splits` SQL view exposes: split rides the near-dup CLUSTER
+    * key (label mart, with each unclustered doc its own key) through the one
+    * split rule ([[Sampling.assignSplit]]). */
+  private[graft] def clusterSafeSplitAssign(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Sampling.assignSplit(
+      Tables.documents(s, dir).select("doc_id", "source")
+        .join(nearDupLabels(s, dir), Seq("doc_id"), "left")
+        .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id"))),
+      "ckey")
+
   // ---------------------------------------------------------------------------
   // DuckDB SQL fragments
   // ---------------------------------------------------------------------------
@@ -295,12 +307,7 @@ FROM sizes GROUP BY sz ORDER BY sz""")),
     // output only: per (split, source) doc/cluster counts.
     Q("q95_cluster_safe_split",
       (s, dir) => {
-        // the one split rule (Sampling.assignSplit), keyed on the cluster
-        val keyed = Sampling.assignSplit(
-          Tables.documents(s, dir).select("doc_id", "source")
-            .join(nearDupLabels(s, dir), Seq("doc_id"), "left")
-            .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id"))),
-          "ckey")
+        val keyed = clusterSafeSplitAssign(s, dir)
         val leak = keyed.groupBy("ckey")
           .agg(countDistinct("split").as("nsp"))
           .agg(max("nsp").as("max_splits_per_cluster"))

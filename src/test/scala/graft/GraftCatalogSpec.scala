@@ -37,6 +37,22 @@ class GraftCatalogSpec extends SparkSpec {
       .count() === 0) // benchmark source never reaches the training corpus
   }
 
+  test("corpus_splits view: exhaustive, disjoint, and leakage-free in pure SQL") {
+    GraftCatalog.registerViews(spark, dir)
+    // every doc gets exactly one split from the closed set
+    val n = spark.sql("SELECT count(*) FROM corpus_splits").head.getLong(0)
+    assert(n === spark.sql("SELECT count(*) FROM documents").head.getLong(0))
+    assert(spark.sql(
+      "SELECT count(*) FROM corpus_splits WHERE split NOT IN ('train','val','test')")
+      .head.getLong(0) === 0L)
+    // the leakage audit as a consumer would write it
+    val leak = spark.sql("""
+      SELECT max(nsp) FROM (
+        SELECT cluster_key, count(DISTINCT split) AS nsp
+        FROM corpus_splits GROUP BY cluster_key)""").head.getLong(0)
+    assert(leak === 1L)
+  }
+
   test("events view carries a real timestamp column, not raw nanos longs") {
     GraftCatalog.registerViews(spark, dir)
     val tsField = spark.table("events").schema("ts")
