@@ -194,19 +194,48 @@ object TextAnalysis {
     * postings; df and the (N, Σdl) scalar broadcast. One extra corpus pass
     * computes doc lengths — partial-agged to two longs. Top-k is
     * TakeOrderedAndProject, never a global sort. */
-  def bm25Rank(docs: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame = {
+  def bm25Rank(docs: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame =
+    bm25RankWith(docs,
+      bm25TermStats(docs).filter(col("term").isin(terms: _*)),
+      bm25CorpusStats(docs), terms, topK)
+
+  /** The per-term half of the BM25 index: document frequency over the full
+    * vocabulary. df is a count of doc-disjoint contributions, so the table
+    * is maintainable under the q69 contract: for a doc-disjoint delta,
+    * merge = union + groupBy + sum — no corpus rescan (spec-pinned:
+    * merge(parts) == rebuild(whole), exactly). */
+  def bm25TermStats(docs: DataFrame): DataFrame =
+    docs.select(explode(array_distinct(toks(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** The scalar half of the index: (n_docs, Σdl) — algebraic, so the same
+    * union+sum merge maintains it. */
+  def bm25CorpusStats(docs: DataFrame): DataFrame =
+    docs.select(size(toks(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+
+  /** Merge a doc-disjoint delta's statistics into the standing index —
+    * touches only the stats tables (vocabulary-sized + one row), never the
+    * corpus. */
+  def mergeBm25TermStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("term").agg(sum("df").as("df"))
+
+  def mergeBm25CorpusStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+
+  /** [[bm25Rank]] against EXTERNAL statistics — the serving shape when the
+    * index is maintained incrementally: scoring scans only the docs being
+    * ranked; df/avgdl come from the stats tables. */
+  def bm25RankWith(docs: DataFrame, termStats: DataFrame,
+      corpusStats: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame = {
     val termArr = array(terms.map(lit): _*)
-    val d = docs.select(col("doc_id"), toks(col("text")).as("t"))
+    val tf = docs.select(col("doc_id"), toks(col("text")).as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
-    val stats = broadcast(d.agg(count(lit(1)).as("n_docs"),
-      sum("dl").as("sum_dl")))
-    val tf = d
       .filter(arrays_overlap(col("t"), termArr))
       .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idfMicro = floor(log(
       (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
         / (col("df").cast("double") + lit(0.5)) + lit(1.0))
@@ -215,8 +244,8 @@ object TextAnalysis {
     val tfNorm = (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") +
         lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-    tf.join(broadcast(dfreq), "term")
-      .crossJoin(stats)
+    tf.join(broadcast(termStats), "term")
+      .crossJoin(broadcast(corpusStats))
       .select(col("doc_id"),
         floor(idfMicro.cast("double") * tfNorm + lit(0.5)).cast("long")
           .as("cm"))

@@ -148,6 +148,27 @@ class SelectionSpec extends SparkSpec {
     assert(scores(4L) > scores(2L))
   }
 
+  test("bm25 index maintenance: merged delta stats == full rebuild, exactly") {
+    val docs = Seq.tabulate(60)(i =>
+      doc(i.toLong, (0 to i % 9).map(j => s"w${(i + j) % 13}").mkString(" ")))
+      .toDF(docCols: _*)
+    val (a, b) = (docs.filter(col("doc_id") < 30),
+      docs.filter(col("doc_id") >= 30))
+    val mergedTerm = TextAnalysis.mergeBm25TermStats(
+      TextAnalysis.bm25TermStats(a), TextAnalysis.bm25TermStats(b))
+    val rebuilt = TextAnalysis.bm25TermStats(docs)
+    assert(mergedTerm.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(mergedTerm).isEmpty)
+    val mergedCorpus = TextAnalysis.mergeBm25CorpusStats(
+      TextAnalysis.bm25CorpusStats(a), TextAnalysis.bm25CorpusStats(b))
+    assert(rows(mergedCorpus) === rows(TextAnalysis.bm25CorpusStats(docs)))
+    // serving against the merged index == the one-shot ranking
+    val terms = Seq("w1", "w5", "w12")
+    val viaIndex = TextAnalysis.bm25RankWith(docs,
+      mergedTerm.filter(col("term").isin(terms: _*)), mergedCorpus, terms)
+    assert(rows(viaIndex) === rows(TextAnalysis.bm25Rank(docs, terms)))
+  }
+
   test("q95 split is a pure function of the cluster key (zero leakage)") {
     // Force near-dup clusters: identical texts cluster; split must ride the
     // cluster, so members always share a split.
