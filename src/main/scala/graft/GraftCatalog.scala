@@ -15,9 +15,17 @@ import org.apache.spark.sql.SparkSession
   * the persisted mart; a view of a parquet table is the scan with full
   * pushdown. At 100 TB these would be catalog tables over the same paths —
   * the query text is identical.
+  *
+  * `withSplitsMart = true` additionally registers `corpus_splits`, whose
+  * backing mart (near-dup connected components) is ITERATIVE — building it
+  * runs Spark jobs at registration time, not lazily at first query. Callers
+  * that only serve the relational surface (the HTTP API default) keep the
+  * cheap, fully-lazy registration; at 100 TB the labels are a written table
+  * and this flag disappears.
   */
 object GraftCatalog {
-  def registerViews(spark: SparkSession, dir: String): Unit = {
+  def registerViews(spark: SparkSession, dir: String,
+      withSplitsMart: Boolean = false): Unit = {
     Tables.names.foreach { n =>
       Tables.load(spark, dir, n).createOrReplaceTempView(n)
     }
@@ -37,11 +45,12 @@ object GraftCatalog {
     // jobs SELECT doc_id WHERE split = 'train' without knowing the
     // clustering; near-dups can never straddle train and eval by
     // construction (split is a function of cluster_id).
-    llm.LlmQueries.clusterSafeSplitAssign(spark, dir)
-      .select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.col("source"),
-        org.apache.spark.sql.functions.col("ckey").as("cluster_key"),
-        org.apache.spark.sql.functions.col("split"))
-      .createOrReplaceTempView("corpus_splits")
+    if (withSplitsMart)
+      llm.LlmQueries.clusterSafeSplitAssign(spark, dir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("ckey").as("cluster_key"),
+          org.apache.spark.sql.functions.col("split"))
+        .createOrReplaceTempView("corpus_splits")
   }
 }

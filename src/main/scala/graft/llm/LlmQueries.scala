@@ -66,14 +66,17 @@ object LlmQueries {
   /** Per-doc leakage-safe split assignment — the frame q95 aggregates and
     * the `corpus_splits` SQL view exposes: split rides the near-dup CLUSTER
     * key (label mart, with each unclustered doc its own key) through the one
-    * split rule ([[Sampling.assignSplit]]). */
+    * split rule ([[Sampling.assignSplit]]). Memoized as a mart: q95 reads it
+    * from two aggregation subtrees (counts + the leakage scalar), which
+    * would otherwise re-run the doc scan + label join + bucketing twice. */
   private[graft] def clusterSafeSplitAssign(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    Sampling.assignSplit(
-      Tables.documents(s, dir).select("doc_id", "source")
-        .join(nearDupLabels(s, dir), Seq("doc_id"), "left")
-        .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id"))),
-      "ckey")
+    graft.sec.SecDerive.cached(s, dir, "corpus_splits")(
+      Sampling.assignSplit(
+        Tables.documents(s, dir).select("doc_id", "source")
+          .join(nearDupLabels(s, dir), Seq("doc_id"), "left")
+          .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id"))),
+        "ckey"))
 
   // ---------------------------------------------------------------------------
   // DuckDB SQL fragments

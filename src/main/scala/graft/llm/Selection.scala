@@ -84,28 +84,28 @@ object Selection {
   // Sequential Poisson (probability-proportional-to-size) sampling
   // -------------------------------------------------------------------------
 
-  /** Deterministic weighted sample per stratum: rank key xi = u / w where
-    * u = (hash60(doc_id|salt) + 1) / 2^60 is a uniform in (0, 1] and w is the
-    * size weight — take the k smallest xi per source. This is Ohlsson's
-    * sequential Poisson sampling: inclusion probability approaches
-    * k*w/sum(w) (probability proportional to size), with the uniform drawn
-    * from the portable hash so both engines — and any two runs — agree
-    * bit-for-bit. No transcendentals: xi is two IEEE double divisions, which
-    * Spark and DuckDB round identically, unlike the classic exp-draw
-    * (-ln u / w) whose libm last-ulp is engine-specific.
-    *
-    * Scale shape: the hash fuses into the scan (zero shuffle), then a salted
-    * two-phase top-k per source (the q72 pattern) — per-(source, salt)
-    * partial winners first, so one mega-source never lands on one reducer. */
-  /** The PPS rank key xi = u / w — ONE spelling shared by the batch sampler
-    * and the streaming twin ([[graft.streaming.StreamOps.ppsSampleStream]])
-    * so the rule cannot drift between tiers. */
+  /** The PPS rank key xi = u / w, where u = (hash60(doc_id|salt) + 1) / 2^60
+    * is a uniform in (0, 1] and w is the size weight — ONE spelling shared
+    * by the batch sampler and the streaming twin
+    * ([[graft.streaming.StreamOps.ppsSampleStream]]) so the rule cannot
+    * drift between tiers. No transcendentals: two IEEE double divisions,
+    * which Spark and DuckDB round identically, unlike the classic exp-draw
+    * (-ln u / w) whose libm last-ulp is engine-specific. */
   def ppsXi(docId: Column, weight: Column, salt: String): Column = {
     val u = (hash60(concat(docId.cast("string"), lit("|" + salt)))
       + lit(1L)).cast("double") / lit(1152921504606846976L).cast("double")
     u / greatest(weight, lit(1L)).cast("double")
   }
 
+  /** Deterministic weighted sample per stratum: take the k smallest
+    * [[ppsXi]] per source. This is Ohlsson's sequential Poisson sampling:
+    * inclusion probability approaches k*w/sum(w) (probability proportional
+    * to size), with the uniform drawn from the portable hash so both
+    * engines — and any two runs — agree bit-for-bit.
+    *
+    * Scale shape: the hash fuses into the scan (zero shuffle), then a salted
+    * two-phase top-k per source (the q72 pattern) — per-(source, salt)
+    * partial winners first, so one mega-source never lands on one reducer. */
   def seqPoissonSample(docs: DataFrame, k: Int = 5, salt: String = "sps",
       salts: Int = 64): DataFrame = {
     val wLocal = Window
@@ -284,10 +284,17 @@ object Selection {
       .select("query_id", "vec_id")
     val exact = exactTopK(embeddings, nQueries, k)
       .select("query_id", "vec_id")
-    pq.join(exact, Seq("query_id", "vec_id"))
+    val hits = pq.join(exact, Seq("query_id", "vec_id"))
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_hit"))
-      .select(col("query_id"), (col("n_hit") >= minHit).as("recall_ok"))
+    // left-join from the full query list: a query with ZERO overlap must
+    // report recall_ok = false, not vanish from the output (an inner join
+    // would make `forall(recall_ok)` pass vacuously at the worst recall)
+    embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)) >= minHit).as("recall_ok"))
       .orderBy("query_id")
   }
 

@@ -194,10 +194,19 @@ object TextAnalysis {
     * postings; df and the (N, Σdl) scalar broadcast. One extra corpus pass
     * computes doc lengths — partial-agged to two longs. Top-k is
     * TakeOrderedAndProject, never a global sort. */
-  def bm25Rank(docs: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame =
-    bm25RankWith(docs,
-      bm25TermStats(docs).filter(col("term").isin(terms: _*)),
-      bm25CorpusStats(docs), terms, topK)
+  def bm25Rank(docs: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame = {
+    // query-bounded df for the one-shot path: prune to matching docs, keep
+    // only query terms BEFORE the distinct-explode — identical df values to
+    // bm25TermStats (docs containing term), without the full-vocabulary
+    // shuffle that belongs to the maintained-index build
+    val termArr = array(terms.map(lit): _*)
+    val queryDf = docs
+      .select(toks(col("text")).as("t"))
+      .filter(arrays_overlap(col("t"), termArr))
+      .select(explode(array_intersect(col("t"), termArr)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    bm25RankWith(docs, queryDf, bm25CorpusStats(docs), terms, topK)
+  }
 
   /** The per-term half of the BM25 index: document frequency over the full
     * vocabulary. df is a count of doc-disjoint contributions, so the table

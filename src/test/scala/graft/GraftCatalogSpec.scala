@@ -38,7 +38,7 @@ class GraftCatalogSpec extends SparkSpec {
   }
 
   test("corpus_splits view: exhaustive, disjoint, and leakage-free in pure SQL") {
-    GraftCatalog.registerViews(spark, dir)
+    GraftCatalog.registerViews(spark, dir, withSplitsMart = true)
     // every doc gets exactly one split from the closed set
     val n = spark.sql("SELECT count(*) FROM corpus_splits").head.getLong(0)
     assert(n === spark.sql("SELECT count(*) FROM documents").head.getLong(0))
