@@ -338,6 +338,27 @@ SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM sp, leak GROUP BY split, source, leak.max_splits_per_cluster
 ORDER BY split, source""")),
 
+    // The dedup ACTION over the clustering: keep one canonical doc per
+    // near-dup cluster (the min-id member — exactly the cluster label) plus
+    // every unclustered doc. Completes the pairs (q21) → clusters (q48) →
+    // survivors chain; per-source counts are what a curation run reports as
+    // its near-dup deletion rate. Label-mart join + one keyed agg — the
+    // corpus never rescans.
+    Q("q101_neardup_survivors",
+      (s, dir) => Tables.documents(s, dir).select("doc_id", "source")
+        .join(nearDupLabels(s, dir), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"),
+            1L).otherwise(0L)).as("n_survivors"))
+        .orderBy("source"),
+      Some(s"""$ccLabelsCtes,
+k AS (SELECT d.doc_id, d.source, coalesce(l.cluster_id, d.doc_id) AS ckey
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN ckey = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+FROM k GROUP BY source ORDER BY source""")),
+
     // The same clustering through the pointer-jumping variant
     // (connectedComponentsFast, O(log diameter) rounds) — sharing q48's
     // transitive-closure oracle IS the claim that both implementations

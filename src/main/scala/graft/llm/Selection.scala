@@ -453,6 +453,41 @@ SELECT doc_id, CAST(sum(cm) AS BIGINT) AS score_micro,
 FROM c GROUP BY doc_id
 ORDER BY score_micro DESC, doc_id ASC LIMIT 20""")),
 
+    Q("q102_bigram_surprisal",
+      (s, dir) => TextAnalysis.bigramSurprisal(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some(s"""
+WITH $tokCte,
+bi AS (SELECT doc_id,
+         unnest([t[i+1] || ' ' || t[i+2] for i in range(0, len(t) - 1)]) AS bigram
+       FROM tok WHERE len(t) >= 2),
+pc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_pair FROM bi GROUP BY bigram),
+pv AS (SELECT string_split(bigram, ' ')[1] AS prev,
+              CAST(sum(c_pair) AS BIGINT) AS c_prev
+       FROM pc GROUP BY prev),
+s AS (SELECT bi.doc_id,
+        CAST(floor((ln(CAST(c_prev AS DOUBLE)) - ln(CAST(c_pair AS DOUBLE)))
+                   * 1000000 + 0.5) AS BIGINT) AS s_micro
+      FROM bi JOIN pc USING (bigram)
+      JOIN pv ON pv.prev = string_split(bi.bigram, ' ')[1]),
+a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(s_micro) AS BIGINT) AS sum_micro
+      FROM s GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       CAST(sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000.0
+         AS avg_surprisal
+FROM a ORDER BY doc_id""")),
+
+    Q("q103_bpe_pair_counts",
+      (s, dir) => TextAnalysis.bpePairCounts(Tables.documents(s, dir)),
+      Some(s"""
+WITH w AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+           FROM documents),
+p AS (SELECT unnest([substr(word, i+1, 2) for i in range(0, len(word) - 1)]) AS pair
+      FROM w WHERE len(word) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT 20""")),
+
     Q("q99_zipf_slope",
       (s, dir) => zipfSlope(Tables.documents(s, dir)).orderBy("source"),
       Some(s"""

@@ -264,6 +264,61 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Bigram-conditional surprisal — the next tier above q73's unigram proxy
+    * toward the KenLM-style perplexity filter: per-doc mean of
+    * −ln p(w_i | w_{i-1}) with p estimated from corpus bigram counts over
+    * their prefix marginal (c_prev = Σ_cur c(prev, cur), so each
+    * conditional sums to exactly 1 — no smoothing constant to mirror).
+    * Repetitive text (looping bigrams) scores near 0; rare-transition soup
+    * scores high — the same two tails q73 hunts, but sensitive to ORDER,
+    * which a unigram model cannot see.
+    *
+    * Same float discipline and plan family as q73: one bigram-keyed count
+    * shuffle, a bigram-vocab back-join (broadcastable at corpus scale), a
+    * prefix marginal over the vocab table (never the corpus), per-instance
+    * micro-quantized ln, exact integer per-doc sums. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val bi = docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat(element_at(col("t"), i + 1), lit(" "),
+            element_at(col("t"), i + 2)))).as("bigram"))
+    val pairCnt = bi.groupBy("bigram").agg(count(lit(1)).as("c_pair"))
+    val prevCnt = pairCnt
+      .select(split(col("bigram"), " ").getItem(0).as("prev"), col("c_pair"))
+      .groupBy("prev").agg(sum("c_pair").as("c_prev"))
+    val sMicro = floor(
+      (log(col("c_prev").cast("double")) - log(col("c_pair").cast("double")))
+        * lit(1000000) + lit(0.5)).cast("long")
+    bi.join(pairCnt, "bigram")
+      .withColumn("prev", split(col("bigram"), " ").getItem(0))
+      .join(prevCnt, "prev")
+      .select(col("doc_id"), sMicro.as("s_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s_micro").as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_micro").cast("double") / col("n_bigrams").cast("double")
+          / lit(1000000.0)).as("avg_surprisal"))
+  }
+
+  /** The BPE pair-count kernel: corpus-wide frequencies of adjacent
+    * character pairs within words — the counting step a byte-pair-encoding
+    * tokenizer trainer iterates (count pairs → merge the winner → recount).
+    * One round is registered (q103); the trainer loop re-runs the kernel
+    * over re-segmented words, each round the same linear explode + one
+    * pair-keyed count with map-side partials. Top-k via
+    * TakeOrderedAndProject. */
+  def bpePairCounts(docs: DataFrame, topK: Int = 20): DataFrame =
+    docs.select(explode(toks(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, length(word) - 2), i -> substring(word, i + 1, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+
   /** Per-doc character-distribution Shannon entropy — the quality signal
     * that separates natural text (≈ 4 bits/char neighborhoods) from both
     * base64/hex soup (high) and repeated-char padding (low), orthogonal to

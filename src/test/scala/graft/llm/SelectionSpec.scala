@@ -169,6 +169,40 @@ class SelectionSpec extends SparkSpec {
     assert(rows(viaIndex) === rows(TextAnalysis.bm25Rank(docs, terms)))
   }
 
+  test("bigram surprisal: looping text scores zero, order-shuffled text does not") {
+    // doc 1 loops one bigram: every transition is deterministic -> -ln 1 = 0.
+    // doc 2 uses the SAME unigrams in varied order -> positive surprisal
+    // (the signal q73's unigram model cannot see).
+    val docs = Seq(
+      doc(1L, Seq.fill(30)("a b").mkString(" ")),
+      doc(2L, "a a b b a b b a a b a a b b b a b a b a"))
+      .toDF(docCols: _*)
+    val out = TextAnalysis.bigramSurprisal(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_surprisal"))
+      .toMap
+    // doc 1's transitions are not all certain corpus-wide (doc 2 shares the
+    // vocab), but its dominant a->b / b->a loop must score well below doc 2
+    assert(out(1L) < out(2L), out.toString)
+    val solo = TextAnalysis.bigramSurprisal(
+      Seq(doc(1L, Seq.fill(30)("a b").mkString(" "))).toDF(docCols: _*))
+      .collect().head.getAs[Double]("avg_surprisal")
+    assert(math.abs(solo) < 0.02, s"pure loop should be ~0, got $solo")
+  }
+
+  test("bpe pair counts: the dominant within-word pair wins; cross-word pairs never count") {
+    val docs = Seq(
+      doc(1L, Seq.fill(40)("abab").mkString(" ") + " xy xy xy"))
+      .toDF(docCols: _*)
+    val out = TextAnalysis.bpePairCounts(docs, topK = 5).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("cnt"))
+    // "abab" contributes ab, ba, ab per word
+    assert(out.head === ("ab" -> 80L), out.toSeq.toString)
+    assert(out.toMap.get("ba") === Some(40L))
+    assert(out.toMap.get("xy") === Some(3L))
+    // no pair spans a word boundary (e.g. "bx" from "abab xy")
+    assert(!out.map(_._1).contains("bx"))
+  }
+
   test("q95 split is a pure function of the cluster key (zero leakage)") {
     // Force near-dup clusters: identical texts cluster; split must ride the
     // cluster, so members always share a split.
