@@ -311,6 +311,46 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming maintenance of the BM25 index ([[graft.llm.TextAnalysis
+    * .bm25TermStats]]/[[graft.llm.TextAnalysis.bm25CorpusStats]]): each
+    * micro-batch's PARTIAL statistics land under `statsPath/batch_id=N`.
+    * Additive merges are the foreachBatch hazard — a re-delivered batch
+    * would double-count under the latest-wins recipe [[mergeStream]] uses —
+    * so idempotence comes from the layout instead: re-processing batch N
+    * overwrites ONLY its own partition (dynamic partition overwrite),
+    * byte-identical. [[bm25IndexRead]] folds the partials; a periodic
+    * [[graft.ops.Layout.compact]] bounds partition-count growth. */
+  def bm25IndexStream(docsStream: DataFrame, statsPath: String,
+      checkpoint: String): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        b.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        graft.llm.TextAnalysis.bm25TermStats(b)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$statsPath/terms")
+        graft.llm.TextAnalysis.bm25CorpusStats(b)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$statsPath/corpus")
+        ()
+      }
+      .start()
+
+  /** Fold the per-batch partials into the serving index: the (term, df)
+    * table and the corpus scalar — the frames [[graft.llm.TextAnalysis
+    * .bm25RankWith]] consumes. All sums are exact longs, so the fold equals
+    * a from-scratch rebuild over the same docs (spec-pinned). */
+  def bm25IndexRead(spark: SparkSession, statsPath: String)
+      : (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$statsPath/terms")
+      .groupBy("term").agg(sum("df").as("df")),
+      spark.read.parquet(s"$statsPath/corpus")
+        .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))
+
   /** File-source form: tail a directory of event parquet (schema inferred
     * from the batch table) into the hourly aggregation, writing parquet +
     * checkpoint under `outDir`. Returns the running query. */

@@ -243,6 +243,32 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bm25IndexStream folded partials == batch rebuild; serving through them == one-shot rank") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val (first, second) = docsFixture.splitAt(docsFixture.size / 2)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.bm25IndexStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val docsDF = docsFixture.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (terms, corpus) = StreamOps.bm25IndexRead(spark, s"$tmp/stats")
+    val rebuilt = graft.llm.TextAnalysis.bm25TermStats(docsDF)
+    assert(terms.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(terms).isEmpty)
+    assert(rows(corpus) === rows(graft.llm.TextAnalysis.bm25CorpusStats(docsDF)))
+    val queryTerms = Seq("hash", "join", "window")
+    val served = graft.llm.TextAnalysis.bm25RankWith(docsDF,
+      terms.filter(col("term").isin(queryTerms: _*)), corpus, queryTerms)
+    assertSameRows(served,
+      graft.llm.TextAnalysis.bm25Rank(docsDF, queryTerms), "bm25 via index")
+  }
+
   test("heavyHittersStream final state == exact batch top-k (k above vocabulary)") {
     implicit val sqlCtx = spark.sqlContext
     val outK = 5
