@@ -104,6 +104,24 @@ class SelectionSpec extends SparkSpec {
     assert(out.forall(_.getAs[Boolean]("recall_ok")))
   }
 
+  test("ivfadc recall gate: clustered vectors pass; zero-overlap queries report false, not vanish") {
+    val rng = new scala.util.Random(13)
+    val centers = Array.fill(4)(Array.fill(64)(rng.nextGaussian() * 10))
+    val vecs = Seq.tabulate(160) { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.05).toFloat).toSeq, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Selection.ivfadcRecallGate(vecs, nlist = 8, nprobe = 2,
+      nQueries = 4, k = 10, candidates = 64, minHit = 4).collect()
+    assert(out.length === 4) // every query reports, none dropped
+    assert(out.forall(_.getAs[Boolean]("recall_ok")))
+    // impossible bound: rows must still appear, as false
+    val strict = Selection.ivfadcRecallGate(vecs, nlist = 8, nprobe = 2,
+      nQueries = 4, k = 10, candidates = 64, minHit = 11).collect()
+    assert(strict.length === 4)
+    assert(strict.forall(!_.getAs[Boolean]("recall_ok")))
+  }
+
   test("zipfSlope: an exact power-law corpus recovers its exponent") {
     // freq(rank r) = floor(10000 / r): slope of ln f vs ln r ~ -1
     val words = (1 to 60).flatMap { r =>
