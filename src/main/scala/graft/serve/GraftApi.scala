@@ -53,6 +53,26 @@ class GraftApi(spark: SparkSession, sfDir: String) {
     df
   }
 
+  // Lexical-search surfaces, built lazily on first /search: the corpus
+  // frame plus the BM25 index tables (vocabulary-sized — the maintained
+  // tables bm25IndexStream keeps fresh in production; here rebuilt once
+  // per server from the snapshot, same as the marts above).
+  private lazy val docs: DataFrame = {
+    val df = graft.Tables.documents(spark, sfDir).cache()
+    df.count()
+    df
+  }
+  private lazy val bm25Terms: DataFrame = {
+    val df = graft.llm.TextAnalysis.bm25TermStats(docs).cache()
+    df.count()
+    df
+  }
+  private lazy val bm25Corpus: DataFrame = {
+    val df = graft.llm.TextAnalysis.bm25CorpusStats(docs).cache()
+    df.count()
+    df
+  }
+
   private var server: HttpServer = _
 
   /** Start on `port` (0 = ephemeral); returns the bound address. */
@@ -91,6 +111,7 @@ class GraftApi(spark: SparkSession, sfDir: String) {
       case ("GET", List("company", ticker)) => company(ex, ticker)
       case ("GET", List("ratios", ticker))  => ratiosEndpoint(ex, ticker, qp)
       case ("GET", List("screener"))        => screenerEndpoint(ex, qp)
+      case ("GET", List("search"))          => searchEndpoint(ex, qp)
       case ("POST", List("query"))          => sqlEndpoint(ex)
       case _ =>
         reply(ex, 404, obj(_.put("detail", "Not Found")))
@@ -148,6 +169,28 @@ class GraftApi(spark: SparkSession, sfDir: String) {
     val cols = Seq("ticker", "name", "fiscal_year", "roe", "fcf_margin",
       "net_margin")
     val rows = Screener.screener(ratios, companies, p)
+      .select(cols.map(col): _*).collect()
+    reply(ex, 200, obj { o =>
+      val results = o.putArray("results")
+      rows.foreach(r => putRow(results.addObject(), cols, r))
+    })
+  }
+
+  /** GET /search?q=space+separated+terms&limit=10 — BM25 lexical ranking
+    * over the documents corpus (an extension; the reference has no text
+    * search). Terms are lower-cased whitespace tokens of `q`; scores come
+    * from [[graft.llm.TextAnalysis.bm25RankWith]] against the cached index
+    * tables, so per-request work is the postings-bounded scoring join, not
+    * an index rebuild. */
+  private def searchEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
+    val terms = qp.getOrElse("q", "").trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "q must contain at least one term")
+    val limit = intParam(qp, "limit", 10, 1, 100)
+    val cols = Seq("doc_id", "score_micro", "n_terms_hit")
+    val rows = graft.llm.TextAnalysis.bm25RankWith(docs,
+      bm25Terms.filter(col("term").isin(terms: _*)), bm25Corpus,
+      terms, topK = limit)
       .select(cols.map(col): _*).collect()
     reply(ex, 200, obj { o =>
       val results = o.putArray("results")

@@ -233,6 +233,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("arrays_overlap"), s"pre-explode prune missing:\n$p")
   }
 
+  test("bpe pair counts plan top-k + map-side partials; survivors never rescan the corpus") {
+    val p = plan("q103_bpe_pair_counts")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k planned a sort:\n$p")
+    assert(p.contains("partial_"), s"pair count has no map-side stage:\n$p")
+    // q101 aggregates documents ⋈ label mart once — a rank-per-cluster
+    // spelling would add a second corpus pass + window
+    val p101 = plan("q101_neardup_survivors")
+    assert(!p101.contains("Window"), s"survivor rule should not need a window:\n$p101")
+  }
+
+  test("ivfadc joins stay broadcast; no corpus-scale cartesian") {
+    val p = plan("q104_ivfadc_recall_gate")
+    assert(p.contains("BroadcastHashJoin"), s"ADC/cell joins not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a corpus-scale cartesian crept in:\n$p")
+  }
+
   test("bounded nesting parallelizes over (cik, doc_year), not cik alone") {
     val q16 = SparkEntry.queries("q16_json_flatten")(spark, dir)
       .queryExecution.executedPlan.toString

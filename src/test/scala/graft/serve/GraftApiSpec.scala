@@ -108,6 +108,21 @@ class GraftApiSpec extends SparkSpec {
     assert(get("/screener?min_roe=xyz")._1 === 422)
   }
 
+  test("GET /search ranks by BM25 score; empty q is a 422") {
+    val (code, body) = get("/search?q=hash+join&limit=5")
+    assert(code === 200)
+    val rs = body.get("results")
+    assert(rs.size() > 0 && rs.size() <= 5)
+    // descending score order, ties impossible to assert here but order must
+    // be non-increasing
+    val scores = (0 until rs.size()).map(i => rs.get(i).get("score_micro").asLong())
+    assert(scores === scores.sortBy(-_), scores.toString)
+    assert(rs.get(0).has("doc_id") && rs.get(0).has("n_terms_hit"))
+    assert(get("/search?q=")._1 === 422)
+    assert(get("/search")._1 === 422)
+    assert(get("/search?q=hash&limit=0")._1 === 422)
+  }
+
   test("POST /query serves SELECT over registered views and rejects DML (LAST)") {
     graft.GraftCatalog.registerViews(spark, "/root/testdata/sf0.001")
     val (code, body) = post("/query",
