@@ -10,8 +10,15 @@ class PlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // Pins describe the COLD plan. Another suite may have cached a table
+    // this query reads (e.g. GraftApi's /search caches documents), and the
+    // CacheManager would then substitute InMemoryRelation — hiding the
+    // FileScan ReadSchema these assertions pin. Cache state is a
+    // performance concern; unpersisting never changes results.
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
+  }
 
   test("filtered scan pushes predicates into the parquet reader") {
     val p = plan("q01_scan_filter_project")
