@@ -232,6 +232,44 @@ object TextAnalysis {
   def mergeBm25CorpusStats(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
 
+  /** The full inverted-postings table (doc_id, term, tf, dl) — what a
+    * serving layer caches so per-query scoring touches the query terms'
+    * postings rows, never the corpus text. Same maintenance story as the
+    * stats tables: doc-disjoint deltas union in (postings rows are per-doc,
+    * no merge needed). */
+  def bm25Postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Score from the postings table instead of raw text: filter postings to
+    * the query terms (partition-prunable on a term-keyed layout), join the
+    * broadcast stats, rank. Identical output to [[bm25Rank]]
+    * (spec-pinned). */
+  def bm25RankFromPostings(postings: DataFrame, termStats: DataFrame,
+      corpusStats: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame = {
+    val tf = postings.filter(col("term").isin(terms: _*))
+    val idfMicro = floor(log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      * lit(1000000) + lit(0.5)).cast("long")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val tfNorm = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    tf.join(broadcast(termStats), "term")
+      .crossJoin(broadcast(corpusStats))
+      .select(col("doc_id"),
+        floor(idfMicro.cast("double") * tfNorm + lit(0.5)).cast("long")
+          .as("cm"))
+      .groupBy("doc_id")
+      .agg(sum("cm").as("score_micro"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** [[bm25Rank]] against EXTERNAL statistics — the serving shape when the
     * index is maintained incrementally: scoring scans only the docs being
     * ranked; df/avgdl come from the stats tables. */

@@ -53,22 +53,27 @@ class GraftApi(spark: SparkSession, sfDir: String) {
     df
   }
 
-  // Lexical-search surfaces, built lazily on first /search: the corpus
-  // frame plus the BM25 index tables (vocabulary-sized — the maintained
-  // tables bm25IndexStream keeps fresh in production; here rebuilt once
-  // per server from the snapshot, same as the marts above).
-  private lazy val docs: DataFrame = {
-    val df = graft.Tables.documents(spark, sfDir).cache()
+  // Lexical-search surfaces, built lazily on first /search: the inverted
+  // POSTINGS table plus the BM25 stats tables — per-request work is the
+  // query terms' postings rows, never a corpus text scan (the same
+  // serving-from-marts split as the relational endpoints; in production
+  // these are the maintained tables bm25IndexStream keeps fresh, with the
+  // postings laid out term-partitioned so the filter prunes files).
+  private lazy val bm25Postings: DataFrame = {
+    val df = graft.llm.TextAnalysis.bm25Postings(
+      graft.Tables.documents(spark, sfDir)).cache()
     df.count()
     df
   }
   private lazy val bm25Terms: DataFrame = {
-    val df = graft.llm.TextAnalysis.bm25TermStats(docs).cache()
+    val df = bm25Postings.groupBy("term")
+      .agg(count(lit(1)).as("df")).cache()
     df.count()
     df
   }
   private lazy val bm25Corpus: DataFrame = {
-    val df = graft.llm.TextAnalysis.bm25CorpusStats(docs).cache()
+    val df = bm25Postings.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")).cache()
     df.count()
     df
   }
@@ -178,17 +183,19 @@ class GraftApi(spark: SparkSession, sfDir: String) {
 
   /** GET /search?q=space+separated+terms&limit=10 — BM25 lexical ranking
     * over the documents corpus (an extension; the reference has no text
-    * search). Terms are lower-cased whitespace tokens of `q`; scores come
-    * from [[graft.llm.TextAnalysis.bm25RankWith]] against the cached index
-    * tables, so per-request work is the postings-bounded scoring join, not
-    * an index rebuild. */
+    * search). Terms are lower-cased whitespace tokens of `q`, capped like
+    * every other endpoint's parameters; scores come from
+    * [[graft.llm.TextAnalysis.bm25RankFromPostings]] against the cached
+    * postings + stats tables, so per-request work is the query terms'
+    * postings rows — the corpus text is never rescanned. */
   private def searchEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
     val terms = qp.getOrElse("q", "").trim.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "q must contain at least one term")
+    require(terms.size <= 32, "q is capped at 32 terms")
     val limit = intParam(qp, "limit", 10, 1, 100)
     val cols = Seq("doc_id", "score_micro", "n_terms_hit")
-    val rows = graft.llm.TextAnalysis.bm25RankWith(docs,
+    val rows = graft.llm.TextAnalysis.bm25RankFromPostings(bm25Postings,
       bm25Terms.filter(col("term").isin(terms: _*)), bm25Corpus,
       terms, topK = limit)
       .select(cols.map(col): _*).collect()

@@ -318,14 +318,40 @@ object StreamOps {
     * would double-count under the latest-wins recipe [[mergeStream]] uses —
     * so idempotence comes from the layout instead: re-processing batch N
     * overwrites ONLY its own partition (dynamic partition overwrite),
-    * byte-identical. [[bm25IndexRead]] folds the partials; a periodic
-    * [[graft.ops.Layout.compact]] bounds partition-count growth. */
+    * byte-identical. [[bm25IndexRead]] folds the partials.
+    *
+    * Two operational invariants the layout argument rests on:
+    *   - The checkpoint and statsPath live and die TOGETHER. A restart with
+    *     a fresh checkpoint against an old statsPath restarts batch ids at
+    *     0 while stale higher-id partitions linger — additive folds would
+    *     silently double-count, so batch 0 checks for leftovers and fails
+    *     loudly instead (latest-wins sinks converge in that scenario;
+    *     additive ones cannot).
+    *   - Partition-count maintenance is an offline REBUILD: stop the
+    *     stream, fold everything into a fresh stats root (one base
+    *     partition), swap paths atomically, restart with a fresh
+    *     checkpoint. Compacting the live dir in place would break the
+    *     batch_id layout the idempotence depends on. */
   def bm25IndexStream(docsStream: DataFrame, statsPath: String,
       checkpoint: String): StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF()
+        if (batchId == 0L) {
+          // batch_id=0 leftovers are the legitimate re-delivery case (the
+          // overwrite is idempotent); HIGHER ids mean a fresh checkpoint
+          // was pointed at an old stats root
+          val root = new java.io.File(s"$statsPath/terms")
+          val stale = Option(root.listFiles()).toSeq.flatten
+            .exists(f => f.getName.startsWith("batch_id=") &&
+              f.getName.stripPrefix("batch_id=") != "0")
+          require(!stale,
+            s"statsPath $statsPath has partitions from a previous run but " +
+              "this stream is at batch 0 (new checkpoint): additive folds " +
+              "would double-count. Clear the stats root or reuse the " +
+              "original checkpoint.")
+        }
         b.sparkSession.conf
           .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         graft.llm.TextAnalysis.bm25TermStats(b)

@@ -10,14 +10,22 @@ class PlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String = {
-    // Pins describe the COLD plan. Another suite may have cached a table
-    // this query reads (e.g. GraftApi's /search caches documents), and the
-    // CacheManager would then substitute InMemoryRelation — hiding the
-    // FileScan ReadSchema these assertions pin. Cache state is a
-    // performance concern; unpersisting never changes results.
-    spark.catalog.clearCache()
+  private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
+
+  /** Column sets of every scan in the plan — FileScan (`ReadSchema:
+    * struct<...>`) or, when another suite cached the table (GraftApi's
+    * /search caches documents) and the CacheManager substituted
+    * InMemoryRelation, the `InMemoryTableScan [cols]` output list. Pruning
+    * pins assert on these so they hold in either form without clearing the
+    * shared session's cache (a clearCache here would permanently
+    * un-persist every memoized mart for the rest of the JVM). */
+  private def scanColumnSets(p: String): Seq[Set[String]] = {
+    val im = "InMemoryTableScan \\[([^\\]]*)\\]".r.findAllMatchIn(p).map(
+      _.group(1).split(",").map(_.trim.takeWhile(_ != '#')).toSet).toSeq
+    val fs = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(
+      _.group(1).split(",").map(_.trim.takeWhile(_ != ':')).toSet).toSeq
+    im ++ fs
   }
 
   test("filtered scan pushes predicates into the parquet reader") {
@@ -191,8 +199,10 @@ class PlanSpec extends SparkSpec {
 
   test("dup-span coverage prunes to 3 columns and never hints the gram join") {
     val p = plan("q96_dup_span_coverage")
-    assert(p.contains("struct<doc_id:bigint,text:string,source:string>"),
-      s"scan not pruned:\n$p")
+    val scans = scanColumnSets(p)
+    assert(scans.nonEmpty &&
+      scans.forall(_.subsetOf(Set("doc_id", "text", "source"))),
+      s"scan not pruned ($scans):\n$p")
     assert(p.contains("partial_"), s"no map-side partial agg:\n$p")
     // gram-frequency side is corpus-vocabulary-scale: the join must stay
     // AQE's call (broadcast at toy SF is fine; a HINT would force it at 100TB)
@@ -208,8 +218,10 @@ class PlanSpec extends SparkSpec {
     // task's output at k before the exchange — the property that keeps one
     // mega-source from shipping its whole stratum to one reducer
     assert(p.contains("WindowGroupLimit"), s"rank limit not pushed:\n$p")
-    assert(p.contains("struct<doc_id:bigint,source:string,n_chars:bigint>"),
-      s"scan not pruned (text must not be read):\n$p")
+    val scans = scanColumnSets(p)
+    assert(scans.nonEmpty &&
+      scans.forall(_.subsetOf(Set("doc_id", "source", "n_chars"))),
+      s"scan not pruned — text must not be read ($scans):\n$p")
   }
 
   test("zipf slope ranks two-phase with pushed rank limits") {

@@ -221,6 +221,21 @@ class SelectionSpec extends SparkSpec {
     assert(!out.map(_._1).contains("bx"))
   }
 
+  test("bm25 postings path == one-shot ranking (the serving shape)") {
+    val docs = Seq.tabulate(60)(i =>
+      doc(i.toLong, (0 to i % 9).map(j => s"w${(i + j) % 13}").mkString(" ")))
+      .toDF(docCols: _*)
+    val terms = Seq("w1", "w5", "w12")
+    val postings = TextAnalysis.bm25Postings(docs)
+    val termStats = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("term").isin(terms: _*))
+    val corpus = postings.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val viaPostings = TextAnalysis.bm25RankFromPostings(
+      postings, termStats, corpus, terms)
+    assert(rows(viaPostings) === rows(TextAnalysis.bm25Rank(docs, terms)))
+  }
+
   test("q95 split is a pure function of the cluster key (zero leakage)") {
     // Force near-dup clusters: identical texts cluster; split must ride the
     // cluster, so members always share a split.

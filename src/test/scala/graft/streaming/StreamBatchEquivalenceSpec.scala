@@ -269,6 +269,35 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       graft.llm.TextAnalysis.bm25Rank(docsDF, queryTerms), "bm25 via index")
   }
 
+  test("bm25IndexStream refuses a fresh checkpoint over an old stats root (double-count guard)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("bm25guard").toString
+    val (first, second) = docsFixture.splitAt(docsFixture.size / 2)
+    val mem1 = MemoryStream[(Long, String, String, String, Long)]
+    val q1 = StreamOps.bm25IndexStream(
+      mem1.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/stats", s"$tmp/ckpt1")
+    try {
+      mem1.addData(first: _*); q1.processAllAvailable()
+      mem1.addData(second: _*); q1.processAllAvailable() // leaves batch_id=1
+    } finally q1.stop()
+    // same stats root, NEW checkpoint: batch ids restart at 0 — the stream
+    // must fail loudly instead of silently double-counting
+    val mem2 = MemoryStream[(Long, String, String, String, Long)]
+    val q2 = StreamOps.bm25IndexStream(
+      mem2.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/stats", s"$tmp/ckpt2")
+    try {
+      mem2.addData(first: _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("double-count")), e.toString)
+    } finally q2.stop()
+  }
+
   test("heavyHittersStream final state == exact batch top-k (k above vocabulary)") {
     implicit val sqlCtx = spark.sqlContext
     val outK = 5
