@@ -558,6 +558,76 @@ ORDER BY score_micro DESC, doc_id ASC LIMIT 20""")),
 SELECT vec_id AS query_id, TRUE AS recall_ok
 FROM embeddings WHERE vec_id < 8 ORDER BY query_id""")),
 
+    // Reciprocal-rank fusion (Cormack et al. 2009) of the two retrieval
+    // legs: BM25 lexical top-50 + brute-cosine semantic top-50, fused by
+    // Σ 1e6 div (60 + rank) — integer division, so the fused score is
+    // engine-exact. Each leg's rank window runs over its OWN k-sized list
+    // (≤50 rows — a single-partition window over a bounded frame, not the
+    // corpus); at scale the legs are the indexed tiers (q100's postings,
+    // q104's IVFADC) and fusion cost stays |lists|, independent of N.
+    Q("q105_rrf_fusion",
+      (s, dir) => {
+        val lexW = Window.orderBy(col("score_micro").desc, col("doc_id").asc)
+        val lex = TextAnalysis.bm25Rank(Tables.documents(s, dir),
+          Seq("hash", "join", "window"), topK = 50)
+          .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+          .select("doc_id", "lex_rank")
+        val semW = Window.orderBy(col("cosine").desc, col("vec_id").asc)
+        val sem = Similarity.bruteTopK(Tables.embeddings(s, dir), 0L, 50)
+          .withColumn("sem_rank", row_number().over(semW).cast("long"))
+          .select(col("vec_id").as("doc_id"), col("sem_rank"))
+        lex.join(sem, Seq("doc_id"), "full")
+          .select(col("doc_id"),
+            (coalesce(expr("1000000L div (60 + lex_rank)"), lit(0L)) +
+              coalesce(expr("1000000L div (60 + sem_rank)"), lit(0L)))
+              .as("rrf_micro"),
+            col("lex_rank"), col("sem_rank"))
+          .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some(s"""
+WITH $tokCte,
+d0 AS (SELECT doc_id, t, len(t)::BIGINT AS dl FROM tok),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(dl) AS BIGINT) AS sum_dl FROM d0),
+tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, dl, unnest(t) AS term FROM d0)
+       WHERE term IN ('hash', 'join', 'window')
+       GROUP BY doc_id, dl, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+cm AS (SELECT tf.doc_id,
+        CAST(floor(
+          CAST(CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+          * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+          + 0.5) AS BIGINT) AS c
+      FROM tf JOIN dfq USING (term), st),
+lex0 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+         FROM cm GROUP BY doc_id
+         ORDER BY score_micro DESC, doc_id ASC LIMIT 50),
+lex AS (SELECT doc_id, CAST(row_number() OVER (
+          ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS lex_rank
+        FROM lex0),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+sem0 AS (SELECT vec_id,
+           list_dot_product(v, q) / (sqrt(list_dot_product(v, v))
+             * sqrt(list_dot_product(q, q))) AS cosine
+         FROM e, qv ORDER BY cosine DESC, vec_id ASC LIMIT 50),
+sem AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (
+          ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS sem_rank
+        FROM sem0),
+f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank
+      FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+SELECT doc_id,
+  coalesce(1000000 // (60 + lex_rank), 0)
+    + coalesce(1000000 // (60 + sem_rank), 0) AS rrf_micro,
+  lex_rank, sem_rank
+FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""")),
+
     Q("q102_bigram_surprisal",
       (s, dir) => TextAnalysis.bigramSurprisal(Tables.documents(s, dir))
         .orderBy("doc_id"),

@@ -236,6 +236,24 @@ class SelectionSpec extends SparkSpec {
     assert(rows(viaPostings) === rows(TextAnalysis.bm25Rank(docs, terms)))
   }
 
+  test("rrf fusion: presence in both lists beats either single list at like ranks") {
+    // RRF arithmetic on crafted rank lists, mirroring the q105 combiner
+    val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "lex_rank")
+    val sem = Seq((2L, 1L), (4L, 2L)).toDF("doc_id", "sem_rank")
+    val fused = lex.join(sem, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        (coalesce(expr("1000000L div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000L div (60 + sem_rank)"), lit(0L)))
+          .as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // doc 2 (rank 2 lex + rank 1 sem) beats doc 1 (rank 1 lex only)
+    assert(fused.head._1 === 2L, fused.toSeq.toString)
+    assert(fused.head._2 === 1000000L / 62 + 1000000L / 61)
+    // every doc from either list survives the full join
+    assert(fused.map(_._1).toSet === Set(1L, 2L, 3L, 4L))
+  }
+
   test("q95 split is a pure function of the cluster key (zero leakage)") {
     // Force near-dup clusters: identical texts cluster; split must ride the
     // cluster, so members always share a split.
