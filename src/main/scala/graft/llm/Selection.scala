@@ -280,16 +280,18 @@ object Selection {
   def ivfadcTopK(embeddings: DataFrame, nlist: Int, nprobe: Int,
       nQueries: Int, k: Int, candidates: Long, salts: Int = 64): DataFrame = {
     val cents = broadcast(Similarity.kmeansTrain(embeddings, nlist, iters = 1))
-    // localCheckpoint: four consumers read this frame (codebook seed, the
-    // Lloyd pass, encode, the cell back-join) — without it each one re-runs
-    // the corpus × nlist assignment join from scratch (the kmeansTrain
-    // loop-state discipline)
+    // LAZY localCheckpoint: four consumers read this frame (codebook seed,
+    // the Lloyd pass, encode, the cell back-join) — without it each one
+    // re-runs the corpus × nlist assignment join from scratch. Lazy (not
+    // the kmeansTrain loop's eager form) so merely CONSTRUCTING the query
+    // (Explain, plan pins) runs no job; the first action materializes it
+    // and the rest reuse it.
     val assigned = Similarity.ivfAssignWith(embeddings, cents)
       .join(cents, "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("embedding").cast("array<double>"), col("cent"),
           (a, b) => a - b).as("embedding"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val residuals = assigned.select("vec_id", "embedding")
     val cb = pqTrain(residuals, iters = 1)
     val codes = pqEncode(residuals, cb)

@@ -249,8 +249,28 @@ object TextAnalysis {
     * broadcast stats, rank. Identical output to [[bm25Rank]]
     * (spec-pinned). */
   def bm25RankFromPostings(postings: DataFrame, termStats: DataFrame,
-      corpusStats: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame = {
-    val tf = postings.filter(col("term").isin(terms: _*))
+      corpusStats: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame =
+    bm25Score(postings.filter(col("term").isin(terms: _*)), termStats,
+      corpusStats, topK)
+
+  /** [[bm25TermStats]] when the postings table already exists — counting
+    * postings rows per term IS df (postings are per (doc, term)). */
+  def bm25TermStatsFromPostings(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** [[bm25CorpusStats]] from postings: every doc owns >= 1 postings row
+    * (toks of empty text yields [""]), so distinct (doc_id, dl) recovers
+    * the corpus exactly. */
+  def bm25CorpusStatsFromPostings(postings: DataFrame): DataFrame =
+    postings.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+
+  /** THE scoring arithmetic, in exactly one place (the generated oracles
+    * pin every constant and operation order — two copies could drift):
+    * input is a (doc_id, dl, term, tf) frame already restricted to the
+    * query terms. */
+  private def bm25Score(tf: DataFrame, termStats: DataFrame,
+      corpusStats: DataFrame, topK: Int): DataFrame = {
     val idfMicro = floor(log(
       (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
         / (col("df").cast("double") + lit(0.5)) + lit(1.0))
@@ -283,23 +303,7 @@ object TextAnalysis {
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
-    val idfMicro = floor(log(
-      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
-        / (col("df").cast("double") + lit(0.5)) + lit(1.0))
-      * lit(1000000) + lit(0.5)).cast("long")
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-    val tfNorm = (col("tf").cast("double") * lit(2.2)) /
-      (col("tf").cast("double") +
-        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-    tf.join(broadcast(termStats), "term")
-      .crossJoin(broadcast(corpusStats))
-      .select(col("doc_id"),
-        floor(idfMicro.cast("double") * tfNorm + lit(0.5)).cast("long")
-          .as("cm"))
-      .groupBy("doc_id")
-      .agg(sum("cm").as("score_micro"), count(lit(1)).as("n_terms_hit"))
-      .orderBy(col("score_micro").desc, col("doc_id").asc)
-      .limit(topK)
+    bm25Score(tf, termStats, corpusStats, topK)
   }
 
   /** Bigram-conditional surprisal — the next tier above q73's unigram proxy

@@ -66,14 +66,14 @@ class GraftApi(spark: SparkSession, sfDir: String) {
     df
   }
   private lazy val bm25Terms: DataFrame = {
-    val df = bm25Postings.groupBy("term")
-      .agg(count(lit(1)).as("df")).cache()
+    val df = graft.llm.TextAnalysis
+      .bm25TermStatsFromPostings(bm25Postings).cache()
     df.count()
     df
   }
   private lazy val bm25Corpus: DataFrame = {
-    val df = bm25Postings.select("doc_id", "dl").distinct()
-      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")).cache()
+    val df = graft.llm.TextAnalysis
+      .bm25CorpusStatsFromPostings(bm25Postings).cache()
     df.count()
     df
   }

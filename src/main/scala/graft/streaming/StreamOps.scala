@@ -328,10 +328,12 @@ object StreamOps {
     *     loudly instead (latest-wins sinks converge in that scenario;
     *     additive ones cannot).
     *   - Partition-count maintenance is an offline REBUILD: stop the
-    *     stream, fold everything into a fresh stats root (one base
-    *     partition), swap paths atomically, restart with a fresh
-    *     checkpoint. Compacting the live dir in place would break the
-    *     batch_id layout the idempotence depends on. */
+    *     stream, fold everything into a fresh stats root as the reserved
+    *     base partition `batch_id=-1` (negative ids can never collide with
+    *     stream batch ids, so the restarted stream's batch 0 cannot
+    *     overwrite the folded history), swap paths atomically, restart
+    *     with a fresh checkpoint. Compacting the live dir in place would
+    *     break the batch_id layout the idempotence depends on. */
   def bm25IndexStream(docsStream: DataFrame, statsPath: String,
       checkpoint: String): StreamingQuery =
     docsStream.writeStream
@@ -340,12 +342,21 @@ object StreamOps {
         val b = batch.toDF()
         if (batchId == 0L) {
           // batch_id=0 leftovers are the legitimate re-delivery case (the
-          // overwrite is idempotent); HIGHER ids mean a fresh checkpoint
-          // was pointed at an old stats root
-          val root = new java.io.File(s"$statsPath/terms")
-          val stale = Option(root.listFiles()).toSeq.flatten
-            .exists(f => f.getName.startsWith("batch_id=") &&
-              f.getName.stripPrefix("batch_id=") != "0")
+          // overwrite is idempotent) and batch_id=-1 is the reserved
+          // offline-rebuild base; any OTHER id means a fresh checkpoint
+          // was pointed at an old stats root. Listed through the Hadoop
+          // FileSystem so the guard holds on HDFS/S3/file: URIs, not just
+          // bare local paths (java.io.File silently no-ops on those).
+          val hPath = new org.apache.hadoop.fs.Path(s"$statsPath/terms")
+          val fs = hPath.getFileSystem(
+            b.sparkSession.sparkContext.hadoopConfiguration)
+          val stale = fs.exists(hPath) && fs.listStatus(hPath)
+            .exists { st =>
+              val n = st.getPath.getName
+              n.startsWith("batch_id=") &&
+                n.stripPrefix("batch_id=") != "0" &&
+                n.stripPrefix("batch_id=") != "-1"
+            }
           require(!stale,
             s"statsPath $statsPath has partitions from a previous run but " +
               "this stream is at batch 0 (new checkpoint): additive folds " +

@@ -14,12 +14,13 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
 
   /** Column sets of every scan in the plan — FileScan (`ReadSchema:
-    * struct<...>`) or, when another suite cached the table (GraftApi's
-    * /search caches documents) and the CacheManager substituted
-    * InMemoryRelation, the `InMemoryTableScan [cols]` output list. Pruning
-    * pins assert on these so they hold in either form without clearing the
-    * shared session's cache (a clearCache here would permanently
-    * un-persist every memoized mart for the rest of the JVM). */
+    * struct<...>`) or, if any suite sharing this session has cached a
+    * relation these queries read (CacheManager substitutes a cached plan
+    * into every matching subtree), the `InMemoryTableScan [cols]` output
+    * list. Pruning pins assert on these so they hold in either form
+    * without clearing the shared session's cache (a clearCache here would
+    * permanently un-persist every memoized mart for the rest of the
+    * JVM). */
   private def scanColumnSets(p: String): Seq[Set[String]] = {
     val im = "InMemoryTableScan \\[([^\\]]*)\\]".r.findAllMatchIn(p).map(
       _.group(1).split(",").map(_.trim.takeWhile(_ != '#')).toSet).toSeq

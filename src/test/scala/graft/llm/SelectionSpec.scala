@@ -227,10 +227,9 @@ class SelectionSpec extends SparkSpec {
       .toDF(docCols: _*)
     val terms = Seq("w1", "w5", "w12")
     val postings = TextAnalysis.bm25Postings(docs)
-    val termStats = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val termStats = TextAnalysis.bm25TermStatsFromPostings(postings)
       .filter(col("term").isin(terms: _*))
-    val corpus = postings.select("doc_id", "dl").distinct()
-      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val corpus = TextAnalysis.bm25CorpusStatsFromPostings(postings)
     val viaPostings = TextAnalysis.bm25RankFromPostings(
       postings, termStats, corpus, terms)
     assert(rows(viaPostings) === rows(TextAnalysis.bm25Rank(docs, terms)))
