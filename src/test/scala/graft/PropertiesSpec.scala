@@ -226,4 +226,40 @@ object PropertiesSpec extends Properties("graft") {
           .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
       pairs(prefix = true) == pairs(prefix = false)
     }
+
+  private val bm25DocsGen: Gen[List[(Long, String, String, String, Long)]] =
+    Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 100000L)
+      nWords <- Gen.choose(1, 30)
+      words <- Gen.listOfN(nWords, Gen.oneOf("alpha", "beta", "gamma",
+        "delta", "filler", "pad", "noise"))
+    } yield (id, words.mkString(" "), "en", "web", words.mkString(" ").length.toLong))
+      .map(_.distinctBy(_._1))
+
+  property("bm25: one extra occurrence of a query term never lowers a doc's score") =
+    Prop.forAll(bm25DocsGen) { docs =>
+      val base = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val target = docs.head
+      // same doc with the query term appended once; dl grows by one token,
+      // but tf-saturation monotonicity must dominate for the OWN doc
+      val boosted = (docs.tail :+
+        (target._1, target._2 + " alpha", target._3, target._4, target._5))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      def score(df: org.apache.spark.sql.DataFrame): Long =
+        graft.llm.TextAnalysis.bm25Rank(df, Seq("alpha"), topK = 1000)
+          .filter(col("doc_id") === target._1)
+          .collect().headOption.map(_.getAs[Long]("score_micro")).getOrElse(0L)
+      score(boosted) >= score(base)
+    }
+
+  property("PPS sample: selection is invariant under any constant weight scale") =
+    Prop.forAll(bm25DocsGen, Gen.oneOf(3L, 17L, 1000L)) { (docs, scale) =>
+      val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val scaled = df.withColumn("n_chars", col("n_chars") * scale)
+      def sel(d: org.apache.spark.sql.DataFrame) =
+        graft.llm.Selection.seqPoissonSample(d, k = 3)
+          .select("source", "rk", "doc_id")
+          .collect().map(_.toSeq).toSet
+      sel(df) == sel(scaled)
+    }
 }
