@@ -56,7 +56,11 @@ object Selection {
     // One gram-keyed exchange feeds BOTH the df build and the join probe
     // (ReuseExchange — the lshCandidates pattern): without it the scan +
     // tokenize + k-gram explode, the dominant cost at corpus scale, runs
-    // twice.
+    // twice. The df aggregate counts struct(doc_id, source) — identical to
+    // countDistinct(doc_id) since a doc has exactly one source — so column
+    // pruning cannot strip `source` from the aggregate's child and break
+    // the two subtrees' structural equality that ReuseExchange matches on
+    // (plan-pinned: the documents parquet is scanned ONCE).
     val grams = docs
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= k)
@@ -66,7 +70,8 @@ object Selection {
           i => array_join(slice(col("t"), i + 1, lit(k)), " ")))).as("gram"))
       .repartition(col("gram"))
     val dfreq = grams.groupBy("gram")
-      .agg(countDistinct("doc_id").as("gram_docs"))
+      .agg(countDistinct(struct(col("doc_id"), col("source")))
+        .as("gram_docs"))
     grams.join(dfreq, "gram")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_grams"),

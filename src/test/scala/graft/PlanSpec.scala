@@ -207,9 +207,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side partial agg:\n$p")
     // gram-frequency side is corpus-vocabulary-scale: the join must stay
     // AQE's call (broadcast at toy SF is fine; a HINT would force it at 100TB)
-    val opt = SparkEntry.queries("q96_dup_span_coverage")(spark, dir)
-      .queryExecution.optimizedPlan.toString
+    val q = SparkEntry.queries("q96_dup_span_coverage")(spark, dir)
+    val opt = q.queryExecution.optimizedPlan.toString
     assert(!opt.contains("ResolvedHint"), s"forced join strategy:\n$opt")
+    // the df build must REUSE the probe's gram exchange at runtime (AQE
+    // stage reuse over the canonically-equal subtrees — the struct-count
+    // spelling exists exactly to keep them equal): scan + tokenize +
+    // explode, the dominant cost, runs once
+    q.collect()
+    val executed = q.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"gram exchange not shared — corpus explode runs twice:\n$executed")
   }
 
   test("PPS sample rank-limits BEFORE both shuffles (WindowGroupLimit both phases)") {
