@@ -641,17 +641,18 @@ FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""")),
       Some(s"""
 WITH $tokCte,
 bi AS (SELECT doc_id,
-         unnest([t[i+1] || ' ' || t[i+2] for i in range(0, len(t) - 1)]) AS bigram
+         unnest([{'hp': ${h60("t[i+1]")},
+                  'hb': ${h60("t[i+1] || ' ' || t[i+2]")}}
+                 for i in range(0, len(t) - 1)]) AS p
        FROM tok WHERE len(t) >= 2),
-pc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_pair FROM bi GROUP BY bigram),
-pv AS (SELECT string_split(bigram, ' ')[1] AS prev,
-              CAST(sum(c_pair) AS BIGINT) AS c_prev
-       FROM pc GROUP BY prev),
-s AS (SELECT bi.doc_id,
+bh AS (SELECT doc_id, p.hp AS hp, p.hb AS hb FROM bi),
+pc AS (SELECT hp, hb, CAST(count(*) AS BIGINT) AS c_pair
+       FROM bh GROUP BY hp, hb),
+pv AS (SELECT hp, CAST(sum(c_pair) AS BIGINT) AS c_prev FROM pc GROUP BY hp),
+s AS (SELECT bh.doc_id,
         CAST(floor((ln(CAST(c_prev AS DOUBLE)) - ln(CAST(c_pair AS DOUBLE)))
                    * 1000000 + 0.5) AS BIGINT) AS s_micro
-      FROM bi JOIN pc USING (bigram)
-      JOIN pv ON pv.prev = string_split(bi.bigram, ' ')[1]),
+      FROM bh JOIN pc USING (hp, hb) JOIN pv USING (hp)),
 a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              CAST(sum(s_micro) AS BIGINT) AS sum_micro
       FROM s GROUP BY doc_id)

@@ -320,22 +320,27 @@ object TextAnalysis {
     * prefix marginal over the vocab table (never the corpus), per-instance
     * micro-quantized ln, exact integer per-doc sums. */
   def bigramSurprisal(docs: DataFrame): DataFrame = {
+    // Shuffle keys are 60-bit HASHES of (prev, bigram), never the strings:
+    // corpus-scale bigram text shuffling is exactly what parked the string
+    // spelling in the giant-allocation heap band at sf1. A 2^-60 collision
+    // merges two bigrams' counts — deterministic, mirrored bit-for-bit by
+    // the oracle's identical md5 arithmetic.
     val bi = docs.select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("t")) - 2),
-          i => concat(element_at(col("t"), i + 1), lit(" "),
-            element_at(col("t"), i + 2)))).as("bigram"))
-    val pairCnt = bi.groupBy("bigram").agg(count(lit(1)).as("c_pair"))
-    val prevCnt = pairCnt
-      .select(split(col("bigram"), " ").getItem(0).as("prev"), col("c_pair"))
-      .groupBy("prev").agg(sum("c_pair").as("c_prev"))
+          i => struct(
+            hash60(element_at(col("t"), i + 1)).as("hp"),
+            hash60(concat(element_at(col("t"), i + 1), lit(" "),
+              element_at(col("t"), i + 2))).as("hb")))).as("p"))
+      .select(col("doc_id"), col("p.hp").as("hp"), col("p.hb").as("hb"))
+    val pairCnt = bi.groupBy("hp", "hb").agg(count(lit(1)).as("c_pair"))
+    val prevCnt = pairCnt.groupBy("hp").agg(sum("c_pair").as("c_prev"))
     val sMicro = floor(
       (log(col("c_prev").cast("double")) - log(col("c_pair").cast("double")))
         * lit(1000000) + lit(0.5)).cast("long")
-    bi.join(pairCnt, "bigram")
-      .withColumn("prev", split(col("bigram"), " ").getItem(0))
-      .join(prevCnt, "prev")
+    bi.join(pairCnt, Seq("hp", "hb"))
+      .join(prevCnt, Seq("hp"))
       .select(col("doc_id"), sMicro.as("s_micro"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("s_micro").as("sum_micro"))
