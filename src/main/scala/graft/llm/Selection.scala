@@ -60,8 +60,12 @@ object Selection {
     // countDistinct(doc_id) since a doc has exactly one source — so column
     // pruning cannot strip `source` from the aggregate's child and break
     // the two subtrees' structural equality that ReuseExchange matches on
-    // (plan-pinned: the documents parquet is scanned ONCE).
+    // (plan-pinned: the documents parquet is scanned ONCE). The struct
+    // spelling counts NULL-id rows where a bare countDistinct would skip
+    // them, so null ids are filtered up front (pushed to the scan) —
+    // keeping the equivalence unconditional, not a generator convention.
     val grams = docs
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= k)
       .select(col("doc_id"), col("source"),

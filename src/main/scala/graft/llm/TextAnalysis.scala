@@ -325,6 +325,14 @@ object TextAnalysis {
     // spelling in the giant-allocation heap band at sf1. A 2^-60 collision
     // merges two bigrams' counts — deterministic, mirrored bit-for-bit by
     // the oracle's identical md5 arithmetic.
+    //
+    // Deliberate trade-off vs q96's shared-exchange recipe: `bi` feeds both
+    // the count aggregate and the probe join, so the tokenize+hash explode
+    // runs twice — here the aggregate collapses to the bigram VOCAB, which
+    // broadcasts at corpus scale, making the probe join map-side; forcing
+    // one exchange (repartition on hb) would put a corpus-sized shuffle on
+    // the probe path instead. Recompute-narrow-twice beats
+    // shuffle-the-corpus-once for this shape.
     val bi = docs.select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
