@@ -23,10 +23,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Debug dumps live OUTSIDE outDir: the driver parquet-scans every
     // outDir entry, and r5's in-tree `_debug` txts produced a spurious
-    // error row in CORRECTNESS_r05. Per-run (keyed on outDir) so parallel
-    // or successive runs can't clobber each other's adjudication artifacts.
+    // error row in CORRECTNESS_r05. Keyed on the SANITIZED full outDir path
+    // (not a 32-bit hashCode, which can collide across distinct outDirs and
+    // interleave two runs' adjudication artifacts) so parallel or
+    // successive runs against different outDirs can't clobber each other.
     val debugDir =
-      s"/tmp/graft_debug_${Integer.toHexString(outDir.hashCode)}"
+      "/tmp/graft_debug_" + outDir.replaceAll("[^A-Za-z0-9._-]", "_")
     new java.io.File(debugDir).mkdirs()
     System.err.println(s"[verify] debug dumps at $debugDir")
     // Local-iteration filter (unset in the driver env → all queries).

@@ -24,12 +24,16 @@ object LlmQueries {
   // ONE query measures the honest build, consumers read the stored mart).
   // ---------------------------------------------------------------------------
 
-  /** embeddings row count per dir, cached so q34's geometry resolution never
-    * fires a count() job after the first (test dirs are immutable within a
-    * JVM run). */
-  private val embCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** embeddings row count per (session, dir), memoized through
+    * [[graft.sec.SecDerive.cachedCount]] so q34/q57/q98/q104's geometry
+    * resolution never fires a count() job after the first — and so
+    * `SecDerive.evictMemo` (the reset path tests and dir-regenerating
+    * benches already use) invalidates the count along with the marts
+    * (a JVM-lifetime dir-keyed cache would serve a stale count to the
+    * adaptive candidate budgets after a regenerate). */
   private[llm] def embCount(s: SparkSession, dir: String): Long =
-    embCounts.getOrElseUpdate(dir, Tables.embeddings(s, dir).count())
+    graft.sec.SecDerive.cachedCount(s, dir, "emb_count")(
+      Tables.embeddings(s, dir).count())
 
   /** The generated IVF oracles' cell-directory size — every quantizer
     * literal (Scala call sites AND generated SQL) routes through this ONE

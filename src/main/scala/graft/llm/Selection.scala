@@ -64,6 +64,17 @@ object Selection {
     // spelling counts NULL-id rows where a bare countDistinct would skip
     // them, so null ids are filtered up front (pushed to the scan) —
     // keeping the equivalence unconditional, not a generator convention.
+    //
+    // The exchange/aggregate/join key is hash60(gram), never the gram
+    // STRING (the q102 lesson, applied to the suite's biggest shuffle): an
+    // 8-word gram averages ~50 bytes vs 8 for its hash, so the string
+    // spelling ships ~6x the necessary shuffle volume — and corpus-scale
+    // string shuffles are exactly what parked q102's first spelling in the
+    // sf1 giant-allocation heap band. Gram text exists only inside its own
+    // document's partition (per-doc distinct runs on strings, pre-explode);
+    // a 2^-60 collision merges two grams' doc-frequencies —
+    // deterministic, and mirrored bit-for-bit by the oracle's identical
+    // md5 arithmetic.
     val grams = docs
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
@@ -72,11 +83,12 @@ object Selection {
         explode(array_distinct(transform(
           sequence(lit(0), size(col("t")) - k),
           i => array_join(slice(col("t"), i + 1, lit(k)), " ")))).as("gram"))
-      .repartition(col("gram"))
-    val dfreq = grams.groupBy("gram")
+      .select(col("doc_id"), col("source"), hash60(col("gram")).as("hg"))
+      .repartition(col("hg"))
+    val dfreq = grams.groupBy("hg")
       .agg(countDistinct(struct(col("doc_id"), col("source")))
         .as("gram_docs"))
-    grams.join(dfreq, "gram")
+    grams.join(dfreq, "hg")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("gram_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
@@ -481,11 +493,12 @@ WITH $tokCte,
 g AS (SELECT doc_id, source,
         unnest(list_distinct([array_to_string(t[i+1:i+8], ' ')
                               for i in range(0, len(t) - 7)])) AS gram
-      FROM tok WHERE len(t) >= 8),
-dfq AS (SELECT gram, count(DISTINCT doc_id) AS gram_docs FROM g GROUP BY gram),
+      FROM tok WHERE len(t) >= 8 AND doc_id IS NOT NULL),
+gh AS (SELECT doc_id, source, ${h60("gram")} AS hg FROM g),
+dfq AS (SELECT hg, count(DISTINCT doc_id) AS gram_docs FROM gh GROUP BY hg),
 d AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_grams,
         CAST(sum(CASE WHEN gram_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
-      FROM g JOIN dfq USING (gram) GROUP BY doc_id, source),
+      FROM gh JOIN dfq USING (hg) GROUP BY doc_id, source),
 c AS (SELECT source, (n_shared * 1000000) // n_grams AS cov_micro FROM d)
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(cov_micro) AS BIGINT) AS sum_cov_micro,

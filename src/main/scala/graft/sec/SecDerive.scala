@@ -87,6 +87,22 @@ object SecDerive {
     }
   }
 
+  // Scalar companion to [[cached]]: memoized COUNTS (q34/q57/q98/q104
+  // resolve adaptive geometry from the embeddings row count). Keyed on
+  // (session, dir) and cleared by the same [[evictMemo]] path, so a
+  // test/bench that regenerates a dir and evicts the session cannot
+  // resolve geometry from a stale count (the former JVM-lifetime
+  // dir-keyed cache could).
+  private val countMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), Long]]()
+  private[graft] def cachedCount(spark: SparkSession, dir: String,
+      name: String)(mk: => Long): Long =
+    memo.synchronized {
+      countMemo.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate((dir, name), mk)
+
   /** Drop (and unpersist) this session's memoized derivations — for callers
     * recycling a long-lived session after the inputs change, and for tests
     * that install/uninstall the bucketed tables. */
@@ -94,6 +110,8 @@ object SecDerive {
     Option(memo.remove(spark)).foreach(_.values.foreach { df =>
       try df.unpersist() catch { case _: Exception => () }
     })
+    countMemo.remove(spark)
+    ()
   }
 
   /** Swap the memoized facts/filings for materialized BUCKETED tables

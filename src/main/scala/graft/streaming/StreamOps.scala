@@ -347,31 +347,40 @@ object StreamOps {
           // was pointed at an old stats root. Listed through the Hadoop
           // FileSystem so the guard holds on HDFS/S3/file: URIs, not just
           // bare local paths (java.io.File silently no-ops on those).
-          val hPath = new org.apache.hadoop.fs.Path(s"$statsPath/terms")
-          val fs = hPath.getFileSystem(
-            b.sparkSession.sparkContext.hadoopConfiguration)
-          val stale = fs.exists(hPath) && fs.listStatus(hPath)
-            .exists { st =>
-              val n = st.getPath.getName
-              n.startsWith("batch_id=") &&
-                n.stripPrefix("batch_id=") != "0" &&
-                n.stripPrefix("batch_id=") != "-1"
-            }
+          // Both subdirectories must pass: a root whose terms dir was
+          // cleared but whose corpus dir retains batch_id>0 partitions
+          // would double-count (n_docs, sum_dl) just as silently.
+          val stale = Seq("terms", "corpus").exists { sub =>
+            val hPath = new org.apache.hadoop.fs.Path(s"$statsPath/$sub")
+            val fs = hPath.getFileSystem(
+              b.sparkSession.sparkContext.hadoopConfiguration)
+            fs.exists(hPath) && fs.listStatus(hPath)
+              .exists { st =>
+                val n = st.getPath.getName
+                n.startsWith("batch_id=") &&
+                  n.stripPrefix("batch_id=") != "0" &&
+                  n.stripPrefix("batch_id=") != "-1"
+              }
+          }
           require(!stale,
             s"statsPath $statsPath has partitions from a previous run but " +
               "this stream is at batch 0 (new checkpoint): additive folds " +
               "would double-count. Clear the stats root or reuse the " +
               "original checkpoint.")
         }
-        b.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // Dynamic overwrite is scoped to THESE writers (DataFrameWriter
+        // option overrides the session conf) — setting it on the shared
+        // session would silently change overwrite semantics for every
+        // other partitioned write on the session while the stream runs.
         graft.llm.TextAnalysis.bm25TermStats(b)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
           .parquet(s"$statsPath/terms")
         graft.llm.TextAnalysis.bm25CorpusStats(b)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
           .parquet(s"$statsPath/corpus")
         ()
       }
