@@ -366,6 +366,101 @@ object Selection {
       .orderBy("query_id")
   }
 
+  // -------------------------------------------------------------------------
+  // ANN index as a persisted layout (write-once, read-path search)
+  // -------------------------------------------------------------------------
+
+  /** Persist the IVFADC index as a write-once layout under `basePath`:
+    *   - `cents`    — the trained IVF cell directory (nlist rows),
+    *   - `codebook` — the Lloyd-trained residual PQ codebooks (M·Ks rows),
+    *   - `codes`    — per-vector (m, code) rows partitioned BY CELL, so a
+    *     search's ADC pass opens only the probed cells' directories.
+    * [[ivfadcTopK]] trains + encodes per run — the honest shape for a gate
+    * query, the wrong one for serving: at 100 TB the corpus is encoded
+    * once (this write) and every query pays only probed-cell reads
+    * ([[ivfadcSearchIndex]]). Training/encode arithmetic is byte-identical
+    * to [[ivfadcTopK]] (same kmeansTrain/pqTrain/pqEncode calls; doubles
+    * round-trip parquet exactly), so the indexed search is spec-pinned
+    * equal to the inline one. */
+  def writeIvfadcIndex(embeddings: DataFrame, nlist: Int,
+      basePath: String): Unit = {
+    val spark = embeddings.sparkSession
+    Similarity.kmeansTrain(embeddings, nlist, iters = 1)
+      .write.mode("overwrite").parquet(s"$basePath/cents")
+    val cents = broadcast(spark.read.parquet(s"$basePath/cents"))
+    // residuals, shared by codebook training and encode (the ivfadcTopK
+    // lazy-localCheckpoint pattern — three consumers, one assignment pass)
+    val assigned = Similarity.ivfAssignWith(embeddings, cents)
+      .join(cents, "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding").cast("array<double>"), col("cent"),
+          (a, b) => a - b).as("embedding"))
+      .localCheckpoint(false)
+    val residuals = assigned.select("vec_id", "embedding")
+    pqTrain(residuals, iters = 1)
+      .write.mode("overwrite").parquet(s"$basePath/codebook")
+    pqEncode(residuals, spark.read.parquet(s"$basePath/codebook"))
+      .join(assigned.select("vec_id", "cell"), "vec_id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$basePath/codes")
+  }
+
+  /** Read-path IVFADC search over a [[writeIvfadcIndex]] layout: probe the
+    * nprobe nearest cells per query (against the broadcast cell directory),
+    * build the per-(query, cell) residual distance table (broadcast), ADC
+    * the probed cells' CODES — the `cell` equi-join against the broadcast
+    * table reaches the partitioned scan as a dynamic partition-pruning
+    * filter, so directories outside the probed cells are never opened —
+    * then exact-rerank the candidate survivors against the full vectors
+    * (`embeddings`, the vector store). Per-query read cost: nprobe cell
+    * directories of 8-byte codes + `candidates` full vectors — independent
+    * of corpus size. */
+  def ivfadcSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, embeddings: DataFrame, nQueries: Int, k: Int,
+      nprobe: Int, candidates: Long, salts: Int = 64): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$basePath/cents"))
+    val cb = spark.read.parquet(s"$basePath/codebook")
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cell").asc)
+    val probed = queries.crossJoin(cents)
+      .select(col("query_id"), col("qv"), col("cell"), col("cent"),
+        Similarity.cosine(col("qv"), col("cent")).as("sim"))
+      .withColumn("__p", row_number().over(wProbe))
+      .filter(col("__p") <= nprobe)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qv"), col("cent"), (a, b) => a - b).as("qres"))
+    val dt = probed
+      .select(col("query_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(PqM - 1)),
+          m => slice(col("qres"), m * PqSubDim + 1, lit(PqSubDim))))
+          .as(Seq("m", "qsv")))
+      .join(broadcast(cb), "m")
+      .select(col("query_id"), col("cell"), col("m"), col("code"),
+        l2sq(col("qsv"), col("cw")).as("d2"))
+    // The distance table is materialized (lazy localCheckpoint — tiny:
+    // nQueries·nprobe·M·Ks rows) before the codes join, for a load-bearing
+    // reason: dynamic partition pruning on the codes scan reuses the
+    // build-side broadcast, and AQE's re-optimization of dt's window/shuffle
+    // subtree drifts its canonical form so the reuse lookup misses and the
+    // pruning expression silently degrades to `true` — a full-codes read.
+    // A checkpointed table canonicalizes stably, so the DPP subquery
+    // survives re-planning (spec-pinned via the numPartitions metric). The
+    // cell >= 0 filter is trivially true (cells are non-negative ids) but
+    // gives the pruning rule the selective-predicate shape it requires on
+    // the build side.
+    val dtM = dt.localCheckpoint(false).filter(col("cell") >= 0)
+    val adc = spark.read.parquet(s"$basePath/codes")
+      .join(broadcast(dtM), Seq("cell", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("d2").as("adc"))
+    rerankTopK(adc, embeddings, queries, k, candidates, salts)
+  }
+
   /** Exact brute-force top-k for the same query set — the recall baseline. */
   def exactTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val queries = broadcast(embeddings.filter(col("vec_id") < nQueries)
@@ -482,7 +577,76 @@ object Selection {
   // DuckDB SQL fragments and the memoized embeddings count are shared with
   // LlmQueries (private[llm]) — one copy to keep mirrors from drifting, one
   // count() job per (JVM, dir).
-  import LlmQueries.{h60, tokCte}
+  import LlmQueries.{h60, tokCte, embCount}
+
+  // -------------------------------------------------------------------------
+  // Reciprocal-rank fusion (leg-agnostic tail) + the persisted retrieval index
+  // -------------------------------------------------------------------------
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked legs —
+    * (doc_id, lex_rank) and (doc_id, sem_rank) — by Σ 1e6 div (60 + rank):
+    * integer division, so the fused score is engine-exact. Leg-agnostic:
+    * q105 feeds it the brute tiers (text-scan BM25 + brute cosine), q107
+    * the indexed tiers (postings BM25 + IVFADC). Cost is |legs|,
+    * independent of corpus size. */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, topK: Int = 10): DataFrame =
+    lex.join(sem, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        (coalesce(expr("1000000L div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000L div (60 + sem_rank)"), lit(0L)))
+          .as("rrf_micro"),
+        col("lex_rank"), col("sem_rank"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      .limit(topK)
+
+  /** Build-once serving indexes for a data dir — the production retrieval
+    * layout: BM25 postings bucketed by term ([[graft.ops.Layout
+    * .writePostings]]) + its stats tables, and the IVFADC index
+    * ([[writeIvfadcIndex]]) with codes partitioned by cell. Memoized per
+    * (session, dir) through the SecDerive once-marker so a bench/verify run
+    * pays the build exactly once; the files land under the JVM tmpdir keyed
+    * on the sanitized dir path (same discipline as Verify's debug dir). */
+  private[graft] def retrievalIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_ridx_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sec.SecDerive.cachedCount(s, dir, "retrieval_index") {
+      val postings = TextAnalysis.bm25Postings(Tables.documents(s, dir))
+      graft.ops.Layout.writePostings(postings, s"$base/postings")
+      // stats from the postings AT REST: the layout is the source of truth
+      // once written (and the build scan is not paid a second time)
+      val atRest = s.read.parquet(s"$base/postings")
+      TextAnalysis.bm25TermStatsFromPostings(atRest)
+        .write.mode("overwrite").parquet(s"$base/term_stats")
+      TextAnalysis.bm25CorpusStatsFromPostings(atRest)
+        .write.mode("overwrite").parquet(s"$base/corpus_stats")
+      writeIvfadcIndex(Tables.embeddings(s, dir),
+        Similarity.adaptiveNlist(embCount(s, dir)), s"$base/ann")
+      1L
+    }
+    base
+  }
+
+  /** The production retrieval composition, end-to-end over the persisted
+    * layout: postings-BM25 lexical leg (partition-pruned to the query
+    * terms' buckets) + IVFADC semantic leg (probed-cell reads only), fused
+    * by [[rrfFuse]]. No full-corpus text scan anywhere in the plan — the
+    * heavy inputs are the layout files the query's predicates prune. */
+  def rrfFusionIndexed(s: org.apache.spark.sql.SparkSession, base: String,
+      embeddings: DataFrame, terms: Seq[String], legK: Int = 50,
+      topK: Int = 10, nprobe: Int = 4, candidates: Long = 64): DataFrame = {
+    val lexW = Window.orderBy(col("score_micro").desc, col("doc_id").asc)
+    val lex = TextAnalysis.bm25RankFromPostings(
+      graft.ops.Layout.postingsForTerms(s, s"$base/postings", terms),
+      s.read.parquet(s"$base/term_stats"),
+      s.read.parquet(s"$base/corpus_stats"), terms, legK)
+      .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+      .select("doc_id", "lex_rank")
+    val sem = ivfadcSearchIndex(s, s"$base/ann", embeddings,
+      nQueries = 1, k = legK, nprobe = nprobe, candidates = candidates)
+      .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
+    rrfFuse(lex, sem, topK)
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -600,14 +764,7 @@ FROM embeddings WHERE vec_id < 8 ORDER BY query_id""")),
         val sem = Similarity.bruteTopK(Tables.embeddings(s, dir), 0L, 50)
           .withColumn("sem_rank", row_number().over(semW).cast("long"))
           .select(col("vec_id").as("doc_id"), col("sem_rank"))
-        lex.join(sem, Seq("doc_id"), "full")
-          .select(col("doc_id"),
-            (coalesce(expr("1000000L div (60 + lex_rank)"), lit(0L)) +
-              coalesce(expr("1000000L div (60 + sem_rank)"), lit(0L)))
-              .as("rrf_micro"),
-            col("lex_rank"), col("sem_rank"))
-          .orderBy(col("rrf_micro").desc, col("doc_id").asc)
-          .limit(10)
+        rrfFuse(lex, sem, 10)
       },
       Some(s"""
 WITH $tokCte,
@@ -651,6 +808,54 @@ SELECT doc_id,
     + coalesce(1000000 // (60 + sem_rank), 0) AS rrf_micro,
   lex_rank, sem_rank
 FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""")),
+
+    // The production retrieval composition — q100's postings tier + q104's
+    // IVFADC tier, fused by the same RRF tail as q105 — end-to-end over the
+    // persisted retrieval layout, self-audited against the brute legs
+    // (q98/q104 recipe): the lexical leg must be IDENTICAL to the text-scan
+    // path (postings scoring is exact — any divergence is an index bug, not
+    // approximation), and the fused indexed top-10 must overlap the
+    // brute-fused top-10 by >= 4 (measured overlap 6/6/9 of 10 at
+    // sf0.001/0.01/0.1 — the approximation is all on the IVFADC leg — gated
+    // at 4 for the same mean-rounding margin as q98). The n_lex >= 1 clause
+    // keeps an empty-leg run from passing vacuously.
+    Q("q107_rrf_fusion_indexed",
+      (s, dir) => {
+        val base = retrievalIndex(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val terms = Seq("hash", "join", "window")
+        val cand = math.max(64L, embCount(s, dir) / 16)
+        val fusedIdx = rrfFusionIndexed(s, base, emb, terms,
+          candidates = cand)
+        val lexW = Window.orderBy(col("score_micro").desc, col("doc_id").asc)
+        val lexTxt = TextAnalysis.bm25Rank(Tables.documents(s, dir), terms, 50)
+          .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+          .select("doc_id", "lex_rank")
+        val lexIdx = TextAnalysis.bm25RankFromPostings(
+          graft.ops.Layout.postingsForTerms(s, s"$base/postings", terms),
+          s.read.parquet(s"$base/term_stats"),
+          s.read.parquet(s"$base/corpus_stats"), terms, 50)
+          .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+          .select("doc_id", "lex_rank")
+        val semW = Window.orderBy(col("cosine").desc, col("vec_id").asc)
+        val semBrute = Similarity.bruteTopK(emb, 0L, 50)
+          .withColumn("sem_rank", row_number().over(semW).cast("long"))
+          .select(col("vec_id").as("doc_id"), col("sem_rank"))
+        val fusedBrute = rrfFuse(lexTxt, semBrute, 10)
+        val lexAgg = lexTxt.agg(count(lit(1)).as("n_lex"))
+        val diffAgg = lexIdx.exceptAll(lexTxt)
+          .unionByName(lexTxt.exceptAll(lexIdx))
+          .agg(count(lit(1)).as("n_lex_diff"))
+        val ovAgg = fusedIdx.select("doc_id")
+          .join(fusedBrute.select("doc_id"), "doc_id")
+          .agg(count(lit(1)).as("n_overlap"))
+        lexAgg.crossJoin(diffAgg).crossJoin(ovAgg)
+          .select(lit(0L).as("query_id"),
+            (col("n_lex") >= 1 && col("n_lex_diff") === 0)
+              .as("lex_leg_identical"),
+            (col("n_overlap") >= 4).as("fused_overlap_ok"))
+      },
+      Some("SELECT CAST(0 AS BIGINT) AS query_id, TRUE AS lex_leg_identical, TRUE AS fused_overlap_ok")),
 
     Q("q102_bigram_surprisal",
       (s, dir) => TextAnalysis.bigramSurprisal(Tables.documents(s, dir))

@@ -75,6 +75,49 @@ object Layout {
       cells: Seq[Long]): DataFrame =
     spark.read.parquet(path).filter(col("cell").isin(cells: _*))
 
+  /** The lexical-side serving layout: BM25 postings (doc_id, dl, term, tf)
+    * written partitioned by a hash bucket of the term and row-group-sorted
+    * by term — a query's scoring pass opens only its terms' bucket
+    * directories (partition pruning) and, within them, only the row groups
+    * whose term min/max covers a query term (pushed filter + sorted
+    * row-group stats). Term itself is too high-cardinality to be the
+    * partition column (millions of directories); the bucket column gives
+    * bounded directory count with the same pruning effect. */
+  def writePostings(postings: DataFrame, path: String,
+      nBuckets: Int = 64): Unit =
+    postings
+      .withColumn("term_bucket", bucketOf(col("term"), nBuckets))
+      .repartition(col("term_bucket"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite")
+      .partitionBy("term_bucket")
+      .parquet(path)
+
+  /** Driver-side twin of [[bucketOf]] — literally the same md5 arithmetic
+    * (first 15 hex chars as a 60-bit int, mod nBuckets) evaluated in Scala,
+    * so a LITERAL term set resolves its buckets at plan time and the bucket
+    * predicate prunes partitions statically (spec-pinned equal to the
+    * Column form). */
+  def bucketOfLocal(s: String, nBuckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % nBuckets).toInt
+  }
+
+  /** Query-side read of the postings layout: the bucket predicate (computed
+    * driver-side from the literal terms) prunes to ≤ |terms| directories;
+    * the term predicate pushes into parquet and skips row groups. The scan
+    * cost is the query's postings rows — independent of corpus text size. */
+  def postingsForTerms(spark: SparkSession, path: String,
+      terms: Seq[String], nBuckets: Int = 64): DataFrame = {
+    val buckets = terms.map(bucketOfLocal(_, nBuckets)).distinct
+    spark.read.parquet(path)
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+      .drop("term_bucket")
+  }
+
   /** Event-time layout: day-partitioned directories, the standard
     * append-only fact layout — each day's load lands in its own directory,
     * time-range predicates prune to the covered days (PartitionFilters, no

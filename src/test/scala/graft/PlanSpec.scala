@@ -220,6 +220,27 @@ class PlanSpec extends SparkSpec {
       s"gram exchange not shared — corpus explode runs twice:\n$executed")
   }
 
+  test("indexed rrf fusion: postings bucket-pruned + term-pushed, codes cell-pruned, no text scan") {
+    val base = graft.llm.Selection.retrievalIndex(spark, dir)
+    val q = graft.llm.Selection.rrfFusionIndexed(spark, base,
+      Tables.embeddings(spark, dir), Seq("hash", "join", "window"),
+      candidates = 64)
+    val p = q.queryExecution.sparkPlan.toString
+    // lexical leg: the postings scan prunes to the query terms' bucket
+    // directories and pushes the term predicate into parquet
+    assert(p.contains("PartitionFilters: [term_bucket"),
+      s"postings not bucket-pruned:\n$p")
+    assert(p.contains("In(term"), s"term predicate not pushed:\n$p")
+    // semantic leg: the codes scan carries a dynamic partition-pruning
+    // filter on cell — directories outside the probed cells never open
+    assert(p.contains("dynamicpruning"),
+      s"codes scan not dynamically cell-pruned:\n$p")
+    // neither leg scans the corpus text: the only non-layout input is the
+    // embeddings vector store (query fetch + candidate re-rank)
+    assert(!p.contains("documents.parquet"),
+      s"full-corpus text scan inside the indexed composition:\n$p")
+  }
+
   test("PPS sample rank-limits BEFORE both shuffles (WindowGroupLimit both phases)") {
     val p = plan("q97_pps_sample")
     assert("\\bWindow\\b".r.findAllIn(p).size >= 2, p) // salted local + global

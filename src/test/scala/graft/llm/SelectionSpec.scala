@@ -122,6 +122,56 @@ class SelectionSpec extends SparkSpec {
     assert(strict.forall(!_.getAs[Boolean]("recall_ok")))
   }
 
+  test("persisted IVFADC index: read-path search returns exactly the inline search's results") {
+    val rng = new scala.util.Random(17)
+    val centers = Array.fill(4)(Array.fill(64)(rng.nextGaussian() * 10))
+    val vecs = Seq.tabulate(160) { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.05).toFloat).toSeq, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val base = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    Selection.writeIvfadcIndex(vecs, nlist = 8, s"$base/ann")
+    val indexed = Selection.ivfadcSearchIndex(spark, s"$base/ann", vecs,
+      nQueries = 4, k = 10, nprobe = 2, candidates = 64).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rank"))).toSet
+    val inline = Selection.ivfadcTopK(vecs, nlist = 8, nprobe = 2,
+      nQueries = 4, k = 10, candidates = 64).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rank"))).toSet
+    // same training arithmetic + doubles round-tripping parquet exactly →
+    // identical (query, vec, rank) triples, not just similar recall
+    assert(indexed === inline && indexed.nonEmpty)
+
+    // the 100 TB property, measured: a 1-query search OPENS only its
+    // nprobe probed cell directories (dynamic partition pruning), out of
+    // the nlist=8 the layout holds
+    val one = Selection.ivfadcSearchIndex(spark, s"$base/ann", vecs,
+      nQueries = 1, k = 10, nprobe = 2, candidates = 64)
+    one.collect()
+    // recurse through AQE query stages + reused exchanges to every scan
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scans(r.child)
+      }
+      here.flatten
+    }
+    val codesScan = scans(one.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("ann/codes")))
+      .getOrElse(fail("codes scan not found in executed plan"))
+    val partsRead = codesScan.metrics.get("numPartitions").map(_.value)
+    assert(partsRead.exists(n => n >= 1 && n <= 2),
+      s"expected <= nprobe(2) cell directories read, got $partsRead " +
+        s"(metrics: ${codesScan.metrics.keys.mkString(",")})")
+  }
+
   test("zipfSlope: an exact power-law corpus recovers its exponent") {
     // freq(rank r) = floor(10000 / r): slope of ln f vs ln r ~ -1
     val words = (1 to 60).flatMap { r =>

@@ -91,6 +91,39 @@ class LayoutSpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("event_date"), p)
   }
 
+  test("bucketOfLocal is the driver-side twin of bucketOf (same md5 arithmetic)") {
+    val terms = Seq("hash", "join", "window", "the", "a-b_c", "Ünïcode☃", "")
+    val viaColumn = terms.toDF("t")
+      .select(col("t"), Layout.bucketOf(col("t"), 64).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    terms.foreach { t =>
+      assert(Layout.bucketOfLocal(t, 64) === viaColumn(t),
+        s"bucket mismatch for '$t'")
+    }
+  }
+
+  test("postings layout: term buckets prune partitions; results match an unpruned filter") {
+    val base = Files.createTempDirectory("graft_postings").toString
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val postings = graft.llm.TextAnalysis.bm25Postings(docs)
+    Layout.writePostings(postings, s"$base/postings", nBuckets = 64)
+    val terms = Seq("hash", "join", "window")
+    val q = Layout.postingsForTerms(spark, s"$base/postings", terms)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("term_bucket"),
+      s"expected term_bucket partition pruning:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("In(term"),
+      s"expected term pushdown:\n$p")
+    // the pruned read returns exactly what an unpruned filter over the
+    // original postings returns
+    val got = q.select("doc_id", "term", "tf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = postings.filter(col("term").isin(terms: _*))
+      .select("doc_id", "term", "tf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("schema-evolution read: added columns surface as nulls for old files") {
     val v1 = Files.createTempDirectory("graft_layout_v1").toString
     val v2 = Files.createTempDirectory("graft_layout_v2").toString
