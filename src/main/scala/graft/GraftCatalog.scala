@@ -41,6 +41,14 @@ object GraftCatalog {
     // the statement build. Lazy plan — consumers' filters push into it.
     SparkEntry.queries("q86_curation_pipeline")(spark, dir)
       .createOrReplaceTempView("corpus_curated")
+    // The SELECTED training set (q108): the same curation chain, then the
+    // selection stages — dup-span-coverage screening (drop docs with over
+    // half their 8-gram spans shared corpus-wide) and the final
+    // n_chars-weighted PPS sample per source. corpus_curated answers "what
+    // survived curation"; corpus_selected is the sampled training set a
+    // shard writer consumes. Lazy plan, like every view here.
+    SparkEntry.queries("q108_selection_pipeline")(spark, dir)
+      .createOrReplaceTempView("corpus_selected")
     // Per-doc leakage-safe split assignment (q95's input frame): training
     // jobs SELECT doc_id WHERE split = 'train' without knowing the
     // clustering; near-dups can never straddle train and eval by

@@ -39,7 +39,7 @@ object Selection {
   // -------------------------------------------------------------------------
 
   /** Per-doc fraction of distinct word k-grams that also appear in at least
-    * one other document, aggregated per source. A doc can be globally unique
+    * one other document. A doc can be globally unique
     * (survives q20/q21) while 90% of its spans are boilerplate shared with
     * siblings — this is the metric that catches that.
     *
@@ -52,7 +52,7 @@ object Selection {
     *
     * Coverage is exact integer arithmetic: cov_micro =
     * (n_shared * 1e6) div n_grams — no float crosses the engine boundary. */
-  def dupSpanCoverage(docs: DataFrame, k: Int = 8): DataFrame = {
+  def dupSpanCoveragePerDoc(docs: DataFrame, k: Int = 8): DataFrame = {
     // One gram-keyed exchange feeds BOTH the df build and the join probe
     // (ReuseExchange — the lshCandidates pattern): without it the scan +
     // tokenize + k-gram explode, the dominant cost at corpus scale, runs
@@ -94,12 +94,20 @@ object Selection {
         sum(when(col("gram_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
       .withColumn("cov_micro",
         expr("(n_shared * 1000000L) div n_grams"))
+  }
+
+  /** [[dupSpanCoveragePerDoc]] rolled up per source — the corpus-health
+    * report (q96). The per-doc frame is what the selection pipeline (q108)
+    * screens on. */
+  def dupSpanCoverage(docs: DataFrame, k: Int): DataFrame =
+    dupSpanCoveragePerDoc(docs, k)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("cov_micro").as("sum_cov_micro"),
         sum(when(col("cov_micro") >= 500000L, 1L).otherwise(0L))
           .as("docs_over_half"))
-  }
+
+  def dupSpanCoverage(docs: DataFrame): DataFrame = dupSpanCoverage(docs, 8)
 
   // -------------------------------------------------------------------------
   // Sequential Poisson (probability-proportional-to-size) sampling
@@ -648,6 +656,42 @@ object Selection {
     rrfFuse(lex, sem, topK)
   }
 
+  /** The q106 oracle: the trainer's rounds unrolled into straight-line
+    * CTEs, generated from one template per round so the SQL cannot drift
+    * from the Scala loop structure. chr(31) is the same U+001F wrapper the
+    * Spark side uses; replace/trim/string_split mirror the exact merge and
+    * segmentation arithmetic. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val u = "chr(31)"
+    val head = s"""
+WITH w1 AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wr
+            FROM documents),
+w AS (SELECT replace(wr, $u, '') AS word FROM w1
+      WHERE len(replace(wr, $u, '')) >= 2),
+s1 AS (SELECT array_to_string(
+         [$u || substr(word, i + 1, 1) || $u for i in range(0, len(word))],
+         '') AS seq FROM w)"""
+    val roundCtes = (1 to rounds).map { r =>
+      val merge = if (r < rounds) s""",
+s${r + 1} AS (SELECT replace(seq, $u || a || $u || $u || b || $u,
+                             $u || a || b || $u) AS seq
+              FROM s$r, (SELECT string_split(pair, ' ')[1] AS a,
+                                string_split(pair, ' ')[2] AS b
+                         FROM win$r) _ab$r)"""
+      else ""
+      s""",
+p$r AS (SELECT unnest([s[i+1] || ' ' || s[i+2] for i in range(0, len(s) - 1)]) AS pair
+        FROM (SELECT string_split(trim(seq, $u), $u || $u) AS s FROM s$r)
+        WHERE len(s) >= 2),
+win$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$r GROUP BY pair
+          ORDER BY cnt DESC, pair ASC LIMIT 1)$merge"""
+    }.mkString
+    val tail = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, pair, cnt FROM win$r"
+    }.mkString("\nSELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY round")
+    head + roundCtes + tail
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q96_dup_span_coverage",
@@ -892,6 +936,99 @@ p AS (SELECT unnest([substr(word, i+1, 2) for i in range(0, len(word) - 1)]) AS 
       FROM w WHERE len(word) >= 2)
 SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY pair
 ORDER BY cnt DESC, pair ASC LIMIT 20""")),
+
+    // The iterated trainer over q103's kernel: 3 rounds of count → merge the
+    // winner → re-segment → recount, output the per-round merge table. The
+    // oracle unrolls the same rounds as straight-line CTEs GENERATED from
+    // one Scala template (bpeTrainOracle), so the two engines' round
+    // structure cannot drift; both sides merge via literal replace on the
+    // U+001F-wrapped symbol string (left-to-right non-overlapping in both —
+    // the classic BPE merge rule).
+    Q("q106_bpe_train_rounds",
+      (s, dir) => TextAnalysis.bpeTrainRounds(Tables.documents(s, dir)),
+      Some(bpeTrainOracle(3))),
+
+    // q86's curation chain extended with the selection family: quality →
+    // exact dedup → decontam (q86's stages, same fragments) → dup-span-
+    // coverage SCREEN (drop docs with over half their 8-gram spans shared —
+    // coverage computed over the FULL corpus, since boilerplate saturation
+    // is a corpus-wide property) → sequential-Poisson PPS sample (k=20 per
+    // source, n_chars-weighted) as the final selection stage. The oracle
+    // replays the COMPOSED chain end-to-end from the same shared CTE
+    // fragments, so the gate checks stage ordering and survivor threading
+    // across curation AND selection, not just the pieces (each stage is
+    // separately green: q46/q20/q50/q96/q97). Scale: sum of its parts —
+    // every stage linear or keyed-shuffle, PPS rank-limited both phases.
+    Q("q108_selection_pipeline",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val kept1 = docs.join(TextAnalysis.qualityFilter(docs)
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        val kept2 = docs.join(Dedup.exactDedup(kept1).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val train = kept2.filter(col("source") =!= "src1")
+        val bench = docs.filter(col("source") === "src1")
+        val kept3 = Decontam.decontaminate(train, bench)
+        // docs below the k-gram floor have no coverage row → coalesce to 0
+        // (nothing measurable shared), kept — same rule the oracle spells
+        val cov = dupSpanCoveragePerDoc(docs).select("doc_id", "cov_micro")
+        val kept4 = kept3.join(cov, Seq("doc_id"), "left")
+          .filter(coalesce(col("cov_micro"), lit(0L)) < 500000L)
+        seqPoissonSample(kept4, k = 20).orderBy("source", "rk")
+      },
+      Some(s"""
+WITH $tokCte,
+${LlmQueries.qualityCtesShared},
+kept1 AS (SELECT doc_id FROM st WHERE ${LlmQueries.qualityPredShared}),
+d1 AS (SELECT d.* FROM documents d JOIN kept1 USING (doc_id)),
+hsh AS (SELECT doc_id, source,
+          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS th
+        FROM d1),
+kept2 AS (SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY th
+              ORDER BY doc_id ASC, source ASC) AS rn FROM hsh)
+          WHERE rn = 1),
+d2 AS (SELECT d.* FROM d1 d JOIN kept2 USING (doc_id)),
+tok3 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         FROM d2 WHERE source <> 'src1'),
+sh3 AS (SELECT doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
+                                      for i in range(0, len(t)-2)]) AS s
+        FROM tok3),
+btok AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         FROM documents WHERE source = 'src1'),
+bsh AS (SELECT list_distinct([array_to_string(t[i+1:i+3], ' ')
+                              for i in range(0, len(t)-2)]) AS s
+        FROM btok),
+bench AS (SELECT DISTINCT ${h60("g.x")} AS gh FROM bsh, unnest(s) g(x)),
+tg AS (SELECT doc_id, ${h60("g.x")} AS gh FROM sh3, unnest(s) g(x)),
+bad AS (SELECT DISTINCT doc_id FROM tg WHERE gh IN (SELECT gh FROM bench)),
+d3 AS (SELECT doc_id, source, n_chars FROM d2
+       WHERE source <> 'src1'
+         AND doc_id NOT IN (SELECT doc_id FROM bad)),
+cg AS (SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i+1:i+8], ' ')
+                               for i in range(0, len(t) - 7)])) AS gram
+       FROM tok WHERE len(t) >= 8 AND doc_id IS NOT NULL),
+cgh AS (SELECT doc_id, ${h60("gram")} AS hg FROM cg),
+cdfq AS (SELECT hg, count(DISTINCT doc_id) AS gram_docs FROM cgh GROUP BY hg),
+cd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN gram_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       FROM cgh JOIN cdfq USING (hg) GROUP BY doc_id),
+cc AS (SELECT doc_id, (n_shared * 1000000) // n_grams AS cov_micro FROM cd),
+d4 AS (SELECT d3.doc_id, d3.source, d3.n_chars FROM d3
+       LEFT JOIN cc USING (doc_id)
+       WHERE coalesce(cov_micro, 0) < 500000),
+p AS (SELECT source, doc_id, n_chars,
+        (CAST(${h60("CAST(doc_id AS VARCHAR) || '|sps'")} + 1 AS DOUBLE)
+           / CAST(1152921504606846976 AS DOUBLE))
+          / CAST(greatest(n_chars, 1) AS DOUBLE) AS xi
+      FROM d4),
+r AS (SELECT source, doc_id, n_chars,
+        CAST(row_number() OVER (PARTITION BY source
+               ORDER BY xi ASC, doc_id ASC) AS BIGINT) AS rk
+      FROM p)
+SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 20
+ORDER BY source, rk""")),
 
     Q("q99_zipf_slope",
       (s, dir) => zipfSlope(Tables.documents(s, dir)).orderBy("source"),

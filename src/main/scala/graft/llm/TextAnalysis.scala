@@ -374,6 +374,68 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(topK)
 
+  /** The iterated BPE trainer q103's kernel promises: `rounds` rounds of
+    * count pairs → merge the corpus-wide winner → re-segment → recount.
+    * Output: one row per round, (round, pair, cnt) — the merge table a
+    * tokenizer ships.
+    *
+    * Representation: each word is a SYMBOL-SEQUENCE STRING with every
+    * symbol wrapped in U+001F unit separators ("ab" segmented [a, b] is
+    * "␟a␟␟b␟"). Applying a merge (a, b) is then literal
+    * `replace(seq, "␟a␟␟b␟", "␟ab␟")` — and literal replace is
+    * left-to-right NON-OVERLAPPING in both engines, which is exactly the
+    * classic BPE merge rule ("aaa" under (a,a) → [aa, a]). No array fold,
+    * no UDF, and the oracle mirrors it with the same replace arithmetic in
+    * unrolled CTEs (fixed rounds → straight-line SQL). U+001F is stripped
+    * from input words first, so the wrapper can never collide with data.
+    *
+    * Scale shape per round: one narrow re-segmentation map (the nested
+    * replaces compose into a single pass over the words — no
+    * materialization between rounds), one pair-keyed count with map-side
+    * partials, and a 1-row winner broadcast into the next round via
+    * crossJoin (the aggregate-scalar pattern) — no driver state, no
+    * collect; `rounds` is a compile-time constant, so the driver loop only
+    * builds the plan. Winners are lazily localCheckpointed (1 row) so the
+    * two consumers (output union, next round's merge) share one count job. */
+  def bpeTrainRounds(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val US = "\u001f"
+    def wrap(c: Column): Column = concat(lit(US), c, lit(US))
+    val words = docs.select(explode(toks(col("text"))).as("w0"))
+      .select(regexp_replace(col("w0"), US, "").as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(concat_ws("", transform(
+        filter(split(col("word"), ""), c => c =!= ""),
+        c => wrap(c))).as("seq"))
+    var seqs = words
+    var out: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val syms = split(
+        regexp_replace(col("seq"), s"^$US|$US$$", ""), US + US)
+      val counts = seqs
+        .select(syms.as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("s")) - 2),
+          i => concat(element_at(col("s"), i + 1), lit(" "),
+            element_at(col("s"), i + 2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val winner = counts
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .select(lit(r.toLong).as("round"), col("pair"), col("cnt"))
+        .localCheckpoint(false)
+      out = Some(out.fold(winner)(_.unionByName(winner)))
+      if (r < rounds) {
+        val ab = winner.select(split(col("pair"), " ").as("ab"))
+          .select(element_at(col("ab"), 1).as("a"),
+            element_at(col("ab"), 2).as("b"))
+        seqs = seqs.crossJoin(broadcast(ab))
+          .select(replace(col("seq"),
+            concat(wrap(col("a")), wrap(col("b"))),
+            wrap(concat(col("a"), col("b")))).as("seq"))
+      }
+    }
+    out.get.orderBy("round")
+  }
+
   /** Per-doc character-distribution Shannon entropy — the quality signal
     * that separates natural text (≈ 4 bits/char neighborhoods) from both
     * base64/hex soup (high) and repeated-char padding (low), orthogonal to

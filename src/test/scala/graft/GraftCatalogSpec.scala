@@ -37,6 +37,39 @@ class GraftCatalogSpec extends SparkSpec {
       .count() === 0) // benchmark source never reaches the training corpus
   }
 
+  test("corpus_selected view reconciles with its per-stage operators") {
+    GraftCatalog.registerViews(spark, dir)
+    import org.apache.spark.sql.functions._
+    val selected = spark.sql("SELECT * FROM corpus_selected")
+    val rows = selected.collect()
+    assert(rows.nonEmpty)
+    // the benchmark source never reaches the training set
+    assert(!rows.exists(_.getAs[String]("source") == "src1"))
+    // per-source cap: at most the PPS k (20), ranks contiguous from 1
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rk")).sorted
+      assert(ranks.length <= 20 && ranks === (1L to ranks.length).toArray,
+        s"ranks not contiguous for $src")
+    }
+    // selection-stage reconciliation: no selected doc carries dup-span
+    // coverage >= 0.5 (the screen q96's per-doc frame defines)
+    val overHalf = llm.Selection.dupSpanCoveragePerDoc(
+      Tables.documents(spark, dir))
+      .filter(col("cov_micro") >= 500000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val selectedIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(selectedIds.intersect(overHalf).isEmpty,
+      "coverage-screened doc leaked into the selected set")
+    // curation-stage reconciliation: every selected doc survives the same
+    // quality filter stage the standalone q46 operator defines
+    val quality = llm.TextAnalysis.qualityFilter(
+      Tables.documents(spark, dir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selectedIds.subsetOf(quality),
+      "selected doc failed the quality stage it should have passed through")
+  }
+
   test("corpus_splits view: exhaustive, disjoint, and leakage-free in pure SQL") {
     GraftCatalog.registerViews(spark, dir, withSplitsMart = true)
     // every doc gets exactly one split from the closed set

@@ -94,4 +94,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._1 === 8L && out(2L)._2 === 8L)
     assert(math.abs(out(2L)._3 - math.log(8.0)) < 1e-3) // uniform: H = ln k
   }
+
+  test("bpeTrainRounds: winners merge and re-segment with classic non-overlap rule") {
+    // "abab" x3 + "abc" x2: round-1 pairs: (a,b) x8 [2/abab-word x3 + 1 x2],
+    // (b,a) x3, (b,c) x2 → winner "a b" (8). After merging: abab → [ab, ab],
+    // abc → [ab, c]. Round-2 pairs: (ab,ab) x3, (ab,c) x2 → winner
+    // "ab ab" (3). After merging: abab → [abab]; abc unchanged. Round-3
+    // pairs: (ab,c) x2 → winner "ab c" (2).
+    val docs = Seq(doc(1, "abab abab abab abc abc"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.bpeTrainRounds(docs, rounds = 3).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("pair"),
+        r.getAs[Long]("cnt")))
+    assert(out.toSeq === Seq((1L, "a b", 8L), (2L, "ab ab", 3L),
+      (3L, "ab c", 2L)))
+  }
+
+  test("bpeTrainRounds: overlapping runs merge left-to-right non-overlapping") {
+    // "aaaa": round-1 pairs (a,a) x3 → winner; merge left-to-right gives
+    // [aa, aa] (NOT [aa, a, a] or overlap double-count). Round 2: (aa,aa) x1.
+    val docs = Seq(doc(1, "aaaa aaa"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.bpeTrainRounds(docs, rounds = 2).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("pair"),
+        r.getAs[Long]("cnt")))
+    // round 1: (a,a) appears 3x in aaaa + 2x in aaa = 5
+    // after merge: aaaa -> [aa, aa], aaa -> [aa, a]
+    // round 2: (aa,aa) x1, (aa,a) x1 -> tie broken by pair asc: "aa a"
+    assert(out.toSeq === Seq((1L, "a a", 5L), (2L, "aa a", 1L)))
+  }
 }
