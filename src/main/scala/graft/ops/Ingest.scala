@@ -94,6 +94,29 @@ object Ingest {
       .filter(col("ticker").isin(wanted: _*))
   }
 
+  /** The shredded-at-rest landing layout — the production ingest shape the
+    * q16/q94 sf1 numbers argue for: incoming nested documents are flattened
+    * ONCE at ingest and land as a flat fact-row parquet table; every
+    * downstream query reads the landing (a pruned columnar scan) instead of
+    * re-running nest+flatten per query. The write uses the bounded-document
+    * tier (q94's), so the one-time shred itself parallelizes over
+    * cik × years at any corpus size. Build is memoized per (session, dir)
+    * through the SecDerive once-marker (the JsonlLanding.ensure pattern);
+    * at 100 TB this is a catalog table an ingest job maintains, and the
+    * amortization is the whole point: the flatten cost moves out of the
+    * per-query path. */
+  def shreddedLandingPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_landing_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    SecDerive.cachedCount(s, dir, "shredded_landing") {
+      flattenCompanyFacts(nestCompanyFactsBounded(SecDerive.facts(s, dir)))
+        .write.mode("overwrite").parquet(base)
+      1L
+    }
+    base
+  }
+
   // ---------------------------------------------------------------------------
 
   /** flatten(nest(facts)) == the filtered facts slice — shared verbatim by
@@ -120,6 +143,15 @@ object Ingest {
     // bounded at any corpus size (the measured q16 sf1 lever).
     Q("q94_json_flatten_bounded",
       (s, dir) => flattenCompanyFacts(nestCompanyFactsBounded(SecDerive.facts(s, dir)))
+        .orderBy("fact_id"),
+      Some(flattenOracle)),
+
+    // The amortized tier: the same flattened rows read FROM THE LANDING
+    // LAYOUT (shredded once at ingest, memoized build) — shares q16/q94's
+    // oracle verbatim, so the gate proves landing == per-query flatten
+    // while the per-query cost drops to a columnar scan.
+    Q("q109_json_flatten_landing",
+      (s, dir) => s.read.parquet(shreddedLandingPath(s, dir))
         .orderBy("fact_id"),
       Some(flattenOracle)),
 

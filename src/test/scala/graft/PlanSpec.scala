@@ -220,6 +220,16 @@ class PlanSpec extends SparkSpec {
       s"gram exchange not shared — corpus explode runs twice:\n$executed")
   }
 
+  test("landing-layout flatten: the per-query plan is a scan+sort, no Generate") {
+    val p = plan("q109_json_flatten_landing")
+    // the shred happened once at ingest: the query path must carry no
+    // explode (Generate) and no collect_list nesting — just the columnar
+    // scan of the landing table plus the output sort
+    assert(!p.contains("Generate"), s"explode in the amortized path:\n$p")
+    assert(!p.contains("collect_list"), s"nesting in the amortized path:\n$p")
+    assert(p.contains("graft_landing_"), s"not reading the landing layout:\n$p")
+  }
+
   test("indexed rrf fusion: postings bucket-pruned + term-pushed, codes cell-pruned, no text scan") {
     val base = graft.llm.Selection.retrievalIndex(spark, dir)
     val q = graft.llm.Selection.rrfFusionIndexed(spark, base,
