@@ -23,12 +23,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Debug dumps live OUTSIDE outDir: the driver parquet-scans every
     // outDir entry, and r5's in-tree `_debug` txts produced a spurious
-    // error row in CORRECTNESS_r05. Keyed on the SANITIZED full outDir path
-    // (not a 32-bit hashCode, which can collide across distinct outDirs and
-    // interleave two runs' adjudication artifacts) so parallel or
-    // successive runs against different outDirs can't clobber each other.
-    val debugDir =
-      "/tmp/graft_debug_" + outDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // error row in CORRECTNESS_r05. Keyed on the sanitized outDir tail + an
+    // md5 of the full path + the pid (SecDerive.pathKey) — not a 32-bit
+    // hashCode, which can collide across distinct outDirs and interleave
+    // two runs' adjudication artifacts, and not the bare sanitized path,
+    // which collides for paths differing only in sanitized-out characters
+    // (and can exceed the 255-byte filename limit).
+    val debugDir = "/tmp/graft_debug_" + graft.sec.SecDerive.pathKey(outDir)
     new java.io.File(debugDir).mkdirs()
     System.err.println(s"[verify] debug dumps at $debugDir")
     // Local-iteration filter (unset in the driver env → all queries).

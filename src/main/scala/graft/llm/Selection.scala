@@ -617,7 +617,10 @@ object Selection {
   private[graft] def retrievalIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-      "/graft_ridx_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/graft_ridx_" + graft.sec.SecDerive.pathKey(dir)
+    // nlist resolves BEFORE the once-marker: cachedCount's per-key build
+    // lock must not nest another cachedCount call (embCount) on itself
+    val nlist = Similarity.adaptiveNlist(embCount(s, dir))
     graft.sec.SecDerive.cachedCount(s, dir, "retrieval_index") {
       val postings = TextAnalysis.bm25Postings(Tables.documents(s, dir))
       graft.ops.Layout.writePostings(postings, s"$base/postings")
@@ -628,8 +631,7 @@ object Selection {
         .write.mode("overwrite").parquet(s"$base/term_stats")
       TextAnalysis.bm25CorpusStatsFromPostings(atRest)
         .write.mode("overwrite").parquet(s"$base/corpus_stats")
-      writeIvfadcIndex(Tables.embeddings(s, dir),
-        Similarity.adaptiveNlist(embCount(s, dir)), s"$base/ann")
+      writeIvfadcIndex(Tables.embeddings(s, dir), nlist, s"$base/ann")
       1L
     }
     base
@@ -641,8 +643,8 @@ object Selection {
     * by [[rrfFuse]]. No full-corpus text scan anywhere in the plan — the
     * heavy inputs are the layout files the query's predicates prune. */
   def rrfFusionIndexed(s: org.apache.spark.sql.SparkSession, base: String,
-      embeddings: DataFrame, terms: Seq[String], legK: Int = 50,
-      topK: Int = 10, nprobe: Int = 4, candidates: Long = 64): DataFrame = {
+      embeddings: DataFrame, terms: Seq[String], candidates: Long,
+      legK: Int = 50, topK: Int = 10, nprobe: Int = 4): DataFrame = {
     val lexW = Window.orderBy(col("score_micro").desc, col("doc_id").asc)
     val lex = TextAnalysis.bm25RankFromPostings(
       graft.ops.Layout.postingsForTerms(s, s"$base/postings", terms),
@@ -655,6 +657,15 @@ object Selection {
       .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
     rrfFuse(lex, sem, topK)
   }
+
+  /** q96's per-doc coverage frame as a session-memoized mart for pipeline
+    * consumers (q108): built once per (session, dir), like the near-dup
+    * label mart. */
+  private def covPerDocMart(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.sec.SecDerive.cached(s, dir, "dup_span_cov")(
+      dupSpanCoveragePerDoc(Tables.documents(s, dir))
+        .select("doc_id", "cov_micro"))
 
   /** The q106 oracle: the trainer's rounds unrolled into straight-line
     * CTEs, generated from one template per round so the SQL cannot drift
@@ -859,10 +870,11 @@ FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""")),
     // (q98/q104 recipe): the lexical leg must be IDENTICAL to the text-scan
     // path (postings scoring is exact — any divergence is an index bug, not
     // approximation), and the fused indexed top-10 must overlap the
-    // brute-fused top-10 by >= 4 (measured overlap 6/6/9 of 10 at
-    // sf0.001/0.01/0.1 — the approximation is all on the IVFADC leg — gated
-    // at 4 for the same mean-rounding margin as q98). The n_lex >= 1 clause
-    // keeps an empty-leg run from passing vacuously.
+    // brute-fused top-10 by >= 4 (measured overlap 6/7/10 of 10 at
+    // sf0.001/0.01/0.1 with BOTH sem legs excluding the query doc — the
+    // approximation is all on the IVFADC leg — gated at 4 for the same
+    // mean-rounding margin as q98). The n_lex >= 1 clause keeps an
+    // empty-leg run from passing vacuously.
     Q("q107_rrf_fusion_indexed",
       (s, dir) => {
         val base = retrievalIndex(s, dir)
@@ -881,8 +893,16 @@ FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""")),
           s.read.parquet(s"$base/corpus_stats"), terms, 50)
           .withColumn("lex_rank", row_number().over(lexW).cast("long"))
           .select("doc_id", "lex_rank")
+        // The brute audit leg must match the indexed leg's self-exclusion
+        // rule (ivfadcSearchIndex filters vec_id =!= query_id; bruteTopK
+        // keeps the query vector at rank 1 by construction) — otherwise
+        // doc 0 pads fusedBrute's top-10 from a slot fusedIdx structurally
+        // cannot fill and the overlap gate is silently one tighter than
+        // its calibration. Self-cosine is exactly 1.0 (the guaranteed
+        // max), so top-51-then-drop-self is exactly the non-self top-50.
         val semW = Window.orderBy(col("cosine").desc, col("vec_id").asc)
-        val semBrute = Similarity.bruteTopK(emb, 0L, 50)
+        val semBrute = Similarity.bruteTopK(emb, 0L, 51)
+          .filter(col("vec_id") =!= 0L)
           .withColumn("sem_rank", row_number().over(semW).cast("long"))
           .select(col("vec_id").as("doc_id"), col("sem_rank"))
         val fusedBrute = rrfFuse(lexTxt, semBrute, 10)
@@ -970,8 +990,12 @@ ORDER BY cnt DESC, pair ASC LIMIT 20""")),
         val bench = docs.filter(col("source") === "src1")
         val kept3 = Decontam.decontaminate(train, bench)
         // docs below the k-gram floor have no coverage row → coalesce to 0
-        // (nothing measurable shared), kept — same rule the oracle spells
-        val cov = dupSpanCoveragePerDoc(docs).select("doc_id", "cov_micro")
+        // (nothing measurable shared), kept — same rule the oracle spells.
+        // The per-doc coverage frame is a session-memoized mart (the q48
+        // label-mart discipline): q96 stays the honest-build query; q108
+        // reads the mart, so the corpus-wide gram shuffle — the suite's
+        // biggest — is not paid twice per run.
+        val cov = covPerDocMart(s, dir)
         val kept4 = kept3.join(cov, Seq("doc_id"), "left")
           .filter(coalesce(col("cov_micro"), lit(0L)) < 500000L)
         seqPoissonSample(kept4, k = 20).orderBy("source", "rk")

@@ -108,7 +108,7 @@ object Ingest {
   def shreddedLandingPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-      "/graft_landing_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/graft_landing_" + SecDerive.pathKey(dir)
     SecDerive.cachedCount(s, dir, "shredded_landing") {
       flattenCompanyFacts(nestCompanyFactsBounded(SecDerive.facts(s, dir)))
         .write.mode("overwrite").parquet(base)

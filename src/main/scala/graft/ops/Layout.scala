@@ -84,14 +84,26 @@ object Layout {
     * partition column (millions of directories); the bucket column gives
     * bounded directory count with the same pruning effect. */
   def writePostings(postings: DataFrame, path: String,
-      nBuckets: Int = 64): Unit =
+      nBuckets: Int = 64): Unit = {
     postings
       .withColumn("term_bucket", bucketOf(col("term"), nBuckets))
       .repartition(col("term_bucket"))
-      .sortWithinPartitions("term")
+      // bucket FIRST: the parquet writer requires ordering on the partition
+      // column and would insert its own (not-necessarily-stable) sort,
+      // which could destroy the within-file term order the row-group
+      // min/max skipping depends on; sorting (bucket, term) satisfies the
+      // writer's requirement and keeps term runs contiguous
+      .sortWithinPartitions("term_bucket", "term")
       .write.mode("overwrite")
       .partitionBy("term_bucket")
       .parquet(path)
+    // geometry sidecar: the reader derives buckets from THIS, so a
+    // writer/reader nBuckets mismatch cannot silently prune to the wrong
+    // directories and drop postings rows
+    postings.sparkSession.range(1)
+      .select(lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"${path}_meta")
+  }
 
   /** Driver-side twin of [[bucketOf]] — literally the same md5 arithmetic
     * (first 15 hex chars as a 60-bit int, mod nBuckets) evaluated in Scala,
@@ -106,11 +118,14 @@ object Layout {
   }
 
   /** Query-side read of the postings layout: the bucket predicate (computed
-    * driver-side from the literal terms) prunes to ≤ |terms| directories;
-    * the term predicate pushes into parquet and skips row groups. The scan
+    * driver-side from the literal terms, with the bucket count read from
+    * the layout's own geometry sidecar — a 1-row metadata read, the moral
+    * equivalent of a catalog lookup) prunes to ≤ |terms| directories; the
+    * term predicate pushes into parquet and skips row groups. The scan
     * cost is the query's postings rows — independent of corpus text size. */
   def postingsForTerms(spark: SparkSession, path: String,
-      terms: Seq[String], nBuckets: Int = 64): DataFrame = {
+      terms: Seq[String]): DataFrame = {
+    val nBuckets = spark.read.parquet(s"${path}_meta").head.getInt(0)
     val buckets = terms.map(bucketOfLocal(_, nBuckets)).distinct
     spark.read.parquet(path)
       .filter(col("term_bucket").isin(buckets: _*) &&

@@ -87,21 +87,39 @@ object SecDerive {
     }
   }
 
-  // Scalar companion to [[cached]]: memoized COUNTS (q34/q57/q98/q104
-  // resolve adaptive geometry from the embeddings row count). Keyed on
-  // (session, dir) and cleared by the same [[evictMemo]] path, so a
-  // test/bench that regenerates a dir and evicts the session cannot
-  // resolve geometry from a stale count (the former JVM-lifetime
-  // dir-keyed cache could).
+  // Scalar companion to [[cached]]: memoized COUNTS and once-markers
+  // (q34/q57/q98/q104 resolve adaptive geometry from the embeddings row
+  // count; the persisted-layout builders use the marker to run exactly
+  // once). Keyed on (session, dir) and cleared by the same [[evictMemo]]
+  // path, so a test/bench that regenerates a dir and evicts the session
+  // cannot resolve geometry from a stale count (the former JVM-lifetime
+  // dir-keyed cache could). ConcurrentHashMap.computeIfAbsent so a
+  // SIDE-EFFECTING builder (layout writes) runs once per key even under
+  // thread contention — callers racing the same key block on it; mk must
+  // not nest another cachedCount call (CHM forbids recursive updates).
   private val countMemo =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), Long]]()
+      java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]]()
   private[graft] def cachedCount(spark: SparkSession, dir: String,
       name: String)(mk: => Long): Long =
     memo.synchronized {
       countMemo.computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap.empty)
-    }.getOrElseUpdate((dir, name), mk)
+        _ => new java.util.concurrent.ConcurrentHashMap)
+    }.computeIfAbsent((dir, name), _ => mk).longValue
+
+  /** Collision-proof filesystem key for a data-dir path: sanitized tail
+    * (bounded, so the component stays under filename limits) + an md5
+    * suffix of the FULL path (distinct dirs differing only in sanitized-out
+    * characters cannot collide) + the JVM pid (two processes building the
+    * same dir's layout cannot overwrite each other mid-read; within one
+    * process the session memo already dedups builds). */
+  private[graft] def pathKey(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(dir.getBytes("UTF-8")).take(6)
+      .map(b => f"${b & 0xff}%02x").mkString
+    dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(64) +
+      "_" + h + "_p" + ProcessHandle.current().pid()
+  }
 
   /** Drop (and unpersist) this session's memoized derivations — for callers
     * recycling a long-lived session after the inputs change, and for tests

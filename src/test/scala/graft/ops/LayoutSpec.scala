@@ -106,7 +106,10 @@ class LayoutSpec extends SparkSpec {
     val base = Files.createTempDirectory("graft_postings").toString
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val postings = graft.llm.TextAnalysis.bm25Postings(docs)
-    Layout.writePostings(postings, s"$base/postings", nBuckets = 64)
+    // non-default bucket count on purpose: the reader takes NO geometry
+    // parameter — it must recover nBuckets from the layout's sidecar, so a
+    // writer/reader mismatch is structurally impossible
+    Layout.writePostings(postings, s"$base/postings", nBuckets = 32)
     val terms = Seq("hash", "join", "window")
     val q = Layout.postingsForTerms(spark, s"$base/postings", terms)
     val p = q.queryExecution.executedPlan.toString
