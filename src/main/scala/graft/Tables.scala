@@ -36,6 +36,22 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Adaptive fan-out for under-split inputs: round-robin to the session's
+    * shuffle parallelism ONLY when the plan arrives with fewer partitions.
+    * On a real cluster a 100 TB corpus scan has thousands of splits and this
+    * is a no-op (no exchange added); on the local bench a small parquet file
+    * is ONE split, so every per-char/per-gram/per-vector fan-out downstream
+    * of it runs single-threaded without this (measured: the q106 BPE trainer
+    * spent 11.3 CPU-s at ~1.4 effective cores on a 32-core host; spreading
+    * cut wall 8.1 s → 2.0 s). Call it in kernels that scan everything anyway
+    * — never above a pruned point read, where the exchange would bury the
+    * scan's PushedFilters. The conditional makes composition safe: once one
+    * spread has run, downstream calls see >= target partitions and no-op. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")

@@ -72,7 +72,8 @@ object Dedup {
     // CHEAP token count, pre-projection, matters: a post-projection
     // `size(shingle_set) > 0` predicate gets pushed below the projection and
     // re-evaluates the whole shingle pipeline per row (measured +60% on q21).
-    val eligible = docs.filter(size(toks(col("text"))) >= 2)
+    val eligible = graft.Tables.spread(docs)
+      .filter(size(toks(col("text"))) >= 2)
     // Verify sets: sorted distinct shingle HASHES (the q23 merge-intersect
     // spelling) — native kernels end to end, no interpreted string-array
     // lambdas. RAW 60-bit hashes here (not the signatures' mod-P images,
@@ -253,7 +254,8 @@ object Dedup {
   /** Per-doc 32-bit SimHash fingerprints (token hashes materialized before
     * the 32 bit-sum passes). */
   def simhashFingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokenHashes(toks(col("text"))).as("th"))
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), tokenHashes(toks(col("text"))).as("th"))
       .select(col("doc_id"), simhash(col("th")).as("simhash"))
 
   /** SimHash near-dup pairs: docs sharing any 8-bit band of the fingerprint,
@@ -291,7 +293,7 @@ object Dedup {
     * the merge-intersect verify kernel (graft.expr.SortedIntersectCount)
     * requires: O(n log n) ONCE per doc vs a hash set per PAIR. */
   private def gramPrep(docs: DataFrame, bucketCols: Seq[String]): DataFrame =
-    docs.select(col("doc_id"),
+    graft.Tables.spread(docs).select(col("doc_id"),
       concat_ws("|", bucketCols.map(col): _*).as("bucket"),
       array_sort(array_distinct(graft.expr.CharGramHashSeq(col("text"), 3)))
         .as("grams"))

@@ -75,8 +75,7 @@ object Selection {
     // a 2^-60 collision merges two grams' doc-frequencies —
     // deterministic, and mirrored bit-for-bit by the oracle's identical
     // md5 arithmetic.
-    val grams = docs
-      .filter(col("doc_id").isNotNull)
+    val grams = Tables.spread(docs.filter(col("doc_id").isNotNull))
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= k)
       .select(col("doc_id"), col("source"),
@@ -476,7 +475,7 @@ object Selection {
         col("embedding").cast("array<double>").as("qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    embeddings
+    Tables.spread(embeddings)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .crossJoin(queries)
       .filter(col("vec_id") =!= col("query_id"))
@@ -514,7 +513,10 @@ object Selection {
   /** Explode a vector column into its M subvectors: (id, m, sv). */
   private def subvectors(embeddings: DataFrame,
       idCol: String = "vec_id"): DataFrame =
-    embeddings
+    // spread covers the corpus-side callers (pqTrain/pqEncode run M distance
+    // evaluations per vector per codeword upstream of their first exchange);
+    // on the nQueries-bounded query side it moves a handful of rows — noise
+    Tables.spread(embeddings)
       .select(col(idCol), col("embedding").cast("array<double>").as("v"))
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(PqM - 1)),
@@ -549,7 +551,7 @@ object Selection {
     * on a single reducer. Sources with fewer than 2 ranked terms are dropped
     * (slope undefined — the denominator would be 0). */
   def zipfSlope(docs: DataFrame, topN: Int = 100, salts: Int = 32): DataFrame = {
-    val freq = docs
+    val freq = Tables.spread(docs)
       .select(col("source"), explode(toks(col("text"))).as("token"))
       .groupBy("source", "token")
       .agg(count(lit(1)).as("freq"))

@@ -103,7 +103,11 @@ object Similarity {
     val q = broadcast(
       embeddings.filter(col("vec_id") === queryId)
         .select(col("embedding").as("q_emb")))
-    embeddings.crossJoin(q)
+    // corpus side spread (Tables.spread): the per-vector cosine is the whole
+    // cost and runs upstream of TakeOrderedAndProject's local top-k; the
+    // query side stays on the raw frame so its vec_id filter pushes to the
+    // scan
+    graft.Tables.spread(embeddings).crossJoin(q)
       .select(col("vec_id"), col("label"),
         cosine(col("embedding"), col("q_emb")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
@@ -116,7 +120,7 @@ object Similarity {
     * list — at scale the corpus side would be pre-partitioned by
     * (table, bucket) and only matching partitions read. */
   def lshTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val withBuckets = embeddings
+    val withBuckets = graft.Tables.spread(embeddings)
       .select(col("vec_id"), col("label"), col("embedding"),
         posexplode(buckets(col("embedding"))).as(Seq("table_id", "bucket")))
     val qb = broadcast(
@@ -159,7 +163,8 @@ object Similarity {
     val cents = broadcast(centroids.select(col("cell"), col("cent")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cell").asc)
-    embeddings.join(cents)
+    // the corpus × nlist cosine pass is the cost of assignment — spread it
+    graft.Tables.spread(embeddings).join(cents)
       .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
         cosine(col("embedding"), col("cent")).as("sim"))
       .withColumn("__rn", row_number().over(w))
@@ -306,7 +311,7 @@ object Similarity {
     // Shared shuffle on the bucket key: one exchange feeds both self-join
     // sides (ReuseExchange), so the T*R plane dot products per vector run
     // once, not twice.
-    val b = embeddings.select(col("vec_id"),
+    val b = graft.Tables.spread(embeddings).select(col("vec_id"),
       posexplode(bucketsWith(col("embedding"), tables, planesPerTable))
         .as(Seq("table_id", "bucket")))
       .repartition(col("table_id"), col("bucket"))
@@ -355,7 +360,7 @@ object Similarity {
       dupMax: Double, salts: Int = 64): DataFrame = {
     val q = broadcast(embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val scored = embeddings.crossJoin(q)
+    val scored = graft.Tables.spread(embeddings).crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("q_emb")).as("cosine"))

@@ -120,7 +120,8 @@ object TextAnalysis {
     * the last ulp may differ between libm implementations, so both the
     * emitted value and the rank order live on the quantized integers, which
     * the engines compute identically. */
-  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+  def tfidfTopTerms(docs0: DataFrame, topK: Int = 3): DataFrame = {
+    val docs = graft.Tables.spread(docs0)
     val tf = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("token"))
       .groupBy("doc_id", "token")
@@ -158,7 +159,8 @@ object TextAnalysis {
     * right side — broadcastable at corpus scale), one shuffle on doc_id for
     * the final mean. Same plan family as tf-idf (q56). */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
-    val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val tokens = graft.Tables.spread(docs)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
     val freq = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
     // total token count summed from the vocab-sized freq table — NOT a
     // second pass over the corpus tokens
@@ -194,11 +196,12 @@ object TextAnalysis {
     * postings; df and the (N, Σdl) scalar broadcast. One extra corpus pass
     * computes doc lengths — partial-agged to two longs. Top-k is
     * TakeOrderedAndProject, never a global sort. */
-  def bm25Rank(docs: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame = {
+  def bm25Rank(docs0: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame = {
     // query-bounded df for the one-shot path: prune to matching docs, keep
     // only query terms BEFORE the distinct-explode — identical df values to
     // bm25TermStats (docs containing term), without the full-vocabulary
     // shuffle that belongs to the maintained-index build
+    val docs = graft.Tables.spread(docs0)
     val termArr = array(terms.map(lit): _*)
     val queryDf = docs
       .select(toks(col("text")).as("t"))
@@ -214,7 +217,8 @@ object TextAnalysis {
     * merge = union + groupBy + sum — no corpus rescan (spec-pinned:
     * merge(parts) == rebuild(whole), exactly). */
   def bm25TermStats(docs: DataFrame): DataFrame =
-    docs.select(explode(array_distinct(toks(col("text")))).as("term"))
+    graft.Tables.spread(docs)
+      .select(explode(array_distinct(toks(col("text")))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
 
   /** The scalar half of the index: (n_docs, Σdl) — algebraic, so the same
@@ -238,7 +242,8 @@ object TextAnalysis {
     * stats tables: doc-disjoint deltas union in (postings rows are per-doc,
     * no merge needed). */
   def bm25Postings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), toks(col("text")).as("t"))
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), toks(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
         explode(col("t")).as("term"))
       .groupBy("doc_id", "dl", "term")
@@ -333,7 +338,8 @@ object TextAnalysis {
     // one exchange (repartition on hb) would put a corpus-sized shuffle on
     // the probe path instead. Recompute-narrow-twice beats
     // shuffle-the-corpus-once for this shape.
-    val bi = docs.select(col("doc_id"), toks(col("text")).as("t"))
+    val bi = graft.Tables.spread(docs)
+      .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("t")) - 2),
@@ -365,7 +371,8 @@ object TextAnalysis {
     * pair-keyed count with map-side partials. Top-k via
     * TakeOrderedAndProject. */
   def bpePairCounts(docs: DataFrame, topK: Int = 20): DataFrame =
-    docs.select(explode(toks(col("text"))).as("word"))
+    graft.Tables.spread(docs)
+      .select(explode(toks(col("text"))).as("word"))
       .filter(length(col("word")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, length(word) - 2), i -> substring(word, i + 1, 2))"))
@@ -400,7 +407,13 @@ object TextAnalysis {
   def bpeTrainRounds(docs: DataFrame, rounds: Int = 3): DataFrame = {
     val US = "\u001f"
     def wrap(c: Column): Column = concat(lit(US), c, lit(US))
-    val words = docs.select(explode(toks(col("text"))).as("w0"))
+    // Spread the pruned text column BEFORE the explode (Tables.spread): the
+    // per-char wrap, the round-r replace chain, and the pair explode all run
+    // upstream of the first exchange, and an under-split input serializes
+    // them — measured here at 11.3 CPU-s doing ~1.4 effective cores of work
+    // (wall 8.1 s → 2.0 s with the spread in).
+    val words = graft.Tables.spread(docs.select(col("text")))
+      .select(explode(toks(col("text"))).as("w0"))
       .select(regexp_replace(col("w0"), US, "").as("word"))
       .filter(length(col("word")) >= 2)
       .select(concat_ws("", transform(
@@ -448,7 +461,7 @@ object TextAnalysis {
     * aggregations, both collapsing map-side; nothing scales past the
     * char-count linear pass. */
   def charEntropy(docs: DataFrame): DataFrame = {
-    val counts = docs
+    val counts = graft.Tables.spread(docs)
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .filter(col("ch") =!= "")
       .groupBy("doc_id", "ch")
