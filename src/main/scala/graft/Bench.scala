@@ -133,7 +133,22 @@ object Bench {
         s""""cpu_sec":$cpuJson,"gc_sec":$gcJson,"runs":$runsJson,"total_cpu_sec":${fmt(totalCpu)},""" +
         s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"cpus":$cpus}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
-    println(json)
+    // The driver keeps only the LAST 2000 chars of stdout and parses a JSON
+    // line out of them; the full-detail line above is ~14 KB, so it has
+    // never parsed (BENCH_r*.json "parsed": null every round). Print ONE
+    // compact line — query keys shortened to their qNN prefix, 3-decimal
+    // seconds — that fits the tail window with the sbt epilogue; the full
+    // per-run/cpu/gc detail stays in bench_out.json (committed).
+    def short(n: String): String =
+      "^q\\d+[a-z]?".r.findPrefixOf(n).getOrElse(n)
+    def fmt3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val qsShort = results.map { case (k, v) => "\"" + short(k) + "\":" + fmt3(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qsShort,""" +
+        s""""failed":$failed,"sf":$sf,"total_cpu_sec":${fmt3(totalCpu)},""" +
+        s""""loadavg_start":${fmt3(loadStart)},"loadavg_end":${fmt3(loadavg)},"cpus":$cpus}""")
     spark.stop()
   }
 }

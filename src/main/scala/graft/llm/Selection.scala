@@ -186,7 +186,7 @@ object Selection {
     * broadcastable at any corpus size. */
   def pqTrain(embeddings: DataFrame, iters: Int = 1): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
-    val sub = subvectors(embeddings)
+    val sub = subvectors(Tables.spread(embeddings))
     var cb = pqCodebook(embeddings)
     for (_ <- 1 to iters) {
       val assigned = sub.join(broadcast(cb), "m")
@@ -220,7 +220,7 @@ object Selection {
     * keyed min — linear in corpus size, no shuffle beyond the final
     * (vec_id, m) reduction. */
   def pqEncode(embeddings: DataFrame, codebook: DataFrame): DataFrame =
-    subvectors(embeddings)
+    subvectors(Tables.spread(embeddings))
       .join(broadcast(codebook), "m")
       .select(col("vec_id"), col("m"),
         struct(l2sq(col("sv"), col("cw")).as("d2"), col("code").as("code"))
@@ -513,10 +513,13 @@ object Selection {
   /** Explode a vector column into its M subvectors: (id, m, sv). */
   private def subvectors(embeddings: DataFrame,
       idCol: String = "vec_id"): DataFrame =
-    // spread covers the corpus-side callers (pqTrain/pqEncode run M distance
-    // evaluations per vector per codeword upstream of their first exchange);
-    // on the nQueries-bounded query side it moves a handful of rows — noise
-    Tables.spread(embeddings)
+    // No spread here: the corpus-side callers (pqTrain/pqEncode, which run
+    // M distance evaluations per vector per codeword upstream of their first
+    // exchange) fan out their input themselves; the query-side callers
+    // (pqCodebook's Ks-row seed slice, pqTopK's distance table) explode a
+    // handful of rows, and scattering those across the full shuffle
+    // parallelism just adds task-scheduling overhead.
+    embeddings
       .select(col(idCol), col("embedding").cast("array<double>").as("v"))
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(PqM - 1)),
@@ -703,6 +706,88 @@ win$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$r GROUP BY pair
       s"SELECT CAST($r AS BIGINT) AS round, pair, cnt FROM win$r"
     }.mkString("\nSELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY round")
     head + roundCtes + tail
+  }
+
+  // -------------------------------------------------------------------------
+  // DSIR-style importance resampling
+  // -------------------------------------------------------------------------
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): select raw
+    * documents that look like a target domain by (1) featurizing every doc
+    * as hashed-bigram counts over `buckets` buckets, (2) fitting add-one-
+    * smoothed multinomials p̂_target / q̂_raw over those buckets, (3) scoring
+    * each raw doc with its log-likelihood ratio
+    * log w(x) = Σ_b count_b(x)·(ln p̂_t[b] − ln q̂_r[b]), and (4) drawing k
+    * docs by Gumbel top-k over log w — sampling ∝ w without replacement
+    * (the paper's importance RESAMPLING, not a greedy argmax).
+    *
+    * Cross-engine determinism (the q99/q102 toolkit): bucket ids are
+    * hash60(bigram) mod B (md5-mirrorable, non-negative in both engines);
+    * each of the four ln terms in the bucket log-ratio takes an EXACT
+    * integer argument and is micro-quantized independently, so the per-
+    * bucket delta is an exact int64 combination; the per-doc weight is then
+    * an exact int64 dot product count·delta; the Gumbel draw
+    * g = −ln(−ln u) reuses the PPS hash-uniform u = (h+1)/(2^60+1) ∈ (0,1)
+    * (open at BOTH ends — u = 1 would send the inner ln to 0 and g to ∞),
+    * micro-quantized before the integer add. The only floats that cross
+    * engines are ln outputs rounded at 1e-6.
+    *
+    * Scale shape: the bigram explode fuses into the scan; per-doc-bucket
+    * counts collapse map-side (≤B distinct buckets per doc); the bucket
+    * stats table is B rows — broadcast, and at production scale maintained
+    * incrementally exactly like q100's BM25 corpus stats (counts are
+    * mergeable); the weight pass is one keyed sum; the final draw is the
+    * salted two-phase global top-k, so no single reducer ranks the corpus.
+    * The featurize pass runs twice (once for stats, once for weights) —
+    * recompute-narrow-twice, the q102 trade-off, rather than materializing
+    * an N×B frame. */
+  def dsirResample(docs: DataFrame, targetSource: String = "src1",
+      buckets: Int = 256, k: Int = 100, salts: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    def lnMicro(e: Column): Column =
+      floor(log(e.cast("double")) * lit(1000000) + lit(0.5)).cast("long")
+    val cnt = Tables.spread(docs.filter(col("doc_id").isNotNull))
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => pmod(hash60(concat(element_at(col("t"), i + 1), lit(" "),
+            element_at(col("t"), i + 2))), lit(buckets.toLong)))).as("b"))
+      .groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("c"))
+    val isT = col("source") === targetSource
+    val bstat = cnt.groupBy("b").agg(
+      sum(when(isT, col("c")).otherwise(0L)).as("tc"),
+      sum(when(!isT, col("c")).otherwise(0L)).as("rc"))
+    val tot = bstat.agg(sum("tc").as("tt"), sum("rc").as("rt"))
+    // All B buckets participate in smoothing, present in the corpus or not.
+    val delta = spark.range(buckets).select(col("id").as("b"))
+      .join(bstat, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (lnMicro(coalesce(col("tc"), lit(0L)) + 1) -
+          lnMicro(col("tt") + buckets) -
+          lnMicro(coalesce(col("rc"), lit(0L)) + 1) +
+          lnMicro(col("rt") + buckets)).as("d"))
+    val w = cnt.filter(!isT)
+      .join(broadcast(delta), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("d")).as("logw_micro"))
+    val u = (hash60(concat(col("doc_id").cast("string"), lit("|dsir")))
+      + lit(1L)).cast("double") / lit(1152921504606846977L).cast("double")
+    val keyed = w.select(col("doc_id"), col("logw_micro"),
+      (col("logw_micro") +
+        floor(-log(-log(u)) * lit(1000000) + lit(0.5)).cast("long")).as("key"))
+    val wLocal = Window.partitionBy(pmod(hash(col("doc_id")), lit(salts)))
+      .orderBy(col("key").desc, col("doc_id").asc)
+    val wGlobal = Window.orderBy(col("key").desc, col("doc_id").asc)
+    keyed
+      .withColumn("__r_local", row_number().over(wLocal))
+      .filter(col("__r_local") <= k)
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .filter(col("rk") <= k)
+      .select("rk", "doc_id", "logw_micro")
   }
 
   val queries: Seq[Q] = Seq(
@@ -1055,6 +1140,44 @@ r AS (SELECT source, doc_id, n_chars,
       FROM p)
 SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 20
 ORDER BY source, rk""")),
+
+    Q("q110_dsir_resample",
+      (s, dir) => dsirResample(Tables.documents(s, dir)).orderBy("rk"),
+      Some(s"""
+WITH $tokCte,
+tt AS (SELECT doc_id, source, t FROM tok
+       WHERE len(t) >= 2 AND doc_id IS NOT NULL),
+bg AS (SELECT doc_id, source,
+         unnest([t[i+1] || ' ' || t[i+2] for i in range(0, len(t) - 1)]) AS bigram
+       FROM tt),
+cnt AS (SELECT doc_id, source, ${h60("bigram")} % 256 AS b,
+          CAST(count(*) AS BIGINT) AS c
+        FROM bg GROUP BY 1, 2, 3),
+bstat AS (SELECT b,
+            CAST(sum(CASE WHEN source = 'src1' THEN c ELSE 0 END) AS BIGINT) AS tc,
+            CAST(sum(CASE WHEN source <> 'src1' THEN c ELSE 0 END) AS BIGINT) AS rc
+          FROM cnt GROUP BY b),
+tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt_, CAST(sum(rc) AS BIGINT) AS rt_
+        FROM bstat),
+bk AS (SELECT CAST(r.i AS BIGINT) AS b FROM range(0, 256) r(i)),
+delta AS (SELECT b,
+    CAST(floor(ln(COALESCE(tc, 0) + 1) * 1000000 + 0.5) AS BIGINT)
+  - CAST(floor(ln(tt_ + 256) * 1000000 + 0.5) AS BIGINT)
+  - CAST(floor(ln(COALESCE(rc, 0) + 1) * 1000000 + 0.5) AS BIGINT)
+  + CAST(floor(ln(rt_ + 256) * 1000000 + 0.5) AS BIGINT) AS d
+  FROM bk LEFT JOIN bstat USING (b) CROSS JOIN tot),
+w AS (SELECT doc_id, CAST(sum(c * d) AS BIGINT) AS logw_micro
+      FROM cnt JOIN delta USING (b) WHERE source <> 'src1' GROUP BY doc_id),
+g AS (SELECT doc_id, logw_micro,
+        logw_micro + CAST(floor(-ln(-ln(
+            CAST(${h60("CAST(doc_id AS VARCHAR) || '|dsir'")} + 1 AS DOUBLE)
+            / 1152921504606846977.0)) * 1000000 + 0.5) AS BIGINT) AS key
+      FROM w),
+r AS (SELECT doc_id, logw_micro,
+        CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC) AS BIGINT) AS rk
+      FROM g)
+SELECT rk, doc_id, logw_micro FROM r WHERE rk <= 100 ORDER BY rk"""
+      )),
 
     Q("q99_zipf_slope",
       (s, dir) => zipfSlope(Tables.documents(s, dir)).orderBy("source"),

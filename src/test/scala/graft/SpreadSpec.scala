@@ -43,6 +43,20 @@ class SpreadSpec extends SparkSpec {
     assert(exchanges === 1, s"expected one round-robin exchange, got $exchanges")
   }
 
+  test("shuffle-introducing plans are returned unchanged, .rdd never probed") {
+    // Under AQE, Dataset.rdd on a plan containing an un-materialized
+    // exchange eagerly EXECUTES every upstream stage at construction time.
+    // spread must therefore hand wide plans back untouched — identically,
+    // not just equivalently — without ever touching .rdd: such a plan
+    // already runs at shuffle parallelism and needs no fan-out.
+    val agg = spark.range(1000).toDF("id").coalesce(1)
+      .groupBy((col("id") % 7).as("k")).agg(count(lit(1)).as("n"))
+    assert(Tables.spread(agg) eq agg)
+    val joined = spark.range(10).toDF("a")
+      .join(spark.range(10).toDF("b"), col("a") === col("b"))
+    assert(Tables.spread(joined) eq joined)
+  }
+
   test("spread preserves rows exactly (round-robin moves, never drops)") {
     val df = spark.range(500).toDF("id")
       .withColumn("v", col("id") * 3)

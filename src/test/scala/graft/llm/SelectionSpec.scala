@@ -327,4 +327,30 @@ class SelectionSpec extends SparkSpec {
     assert(labels.select("cluster_id").distinct().count() <
       labels.count())
   }
+
+  test("dsir: target-like raw docs outweigh off-domain ones; deterministic") {
+    // Target (src1) speaks vocabulary A; half the raw docs speak A, half
+    // speak B. The log-likelihood-ratio weight must rank every A-speaking
+    // raw doc above every B-speaking one — the Gumbel noise (|g| <= ~42e6
+    // micro) is orders below the vocabulary separation on these doc sizes.
+    val vocabA = (1 to 8).map(i => s"alpha$i")
+    val vocabB = (1 to 8).map(i => s"beta$i")
+    def speak(v: Seq[String], seed: Int) =
+      (0 until 60).map(j => v((j * 7 + seed) % v.size)).mkString(" ")
+    val docs = (
+      (0 until 5).map(i => (100L + i, speak(vocabA, i), "en", "src1",
+        60L)) ++
+      (0 until 10).map(i => (i.toLong, speak(vocabA, i + 1), "en", "web",
+        60L)) ++
+      (10 until 20).map(i => (i.toLong, speak(vocabB, i), "en", "web",
+        60L))).toDF(docCols: _*)
+    val out = Selection.dsirResample(docs, k = 10)
+    val picked = out.select("doc_id").as[Long].collect().toSet
+    assert(picked === (0L until 10L).toSet,
+      s"expected the 10 A-speaking raw docs, got $picked")
+    // target docs are never selected (they're the reference, not the pool)
+    assert(picked.forall(_ < 100L))
+    // deterministic end-to-end (hash-drawn Gumbel, no RNG state)
+    assert(out.exceptAll(Selection.dsirResample(docs, k = 10)).isEmpty)
+  }
 }
