@@ -790,6 +790,47 @@ win$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$r GROUP BY pair
       .select("rk", "doc_id", "logw_micro")
   }
 
+  /** The q111 oracle: the encoder's train rounds unrolled exactly like
+    * [[bpeTrainOracle]], with doc identity and the per-word char count
+    * threaded through every replace CTE, and — unlike the trainer — the
+    * LAST round's winner applied too, then one per-doc aggregation of the
+    * final segmentation. Generated from the same per-round template so the
+    * two engines' round structure cannot drift. */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val u = "chr(31)"
+    val head = s"""
+WITH w1 AS (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wr
+            FROM documents WHERE doc_id IS NOT NULL),
+w AS (SELECT doc_id, replace(wr, $u, '') AS word FROM w1
+      WHERE len(replace(wr, $u, '')) >= 2),
+s1 AS (SELECT doc_id, CAST(len(word) AS BIGINT) AS nch,
+         array_to_string(
+           [$u || substr(word, i + 1, 1) || $u for i in range(0, len(word))],
+           '') AS seq FROM w)"""
+    val roundCtes = (1 to rounds).map { r =>
+      s""",
+p$r AS (SELECT unnest([s[i+1] || ' ' || s[i+2] for i in range(0, len(s) - 1)]) AS pair
+        FROM (SELECT string_split(trim(seq, $u), $u || $u) AS s FROM s$r)
+        WHERE len(s) >= 2),
+win$r AS (SELECT pair FROM p$r GROUP BY pair
+          ORDER BY CAST(count(*) AS BIGINT) DESC, pair ASC LIMIT 1),
+s${r + 1} AS (SELECT doc_id, nch,
+                replace(seq, $u || a || $u || $u || b || $u,
+                        $u || a || b || $u) AS seq
+              FROM s$r, (SELECT string_split(pair, ' ')[1] AS a,
+                                string_split(pair, ' ')[2] AS b
+                         FROM win$r) _ab$r)"""
+    }.mkString
+    val fin = s"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(nch) AS BIGINT) AS n_chars_seg,
+       CAST(sum(len(string_split(trim(seq, $u), $u || $u))) AS BIGINT)
+         AS n_tokens
+FROM s${rounds + 1} GROUP BY doc_id ORDER BY doc_id"""
+    head + roundCtes + fin
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q96_dup_span_coverage",
@@ -1054,6 +1095,11 @@ ORDER BY cnt DESC, pair ASC LIMIT 20""")),
     Q("q106_bpe_train_rounds",
       (s, dir) => TextAnalysis.bpeTrainRounds(Tables.documents(s, dir)),
       Some(bpeTrainOracle(3))),
+
+    Q("q111_bpe_encode",
+      (s, dir) => TextAnalysis.bpeEncode(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some(bpeEncodeOracle(3))),
 
     // q86's curation chain extended with the selection family: quality →
     // exact dedup → decontam (q86's stages, same fragments) → dup-span-

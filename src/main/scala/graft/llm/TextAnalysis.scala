@@ -449,6 +449,68 @@ object TextAnalysis {
     out.get.orderBy("round")
   }
 
+  /** The consumer side of [[bpeTrainRounds]]: train the same `rounds` merge
+    * table, then APPLY every learned merge to each document and report the
+    * per-doc segmentation stats a packing pipeline budgets with —
+    * (doc_id, n_words, n_chars_seg, n_tokens): eligible words, their total
+    * character count (= token count before any merge), and the token count
+    * after all merges. n_tokens is what a packer (q51) needs per doc to cut
+    * fixed-length sequences; n_chars_seg − n_tokens is exactly the number
+    * of merge applications, so compression is auditable per doc.
+    *
+    * Same representation and merge rule as the trainer (U+001F-wrapped
+    * symbol strings, literal replace = classic non-overlapping BPE), with
+    * doc identity and the per-word char count carried through the replace
+    * chain — columns ride along; the merges never look at them. Unlike the
+    * trainer, the winner of the LAST round is applied too (the trainer
+    * only counts it): an encoder consumes the full merge table.
+    *
+    * Scale shape: the trainer's per-round cost (narrow re-segmentation,
+    * pair-keyed count, 1-row winner broadcast) plus ONE final doc-keyed
+    * aggregation. At production scale the merge table is trained once and
+    * shipped; encode is then a single narrow pass + one keyed agg — this
+    * query keeps train+encode in one plan so the oracle can replay both. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val US = "\u001f"
+    def wrap(c: Column): Column = concat(lit(US), c, lit(US))
+    val syms = (seq: Column) => split(
+      regexp_replace(seq, s"^$US|$US$$", ""), US + US)
+    var seqs = graft.Tables.spread(docs.select(col("doc_id"), col("text")))
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w0"))
+      .select(col("doc_id"), regexp_replace(col("w0"), US, "").as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(col("doc_id"), length(col("word")).cast("long").as("nch"),
+        concat_ws("", transform(
+          filter(split(col("word"), ""), c => c =!= ""),
+          c => wrap(c))).as("seq"))
+    for (r <- 1 to rounds) {
+      val winner = seqs
+        .select(syms(col("seq")).as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("s")) - 2),
+          i => concat(element_at(col("s"), i + 1), lit(" "),
+            element_at(col("s"), i + 2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .localCheckpoint(false)
+      val ab = winner.select(split(col("pair"), " ").as("ab"))
+        .select(element_at(col("ab"), 1).as("a"),
+          element_at(col("ab"), 2).as("b"))
+      seqs = seqs.crossJoin(broadcast(ab))
+        .select(col("doc_id"), col("nch"),
+          replace(col("seq"),
+            concat(wrap(col("a")), wrap(col("b"))),
+            wrap(concat(col("a"), col("b")))).as("seq"))
+    }
+    seqs
+      .select(col("doc_id"), col("nch"),
+        size(syms(col("seq"))).cast("long").as("ntok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("nch").as("n_chars_seg"),
+        sum("ntok").as("n_tokens"))
+  }
+
   /** Per-doc character-distribution Shannon entropy — the quality signal
     * that separates natural text (≈ 4 bits/char neighborhoods) from both
     * base64/hex soup (high) and repeated-char padding (low), orthogonal to

@@ -328,6 +328,23 @@ class SelectionSpec extends SparkSpec {
       labels.count())
   }
 
+  test("bpe encode: three trained merges compress the dominant word to one token") {
+    // Corpus-wide winners, hand-derived: r1 "a b" (freq 4 beats ba:2, xy:3),
+    // r2 "x y" (3 beats "ab ab":2), r3 "ab ab". So "abab" ends as ONE token
+    // [abab] and "xy" as ONE token [xy]; char counts are untouched.
+    val docs = Seq(
+      doc(1L, "abab abab"),
+      doc(2L, "xy xy xy")).toDF(docCols: _*)
+    val out = TextAnalysis.bpeEncode(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 8L, 2L), (2L, 3L, 6L, 3L)))
+    // encoder applies the LAST round's winner too — with only 2 rounds,
+    // "abab" stays two [ab] tokens
+    val two = TextAnalysis.bpeEncode(docs, rounds = 2).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(two === Seq((1L, 2L, 8L, 4L), (2L, 3L, 6L, 3L)))
+  }
+
   test("dsir: target-like raw docs outweigh off-domain ones; deterministic") {
     // Target (src1) speaks vocabulary A; half the raw docs speak A, half
     // speak B. The log-likelihood-ratio weight must rank every A-speaking
