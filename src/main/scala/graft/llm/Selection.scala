@@ -742,12 +742,10 @@ win$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$r GROUP BY pair
     * The featurize pass runs twice (once for stats, once for weights) —
     * recompute-narrow-twice, the q102 trade-off, rather than materializing
     * an N×B frame. */
-  def dsirResample(docs: DataFrame, targetSource: String = "src1",
-      buckets: Int = 256, k: Int = 100, salts: Int = 64): DataFrame = {
-    val spark = docs.sparkSession
-    def lnMicro(e: Column): Column =
-      floor(log(e.cast("double")) * lit(1000000) + lit(0.5)).cast("long")
-    val cnt = Tables.spread(docs.filter(col("doc_id").isNotNull))
+  /** The featurize pass: per (doc, bucket) bigram-hash counts — the frame
+    * both the stats build and the weight pass consume. */
+  def dsirBucketCounts(docs: DataFrame, buckets: Int = 256): DataFrame =
+    Tables.spread(docs.filter(col("doc_id").isNotNull))
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("source"),
@@ -756,10 +754,35 @@ win$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$r GROUP BY pair
             element_at(col("t"), i + 2))), lit(buckets.toLong)))).as("b"))
       .groupBy("doc_id", "source", "b")
       .agg(count(lit(1)).as("c"))
+
+  /** Per-bucket target/raw counts: (b, tc, rc). Raw longs, fully additive —
+    * partials over disjoint doc batches fold to the from-scratch build by
+    * summation, which is what lets a stream maintain them incrementally
+    * ([[graft.streaming.StreamOps.dsirStatsStream]]). */
+  def dsirBucketStats(cnt: DataFrame, targetSource: String = "src1")
+      : DataFrame = {
     val isT = col("source") === targetSource
-    val bstat = cnt.groupBy("b").agg(
+    cnt.groupBy("b").agg(
       sum(when(isT, col("c")).otherwise(0L)).as("tc"),
       sum(when(!isT, col("c")).otherwise(0L)).as("rc"))
+  }
+
+  def dsirResample(docs: DataFrame, targetSource: String = "src1",
+      buckets: Int = 256, k: Int = 100, salts: Int = 64): DataFrame = {
+    val cnt = dsirBucketCounts(docs, buckets)
+    dsirResampleWith(cnt, dsirBucketStats(cnt, targetSource),
+      targetSource, buckets, k, salts)
+  }
+
+  /** The selection tail over prebuilt inputs — `bstat` may come from the
+    * in-plan build or from the streamed fold; the arithmetic is identical. */
+  def dsirResampleWith(cnt: DataFrame, bstat: DataFrame,
+      targetSource: String = "src1", buckets: Int = 256, k: Int = 100,
+      salts: Int = 64): DataFrame = {
+    val spark = cnt.sparkSession
+    def lnMicro(e: Column): Column =
+      floor(log(e.cast("double")) * lit(1000000) + lit(0.5)).cast("long")
+    val isT = col("source") === targetSource
     val tot = bstat.agg(sum("tc").as("tt"), sum("rc").as("rt"))
     // All B buckets participate in smoothing, present in the corpus or not.
     val delta = spark.range(buckets).select(col("id").as("b"))

@@ -386,6 +386,58 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming maintenance of the DSIR bucket statistics
+    * ([[graft.llm.Selection.dsirBucketStats]]): each micro-batch's PARTIAL
+    * (b, tc, rc) counts land under `statsPath/batch_id=N` — the same
+    * layout-level exactly-once recipe as [[bm25IndexStream]] (additive
+    * merges can't use latest-wins; idempotence comes from dynamic partition
+    * overwrite scoping a re-delivered batch to its own byte-identical
+    * partition). [[dsirStatsRead]] folds the partials; raw counts are
+    * additive longs, so the fold equals the from-scratch build over the
+    * same docs (spec-pinned), and [[graft.llm.Selection.dsirResampleWith]]
+    * consumes the folded table in place of the in-plan build. The same two
+    * operational invariants as the BM25 index apply: checkpoint and
+    * statsPath live and die together (batch 0 fails loudly on leftover
+    * partitions), and compaction is an offline rebuild into the reserved
+    * `batch_id=-1` base partition. */
+  def dsirStatsStream(docsStream: DataFrame, statsPath: String,
+      checkpoint: String, targetSource: String = "src1",
+      buckets: Int = 256): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (batchId == 0L) {
+          val hPath = new org.apache.hadoop.fs.Path(statsPath)
+          val fs = hPath.getFileSystem(
+            b.sparkSession.sparkContext.hadoopConfiguration)
+          val stale = fs.exists(hPath) && fs.listStatus(hPath).exists { st =>
+            val n = st.getPath.getName
+            n.startsWith("batch_id=") &&
+              n.stripPrefix("batch_id=") != "0" &&
+              n.stripPrefix("batch_id=") != "-1"
+          }
+          require(!stale,
+            s"statsPath $statsPath has partitions from a previous run but " +
+              "this stream is at batch 0 (new checkpoint): additive folds " +
+              "would double-count. Clear the stats root or reuse the " +
+              "original checkpoint.")
+        }
+        graft.llm.Selection.dsirBucketStats(
+          graft.llm.Selection.dsirBucketCounts(b, buckets), targetSource)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(statsPath)
+        ()
+      }
+      .start()
+
+  /** Fold the per-batch DSIR partials into the serving stats table. */
+  def dsirStatsRead(spark: SparkSession, statsPath: String): DataFrame =
+    spark.read.parquet(statsPath).groupBy("b")
+      .agg(sum("tc").as("tc"), sum("rc").as("rc"))
+
   /** Fold the per-batch partials into the serving index: the (term, df)
     * table and the corpus scalar — the frames [[graft.llm.TextAnalysis
     * .bm25RankWith]] consumes. All sums are exact longs, so the fold equals

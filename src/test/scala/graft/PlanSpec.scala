@@ -309,6 +309,26 @@ class PlanSpec extends SparkSpec {
       s"a corpus-scale cartesian crept in:\n$p")
   }
 
+  test("dsir broadcasts the bucket table; Gumbel draw ranks two-phase, limits pushed") {
+    val p = plan("q110_dsir_resample")
+    assert(p.contains("BroadcastHashJoin"), s"bucket-ratio table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian crept in:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed:\n$p")
+    assert(p.contains("partial_"), s"bucket counts have no map-side stage:\n$p")
+  }
+
+  test("bpe encode keeps the trainer's shape: 1-row winners broadcast, no cartesian") {
+    // The per-round winner pick lives behind its lazy localCheckpoint (its
+    // own sub-plan); what THIS plan must show is each winner entering the
+    // replace chain as a 1-row broadcast, the final doc aggregation with a
+    // map-side partial stage, and no non-broadcast cartesian anywhere.
+    val p = plan("q111_bpe_encode")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian crept in:\n$p")
+    assert(p.contains("partial_"), s"doc aggregation has no map-side stage:\n$p")
+    assert("BroadcastNestedLoopJoin BuildRight".r.findAllIn(p).size >= 3,
+      s"winners not broadcast into the replace chain:\n$p")
+  }
+
   test("bounded nesting parallelizes over (cik, doc_year), not cik alone") {
     val q16 = SparkEntry.queries("q16_json_flatten")(spark, dir)
       .queryExecution.executedPlan.toString

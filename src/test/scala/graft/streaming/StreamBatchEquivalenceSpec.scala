@@ -269,6 +269,38 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       graft.llm.TextAnalysis.bm25Rank(docsDF, queryTerms), "bm25 via index")
   }
 
+  test("dsirStatsStream folded partials == batch stats; resampling through them == one-shot") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("dsiridx").toString
+    val (first, second) = docsFixture.splitAt(docsFixture.size / 2)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.dsirStatsStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val docsDF = docsFixture.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val folded = StreamOps.dsirStatsRead(spark, s"$tmp/stats")
+    // additive longs: the two-batch fold must equal the one-shot build —
+    // except buckets untouched by EITHER side; the fold can surface a
+    // bucket with a (0, 0) row where the one-shot build has no row, and
+    // both spell "absent" to the smoothing's left join + coalesce
+    val rebuilt = graft.llm.Selection.dsirBucketStats(
+      graft.llm.Selection.dsirBucketCounts(docsDF))
+    val nz = folded.filter(col("tc") =!= 0L || col("rc") =!= 0L)
+    assertSameRows(nz, rebuilt.filter(col("tc") =!= 0L || col("rc") =!= 0L),
+      "dsir bucket stats")
+    // and the selection tail is identical through either stats source
+    val cnt = graft.llm.Selection.dsirBucketCounts(docsDF)
+    assertSameRows(
+      graft.llm.Selection.dsirResampleWith(cnt, folded, k = 20),
+      graft.llm.Selection.dsirResample(docsDF, k = 20), "dsir via stream stats")
+  }
+
   test("bm25IndexStream refuses a fresh checkpoint over an old stats root (double-count guard)") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("bm25guard").toString
