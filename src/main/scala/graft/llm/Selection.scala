@@ -413,6 +413,38 @@ object Selection {
       .parquet(s"$basePath/codes")
   }
 
+  /** Ingest a new vector batch into a [[writeIvfadcIndex]] layout without
+    * touching the trained geometry: assign against the FROZEN centroids,
+    * residual-encode against the FROZEN codebook, and append the codes into
+    * the cell partitions. Per-vector encode arithmetic is independent, so
+    * the union of appended batches is row-identical to one encode pass over
+    * the union corpus — searching an incrementally-built index equals
+    * searching a one-shot one EXACTLY (spec-pinned), as long as the
+    * geometry is frozen. Retraining centroids/codebooks on corpus drift is
+    * the offline rebuild path (write a fresh index root, swap atomically) —
+    * the same operational split as the BM25 stats compaction.
+    *
+    * Scale shape: one batch-sized assignment pass against the broadcast
+    * centroid directory, one batch-sized encode against the broadcast
+    * codebook, one cell-keyed exchange of 8-small-int code rows. Nothing
+    * reads the existing index; append cost is O(batch), not O(corpus). */
+  def appendToIvfadcIndex(newEmbeddings: DataFrame, basePath: String): Unit = {
+    val spark = newEmbeddings.sparkSession
+    val cents = broadcast(spark.read.parquet(s"$basePath/cents"))
+    val assigned = Similarity.ivfAssignWith(newEmbeddings, cents)
+      .join(cents, "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding").cast("array<double>"), col("cent"),
+          (a, b) => a - b).as("embedding"))
+      .localCheckpoint(false)
+    pqEncode(assigned.select("vec_id", "embedding"),
+        spark.read.parquet(s"$basePath/codebook"))
+      .join(assigned.select("vec_id", "cell"), "vec_id")
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$basePath/codes")
+  }
+
   /** Read-path IVFADC search over a [[writeIvfadcIndex]] layout: probe the
     * nprobe nearest cells per query (against the broadcast cell directory),
     * build the per-(query, cell) residual distance table (broadcast), ADC

@@ -328,6 +328,31 @@ class SelectionSpec extends SparkSpec {
       labels.count())
   }
 
+  test("IVFADC append: incremental batches == one-shot encode under frozen geometry") {
+    val rng = new scala.util.Random(17)
+    val centers = Array.fill(4)(Array.fill(64)(rng.nextGaussian() * 10))
+    val vecs = Seq.tabulate(160) { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.05).toFloat).toSeq, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqapp").toString
+    Selection.writeIvfadcIndex(vecs, nlist = 8, s"$tmp/full")
+    // second root shares the FROZEN geometry, but its codes arrive in two
+    // appended batches instead of one overwrite
+    spark.read.parquet(s"$tmp/full/cents").write.parquet(s"$tmp/inc/cents")
+    spark.read.parquet(s"$tmp/full/codebook")
+      .write.parquet(s"$tmp/inc/codebook")
+    Selection.appendToIvfadcIndex(vecs.filter(col("vec_id") < 80), s"$tmp/inc")
+    Selection.appendToIvfadcIndex(vecs.filter(col("vec_id") >= 80), s"$tmp/inc")
+    def search(base: String) =
+      Selection.ivfadcSearchIndex(spark, base, vecs,
+        nQueries = 4, k = 10, nprobe = 2, candidates = 64).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rank"))).toSet
+    val inc = search(s"$tmp/inc")
+    assert(inc === search(s"$tmp/full") && inc.nonEmpty)
+  }
+
   test("bpe encode: three trained merges compress the dominant word to one token") {
     // Corpus-wide winners, hand-derived: r1 "a b" (freq 4 beats ba:2, xy:3),
     // r2 "x y" (3 beats "ab ab":2), r3 "ab ab". So "abab" ends as ONE token
