@@ -633,6 +633,31 @@ SELECT cell, CAST(g.i AS INTEGER) AS dim, cent[g.i + 1] AS centroid
 FROM cents2, unnest(generate_series(0, ${Similarity.Dim - 1})) g(i)
 ORDER BY cell, dim""")),
 
+    // Cluster-balanced sample: per-cluster quota over the TRAINED
+    // assignment (q77's quota in semantic space — topic diversity). The
+    // oracle replays the q82 training chain, the q88 assignment rule, and
+    // the hash-uniform per-cell draw.
+    Q("q112_cluster_balanced_sample",
+      (s, dir) => graft.llm.Selection.clusterBalancedSample(
+        Tables.embeddings(s, dir), OracleNlist, 5).orderBy("cell", "rk"),
+      Some(s"""
+WITH $embCte,
+cents0 AS (SELECT vec_id AS cell, v AS cent FROM e WHERE vec_id < $OracleNlist),
+${lloydIterCtes(1)},
+${lloydIterCtes(2)},
+af AS (SELECT vec_id, cell FROM (
+         SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineSql("e.v", "c.cent")} DESC, c.cell ASC) AS rn
+         FROM e, cents2 c) WHERE rn = 1),
+p AS (SELECT cell, vec_id,
+        ${h60("CAST(vec_id AS VARCHAR) || '|cbs'")} AS u FROM af),
+r AS (SELECT cell, vec_id,
+        CAST(row_number() OVER (PARTITION BY cell
+               ORDER BY u ASC, vec_id ASC) AS BIGINT) AS rk
+      FROM p)
+SELECT cell, rk, vec_id FROM r WHERE rk <= 5 ORDER BY cell, rk""")),
+
     // IVF search driven by the TRAINED coarse quantizer: the full
     // production path (train → assign → probe → rank) oracle-checked end
     // to end — q35 checks the seeded quantizer, q82 the training chain;

@@ -741,6 +741,41 @@ win$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$r GROUP BY pair
   }
 
   // -------------------------------------------------------------------------
+  // Cluster-balanced sampling
+  // -------------------------------------------------------------------------
+
+  /** Topic-diversity quota sample: assign every vector to the TRAINED IVF
+    * centroids (the q82 Lloyd chain), then draw k docs per cluster by the
+    * deterministic hash-uniform — the semantic-space analogue of q77's
+    * per-source quota, so one dominant topic cannot crowd the training mix
+    * however large its cluster is. (Cluster-proportional variants just
+    * change k to a per-cell weight; the plan shape is identical.)
+    *
+    * Scale shape: the corpus × nlist assignment is the broadcast cosine
+    * pass [[Similarity.ivfAssignWith]] spreads; the draw is the salted
+    * two-phase per-cell rank (clusters are skewed BY DESIGN — that is what
+    * the sample corrects — so the local phase caps any mega-cluster's
+    * contribution per reducer at k before the exchange). Output
+    * (cell, rk, vec_id) is rank-limited both phases. */
+  def clusterBalancedSample(embeddings: DataFrame, nlist: Int, k: Int,
+      iters: Int = 2, salts: Int = 64): DataFrame = {
+    val cents = Similarity.kmeansTrain(embeddings, nlist, iters)
+    val assigned = Similarity.ivfAssignWith(embeddings, cents)
+    val u = hash60(concat(col("vec_id").cast("string"), lit("|cbs")))
+    val wLocal = Window
+      .partitionBy(col("cell"), pmod(hash(col("vec_id")), lit(salts)))
+      .orderBy(col("u").asc, col("vec_id").asc)
+    val wGlobal = Window.partitionBy("cell")
+      .orderBy(col("u").asc, col("vec_id").asc)
+    assigned.select(col("cell"), col("vec_id"), u.as("u"))
+      .withColumn("__r_local", row_number().over(wLocal))
+      .filter(col("__r_local") <= k)
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .filter(col("rk") <= k)
+      .select("cell", "rk", "vec_id")
+  }
+
+  // -------------------------------------------------------------------------
   // DSIR-style importance resampling
   // -------------------------------------------------------------------------
 

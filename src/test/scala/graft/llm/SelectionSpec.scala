@@ -328,6 +328,26 @@ class SelectionSpec extends SparkSpec {
       labels.count())
   }
 
+  test("cluster-balanced sample: a dominant cluster is capped at k like any other") {
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(4)(Array.fill(64)(rng.nextGaussian() * 10))
+    // 85% of the corpus sits in cluster 0 — the skew the quota corrects
+    val vecs = Seq.tabulate(200) { i =>
+      val c = centers(if (i < 170) 0 else i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.05).toFloat).toSeq, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Selection.clusterBalancedSample(vecs, nlist = 8, k = 3)
+    val perCell = out.groupBy("cell").count().collect()
+      .map(r => r.getLong(1))
+    assert(perCell.nonEmpty && perCell.forall(_ <= 3L),
+      s"a cell exceeded its quota: ${perCell.mkString(",")}")
+    assert(perCell.count(_ == 3L) >= 1, "no cell saturated — fixture too thin")
+    assert(perCell.length >= 2, "sample collapsed into one cluster")
+    // deterministic end-to-end (hash-drawn uniform, no RNG state)
+    assert(out.exceptAll(
+      Selection.clusterBalancedSample(vecs, nlist = 8, k = 3)).isEmpty)
+  }
+
   test("IVFADC append: incremental batches == one-shot encode under frozen geometry") {
     val rng = new scala.util.Random(17)
     val centers = Array.fill(4)(Array.fill(64)(rng.nextGaussian() * 10))
