@@ -81,7 +81,8 @@ object Tables {
       case r: lp.Repartition => r.shuffle // coalesce(n) is exchange-free
       case _: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.Distinct |
            _: lp.Deduplicate | _: lp.Sort | _: lp.RepartitionByExpression |
-           _: lp.GlobalLimit | _: lp.MapGroups | _: lp.CoGroup => true
+           _: lp.GlobalLimit | _: lp.MapGroups | _: lp.CoGroup |
+           _: lp.Intersect | _: lp.Except => true
       case _ => false
     }
     if (wide) df

@@ -721,11 +721,12 @@ s1 AS (SELECT array_to_string(
          '') AS seq FROM w)"""
     val roundCtes = (1 to rounds).map { r =>
       val merge = if (r < rounds) s""",
-s${r + 1} AS (SELECT replace(seq, $u || a || $u || $u || b || $u,
-                             $u || a || b || $u) AS seq
-              FROM s$r, (SELECT string_split(pair, ' ')[1] AS a,
-                                string_split(pair, ' ')[2] AS b
-                         FROM win$r) _ab$r)"""
+s${r + 1} AS (SELECT CASE WHEN a IS NULL THEN seq
+                          ELSE replace(seq, $u || a || $u || $u || b || $u,
+                                       $u || a || b || $u) END AS seq
+              FROM s$r LEFT JOIN (SELECT string_split(pair, ' ')[1] AS a,
+                                         string_split(pair, ' ')[2] AS b
+                                  FROM win$r) _ab$r ON TRUE)"""
       else ""
       s""",
 p$r AS (SELECT unnest([s[i+1] || ' ' || s[i+2] for i in range(0, len(s) - 1)]) AS pair
@@ -891,7 +892,7 @@ win$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$r GROUP BY pair
     val head = s"""
 WITH w1 AS (SELECT doc_id,
               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wr
-            FROM documents WHERE doc_id IS NOT NULL),
+            FROM documents),
 w AS (SELECT doc_id, replace(wr, $u, '') AS word FROM w1
       WHERE len(replace(wr, $u, '')) >= 2),
 s1 AS (SELECT doc_id, CAST(len(word) AS BIGINT) AS nch,
@@ -906,18 +907,19 @@ p$r AS (SELECT unnest([s[i+1] || ' ' || s[i+2] for i in range(0, len(s) - 1)]) A
 win$r AS (SELECT pair FROM p$r GROUP BY pair
           ORDER BY CAST(count(*) AS BIGINT) DESC, pair ASC LIMIT 1),
 s${r + 1} AS (SELECT doc_id, nch,
-                replace(seq, $u || a || $u || $u || b || $u,
-                        $u || a || b || $u) AS seq
-              FROM s$r, (SELECT string_split(pair, ' ')[1] AS a,
-                                string_split(pair, ' ')[2] AS b
-                         FROM win$r) _ab$r)"""
+                CASE WHEN a IS NULL THEN seq
+                     ELSE replace(seq, $u || a || $u || $u || b || $u,
+                                  $u || a || b || $u) END AS seq
+              FROM s$r LEFT JOIN (SELECT string_split(pair, ' ')[1] AS a,
+                                         string_split(pair, ' ')[2] AS b
+                                  FROM win$r) _ab$r ON TRUE)"""
     }.mkString
     val fin = s"""
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(nch) AS BIGINT) AS n_chars_seg,
        CAST(sum(len(string_split(trim(seq, $u), $u || $u))) AS BIGINT)
          AS n_tokens
-FROM s${rounds + 1} GROUP BY doc_id ORDER BY doc_id"""
+FROM s${rounds + 1} WHERE doc_id IS NOT NULL GROUP BY doc_id ORDER BY doc_id"""
     head + roundCtes + fin
   }
 

@@ -65,9 +65,10 @@ object TextAnalysis {
     * thresholds — the operation the stats exist FOR. One narrow
     * filter+project fused with the scan; at 100 TB this is the single-read
     * pass that writes the training shard. */
-  def qualityFilter(docs: DataFrame,
+  def qualityFilter(docs0: DataFrame,
       minTokens: Long = 20, maxRep2: Double = 0.2,
       minDistinct: Double = 0.5): DataFrame = {
+    val docs = graft.Tables.spread(docs0)
     val t = toks(col("text"))
     val nToks = size(t).cast("long")
     val distinctRatio = size(array_distinct(t)).cast("double") / nToks.cast("double")
@@ -440,10 +441,13 @@ object TextAnalysis {
         val ab = winner.select(split(col("pair"), " ").as("ab"))
           .select(element_at(col("ab"), 1).as("a"),
             element_at(col("ab"), 2).as("b"))
-        seqs = seqs.crossJoin(broadcast(ab))
-          .select(replace(col("seq"),
-            concat(wrap(col("a")), wrap(col("b"))),
-            wrap(concat(col("a"), col("b")))).as("seq"))
+        // Left join on TRUE (see bpeEncode): an exhausted round (empty
+        // winner) is a no-op, not a row-destroying cross with zero rows.
+        seqs = seqs.join(broadcast(ab), lit(true), "left")
+          .select(when(col("a").isNull, col("seq"))
+            .otherwise(replace(col("seq"),
+              concat(wrap(col("a")), wrap(col("b"))),
+              wrap(concat(col("a"), col("b"))))).as("seq"))
       }
     }
     out.get.orderBy("round")
@@ -475,8 +479,11 @@ object TextAnalysis {
     def wrap(c: Column): Column = concat(lit(US), c, lit(US))
     val syms = (seq: Column) => split(
       regexp_replace(seq, s"^$US|$US$$", ""), US + US)
+    // Train on the SAME corpus as bpeTrainRounds — no doc_id filter here;
+    // null-doc rows count toward the winners and are dropped only in the
+    // final per-doc aggregation, so the learned merge table is exactly the
+    // one the trainer ships.
     var seqs = graft.Tables.spread(docs.select(col("doc_id"), col("text")))
-      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(toks(col("text"))).as("w0"))
       .select(col("doc_id"), regexp_replace(col("w0"), US, "").as("word"))
       .filter(length(col("word")) >= 2)
@@ -497,13 +504,19 @@ object TextAnalysis {
       val ab = winner.select(split(col("pair"), " ").as("ab"))
         .select(element_at(col("ab"), 1).as("a"),
           element_at(col("ab"), 2).as("b"))
-      seqs = seqs.crossJoin(broadcast(ab))
+      // Left join on TRUE, not crossJoin: if a round's pair table is empty
+      // (every eligible word already one symbol) the winner is an empty
+      // frame, and a cross product would annihilate every row — the round
+      // must instead be a no-op on the current segmentation.
+      seqs = seqs.join(broadcast(ab), lit(true), "left")
         .select(col("doc_id"), col("nch"),
-          replace(col("seq"),
-            concat(wrap(col("a")), wrap(col("b"))),
-            wrap(concat(col("a"), col("b")))).as("seq"))
+          when(col("a").isNull, col("seq"))
+            .otherwise(replace(col("seq"),
+              concat(wrap(col("a")), wrap(col("b"))),
+              wrap(concat(col("a"), col("b"))))).as("seq"))
     }
     seqs
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("nch"),
         size(syms(col("seq"))).cast("long").as("ntok"))
       .groupBy("doc_id")
