@@ -76,6 +76,10 @@ object Tables {
     * always yields an Int (the string conf can resolve to "auto"). */
   def spread(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    // Streaming frames pass through untouched: .rdd is illegal on them, and
+    // a micro-batch's parallelism is the source's concern (a kernel shared
+    // by a batch query and its streaming twin reaches here both ways).
+    if (df.isStreaming) return df
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     val wide = df.queryExecution.analyzed.exists {
       case r: lp.Repartition => r.shuffle // coalesce(n) is exchange-free

@@ -408,8 +408,13 @@ object Selection {
       .write.mode("overwrite").parquet(s"$basePath/codebook")
     pqEncode(residuals, spark.read.parquet(s"$basePath/codebook"))
       .join(assigned.select("vec_id", "cell"), "vec_id")
+      // batch_id=-1 is the reserved BASE partition (the same convention as
+      // the streaming stats layouts): stream/ingest batch ids are >= 0, so
+      // the one-shot build and any compacted fold can never collide with a
+      // later append's partition.
+      .withColumn("batch_id", lit(-1L))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+      .write.mode("overwrite").partitionBy("cell", "batch_id")
       .parquet(s"$basePath/codes")
   }
 
@@ -427,8 +432,20 @@ object Selection {
     * Scale shape: one batch-sized assignment pass against the broadcast
     * centroid directory, one batch-sized encode against the broadcast
     * codebook, one cell-keyed exchange of 8-small-int code rows. Nothing
-    * reads the existing index; append cost is O(batch), not O(corpus). */
-  def appendToIvfadcIndex(newEmbeddings: DataFrame, basePath: String): Unit = {
+    * reads the existing index; append cost is O(batch), not O(corpus).
+    *
+    * Exactly-once: each batch lands under its caller-supplied `batchId`
+    * partitions with DYNAMIC partition overwrite (the streaming stats
+    * recipe) — re-delivering a batch (driver retry after a successful
+    * commit, operator re-run) rewrites its own partitions byte-identically
+    * instead of appending duplicate code rows. Re-ingesting a vec_id in a
+    * LATER batch (an updated embedding) is shadowed latest-wins at search
+    * time and physically dropped by [[compactIvfadcIndex]]. */
+  def appendToIvfadcIndex(newEmbeddings: DataFrame, basePath: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"batchId must be >= 0 (negative ids are reserved for the base/" +
+        s"compacted partition batch_id=-1), got $batchId")
     val spark = newEmbeddings.sparkSession
     val cents = broadcast(spark.read.parquet(s"$basePath/cents"))
     val assigned = Similarity.ivfAssignWith(newEmbeddings, cents)
@@ -440,9 +457,55 @@ object Selection {
     pqEncode(assigned.select("vec_id", "embedding"),
         spark.read.parquet(s"$basePath/codebook"))
       .join(assigned.select("vec_id", "cell"), "vec_id")
+      .withColumn("batch_id", lit(batchId))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell")
+      .write.mode("overwrite").partitionBy("cell", "batch_id")
+      .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$basePath/codes")
+  }
+
+  /** Offline compaction/rebuild of a persisted IVFADC layout: fold every
+    * appended codes batch into the reserved base partition `batch_id=-1` of
+    * a FRESH index root (`outBase`), latest-batch-wins per (vec_id, m) —
+    * the physical application of the same shadowing rule the search path
+    * applies logically, so a search against the compacted root returns
+    * EXACTLY the pre-compaction results (spec-pinned). Geometry (cents,
+    * codebook) is copied verbatim: doubles round-trip parquet exactly, so
+    * the compacted index is bit-compatible with the old one's encodes.
+    * Swap-in is the caller's move (publish-by-rename / manifest flip —
+    * the [[graft.ops.Layout.compact]] doctrine); compacting the live dir in
+    * place would break the batch_id layout the append idempotence rests on.
+    *
+    * Scale shape: one codes-sized group-by on (vec_id, m) — 8-small-int
+    * rows, not vectors — and one cell-keyed exchange back into the
+    * partitioned layout; no embedding is read and nothing is retrained.
+    * Returns (input codes file count, output codes file count). */
+  def compactIvfadcIndex(spark: org.apache.spark.sql.SparkSession,
+      inBase: String, outBase: String): (Long, Long) = {
+    def nFiles(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(hp, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    spark.read.parquet(s"$inBase/cents")
+      .write.mode("overwrite").parquet(s"$outBase/cents")
+    spark.read.parquet(s"$inBase/codebook")
+      .write.mode("overwrite").parquet(s"$outBase/codebook")
+    val latest = spark.read.parquet(s"$inBase/codes")
+      .groupBy("vec_id", "m")
+      .agg(max_by(struct(col("cell"), col("code")), col("batch_id")).as("s"))
+      .select(col("vec_id"), col("m"),
+        col("s.cell").as("cell"), col("s.code").as("code"))
+    latest.withColumn("batch_id", lit(-1L))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell", "batch_id")
+      .parquet(s"$outBase/codes")
+    (nFiles(s"$inBase/codes"), nFiles(s"$outBase/codes"))
   }
 
   /** Read-path IVFADC search over a [[writeIvfadcIndex]] layout: probe the
@@ -495,6 +558,14 @@ object Selection {
     val adc = spark.read.parquet(s"$basePath/codes")
       .join(broadcast(dtM), Seq("cell", "m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
+      // Latest-batch-wins per (vec_id, m): a vec_id re-ingested by a later
+      // append (appendToIvfadcIndex) shadows its older codes here instead
+      // of double-summing into a bogus 2x distance. Runs on probed-cell
+      // rows only (post-DPP), same shuffle key prefix as the final sum, so
+      // the extra aggregation is partial-combined and near-free. Single-
+      // batch layouts pass through unchanged (one row per key).
+      .groupBy("query_id", "vec_id", "m")
+      .agg(max_by(col("d2"), col("batch_id")).as("d2"))
       .groupBy("query_id", "vec_id")
       .agg(sum("d2").as("adc"))
     rerankTopK(adc, embeddings, queries, k, candidates, salts)

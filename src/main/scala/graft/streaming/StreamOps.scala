@@ -449,6 +449,61 @@ object StreamOps {
       spark.read.parquet(s"$statsPath/corpus")
         .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))
 
+  private def nParquetFiles(spark: SparkSession, p: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hp, true)
+    var n = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  /** Materialize a folded stats frame as the reserved `batch_id=-1` base
+    * partition of a FRESH root, sized to `targetBytes` files from the input
+    * layout's on-disk size (the [[graft.ops.Layout.compact]] recipe). */
+  private def writeFoldedBase(spark: SparkSession, folded: DataFrame,
+      inPath: String, outPath: String, targetBytes: Long): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hp).getLength
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    folded.withColumn("batch_id", lit(-1L))
+      .coalesce(nOut)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(outPath)
+  }
+
+  /** Offline compaction of the per-batch DSIR stats partials: fold
+    * everything into the reserved `batch_id=-1` base partition of a FRESH
+    * stats root — exactly the rebuild the streaming docstrings promise.
+    * Counts are additive longs, so [[dsirStatsRead]] of the compacted root
+    * equals the read of the fragmented one EXACTLY (spec-pinned); the
+    * negative base id can never collide with a restarted stream's batch 0.
+    * Swap-in is the caller's move (stop stream → swap paths → restart with
+    * a fresh checkpoint); compacting the live dir in place would break the
+    * batch_id idempotence layout. Returns (in, out) parquet file counts. */
+  def compactDsirStats(spark: SparkSession, statsPath: String,
+      outPath: String, targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    writeFoldedBase(spark, dsirStatsRead(spark, statsPath),
+      statsPath, outPath, targetBytes)
+    (nParquetFiles(spark, statsPath), nParquetFiles(spark, outPath))
+  }
+
+  /** Offline compaction of the per-batch BM25 index partials (terms +
+    * corpus scalars) into the `batch_id=-1` base of a fresh root — the same
+    * contract as [[compactDsirStats]]: [[bm25IndexRead]] of the compacted
+    * root is exactly equal, restart-collision-free, caller swaps paths. */
+  def compactBm25Index(spark: SparkSession, statsPath: String,
+      outPath: String, targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    val (terms, corpus) = bm25IndexRead(spark, statsPath)
+    writeFoldedBase(spark, terms, s"$statsPath/terms",
+      s"$outPath/terms", targetBytes)
+    writeFoldedBase(spark, corpus, s"$statsPath/corpus",
+      s"$outPath/corpus", targetBytes)
+    (nParquetFiles(spark, statsPath), nParquetFiles(spark, outPath))
+  }
+
   /** File-source form: tail a directory of event parquet (schema inferred
     * from the batch table) into the hourly aggregation, writing parquet +
     * checkpoint under `outDir`. Returns the running query. */

@@ -362,8 +362,10 @@ class SelectionSpec extends SparkSpec {
     spark.read.parquet(s"$tmp/full/cents").write.parquet(s"$tmp/inc/cents")
     spark.read.parquet(s"$tmp/full/codebook")
       .write.parquet(s"$tmp/inc/codebook")
-    Selection.appendToIvfadcIndex(vecs.filter(col("vec_id") < 80), s"$tmp/inc")
-    Selection.appendToIvfadcIndex(vecs.filter(col("vec_id") >= 80), s"$tmp/inc")
+    Selection.appendToIvfadcIndex(vecs.filter(col("vec_id") < 80), s"$tmp/inc",
+      batchId = 0L)
+    Selection.appendToIvfadcIndex(vecs.filter(col("vec_id") >= 80), s"$tmp/inc",
+      batchId = 1L)
     def search(base: String) =
       Selection.ivfadcSearchIndex(spark, base, vecs,
         nQueries = 4, k = 10, nprobe = 2, candidates = 64).collect()
@@ -371,6 +373,34 @@ class SelectionSpec extends SparkSpec {
           r.getAs[Long]("rank"))).toSet
     val inc = search(s"$tmp/inc")
     assert(inc === search(s"$tmp/full") && inc.nonEmpty)
+
+    // Replay: re-delivering batch 1 (driver retry after a successful
+    // commit) dynamic-overwrites its own partitions byte-identically —
+    // search results cannot move.
+    Selection.appendToIvfadcIndex(vecs.filter(col("vec_id") >= 80), s"$tmp/inc",
+      batchId = 1L)
+    assert(search(s"$tmp/inc") === inc)
+
+    // Cross-batch duplicate vec_ids (caller re-ingests rows 0-39 under a
+    // NEW batch id): the search path shadows latest-batch-wins per
+    // (vec_id, m), so identical re-encodes cannot double an ADC distance
+    // and demote the duplicate.
+    Selection.appendToIvfadcIndex(vecs.filter(col("vec_id") < 40), s"$tmp/inc",
+      batchId = 2L)
+    assert(search(s"$tmp/inc") === inc)
+
+    // Offline compaction folds every batch into the batch_id=-1 base of a
+    // fresh root: search identical, strictly fewer code files.
+    val (inFiles, outFiles) =
+      Selection.compactIvfadcIndex(spark, s"$tmp/inc", s"$tmp/cmp")
+    assert(search(s"$tmp/cmp") === inc)
+    assert(outFiles < inFiles,
+      s"compaction did not shrink the codes layout: $inFiles -> $outFiles")
+
+    // negative ids are the reserved base partition — appends must refuse
+    intercept[IllegalArgumentException] {
+      Selection.appendToIvfadcIndex(vecs, s"$tmp/inc", batchId = -1L)
+    }
   }
 
   test("bpe encode: three trained merges compress the dominant word to one token") {

@@ -301,6 +301,42 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       graft.llm.Selection.dsirResample(docsDF, k = 20), "dsir via stream stats")
   }
 
+  test("stats compaction: folded batch_id=-1 base reads identically with fewer files") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("statscompact").toString
+    val (first, second) = docsFixture.splitAt(docsFixture.size / 2)
+    val memB = MemoryStream[(Long, String, String, String, Long)]
+    val qB = StreamOps.bm25IndexStream(
+      memB.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/bm25", s"$tmp/ckptB")
+    try {
+      memB.addData(first: _*); qB.processAllAvailable()
+      memB.addData(second: _*); qB.processAllAvailable()
+    } finally qB.stop()
+    val memD = MemoryStream[(Long, String, String, String, Long)]
+    val qD = StreamOps.dsirStatsStream(
+      memD.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/dsir", s"$tmp/ckptD")
+    try {
+      memD.addData(first: _*); qD.processAllAvailable()
+      memD.addData(second: _*); qD.processAllAvailable()
+    } finally qD.stop()
+
+    val (dIn, dOut) =
+      StreamOps.compactDsirStats(spark, s"$tmp/dsir", s"$tmp/dsirC")
+    assert(dOut < dIn, s"dsir compaction did not shrink: $dIn -> $dOut")
+    assertSameRows(StreamOps.dsirStatsRead(spark, s"$tmp/dsirC"),
+      StreamOps.dsirStatsRead(spark, s"$tmp/dsir"), "dsir stats post-compaction")
+
+    val (bIn, bOut) =
+      StreamOps.compactBm25Index(spark, s"$tmp/bm25", s"$tmp/bm25C")
+    assert(bOut < bIn, s"bm25 compaction did not shrink: $bIn -> $bOut")
+    val (t1, c1) = StreamOps.bm25IndexRead(spark, s"$tmp/bm25")
+    val (t2, c2) = StreamOps.bm25IndexRead(spark, s"$tmp/bm25C")
+    assertSameRows(t2, t1, "bm25 terms post-compaction")
+    assert(rows(c2) === rows(c1))
+  }
+
   test("bm25IndexStream refuses a fresh checkpoint over an old stats root (double-count guard)") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("bm25guard").toString
