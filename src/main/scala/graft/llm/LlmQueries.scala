@@ -725,6 +725,39 @@ c AS (SELECT vec_id_a, vec_id_b, ${cosineSql("ea.v", "eb2.v")} AS cosine
 SELECT vec_id_a, vec_id_b, cosine FROM c WHERE cosine >= 0.4
 ORDER BY vec_id_a, vec_id_b""")),
 
+    // q34's IVF-cell scale tier (the q89→q93 pattern): identical threshold
+    // and output schema, but candidates are same-cell pairs under the
+    // TRAINED coarse quantizer instead of LSH bucket collisions — cell
+    // occupancy (held ~128 by adaptiveNlist) bounds the pair space with ONE
+    // cell-keyed shuffle, no T-table bucket explode. Cross-cell near-dups
+    // are the tier's documented recall trade (the SemDeDup contract);
+    // exact duplicates always share a cell. The oracle replays the q82
+    // training chain, the assignment rule, and the within-cell pair+verify.
+    Q("q113_neardup_pairs_ivf",
+      (s, dir) => {
+        val nlist = Similarity.adaptiveNlist(embCount(s, dir))
+        requireOracleGeometry(nlist == OracleNlist,
+          s"q113 oracle is generated for nlist=$OracleNlist; corpus " +
+            s"resolves adaptiveNlist=$nlist — regenerate the oracle")
+        Similarity.nearDupPairsIvf(Tables.embeddings(s, dir), nlist, 0.4)
+          .orderBy("vec_id_a", "vec_id_b")
+      },
+      Some(s"""
+WITH $embCte,
+cents0 AS (SELECT vec_id AS cell, v AS cent FROM e WHERE vec_id < $OracleNlist),
+${lloydIterCtes(1)},
+${lloydIterCtes(2)},
+af AS (SELECT vec_id, v, cell FROM (
+         SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineSql("e.v", "c.cent")} DESC, c.cell ASC) AS rn
+         FROM e, cents2 c) WHERE rn = 1),
+p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        ${cosineSql("a.v", "b.v")} AS cosine
+      FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT vec_id_a, vec_id_b, cosine FROM p WHERE cosine >= 0.4
+ORDER BY vec_id_a, vec_id_b""")),
+
     // SemDeDup: semantic dedup decisions — IVF-cell clustering, within-cell
     // cosine pairs only, drop any vector with a lower-id neighbor >= 0.4.
     // nlist resolves adaptively (occupancy ~128, the q34 recipe applied to

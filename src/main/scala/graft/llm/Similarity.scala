@@ -338,6 +338,36 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** The IVF-cell tier of [[nearDupPairs]] — the 100 TB path for q34's
+    * semantics: candidate pairs are SAME-CELL pairs under the TRAINED
+    * coarse quantizer ([[kmeansTrain]], the q82 chain), verified by the
+    * identical exact-cosine threshold. This is [[semDedup]]'s confinement
+    * applied to pair EMISSION rather than dedup decisions, so the output
+    * schema is q34's (vec_id_a, vec_id_b, cosine) drop-in.
+    *
+    * Contract vs the LSH tier: exact duplicates always land in the same
+    * cell (identical vectors assign identically), so they are never lost;
+    * near-dups that straddle a cell boundary are the tier's documented
+    * recall trade (the SemDeDup contract — multi-probe assignment is the
+    * recall knob if needed). In exchange the pair space is occupancy² per
+    * cell with occupancy held ~128 by the [[adaptiveNlist]] rule — ONE
+    * shuffle on the cell key feeding both self-join sides (ReuseExchange),
+    * no T-table bucket explode, no all-pairs step at any size. */
+  def nearDupPairsIvf(embeddings: DataFrame, nlist: Int, threshold: Double,
+      iters: Int = 2): DataFrame = {
+    val assigned = ivfAssignWith(embeddings,
+        kmeansTrain(embeddings, nlist, iters))
+      .select("vec_id", "embedding", "cell")
+      .repartition(col("cell"))
+    val a = assigned.as("a")
+    val b = assigned.hint("shuffle_hash").as("b")
+    a.join(b,
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Hard-negative mining for contrastive embedding training: for each
     * query vector, the top-k most-similar vectors that are NOT duplicates —
     * high-cosine-but-below-`dupMax` neighbors are the informative negatives
