@@ -49,6 +49,14 @@ object GraftCatalog {
     // shard writer consumes. Lazy plan, like every view here.
     SparkEntry.queries("q108_selection_pipeline")(spark, dir)
       .createOrReplaceTempView("corpus_selected")
+    // The target-weighted, topic-balanced training set (q114): the same
+    // curation + dup-span screen, then DSIR importance resampling toward
+    // the src1 target domain and a cluster-balanced per-cell draw over the
+    // full-corpus-trained cell directory. corpus_selected is the
+    // per-source PPS sample; corpus_selected_v2 is the domain-targeted,
+    // topic-diverse alternative a curriculum builder consumes.
+    SparkEntry.queries("q114_selection_pipeline_v2")(spark, dir)
+      .createOrReplaceTempView("corpus_selected_v2")
     // Per-doc leakage-safe split assignment (q95's input frame): training
     // jobs SELECT doc_id WHERE split = 'train' without knowing the
     // clustering; near-dups can never straddle train and eval by

@@ -658,6 +658,134 @@ r AS (SELECT cell, vec_id,
       FROM p)
 SELECT cell, rk, vec_id FROM r WHERE rk <= 5 ORDER BY cell, rk""")),
 
+    // The PRODUCTION selection pipeline, composed end-to-end (the q108
+    // pattern extended with the round-9 selection operators): curation
+    // chain (quality → exact dedup → decontam, q86's stages) → dup-span
+    // coverage screen (q96's per-doc frame) → DSIR importance resampling
+    // toward the src1 target domain (q110: stats fit on the held-out src1
+    // docs vs the CURATED survivor pool, Gumbel top-50 draw) → cluster-
+    // balanced final draw (q112's per-cell quota, geometry trained on the
+    // FULL embedding corpus so the cell directory is stable, quota applied
+    // only to the DSIR-selected set). The oracle replays the whole chain
+    // from the same shared fragments, so the gate checks stage ordering and
+    // survivor threading across all four families. Scale: sum of its parts
+    // — every stage keyed-shuffle or broadcast, draws rank-limited.
+    Q("q114_selection_pipeline_v2",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val kept1 = docs.join(TextAnalysis.qualityFilter(docs)
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        val kept2 = docs.join(Dedup.exactDedup(kept1).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val train = kept2.filter(col("source") =!= "src1")
+        val benchDocs = docs.filter(col("source") === "src1")
+        val kept3 = Decontam.decontaminate(train, benchDocs)
+        val kept4 = kept3
+          .join(Selection.covPerDocMart(s, dir), Seq("doc_id"), "left")
+          .filter(coalesce(col("cov_micro"), lit(0L)) < 500000L)
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val dsirIn = kept4.select(cols.map(col): _*)
+          .unionByName(benchDocs.select(cols.map(col): _*))
+        val picks = Selection.dsirResample(dsirIn, k = 50)
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.kmeansTrain(emb, OracleNlist, 2)
+        val eligible = emb.join(picks.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        Selection.clusterBalancedSampleWith(eligible, cents, k = 3)
+          .orderBy("cell", "rk")
+      },
+      Some(s"""
+WITH $tokCte,
+$qualityStCte,
+kept1 AS (SELECT doc_id FROM st WHERE $qualityPredSql),
+d1 AS (SELECT d.* FROM documents d JOIN kept1 USING (doc_id)),
+hsh AS (SELECT doc_id, source,
+          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS th
+        FROM d1),
+kept2 AS (SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY th
+              ORDER BY doc_id ASC, source ASC) AS rn FROM hsh)
+          WHERE rn = 1),
+d2 AS (SELECT d.* FROM d1 d JOIN kept2 USING (doc_id)),
+tok3 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         FROM d2 WHERE source <> 'src1'),
+sh3 AS (SELECT doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
+                                      for i in range(0, len(t)-2)]) AS s
+        FROM tok3),
+btok AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         FROM documents WHERE source = 'src1'),
+bsh AS (SELECT list_distinct([array_to_string(t[i+1:i+3], ' ')
+                              for i in range(0, len(t)-2)]) AS s
+        FROM btok),
+bench AS (SELECT DISTINCT ${h60("g.x")} AS gh FROM bsh, unnest(s) g(x)),
+tg AS (SELECT doc_id, ${h60("g.x")} AS gh FROM sh3, unnest(s) g(x)),
+bad AS (SELECT DISTINCT doc_id FROM tg WHERE gh IN (SELECT gh FROM bench)),
+d3 AS (SELECT doc_id, source, n_chars FROM d2
+       WHERE source <> 'src1'
+         AND doc_id NOT IN (SELECT doc_id FROM bad)),
+cg AS (SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i+1:i+8], ' ')
+                               for i in range(0, len(t) - 7)])) AS gram
+       FROM tok WHERE len(t) >= 8 AND doc_id IS NOT NULL),
+cgh AS (SELECT doc_id, ${h60("gram")} AS hg FROM cg),
+cdfq AS (SELECT hg, count(DISTINCT doc_id) AS gram_docs FROM cgh GROUP BY hg),
+cd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN gram_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       FROM cgh JOIN cdfq USING (hg) GROUP BY doc_id),
+cc AS (SELECT doc_id, (n_shared * 1000000) // n_grams AS cov_micro FROM cd),
+d4 AS (SELECT d3.doc_id, d3.source, d3.n_chars FROM d3
+       LEFT JOIN cc USING (doc_id)
+       WHERE coalesce(cov_micro, 0) < 500000),
+$embCte,
+cents0 AS (SELECT vec_id AS cell, v AS cent FROM e WHERE vec_id < $OracleNlist),
+${lloydIterCtes(1)},
+${lloydIterCtes(2)},
+tt AS (SELECT doc_id, source, t FROM tok
+       WHERE len(t) >= 2 AND doc_id IS NOT NULL
+         AND (source = 'src1' OR doc_id IN (SELECT doc_id FROM d4))),
+bg AS (SELECT doc_id, source,
+         unnest([t[i+1] || ' ' || t[i+2] for i in range(0, len(t) - 1)]) AS bigram
+       FROM tt),
+cnt AS (SELECT doc_id, source, ${h60("bigram")} % 256 AS b,
+          CAST(count(*) AS BIGINT) AS c
+        FROM bg GROUP BY 1, 2, 3),
+bstat AS (SELECT b,
+            CAST(sum(CASE WHEN source = 'src1' THEN c ELSE 0 END) AS BIGINT) AS tc,
+            CAST(sum(CASE WHEN source <> 'src1' THEN c ELSE 0 END) AS BIGINT) AS rc
+          FROM cnt GROUP BY b),
+tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt_, CAST(sum(rc) AS BIGINT) AS rt_
+        FROM bstat),
+bk AS (SELECT CAST(r.i AS BIGINT) AS b FROM range(0, 256) r(i)),
+delta AS (SELECT b,
+    CAST(floor(ln(COALESCE(tc, 0) + 1) * 1000000 + 0.5) AS BIGINT)
+  - CAST(floor(ln(tt_ + 256) * 1000000 + 0.5) AS BIGINT)
+  - CAST(floor(ln(COALESCE(rc, 0) + 1) * 1000000 + 0.5) AS BIGINT)
+  + CAST(floor(ln(rt_ + 256) * 1000000 + 0.5) AS BIGINT) AS d
+  FROM bk LEFT JOIN bstat USING (b) CROSS JOIN tot),
+w AS (SELECT doc_id, CAST(sum(c * d) AS BIGINT) AS logw_micro
+      FROM cnt JOIN delta USING (b) WHERE source <> 'src1' GROUP BY doc_id),
+g AS (SELECT doc_id, logw_micro,
+        logw_micro + CAST(floor(-ln(-ln(
+            CAST(${h60("CAST(doc_id AS VARCHAR) || '|dsir'")} + 1 AS DOUBLE)
+            / 1152921504606846977.0)) * 1000000 + 0.5) AS BIGINT) AS key
+      FROM w),
+pk AS (SELECT doc_id FROM (
+         SELECT doc_id, row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rk
+         FROM g) WHERE rk <= 50),
+af AS (SELECT vec_id, cell FROM (
+         SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineSql("e.v", "c.cent")} DESC, c.cell ASC) AS rn
+         FROM e, cents2 c
+         WHERE e.vec_id IN (SELECT doc_id FROM pk)) WHERE rn = 1),
+pd AS (SELECT cell, vec_id,
+         ${h60("CAST(vec_id AS VARCHAR) || '|cbs'")} AS u FROM af),
+rd AS (SELECT cell, vec_id,
+         CAST(row_number() OVER (PARTITION BY cell
+                ORDER BY u ASC, vec_id ASC) AS BIGINT) AS rk
+       FROM pd)
+SELECT cell, rk, vec_id FROM rd WHERE rk <= 3 ORDER BY cell, rk""")),
+
     // IVF search driven by the TRAINED coarse quantizer: the full
     // production path (train → assign → probe → rank) oracle-checked end
     // to end — q35 checks the seeded quantizer, q82 the training chain;

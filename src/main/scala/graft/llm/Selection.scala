@@ -769,7 +769,7 @@ object Selection {
   /** q96's per-doc coverage frame as a session-memoized mart for pipeline
     * consumers (q108): built once per (session, dir), like the near-dup
     * label mart. */
-  private def covPerDocMart(s: org.apache.spark.sql.SparkSession,
+  private[llm] def covPerDocMart(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     graft.sec.SecDerive.cached(s, dir, "dup_span_cov")(
       dupSpanCoveragePerDoc(Tables.documents(s, dir))
@@ -830,9 +830,17 @@ win$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$r GROUP BY pair
     * contribution per reducer at k before the exchange). Output
     * (cell, rk, vec_id) is rank-limited both phases. */
   def clusterBalancedSample(embeddings: DataFrame, nlist: Int, k: Int,
-      iters: Int = 2, salts: Int = 64): DataFrame = {
-    val cents = Similarity.kmeansTrain(embeddings, nlist, iters)
-    val assigned = Similarity.ivfAssignWith(embeddings, cents)
+      iters: Int = 2, salts: Int = 64): DataFrame =
+    clusterBalancedSampleWith(embeddings,
+      Similarity.kmeansTrain(embeddings, nlist, iters), k, salts)
+
+  /** The draw against an EXPLICIT centroid table — the seam that lets a
+    * selection pipeline train the cell directory on the full corpus (a
+    * stable geometry) while drawing only from an eligible subset
+    * (q114's DSIR-selected set). */
+  def clusterBalancedSampleWith(embeddings: DataFrame, centroids: DataFrame,
+      k: Int, salts: Int = 64): DataFrame = {
+    val assigned = Similarity.ivfAssignWith(embeddings, centroids)
     val u = hash60(concat(col("vec_id").cast("string"), lit("|cbs")))
     val wLocal = Window
       .partitionBy(col("cell"), pmod(hash(col("vec_id")), lit(salts)))

@@ -70,6 +70,37 @@ class GraftCatalogSpec extends SparkSpec {
       "selected doc failed the quality stage it should have passed through")
   }
 
+  test("corpus_selected_v2 view reconciles: curated pool, target excluded, per-cell quota") {
+    GraftCatalog.registerViews(spark, dir)
+    import org.apache.spark.sql.functions._
+    val sel = spark.sql("SELECT * FROM corpus_selected_v2").collect()
+    assert(sel.nonEmpty)
+    // cluster-balanced draw: at most k=3 per cell, ranks contiguous from 1
+    sel.groupBy(_.getAs[Long]("cell")).foreach { case (cell, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rk")).sorted
+      assert(ranks.length <= 3 && ranks === (1L to ranks.length).toArray,
+        s"ranks not contiguous for cell $cell")
+    }
+    // every drawn vec_id is a DSIR pick from the CURATED pool (vec_id ==
+    // doc_id in the testdata): it survives the standalone quality stage and
+    // the dup-span screen, and the src1 target domain never selects itself
+    val ids = sel.map(_.getAs[Long]("vec_id")).toSet
+    val docs = Tables.documents(spark, dir)
+    val quality = llm.TextAnalysis.qualityFilter(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(quality),
+      "selected vec failed the quality stage it should have passed through")
+    val src1 = docs.filter(col("source") === "src1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(src1).isEmpty,
+      "target-domain doc leaked into the selected set")
+    val overHalf = llm.Selection.dupSpanCoveragePerDoc(docs)
+      .filter(col("cov_micro") >= 500000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(overHalf).isEmpty,
+      "coverage-screened doc leaked into the selected set")
+  }
+
   test("corpus_splits view: exhaustive, disjoint, and leakage-free in pure SQL") {
     GraftCatalog.registerViews(spark, dir, withSplitsMart = true)
     // every doc gets exactly one split from the closed set
