@@ -960,6 +960,57 @@ win$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$r GROUP BY pair
       .select("rk", "doc_id", "logw_micro")
   }
 
+  /** The q115 oracle: the BATCHED trainer's rounds unrolled from one
+    * per-round template — ranked top-`batch` candidates, the
+    * prefix-conflict-free NOT EXISTS (the same non-recursive rule the Spark
+    * anti-join spells), and per-rank LEFT JOIN merge applications so a
+    * dropped or absent rank is a no-op in both engines. */
+  private def bpeTrainBatchedOracle(rounds: Int, batch: Int): String = {
+    val u = "chr(31)"
+    val head = s"""
+WITH w1 AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wr
+            FROM documents),
+w AS (SELECT replace(wr, $u, '') AS word FROM w1
+      WHERE len(replace(wr, $u, '')) >= 2),
+s1 AS (SELECT array_to_string(
+         [$u || substr(word, i + 1, 1) || $u for i in range(0, len(word))],
+         '') AS seq FROM w)"""
+    val roundCtes = (1 to rounds).map { r =>
+      val applies = if (r < rounds) {
+        (1 to batch).map { i =>
+          val src = if (i == 1) s"s$r" else s"t${r}_${i - 1}"
+          val tgt = if (i == batch) s"s${r + 1}" else s"t${r}_$i"
+          s""",
+$tgt AS (SELECT CASE WHEN m.a IS NULL THEN seq
+                     ELSE replace(seq, $u || m.a || $u || $u || m.b || $u,
+                                  $u || m.a || m.b || $u) END AS seq
+         FROM $src LEFT JOIN (SELECT a, b FROM keep$r WHERE rk = $i) m ON TRUE)"""
+        }.mkString
+      } else ""
+      s""",
+p$r AS (SELECT unnest([s[i+1] || ' ' || s[i+2] for i in range(0, len(s) - 1)]) AS pair
+        FROM (SELECT string_split(trim(seq, $u), $u || $u) AS s FROM s$r)
+        WHERE len(s) >= 2),
+top$r AS (SELECT rk, pair, cnt FROM (
+            SELECT pair, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(row_number() OVER (ORDER BY count(*) DESC, pair ASC)
+                AS BIGINT) AS rk
+            FROM p$r GROUP BY pair) WHERE rk <= $batch),
+cand$r AS (SELECT rk, pair, cnt,
+             string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+           FROM top$r),
+keep$r AS (SELECT c.rk, c.pair, c.cnt, c.a, c.b FROM cand$r c
+           WHERE NOT EXISTS (
+             SELECT 1 FROM cand$r j WHERE j.rk < c.rk
+               AND (j.a = c.a OR j.a = c.b OR j.b = c.a OR j.b = c.b)))$applies"""
+    }.mkString
+    val tail = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, rk, pair, cnt FROM keep$r"
+    }.mkString("\nSELECT round, rk, pair, cnt FROM (\n", "\nUNION ALL ",
+      "\n) ORDER BY round, rk")
+    head + roundCtes + tail
+  }
+
   /** The q111 oracle: the encoder's train rounds unrolled exactly like
     * [[bpeTrainOracle]], with doc identity and the per-word char count
     * threaded through every replace CTE, and — unlike the trainer — the
@@ -1271,6 +1322,12 @@ ORDER BY cnt DESC, pair ASC LIMIT 20""")),
       (s, dir) => TextAnalysis.bpeEncode(Tables.documents(s, dir))
         .orderBy("doc_id"),
       Some(bpeEncodeOracle(3))),
+
+    // The batched trainer round — the 30k-merge cost axis: top-B
+    // non-conflicting merges per count pass instead of one (SCALE.md).
+    Q("q115_bpe_train_batched",
+      (s, dir) => TextAnalysis.bpeTrainBatched(Tables.documents(s, dir)),
+      Some(bpeTrainBatchedOracle(3, 3))),
 
     // q86's curation chain extended with the selection family: quality →
     // exact dedup → decontam (q86's stages, same fragments) → dup-span-

@@ -453,6 +453,96 @@ object TextAnalysis {
     out.get.orderBy("round")
   }
 
+  /** The batched BPE trainer round — the shape a 30k-merge production vocab
+    * needs. [[bpeTrainRounds]] runs one Spark job per LEARNED MERGE; a real
+    * tokenizer has tens of thousands of merges, so the cost axis must be
+    * jobs-per-BATCH: each round counts pairs once and applies the top-`batch`
+    * NON-CONFLICTING merges together, cutting the round count ~batch-fold.
+    *
+    * Conflict rule (prefix-conflict-free): a rank-i candidate is kept iff NO
+    * higher-ranked candidate j < i shares an endpoint symbol with it
+    * (j.a or j.b ∈ {i.a, i.b}) — j's own kept status does not matter, which
+    * keeps the rule non-recursive and therefore expressible as one bounded
+    * anti-join in both engines (slightly more conservative than the greedy
+    * chain; deterministic either way). Disjoint endpoint symbols mean the
+    * U+001F-wrapped replace patterns cannot overlap, so applying a round's
+    * kept merges in rank order equals applying them in any order — batching
+    * is sound, not just fast.
+    *
+    * Output: (round, rk, pair, cnt) — rk is the candidate rank within the
+    * round (gaps where a conflicting candidate was dropped), so the shipped
+    * merge table preserves both round structure and within-round priority.
+    *
+    * Scale shape per round: the same narrow re-segmentation + pair count as
+    * the unbatched trainer, ONE ≤batch-row ranked candidate table
+    * (localCheckpointed — three consumers), a batch²-bounded conflict
+    * anti-join on that tiny table, and `batch` chained 1-row broadcast
+    * left joins applying the kept merges. Driver holds no data; `rounds`
+    * and `batch` are compile-time constants, so the loop only builds the
+    * plan. */
+  def bpeTrainBatched(docs: DataFrame, rounds: Int = 3,
+      batch: Int = 3): DataFrame = {
+    val US = "\u001f"
+    def wrap(c: Column): Column = concat(lit(US), c, lit(US))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair").asc)
+    var seqs = graft.Tables.spread(docs.select(col("text")))
+      .select(explode(toks(col("text"))).as("w0"))
+      .select(regexp_replace(col("w0"), US, "").as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(concat_ws("", transform(
+        filter(split(col("word"), ""), c => c =!= ""),
+        c => wrap(c))).as("seq"))
+    var out: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val syms = split(
+        regexp_replace(col("seq"), s"^$US|$US$$", ""), US + US)
+      // ranked top-`batch` candidates; the rank window runs on ≤batch rows
+      // (post-limit), so the un-partitioned window is a non-issue
+      val ranked = seqs
+        .select(syms.as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("s")) - 2),
+          i => concat(element_at(col("s"), i + 1), lit(" "),
+            element_at(col("s"), i + 2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(batch)
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("ab", split(col("pair"), " "))
+        .select(col("rk"), col("pair"), col("cnt"),
+          element_at(col("ab"), 1).as("a"), element_at(col("ab"), 2).as("b"))
+        .localCheckpoint(false)
+      val prior = ranked.select(col("rk").as("jrk"),
+        col("a").as("ja"), col("b").as("jb"))
+      val kept = ranked.join(prior,
+          col("jrk") < col("rk") &&
+            (col("ja") === col("a") || col("ja") === col("b") ||
+             col("jb") === col("a") || col("jb") === col("b")),
+          "left_anti")
+        .localCheckpoint(false)
+      out = Some(out.fold(
+        kept.select(lit(r.toLong).as("round"), col("rk"), col("pair"),
+          col("cnt")))(
+        _.unionByName(kept.select(lit(r.toLong).as("round"), col("rk"),
+          col("pair"), col("cnt")))))
+      if (r < rounds) {
+        // apply the round's kept merges in rank order: `batch` chained
+        // 1-row broadcast left joins; a dropped/absent rank is a no-op
+        var s = seqs
+        for (i <- 1 to batch) {
+          val mi = kept.filter(col("rk") === i).select(col("a"), col("b"))
+          s = s.join(broadcast(mi), lit(true), "left")
+            .select(when(col("a").isNull, col("seq"))
+              .otherwise(replace(col("seq"),
+                concat(wrap(col("a")), wrap(col("b"))),
+                wrap(concat(col("a"), col("b"))))).as("seq"))
+        }
+        seqs = s
+      }
+    }
+    out.get.orderBy("round", "rk")
+  }
+
   /** The consumer side of [[bpeTrainRounds]]: train the same `rounds` merge
     * table, then APPLY every learned merge to each document and report the
     * per-doc segmentation stats a packing pipeline budgets with —

@@ -403,6 +403,23 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("bpe batched trainer: disjoint merges land together, conflicts defer, exhausted round no-ops") {
+    // Hand-derived: round 1 pairs are "a b":4, "x y":3, "b a":2 — ranks
+    // 1, 2, 3. (x,y) is disjoint from (a,b) → kept alongside it; (b,a)
+    // shares BOTH symbols with rank 1 → dropped. Applying both kept merges
+    // turns abab into [ab, ab] and xy into [xy], so round 2's only pair is
+    // "ab ab":2. Round 3 has no pairs at all (every word one symbol):
+    // empty candidate table, no output row, and the merge application must
+    // be a no-op rather than row-destroying.
+    val docs = Seq(
+      doc(1L, "abab abab"),
+      doc(2L, "xy xy xy")).toDF(docCols: _*)
+    val out = TextAnalysis.bpeTrainBatched(docs, rounds = 3, batch = 3)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, "a b", 4L), (1L, 2L, "x y", 3L), (2L, 1L, "ab ab", 2L)))
+  }
+
   test("bpe encode: three trained merges compress the dominant word to one token") {
     // Corpus-wide winners, hand-derived: r1 "a b" (freq 4 beats ba:2, xy:3),
     // r2 "x y" (3 beats "ab ab":2), r3 "ab ab". So "abab" ends as ONE token
