@@ -31,7 +31,7 @@ object LlmQueries {
     * benches already use) invalidates the count along with the marts
     * (a JVM-lifetime dir-keyed cache would serve a stale count to the
     * adaptive candidate budgets after a regenerate). */
-  private[llm] def embCount(s: SparkSession, dir: String): Long =
+  private[graft] def embCount(s: SparkSession, dir: String): Long =
     graft.sec.SecDerive.cachedCount(s, dir, "emb_count")(
       Tables.embeddings(s, dir).count())
 

@@ -520,12 +520,21 @@ object Selection {
     * of corpus size. */
   def ivfadcSearchIndex(spark: org.apache.spark.sql.SparkSession,
       basePath: String, embeddings: DataFrame, nQueries: Int, k: Int,
+      nprobe: Int, candidates: Long, salts: Int = 64): DataFrame =
+    ivfadcSearchIndexQueries(spark, basePath, embeddings,
+      embeddings.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv")),
+      k, nprobe, candidates, salts)
+
+  /** [[ivfadcSearchIndex]] for an EXPLICIT query set `(query_id, qv)` — the
+    * serving seam: an API request searches one arbitrary vector, not the
+    * first-N gate convention. Same plan, same pruning. */
+  def ivfadcSearchIndexQueries(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, embeddings: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int, candidates: Long, salts: Int = 64): DataFrame = {
     val cents = broadcast(spark.read.parquet(s"$basePath/cents"))
     val cb = spark.read.parquet(s"$basePath/codebook")
-    val queries = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
-        col("embedding").cast("array<double>").as("qv"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("cell").asc)
     val probed = queries.crossJoin(cents)
@@ -544,18 +553,25 @@ object Selection {
       .select(col("query_id"), col("cell"), col("m"), col("code"),
         l2sq(col("qsv"), col("cw")).as("d2"))
     // The distance table is materialized (lazy localCheckpoint — tiny:
-    // nQueries·nprobe·M·Ks rows) before the codes join, for a load-bearing
-    // reason: dynamic partition pruning on the codes scan reuses the
-    // build-side broadcast, and AQE's re-optimization of dt's window/shuffle
-    // subtree drifts its canonical form so the reuse lookup misses and the
-    // pruning expression silently degrades to `true` — a full-codes read.
-    // A checkpointed table canonicalizes stably, so the DPP subquery
-    // survives re-planning (spec-pinned via the numPartitions metric). The
-    // cell >= 0 filter is trivially true (cells are non-negative ids) but
-    // gives the pruning rule the selective-predicate shape it requires on
-    // the build side.
+    // nQueries·nprobe·M·Ks rows) before the codes join so the broadcast
+    // build side canonicalizes stably under AQE re-planning.
     val dtM = dt.localCheckpoint(false).filter(col("cell") >= 0)
+    // Cell pruning is STATIC, by construction: the probe is a catalog
+    // lookup — nQueries × nprobe rows over the nlist-row cell directory —
+    // so resolve it eagerly (this action also materializes the checkpoint,
+    // which the main query then reuses) and put the literal cell set on
+    // the codes scan as a partition filter. Dynamic partition pruning is
+    // the fallback story, not the contract: measured on file-backed plans,
+    // the DPP planner's broadcast-reuse lookup misses under AQE and the
+    // pruning expression silently degrades to `true` — a full-codes read.
+    // A literal IN over partition values cannot degrade. This is the ANN
+    // twin of Layout.postingsForTerms' driver-resolved bucket set, and the
+    // collect is bounded by construction (≤ nQueries·nprobe·M·Ks rows
+    // before distinct — never corpus-scale).
+    val probedCells: Seq[Long] = dtM.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
     val adc = spark.read.parquet(s"$basePath/codes")
+      .filter(col("cell").isin(probedCells: _*))
       .join(broadcast(dtM), Seq("cell", "m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       // Latest-batch-wins per (vec_id, m): a vec_id re-ingested by a later

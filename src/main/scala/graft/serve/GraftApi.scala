@@ -35,8 +35,18 @@ import graft.ops.Screener
   * (broadcast lookup + TakeOrderedAndProject); a production deployment
   * would export the same marts to a serving store exactly as the
   * reference does, and the engine's job ends at the mart.
+  *
+  * The retrieval endpoints follow the same doctrine against the PERSISTED
+  * retrieval layout (the q107 legs): /search reads the query terms'
+  * postings buckets ([[graft.ops.Layout.postingsForTerms]] — partition-
+  * pruned, never a corpus text scan) plus the at-rest stats tables, and
+  * /similar reads the IVFADC index's probed cells
+  * ([[graft.llm.Selection.ivfadcSearchIndexQueries]]). `indexRoot` points
+  * at a prebuilt layout (writePostings + writeIvfadcIndex + stats); when
+  * absent, the memoized per-dir build supplies one.
   */
-class GraftApi(spark: SparkSession, sfDir: String) {
+class GraftApi(spark: SparkSession, sfDir: String,
+    indexRoot: Option[String] = None) {
 
   private val mapper = new ObjectMapper
 
@@ -53,30 +63,25 @@ class GraftApi(spark: SparkSession, sfDir: String) {
     df
   }
 
-  // Lexical-search surfaces, built lazily on first /search: the inverted
-  // POSTINGS table plus the BM25 stats tables — per-request work is the
-  // query terms' postings rows, never a corpus text scan (the same
-  // serving-from-marts split as the relational endpoints; in production
-  // these are the maintained tables bm25IndexStream keeps fresh, with the
-  // postings laid out term-partitioned so the filter prunes files).
-  private lazy val bm25Postings: DataFrame = {
-    val df = graft.llm.TextAnalysis.bm25Postings(
-      graft.Tables.documents(spark, sfDir)).cache()
+  // Retrieval surfaces serve from the PERSISTED index layout, resolved
+  // lazily on first use: the caller's prebuilt root, or the memoized
+  // per-dir build. Only the dimension-sized stats tables are cached —
+  // postings and codes are read through their pruned layouts per request,
+  // which is the whole point (at 100 TB neither fits anywhere else).
+  private lazy val searchIndexBase: String = indexRoot.getOrElse(
+    graft.llm.Selection.retrievalIndex(spark, sfDir))
+  private lazy val idxTermStats: DataFrame = {
+    val df = spark.read.parquet(s"$searchIndexBase/term_stats").cache()
     df.count()
     df
   }
-  private lazy val bm25Terms: DataFrame = {
-    val df = graft.llm.TextAnalysis
-      .bm25TermStatsFromPostings(bm25Postings).cache()
+  private lazy val idxCorpusStats: DataFrame = {
+    val df = spark.read.parquet(s"$searchIndexBase/corpus_stats").cache()
     df.count()
     df
   }
-  private lazy val bm25Corpus: DataFrame = {
-    val df = graft.llm.TextAnalysis
-      .bm25CorpusStatsFromPostings(bm25Postings).cache()
-    df.count()
-    df
-  }
+  // candidate budget for the IVFADC re-rank: the q98 fraction rule
+  private lazy val embN: Long = graft.llm.LlmQueries.embCount(spark, sfDir)
 
   private var server: HttpServer = _
 
@@ -117,6 +122,7 @@ class GraftApi(spark: SparkSession, sfDir: String) {
       case ("GET", List("ratios", ticker))  => ratiosEndpoint(ex, ticker, qp)
       case ("GET", List("screener"))        => screenerEndpoint(ex, qp)
       case ("GET", List("search"))          => searchEndpoint(ex, qp)
+      case ("GET", List("similar"))         => similarEndpoint(ex, qp)
       case ("POST", List("query"))          => sqlEndpoint(ex)
       case _ =>
         reply(ex, 404, obj(_.put("detail", "Not Found")))
@@ -181,13 +187,22 @@ class GraftApi(spark: SparkSession, sfDir: String) {
     })
   }
 
+  /** The /search ranking frame — exposed so the spec can pin the PLAN (the
+    * postings scan is partition-pruned to the query terms' buckets; the
+    * corpus text is never rescanned), not just the rows. */
+  private[serve] def searchFrame(terms: Seq[String], limit: Int): DataFrame =
+    graft.llm.TextAnalysis.bm25RankFromPostings(
+      graft.ops.Layout.postingsForTerms(spark,
+        s"$searchIndexBase/postings", terms),
+      idxTermStats, idxCorpusStats, terms, topK = limit)
+
   /** GET /search?q=space+separated+terms&limit=10 — BM25 lexical ranking
     * over the documents corpus (an extension; the reference has no text
     * search). Terms are lower-cased whitespace tokens of `q`, capped like
     * every other endpoint's parameters; scores come from
-    * [[graft.llm.TextAnalysis.bm25RankFromPostings]] against the cached
-    * postings + stats tables, so per-request work is the query terms'
-    * postings rows — the corpus text is never rescanned. */
+    * [[graft.llm.TextAnalysis.bm25RankFromPostings]] against the PERSISTED
+    * postings layout — per-request reads are the query terms' bucket
+    * directories plus the cached stats tables. */
   private def searchEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
     val terms = qp.getOrElse("q", "").trim.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty).toSeq
@@ -195,11 +210,42 @@ class GraftApi(spark: SparkSession, sfDir: String) {
     require(terms.size <= 32, "q is capped at 32 terms")
     val limit = intParam(qp, "limit", 10, 1, 100)
     val cols = Seq("doc_id", "score_micro", "n_terms_hit")
-    val rows = graft.llm.TextAnalysis.bm25RankFromPostings(bm25Postings,
-      bm25Terms.filter(col("term").isin(terms: _*)), bm25Corpus,
-      terms, topK = limit)
-      .select(cols.map(col): _*).collect()
+    val rows = searchFrame(terms, limit).select(cols.map(col): _*).collect()
     reply(ex, 200, obj { o =>
+      val results = o.putArray("results")
+      rows.foreach(r => putRow(results.addObject(), cols, r))
+    })
+  }
+
+  /** The /similar search frame (see [[searchFrame]]): IVFADC over the
+    * persisted index — probed-cell code reads + a `candidates`-bounded
+    * exact re-rank against the vector store; per-request cost independent
+    * of corpus size. */
+  private[serve] def similarFrame(vecId: Long, k: Int,
+      nprobe: Int): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") === vecId)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    graft.llm.Selection.ivfadcSearchIndexQueries(spark,
+      s"$searchIndexBase/ann", emb, queries, k, nprobe,
+      candidates = math.max(64L, embN / 16))
+  }
+
+  /** GET /similar?vec_id=42&k=10&nprobe=4 — ANN over the persisted IVFADC
+    * index (an extension; the reference has no vector search). 404 when the
+    * vector id is absent from the store. */
+  private def similarEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
+    val vecId = qp.get("vec_id").map(parseInt("vec_id", _))
+      .getOrElse(throw new IllegalArgumentException("vec_id is required"))
+    val k = intParam(qp, "k", 10, 1, 100)
+    val nprobe = intParam(qp, "nprobe", 4, 1, 64)
+    val cols = Seq("query_id", "vec_id", "rank", "cosine")
+    val rows = similarFrame(vecId.toLong, k, nprobe)
+      .select(cols.map(col): _*).collect()
+    if (rows.isEmpty)
+      reply(ex, 404, obj(_.put("detail", "vec_id not found")))
+    else reply(ex, 200, obj { o =>
       val results = o.putArray("results")
       rows.foreach(r => putRow(results.addObject(), cols, r))
     })

@@ -123,6 +123,71 @@ class GraftApiSpec extends SparkSpec {
     assert(get("/search?q=hash&limit=0")._1 === 422)
   }
 
+  test("/search serves the persisted postings layout — no corpus text scan in the plan") {
+    get("/search?q=hash+join&limit=5") // force index resolution + a real request
+    val frame = api.searchFrame(Seq("hash", "join"), 5)
+    frame.collect()
+    val locations = scans(frame.queryExecution.executedPlan)
+      .flatMap(_.metadata.get("Location"))
+    assert(locations.exists(_.contains("/postings")),
+      s"postings layout not read: $locations")
+    assert(!locations.exists(_.contains("documents.parquet")),
+      s"corpus text scanned by the indexed search path: $locations")
+  }
+
+  test("GET /similar serves ANN from the persisted IVFADC index; plan opens only probed cells") {
+    val (code, body) = get("/similar?vec_id=42&k=5")
+    assert(code === 200)
+    val results = body.get("results")
+    assert(results.size() > 0 && results.size() <= 5)
+    val ids = (0 until results.size()).map(results.get(_).get("vec_id").asLong())
+    assert(!ids.contains(42L), "query vector returned as its own neighbor")
+    val ranks = (0 until results.size()).map(results.get(_).get("rank").asLong())
+    assert(ranks === (1L to results.size()))
+    // absent vector: 404, like the relational point lookups
+    assert(get("/similar?vec_id=99999999")._1 === 404)
+    assert(get("/similar")._1 === 422)
+    // the 100 TB property: the codes scan opens at most nprobe cell
+    // directories; the corpus text is never touched
+    val frame = api.similarFrame(42L, 5, nprobe = 4)
+    frame.collect()
+    val codesScan = scans(frame.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("ann/codes")))
+      .getOrElse(fail("codes scan not found in executed plan"))
+    val partsRead = codesScan.metrics.get("numPartitions").map(_.value)
+    assert(partsRead.exists(n => n >= 1 && n <= 4),
+      s"expected <= nprobe(4) cell directories read, got $partsRead")
+  }
+
+  test("an explicit prebuilt indexRoot drives the retrieval endpoints") {
+    val root = graft.llm.Selection.retrievalIndex(spark, "/root/testdata/sf0.001")
+    val api2 = new GraftApi(spark, "/root/testdata/sf0.001", Some(root))
+    val addr = api2.start(0)
+    try {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${addr.getPort}/search?q=hash&limit=3")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      assert(mapper.readTree(resp.body()).get("results").size() > 0)
+    } finally api2.stop()
+  }
+
+  // recurse through AQE query stages + reused exchanges to every file scan
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    val here = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+    }
+    here.flatten
+  }
+
   test("POST /query serves SELECT over registered views and rejects DML (LAST)") {
     graft.GraftCatalog.registerViews(spark, "/root/testdata/sf0.001")
     val (code, body) = post("/query",
