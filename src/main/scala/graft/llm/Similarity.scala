@@ -338,6 +338,25 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Multi-probe assignment: each vector lands in its top `probes` cells
+    * (not just the nearest) — the recall knob for cell-confined pair
+    * emission ([[nearDupPairsIvf]]): a near-dup pair straddling a cell
+    * boundary meets as soon as the two probe sets intersect. Same single
+    * broadcast cosine pass as [[ivfAssignWith]]; downstream pair space
+    * multiplies by ≤ probes². */
+  def ivfAssignMulti(embeddings: DataFrame, centroids: DataFrame,
+      probes: Int): DataFrame = {
+    val cents = broadcast(centroids.select(col("cell"), col("cent")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cell").asc)
+    graft.Tables.spread(embeddings).join(cents)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("cent")).as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= probes)
+      .select("vec_id", "label", "embedding", "cell")
+  }
+
   /** The IVF-cell tier of [[nearDupPairs]] — the 100 TB path for q34's
     * semantics: candidate pairs are SAME-CELL pairs under the TRAINED
     * coarse quantizer ([[kmeansTrain]], the q82 chain), verified by the
@@ -354,18 +373,23 @@ object Similarity {
     * shuffle on the cell key feeding both self-join sides (ReuseExchange),
     * no T-table bucket explode, no all-pairs step at any size. */
   def nearDupPairsIvf(embeddings: DataFrame, nlist: Int, threshold: Double,
-      iters: Int = 2): DataFrame = {
-    val assigned = ivfAssignWith(embeddings,
-        kmeansTrain(embeddings, nlist, iters))
+      iters: Int = 2, probes: Int = 1): DataFrame = {
+    val cents = kmeansTrain(embeddings, nlist, iters)
+    val assigned = (if (probes <= 1) ivfAssignWith(embeddings, cents)
+                    else ivfAssignMulti(embeddings, cents, probes))
       .select("vec_id", "embedding", "cell")
       .repartition(col("cell"))
     val a = assigned.as("a")
     val b = assigned.hint("shuffle_hash").as("b")
-    a.join(b,
+    val pairs = a.join(b,
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
         cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    // multi-probe can emit a pair once per shared cell (≤ probes² copies);
+    // the cosine is computed identically each time, so distinct dedupes
+    // exactly. probes=1 keeps the single-emission plan untouched.
+    if (probes <= 1) pairs else pairs.distinct()
   }
 
   /** Hard-negative mining for contrastive embedding training: for each

@@ -123,6 +123,7 @@ class GraftApi(spark: SparkSession, sfDir: String,
       case ("GET", List("screener"))        => screenerEndpoint(ex, qp)
       case ("GET", List("search"))          => searchEndpoint(ex, qp)
       case ("GET", List("similar"))         => similarEndpoint(ex, qp)
+      case ("GET", List("hybrid"))          => hybridEndpoint(ex, qp)
       case ("POST", List("query"))          => sqlEndpoint(ex)
       case _ =>
         reply(ex, 404, obj(_.put("detail", "Not Found")))
@@ -246,6 +247,41 @@ class GraftApi(spark: SparkSession, sfDir: String,
     if (rows.isEmpty)
       reply(ex, 404, obj(_.put("detail", "vec_id not found")))
     else reply(ex, 200, obj { o =>
+      val results = o.putArray("results")
+      rows.foreach(r => putRow(results.addObject(), cols, r))
+    })
+  }
+
+  /** The /hybrid fusion frame: the two persisted-index legs (/search's
+    * postings BM25, /similar's IVFADC) fused by reciprocal-rank fusion —
+    * the q107 composition served per request. Leg depth 50, fused top-k. */
+  private[serve] def hybridFrame(terms: Seq[String], vecId: Long,
+      k: Int): DataFrame = {
+    val lexW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    val lex = searchFrame(terms, 50)
+      .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+      .select("doc_id", "lex_rank")
+    val sem = similarFrame(vecId, 50, nprobe = 4)
+      .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
+    graft.llm.Selection.rrfFuse(lex, sem, k)
+  }
+
+  /** GET /hybrid?q=terms&vec_id=42&k=10 — lexical + semantic retrieval
+    * fused over the persisted layouts (an extension; the reference has no
+    * search). Both legs are index reads; no corpus scan. */
+  private def hybridEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
+    val terms = qp.getOrElse("q", "").trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "q must contain at least one term")
+    require(terms.size <= 32, "q is capped at 32 terms")
+    val vecId = qp.get("vec_id").map(parseInt("vec_id", _))
+      .getOrElse(throw new IllegalArgumentException("vec_id is required"))
+    val k = intParam(qp, "k", 10, 1, 100)
+    val cols = Seq("doc_id", "rrf_micro", "lex_rank", "sem_rank")
+    val rows = hybridFrame(terms, vecId.toLong, k)
+      .select(cols.map(col): _*).collect()
+    reply(ex, 200, obj { o =>
       val results = o.putArray("results")
       rows.foreach(r => putRow(results.addObject(), cols, r))
     })

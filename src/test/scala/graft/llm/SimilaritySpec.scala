@@ -150,6 +150,23 @@ class SimilaritySpec extends SparkSpec {
     assert((got -- lsh).forall { case (a, b) => a < b })
   }
 
+  test("nearDupPairsIvf multi-probe: p=2 is a duplicate-free superset of p=1") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(p: Int) =
+      Similarity.nearDupPairsIvf(emb, nlist = 16, threshold = 0.4, probes = p)
+        .select("vec_id_a", "vec_id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val p1 = pairs(1)
+    val p2 = pairs(2)
+    assert(p1.nonEmpty)
+    // probe sets are prefixes of the same ranked cell list, so every p=1
+    // co-residency survives at p=2 — recall can only grow
+    assert(p1.toSet.subsetOf(p2.toSet),
+      s"p=2 lost pairs: ${(p1.toSet -- p2.toSet).take(3)}")
+    // a pair sharing BOTH probe cells must still emit once
+    assert(p2.length === p2.toSet.size, "multi-probe emitted duplicate pairs")
+  }
+
   test("kmeansTrain centroids match-or-beat the seeded quantizer's recall") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val trained = Similarity.kmeansTrain(emb, nlist = 8, iters = 3)

@@ -159,6 +159,25 @@ class GraftApiSpec extends SparkSpec {
       s"expected <= nprobe(4) cell directories read, got $partsRead")
   }
 
+  test("GET /hybrid fuses the two persisted-index legs; no corpus text in the plan") {
+    val (code, body) = get("/hybrid?q=hash+join&vec_id=0&k=5")
+    assert(code === 200)
+    val results = body.get("results")
+    assert(results.size() > 0 && results.size() <= 5)
+    // a doc present in both legs carries both ranks; rrf scores descend
+    val scores = (0 until results.size())
+      .map(results.get(_).get("rrf_micro").asLong())
+    assert(scores === scores.sorted.reverse)
+    assert(get("/hybrid?q=hash")._1 === 422)    // vec_id required
+    assert(get("/hybrid?vec_id=0")._1 === 422)  // q required
+    val frame = api.hybridFrame(Seq("hash", "join"), 0L, 5)
+    frame.collect()
+    val locations = scans(frame.queryExecution.executedPlan)
+      .flatMap(_.metadata.get("Location"))
+    assert(!locations.exists(_.contains("documents.parquet")),
+      s"corpus text scanned by the hybrid path: $locations")
+  }
+
   test("an explicit prebuilt indexRoot drives the retrieval endpoints") {
     val root = graft.llm.Selection.retrievalIndex(spark, "/root/testdata/sf0.001")
     val api2 = new GraftApi(spark, "/root/testdata/sf0.001", Some(root))
