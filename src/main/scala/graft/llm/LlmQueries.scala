@@ -494,6 +494,30 @@ SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy
 FROM c WHERE n_copies >= 1
 ORDER BY doc_id, copy""")),
 
+    // Temperature-scaled source mixture (n_i^α balancing, α=1/2 via sqrt —
+    // IEEE-exact cross-engine; targets are exact integer micro arithmetic).
+    // q52 materializes EXPLICIT per-stratum weights; this derives them from
+    // the α-scaling rule — the multilingual low-resource upsampling recipe.
+    Q("q116_temperature_mixture",
+      (s, dir) => Sampling.temperatureMixture(Tables.documents(s, dir), 300L)
+        .orderBy("source", "rk"),
+      Some(s"""
+WITH nn AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+            WHERE doc_id IS NOT NULL GROUP BY source),
+ss AS (SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS s_micro FROM nn),
+tt AS (SELECT CAST(sum(s_micro) AS BIGINT) AS st FROM ss),
+tg AS (SELECT source, n, (300 * s_micro) // st AS target FROM ss, tt),
+rr AS (SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source
+           ORDER BY ${h60("CAST(doc_id AS VARCHAR) || '|tmix'")} ASC,
+                    doc_id ASC) AS BIGINT) AS rk
+       FROM documents WHERE doc_id IS NOT NULL)
+SELECT source, rk, doc_id, n, target
+FROM rr JOIN tg USING (source)
+WHERE rk <= target ORDER BY source, rk""")),
+
     // Sequence packing: per-lang shard streams cut into 512-token training
     // chunks; output is the chunk→doc manifest with per-chunk token counts.
     Q("q51_pack_chunks",

@@ -34,6 +34,43 @@ object Sampling {
       salt: String = "graft"): DataFrame =
     df.filter(hashBucket(col(keyCol), salt) < pct)
 
+  /** Temperature-scaled source mixture — the multilingual balancing rule
+    * (XLM-R / mT5: sample source i ∝ n_i^α; α < 1 flattens the head, so
+    * low-resource sources are upsampled relative to their natural share).
+    * α = 1/2 here, spelled as sqrt: IEEE-correctly-rounded in BOTH engines,
+    * unlike the general exp(α·ln n) whose libm last ulp is engine-specific
+    * (other α values take the q56 micro-quantized-ln recipe). Per-source
+    * targets are exact integer arithmetic on micro-quantized sqrt:
+    * t_i = (budget · s_i) div Σ s_j with s_i = floor(sqrt(n_i)·1e6 + 0.5)
+    * — floor allocation, so Σ t_i ≤ budget with at most |sources| docs of
+    * under-allocation (largest-remainder top-up would add one tiny sort if
+    * a caller needs the budget exact).
+    *
+    * Scale shape: the count agg collapses map-side to |sources| rows; the
+    * target table broadcasts back; the draw is the q77 hash-ranked window
+    * on the source key (a mega-source routes through the q72 salted
+    * two-phase pattern unchanged). Deterministic end to end — retry- and
+    * resize-stable like every hash-keyed selection here. */
+  def temperatureMixture(docs: DataFrame, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(hash60(concat(col("doc_id").cast("string"), lit("|tmix"))),
+        col("doc_id"))
+    val n = docs.filter(col("doc_id").isNotNull)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .select(col("source"), col("n"),
+        floor(sqrt(col("n").cast("double")) * lit(1000000) + lit(0.5))
+          .cast("long").as("s_micro"))
+    val tot = n.agg(sum("s_micro").as("st"))
+    val targets = broadcast(n.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"),
+        expr(s"(${budget}L * s_micro) div st").as("target")))
+    docs.filter(col("doc_id").isNotNull)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(targets, "source")
+      .filter(col("rk") <= col("target"))
+      .select("source", "rk", "doc_id", "n", "target")
+  }
+
   /** Weighted source mixture: materialize each stratum at `weightPct`% of
     * its natural rate — the mixture-building step that turns per-source
     * weights (e.g. upsample curated text, downsample crawl) into a concrete

@@ -89,4 +89,25 @@ class SamplingSpec extends SparkSpec {
     val overlap = (a & b).size.toDouble / a.size
     assert(overlap > 0.3 && overlap < 0.7) // ~independent 50% draws
   }
+
+  test("temperatureMixture: alpha=1/2 flattens a 4:1 head to 2:1 targets") {
+    // A holds 400 docs, B holds 100 — natural shares 80/20. sqrt scaling:
+    // s_A = 20e6, s_B = 10e6, st = 30e6 → targets (100·20/30, 100·10/30)
+    // = (66, 33): B is upsampled 1.67× over its natural share, exactly the
+    // hand-derivable α=1/2 rule, with floor leaving 1 doc unallocated.
+    val mix = (1L to 400L).map(i => (i, "A")) ++ (401L to 500L).map(i => (i, "B"))
+    val df = mix.toDF("doc_id", "source")
+    val out = Sampling.temperatureMixture(df, 100L).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(bySrc("A").length === 66 && bySrc("B").length === 33)
+    assert(out.forall(r => r.getAs[Long]("rk") <= r.getAs[Long]("target")))
+    // ranks contiguous from 1 within each source
+    bySrc.foreach { case (s, rs) =>
+      val rks = rs.map(_.getAs[Long]("rk")).sorted
+      assert(rks === (1L to rks.length).toArray, s"ranks not contiguous in $s")
+    }
+    // deterministic draw
+    assert(Sampling.temperatureMixture(df, 100L)
+      .exceptAll(Sampling.temperatureMixture(df, 100L)).isEmpty)
+  }
 }
