@@ -18,14 +18,18 @@ import org.apache.spark.sql.SparkSession
   *
   * `withSplitsMart = true` additionally registers `corpus_splits`, whose
   * backing mart (near-dup connected components) is ITERATIVE — building it
-  * runs Spark jobs at registration time, not lazily at first query. Callers
-  * that only serve the relational surface (the HTTP API default) keep the
-  * cheap, fully-lazy registration; at 100 TB the labels are a written table
-  * and this flag disappears.
+  * runs Spark jobs at registration time, not lazily at first query; and
+  * `withSelectionV2 = true` registers `corpus_selected_v2`, whose
+  * Lloyd-trained cell directory likewise runs training jobs at
+  * registration. Callers that only serve the relational surface (the HTTP
+  * API default) keep the cheap, fully-lazy registration; at 100 TB the
+  * labels and the trained centroids are written tables and both flags
+  * disappear.
   */
 object GraftCatalog {
   def registerViews(spark: SparkSession, dir: String,
-      withSplitsMart: Boolean = false): Unit = {
+      withSplitsMart: Boolean = false,
+      withSelectionV2: Boolean = false): Unit = {
     Tables.names.foreach { n =>
       Tables.load(spark, dir, n).createOrReplaceTempView(n)
     }
@@ -54,9 +58,13 @@ object GraftCatalog {
     // the src1 target domain and a cluster-balanced per-cell draw over the
     // full-corpus-trained cell directory. corpus_selected is the
     // per-source PPS sample; corpus_selected_v2 is the domain-targeted,
-    // topic-diverse alternative a curriculum builder consumes.
-    SparkEntry.queries("q114_selection_pipeline_v2")(spark, dir)
-      .createOrReplaceTempView("corpus_selected_v2")
+    // topic-diverse alternative a curriculum builder consumes. Flagged
+    // like corpus_splits because its cell directory is Lloyd-TRAINED —
+    // constructing the view runs the training jobs (eager checkpoints) at
+    // registration time, not lazily at first query.
+    if (withSelectionV2)
+      SparkEntry.queries("q114_selection_pipeline_v2")(spark, dir)
+        .createOrReplaceTempView("corpus_selected_v2")
     // Per-doc leakage-safe split assignment (q95's input frame): training
     // jobs SELECT doc_id WHERE split = 'train' without knowing the
     // clustering; near-dups can never straddle train and eval by

@@ -71,7 +71,7 @@ class GraftCatalogSpec extends SparkSpec {
   }
 
   test("corpus_selected_v2 view reconciles: curated pool, target excluded, per-cell quota") {
-    GraftCatalog.registerViews(spark, dir)
+    GraftCatalog.registerViews(spark, dir, withSelectionV2 = true)
     import org.apache.spark.sql.functions._
     val sel = spark.sql("SELECT * FROM corpus_selected_v2").collect()
     assert(sel.nonEmpty)
