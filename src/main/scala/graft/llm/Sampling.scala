@@ -51,15 +51,27 @@ object Sampling {
     * on the source key (a mega-source routes through the q72 salted
     * two-phase pattern unchanged). Deterministic end to end — retry- and
     * resize-stable like every hash-keyed selection here. */
-  def temperatureMixture(docs: DataFrame, budget: Long): DataFrame = {
+  def temperatureMixture(docs: DataFrame, budget: Long): DataFrame =
+    temperatureMixtureWith(docs, sourceCounts(docs), budget)
+
+  /** The per-source counts frame the α-scaling consumes — additive longs,
+    * so partials over disjoint doc batches fold to the from-scratch build
+    * by summation: the property that lets a stream maintain them
+    * ([[graft.streaming.StreamOps.sourceCountsStream]]). */
+  def sourceCounts(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id").isNotNull)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+
+  /** The mixture over prebuilt counts — `counts` may come from the in-plan
+    * aggregation or the streamed fold; the arithmetic is identical. */
+  def temperatureMixtureWith(docs: DataFrame, counts: DataFrame,
+      budget: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
       .orderBy(hash60(concat(col("doc_id").cast("string"), lit("|tmix"))),
         col("doc_id"))
-    val n = docs.filter(col("doc_id").isNotNull)
-      .groupBy("source").agg(count(lit(1)).as("n"))
-      .select(col("source"), col("n"),
-        floor(sqrt(col("n").cast("double")) * lit(1000000) + lit(0.5))
-          .cast("long").as("s_micro"))
+    val n = counts.select(col("source"), col("n"),
+      floor(sqrt(col("n").cast("double")) * lit(1000000) + lit(0.5))
+        .cast("long").as("s_micro"))
     val tot = n.agg(sum("s_micro").as("st"))
     val targets = broadcast(n.crossJoin(broadcast(tot))
       .select(col("source"), col("n"),

@@ -438,6 +438,47 @@ object StreamOps {
     spark.read.parquet(statsPath).groupBy("b")
       .agg(sum("tc").as("tc"), sum("rc").as("rc"))
 
+  /** Streaming maintenance of the per-source corpus counts
+    * ([[graft.llm.Sampling.sourceCounts]] — what the q116 temperature
+    * mixture's α-scaling consumes): the same layout-level exactly-once
+    * recipe as [[dsirStatsStream]] — per-batch (source, n) partials under
+    * `batch_id=N` with dynamic partition overwrite, additive-long fold at
+    * read, batch-0 stale-partition guard. */
+  def sourceCountsStream(docsStream: DataFrame, statsPath: String,
+      checkpoint: String): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (batchId == 0L) {
+          val hPath = new org.apache.hadoop.fs.Path(statsPath)
+          val fs = hPath.getFileSystem(
+            b.sparkSession.sparkContext.hadoopConfiguration)
+          val stale = fs.exists(hPath) && fs.listStatus(hPath).exists { st =>
+            val n = st.getPath.getName
+            n.startsWith("batch_id=") &&
+              n.stripPrefix("batch_id=") != "0" &&
+              n.stripPrefix("batch_id=") != "-1"
+          }
+          require(!stale,
+            s"statsPath $statsPath has partitions from a previous run but " +
+              "this stream is at batch 0 (new checkpoint): additive folds " +
+              "would double-count. Clear the stats root or reuse the " +
+              "original checkpoint.")
+        }
+        graft.llm.Sampling.sourceCounts(b)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(statsPath)
+        ()
+      }
+      .start()
+
+  /** Fold the per-batch source-count partials into the serving table. */
+  def sourceCountsRead(spark: SparkSession, statsPath: String): DataFrame =
+    spark.read.parquet(statsPath).groupBy("source").agg(sum("n").as("n"))
+
   /** Fold the per-batch partials into the serving index: the (term, df)
     * table and the corpus scalar — the frames [[graft.llm.TextAnalysis
     * .bm25RankWith]] consumes. All sums are exact longs, so the fold equals

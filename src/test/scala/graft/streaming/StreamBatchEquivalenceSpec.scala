@@ -301,6 +301,28 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       graft.llm.Selection.dsirResample(docsDF, k = 20), "dsir via stream stats")
   }
 
+  test("sourceCountsStream folded partials == batch counts; mixture identical through them") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("srccnt").toString
+    val (first, second) = docsFixture.splitAt(docsFixture.size / 2)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.sourceCountsStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+    } finally q.stop()
+    val docsDF = docsFixture.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val folded = StreamOps.sourceCountsRead(spark, s"$tmp/stats")
+    assertSameRows(folded, graft.llm.Sampling.sourceCounts(docsDF),
+      "source counts")
+    assertSameRows(
+      graft.llm.Sampling.temperatureMixtureWith(docsDF, folded, 10L),
+      graft.llm.Sampling.temperatureMixture(docsDF, 10L),
+      "temperature mixture via stream counts")
+  }
+
   test("stats compaction: folded batch_id=-1 base reads identically with fewer files") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("statscompact").toString
