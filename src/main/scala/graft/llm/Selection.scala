@@ -95,6 +95,49 @@ object Selection {
         expr("(n_shared * 1000000L) div n_grams"))
   }
 
+  /** Duplicated-span EXTRACTION — the actionable half of the Lee et al.
+    * metric [[dupSpanCoveragePerDoc]] scores: per document, the maximal
+    * token-position intervals whose k-grams occur in at least one OTHER
+    * document (the same sharedness rule as q96). A rewriter cuts — or a
+    * packer skips — exactly these intervals instead of dropping whole
+    * documents, which is the paper's actual dedup action.
+    *
+    * Positions matter here, so grams are POSITIONAL (no per-doc distinct):
+    * shared gram start p means tokens [p, p+k-1] sit in duplicated matter,
+    * and a maximal run of consecutive shared starts [s, e] covers tokens
+    * [s, e+k-1]. Runs come from the classic gaps-and-islands key
+    * (p − row_number per doc) — exact, no UDF.
+    *
+    * Scale shape: q96's hash60(gram)-keyed exchange feeds the df build and
+    * the join probe (ReuseExchange, 8-byte keys — the positional explode is
+    * ~coverage's distinct explode × within-doc repetition, same O(total
+    * tokens) family), then ONE doc-keyed window for the islands. Output is
+    * interval-count-sized, not token-sized. */
+  def dupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val pos = Tables.spread(docs.filter(col("doc_id").isNotNull))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("t")) - k),
+        i => array_join(slice(col("t"), i + 1, lit(k)), " ")))
+        .as(Seq("p", "gram")))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        hash60(col("gram")).as("hg"))
+      .repartition(col("hg"))
+    val dfreq = pos.groupBy("hg")
+      .agg(countDistinct(col("doc_id")).as("gram_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("p"))
+    pos.join(dfreq, "hg")
+      .filter(col("gram_docs") >= 2)
+      .withColumn("__isl", col("p") - row_number().over(w))
+      .groupBy("doc_id", "__isl")
+      .agg(min("p").as("span_start"),
+        (max("p") + lit(k.toLong) - 1L).as("span_end"),
+        count(lit(1)).as("n_grams"),
+        (max("p") + lit(k.toLong) - min("p")).as("n_tokens"))
+      .select("doc_id", "span_start", "span_end", "n_grams", "n_tokens")
+  }
+
   /** [[dupSpanCoveragePerDoc]] rolled up per source — the corpus-health
     * report (q96). The per-doc frame is what the selection pipeline (q108)
     * screens on. */
@@ -1089,6 +1132,29 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(cov_micro) AS BIGINT) AS sum_cov_micro,
   CAST(sum(CASE WHEN cov_micro >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS docs_over_half
 FROM c GROUP BY source ORDER BY source""")),
+
+    // The span-extraction companion to q96: positional shared-gram runs as
+    // cut-ready intervals (gaps-and-islands over shared gram starts).
+    Q("q117_dup_spans",
+      (s, dir) => dupSpans(Tables.documents(s, dir))
+        .orderBy("doc_id", "span_start"),
+      Some(s"""
+WITH $tokCte,
+gp AS (SELECT doc_id,
+         unnest([{'p': i, 'hg': ${h60("array_to_string(t[i+1:i+8], ' ')")}}
+                 for i in range(0, len(t) - 7)]) AS u
+       FROM tok WHERE len(t) >= 8 AND doc_id IS NOT NULL),
+g AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.hg AS hg FROM gp),
+dfq AS (SELECT hg, count(DISTINCT doc_id) AS gram_docs FROM g GROUP BY hg),
+sh AS (SELECT doc_id, p FROM g JOIN dfq USING (hg) WHERE gram_docs >= 2),
+isl AS (SELECT doc_id, p,
+          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM sh)
+SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) + 7 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(max(p) + 8 - min(p) AS BIGINT) AS n_tokens
+FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""")),
 
     Q("q97_pps_sample",
       (s, dir) => seqPoissonSample(Tables.documents(s, dir))

@@ -403,6 +403,29 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("dupSpans: consecutive shared gram starts merge into one cut-ready interval") {
+    // Both docs share their first 9 tokens, then diverge: gram starts 0 and
+    // 1 are shared, start 2 onward differ — one island per doc covering
+    // token positions [0, 8] (9 tokens), from exactly 2 shared grams.
+    val shared9 = (1 to 9).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      doc(1L, s"$shared9 x1 x2"),
+      doc(2L, s"$shared9 y1 y2")).toDF(docCols: _*)
+    val out = Selection.dupSpans(docs).orderBy("doc_id").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("span_start") === 0L)
+      assert(r.getAs[Long]("span_end") === 8L)
+      assert(r.getAs[Long]("n_grams") === 2L)
+      assert(r.getAs[Long]("n_tokens") === 9L)
+    }
+    // a doc with no shared grams emits no interval at all
+    val lone = Seq(doc(3L, (1 to 20).map(i => s"z$i").mkString(" ")))
+      .toDF(docCols: _*)
+    assert(Selection.dupSpans(docs.unionByName(lone))
+      .filter(col("doc_id") === 3L).count() === 0L)
+  }
+
   test("bpe batched trainer: disjoint merges land together, conflicts defer, exhausted round no-ops") {
     // Hand-derived: round 1 pairs are "a b":4, "x y":3, "b a":2 — ranks
     // 1, 2, 3. (x,y) is disjoint from (a,b) → kept alongside it; (b,a)
