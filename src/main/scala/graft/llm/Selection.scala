@@ -138,6 +138,42 @@ object Selection {
       .select("doc_id", "span_start", "span_end", "n_grams", "n_tokens")
   }
 
+  /** The despanning rewriter — [[dupSpans]]' intervals APPLIED: rebuild
+    * each document's (normalized) token stream with every duplicated span
+    * cut out, materializing the exact-substring-deduplicated corpus the
+    * Lee et al. recipe trains on. Documents with no shared spans pass
+    * through whole; a fully-boilerplate document shrinks to zero tokens
+    * but still REPORTS (the q91 empty-rows rule — a dedup that silently
+    * drops its most-duplicated docs hands downstream joins an excuse to
+    * miss them).
+    *
+    * Scale shape: q117's cost plus one doc-keyed span aggregation
+    * (interval-count rows) joined back to the corpus — the cut itself is a
+    * narrow per-doc HOF (filter-by-position against the doc's own span
+    * list; membership is order-independent, so collect_list's
+    * nondeterministic ordering cannot change the result). clean_text is
+    * over NORMALIZED tokens (the engine's toks), identically in the
+    * oracle. */
+  def despanCorpus(docs: DataFrame, k: Int = 8): DataFrame = {
+    val spans = dupSpans(docs, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("t"),
+        when(col("spans").isNull, col("t"))
+          .otherwise(filter(col("t"), (_, i) =>
+            !exists(col("spans"), s =>
+              i.cast("long") >= s.getField("s") &&
+                i.cast("long") <= s.getField("e")))).as("kept"))
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** [[dupSpanCoveragePerDoc]] rolled up per source — the corpus-health
     * report (q96). The per-doc frame is what the selection pipeline (q108)
     * screens on. */
@@ -1155,6 +1191,41 @@ SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
        CAST(count(*) AS BIGINT) AS n_grams,
        CAST(max(p) + 8 - min(p) AS BIGINT) AS n_tokens
 FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""")),
+
+    // q117's intervals applied: the exact-substring-deduplicated corpus.
+    Q("q118_despan_corpus",
+      (s, dir) => despanCorpus(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""
+WITH $tokCte,
+gp AS (SELECT doc_id,
+         unnest([{'p': i, 'hg': ${h60("array_to_string(t[i+1:i+8], ' ')")}}
+                 for i in range(0, len(t) - 7)]) AS u
+       FROM tok WHERE len(t) >= 8 AND doc_id IS NOT NULL),
+g AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.hg AS hg FROM gp),
+dfq AS (SELECT hg, count(DISTINCT doc_id) AS gram_docs FROM g GROUP BY hg),
+sh AS (SELECT doc_id, p FROM g JOIN dfq USING (hg) WHERE gram_docs >= 2),
+isl AS (SELECT doc_id, p,
+          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM sh),
+spn AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS s,
+          CAST(max(p) + 7 AS BIGINT) AS e
+        FROM isl GROUP BY doc_id, grp),
+sp AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM spn GROUP BY doc_id),
+j AS (SELECT b.doc_id, b.source, b.t, sp.spans
+      FROM (SELECT doc_id, source, t FROM tok WHERE doc_id IS NOT NULL) b
+      LEFT JOIN sp USING (doc_id)),
+c AS (SELECT doc_id, source, t,
+        CASE WHEN spans IS NULL THEN t
+             ELSE [t[i+1] for i in range(0, len(t))
+                   if len(list_filter(spans,
+                        x -> i >= x.s AND i <= x.e)) = 0] END AS kept
+      FROM j)
+SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+       -- array_join: coalesce so a fully-despanned doc reports '' in both
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM c ORDER BY doc_id""")),
 
     Q("q97_pps_sample",
       (s, dir) => seqPoissonSample(Tables.documents(s, dir))

@@ -424,6 +424,15 @@ class SelectionSpec extends SparkSpec {
       .toDF(docCols: _*)
     assert(Selection.dupSpans(docs.unionByName(lone))
       .filter(col("doc_id") === 3L).count() === 0L)
+
+    // the rewriter applies the intervals: shared prefix cut, unique tails
+    // kept; the untouched doc passes through whole
+    val clean = Selection.despanCorpus(docs.unionByName(lone))
+      .orderBy("doc_id").collect()
+    assert(clean.map(_.getAs[String]("clean_text")).toSeq ===
+      Seq("x1 x2", "y1 y2", (1 to 20).map(i => s"z$i").mkString(" ")))
+    assert(clean.map(_.getAs[Long]("n_kept")).toSeq === Seq(2L, 2L, 20L))
+    assert(clean.map(_.getAs[Long]("n_tokens")).toSeq === Seq(11L, 11L, 20L))
   }
 
   test("bpe batched trainer: disjoint merges land together, conflicts defer, exhausted round no-ops") {
