@@ -220,6 +220,25 @@ class PlanSpec extends SparkSpec {
       s"gram exchange not shared — corpus explode runs twice:\n$executed")
   }
 
+  test("dup-span extraction reuses the positional gram exchange; despan joins intervals back") {
+    // q117: same ReuseExchange discipline as q96 — the positional explode
+    // (the dominant cost) must feed both the df build and the probe once
+    val q = SparkEntry.queries("q117_dup_spans")(spark, dir)
+    q.collect()
+    val executed = q.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"positional gram exchange not shared:\n$executed")
+    // q118: the rewriter's corpus side prunes to the doc columns and never
+    // hints the span join (interval counts are data-dependent; AQE's call)
+    val r = SparkEntry.queries("q118_despan_corpus")(spark, dir)
+    val opt = r.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("ResolvedHint"), s"forced join strategy:\n$opt")
+    val scans = scanColumnSets(r.queryExecution.executedPlan.toString)
+    assert(scans.nonEmpty &&
+      scans.forall(_.subsetOf(Set("doc_id", "text", "source"))),
+      s"despan scan not pruned: $scans")
+  }
+
   test("landing-layout flatten: the per-query plan is a scan+sort, no Generate") {
     val p = plan("q109_json_flatten_landing")
     // the shred happened once at ingest: the query path must carry no

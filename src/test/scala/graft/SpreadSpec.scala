@@ -57,6 +57,11 @@ class SpreadSpec extends SparkSpec {
     assert(Tables.spread(joined) eq joined)
   }
 
+  test("streaming frames pass through untouched (.rdd is illegal on them)") {
+    val stream = spark.readStream.format("rate").load()
+    assert(Tables.spread(stream) eq stream)
+  }
+
   test("spread preserves rows exactly (round-robin moves, never drops)") {
     val df = spark.range(500).toDF("id")
       .withColumn("v", col("id") * 3)
