@@ -653,12 +653,18 @@ object Selection {
       .filter(col("cell").isin(probedCells: _*))
       .join(broadcast(dtM), Seq("cell", "m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
-      // Latest-batch-wins per (vec_id, m): a vec_id re-ingested by a later
-      // append (appendToIvfadcIndex) shadows its older codes here instead
-      // of double-summing into a bogus 2x distance. Runs on probed-cell
-      // rows only (post-DPP), same shuffle key prefix as the final sum, so
-      // the extra aggregation is partial-combined and near-free. Single-
-      // batch layouts pass through unchanged (one row per key).
+      // Latest-batch-wins per (vec_id, m) — SAME-CELL re-ingest only: a
+      // vec_id re-appended into the cell being probed shadows its older
+      // codes here instead of double-summing into a bogus 2x distance. A
+      // later append that re-assigns the vec_id to a DIFFERENT cell is
+      // outside this guard's view (the shuffle sees probed-cell rows
+      // only): if only the old cell is probed, the stale codes still rank
+      // the candidate. The exact-cosine re-rank below scores survivors
+      // against current embeddings, but candidate generation is only
+      // fully reconciled by compactIvfadcIndex. Runs on probed-cell rows
+      // only, same shuffle key prefix as the final sum, so the extra
+      // aggregation is partial-combined and near-free. Single-batch
+      // layouts pass through unchanged (one row per key).
       .groupBy("query_id", "vec_id", "m")
       .agg(max_by(col("d2"), col("batch_id")).as("d2"))
       .groupBy("query_id", "vec_id")

@@ -195,7 +195,11 @@ class GraftApi(spark: SparkSession, sfDir: String,
     graft.llm.TextAnalysis.bm25RankFromPostings(
       graft.ops.Layout.postingsForTerms(spark,
         s"$searchIndexBase/postings", terms),
-      idxTermStats, idxCorpusStats, terms, topK = limit)
+      // Per-request work must be the query terms' rows: restrict the stats
+      // BEFORE the broadcast inside bm25Score, or every request broadcasts
+      // the whole vocabulary (which at 100 TB exceeds broadcast limits).
+      idxTermStats.filter(col("term").isin(terms: _*)),
+      idxCorpusStats, terms, topK = limit)
 
   /** GET /search?q=space+separated+terms&limit=10 — BM25 lexical ranking
     * over the documents corpus (an extension; the reference has no text
@@ -244,7 +248,11 @@ class GraftApi(spark: SparkSession, sfDir: String,
     val cols = Seq("query_id", "vec_id", "rank", "cosine")
     val rows = similarFrame(vecId.toLong, k, nprobe)
       .select(cols.map(col): _*).collect()
-    if (rows.isEmpty)
+    // 404 only when the id is genuinely absent from the store: an existing
+    // vector with zero neighbors (one-vector store, all candidates pruned)
+    // is a successful empty result, not a missing resource.
+    if (rows.isEmpty && graft.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") === vecId.toLong).isEmpty)
       reply(ex, 404, obj(_.put("detail", "vec_id not found")))
     else reply(ex, 200, obj { o =>
       val results = o.putArray("results")

@@ -332,8 +332,15 @@ object StreamOps {
     *     base partition `batch_id=-1` (negative ids can never collide with
     *     stream batch ids, so the restarted stream's batch 0 cannot
     *     overwrite the folded history), swap paths atomically, restart
-    *     with a fresh checkpoint. Compacting the live dir in place would
-    *     break the batch_id layout the idempotence depends on. */
+    *     with a fresh checkpoint AND a drained/advanced source. The fresh
+    *     checkpoint makes a replayable source (file dir, Kafka from
+    *     earliest) re-deliver ALL history — which the -1 base already
+    *     contains — so the restarted stream must only see post-compaction
+    *     data: archive the consumed source files (or start the new reader
+    *     at latest). The batch-0 guard cannot detect this (the stats dir
+    *     is legitimately just {-1}); it is a source-side contract.
+    *     Compacting the live dir in place would break the batch_id layout
+    *     the idempotence depends on. */
   def bm25IndexStream(docsStream: DataFrame, statsPath: String,
       checkpoint: String): StreamingQuery =
     docsStream.writeStream
@@ -522,8 +529,11 @@ object StreamOps {
     * equals the read of the fragmented one EXACTLY (spec-pinned); the
     * negative base id can never collide with a restarted stream's batch 0.
     * Swap-in is the caller's move (stop stream → swap paths → restart with
-    * a fresh checkpoint); compacting the live dir in place would break the
-    * batch_id idempotence layout. Returns (in, out) parquet file counts. */
+    * a fresh checkpoint AND a drained source — a replayable source replays
+    * history the -1 base already contains, double-counting; see
+    * [[bm25IndexStream]]'s operational invariants); compacting the live
+    * dir in place would break the batch_id idempotence layout. Returns
+    * (in, out) parquet file counts. */
   def compactDsirStats(spark: SparkSession, statsPath: String,
       outPath: String, targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
     writeFoldedBase(spark, dsirStatsRead(spark, statsPath),

@@ -159,6 +159,54 @@ class GraftApiSpec extends SparkSpec {
       s"expected <= nprobe(4) cell directories read, got $partsRead")
   }
 
+  test("/search restricts the stats broadcast to the query terms' rows") {
+    // The per-request contract: the broadcast side of the BM25 score join
+    // is the query terms' stats rows, never the whole vocabulary (which at
+    // corpus scale exceeds broadcast limits). The isin lands on the cached
+    // term_stats relation as an InMemoryTableScan filter — pin it by
+    // counting the broadcast build side's rows.
+    val frame = api.searchFrame(Seq("hash", "join"), 5)
+    frame.collect()
+    // The cached relations in this plan are term_stats (filtered) and
+    // corpus_stats (a single row, unfiltered): the term predicate must
+    // reach the term_stats InMemoryTableScan.
+    val memScans = collectMemScans(frame.queryExecution.executedPlan)
+    assert(memScans.nonEmpty, "no cached-stats scan found in the plan")
+    assert(memScans.exists(_.predicates.exists(
+        _.references.exists(_.name == "term"))),
+      "no term predicate on the cached stats relation — the full " +
+        s"vocabulary would be broadcast per request: $memScans")
+  }
+
+  test("GET /similar: existing vec_id with zero neighbors is an empty 200, not a 404") {
+    // A one-vector store: every candidate is the query itself, so the
+    // result set is empty — which must NOT be reported as a missing id.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_one_vec").toString
+    for (t <- graft.Tables.names if t != "embeddings")
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$tmp/$t.parquet"),
+        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"))
+    import spark.implicits._
+    Seq((7L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$tmp/embeddings.parquet")
+    val api2 = new GraftApi(spark, tmp)
+    val addr = api2.start(0)
+    try {
+      def get2(path: String) = {
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:${addr.getPort}$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), mapper.readTree(resp.body()))
+      }
+      val (code, body) = get2("/similar?vec_id=7&k=5")
+      assert(code === 200, s"existing id misreported: $body")
+      assert(body.get("results").size() === 0)
+      assert(get2("/similar?vec_id=8&k=5")._1 === 404)
+    } finally api2.stop()
+  }
+
   test("GET /hybrid fuses the two persisted-index legs; no corpus text in the plan") {
     val (code, body) = get("/hybrid?q=hash+join&vec_id=0&k=5")
     assert(code === 200)
@@ -190,6 +238,22 @@ class GraftApiSpec extends SparkSpec {
       assert(resp.statusCode() === 200)
       assert(mapper.readTree(resp.body()).get("results").size() > 0)
     } finally api2.stop()
+  }
+
+  // recurse through AQE query stages + reused exchanges to every cached scan
+  private def collectMemScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec] = {
+    val here = p.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(m)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectMemScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectMemScans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        collectMemScans(r.child)
+    }
+    here.flatten
   }
 
   // recurse through AQE query stages + reused exchanges to every file scan
