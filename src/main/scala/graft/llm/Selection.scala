@@ -149,25 +149,37 @@ object Selection {
     *
     * Scale shape: q117's cost plus one doc-keyed span aggregation
     * (interval-count rows) joined back to the corpus — the cut itself is a
-    * narrow per-doc HOF (filter-by-position against the doc's own span
-    * list; membership is order-independent, so collect_list's
-    * nondeterministic ordering cannot change the result). clean_text is
-    * over NORMALIZED tokens (the engine's toks), identically in the
-    * oracle. */
+    * narrow per-doc HOF. The spans are DISJOINT maximal islands, so the
+    * cut is a complement-interval rebuild, O(T + S log S) per document:
+    * sort the span list (collect_list's nondeterministic order is the only
+    * reason the sort exists), slice out each inter-span gap, flatten. A
+    * per-token membership test against the span list would be O(T·S) — a
+    * pathological boilerplate doc with thousands of islands turns that
+    * quadratic-ish; the gap rebuild touches each kept token once.
+    * clean_text is over NORMALIZED tokens (the engine's toks), identically
+    * in the oracle. */
   def despanCorpus(docs: DataFrame, k: Int = 8): DataFrame = {
     val spans = dupSpans(docs, k)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("spans"))
+    // Gap g runs from one span's end+1 to the next span's start-1 (with
+    // the doc's ends as sentinels); kept = concat of slice(t) over gaps.
+    // Empty gaps (adjacent spans) get length 0 — slice returns [].
+    val sorted = array_sort(col("spans"))
+    val gapStarts = concat(array(lit(0L)),
+      transform(sorted, x => x.getField("e") + lit(1L)))
+    val gapEnds = concat(
+      transform(sorted, x => x.getField("s") - lit(1L)),
+      array(size(col("t")).cast("long") - lit(1L)))
     docs.filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("t"),
         when(col("spans").isNull, col("t"))
-          .otherwise(filter(col("t"), (_, i) =>
-            !exists(col("spans"), s =>
-              i.cast("long") >= s.getField("s") &&
-                i.cast("long") <= s.getField("e")))).as("kept"))
+          .otherwise(flatten(zip_with(gapStarts, gapEnds, (a, b) =>
+            slice(col("t"), (a + lit(1L)).cast("int"),
+              greatest(b - a + lit(1L), lit(0L)).cast("int"))))).as("kept"))
       .select(col("doc_id"), col("source"),
         size(col("t")).cast("long").as("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),
