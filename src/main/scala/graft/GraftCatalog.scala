@@ -65,6 +65,12 @@ object GraftCatalog {
     if (withSelectionV2)
       SparkEntry.queries("q114_selection_pipeline_v2")(spark, dir)
         .createOrReplaceTempView("corpus_selected_v2")
+    // The substring-deduplicated selection (q119): despan the corpus
+    // (q118's rewriter — the Lee et al. training input), THEN quality-
+    // screen, exact-dedup, and PPS-draw over the CLEAN text. Unflagged:
+    // the whole chain is lazy (no trained geometry), like corpus_selected.
+    SparkEntry.queries("q119_selection_pipeline_v3")(spark, dir)
+      .createOrReplaceTempView("corpus_selected_v3")
     // Per-doc leakage-safe split assignment (q95's input frame): training
     // jobs SELECT doc_id WHERE split = 'train' without knowing the
     // clustering; near-dups can never straddle train and eval by

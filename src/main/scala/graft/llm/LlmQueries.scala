@@ -166,8 +166,13 @@ cents$i AS (SELECT p.cell, coalesce(l$i.cent, p.cent) AS cent
             FROM $prev p LEFT JOIN l$i ON l$i.cell = p.cell)"""
   }
 
-  /** Quality-stats CTE over `tok` + the filter predicate (shared by q46 and
-    * q54). */
+  /** Quality-stats CTE + filter predicate (shared by q46 and q54; the
+    * `Over` form lets composed pipelines run the SAME stats over a derived
+    * token table — q119 runs it over the despanned corpus). */
+  private[llm] def qualityStCteOver(tokTbl: String, stName: String): String =
+    qualityStCte.replace("st AS (", s"$stName AS (")
+      .replace("FROM tok)", s"FROM $tokTbl)")
+
   private val qualityStCte: String = s"""st AS (SELECT doc_id, lang, source,
          len(t)::BIGINT AS n_tokens,
          CASE WHEN len(t) >= 2

@@ -808,6 +808,35 @@ object Selection {
   // count() job per (JVM, dir).
   import LlmQueries.{h60, tokCte, embCount}
 
+  /** The despanning oracle chain (tok → positional shared grams → islands →
+    * span lists → cut corpus `c(doc_id, source, t, kept)`) — ONE copy
+    * shared by q118 and every composition that consumes the despanned
+    * corpus (q119), so the replayed rewriter cannot drift between them. */
+  private lazy val despanCtes: String = s"""$tokCte,
+gp AS (SELECT doc_id,
+         unnest([{'p': i, 'hg': ${h60("array_to_string(t[i+1:i+8], ' ')")}}
+                 for i in range(0, len(t) - 7)]) AS u
+       FROM tok WHERE len(t) >= 8 AND doc_id IS NOT NULL),
+g AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.hg AS hg FROM gp),
+dfq AS (SELECT hg, count(DISTINCT doc_id) AS gram_docs FROM g GROUP BY hg),
+sh AS (SELECT doc_id, p FROM g JOIN dfq USING (hg) WHERE gram_docs >= 2),
+isl AS (SELECT doc_id, p,
+          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM sh),
+spn AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS s,
+          CAST(max(p) + 7 AS BIGINT) AS e
+        FROM isl GROUP BY doc_id, grp),
+sp AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM spn GROUP BY doc_id),
+j AS (SELECT b.doc_id, b.source, b.t, sp.spans
+      FROM (SELECT doc_id, source, t FROM tok WHERE doc_id IS NOT NULL) b
+      LEFT JOIN sp USING (doc_id)),
+c AS (SELECT doc_id, source, t,
+        CASE WHEN spans IS NULL THEN t
+             ELSE [t[i+1] for i in range(0, len(t))
+                   if len(list_filter(spans,
+                        x -> i >= x.s AND i <= x.e)) = 0] END AS kept
+      FROM j)"""
+
   // -------------------------------------------------------------------------
   // Reciprocal-rank fusion (leg-agnostic tail) + the persisted retrieval index
   // -------------------------------------------------------------------------
@@ -1214,36 +1243,74 @@ FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""")),
     Q("q118_despan_corpus",
       (s, dir) => despanCorpus(Tables.documents(s, dir)).orderBy("doc_id"),
       Some(s"""
-WITH $tokCte,
-gp AS (SELECT doc_id,
-         unnest([{'p': i, 'hg': ${h60("array_to_string(t[i+1:i+8], ' ')")}}
-                 for i in range(0, len(t) - 7)]) AS u
-       FROM tok WHERE len(t) >= 8 AND doc_id IS NOT NULL),
-g AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.hg AS hg FROM gp),
-dfq AS (SELECT hg, count(DISTINCT doc_id) AS gram_docs FROM g GROUP BY hg),
-sh AS (SELECT doc_id, p FROM g JOIN dfq USING (hg) WHERE gram_docs >= 2),
-isl AS (SELECT doc_id, p,
-          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
-        FROM sh),
-spn AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS s,
-          CAST(max(p) + 7 AS BIGINT) AS e
-        FROM isl GROUP BY doc_id, grp),
-sp AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM spn GROUP BY doc_id),
-j AS (SELECT b.doc_id, b.source, b.t, sp.spans
-      FROM (SELECT doc_id, source, t FROM tok WHERE doc_id IS NOT NULL) b
-      LEFT JOIN sp USING (doc_id)),
-c AS (SELECT doc_id, source, t,
-        CASE WHEN spans IS NULL THEN t
-             ELSE [t[i+1] for i in range(0, len(t))
-                   if len(list_filter(spans,
-                        x -> i >= x.s AND i <= x.e)) = 0] END AS kept
-      FROM j)
+WITH $despanCtes
 SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
        CAST(len(kept) AS BIGINT) AS n_kept,
        -- array_to_string([]) is NULL in DuckDB but '' in Spark's
        -- array_join: coalesce so a fully-despanned doc reports '' in both
        coalesce(array_to_string(kept, ' '), '') AS clean_text
 FROM c ORDER BY doc_id""")),
+
+    // The Lee et al. composition closed: curation + selection run over the
+    // exact-substring-DEDUPLICATED corpus (q118's clean_text), not the raw
+    // documents — despanning is only worth extracting if something trains
+    // on its output. Chain: despan → documents-shaped rebuild (text :=
+    // clean tokens, n_chars := clean length, lang carried from the raw
+    // doc) → quality screen (q46's stats, over CLEAN text — boilerplate
+    // removal changes token counts and ratios, so survivors differ from
+    // q108's) → exact dedup (despanning can collapse two docs to the same
+    // residue; the hash dedup catches exactly those) → sequential-Poisson
+    // PPS draw weighted by the DESPANNED length (k=20 per source). The
+    // oracle replays the full chain from q118's shared CTE fragment + the
+    // same quality/dedup/PPS fragments as q108, so despan→selection
+    // survivor threading is hash-checked end-to-end, and the returned
+    // n_chars is the clean length — reconciling with q118's n_kept by
+    // construction. Scale: q118's cost + per-doc narrow stats + one
+    // hash-keyed dedup window + the rank-limited two-phase PPS draw.
+    Q("q119_selection_pipeline_v3",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cdocs = despanCorpus(docs)
+          .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+          .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
+            col("source"), length(col("clean_text")).cast("long").as("n_chars"))
+        val kept1 = cdocs.join(TextAnalysis.qualityFilter(cdocs)
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        val kept2 = cdocs.join(Dedup.exactDedup(kept1).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        seqPoissonSample(kept2, k = 20).orderBy("source", "rk")
+      },
+      Some(s"""
+WITH $despanCtes,
+cdoc AS (SELECT c.doc_id, c.source, d.lang,
+           coalesce(array_to_string(c.kept, ' '), '') AS text,
+           CAST(length(coalesce(array_to_string(c.kept, ' '), ''))
+                AS BIGINT) AS n_chars
+         FROM c JOIN documents d USING (doc_id)),
+tok2 AS (SELECT *, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         FROM cdoc),
+${LlmQueries.qualityStCteOver("tok2", "st2")},
+kept1 AS (SELECT doc_id FROM st2 WHERE ${LlmQueries.qualityPredShared}),
+c1 AS (SELECT cdoc.* FROM cdoc JOIN kept1 USING (doc_id)),
+hsh AS (SELECT doc_id, source,
+          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS th
+        FROM c1),
+kept2 AS (SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY th
+              ORDER BY doc_id ASC, source ASC) AS rn FROM hsh)
+          WHERE rn = 1),
+c2 AS (SELECT c1.* FROM c1 JOIN kept2 USING (doc_id)),
+p AS (SELECT source, doc_id, n_chars,
+        (CAST(${h60("CAST(doc_id AS VARCHAR) || '|sps'")} + 1 AS DOUBLE)
+           / CAST(1152921504606846976 AS DOUBLE))
+          / CAST(greatest(n_chars, 1) AS DOUBLE) AS xi
+      FROM c2),
+r AS (SELECT source, doc_id, n_chars,
+        CAST(row_number() OVER (PARTITION BY source
+               ORDER BY xi ASC, doc_id ASC) AS BIGINT) AS rk
+      FROM p)
+SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 20
+ORDER BY source, rk""")),
 
     Q("q97_pps_sample",
       (s, dir) => seqPoissonSample(Tables.documents(s, dir))

@@ -101,6 +101,59 @@ class GraftCatalogSpec extends SparkSpec {
       "coverage-screened doc leaked into the selected set")
   }
 
+  test("corpus_selected_v3 view reconciles with the despanned corpus (q118)") {
+    GraftCatalog.registerViews(spark, dir)
+    import org.apache.spark.sql.functions._
+    val sel = spark.sql("SELECT * FROM corpus_selected_v3").collect()
+    assert(sel.nonEmpty)
+    // per-source cap: at most the PPS k (20), ranks contiguous from 1
+    sel.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rk")).sorted
+      assert(ranks.length <= 20 && ranks === (1L to ranks.length).toArray,
+        s"ranks not contiguous for $src")
+    }
+    // despan-stage reconciliation: the view's n_chars is the CLEAN length —
+    // it must equal length(clean_text) from the standalone q118 rewriter,
+    // and a despanned doc (n_kept < n_tokens) must carry the shrunken
+    // weight, not the raw one.
+    val clean = llm.Selection.despanCorpus(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        length(col("clean_text")).cast("long").as("clean_chars"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    sel.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nTok, nKept, cleanChars) = clean(id)
+      assert(r.getAs[Long]("n_chars") === cleanChars,
+        s"doc $id: selected weight is not the despanned length")
+      assert(nKept <= nTok)
+    }
+    // quality-stage reconciliation over the CLEAN text: every selected doc
+    // survives the quality filter applied to the despanned corpus
+    val cdocs = llm.Selection.despanCorpus(Tables.documents(spark, dir))
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
+        col("source"), length(col("clean_text")).cast("long").as("n_chars"))
+    val qualityClean = llm.TextAnalysis.qualityFilter(cdocs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel.map(_.getAs[Long]("doc_id")).toSet.subsetOf(qualityClean),
+      "selected doc failed the clean-text quality stage")
+    // the despanning must CHANGE the pipeline at this scale: at least one
+    // despanned doc survives the quality screen on RAW text but not on
+    // CLEAN text (at sf0.001 every despanned doc is a near-total duplicate
+    // — n_kept 0..1 — so it dies at the clean-text quality stage instead of
+    // entering the draw with a raw-text weight; either way v3's pool must
+    // differ from v1's raw-text pool or the composition is vacuous)
+    val qualityRaw = llm.TextAnalysis.qualityFilter(
+      Tables.documents(spark, dir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val despanned = clean.collect {
+      case (id, (nTok, nKept, _)) if nKept < nTok => id }.toSet
+    assert(despanned.intersect(qualityRaw).exists(id => !qualityClean(id)),
+      "despanning changed no quality-stage outcome — v3 is " +
+        "indistinguishable from the raw-text chain here")
+  }
+
   test("corpus_splits view: exhaustive, disjoint, and leakage-free in pure SQL") {
     GraftCatalog.registerViews(spark, dir, withSplitsMart = true)
     // every doc gets exactly one split from the closed set
