@@ -1153,6 +1153,92 @@ keep$r AS (SELECT c.rk, c.pair, c.cnt, c.a, c.b FROM cand$r c
     head + roundCtes + tail
   }
 
+  /** The persisted BPE merge table — [[TextAnalysis.bpeTrainBatched]]'s
+    * output written once per (session, dir): the tokenizer artifact an
+    * encode-only job ([[TextAnalysis.bpeEncodeWith]]) reads instead of
+    * retraining. Same once-marker discipline as the retrieval index. */
+  private[llm] def bpeMergesMart(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_bpe_merges_" + graft.sec.SecDerive.pathKey(dir)
+    graft.sec.SecDerive.cachedCount(s, dir, "bpe_merges") {
+      TextAnalysis.bpeTrainBatched(Tables.documents(s, dir))
+        .write.mode("overwrite").parquet(base)
+      1L
+    }
+    base
+  }
+
+  /** The q120 oracle: the batched TRAINING chain replayed verbatim (the
+    * [[bpeTrainBatchedOracle]] per-round fragments — counts, ranked
+    * candidates, prefix-conflict-free keeps, per-rank corpus applies), then
+    * the ENCODE: every keep$r rank applied to doc-threaded sequences as a
+    * flat (round asc, rk asc) replace chain — exactly the global-rank
+    * order [[TextAnalysis.bpeEncodeWith]]'s window spells; absent/dropped
+    * ranks are LEFT-JOIN no-ops in both engines. */
+  private def bpeEncodeFromTableOracle(rounds: Int, batch: Int): String = {
+    val u = "chr(31)"
+    val head = s"""
+WITH w1 AS (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wr
+            FROM documents),
+w AS (SELECT doc_id, replace(wr, $u, '') AS word FROM w1
+      WHERE len(replace(wr, $u, '')) >= 2),
+s1 AS (SELECT array_to_string(
+         [$u || substr(word, i + 1, 1) || $u for i in range(0, len(word))],
+         '') AS seq FROM w),
+e0 AS (SELECT doc_id, CAST(len(word) AS BIGINT) AS nch,
+         array_to_string(
+           [$u || substr(word, i + 1, 1) || $u for i in range(0, len(word))],
+           '') AS seq FROM w)"""
+    val trainCtes = (1 to rounds).map { r =>
+      val applies = if (r < rounds) {
+        (1 to batch).map { i =>
+          val src = if (i == 1) s"s$r" else s"t${r}_${i - 1}"
+          val tgt = if (i == batch) s"s${r + 1}" else s"t${r}_$i"
+          s""",
+$tgt AS (SELECT CASE WHEN m.a IS NULL THEN seq
+                     ELSE replace(seq, $u || m.a || $u || $u || m.b || $u,
+                                  $u || m.a || m.b || $u) END AS seq
+         FROM $src LEFT JOIN (SELECT a, b FROM keep$r WHERE rk = $i) m ON TRUE)"""
+        }.mkString
+      } else ""
+      s""",
+p$r AS (SELECT unnest([s[i+1] || ' ' || s[i+2] for i in range(0, len(s) - 1)]) AS pair
+        FROM (SELECT string_split(trim(seq, $u), $u || $u) AS s FROM s$r)
+        WHERE len(s) >= 2),
+top$r AS (SELECT rk, pair, cnt FROM (
+            SELECT pair, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(row_number() OVER (ORDER BY count(*) DESC, pair ASC)
+                AS BIGINT) AS rk
+            FROM p$r GROUP BY pair) WHERE rk <= $batch),
+cand$r AS (SELECT rk, pair, cnt,
+             string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+           FROM top$r),
+keep$r AS (SELECT c.rk, c.pair, c.cnt, c.a, c.b FROM cand$r c
+           WHERE NOT EXISTS (
+             SELECT 1 FROM cand$r j WHERE j.rk < c.rk
+               AND (j.a = c.a OR j.a = c.b OR j.b = c.a OR j.b = c.b)))$applies"""
+    }.mkString
+    val encodeCtes = (for (r <- 1 to rounds; i <- 1 to batch) yield {
+      val n = (r - 1) * batch + i
+      s""",
+e$n AS (SELECT doc_id, nch,
+          CASE WHEN m.a IS NULL THEN seq
+               ELSE replace(seq, $u || m.a || $u || $u || m.b || $u,
+                            $u || m.a || m.b || $u) END AS seq
+        FROM e${n - 1} LEFT JOIN (SELECT a, b FROM keep$r WHERE rk = $i) m ON TRUE)"""
+    }).mkString
+    val fin = s"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(nch) AS BIGINT) AS n_chars_seg,
+       CAST(sum(len(string_split(trim(seq, $u), $u || $u))) AS BIGINT)
+         AS n_tokens
+FROM e${rounds * batch} WHERE doc_id IS NOT NULL
+GROUP BY doc_id ORDER BY doc_id"""
+    head + trainCtes + encodeCtes + fin
+  }
+
   /** The q111 oracle: the encoder's train rounds unrolled exactly like
     * [[bpeTrainOracle]], with doc identity and the per-word char count
     * threaded through every replace CTE, and — unlike the trainer — the
@@ -1566,6 +1652,19 @@ ORDER BY cnt DESC, pair ASC LIMIT 20""")),
     Q("q115_bpe_train_batched",
       (s, dir) => TextAnalysis.bpeTrainBatched(Tables.documents(s, dir)),
       Some(bpeTrainBatchedOracle(3, 3))),
+
+    // Train-once/encode-many closed: q115's merge table WRITTEN to parquet
+    // (once per session+dir, the covPerDocMart discipline), then the
+    // corpus encoded FROM the written table — no pair-count shuffle in the
+    // encode path; the only training cost is the one-time mart build. The
+    // oracle replays the batched training chain (the q115 fragments) and
+    // then applies all kept merges to doc-threaded sequences in the same
+    // global (round, rk) order bpeEncodeWith's rank window spells.
+    Q("q120_bpe_encode_from_table",
+      (s, dir) => TextAnalysis.bpeEncodeWith(Tables.documents(s, dir),
+        s.read.parquet(bpeMergesMart(s, dir)), maxMerges = 9)
+        .orderBy("doc_id"),
+      Some(bpeEncodeFromTableOracle(3, 3))),
 
     // q86's curation chain extended with the selection family: quality →
     // exact dedup → decontam (q86's stages, same fragments) → dup-span-

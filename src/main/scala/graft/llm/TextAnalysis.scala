@@ -614,6 +614,72 @@ object TextAnalysis {
         sum("ntok").as("n_tokens"))
   }
 
+  /** Encode from a PERSISTED merge table — the production split
+    * [[bpeEncode]] documents but does not ship: train once
+    * ([[bpeTrainRounds]]/[[bpeTrainBatched]]), write the merge table,
+    * encode many corpora from the written table with NO training pass in
+    * the encode plan. The IVFADC index models the same train-once/
+    * serve-many seam for ANN; this is the tokenizer's.
+    *
+    * `merges` is the trainer's shipped schema — (round, rk, pair), the
+    * batched trainer's output ([[bpeTrainRounds]]' unbatched table lifts
+    * with rk = 1). Merges apply in global (round, rk) order: BPE merge
+    * tables are ordered by construction (later merges assume earlier ones'
+    * symbols exist), and since each is the same U+001F-wrapped literal
+    * replace as training, applying the written list in order reproduces
+    * the inline-trained segmentation BIT-FOR-BIT (spec-pinned against
+    * [[bpeEncode]] on the same corpus).
+    *
+    * `maxMerges` bounds the replace chain — a compile-time plan size like
+    * `rounds`/`batch` everywhere else in this family; ranks past the
+    * table's end (or dropped by the batched trainer's conflict rule) are
+    * no-ops via the same empty-frame left-join-on-TRUE guard. The global
+    * rank window runs un-partitioned on the MERGE TABLE — vocabulary-
+    * sized (30k rows at production), never corpus-sized. Scale shape:
+    * one narrow per-word pass (the chained replaces fuse into a single
+    * projection), `maxMerges` 1-row broadcasts, one doc-keyed agg — and
+    * NO pair-count shuffles, which is the whole point: the trainer's
+    * per-round corpus passes are paid at training time, not per encode. */
+  def bpeEncodeWith(docs: DataFrame, merges: DataFrame,
+      maxMerges: Int): DataFrame = {
+    val US = "\u001f"
+    def wrap(c: Column): Column = concat(lit(US), c, lit(US))
+    val syms = (seq: Column) => split(
+      regexp_replace(seq, s"^$US|$US$$", ""), US + US)
+    val ranked = merges
+      .withColumn("grk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("round").asc, col("rk").asc)))
+      .withColumn("ab", split(col("pair"), " "))
+      .select(col("grk"), element_at(col("ab"), 1).as("a"),
+        element_at(col("ab"), 2).as("b"))
+      .localCheckpoint(false)
+    var seqs = graft.Tables.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(toks(col("text"))).as("w0"))
+      .select(col("doc_id"), regexp_replace(col("w0"), US, "").as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(col("doc_id"), length(col("word")).cast("long").as("nch"),
+        concat_ws("", transform(
+          filter(split(col("word"), ""), c => c =!= ""),
+          c => wrap(c))).as("seq"))
+    for (i <- 1 to maxMerges) {
+      val mi = ranked.filter(col("grk") === i).select(col("a"), col("b"))
+      seqs = seqs.join(broadcast(mi), lit(true), "left")
+        .select(col("doc_id"), col("nch"),
+          when(col("a").isNull, col("seq"))
+            .otherwise(replace(col("seq"),
+              concat(wrap(col("a")), wrap(col("b"))),
+              wrap(concat(col("a"), col("b"))))).as("seq"))
+    }
+    seqs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("nch"),
+        size(syms(col("seq"))).cast("long").as("ntok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("nch").as("n_chars_seg"),
+        sum("ntok").as("n_tokens"))
+  }
+
   /** Per-doc character-distribution Shannon entropy — the quality signal
     * that separates natural text (≈ 4 bits/char neighborhoods) from both
     * base64/hex soup (high) and repeated-char padding (low), orthogonal to

@@ -469,6 +469,43 @@ class SelectionSpec extends SparkSpec {
     assert(two === Seq((1L, 2L, 8L, 4L), (2L, 3L, 6L, 3L)))
   }
 
+  test("bpe encode from a persisted merge table equals the inline-trained encode bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      doc(1L, "abab abab"),
+      doc(2L, "xy xy xy"),
+      doc(3L, "ba ba abab")).toDF(docCols: _*)
+    val inline = TextAnalysis.bpeEncode(docs, rounds = 3).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // ship the unbatched trainer's table (rk lifts to 1), round-trip it
+    // through parquet — the production artifact path — and encode from it
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_tbl").toString
+    TextAnalysis.bpeTrainRounds(docs, rounds = 3)
+      .withColumn("rk", lit(1L))
+      .write.mode("overwrite").parquet(tmp)
+    val fromTable = TextAnalysis.bpeEncodeWith(docs,
+      spark.read.parquet(tmp), maxMerges = 3).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(fromTable === inline,
+      "table-fed encode diverged from the inline-trained encode")
+    // ranks past the table's end are no-ops, not row-destroyers
+    val padded = TextAnalysis.bpeEncodeWith(docs,
+      spark.read.parquet(tmp), maxMerges = 9).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(padded === inline, "absent merge ranks must be no-ops")
+    // and the batched trainer's gapped ranks apply in (round, rk) order:
+    // its table for this corpus merges (a,b)+(x,y) together, then (ab,ab)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_bpe_tbl2").toString
+    TextAnalysis.bpeTrainBatched(docs, rounds = 3, batch = 3)
+      .write.mode("overwrite").parquet(tmp2)
+    val batched = TextAnalysis.bpeEncodeWith(docs,
+      spark.read.parquet(tmp2), maxMerges = 9).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // same final segmentation on this corpus: all three merges applied
+    assert(batched.map(t => (t._1, t._2, t._3)) ===
+      inline.map(t => (t._1, t._2, t._3)))
+  }
+
   test("dsir: target-like raw docs outweigh off-domain ones; deterministic") {
     // Target (src1) speaks vocabulary A; half the raw docs speak A, half
     // speak B. The log-likelihood-ratio weight must rank every A-speaking
