@@ -573,16 +573,7 @@ object Selection {
     * Returns (input codes file count, output codes file count). */
   def compactIvfadcIndex(spark: org.apache.spark.sql.SparkSession,
       inBase: String, outBase: String): (Long, Long) = {
-    def nFiles(p: String): Long = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(hp, true)
-      var n = 0L
-      while (it.hasNext) {
-        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      }
-      n
-    }
+    def nFiles(p: String): Long = countParquetFiles(spark, p)
     spark.read.parquet(s"$inBase/cents")
       .write.mode("overwrite").parquet(s"$outBase/cents")
     spark.read.parquet(s"$inBase/codebook")
@@ -872,19 +863,148 @@ c AS (SELECT doc_id, source, t,
     // lock must not nest another cachedCount call (embCount) on itself
     val nlist = Similarity.adaptiveNlist(embCount(s, dir))
     graft.sec.SecDerive.cachedCount(s, dir, "retrieval_index") {
-      val postings = TextAnalysis.bm25Postings(Tables.documents(s, dir))
-      graft.ops.Layout.writePostings(postings, s"$base/postings")
-      // stats from the postings AT REST: the layout is the source of truth
-      // once written (and the build scan is not paid a second time)
-      val atRest = s.read.parquet(s"$base/postings")
-      TextAnalysis.bm25TermStatsFromPostings(atRest)
-        .write.mode("overwrite").parquet(s"$base/term_stats")
-      TextAnalysis.bm25CorpusStatsFromPostings(atRest)
-        .write.mode("overwrite").parquet(s"$base/corpus_stats")
+      writeBm25Index(Tables.documents(s, dir), base)
       writeIvfadcIndex(Tables.embeddings(s, dir), nlist, s"$base/ann")
       1L
     }
     base
+  }
+
+  /** One-shot build of the persisted lexical index: term-bucketed postings
+    * ([[graft.ops.Layout.writePostings]]) + the df/corpus stats tables,
+    * every table under the reserved base partition `batch_id=-1` — the
+    * lexical twin of [[writeIvfadcIndex]], sharing its append/compact
+    * lifecycle. Stats are computed from the postings AT REST: the layout
+    * is the source of truth once written (and the build scan is not paid
+    * a second time). */
+  def writeBm25Index(docs: DataFrame, basePath: String): Unit = {
+    val spark = docs.sparkSession
+    graft.ops.Layout.writePostings(
+      TextAnalysis.bm25Postings(docs), s"$basePath/postings")
+    val atRest = spark.read.parquet(s"$basePath/postings")
+    TextAnalysis.bm25TermStatsFromPostings(atRest)
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$basePath/term_stats")
+    TextAnalysis.bm25CorpusStatsFromPostings(atRest)
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$basePath/corpus_stats")
+  }
+
+  /** Ingest a doc-disjoint document batch into a [[writeBm25Index]] layout
+    * without touching the standing corpus — the lexical twin of
+    * [[appendToIvfadcIndex]]. Postings land under the batch's own
+    * (term_bucket, batch_id) partitions; the batch's df delta and
+    * (n_docs, sum_dl) delta land under its batch_id partition of the
+    * stats tables, which the fold-reads ([[bm25TermStatsRead]] /
+    * [[bm25CorpusStatsRead]]) sum additively — postings rows are per
+    * (doc, term) and BM25 statistics are sums over docs, so doc-disjoint
+    * batches compose EXACTLY into the one-shot build over the union
+    * corpus (spec-pinned).
+    *
+    * Exactly-once: every write is a DYNAMIC overwrite of the batch's own
+    * partitions, so a re-delivered batch rewrites itself byte-identically
+    * instead of double-counting (the [[appendToIvfadcIndex]] recipe).
+    * Append cost is O(batch): one tokenize+count pass over the new docs,
+    * one bucket-keyed exchange of postings rows, one vocabulary-delta
+    * aggregation — nothing reads the existing index. Re-ingesting an
+    * existing doc_id would double-count its dl/df (additive stats cannot
+    * shadow); updated docs go through the offline rebuild, same split as
+    * IVFADC geometry retraining. */
+  def appendToBm25Index(newDocs: DataFrame, basePath: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"batchId must be >= 0 (negative ids are reserved for the base/" +
+        s"compacted partition batch_id=-1), got $batchId")
+    // one tokenize pass, three consumers (postings + both stats deltas)
+    val delta = TextAnalysis.bm25Postings(newDocs).localCheckpoint(false)
+    graft.ops.Layout.appendPostings(delta, s"$basePath/postings", batchId)
+    TextAnalysis.bm25TermStatsFromPostings(delta)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$basePath/term_stats")
+    TextAnalysis.bm25CorpusStatsFromPostings(delta)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$basePath/corpus_stats")
+  }
+
+  /** Additive fold-read of the per-batch df deltas: sum over batches per
+    * term. Base-only layouts fold one row per term — identical to a plain
+    * read. Vocabulary-sized; serving filters to the query terms BEFORE
+    * this fold's groupBy, which prunes the aggregation to the query
+    * terms' rows. */
+  def bm25TermStatsRead(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): DataFrame =
+    spark.read.parquet(s"$basePath/term_stats")
+      .groupBy("term").agg(sum("df").as("df"))
+
+  /** Additive fold-read of the per-batch corpus deltas — one row out. */
+  def bm25CorpusStatsRead(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): DataFrame =
+    spark.read.parquet(s"$basePath/corpus_stats")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+
+  /** Read-path BM25 search over a [[writeBm25Index]] layout: postings
+    * pruned to the query terms' bucket directories, stats folded across
+    * batches — the lexical twin of [[ivfadcSearchIndex]]. Per-query read
+    * cost is the query terms' postings rows, independent of corpus size
+    * and of how many batches built the index. */
+  def bm25SearchIndex(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, terms: Seq[String], topK: Int = 20): DataFrame =
+    TextAnalysis.bm25RankFromPostings(
+      graft.ops.Layout.postingsForTerms(spark, s"$basePath/postings", terms),
+      bm25TermStatsRead(spark, basePath)
+        .filter(col("term").isin(terms: _*)),
+      bm25CorpusStatsRead(spark, basePath), terms, topK)
+
+  /** Offline compaction of a persisted BM25 layout into a FRESH root:
+    * fold every appended batch into the reserved base partition
+    * `batch_id=-1` — postings rewritten one-file-per-bucket with the term
+    * run order restored (appends fragment each bucket into per-batch
+    * files; the fold re-sorts so row-group min/max skipping covers the
+    * whole bucket again), stats summed into a single base row set. A
+    * search against the compacted root returns EXACTLY the pre-compaction
+    * results (spec-pinned). Swap-in is the caller's move (publish-by-
+    * rename — the [[graft.ops.Layout.compact]] doctrine); distinct from
+    * [[graft.streaming.StreamOps.compactBm25Index]], which folds the
+    * STREAMING stats dir — this one compacts the serving layout root.
+    * Returns (input, output) postings file counts. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      inBase: String, outBase: String): (Long, Long) = {
+    spark.read.parquet(s"$inBase/postings_meta")
+      .write.mode("overwrite").parquet(s"$outBase/postings_meta")
+    spark.read.parquet(s"$inBase/postings")
+      .drop("batch_id").withColumn("batch_id", lit(-1L))
+      .repartition(col("term_bucket"))
+      .sortWithinPartitions("term_bucket", "batch_id", "term")
+      .write.mode("overwrite").partitionBy("term_bucket", "batch_id")
+      .parquet(s"$outBase/postings")
+    bm25TermStatsRead(spark, inBase)
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$outBase/term_stats")
+    bm25CorpusStatsRead(spark, inBase)
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$outBase/corpus_stats")
+    (countParquetFiles(spark, s"$inBase/postings"),
+      countParquetFiles(spark, s"$outBase/postings"))
+  }
+
+  private def countParquetFiles(
+      spark: org.apache.spark.sql.SparkSession, p: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hp, true)
+    var n = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
   }
 
   /** The production retrieval composition, end-to-end over the persisted
@@ -896,10 +1016,7 @@ c AS (SELECT doc_id, source, t,
       embeddings: DataFrame, terms: Seq[String], candidates: Long,
       legK: Int = 50, topK: Int = 10, nprobe: Int = 4): DataFrame = {
     val lexW = Window.orderBy(col("score_micro").desc, col("doc_id").asc)
-    val lex = TextAnalysis.bm25RankFromPostings(
-      graft.ops.Layout.postingsForTerms(s, s"$base/postings", terms),
-      s.read.parquet(s"$base/term_stats"),
-      s.read.parquet(s"$base/corpus_stats"), terms, legK)
+    val lex = bm25SearchIndex(s, base, terms, legK)
       .withColumn("lex_rank", row_number().over(lexW).cast("long"))
       .select("doc_id", "lex_rank")
     val sem = ivfadcSearchIndex(s, s"$base/ann", embeddings,
@@ -1561,10 +1678,7 @@ FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""")),
         val lexTxt = TextAnalysis.bm25Rank(Tables.documents(s, dir), terms, 50)
           .withColumn("lex_rank", row_number().over(lexW).cast("long"))
           .select("doc_id", "lex_rank")
-        val lexIdx = TextAnalysis.bm25RankFromPostings(
-          graft.ops.Layout.postingsForTerms(s, s"$base/postings", terms),
-          s.read.parquet(s"$base/term_stats"),
-          s.read.parquet(s"$base/corpus_stats"), terms, 50)
+        val lexIdx = bm25SearchIndex(s, base, terms, 50)
           .withColumn("lex_rank", row_number().over(lexW).cast("long"))
           .select("doc_id", "lex_rank")
         // The brute audit leg must match the indexed leg's self-exclusion

@@ -82,27 +82,65 @@ object Layout {
     * whose term min/max covers a query term (pushed filter + sorted
     * row-group stats). Term itself is too high-cardinality to be the
     * partition column (millions of directories); the bucket column gives
-    * bounded directory count with the same pruning effect. */
+    * bounded directory count with the same pruning effect.
+    *
+    * The one-shot build lands under the reserved base partition
+    * `batch_id=-1` (the same convention as the IVFADC codes layout —
+    * ingest batch ids are >= 0, so a later [[appendPostings]] can never
+    * collide with the base), making the layout append-ready from birth. */
   def writePostings(postings: DataFrame, path: String,
       nBuckets: Int = 64): Unit = {
-    postings
-      .withColumn("term_bucket", bucketOf(col("term"), nBuckets))
-      .repartition(col("term_bucket"))
-      // bucket FIRST: the parquet writer requires ordering on the partition
-      // column and would insert its own (not-necessarily-stable) sort,
-      // which could destroy the within-file term order the row-group
-      // min/max skipping depends on; sorting (bucket, term) satisfies the
-      // writer's requirement and keeps term runs contiguous
-      .sortWithinPartitions("term_bucket", "term")
-      .write.mode("overwrite")
-      .partitionBy("term_bucket")
-      .parquet(path)
+    writePostingsBatch(postings, path, nBuckets, batchId = -1L,
+      dynamic = false)
     // geometry sidecar: the reader derives buckets from THIS, so a
     // writer/reader nBuckets mismatch cannot silently prune to the wrong
     // directories and drop postings rows
     postings.sparkSession.range(1)
       .select(lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"${path}_meta")
+  }
+
+  /** Ingest a doc-disjoint postings delta into a [[writePostings]] layout
+    * under its own `batch_id` partitions — the lexical twin of
+    * [[graft.llm.Selection.appendToIvfadcIndex]]. Exactly-once: DYNAMIC
+    * partition overwrite means a re-delivered batch (driver retry after a
+    * successful commit, operator re-run) rewrites its own (bucket, batch)
+    * partitions byte-identically instead of appending duplicate rows.
+    * Postings rows are per (doc, term), so doc-disjoint batches union into
+    * exactly the one-shot build over the union corpus (spec-pinned).
+    * Re-ingesting an EXISTING doc_id is NOT shadowed here (a new doc
+    * version can drop terms, which latest-wins per row cannot express, and
+    * the stats tables are additive) — updated docs go through the offline
+    * rebuild/compaction path, same operational split as retraining the
+    * IVFADC geometry. The bucket count comes from the layout's own
+    * sidecar, so an append can never bucket differently than its base. */
+  def appendPostings(postings: DataFrame, path: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"batchId must be >= 0 (negative ids are reserved for the base/" +
+        s"compacted partition batch_id=-1), got $batchId")
+    val nBuckets =
+      postings.sparkSession.read.parquet(s"${path}_meta").head.getInt(0)
+    writePostingsBatch(postings, path, nBuckets, batchId, dynamic = true)
+  }
+
+  private def writePostingsBatch(postings: DataFrame, path: String,
+      nBuckets: Int, batchId: Long, dynamic: Boolean): Unit = {
+    val w = postings
+      .withColumn("term_bucket", bucketOf(col("term"), nBuckets))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("term_bucket"))
+      // partition columns FIRST: the parquet writer requires ordering on
+      // the partition columns and would insert its own (not-necessarily-
+      // stable) sort, which could destroy the within-file term order the
+      // row-group min/max skipping depends on; sorting (bucket, batch,
+      // term) satisfies the writer's required prefix and keeps term runs
+      // contiguous (batch_id is constant within one write)
+      .sortWithinPartitions("term_bucket", "batch_id", "term")
+      .write.mode("overwrite")
+      .partitionBy("term_bucket", "batch_id")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .parquet(path)
   }
 
   /** Driver-side twin of [[bucketOf]] — literally the same md5 arithmetic
@@ -130,7 +168,10 @@ object Layout {
     spark.read.parquet(path)
       .filter(col("term_bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
-      .drop("term_bucket")
+      // batch_id is layout plumbing (append idempotence), not query
+      // surface: batches are doc-disjoint by contract, so dropping it
+      // cannot create colliding (doc, term) rows
+      .drop("term_bucket", "batch_id")
   }
 
   /** Event-time layout: day-partitioned directories, the standard

@@ -70,13 +70,18 @@ class GraftApi(spark: SparkSession, sfDir: String,
   // which is the whole point (at 100 TB neither fits anywhere else).
   private lazy val searchIndexBase: String = indexRoot.getOrElse(
     graft.llm.Selection.retrievalIndex(spark, sfDir))
+  // fold-reads: the stats tables carry per-batch deltas after incremental
+  // appends (Selection.appendToBm25Index); caching the FOLDED frame keeps
+  // per-request work independent of how many batches built the index
   private lazy val idxTermStats: DataFrame = {
-    val df = spark.read.parquet(s"$searchIndexBase/term_stats").cache()
+    val df =
+      graft.llm.Selection.bm25TermStatsRead(spark, searchIndexBase).cache()
     df.count()
     df
   }
   private lazy val idxCorpusStats: DataFrame = {
-    val df = spark.read.parquet(s"$searchIndexBase/corpus_stats").cache()
+    val df =
+      graft.llm.Selection.bm25CorpusStatsRead(spark, searchIndexBase).cache()
     df.count()
     df
   }

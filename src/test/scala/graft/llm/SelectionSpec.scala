@@ -403,6 +403,59 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("BM25 index append: incremental batches == one-shot build; replay idempotent; compaction search-identical") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    // one-shot reference root vs a root built base + two appended batches
+    Selection.writeBm25Index(docs, s"$tmp/full")
+    Selection.writeBm25Index(docs.filter(col("doc_id") % 3 === 0), s"$tmp/inc")
+    Selection.appendToBm25Index(docs.filter(col("doc_id") % 3 === 1),
+      s"$tmp/inc", batchId = 0L)
+    Selection.appendToBm25Index(docs.filter(col("doc_id") % 3 === 2),
+      s"$tmp/inc", batchId = 1L)
+    val terms = Seq("hash", "join", "window")
+    def search(base: String): Seq[(Long, Long)] =
+      Selection.bm25SearchIndex(spark, base, terms, topK = 20).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+        .toSeq
+    val inc = search(s"$tmp/inc")
+    // doc-disjoint batches compose EXACTLY: df/n_docs/sum_dl fold to the
+    // same longs, so every score_micro is bit-identical, not just same-rank
+    assert(inc === search(s"$tmp/full") && inc.nonEmpty)
+
+    // Replay: re-delivering batch 1 dynamic-overwrites its own partitions —
+    // search AND physical row count unchanged (idempotence is physical)
+    def postingsRows(base: String): Long =
+      spark.read.parquet(s"$base/postings").count()
+    val nRows = postingsRows(s"$tmp/inc")
+    Selection.appendToBm25Index(docs.filter(col("doc_id") % 3 === 2),
+      s"$tmp/inc", batchId = 1L)
+    assert(search(s"$tmp/inc") === inc)
+    assert(postingsRows(s"$tmp/inc") === nRows)
+
+    // bucket pruning survives the appends (batch_id subpartitions nest
+    // INSIDE the bucket directories, so the term_bucket partition filter
+    // still prunes to the query terms' directories)
+    val p = graft.ops.Layout
+      .postingsForTerms(spark, s"$tmp/inc/postings", terms)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("term_bucket"),
+      s"bucket pruning lost after appends:\n$p")
+
+    // Offline compaction folds every batch into the batch_id=-1 base of a
+    // fresh root: search identical, strictly fewer postings files
+    val (inF, outF) =
+      Selection.compactBm25Index(spark, s"$tmp/inc", s"$tmp/cmp")
+    assert(search(s"$tmp/cmp") === inc)
+    assert(outF < inF,
+      s"compaction did not shrink the postings layout: $inF -> $outF")
+
+    // negative ids are the reserved base partition — appends must refuse
+    intercept[IllegalArgumentException] {
+      Selection.appendToBm25Index(docs, s"$tmp/inc", batchId = -1L)
+    }
+  }
+
   test("dupSpans: consecutive shared gram starts merge into one cut-ready interval") {
     // Both docs share their first 9 tokens, then diverge: gram starts 0 and
     // 1 are shared, start 2 onward differ — one island per doc covering
