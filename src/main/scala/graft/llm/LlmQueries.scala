@@ -915,6 +915,70 @@ p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
 SELECT vec_id_a, vec_id_b, cosine FROM p WHERE cosine >= 0.4
 ORDER BY vec_id_a, vec_id_b""")),
 
+    // q113's recall trade, MEASURED: |cell-tier pairs ∩ LSH-tier pairs| /
+    // |LSH-tier pairs| at the shared 0.4 threshold, for probes ∈ {1, 2} —
+    // the number behind the tier's documented cross-cell-miss trade, and
+    // the evidence that multi-probe is a real recall knob (probes=2's
+    // recall must dominate probes=1's by construction: its pair set is a
+    // superset). One LSH pass + one training feed both settings. The
+    // oracle composes q34's LSH chain and q113's Lloyd chain, with the
+    // assignment window kept at rank ≤ 2 and filtered per probe setting.
+    Q("q121_neardup_recall_ivf",
+      (s, dir) => {
+        val n = embCount(s, dir)
+        val r = Similarity.adaptiveR(n)
+        val nlist = Similarity.adaptiveNlist(n)
+        requireOracleGeometry(
+          r == Similarity.PlanesPerTable && nlist == OracleNlist,
+          s"q121 oracle is generated for R=${Similarity.PlanesPerTable}, " +
+            s"nlist=$OracleNlist; corpus resolves adaptiveR=$r, " +
+            s"adaptiveNlist=$nlist — regenerate the oracle")
+        Similarity.nearDupRecallVsLsh(Tables.embeddings(s, dir), nlist, 0.4,
+          probesList = Seq(1, 2), Similarity.Tables, r)
+      },
+      Some(s"""
+WITH $lshCte,
+cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b2.vec_id AS vec_id_b
+         FROM b a JOIN b b2
+           ON a.table_id = b2.table_id AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+lshp AS (SELECT vec_id_a, vec_id_b FROM (
+           SELECT vec_id_a, vec_id_b, ${cosineSql("ea.v", "eb2.v")} AS cosine
+           FROM cand
+           JOIN e ea ON ea.vec_id = cand.vec_id_a
+           JOIN e eb2 ON eb2.vec_id = cand.vec_id_b)
+         WHERE cosine >= 0.4),
+cents0 AS (SELECT vec_id AS cell, v AS cent FROM e WHERE vec_id < $OracleNlist),
+${lloydIterCtes(1)},
+${lloydIterCtes(2)},
+afm AS (SELECT vec_id, v, cell, rn FROM (
+          SELECT e.vec_id, e.v, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosineSql("e.v", "c.cent")} DESC, c.cell ASC) AS rn
+          FROM e, cents2 c) WHERE rn <= 2),
+cellp1 AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+           FROM afm a JOIN afm b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE a.rn <= 1 AND b.rn <= 1
+             AND ${cosineSql("a.v", "b.v")} >= 0.4),
+cellp2 AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+           FROM afm a JOIN afm b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE ${cosineSql("a.v", "b.v")} >= 0.4),
+r1 AS (SELECT 1 AS probes,
+         (SELECT count(*) FROM lshp) AS lsh_pairs,
+         (SELECT count(*) FROM cellp1) AS cell_pairs,
+         (SELECT count(*) FROM lshp l JOIN cellp1 c
+            ON l.vec_id_a = c.vec_id_a AND l.vec_id_b = c.vec_id_b) AS hit_pairs),
+r2 AS (SELECT 2 AS probes,
+         (SELECT count(*) FROM lshp) AS lsh_pairs,
+         (SELECT count(*) FROM cellp2) AS cell_pairs,
+         (SELECT count(*) FROM lshp l JOIN cellp2 c
+            ON l.vec_id_a = c.vec_id_a AND l.vec_id_b = c.vec_id_b) AS hit_pairs)
+SELECT probes, lsh_pairs, cell_pairs, hit_pairs,
+  CASE WHEN lsh_pairs > 0 THEN
+    CAST(floor(1000000.0 * hit_pairs::DOUBLE / lsh_pairs::DOUBLE + 0.5) AS BIGINT)
+  END AS recall_micro
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+ORDER BY probes""")),
+
     // SemDeDup: semantic dedup decisions — IVF-cell clustering, within-cell
     // cosine pairs only, drop any vector with a lower-id neighbor >= 0.4.
     // nlist resolves adaptively (occupancy ~128, the q34 recipe applied to

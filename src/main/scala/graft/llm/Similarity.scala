@@ -373,8 +373,16 @@ object Similarity {
     * shuffle on the cell key feeding both self-join sides (ReuseExchange),
     * no T-table bucket explode, no all-pairs step at any size. */
   def nearDupPairsIvf(embeddings: DataFrame, nlist: Int, threshold: Double,
-      iters: Int = 2, probes: Int = 1): DataFrame = {
-    val cents = kmeansTrain(embeddings, nlist, iters)
+      iters: Int = 2, probes: Int = 1): DataFrame =
+    nearDupPairsIvfWith(embeddings, kmeansTrain(embeddings, nlist, iters),
+      threshold, probes)
+
+  /** [[nearDupPairsIvf]] against PRE-TRAINED centroids — the seam that
+    * lets one training pass feed several probe settings (the q121 recall
+    * audit) or a persisted centroid table (the flags-disappear-at-100TB
+    * doctrine: geometry is trained once, offline). */
+  def nearDupPairsIvfWith(embeddings: DataFrame, cents: DataFrame,
+      threshold: Double, probes: Int = 1): DataFrame = {
     val assigned = (if (probes <= 1) ivfAssignWith(embeddings, cents)
                     else ivfAssignMulti(embeddings, cents, probes))
       .select("vec_id", "embedding", "cell")
@@ -390,6 +398,44 @@ object Similarity {
     // the cosine is computed identically each time, so distinct dedupes
     // exactly. probes=1 keeps the single-emission plan untouched.
     if (probes <= 1) pairs else pairs.distinct()
+  }
+
+  /** The cell tier's recall, MEASURED against the LSH tier at each probe
+    * setting — the number behind q113's documented recall trade: for every
+    * `probes` in `probesList`, |cell-tier pairs ∩ LSH-tier pairs| /
+    * |LSH-tier pairs| at the shared cosine threshold (recall_micro, the
+    * repo's integer-micro discipline), plus the raw pair counts. One LSH
+    * pass and ONE k-means training feed every probe setting (the pair sets
+    * are localCheckpoint'd / centroid-shared), so the audit costs
+    * lsh + train + Σ_p assign+pairs — not |probesList| full reruns.
+    *
+    * Scale shape: both tiers are the banded/bucketed plans they always
+    * are; the intersection is a semi-join on the (a, b) pair key over two
+    * bounded pair sets. At 100 TB this audit runs on a corpus SAMPLE (the
+    * recall estimate is a proportion — sampling error ~1/√pairs), exactly
+    * like any other quality gate; the registered query IS that job at
+    * verify scale. */
+  def nearDupRecallVsLsh(embeddings: DataFrame, nlist: Int,
+      threshold: Double, probesList: Seq[Int], tables: Int = Tables,
+      planesPerTable: Int = PlanesPerTable): DataFrame = {
+    val lsh = nearDupPairs(embeddings, threshold, tables, planesPerTable)
+      .select("vec_id_a", "vec_id_b").localCheckpoint(false)
+    val lshN = lsh.agg(count(lit(1)).as("lsh_pairs"))
+    val cents = kmeansTrain(embeddings, nlist, iters = 2)
+    probesList.map { p =>
+      val cell = nearDupPairsIvfWith(embeddings, cents, threshold, p)
+        .select("vec_id_a", "vec_id_b").localCheckpoint(false)
+      val cellN = cell.agg(count(lit(1)).as("cell_pairs"))
+      val hitN = lsh.join(cell, Seq("vec_id_a", "vec_id_b"), "left_semi")
+        .agg(count(lit(1)).as("hit_pairs"))
+      lshN.crossJoin(cellN).crossJoin(hitN)
+        .select(lit(p).as("probes"), col("lsh_pairs"), col("cell_pairs"),
+          col("hit_pairs"),
+          when(col("lsh_pairs") > 0,
+            floor(lit(1000000.0) * col("hit_pairs").cast("double")
+              / col("lsh_pairs").cast("double") + lit(0.5)).cast("long"))
+            .as("recall_micro"))
+    }.reduce(_.unionByName(_)).orderBy("probes")
   }
 
   /** Hard-negative mining for contrastive embedding training: for each
