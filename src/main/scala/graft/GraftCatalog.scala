@@ -24,12 +24,17 @@ import org.apache.spark.sql.SparkSession
   * registration. Callers that only serve the relational surface (the HTTP
   * API default) keep the cheap, fully-lazy registration; at 100 TB the
   * labels and the trained centroids are written tables and both flags
-  * disappear.
+  * disappear. `selectionGeometry = Some(path)` is that 100 TB shape made
+  * concrete for the selection leg: the path holds a WRITTEN cell
+  * directory ([[llm.Selection.writeCellDirectory]]) and
+  * `corpus_selected_v2` registers as a fully-LAZY plan over it — zero
+  * training jobs at registration (spec-pinned), row-identical output.
   */
 object GraftCatalog {
   def registerViews(spark: SparkSession, dir: String,
       withSplitsMart: Boolean = false,
-      withSelectionV2: Boolean = false): Unit = {
+      withSelectionV2: Boolean = false,
+      selectionGeometry: Option[String] = None): Unit = {
     Tables.names.foreach { n =>
       Tables.load(spark, dir, n).createOrReplaceTempView(n)
     }
@@ -62,9 +67,18 @@ object GraftCatalog {
     // like corpus_splits because its cell directory is Lloyd-TRAINED —
     // constructing the view runs the training jobs (eager checkpoints) at
     // registration time, not lazily at first query.
-    if (withSelectionV2)
-      SparkEntry.queries("q114_selection_pipeline_v2")(spark, dir)
-        .createOrReplaceTempView("corpus_selected_v2")
+    selectionGeometry match {
+      // the 100 TB shape: geometry is a written table, the view is a lazy
+      // plan over its scan — registration runs no training jobs
+      case Some(path) =>
+        llm.LlmQueries.selectionV2Frame(spark, dir,
+          spark.read.parquet(path))
+          .createOrReplaceTempView("corpus_selected_v2")
+      case None if withSelectionV2 =>
+        SparkEntry.queries("q114_selection_pipeline_v2")(spark, dir)
+          .createOrReplaceTempView("corpus_selected_v2")
+      case None => ()
+    }
     // The substring-deduplicated selection (q119): despan the corpus
     // (q118's rewriter — the Lee et al. training input), THEN quality-
     // screen, exact-dedup, and PPS-draw over the CLEAN text. Unflagged:

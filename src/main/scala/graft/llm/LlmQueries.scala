@@ -38,7 +38,40 @@ object LlmQueries {
   /** The generated IVF oracles' cell-directory size — every quantizer
     * literal (Scala call sites AND generated SQL) routes through this ONE
     * constant, so regenerating the geometry is a one-line change. */
-  private val OracleNlist = 16
+  private[graft] val OracleNlist = 16
+
+  /** The q114 selection chain against an EXPLICIT cell directory — the
+    * seam that makes the catalog's flags-disappear-at-100TB story real:
+    * fed a WRITTEN centroid table ([[Selection.writeCellDirectory]]) the
+    * whole frame is a lazy plan (constructing it runs ZERO Spark jobs —
+    * spec-pinned), where q114's inline [[Similarity.kmeansTrain]] runs the
+    * Lloyd training jobs at construction. Doubles round-trip parquet
+    * exactly, so the written-geometry draw is row-identical to the
+    * inline-trained one. */
+  private[graft] def selectionV2Frame(s: SparkSession, dir: String,
+      cents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept1 = docs.join(TextAnalysis.qualityFilter(docs)
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val kept2 = docs.join(Dedup.exactDedup(kept1).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val train = kept2.filter(col("source") =!= "src1")
+    val benchDocs = docs.filter(col("source") === "src1")
+    val kept3 = Decontam.decontaminate(train, benchDocs)
+    val kept4 = kept3
+      .join(Selection.covPerDocMart(s, dir), Seq("doc_id"), "left")
+      .filter(coalesce(col("cov_micro"), lit(0L)) < 500000L)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val dsirIn = kept4.select(cols.map(col): _*)
+      .unionByName(benchDocs.select(cols.map(col): _*))
+    val picks = Selection.dsirResample(dsirIn, k = 50)
+    val emb = Tables.embeddings(s, dir)
+    val eligible = emb.join(picks.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    Selection.clusterBalancedSampleWith(eligible, cents, k = 3)
+      .orderBy("cell", "rk")
+  }
 
   /** Loud failure for queries whose generated oracle SQL is pinned to a
     * specific geometry: active only under the driver's verify run (the
@@ -700,29 +733,8 @@ SELECT cell, rk, vec_id FROM r WHERE rk <= 5 ORDER BY cell, rk""")),
     // survivor threading across all four families. Scale: sum of its parts
     // — every stage keyed-shuffle or broadcast, draws rank-limited.
     Q("q114_selection_pipeline_v2",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val kept1 = docs.join(TextAnalysis.qualityFilter(docs)
-          .select("doc_id"), Seq("doc_id"), "left_semi")
-        val kept2 = docs.join(Dedup.exactDedup(kept1).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        val train = kept2.filter(col("source") =!= "src1")
-        val benchDocs = docs.filter(col("source") === "src1")
-        val kept3 = Decontam.decontaminate(train, benchDocs)
-        val kept4 = kept3
-          .join(Selection.covPerDocMart(s, dir), Seq("doc_id"), "left")
-          .filter(coalesce(col("cov_micro"), lit(0L)) < 500000L)
-        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
-        val dsirIn = kept4.select(cols.map(col): _*)
-          .unionByName(benchDocs.select(cols.map(col): _*))
-        val picks = Selection.dsirResample(dsirIn, k = 50)
-        val emb = Tables.embeddings(s, dir)
-        val cents = Similarity.kmeansTrain(emb, OracleNlist, 2)
-        val eligible = emb.join(picks.select(col("doc_id").as("vec_id")),
-          Seq("vec_id"), "left_semi")
-        Selection.clusterBalancedSampleWith(eligible, cents, k = 3)
-          .orderBy("cell", "rk")
-      },
+      (s, dir) => selectionV2Frame(s, dir,
+        Similarity.kmeansTrain(Tables.embeddings(s, dir), OracleNlist, 2)),
       Some(s"""
 WITH $tokCte,
 $qualityStCte,

@@ -1093,6 +1093,21 @@ win$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$r GROUP BY pair
     clusterBalancedSampleWith(embeddings,
       Similarity.kmeansTrain(embeddings, nlist, iters), k, salts)
 
+  /** Persist a trained cell directory — the offline half of the
+    * flags-disappear-at-100TB doctrine (GraftCatalog): train the Lloyd
+    * geometry ONCE (the q114 recipe: iters=2), write it, and every
+    * consumer — the `corpus_selected_v2` view, cluster-balanced draws,
+    * audits — reads a dimension-sized parquet table instead of re-running
+    * training jobs at registration. Doubles round-trip parquet exactly,
+    * so the written geometry assigns bit-identically to the in-session
+    * one (the writeIvfadcIndex claim, applied to selection). Refresh on
+    * corpus drift is an offline rebuild + path swap, like every other
+    * persisted geometry here. */
+  def writeCellDirectory(embeddings: DataFrame, nlist: Int,
+      path: String): Unit =
+    Similarity.kmeansTrain(embeddings, nlist, iters = 2)
+      .write.mode("overwrite").parquet(path)
+
   /** The draw against an EXPLICIT centroid table — the seam that lets a
     * selection pipeline train the cell directory on the full corpus (a
     * stable geometry) while drawing only from an eligible subset

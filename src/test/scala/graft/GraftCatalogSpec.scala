@@ -101,6 +101,59 @@ class GraftCatalogSpec extends SparkSpec {
       "coverage-screened doc leaked into the selected set")
   }
 
+  test("corpus_selected_v2 from a WRITTEN cell directory: no training at registration, rows identical") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cellsdir")
+      .toString
+    llm.Selection.writeCellDirectory(Tables.embeddings(spark, dir),
+      llm.LlmQueries.OracleNlist, s"$root/cents")
+    // reference rows via the inline-trained path (also warms the
+    // session-memoized marts the chain shares, so the job contrast below
+    // isolates the GEOMETRY cost, which is the flag's whole story)
+    val viaTraining =
+      SparkEntry.queries("q114_selection_pipeline_v2")(spark, dir).collect()
+    def jobsDuring(f: => Any): Int = {
+      val b = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      f
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - b
+    }
+    // Constructing the written-geometry frame costs only parquet footer
+    // reads (a few file-listing/schema jobs — the price of ANY lazy scan);
+    // the inline path runs the Lloyd training at construction: 2 iters of
+    // eager checkpoints, many jobs. The contrast is the pin — `written`
+    // must be a fraction of `inline`, not merely smaller.
+    val written = jobsDuring(
+      llm.LlmQueries.selectionV2Frame(spark, dir,
+        spark.read.parquet(s"$root/cents")))
+    val inline = jobsDuring(
+      SparkEntry.queries("q114_selection_pipeline_v2")(spark, dir))
+    assert(written < inline / 4,
+      s"written-geometry construction ran $written jobs vs inline's " +
+        s"$inline — training is leaking into the written path")
+    // registered through the catalog: same rows as the inline-trained
+    // view (doubles round-trip parquet exactly, so assignment is
+    // bit-identical)
+    GraftCatalog.registerViews(spark, dir,
+      selectionGeometry = Some(s"$root/cents"))
+    val viaTable = spark.sql("SELECT * FROM corpus_selected_v2").collect()
+    assert(viaTable.map(_.toSeq).toSeq === viaTraining.map(_.toSeq).toSeq
+      && viaTable.nonEmpty)
+    // the captured plan reads the written directory, not a training
+    // checkpoint: a parquet scan of the geometry path, and none of the
+    // ExistingRDD nodes that are kmeansTrain's checkpoint signature
+    val p = spark.table("corpus_selected_v2")
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("graft_cellsdir"),
+      s"plan does not scan the written cell directory:\n$p")
+    assert(!p.contains("ExistingRDD"),
+      s"training checkpoint leaked into the written-geometry plan:\n$p")
+    // ...and the inline-trained plan DOES carry that signature — the
+    // assertion above is discriminating, not vacuous
+    val pInline = SparkEntry.queries("q114_selection_pipeline_v2")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(pInline.contains("ExistingRDD"),
+      "expected the inline-trained plan to carry checkpoint scans")
+  }
+
   test("corpus_selected_v3 view reconciles with the despanned corpus (q118)") {
     GraftCatalog.registerViews(spark, dir)
     import org.apache.spark.sql.functions._
