@@ -128,10 +128,16 @@ object Bench {
       "\"" + n + "\":" + rs.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val totalCpu = detailed.map(_._4).filter(_ >= 0).sum
+    // Self-identifying contention: a run that STARTS on a loaded host
+    // (loadavg > ~2 before any bench work) measures the host, not the
+    // plans — r10's 124 s driver number vs the 100 s quiet pair was
+    // exactly this. The flag travels with the numbers so a polluted run
+    // can never silently stand in for a quiet one.
+    val contended = loadStart > 2.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":$sf,""" +
         s""""cpu_sec":$cpuJson,"gc_sec":$gcJson,"runs":$runsJson,"total_cpu_sec":${fmt(totalCpu)},""" +
-        s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"cpus":$cpus}"""
+        s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"cpus":$cpus,"contended":$contended}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     // The driver keeps only the LAST 2000 chars of stdout and parses a JSON
     // line out of them; the full-detail line above is ~14 KB, so it has
@@ -148,7 +154,8 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qsShort,""" +
         s""""failed":$failed,"sf":$sf,"total_cpu_sec":${fmt3(totalCpu)},""" +
-        s""""loadavg_start":${fmt3(loadStart)},"loadavg_end":${fmt3(loadavg)},"cpus":$cpus}""")
+        s""""loadavg_start":${fmt3(loadStart)},"loadavg_end":${fmt3(loadavg)},"cpus":$cpus,""" +
+        s""""contended":$contended}""")
     spark.stop()
   }
 }

@@ -486,6 +486,98 @@ object StreamOps {
   def sourceCountsRead(spark: SparkSession, statsPath: String): DataFrame =
     spark.read.parquet(statsPath).groupBy("source").agg(sum("n").as("n"))
 
+  /** Batch-0 restart guard shared by the serving-layout ingest streams:
+    * true iff a `batch_id=` partition other than 0 (legitimate
+    * re-delivery) or -1 (the reserved base) exists `depth` directory
+    * levels under `path` — batch_id nests under term_bucket= in the
+    * postings layout and under cell= in the codes layout, so the guard
+    * must look one level down, not just at the root. */
+  private def staleBatchPartitions(spark: SparkSession, path: String,
+      depth: Int): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path, d: Int): Boolean =
+      if (!fs.exists(p)) false
+      else if (d == 0)
+        fs.listStatus(p).exists { st =>
+          val n = st.getPath.getName
+          n.startsWith("batch_id=") &&
+            n.stripPrefix("batch_id=") != "0" &&
+            n.stripPrefix("batch_id=") != "-1"
+        }
+      else fs.listStatus(p).filter(_.isDirectory)
+        .exists(st => walk(st.getPath, d - 1))
+    walk(hPath, depth)
+  }
+
+  /** Streaming ingest into the PERSISTED BM25 serving layout: each
+    * micro-batch of documents appends through
+    * [[graft.llm.Selection.appendToBm25Index]] under the sink's own
+    * batchId — foreachBatch's replay contract and the layout's dynamic-
+    * overwrite idempotence are the SAME mechanism, so a re-delivered
+    * batch rewrites its own (bucket, batch) partitions byte-identically
+    * and the served index never double-counts (spec-pinned: stream ==
+    * one-shot build, search-identical).
+    *
+    * Operational contract, same family as [[bm25IndexStream]]'s: the base
+    * layout exists before the stream starts ([[graft.llm.Selection
+    * .writeBm25Index]] — appends bucket by its geometry sidecar); batches
+    * are doc-disjoint (a file source of NEW docs; an updated doc is the
+    * offline rebuild/compaction path); checkpoint and index root live and
+    * die together — the batch-0 guard fails loudly on foreign batch
+    * partitions, and a compaction swap-in requires a drained source.
+    * Distinct from [[bm25IndexStream]], which maintains only the
+    * STATISTICS tables for rank-at-query-time serving: this stream
+    * maintains the full postings layout the /search endpoint reads. */
+  def bm25IngestStream(docsStream: DataFrame, basePath: String,
+      checkpoint: String): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (batchId == 0L) {
+          val stale =
+            staleBatchPartitions(b.sparkSession, s"$basePath/postings", 1) ||
+              Seq("term_stats", "corpus_stats").exists(sub =>
+                staleBatchPartitions(b.sparkSession, s"$basePath/$sub", 0))
+          require(!stale,
+            s"index root $basePath has batch partitions from a previous " +
+              "run but this stream is at batch 0 (new checkpoint): " +
+              "additive stats folds would double-count. Compact into a " +
+              "fresh root or reuse the original checkpoint.")
+        }
+        graft.llm.Selection.appendToBm25Index(b, basePath, batchId)
+        ()
+      }
+      .start()
+
+  /** Streaming ingest into the PERSISTED IVFADC index: each micro-batch
+    * of embeddings appends through
+    * [[graft.llm.Selection.appendToIvfadcIndex]] under the sink's own
+    * batchId — same exactly-once argument as [[bm25IngestStream]].
+    * Geometry stays FROZEN (assign + residual-encode against the written
+    * centroids/codebook); a vec_id re-delivered across batches is the
+    * search path's latest-wins case, physically dropped at compaction.
+    * The base index exists before the stream starts
+    * ([[graft.llm.Selection.writeIvfadcIndex]]); batch schema is the
+    * embeddings table's (vec_id, embedding, label). */
+  def ivfadcIngestStream(embStream: DataFrame, basePath: String,
+      checkpoint: String): StreamingQuery =
+    embStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (batchId == 0L)
+          require(!staleBatchPartitions(b.sparkSession,
+              s"$basePath/codes", 1),
+            s"index root $basePath has code batches from a previous run " +
+              "but this stream is at batch 0 (new checkpoint): compact " +
+              "into a fresh root or reuse the original checkpoint.")
+        graft.llm.Selection.appendToIvfadcIndex(b, basePath, batchId)
+        ()
+      }
+      .start()
+
   /** Fold the per-batch partials into the serving index: the (term, df)
     * table and the corpus scalar — the frames [[graft.llm.TextAnalysis
     * .bm25RankWith]] consumes. All sums are exact longs, so the fold equals

@@ -323,6 +323,70 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       "temperature mixture via stream counts")
   }
 
+  test("bm25IngestStream: streamed appends into the serving layout == one-shot build") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("bm25ingest").toString
+    val docsDF = docsFixture.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (base, streamed) = docsFixture.splitAt(docsFixture.size / 2)
+    // base layout from the first half; the stream delivers the second half
+    // across two micro-batches (sink batch ids 0 and 1)
+    graft.llm.Selection.writeBm25Index(
+      base.toDF("doc_id", "text", "lang", "source", "n_chars"), s"$tmp/inc")
+    val (s1, s2) = streamed.splitAt(streamed.size / 2)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.bm25IngestStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/inc", s"$tmp/ckpt")
+    try {
+      mem.addData(s1: _*)
+      q.processAllAvailable()
+      mem.addData(s2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.llm.Selection.writeBm25Index(docsDF, s"$tmp/full")
+    val terms = Seq("hash", "join", "window")
+    def search(root: String) =
+      graft.llm.Selection.bm25SearchIndex(spark, root, terms, topK = 20)
+        .collect().map(_.toSeq).toSeq
+    val inc = search(s"$tmp/inc")
+    assert(inc === search(s"$tmp/full") && inc.nonEmpty)
+  }
+
+  test("ivfadcIngestStream: streamed appends under frozen geometry == one-shot encode") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ivfingest").toString
+    val rng = new scala.util.Random(23)
+    val centers = Array.fill(4)(Array.fill(64)(rng.nextGaussian() * 10))
+    val vecs = Seq.tabulate(120) { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.05).toFloat).toSeq,
+        i % 4)
+    }
+    val vecsDF = vecs.toDF("vec_id", "embedding", "label")
+    graft.llm.Selection.writeIvfadcIndex(vecsDF, nlist = 8, s"$tmp/full")
+    // incremental root shares the FROZEN geometry; ALL codes arrive by stream
+    spark.read.parquet(s"$tmp/full/cents").write.parquet(s"$tmp/inc/cents")
+    spark.read.parquet(s"$tmp/full/codebook")
+      .write.parquet(s"$tmp/inc/codebook")
+    val (v1, v2) = vecs.splitAt(60)
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val q = StreamOps.ivfadcIngestStream(
+      mem.toDF().toDF("vec_id", "embedding", "label"),
+      s"$tmp/inc", s"$tmp/ckpt")
+    try {
+      mem.addData(v1: _*)
+      q.processAllAvailable()
+      mem.addData(v2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def search(root: String) =
+      graft.llm.Selection.ivfadcSearchIndex(spark, root, vecsDF,
+        nQueries = 4, k = 10, nprobe = 2, candidates = 64).collect()
+        .map(_.toSeq).toSet
+    val inc = search(s"$tmp/inc")
+    assert(inc === search(s"$tmp/full") && inc.nonEmpty)
+  }
+
   test("stats compaction: folded batch_id=-1 base reads identically with fewer files") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("statscompact").toString
