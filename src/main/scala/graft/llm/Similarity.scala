@@ -382,11 +382,23 @@ object Similarity {
     * audit) or a persisted centroid table (the flags-disappear-at-100TB
     * doctrine: geometry is trained once, offline). */
   def nearDupPairsIvfWith(embeddings: DataFrame, cents: DataFrame,
-      threshold: Double, probes: Int = 1): DataFrame = {
-    val assigned = (if (probes <= 1) ivfAssignWith(embeddings, cents)
-                    else ivfAssignMulti(embeddings, cents, probes))
-      .select("vec_id", "embedding", "cell")
-      .repartition(col("cell"))
+      threshold: Double, probes: Int = 1): DataFrame =
+    nearDupPairsFromAssigned(
+      (if (probes <= 1) ivfAssignWith(embeddings, cents)
+       else ivfAssignMulti(embeddings, cents, probes))
+        .select("vec_id", "embedding", "cell"),
+      threshold, dedupe = probes > 1)
+
+  /** Same-cell pair emission + exact-cosine verify over an ALREADY-ASSIGNED
+    * frame (vec_id, embedding, cell) — the shared tail of the cell tier:
+    * one cell-keyed exchange feeding both self-join sides (ReuseExchange).
+    * `dedupe` is for multi-probe inputs, which can emit a pair once per
+    * shared cell (≤ probes² copies; the cosine is computed identically
+    * each time, so distinct dedupes exactly); single-probe callers keep
+    * the distinct-free plan. */
+  private[llm] def nearDupPairsFromAssigned(assignedRaw: DataFrame,
+      threshold: Double, dedupe: Boolean): DataFrame = {
+    val assigned = assignedRaw.repartition(col("cell"))
     val a = assigned.as("a")
     val b = assigned.hint("shuffle_hash").as("b")
     val pairs = a.join(b,
@@ -394,10 +406,7 @@ object Similarity {
       .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
         cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
       .filter(col("cosine") >= threshold)
-    // multi-probe can emit a pair once per shared cell (≤ probes² copies);
-    // the cosine is computed identically each time, so distinct dedupes
-    // exactly. probes=1 keeps the single-emission plan untouched.
-    if (probes <= 1) pairs else pairs.distinct()
+    if (dedupe) pairs.distinct() else pairs
   }
 
   /** The cell tier's recall, MEASURED against the LSH tier at each probe
@@ -422,8 +431,27 @@ object Similarity {
       .select("vec_id_a", "vec_id_b").localCheckpoint(false)
     val lshN = lsh.agg(count(lit(1)).as("lsh_pairs"))
     val cents = kmeansTrain(embeddings, nlist, iters = 2)
+    // ONE corpus × nlist assignment pass at max(probes), rank kept; each
+    // probe setting is a rank filter over it — rn <= 1 of this window IS
+    // ivfAssignWith's assignment (same ordering), so per-setting pair
+    // sets are identical to nearDupPairsIvfWith's, without re-running
+    // the cosine pass per setting.
+    val maxP = probesList.max
+    val cb = broadcast(cents.select(col("cell"), col("cent")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cell").asc)
+    val assignedAll = graft.Tables.spread(embeddings).join(cb)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("cent")).as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxP)
+      .select("vec_id", "embedding", "cell", "__rn")
+      .localCheckpoint(false)
     probesList.map { p =>
-      val cell = nearDupPairsIvfWith(embeddings, cents, threshold, p)
+      val cell = nearDupPairsFromAssigned(
+        assignedAll.filter(col("__rn") <= p)
+          .select("vec_id", "embedding", "cell"),
+        threshold, dedupe = p > 1)
         .select("vec_id_a", "vec_id_b").localCheckpoint(false)
       val cellN = cell.agg(count(lit(1)).as("cell_pairs"))
       val hitN = lsh.join(cell, Seq("vec_id_a", "vec_id_b"), "left_semi")
