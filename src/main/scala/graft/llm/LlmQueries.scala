@@ -132,6 +132,28 @@ sh AS (SELECT doc_id, list_distinct([array_to_string(t[i+1:i+2], ' ')
                                      for i in range(0, len(t)-1)]) AS s
        FROM tok)"""
 
+  /** The q122 oracle, generated from the phrase list so the SQL cannot
+    * drift from the Scala shifted-intersection arithmetic. */
+  private def phraseOracle(phrase: Seq[String]): String = {
+    val posCols = phrase.zipWithIndex.map { case (w, k) =>
+      s"list_transform(list_filter(generate_series(1, len(t)), " +
+        s"i -> t[i] = '$w'), i -> i - $k) AS p$k"
+    }.mkString(",\n        ")
+    val containsAll = phrase.map(w => s"list_contains(t, '$w')")
+      .mkString(" AND ")
+    val inter = phrase.indices.map(k => s"p$k")
+      .reduce((a, b) => s"list_intersect($a, $b)")
+    s"""
+WITH ptok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+pp AS (SELECT doc_id,
+        $posCols
+       FROM ptok WHERE $containsAll),
+po AS (SELECT doc_id, CAST(len($inter) AS BIGINT) AS n_occ FROM pp)
+SELECT doc_id, n_occ FROM po WHERE n_occ > 0
+ORDER BY n_occ DESC, doc_id ASC"""
+  }
+
   private def jaccardSql(a: String, b: String): String =
     s"len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE"
 
@@ -990,6 +1012,17 @@ SELECT probes, lsh_pairs, cell_pairs, hit_pairs,
   END AS recall_micro
 FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
 ORDER BY probes""")),
+
+    // Exact phrase occurrences per doc — the positional retrieval feature
+    // a term-bag index cannot express. Shifted-position intersection: term
+    // k's positions shifted left by k all contain p iff an exact phrase
+    // occurrence starts at p. Oracle generated from the same phrase list
+    // (1-based positions in DuckDB, 0-based in Spark — intersection of
+    // consistently-shifted sets is base-invariant).
+    Q("q122_phrase_search",
+      (s, dir) => TextAnalysis.phraseOccurrences(
+        Tables.documents(s, dir), Seq("sort", "merge")),
+      Some(phraseOracle(Seq("sort", "merge")))),
 
     // SemDeDup: semantic dedup decisions — IVF-cell clustering, within-cell
     // cosine pairs only, drop any vector with a lower-id neighbor >= 0.4.

@@ -296,6 +296,40 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Positional phrase matching: per-doc count of EXACT n-term phrase
+    * occurrences (adjacent, in order) — the retrieval feature tf-over-bags
+    * cannot express ("sort merge" as a unit, not two independent terms).
+    * Arithmetic: for phrase term k, take its token positions shifted left
+    * by k; an exact occurrence at position p puts p into EVERY shifted
+    * set, so the occurrence positions are the intersection of all n sets
+    * and n_occ is its size — one narrow projection per doc, no explode,
+    * no join, no shuffle before the final sort.
+    *
+    * Scale shape: an `array_contains` conjunction prunes non-candidate
+    * docs before any position work (codegen'd short-circuit on the
+    * tokenized array); survivors pay |phrase| passes over their own
+    * tokens. Corpus-scale cost is the scan itself; per-doc work is
+    * O(dl · |phrase|), data-parallel. The positional-postings variant
+    * (precomputed position lists in the index) is the layout upgrade if
+    * phrase queries become hot — the arithmetic is identical, positions
+    * just come from the index instead of re-tokenizing. */
+  def phraseOccurrences(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val t = toks(col("text"))
+    val hasAll = phrase.map(w => array_contains(t, w)).reduce(_ && _)
+    val shifted = phrase.zipWithIndex.map { case (w, k) =>
+      filter(
+        transform(t, (x, i) => when(x === lit(w), i - lit(k))),
+        v => v.isNotNull)
+    }
+    graft.Tables.spread(docs)
+      .filter(hasAll)
+      .select(col("doc_id"),
+        size(shifted.reduce(array_intersect)).cast("long").as("n_occ"))
+      .filter(col("n_occ") > 0)
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+  }
+
   /** [[bm25Rank]] against EXTERNAL statistics — the serving shape when the
     * index is maintained incrementally: scoring scans only the docs being
     * ranked; df/avgdl come from the stats tables. */

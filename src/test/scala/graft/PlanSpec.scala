@@ -270,6 +270,18 @@ class PlanSpec extends SparkSpec {
       s"full-corpus text scan inside the indexed composition:\n$p")
   }
 
+  test("phrase search is one narrow pass: no explode, no join, 2-column scan") {
+    val p = plan("q122_phrase_search")
+    // the shifted-position intersection is a projection over the tokenized
+    // array — a Generate (explode) or a self-join here would shuffle
+    // corpus-scale token rows for what one pass computes in place
+    assert(!p.contains("Generate"), s"explode in the phrase plan:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"join in the phrase plan:\n$p")
+    // only (doc_id, text) is read
+    assert(scanColumnSets(p).exists(_ == Set("doc_id", "text")),
+      s"phrase scan not pruned to (doc_id, text):\n$p")
+  }
+
   test("PPS sample rank-limits BEFORE both shuffles (WindowGroupLimit both phases)") {
     val p = plan("q97_pps_sample")
     assert("\\bWindow\\b".r.findAllIn(p).size >= 2, p) // salted local + global

@@ -53,6 +53,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2).getAs[String]("pred_lang") === "und")
   }
 
+  test("phraseOccurrences: adjacency + order; overlaps count; absent phrase drops") {
+    val df = Seq(
+      doc(1, "sort merge join sort merge"),   // 2 exact occurrences
+      doc(2, "merge sort"),                    // reversed order: 0
+      doc(3, "sort x merge"),                  // gap: 0
+      doc(4, "a a a a"),                       // overlapping self-phrase
+      doc(5, "nothing here")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sm = TextAnalysis.phraseOccurrences(df, Seq("sort", "merge"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sm.toSeq === Seq((1L, 2L)))
+    // overlapping matches each count: "a a" starts at positions 0, 1, 2
+    val aa = TextAnalysis.phraseOccurrences(df, Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(aa.toSeq === Seq((4L, 3L)))
+    // 3-term phrase: the shifted intersection chains
+    val smj = TextAnalysis.phraseOccurrences(df, Seq("sort", "merge", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(smj.toSeq === Seq((1L, 1L)))
+  }
+
   test("fingerprints: shared text regions share fingerprint hashes") {
     val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = Seq(
