@@ -1024,6 +1024,16 @@ ORDER BY probes""")),
         Tables.documents(s, dir), Seq("sort", "merge")),
       Some(phraseOracle(Seq("sort", "merge")))),
 
+    // The same phrase query served FROM the positional index (postings
+    // bucket-pruned to the phrase terms, positions column read by exactly
+    // this one consumer) — shares q122's oracle verbatim, so the gate
+    // proves index-served == brute == DuckDB on the same corpus, the
+    // q16/q109 amortized-layout pattern applied to retrieval.
+    Q("q123_phrase_from_index",
+      (s, dir) => Selection.phraseSearchIndex(s,
+        Selection.retrievalIndex(s, dir), Seq("sort", "merge")),
+      Some(phraseOracle(Seq("sort", "merge")))),
+
     // SemDeDup: semantic dedup decisions — IVF-cell clustering, within-cell
     // cosine pairs only, drop any vector with a lower-id neighbor >= 0.4.
     // nlist resolves adaptively (occupancy ~128, the q34 recipe applied to

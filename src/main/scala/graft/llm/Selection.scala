@@ -879,8 +879,10 @@ c AS (SELECT doc_id, source, t,
     * a second time). */
   def writeBm25Index(docs: DataFrame, basePath: String): Unit = {
     val spark = docs.sparkSession
+    // positional postings: BM25 readers prune the positions column away;
+    // phrase queries serve from it (phraseSearchIndex)
     graft.ops.Layout.writePostings(
-      TextAnalysis.bm25Postings(docs), s"$basePath/postings")
+      TextAnalysis.bm25PositionalPostings(docs), s"$basePath/postings")
     val atRest = spark.read.parquet(s"$basePath/postings")
     TextAnalysis.bm25TermStatsFromPostings(atRest)
       .withColumn("batch_id", lit(-1L))
@@ -917,8 +919,10 @@ c AS (SELECT doc_id, source, t,
     require(batchId >= 0,
       s"batchId must be >= 0 (negative ids are reserved for the base/" +
         s"compacted partition batch_id=-1), got $batchId")
-    // one tokenize pass, three consumers (postings + both stats deltas)
-    val delta = TextAnalysis.bm25Postings(newDocs).localCheckpoint(false)
+    // one tokenize pass, three consumers (postings + both stats deltas);
+    // positional, matching the base layout's schema
+    val delta =
+      TextAnalysis.bm25PositionalPostings(newDocs).localCheckpoint(false)
     graft.ops.Layout.appendPostings(delta, s"$basePath/postings", batchId)
     TextAnalysis.bm25TermStatsFromPostings(delta)
       .withColumn("batch_id", lit(batchId))
@@ -960,6 +964,41 @@ c AS (SELECT doc_id, source, t,
       bm25TermStatsRead(spark, basePath)
         .filter(col("term").isin(terms: _*)),
       bm25CorpusStatsRead(spark, basePath), terms, topK)
+
+  /** Phrase search FROM the positional index — q122's shifted-position
+    * intersection with positions read from the layout instead of
+    * re-tokenizing the corpus: per phrase slot k, the term's postings rows
+    * (bucket-pruned + term-pushed, the standard read path) with positions
+    * shifted left by k; slots inner-join on doc_id and the n-way
+    * `array_intersect`'s size is the occurrence count. Per-query read
+    * cost: the phrase terms' postings rows (positions column included —
+    * the one reader that asks for it), independent of corpus text size.
+    * The joins chain on doc_id over those query-term-sized frames; a doc
+    * missing ANY slot term drops at the join, mirroring the brute tier's
+    * `array_contains` conjunction. Result-identical to
+    * [[TextAnalysis.phraseOccurrences]] (q123 shares q122's oracle). */
+  def phraseSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    // no checkpoint: the slots filter DISJOINT term rows, so each re-read
+    // is its own bucket-pruned + term-pushed file scan (plan-pinned) —
+    // cheaper than materializing the union and losing the scan pruning
+    val postings = graft.ops.Layout.postingsForTerms(spark,
+      s"$basePath/postings", phrase.distinct)
+      .select("doc_id", "term", "positions")
+    val slots = phrase.zipWithIndex.map { case (w, k) =>
+      postings.filter(col("term") === w)
+        .select(col("doc_id"),
+          transform(col("positions"), x => x - k).as(s"p$k"))
+    }
+    val joined = slots.reduce((a, b) => a.join(b, "doc_id"))
+    val inter = phrase.indices.map(k => col(s"p$k"))
+      .reduce(array_intersect)
+    joined
+      .select(col("doc_id"), size(inter).cast("long").as("n_occ"))
+      .filter(col("n_occ") > 0)
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+  }
 
   /** Offline compaction of a persisted BM25 layout into a FRESH root:
     * fold every appended batch into the reserved base partition

@@ -250,6 +250,24 @@ object TextAnalysis {
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
 
+  /** [[bm25Postings]] with the term's token POSITIONS kept (sorted int
+    * array) — the positional index layout (what Lucene calls positions):
+    * BM25 consumers ignore the column (parquet prunes it from their
+    * scans), phrase queries ([[graft.llm.Selection.phraseSearchIndex]])
+    * run the q122 shifted-intersection arithmetic over it without
+    * re-tokenizing the corpus. Size cost is one int per token occurrence —
+    * the index grows to O(corpus tokens), the standard positional-index
+    * trade, paid once at build and only by readers that ask for the
+    * column. */
+  def bm25PositionalPostings(docs: DataFrame): DataFrame =
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        posexplode(col("t")).as(Seq("pos", "term")))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+
   /** Score from the postings table instead of raw text: filter postings to
     * the query terms (partition-prunable on a term-keyed layout), join the
     * broadcast stats, rank. Identical output to [[bm25Rank]]

@@ -282,6 +282,15 @@ class PlanSpec extends SparkSpec {
       s"phrase scan not pruned to (doc_id, text):\n$p")
   }
 
+  test("indexed phrase search reads pruned postings, never the corpus text") {
+    val p = plan("q123_phrase_from_index")
+    assert(p.contains("PartitionFilters") && p.contains("term_bucket"),
+      s"postings not bucket-pruned:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"corpus text scan inside the index-served phrase plan:\n$p")
+    assert(!p.contains("Generate"), s"explode in the phrase plan:\n$p")
+  }
+
   test("PPS sample rank-limits BEFORE both shuffles (WindowGroupLimit both phases)") {
     val p = plan("q97_pps_sample")
     assert("\\bWindow\\b".r.findAllIn(p).size >= 2, p) // salted local + global
