@@ -127,6 +127,7 @@ class GraftApi(spark: SparkSession, sfDir: String,
       case ("GET", List("ratios", ticker))  => ratiosEndpoint(ex, ticker, qp)
       case ("GET", List("screener"))        => screenerEndpoint(ex, qp)
       case ("GET", List("search"))          => searchEndpoint(ex, qp)
+      case ("GET", List("phrase"))          => phraseEndpoint(ex, qp)
       case ("GET", List("similar"))         => similarEndpoint(ex, qp)
       case ("GET", List("hybrid"))          => hybridEndpoint(ex, qp)
       case ("POST", List("query"))          => sqlEndpoint(ex)
@@ -221,6 +222,32 @@ class GraftApi(spark: SparkSession, sfDir: String,
     val limit = intParam(qp, "limit", 10, 1, 100)
     val cols = Seq("doc_id", "score_micro", "n_terms_hit")
     val rows = searchFrame(terms, limit).select(cols.map(col): _*).collect()
+    reply(ex, 200, obj { o =>
+      val results = o.putArray("results")
+      rows.foreach(r => putRow(results.addObject(), cols, r))
+    })
+  }
+
+  /** The /phrase frame — [[graft.llm.Selection.phraseSearchIndex]] over
+    * the persisted POSITIONAL postings: per-request reads are the phrase
+    * terms' bucket directories (positions column included — the one
+    * reader that asks for it); the corpus text is never rescanned
+    * (plan-pinned, like /search). */
+  private[serve] def phraseFrame(phrase: Seq[String], limit: Int): DataFrame =
+    graft.llm.Selection.phraseSearchIndex(spark, searchIndexBase, phrase)
+      .limit(limit)
+
+  /** GET /phrase?q=exact+phrase&limit=10 — exact-adjacency phrase search
+    * (q122/q123's shifted-position intersection) served from the
+    * positional index. Same term tokenization and caps as /search. */
+  private def phraseEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
+    val terms = qp.getOrElse("q", "").trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "q must contain at least one term")
+    require(terms.size <= 16, "q is capped at 16 phrase terms")
+    val limit = intParam(qp, "limit", 10, 1, 100)
+    val cols = Seq("doc_id", "n_occ")
+    val rows = phraseFrame(terms, limit).select(cols.map(col): _*).collect()
     reply(ex, 200, obj { o =>
       val results = o.putArray("results")
       rows.foreach(r => putRow(results.addObject(), cols, r))

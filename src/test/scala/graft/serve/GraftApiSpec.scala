@@ -135,6 +135,35 @@ class GraftApiSpec extends SparkSpec {
       s"corpus text scanned by the indexed search path: $locations")
   }
 
+  test("GET /phrase serves exact-adjacency matches from the positional index") {
+    val (code, body) = get("/phrase?q=sort+merge&limit=5")
+    assert(code === 200)
+    val rs = body.get("results")
+    assert(rs.size() > 0 && rs.size() <= 5)
+    // non-increasing occurrence counts, doc_id + n_occ shape
+    val occs = (0 until rs.size()).map(i => rs.get(i).get("n_occ").asLong())
+    assert(occs === occs.sortBy(-_), occs.toString)
+    assert(occs.forall(_ >= 1))
+    // served rows == the brute q122 tier over the same corpus (top-5 slice)
+    val brute = graft.llm.TextAnalysis.phraseOccurrences(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"),
+      Seq("sort", "merge"))
+      .limit(5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val served = (0 until rs.size())
+      .map(i => (rs.get(i).get("doc_id").asLong(), rs.get(i).get("n_occ").asLong()))
+    assert(served === brute)
+    assert(get("/phrase?q=")._1 === 422)
+    // the plan reads the positional postings, never the corpus text
+    val frame = api.phraseFrame(Seq("sort", "merge"), 5)
+    frame.collect()
+    val locations = scans(frame.queryExecution.executedPlan)
+      .flatMap(_.metadata.get("Location"))
+    assert(locations.exists(_.contains("/postings")),
+      s"postings layout not read: $locations")
+    assert(!locations.exists(_.contains("documents.parquet")),
+      s"corpus text scanned by the indexed phrase path: $locations")
+  }
+
   test("GET /similar serves ANN from the persisted IVFADC index; plan opens only probed cells") {
     val (code, body) = get("/similar?vec_id=42&k=5")
     assert(code === 200)
