@@ -154,6 +154,32 @@ SELECT doc_id, n_occ FROM po WHERE n_occ > 0
 ORDER BY n_occ DESC, doc_id ASC"""
   }
 
+  /** The q124/q125 oracle: the right-to-left chain recursion unrolled into
+    * nested DuckDB lambdas, generated from the same (phrase, slop) so the
+    * SQL cannot drift from proximityChainCount. 1-based positions; gap
+    * arithmetic is base-invariant. */
+  private def proximityOracle(phrase: Seq[String], slop: Int): String = {
+    val n = phrase.size
+    val posCols = phrase.zipWithIndex.map { case (w, k) =>
+      s"list_filter(generate_series(1, len(t)), i -> t[i] = '$w') AS p$k"
+    }.mkString(",\n        ")
+    val containsAll = phrase.map(w => s"list_contains(t, '$w')")
+      .mkString(" AND ")
+    def sExpr(k: Int): String =
+      if (k == n - 1) s"p$k"
+      else s"list_filter(p$k, x$k -> len(list_filter(${sExpr(k + 1)}, " +
+        s"y$k -> y$k - x$k >= 1 AND y$k - x$k <= ${1 + slop})) > 0)"
+    s"""
+WITH ptok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+pp AS (SELECT doc_id,
+        $posCols
+       FROM ptok WHERE $containsAll),
+po AS (SELECT doc_id, CAST(len(${sExpr(0)}) AS BIGINT) AS n_occ FROM pp)
+SELECT doc_id, n_occ FROM po WHERE n_occ > 0
+ORDER BY n_occ DESC, doc_id ASC"""
+  }
+
   private def jaccardSql(a: String, b: String): String =
     s"len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE"
 
@@ -1033,6 +1059,22 @@ ORDER BY probes""")),
       (s, dir) => Selection.phraseSearchIndex(s,
         Selection.retrievalIndex(s, dir), Seq("sort", "merge")),
       Some(phraseOracle(Seq("sort", "merge")))),
+
+    // Ordered proximity (Lucene's sloppy phrase, anchor-counted): chains
+    // p0 < p1 with each gap ≤ 1+slop. slop=1 admits one intervening
+    // token, so q124 ⊇ q122's matches on the same phrase — the slop knob
+    // between exact adjacency and bag-of-words.
+    Q("q124_proximity_search",
+      (s, dir) => TextAnalysis.proximityOccurrences(
+        Tables.documents(s, dir), Seq("sort", "merge"), slop = 1),
+      Some(proximityOracle(Seq("sort", "merge"), slop = 1))),
+
+    // The same proximity query served FROM the positional index — shares
+    // q124's oracle, the q122/q123 pattern.
+    Q("q125_proximity_from_index",
+      (s, dir) => Selection.proximitySearchIndex(s,
+        Selection.retrievalIndex(s, dir), Seq("sort", "merge"), slop = 1),
+      Some(proximityOracle(Seq("sort", "merge"), slop = 1))),
 
     // SemDeDup: semantic dedup decisions — IVF-cell clustering, within-cell
     // cosine pairs only, drop any vector with a lower-id neighbor >= 0.4.

@@ -980,24 +980,55 @@ c AS (SELECT doc_id, source, t,
   def phraseSearchIndex(spark: org.apache.spark.sql.SparkSession,
       basePath: String, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
-    // no checkpoint: the slots filter DISJOINT term rows, so each re-read
-    // is its own bucket-pruned + term-pushed file scan (plan-pinned) —
-    // cheaper than materializing the union and losing the scan pruning
-    val postings = graft.ops.Layout.postingsForTerms(spark,
-      s"$basePath/postings", phrase.distinct)
-      .select("doc_id", "term", "positions")
-    val slots = phrase.zipWithIndex.map { case (w, k) =>
-      postings.filter(col("term") === w)
-        .select(col("doc_id"),
-          transform(col("positions"), x => x - k).as(s"p$k"))
-    }
-    val joined = slots.reduce((a, b) => a.join(b, "doc_id"))
+    val joined = phraseSlotsJoined(spark, basePath, phrase,
+      shift = true)
     val inter = phrase.indices.map(k => col(s"p$k"))
       .reduce(array_intersect)
     joined
       .select(col("doc_id"), size(inter).cast("long").as("n_occ"))
       .filter(col("n_occ") > 0)
       .orderBy(col("n_occ").desc, col("doc_id").asc)
+  }
+
+  /** Ordered proximity search FROM the positional index —
+    * [[TextAnalysis.proximityOccurrences]]'s chain count over slot
+    * position arrays read from the layout (unshifted; the chain works on
+    * raw gaps). Same per-request read shape as [[phraseSearchIndex]]:
+    * the phrase terms' bucket-pruned postings rows, positions included,
+    * corpus text never rescanned. q125 shares q124's oracle. */
+  def proximitySearchIndex(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, phrase: Seq[String], slop: Int): DataFrame = {
+    require(phrase.size >= 2, "proximity needs at least two terms")
+    val joined = phraseSlotsJoined(spark, basePath, phrase,
+      shift = false)
+    joined
+      .select(col("doc_id"),
+        TextAnalysis.proximityChainCount(
+          phrase.indices.map(k => col(s"p$k")), slop).as("n_occ"))
+      .filter(col("n_occ") > 0)
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+  }
+
+  /** Shared slot reader for the positional-index phrase tiers: per phrase
+    * slot k, the term's postings rows — each its own bucket-pruned +
+    * term-pushed file scan (no checkpoint: slots filter DISJOINT term
+    * rows, so materializing the union would only lose the scan pruning) —
+    * with positions optionally shifted left by k (the exact tier's
+    * intersection arithmetic; the proximity tier chains raw gaps). Slots
+    * inner-join on doc_id: a doc missing ANY slot term drops, mirroring
+    * the brute tiers' `array_contains` conjunction. */
+  private def phraseSlotsJoined(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, phrase: Seq[String], shift: Boolean): DataFrame = {
+    val postings = graft.ops.Layout.postingsForTerms(spark,
+      s"$basePath/postings", phrase.distinct)
+      .select("doc_id", "term", "positions")
+    val slots = phrase.zipWithIndex.map { case (w, k) =>
+      val p = if (shift) transform(col("positions"), x => x - k)
+              else col("positions")
+      postings.filter(col("term") === w)
+        .select(col("doc_id"), p.as(s"p$k"))
+    }
+    slots.reduce((a, b) => a.join(b, "doc_id"))
   }
 
   /** Offline compaction of a persisted BM25 layout into a FRESH root:

@@ -348,6 +348,47 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("doc_id").asc)
   }
 
+  /** Ordered-proximity chain count over per-term position arrays
+    * (UNSHIFTED token positions): the number of term-0 positions that
+    * anchor a chain p0 < p1 < … < p_{n-1} with every adjacent gap in
+    * [1, 1+slop] — Lucene's ordered sloppy phrase, counted by distinct
+    * anchor (counting every chain combinatorially explodes on repetitive
+    * text and ranks noise above signal). Computed right-to-left:
+    * S_{n-1} = P_{n-1}; S_k = filter(P_k, p ∃ q ∈ S_{k+1}: q−p ∈ [1,
+    * 1+slop]); count = |S_0|. slop=0 degenerates to the exact-phrase
+    * count (gaps of exactly 1 ⇔ adjacency), which is how the proximity
+    * oracle cross-checks [[phraseOccurrences]]. Pure array HOFs — one
+    * projection, no explode/join/shuffle; per-doc cost O(Σ|P_k|²)
+    * bounded by the doc's own occurrence counts. */
+  private[llm] def proximityChainCount(posCols: Seq[org.apache.spark.sql.Column],
+      slop: Int): org.apache.spark.sql.Column =
+    size(posCols.init.foldRight(posCols.last) { (pk, sNext) =>
+      filter(pk, p => exists(sNext,
+        q => (q - p) >= 1 && (q - p) <= lit(1 + slop)))
+    }).cast("long")
+
+  /** Ordered proximity search over the corpus text — [[phraseOccurrences]]
+    * with per-gap slack: per-doc count of anchors admitting an in-order
+    * chain with every adjacent gap ≤ 1+slop tokens. Same scan shape as
+    * the exact tier: `array_contains` conjunction prunes non-candidates,
+    * survivors pay |phrase| position passes + the chain HOF. */
+  def proximityOccurrences(docs: DataFrame, phrase: Seq[String],
+      slop: Int): DataFrame = {
+    require(phrase.size >= 2, "proximity needs at least two terms")
+    require(slop >= 0, "slop must be >= 0")
+    val t = toks(col("text"))
+    val hasAll = phrase.map(w => array_contains(t, w)).reduce(_ && _)
+    val posCols = phrase.map { w =>
+      filter(transform(t, (x, i) => when(x === lit(w), i)), v => v.isNotNull)
+    }
+    graft.Tables.spread(docs)
+      .filter(hasAll)
+      .select(col("doc_id"),
+        proximityChainCount(posCols, slop).as("n_occ"))
+      .filter(col("n_occ") > 0)
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+  }
+
   /** [[bm25Rank]] against EXTERNAL statistics — the serving shape when the
     * index is maintained incrementally: scoring scans only the docs being
     * ranked; df/avgdl come from the stats tables. */

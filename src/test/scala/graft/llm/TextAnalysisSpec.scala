@@ -74,6 +74,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(smj.toSeq === Seq((1L, 1L)))
   }
 
+  test("proximityOccurrences: slop admits gaps, order still required, anchors counted once") {
+    val df = Seq(
+      doc(1, "sort x merge"),            // gap 2: needs slop >= 1
+      doc(2, "sort x y merge"),          // gap 3: needs slop >= 2
+      doc(3, "merge x sort"),            // reversed: never
+      doc(4, "sort merge"),              // adjacent: any slop
+      doc(5, "sort x merge merge")       // ONE anchor even with two ends
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    def occ(slop: Int) = TextAnalysis
+      .proximityOccurrences(df, Seq("sort", "merge"), slop)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(occ(0) === Map(4L -> 1L))
+    assert(occ(1) === Map(1L -> 1L, 4L -> 1L, 5L -> 1L))
+    assert(occ(2) === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 1L))
+    // 3-term chain: each adjacent gap bounded independently
+    val df3 = Seq(doc(1, "a x b y c"), doc(2, "a x x b c"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def occ3(slop: Int) = TextAnalysis
+      .proximityOccurrences(df3, Seq("a", "b", "c"), slop)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(occ3(1) === Map(1L -> 1L))       // gaps 2,2 pass; 3,1 fails
+    assert(occ3(2) === Map(1L -> 1L, 2L -> 1L))
+    // slop=0 degenerates to the exact-phrase count on the corpus fixture
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = TextAnalysis.phraseOccurrences(docs, Seq("sort", "merge"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val prox0 = TextAnalysis
+      .proximityOccurrences(docs, Seq("sort", "merge"), 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(prox0 === exact && exact.nonEmpty)
+  }
+
   test("fingerprints: shared text regions share fingerprint hashes") {
     val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = Seq(
