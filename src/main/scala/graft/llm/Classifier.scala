@@ -1,0 +1,178 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** An in-engine trained quality classifier — the fastText-style curation
+  * filter, here DISTILLING the rule-based quality gate (q46's thresholds)
+  * into a smooth scorer: batch-gradient logistic regression over
+  * handcrafted document features, labels = the gate's own pass/fail (no
+  * hand labels; the same supervision shape as distilling an LLM judgment
+  * or a heuristic into a cheap model). The smooth score is what the rule
+  * cannot give: a ranking near the thresholds and a single knob to trade
+  * volume for quality.
+  *
+  * Execution shape: per training round, ONE corpus pass computes the
+  * gradient (map-side partial sums; the 1-row weight frame broadcasts
+  * into it), and the weight update is a 1-row projection — the k-means /
+  * BPE iterate-via-broadcast pattern, no driver-side loop state. A
+  * standardization pass (one aggregation) precedes training: the raw
+  * features live on wildly different scales, and unscaled batch GD
+  * saturates the sigmoid (measured: AUC 0.33 raw vs 0.87 standardized on
+  * the sf0.01 corpus).
+  *
+  * Cross-engine determinism (the DuckDB oracle replays training
+  * bit-for-bit): features are exact integer ratios or micro-quantized
+  * transcendentals, standardization stats are DECIMAL(38,6)-routed sums
+  * micro-quantized into integer (mu, sd), the per-row sigmoid is floored
+  * to micros (libm-vs-JVM ulp differences die at the 6th decimal),
+  * gradient sums are decimal-routed, and weights are integer micros. Two
+  * engines that agree on the integers agree on the model.
+  *
+  * At 100 TB: training subsamples (the fit saturates long before the
+  * corpus does) and the model ships as a written NumFeatures-row table —
+  * (j, w_micro, mu_micro, sd_micro) is self-contained (weights AND the
+  * standardization that defines the feature space). Scoring is one
+  * narrow pass with that table broadcast.
+  */
+object Classifier {
+
+  /** Number of features including the bias term (j = 0). */
+  val NumFeatures = 5
+
+  /** Per-doc raw features + label: (doc_id, y, f0..f4).
+    *   y  = the q46 quality rule (n_tokens >= 20 AND rep_2gram <= 0.2
+    *        AND distinct_ratio >= 0.5) as 1.0/0.0 — same stats spellings
+    *        as [[TextAnalysis.qualityFilter]], inline (one scan, no join)
+    *   f0 = 1 (bias)
+    *   f1 = ln(1 + n_tokens), micro-quantized
+    *   f2 = distinct_tokens / n_tokens   (exact int ratio)
+    *   f3 = Σ token_len / n_tokens       (exact int ratio)
+    *   f4 = n_chars / (1 + n_tokens)     (exact int ratio) */
+  private[llm] def rawFeatures(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val nToks = size(t).cast("long")
+    val dr = size(array_distinct(t)).cast("double") / nToks.cast("double")
+    val rep2 = TextAnalysis.rep2gramRatio(t, nToks)
+    graft.Tables.spread(docs).select(
+      col("doc_id"),
+      when(nToks >= 20 && rep2 <= 0.2 && dr >= 0.5, 1.0)
+        .otherwise(0.0).as("y"),
+      lit(1.0).as("f0"),
+      (floor(log(lit(1.0) + nToks.cast("double"))
+        * lit(1000000) + lit(0.5)) / lit(1e6)).as("f1"),
+      dr.as("f2"),
+      (aggregate(transform(t, x => length(x)), lit(0L),
+        (acc, x) => acc + x.cast("long")).cast("double")
+        / nToks.cast("double")).as("f3"),
+      (col("n_chars").cast("double")
+        / (lit(1.0) + nToks.cast("double"))).as("f4"))
+  }
+
+  /** One-row standardization stats over the raw features: per non-bias j,
+    * integer-micro (mu_j, sd_j) from decimal-routed Σf and Σf² — the
+    * population moments, quantized so both engines land on the same
+    * integers. */
+  private[llm] def featureStats(fr: DataFrame): DataFrame = {
+    val sums = (1 until NumFeatures).flatMap { j =>
+      Seq(sum(col(s"f$j").cast("decimal(38,6)")).as(s"g$j"),
+        sum((col(s"f$j") * col(s"f$j")).cast("decimal(38,6)")).as(s"h$j"))
+    } :+ count(lit(1)).as("n")
+    val agg = fr.agg(sums.head, sums.tail: _*)
+    agg.select((1 until NumFeatures).flatMap { j =>
+      val m = col(s"g$j").cast("double") / col("n").cast("double")
+      val q = col(s"h$j").cast("double") / col("n").cast("double")
+      Seq(
+        floor(m * lit(1e6) + lit(0.5)).cast("long").as(s"mu$j"),
+        floor(sqrt(greatest(lit(0.0), q - m * m)) * lit(1e6) + lit(0.5))
+          .cast("long").as(s"sd$j"))
+    }: _*)
+  }
+
+  /** Standardized feature frame: f_j := (f_j − mu_j/1e6) / (sd_j/1e6)
+    * for j >= 1 (bias passes through); a constant feature (sd = 0) maps
+    * to 0. `ms` is any 1-row frame carrying mu_j/sd_j — the training
+    * stats or a written model table. */
+  private def zFrame(fr: DataFrame, ms: DataFrame): DataFrame =
+    fr.crossJoin(broadcast(ms)).select(
+      Seq(col("doc_id"), col("y"), col("f0")) ++
+        (1 until NumFeatures).map { j =>
+          when(col(s"sd$j") > 0,
+            (col(s"f$j") - col(s"mu$j").cast("double") / lit(1e6))
+              / (col(s"sd$j").cast("double") / lit(1e6)))
+            .otherwise(0.0).as(s"f$j")
+        }: _*)
+
+  /** The per-row micro-quantized sigmoid of the linear score under micro
+    * weights w0..w4 (columns from the broadcast 1-row weight frame). */
+  private def sigmoidMicro(): Column = {
+    val z = (0 until NumFeatures)
+      .map(j => col(s"f$j") * (col(s"w$j").cast("double") / lit(1e6)))
+      .reduce(_ + _)
+    floor(lit(1e6) / (lit(1.0) + exp(-z)) + lit(0.5))
+  }
+
+  /** Train `rounds` of batch gradient ascent at learning rate
+    * `lrMicro`/1e6 over the STANDARDIZED features, starting from zero
+    * weights. Returns the shippable model table (j, w_micro, mu_micro,
+    * sd_micro) — NumFeatures rows; the bias row carries the identity
+    * standardization (0, 1e6). */
+  def logregTrain(docs: DataFrame, rounds: Int,
+      lrMicro: Long = 2000000L): DataFrame = {
+    val spark = docs.sparkSession
+    val fr = rawFeatures(docs).localCheckpoint(false)
+    val ms = featureStats(fr).localCheckpoint(false)
+    val feats = zFrame(fr, ms).localCheckpoint(false)
+    var w: DataFrame = spark.range(1).select(
+      (0 until NumFeatures).map(j => lit(0L).as(s"w$j")): _*)
+    for (_ <- 1 to rounds) {
+      val joined = feats.crossJoin(broadcast(w))
+      val resid = col("y") - sigmoidMicro() / lit(1e6)
+      val gradSums = (0 until NumFeatures).map(j =>
+        sum((resid * col(s"f$j")).cast("decimal(38,6)")).as(s"g$j"))
+      val agg = joined.agg(gradSums.head,
+        gradSums.tail :+ count(lit(1)).as("n"): _*)
+      w = agg.crossJoin(broadcast(w))
+        .select((0 until NumFeatures).map { j =>
+          (col(s"w$j") + floor((lit(lrMicro.toDouble / 1e6)
+            * (col(s"g$j").cast("double") / col("n").cast("double")))
+            * lit(1e6) + lit(0.5)).cast("long")).as(s"w$j")
+        }: _*)
+        .localCheckpoint(false)
+    }
+    val rows = (0 until NumFeatures).map { j =>
+      if (j == 0)
+        struct(lit(0L).as("j"), col("w0").as("w_micro"),
+          lit(0L).as("mu_micro"), lit(1000000L).as("sd_micro"))
+      else
+        struct(lit(j.toLong).as("j"), col(s"w$j").as("w_micro"),
+          col(s"mu$j").as("mu_micro"), col(s"sd$j").as("sd_micro"))
+    }
+    w.crossJoin(broadcast(ms))
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.j").as("j"), col("r.w_micro").as("w_micro"),
+        col("r.mu_micro").as("mu_micro"), col("r.sd_micro").as("sd_micro"))
+      .orderBy("j")
+  }
+
+  /** Score docs under a trained model table: per-doc micro-sigmoid of the
+    * standardized linear score — the serve-many half of the train-once
+    * split. The model broadcasts (NumFeatures rows pivoted to one);
+    * scoring is one narrow pass, no shuffle before the output sort. */
+  def logregScore(docs: DataFrame, model: DataFrame): DataFrame = {
+    val pivots = (0 until NumFeatures).flatMap { j =>
+      Seq(sum(when(col("j") === j, col("w_micro"))).as(s"w$j"),
+        sum(when(col("j") === j, col("mu_micro"))).as(s"mu$j"),
+        sum(when(col("j") === j, col("sd_micro"))).as(s"sd$j"))
+    }
+    val mrow = model.agg(pivots.head, pivots.tail: _*)
+    zFrame(rawFeatures(docs), mrow)
+      .crossJoin(broadcast(mrow.select(
+        (0 until NumFeatures).map(j => col(s"w$j")): _*)))
+      .select(col("doc_id"), col("y").cast("long").as("y"),
+        sigmoidMicro().cast("long").as("s_micro"))
+      .orderBy(col("s_micro").desc, col("doc_id").asc)
+  }
+}

@@ -180,6 +180,101 @@ SELECT doc_id, n_occ FROM po WHERE n_occ > 0
 ORDER BY n_occ DESC, doc_id ASC"""
   }
 
+  /** The q126/q127 oracle machinery: the classifier's training rounds
+    * unrolled into CTEs, generated from (rounds, lrMicro) so the SQL
+    * cannot drift from Classifier.logregTrain. Every arithmetic step
+    * mirrors the Scala spelling exactly — same literals, same
+    * left-associated operation order, same micro-quantization points. */
+  private def logregZ(wTbl: String): String =
+    (0 until Classifier.NumFeatures)
+      .map(j => s"f$j * ($wTbl.w$j::DOUBLE / 1000000.0)")
+      .mkString(" + ")
+
+  private def logregSigmoidMicro(wTbl: String): String =
+    s"floor(1000000.0 / (1.0 + exp(-(${logregZ(wTbl)}))) + 0.5)"
+
+  private def logregCtes(rounds: Int, lrMicro: Long): String = {
+    val F = Classifier.NumFeatures
+    val lr = lrMicro.toDouble / 1e6
+    // fr: label = the q46 quality rule over the SHARED quality CTE (same
+    // hashed-shingle rep2 spelling), raw features from the token array.
+    // fs/ms: decimal-routed Σf, Σf² folded to integer-micro (mu, sd).
+    // f: the standardized training frame (bias untouched; sd=0 → 0).
+    val statSums = (1 until F).map(j =>
+      s"sum(CAST(f$j AS DECIMAL(38,6))) AS g$j, " +
+        s"sum(CAST(f$j * f$j AS DECIMAL(38,6))) AS h$j").mkString(",\n        ")
+    val statMicros = (1 until F).map { j =>
+      val m = s"(g$j::DOUBLE / n::DOUBLE)"
+      val q = s"(h$j::DOUBLE / n::DOUBLE)"
+      s"CAST(floor($m * 1000000.0 + 0.5) AS BIGINT) AS mu$j,\n        " +
+        s"CAST(floor(sqrt(greatest(0.0, $q - $m * $m)) * 1000000.0 + 0.5) " +
+        s"AS BIGINT) AS sd$j"
+    }.mkString(",\n        ")
+    val zCols = (1 until F).map(j =>
+      s"CASE WHEN sd$j > 0 THEN (f$j - mu$j::DOUBLE / 1000000.0) " +
+        s"/ (sd$j::DOUBLE / 1000000.0) ELSE 0.0 END AS f$j")
+      .mkString(",\n        ")
+    val head = s"""$tokCte,
+$qualityStCte,
+fr AS (SELECT tok.doc_id,
+        CASE WHEN $qualityPredSql THEN 1.0 ELSE 0.0 END AS y,
+        1.0::DOUBLE AS f0,
+        floor(ln(1.0 + len(t)::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS f1,
+        len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS f2,
+        list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t)::DOUBLE AS f3,
+        n_chars::DOUBLE / (1.0 + len(t)::DOUBLE) AS f4
+      FROM tok JOIN st USING (doc_id)),
+fs AS (SELECT $statSums,
+        count(*) AS n
+       FROM fr),
+ms AS (SELECT $statMicros
+       FROM fs),
+f AS (SELECT doc_id, y, f0,
+        $zCols
+      FROM fr, ms),
+w0 AS (SELECT ${(0 until F).map(j => s"0::BIGINT AS w$j").mkString(", ")})"""
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = s"w${i - 1}"
+      val grads = (0 until F).map(j =>
+        s"sum(CAST((y - ${logregSigmoidMicro(prev)} / 1000000.0) * f$j " +
+          s"AS DECIMAL(38,6))) AS g$j").mkString(",\n          ")
+      val upds = (0 until F).map(j =>
+        s"$prev.w$j + CAST(floor(($lr * (g$j::DOUBLE / n::DOUBLE)) " +
+          s"* 1000000.0 + 0.5) AS BIGINT) AS w$j").mkString(",\n          ")
+      s"""g$i AS (SELECT $grads,
+          count(*) AS n
+        FROM f, $prev),
+w$i AS (SELECT $upds
+        FROM g$i, $prev)"""
+    }.mkString(",\n")
+    s"$head,\n$roundCtes"
+  }
+
+  private def logregTrainOracle(rounds: Int, lrMicro: Long): String = {
+    val F = Classifier.NumFeatures
+    val rows = (0 until F).map { j =>
+      if (j == 0)
+        s"SELECT 0::BIGINT AS j, w0 AS w_micro, 0::BIGINT AS mu_micro, " +
+          s"1000000::BIGINT AS sd_micro FROM w$rounds"
+      else
+        s"SELECT $j::BIGINT AS j, w$j AS w_micro, mu$j AS mu_micro, " +
+          s"sd$j AS sd_micro FROM w$rounds, ms"
+    }.mkString("\n UNION ALL ")
+    s"""
+WITH ${logregCtes(rounds, lrMicro)}
+$rows
+ORDER BY j"""
+  }
+
+  private def logregScoreOracle(rounds: Int, lrMicro: Long,
+      topK: Int): String =
+    s"""
+WITH ${logregCtes(rounds, lrMicro)}
+SELECT doc_id, CAST(y AS BIGINT) AS y,
+  CAST(${logregSigmoidMicro(s"w$rounds")} AS BIGINT) AS s_micro
+FROM f, w$rounds
+ORDER BY s_micro DESC, doc_id ASC LIMIT $topK"""
+
   private def jaccardSql(a: String, b: String): String =
     s"len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))::DOUBLE"
 
@@ -1075,6 +1170,36 @@ ORDER BY probes""")),
       (s, dir) => Selection.proximitySearchIndex(s,
         Selection.retrievalIndex(s, dir), Seq("sort", "merge"), slop = 1),
       Some(proximityOracle(Seq("sort", "merge"), slop = 1))),
+
+    // In-engine trained quality classifier: batch-gradient logistic
+    // regression DISTILLING the q46 rule-based quality gate (labels = the
+    // gate's own pass/fail — the fastText-filter supervision shape) over
+    // standardized handcrafted features, 5 rounds at lr=2. One
+    // corpus-pass gradient per round with the 1-row weight frame
+    // broadcast in (the k-means/BPE iterate-via-broadcast shape) plus one
+    // standardization aggregation — unscaled batch GD saturates the
+    // sigmoid (measured AUC 0.33 raw vs 0.87 standardized at sf0.01).
+    // The oracle replays training end-to-end: features, micro (mu, sd),
+    // micro-sigmoid, decimal-routed gradient sums, integer-micro weight
+    // updates, all generated from the same (rounds, lr). Output is the
+    // shippable model table (j, w_micro, mu_micro, sd_micro).
+    Q("q126_quality_classifier_train",
+      (s, dir) => Classifier.logregTrain(
+        Tables.documents(s, dir), rounds = 5),
+      Some(logregTrainOracle(rounds = 5, lrMicro = 2000000L))),
+
+    // The serve-many half: per-doc micro-sigmoid score under the trained
+    // model, top-20 — scoring is one narrow pass with the 5-row model
+    // table broadcast (at production the model comes from a written
+    // table; the inline train here keeps the query self-contained and
+    // the oracle end-to-end).
+    Q("q127_quality_classifier_score",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Classifier.logregScore(docs,
+          Classifier.logregTrain(docs, rounds = 5)).limit(20)
+      },
+      Some(logregScoreOracle(rounds = 5, lrMicro = 2000000L, topK = 20))),
 
     // SemDeDup: semantic dedup decisions — IVF-cell clustering, within-cell
     // cosine pairs only, drop any vector with a lower-id neighbor >= 0.4.

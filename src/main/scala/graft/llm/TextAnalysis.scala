@@ -54,7 +54,7 @@ object TextAnalysis {
           * lit(0.2))).as("quality_score"))
   }
 
-  private def rep2gramRatio(t: org.apache.spark.sql.Column,
+  private[llm] def rep2gramRatio(t: org.apache.spark.sql.Column,
       nToks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(nToks >= 2,
       lit(1.0) - size(array_distinct(shingleHashSeq(t, 2))).cast("double") /

@@ -1,0 +1,52 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The distilled quality classifier: training determinism, separation in
+  * the teacher rule's direction, and the written-model serve path. */
+class ClassifierSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("training is deterministic and the model table is self-contained") {
+    val docs = graft.Tables.documents(spark, dir)
+    val m1 = Classifier.logregTrain(docs, rounds = 5).collect().map(_.toSeq)
+    val m2 = Classifier.logregTrain(docs, rounds = 5).collect().map(_.toSeq)
+    assert(m1.toSeq === m2.toSeq)
+    assert(m1.length === Classifier.NumFeatures)
+    // bias row carries the identity standardization; every non-bias row a
+    // real (mu, sd) — the table alone defines the feature space
+    assert(m1.head(2) === 0L && m1.head(3) === 1000000L)
+    assert(m1.tail.forall(r => r(3).asInstanceOf[Long] > 0L))
+  }
+
+  test("the smooth score separates in the teacher rule's direction") {
+    val docs = graft.Tables.documents(spark, dir)
+    val model = Classifier.logregTrain(docs, rounds = 5)
+    val scored = Classifier.logregScore(docs, model)
+    val means = scored.groupBy("y")
+      .agg(avg(col("s_micro").cast("double")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(means.contains(0L) && means.contains(1L))
+    // docs the rule passes must score higher ON AVERAGE than docs it
+    // fails — distillation learned the gate's direction, not a constant
+    assert(means(1L) > means(0L) + 50000.0,
+      s"no separation: pass=${means(1L)} fail=${means(0L)}")
+  }
+
+  test("scoring from a WRITTEN model table equals the inline model") {
+    val docs = graft.Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qcls").toString
+    Classifier.logregTrain(docs, rounds = 5)
+      .write.mode("overwrite").parquet(s"$tmp/model")
+    val viaTable = Classifier.logregScore(docs,
+      spark.read.parquet(s"$tmp/model")).collect().map(_.toSeq)
+    val inline = Classifier.logregScore(docs,
+      Classifier.logregTrain(docs, rounds = 5)).collect().map(_.toSeq)
+    // integer micros round-trip parquet exactly — the shipped model is
+    // bit-identical to the in-session one
+    assert(viaTable.toSeq === inline.toSeq && viaTable.nonEmpty)
+  }
+}
