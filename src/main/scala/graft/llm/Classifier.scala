@@ -157,6 +157,20 @@ object Classifier {
       .orderBy("j")
   }
 
+  /** Calibration report over the scored corpus: bucket docs into score
+    * deciles (floor(s_micro/100000), clamped to 9) and report per-bucket
+    * volume and teacher-rule agreement — the curve a curation operator
+    * reads to pick the volume/quality threshold the smooth score exists
+    * for. One aggregation over the scored frame; 10 rows out. */
+  def calibrationReport(scored: DataFrame): DataFrame =
+    scored
+      .select(col("y"),
+        least(floor(col("s_micro").cast("double") / lit(100000.0))
+          .cast("long"), lit(9L)).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("y").as("n_rule_pass"))
+      .orderBy("decile")
+
   /** Score docs under a trained model table: per-doc micro-sigmoid of the
     * standardized linear score — the serve-many half of the train-once
     * split. The model broadcasts (NumFeatures rows pivoted to one);

@@ -1201,6 +1201,25 @@ ORDER BY probes""")),
       },
       Some(logregScoreOracle(rounds = 5, lrMicro = 2000000L, topK = 20))),
 
+    // Calibration of the distilled scorer: per score-decile volume and
+    // teacher-rule agreement — the volume/quality curve an operator
+    // thresholds on. The oracle reuses the full training chain and
+    // buckets the same way.
+    Q("q128_quality_classifier_calibration",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Classifier.calibrationReport(Classifier.logregScore(docs,
+          Classifier.logregTrain(docs, rounds = 5)))
+      },
+      Some(s"""
+WITH ${logregCtes(5, 2000000L)}
+,sc AS (SELECT doc_id, CAST(y AS BIGINT) AS y,
+         CAST(${logregSigmoidMicro("w5")} AS BIGINT) AS s_micro
+        FROM f, w5)
+SELECT least(CAST(floor(s_micro::DOUBLE / 100000.0) AS BIGINT), 9) AS decile,
+  count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_rule_pass
+FROM sc GROUP BY 1 ORDER BY decile""")),
+
     // SemDeDup: semantic dedup decisions — IVF-cell clustering, within-cell
     // cosine pairs only, drop any vector with a lower-id neighbor >= 0.4.
     // nlist resolves adaptively (occupancy ~128, the q34 recipe applied to
