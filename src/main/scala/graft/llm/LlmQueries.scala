@@ -193,7 +193,8 @@ ORDER BY n_occ DESC, doc_id ASC"""
   private def logregSigmoidMicro(wTbl: String): String =
     s"floor(1000000.0 / (1.0 + exp(-(${logregZ(wTbl)}))) + 0.5)"
 
-  private def logregCtes(rounds: Int, lrMicro: Long): String = {
+  private def logregCtes(rounds: Int, lrMicro: Long,
+      includeTok: Boolean = true): String = {
     val F = Classifier.NumFeatures
     val lr = lrMicro.toDouble / 1e6
     // fr: label = the q46 quality rule over the SHARED quality CTE (same
@@ -214,8 +215,7 @@ ORDER BY n_occ DESC, doc_id ASC"""
       s"CASE WHEN sd$j > 0 THEN (f$j - mu$j::DOUBLE / 1000000.0) " +
         s"/ (sd$j::DOUBLE / 1000000.0) ELSE 0.0 END AS f$j")
       .mkString(",\n        ")
-    val head = s"""$tokCte,
-$qualityStCte,
+    val head = s"""${if (includeTok) tokCte + ",\n" else ""}$qualityStCte,
 fr AS (SELECT tok.doc_id,
         CASE WHEN $qualityPredSql THEN 1.0 ELSE 0.0 END AS y,
         1.0::DOUBLE AS f0,
@@ -1219,6 +1219,44 @@ WITH ${logregCtes(5, 2000000L)}
 SELECT least(CAST(floor(s_micro::DOUBLE / 100000.0) AS BIGINT), 9) AS decile,
   count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_rule_pass
 FROM sc GROUP BY 1 ORDER BY decile""")),
+
+    // Quality-aware dedup survivorship: per near-dup cluster keep the
+    // HIGHEST-scoring duplicate (classifier score, ties to min doc_id) —
+    // production dedup keeps the best copy, not the lowest id (q48's
+    // min-id canonical is the id-stable tier; this is the quality-stable
+    // one). Composes the label mart with the distilled scorer: per-doc
+    // (cluster_key, keep, s_micro), unclustered docs their own key. The
+    // oracle stitches the recursive CC chain to the training chain.
+    Q("q129_survivorship_by_quality",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = Classifier.logregScore(docs,
+          Classifier.logregTrain(docs, rounds = 5))
+          .select("doc_id", "s_micro")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("ckey")
+          .orderBy(col("s_micro").desc, col("doc_id").asc)
+        docs.select("doc_id")
+          .join(nearDupLabels(s, dir), Seq("doc_id"), "left")
+          .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+          .join(scored, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .select(col("doc_id"), col("ckey").as("cluster_key"),
+            (col("rn") === 1).as("keep"), col("s_micro"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$ccLabelsCtes,
+${logregCtes(5, 2000000L, includeTok = false)},
+sc AS (SELECT doc_id, CAST(${logregSigmoidMicro("w5")} AS BIGINT) AS s_micro
+       FROM f, w5),
+k AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_key,
+        sc.s_micro
+      FROM documents d
+      LEFT JOIN labels l ON l.doc_id = d.doc_id
+      JOIN sc ON sc.doc_id = d.doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster_key
+        ORDER BY s_micro DESC, doc_id ASC) AS rn FROM k)
+SELECT doc_id, cluster_key, rn = 1 AS keep, s_micro FROM r
+ORDER BY doc_id""")),
 
     // SemDeDup: semantic dedup decisions — IVF-cell clustering, within-cell
     // cosine pairs only, drop any vector with a lower-id neighbor >= 0.4.
