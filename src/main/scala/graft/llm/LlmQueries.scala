@@ -1258,6 +1258,27 @@ r AS (SELECT *, row_number() OVER (PARTITION BY cluster_key
 SELECT doc_id, cluster_key, rn = 1 AS keep, s_micro FROM r
 ORDER BY doc_id""")),
 
+    // Length-bucketed batching: sort-by-length dynamic batching with
+    // per-batch padding-waste accounting (waste = n·max_len − Σlen when a
+    // batch pads to its max). The Spark side computes the global length
+    // rank without a global window (histogram-cumsum + per-length rank);
+    // the oracle IS the single-window spelling — proving the scalable
+    // two-phase rank equals the canonical global order.
+    Q("q130_length_batching",
+      (s, dir) => Packing.lengthBucketedBatches(
+        Tables.documents(s, dir), batchSize = 32),
+      Some(s"""
+WITH ltok AS (SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS len
+              FROM documents),
+r AS (SELECT doc_id, len,
+        row_number() OVER (ORDER BY len ASC, doc_id ASC) AS rn
+      FROM ltok),
+b AS (SELECT CAST(floor((rn - 1) / 32.0) AS BIGINT) AS batch_id, len FROM r)
+SELECT batch_id, count(*) AS n_docs, max(len) AS max_len,
+  CAST(sum(len) AS BIGINT) AS sum_len,
+  CAST(count(*) * max(len) - sum(len) AS BIGINT) AS waste
+FROM b GROUP BY batch_id ORDER BY batch_id""")),
+
     // SemDeDup: semantic dedup decisions — IVF-cell clustering, within-cell
     // cosine pairs only, drop any vector with a lower-id neighbor >= 0.4.
     // nlist resolves adaptively (occupancy ~128, the q34 recipe applied to

@@ -92,4 +92,41 @@ object Packing {
           greatest(col("start_offset"), col("window_id") * stride))
           .as("tokens_in_window"))
   }
+
+  /** Length-bucketed batching: order documents by token count and cut the
+    * order into fixed-size batches — the dynamic-batching layout that
+    * minimizes padding waste when sequences in a batch pad to the batch
+    * max (inference serving, or padded — non-packed — training). Per
+    * batch: size, max_len, token sum, and waste = n·max_len − Σlen, the
+    * number a scheduler compares against arrival-order batching.
+    *
+    * Scale shape: the global length rank is computed WITHOUT a global
+    * single-task window — rank = (docs with a strictly shorter length,
+    * from a broadcast length-histogram cumsum) + (rank within my length,
+    * a window PARTITIONED by length — parallel). The histogram is
+    * distinct-lengths-sized (bounded: lengths are ≤ max document tokens),
+    * so its cumsum window is a dimension-table job; no corpus row ever
+    * funnels through one task. One length-keyed shuffle + one batch-keyed
+    * aggregation. */
+  def lengthBucketedBatches(docs: DataFrame, batchSize: Int): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    val lens = graft.Tables.spread(docs)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("len"))
+    val hist = lens.groupBy("len").agg(count(lit(1)).as("n_len"))
+    val cumW = Window.orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val cum = hist.select(col("len"),
+      coalesce(sum("n_len").over(cumW), lit(0L)).as("n_before"))
+    val withinW = Window.partitionBy("len").orderBy(col("doc_id").asc)
+    lens.join(broadcast(cum), "len")
+      .withColumn("rn", col("n_before") + row_number().over(withinW))
+      .withColumn("batch_id",
+        floor((col("rn") - 1) / lit(batchSize.toDouble)).cast("long"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"), max("len").as("max_len"),
+        sum("len").as("sum_len"))
+      .select(col("batch_id"), col("n_docs"), col("max_len"), col("sum_len"),
+        (col("n_docs") * col("max_len") - col("sum_len")).as("waste"))
+      .orderBy("batch_id")
+  }
 }

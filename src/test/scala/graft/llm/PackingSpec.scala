@@ -84,4 +84,32 @@ class PackingSpec extends SparkSpec {
     // every window's doc spans are contiguous: min start = window start
     assert(m.filter(col("tokens_in_window") <= 0).count() === 0)
   }
+
+  test("lengthBucketedBatches: covers every doc once; sorted waste <= arrival-order waste") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val B = 32
+    val batches = Packing.lengthBucketedBatches(docs, B).collect()
+    val nDocs = docs.count()
+    assert(batches.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    // every batch full except possibly the last
+    assert(batches.init.forall(_.getAs[Long]("n_docs") === B.toLong))
+    assert(batches.forall(r => r.getAs[Long]("waste") >= 0))
+    // the operator's raison d'être: batching by length strictly beats
+    // arrival-order (doc_id-order) batching on total padding waste for
+    // any length-diverse corpus
+    val lens = docs
+      .select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("len"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val arrivalWaste = lens.grouped(B)
+      .map(g => g.length * g.max - g.sum).sum
+    val sortedWaste = batches.map(_.getAs[Long]("waste")).sum
+    assert(sortedWaste < arrivalWaste,
+      s"sorted $sortedWaste !< arrival $arrivalWaste")
+    // scale property: the only unpartitioned window runs over the LENGTH
+    // HISTOGRAM (distinct lengths), never the corpus rows
+    val p = Packing.lengthBucketedBatches(docs, B)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("Window"), p)
+  }
 }
