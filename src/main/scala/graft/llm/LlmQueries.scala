@@ -782,6 +782,34 @@ r AS (SELECT query_id, vec_id, cosine,
 SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
 ORDER BY query_id, rank""")),
 
+    // Contrastive training pairs: per anchor, top-kPos near-duplicates
+    // (label 1) + top-kNeg hard negatives (label 0) from ONE batched
+    // scoring pass — the labeled pair table an embedder fine-tune
+    // consumes. Threshold = the q34 near-dup cosine, so "positive" agrees
+    // with the dedup family.
+    Q("q131_contrastive_pairs",
+      (s, dir) => Similarity.contrastivePairs(Tables.embeddings(s, dir),
+        nQueries = 4, kPos = 3, kNeg = 5, dupMin = 0.4),
+      Some(s"""
+WITH $embCte,
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+s AS (SELECT q.query_id, e.vec_id, ${cosineSql("e.v", "q.qv")} AS cosine
+      FROM e, q WHERE e.vec_id <> q.query_id),
+pr AS (SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+       FROM s WHERE cosine >= 0.4),
+nr AS (SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+       FROM s WHERE cosine < 0.4)
+SELECT query_id, vec_id, 1::BIGINT AS label, cosine, rank
+FROM pr WHERE rank <= 3
+UNION ALL
+SELECT query_id, vec_id, 0::BIGINT AS label, cosine, rank
+FROM nr WHERE rank <= 5
+ORDER BY query_id, label DESC, rank""")),
+
     // LSH ANN top-k: only vectors sharing a (table, bucket) with the query.
     Q("q25_lsh_ann_topk",
       (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), 0L, 10),

@@ -485,14 +485,30 @@ object Similarity {
     * shape that survives a corpus 1000× bigger). Batched queries amortize
     * the corpus scan — a training epoch's query batch runs in ONE pass. */
   def hardNegatives(embeddings: DataFrame, nQueries: Int, k: Int,
-      dupMax: Double, salts: Int = 64): DataFrame = {
+      dupMax: Double, salts: Int = 64): DataFrame =
+    rankPerQuery(
+      queryScores(embeddings, nQueries).filter(col("cosine") < dupMax),
+      k, salts)
+
+  /** The batched query×corpus cosine frame (query_id, vec_id, cosine):
+    * queries broadcast (queries ≪ corpus), one narrow pass, self
+    * excluded. Shared by [[hardNegatives]] and [[contrastivePairs]]. */
+  private def queryScores(embeddings: DataFrame,
+      nQueries: Int): DataFrame = {
     val q = broadcast(embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val scored = graft.Tables.spread(embeddings).crossJoin(q)
+    graft.Tables.spread(embeddings).crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("q_emb")).as("cosine"))
-      .filter(col("cosine") < dupMax)
+  }
+
+  /** The salted two-phase per-query top-k over a (query_id, vec_id,
+    * cosine) frame — identical results to the single-window spelling
+    * (global top-k = top-k of the union of local top-ks), without the
+    * low-cardinality-partition straggler. */
+  private def rankPerQuery(scored: DataFrame, k: Int,
+      salts: Int): DataFrame = {
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"), pmod(hash(col("vec_id")), lit(salts)))
       .orderBy(col("cosine").desc, col("vec_id").asc)
@@ -504,5 +520,27 @@ object Similarity {
       .withColumn("rank", row_number().over(wGlobal).cast("long"))
       .filter(col("rank") <= k)
       .drop("__r_local")
+  }
+
+  /** Contrastive training pairs for embedder fine-tuning: per query
+    * anchor, its top-kPos near-duplicates (label 1 — the positives a
+    * contrastive loss pulls together) and its top-kNeg hard negatives
+    * (label 0 — high-cosine-but-below-threshold, the informative
+    * negatives [[hardNegatives]] documents). ONE batched corpus scoring
+    * pass (checkpointed) feeds both classes; each class ranks through the
+    * same salted two-phase top-k. The threshold is the q34 near-dup
+    * cosine, so "positive" here agrees with the dedup family's notion of
+    * duplicate. */
+  def contrastivePairs(embeddings: DataFrame, nQueries: Int, kPos: Int,
+      kNeg: Int, dupMin: Double, salts: Int = 64): DataFrame = {
+    val scored = queryScores(embeddings, nQueries).localCheckpoint(false)
+    val pos = rankPerQuery(scored.filter(col("cosine") >= dupMin),
+      kPos, salts).withColumn("label", lit(1L))
+    val neg = rankPerQuery(scored.filter(col("cosine") < dupMin),
+      kNeg, salts).withColumn("label", lit(0L))
+    pos.unionByName(neg)
+      .select(col("query_id"), col("vec_id"), col("label"), col("cosine"),
+        col("rank"))
+      .orderBy(col("query_id"), col("label").desc, col("rank"))
   }
 }
