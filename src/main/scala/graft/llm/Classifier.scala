@@ -175,7 +175,16 @@ object Classifier {
     * standardized linear score — the serve-many half of the train-once
     * split. The model broadcasts (NumFeatures rows pivoted to one);
     * scoring is one narrow pass, no shuffle before the output sort. */
-  def logregScore(docs: DataFrame, model: DataFrame): DataFrame = {
+  def logregScore(docs: DataFrame, model: DataFrame): DataFrame =
+    scoreFrame(docs, model)
+      .orderBy(col("s_micro").desc, col("doc_id").asc)
+
+  /** The unordered scoring projection — shared by the batch scorer (which
+    * adds the output order) and the streaming twin (a stream has no total
+    * order; scores emit as docs arrive). Zero shuffle, zero state: the
+    * model pivots to one row and broadcasts into the narrow pass. */
+  private[graft] def scoreFrame(docs: DataFrame,
+      model: DataFrame): DataFrame = {
     val pivots = (0 until NumFeatures).flatMap { j =>
       Seq(sum(when(col("j") === j, col("w_micro"))).as(s"w$j"),
         sum(when(col("j") === j, col("mu_micro"))).as(s"mu$j"),
@@ -187,6 +196,5 @@ object Classifier {
         (0 until NumFeatures).map(j => col(s"w$j")): _*)))
       .select(col("doc_id"), col("y").cast("long").as("y"),
         sigmoidMicro().cast("long").as("s_micro"))
-      .orderBy(col("s_micro").desc, col("doc_id").asc)
   }
 }

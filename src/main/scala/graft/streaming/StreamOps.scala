@@ -168,6 +168,18 @@ object StreamOps {
   def qualityFilterStream(docsStream: DataFrame): DataFrame =
     graft.llm.TextAnalysis.qualityFilter(docsStream)
 
+  /** Classifier scoring under `readStream`: the SAME projection as the
+    * batch q127 scorer against a WRITTEN model table
+    * ([[graft.llm.Classifier.logregTrain]]'s (j, w, mu, sd) output) — the
+    * model is a static frame that pivots to one row and broadcasts into
+    * every micro-batch. Zero shuffle, zero state; the batch query's
+    * output order is a batch concern (a stream emits scores as docs
+    * arrive). Train offline, score the firehose — the deployment shape
+    * the model table exists for. */
+  def qualityScoreStream(docsStream: DataFrame,
+      model: DataFrame): DataFrame =
+    graft.llm.Classifier.scoreFrame(docsStream, model)
+
   /** Streaming twin of q59's heavy hitters: per group key, a running
     * Misra–Gries sketch over the token stream with AT MOST `k` counters of
     * state per group — the bounded-state property is what makes a

@@ -323,6 +323,29 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       "temperature mixture via stream counts")
   }
 
+  test("qualityScoreStream == batch scorer against the same written model") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("qscore").toString
+    val docsDF = docsFixture.toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.llm.Classifier.logregTrain(docsDF, rounds = 5)
+      .write.mode("overwrite").parquet(s"$tmp/model")
+    val model = spark.read.parquet(s"$tmp/model")
+    val (first, second) = docsFixture.splitAt(docsFixture.size / 2)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val out = StreamOps.qualityScoreStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"), model)
+    val q = out.writeStream.format("memory").queryName("qscore")
+      .outputMode("append").start()
+    try {
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assertSameRows(spark.table("qscore"),
+      graft.llm.Classifier.logregScore(docsDF, model), "quality score")
+  }
+
   test("bm25IngestStream: streamed appends into the serving layout == one-shot build") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("bm25ingest").toString
