@@ -111,10 +111,27 @@ class GraftCatalogSpec extends SparkSpec {
     // isolates the GEOMETRY cost, which is the flag's whole story)
     val viaTraining =
       SparkEntry.queries("q114_selection_pipeline_v2")(spark, dir).collect()
+    // a live listener, NOT statusTracker: the tracker's job list caps at
+    // spark.ui.retainedJobs (1000), so after enough prior-suite jobs both
+    // deltas would read ~0 and the contrast below would be vacuous
     def jobsDuring(f: => Any): Int = {
-      val b = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-      f
-      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - b
+      val c = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          c.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        // listener events post asynchronously; settle until quiet
+        var prev = -1; var spins = 0
+        while (c.get != prev && spins < 50) {
+          prev = c.get; Thread.sleep(100); spins += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      c.get
     }
     // Constructing the written-geometry frame costs only parquet footer
     // reads (a few file-listing/schema jobs — the price of ANY lazy scan);
