@@ -865,6 +865,10 @@ c AS (SELECT doc_id, source, t,
     graft.sec.SecDerive.cachedCount(s, dir, "retrieval_index") {
       writeBm25Index(Tables.documents(s, dir), base)
       writeIvfadcIndex(Tables.embeddings(s, dir), nlist, s"$base/ann")
+      // the distilled quality model (q126) — train-once at index build,
+      // the /quality endpoint scores against the written table
+      Classifier.logregTrain(Tables.documents(s, dir), rounds = 5)
+        .write.mode("overwrite").parquet(s"$base/quality_model")
       1L
     }
     base

@@ -128,6 +128,7 @@ class GraftApi(spark: SparkSession, sfDir: String,
       case ("GET", List("screener"))        => screenerEndpoint(ex, qp)
       case ("GET", List("search"))          => searchEndpoint(ex, qp)
       case ("GET", List("phrase"))          => phraseEndpoint(ex, qp)
+      case ("GET", List("quality"))         => qualityEndpoint(ex, qp)
       case ("GET", List("similar"))         => similarEndpoint(ex, qp)
       case ("GET", List("hybrid"))          => hybridEndpoint(ex, qp)
       case ("POST", List("query"))          => sqlEndpoint(ex)
@@ -252,6 +253,38 @@ class GraftApi(spark: SparkSession, sfDir: String,
       val results = o.putArray("results")
       rows.foreach(r => putRow(results.addObject(), cols, r))
     })
+  }
+
+  // the distilled quality model (5 rows) — written at index build, cached
+  private lazy val idxQualityModel: DataFrame = {
+    val df = spark.read.parquet(s"$searchIndexBase/quality_model").cache()
+    df.count()
+    df
+  }
+
+  /** The /quality scoring frame: the q127 scorer restricted to one doc —
+    * a pushed point-read of the documents table plus the broadcast 5-row
+    * model; per-request work is one document's tokenization. */
+  private[serve] def qualityFrame(docId: Long): DataFrame =
+    graft.llm.Classifier.scoreFrame(
+      graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") === docId),
+      idxQualityModel)
+
+  /** GET /quality?doc_id=42 — the distilled quality score (micro-sigmoid)
+    * and the rule gate's own verdict for one document, served against the
+    * model table written at index build. 404 when the doc is absent. */
+  private def qualityEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
+    val docId = qp.get("doc_id").map(parseInt("doc_id", _))
+      .getOrElse(throw new IllegalArgumentException("doc_id is required"))
+    qualityFrame(docId.toLong).collect().headOption match {
+      case None => reply(ex, 404, obj(_.put("detail", "doc_id not found")))
+      case Some(r) => reply(ex, 200, obj { o =>
+        o.put("doc_id", r.getAs[Long]("doc_id"))
+        o.put("s_micro", r.getAs[Long]("s_micro"))
+        o.put("rule_pass", r.getAs[Long]("y") == 1L)
+      })
+    }
   }
 
   /** The /similar search frame (see [[searchFrame]]): IVFADC over the

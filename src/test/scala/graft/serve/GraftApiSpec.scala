@@ -164,6 +164,29 @@ class GraftApiSpec extends SparkSpec {
       s"corpus text scanned by the indexed phrase path: $locations")
   }
 
+  test("GET /quality scores one doc against the written model; 404 on a miss") {
+    val (code, body) = get("/quality?doc_id=7")
+    assert(code === 200)
+    assert(body.get("doc_id").asLong() === 7L)
+    val served = body.get("s_micro").asLong()
+    // the served score equals the batch scorer's against the same model
+    val dir0 = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir0)
+    val base = graft.llm.Selection.retrievalIndex(spark, dir0)
+    val batch = graft.llm.Classifier.logregScore(docs,
+      spark.read.parquet(s"$base/quality_model"))
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 7L)
+      .collect().head
+    assert(served === batch.getAs[Long]("s_micro"))
+    assert(body.get("rule_pass").asBoolean() === (batch.getAs[Long]("y") == 1L))
+    assert(get("/quality?doc_id=99999999")._1 === 404)
+    assert(get("/quality")._1 === 422)
+    // point-read shape: the doc_id predicate pushes into the documents scan
+    val p = api.qualityFrame(7L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("doc_id"),
+      s"doc_id not pushed into the point read:\n$p")
+  }
+
   test("GET /similar serves ANN from the persisted IVFADC index; plan opens only probed cells") {
     val (code, body) = get("/similar?vec_id=42&k=5")
     assert(code === 200)
