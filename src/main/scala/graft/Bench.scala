@@ -129,11 +129,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val totalCpu = detailed.map(_._4).filter(_ >= 0).sum
     // Self-identifying contention: a run that STARTS on a loaded host
-    // (loadavg > ~2 before any bench work) measures the host, not the
-    // plans — r10's 124 s driver number vs the 100 s quiet pair was
-    // exactly this. The flag travels with the numbers so a polluted run
-    // can never silently stand in for a quiet one.
-    val contended = loadStart > 2.0
+    // measures the host, not the plans — r10's 124 s driver number vs the
+    // 100 s quiet pair was exactly this. The flag travels with the
+    // numbers so a polluted run can never silently stand in for a quiet
+    // one. Threshold scales with host width (a loadavg of 3 is idle on 64
+    // cores, saturation on 2) with a floor of 2.0 — the level measured to
+    // skew THIS suite's numbers on the 32-core reference host.
+    val contended = loadStart > math.max(2.0, cpus.toDouble / 16.0)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":$sf,""" +
         s""""cpu_sec":$cpuJson,"gc_sec":$gcJson,"runs":$runsJson,"total_cpu_sec":${fmt(totalCpu)},""" +

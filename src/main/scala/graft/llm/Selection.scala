@@ -1035,18 +1035,21 @@ c AS (SELECT doc_id, source, t,
     slots.reduce((a, b) => a.join(b, "doc_id"))
   }
 
-  /** Offline compaction of a persisted BM25 layout into a FRESH root:
-    * fold every appended batch into the reserved base partition
-    * `batch_id=-1` — postings rewritten one-file-per-bucket with the term
-    * run order restored (appends fragment each bucket into per-batch
-    * files; the fold re-sorts so row-group min/max skipping covers the
-    * whole bucket again), stats summed into a single base row set. A
-    * search against the compacted root returns EXACTLY the pre-compaction
-    * results (spec-pinned). Swap-in is the caller's move (publish-by-
-    * rename — the [[graft.ops.Layout.compact]] doctrine); distinct from
-    * [[graft.streaming.StreamOps.compactBm25Index]], which folds the
-    * STREAMING stats dir — this one compacts the serving layout root.
-    * Returns (input, output) postings file counts. */
+  /** Offline compaction of a persisted BM25 LAYOUT (postings + stats
+    * subtrees only) into a FRESH root: fold every appended batch into the
+    * reserved base partition `batch_id=-1` — postings rewritten
+    * one-file-per-bucket with the term run order restored (appends
+    * fragment each bucket into per-batch files; the fold re-sorts so
+    * row-group min/max skipping covers the whole bucket again), stats
+    * summed into a single base row set. A search against the compacted
+    * root returns EXACTLY the pre-compaction results (spec-pinned).
+    * Distinct from [[graft.streaming.StreamOps.compactBm25Index]], which
+    * folds the STREAMING stats dir. NOTE: this compacts the LEXICAL leg
+    * only — a [[retrievalIndex]]-shaped root also carries `ann/` and
+    * `quality_model/`, so the root-level publish-by-rename swap goes
+    * through [[compactSearchRoot]], which carries the siblings across;
+    * renaming THIS output over a full root would 500 /similar, /hybrid
+    * and /quality. Returns (input, output) postings file counts. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       inBase: String, outBase: String): (Long, Long) = {
     spark.read.parquet(s"$inBase/postings_meta")
@@ -1069,7 +1072,30 @@ c AS (SELECT doc_id, source, t,
       countParquetFiles(spark, s"$outBase/postings"))
   }
 
-  private def countParquetFiles(
+  /** Root-level compaction of a full [[retrievalIndex]]-shaped serving
+    * root: the BM25 subtrees fold through [[compactBm25Index]], and the
+    * sibling layouts a root carries — `ann/` (when present; compact it
+    * separately via [[compactIvfadcIndex]] if its batches warrant it) and
+    * `quality_model/` — copy across verbatim, so the publish-by-rename
+    * swap the compaction doctrine prescribes leaves every endpoint
+    * serving. Returns the BM25 (in, out) postings file counts. */
+  def compactSearchRoot(spark: org.apache.spark.sql.SparkSession,
+      inBase: String, outBase: String): (Long, Long) = {
+    val counts = compactBm25Index(spark, inBase, outBase)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("ann", "quality_model").foreach { sub =>
+      val src = new org.apache.hadoop.fs.Path(s"$inBase/$sub")
+      val fs = src.getFileSystem(conf)
+      if (fs.exists(src)) {
+        val dst = new org.apache.hadoop.fs.Path(s"$outBase/$sub")
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+          /* deleteSource = */ false, /* overwrite = */ true, conf)
+      }
+    }
+    counts
+  }
+
+  private[graft] def countParquetFiles(
       spark: org.apache.spark.sql.SparkSession, p: String): Long = {
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -345,7 +345,18 @@ object Similarity {
     * broadcast cosine pass as [[ivfAssignWith]]; downstream pair space
     * multiplies by ≤ probes². */
   def ivfAssignMulti(embeddings: DataFrame, centroids: DataFrame,
-      probes: Int): DataFrame = {
+      probes: Int): DataFrame =
+    ivfAssignRanked(embeddings, centroids, probes)
+      .select("vec_id", "label", "embedding", "cell")
+
+  /** THE rank-kept assignment: every vector's top `maxProbes` cells with
+    * the rank column preserved — the one spelling of the
+    * cosine-desc/cell-asc assignment order that [[ivfAssignMulti]] and
+    * the q121 recall audit both consume (rn <= 1 of this window IS
+    * [[ivfAssignWith]]'s assignment; a tie-break change here is the only
+    * place the probe tiers' ordering can move). */
+  private[llm] def ivfAssignRanked(embeddings: DataFrame,
+      centroids: DataFrame, maxProbes: Int): DataFrame = {
     val cents = broadcast(centroids.select(col("cell"), col("cent")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cell").asc)
@@ -353,8 +364,8 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
         cosine(col("embedding"), col("cent")).as("sim"))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= probes)
-      .select("vec_id", "label", "embedding", "cell")
+      .filter(col("__rn") <= maxProbes)
+      .select("vec_id", "label", "embedding", "cell", "__rn")
   }
 
   /** The IVF-cell tier of [[nearDupPairs]] — the 100 TB path for q34's
@@ -431,22 +442,15 @@ object Similarity {
       .select("vec_id_a", "vec_id_b").localCheckpoint(false)
     val lshN = lsh.agg(count(lit(1)).as("lsh_pairs"))
     val cents = kmeansTrain(embeddings, nlist, iters = 2)
-    // ONE corpus × nlist assignment pass at max(probes), rank kept; each
-    // probe setting is a rank filter over it — rn <= 1 of this window IS
-    // ivfAssignWith's assignment (same ordering), so per-setting pair
-    // sets are identical to nearDupPairsIvfWith's, without re-running
-    // the cosine pass per setting.
-    val maxP = probesList.max
-    val cb = broadcast(cents.select(col("cell"), col("cent")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cell").asc)
-    val assignedAll = graft.Tables.spread(embeddings).join(cb)
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosine(col("embedding"), col("cent")).as("sim"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxP)
-      .select("vec_id", "embedding", "cell", "__rn")
-      .localCheckpoint(false)
+    // ONE corpus × nlist assignment pass at max(probes), rank kept
+    // (ivfAssignRanked — the SHARED spelling, so the audit cannot drift
+    // from the assignment the tiers serve); each probe setting is a rank
+    // filter over it, making per-setting pair sets identical to
+    // nearDupPairsIvfWith's without re-running the cosine pass.
+    val assignedAll =
+      ivfAssignRanked(embeddings, cents, probesList.max)
+        .select("vec_id", "embedding", "cell", "__rn")
+        .localCheckpoint(false)
     probesList.map { p =>
       val cell = nearDupPairsFromAssigned(
         assignedAll.filter(col("__rn") <= p)

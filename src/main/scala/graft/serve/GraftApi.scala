@@ -70,21 +70,20 @@ class GraftApi(spark: SparkSession, sfDir: String,
   // which is the whole point (at 100 TB neither fits anywhere else).
   private lazy val searchIndexBase: String = indexRoot.getOrElse(
     graft.llm.Selection.retrievalIndex(spark, sfDir))
-  // fold-reads: the stats tables carry per-batch deltas after incremental
-  // appends (Selection.appendToBm25Index); caching the FOLDED frame keeps
-  // per-request work independent of how many batches built the index
-  private lazy val idxTermStats: DataFrame = {
-    val df =
-      graft.llm.Selection.bm25TermStatsRead(spark, searchIndexBase).cache()
-    df.count()
-    df
-  }
-  private lazy val idxCorpusStats: DataFrame = {
-    val df =
-      graft.llm.Selection.bm25CorpusStatsRead(spark, searchIndexBase).cache()
-    df.count()
-    df
-  }
+  // Stats are fold-READ per request, never cached: the tables carry
+  // per-batch deltas after incremental appends (appendToBm25Index /
+  // bm25IngestStream), and a snapshot cached at first request would make
+  // the server permanently blind to them (new terms would inner-join to
+  // nothing and vanish from /search). Per-request cost stays the query
+  // terms' rows: the term predicate is on the fold's GROUPING key, so it
+  // pushes through the aggregate into the parquet scan (spec-pinned);
+  // corpus_stats is a few rows per batch folded to one.
+  private def idxTermStatsFor(terms: Seq[String]): DataFrame =
+    spark.read.parquet(s"$searchIndexBase/term_stats")
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(org.apache.spark.sql.functions.sum("df").as("df"))
+  private def idxCorpusStats: DataFrame =
+    graft.llm.Selection.bm25CorpusStatsRead(spark, searchIndexBase)
   // candidate budget for the IVFADC re-rank: the q98 fraction rule
   private lazy val embN: Long = graft.llm.LlmQueries.embCount(spark, sfDir)
 
@@ -202,10 +201,11 @@ class GraftApi(spark: SparkSession, sfDir: String,
     graft.llm.TextAnalysis.bm25RankFromPostings(
       graft.ops.Layout.postingsForTerms(spark,
         s"$searchIndexBase/postings", terms),
-      // Per-request work must be the query terms' rows: restrict the stats
-      // BEFORE the broadcast inside bm25Score, or every request broadcasts
-      // the whole vocabulary (which at 100 TB exceeds broadcast limits).
-      idxTermStats.filter(col("term").isin(terms: _*)),
+      // Per-request work must be the query terms' rows: the stats are
+      // restricted BEFORE the fold and the broadcast inside bm25Score, or
+      // every request would aggregate and broadcast the whole vocabulary
+      // (which at 100 TB exceeds broadcast limits).
+      idxTermStatsFor(terms),
       idxCorpusStats, terms, topK = limit)
 
   /** GET /search?q=space+separated+terms&limit=10 — BM25 lexical ranking

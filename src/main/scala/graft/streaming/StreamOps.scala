@@ -522,6 +522,34 @@ object StreamOps {
     walk(hPath, depth)
   }
 
+  /** Batch-0 ownership check for the serving-layout ingest streams: the
+    * stale-partition guard is blind to batch_id ∈ {0, -1} (0 is a
+    * legitimate re-delivery, -1 the base), so a PREVIOUS stream's batch-0
+    * data would silently survive a fresh-checkpoint restart and the new
+    * stream's batch 0 would dynamic-overwrite only the partitions its own
+    * docs hit — stale postings/codes linger and later re-deliveries
+    * double-count. The marker closes the blind spot: the first stream to
+    * feed a root records its checkpoint path in `_stream_marker`; a
+    * stream arriving at batch 0 with a DIFFERENT checkpoint is refused. */
+  private def assertStreamOwnership(spark: SparkSession, basePath: String,
+      checkpoint: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$basePath/_stream_marker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val prev = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      require(prev == checkpoint,
+        s"index root $basePath was fed by a stream checkpointed at " +
+          s"'$prev'; this stream's checkpoint is '$checkpoint'. A fresh " +
+          "checkpoint over an already-fed root re-delivers batch ids that " +
+          "overwrite the previous stream's partitions. Compact into a " +
+          "fresh root or reuse the original checkpoint.")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Streaming ingest into the PERSISTED BM25 serving layout: each
     * micro-batch of documents appends through
     * [[graft.llm.Selection.appendToBm25Index]] under the sink's own
@@ -548,6 +576,7 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF()
         if (batchId == 0L) {
+          assertStreamOwnership(b.sparkSession, basePath, checkpoint)
           val stale =
             staleBatchPartitions(b.sparkSession, s"$basePath/postings", 1) ||
               Seq("term_stats", "corpus_stats").exists(sub =>
@@ -579,12 +608,14 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF()
-        if (batchId == 0L)
+        if (batchId == 0L) {
+          assertStreamOwnership(b.sparkSession, basePath, checkpoint)
           require(!staleBatchPartitions(b.sparkSession,
               s"$basePath/codes", 1),
             s"index root $basePath has code batches from a previous run " +
               "but this stream is at batch 0 (new checkpoint): compact " +
               "into a fresh root or reuse the original checkpoint.")
+        }
         graft.llm.Selection.appendToIvfadcIndex(b, basePath, batchId)
         ()
       }
@@ -601,16 +632,11 @@ object StreamOps {
       spark.read.parquet(s"$statsPath/corpus")
         .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))
 
-  private def nParquetFiles(spark: SparkSession, p: String): Long = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(hp, true)
-    var n = 0L
-    while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-    }
-    n
-  }
+  // one definition of "index file count" across the batch and streaming
+  // compactors — a divergent copy here would make their (in, out) reports
+  // inconsistent
+  private def nParquetFiles(spark: SparkSession, p: String): Long =
+    graft.llm.Selection.countParquetFiles(spark, p)
 
   /** Materialize a folded stats frame as the reserved `batch_id=-1` base
     * partition of a FRESH root, sized to `targetBytes` files from the input

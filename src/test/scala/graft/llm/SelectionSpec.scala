@@ -456,6 +456,27 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("compactSearchRoot carries the ann and quality_model siblings across the swap") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rootcmp").toString
+    val full = Selection.retrievalIndex(spark, "/root/testdata/sf0.001")
+    Selection.compactSearchRoot(spark, full, s"$tmp/out")
+    val terms = Seq("hash", "join", "window")
+    def search(root: String) =
+      Selection.bm25SearchIndex(spark, root, terms, topK = 20)
+        .collect().map(_.toSeq).toSeq
+    // lexical leg folded + identical
+    val out = search(s"$tmp/out")
+    assert(out === search(full) && out.nonEmpty)
+    // siblings survived: the publish-by-rename swap leaves /similar and
+    // /quality serving (readable layouts, identical content)
+    assert(spark.read.parquet(s"$tmp/out/ann/cents").count() ===
+      spark.read.parquet(s"$full/ann/cents").count())
+    assert(spark.read.parquet(s"$tmp/out/quality_model").collect()
+        .map(_.toSeq).toSet ===
+      spark.read.parquet(s"$full/quality_model").collect()
+        .map(_.toSeq).toSet)
+  }
+
   test("dupSpans: consecutive shared gram starts merge into one cut-ready interval") {
     // Both docs share their first 9 tokens, then diverge: gram starts 0 and
     // 1 are shared, start 2 onward differ — one island per doc covering

@@ -211,23 +211,61 @@ class GraftApiSpec extends SparkSpec {
       s"expected <= nprobe(4) cell directories read, got $partsRead")
   }
 
-  test("/search restricts the stats broadcast to the query terms' rows") {
+  test("/search restricts the stats fold + broadcast to the query terms' rows") {
     // The per-request contract: the broadcast side of the BM25 score join
     // is the query terms' stats rows, never the whole vocabulary (which at
-    // corpus scale exceeds broadcast limits). The isin lands on the cached
-    // term_stats relation as an InMemoryTableScan filter — pin it by
-    // counting the broadcast build side's rows.
+    // corpus scale exceeds broadcast limits). Stats are fold-READ per
+    // request (never cached — a snapshot would go blind to incremental
+    // appends), so the pin is that the term predicate sits on the fold's
+    // GROUPING key and pushes through the aggregate into the term_stats
+    // parquet scan itself.
     val frame = api.searchFrame(Seq("hash", "join"), 5)
     frame.collect()
-    // The cached relations in this plan are term_stats (filtered) and
-    // corpus_stats (a single row, unfiltered): the term predicate must
-    // reach the term_stats InMemoryTableScan.
-    val memScans = collectMemScans(frame.queryExecution.executedPlan)
-    assert(memScans.nonEmpty, "no cached-stats scan found in the plan")
-    assert(memScans.exists(_.predicates.exists(
-        _.references.exists(_.name == "term"))),
-      "no term predicate on the cached stats relation — the full " +
-        s"vocabulary would be broadcast per request: $memScans")
+    val statScans = scans(frame.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("term_stats")))
+    assert(statScans.nonEmpty, "no term_stats scan found in the plan")
+    assert(statScans.forall(_.metadata.get("PushedFilters")
+        .exists(_.contains("In(term"))),
+      "term predicate not pushed into the term_stats scan — the full " +
+        "vocabulary would be aggregated and broadcast per request:\n" +
+        statScans.map(_.metadata).mkString("\n"))
+  }
+
+  test("/search sees incrementally appended docs and terms (stats never snapshot)") {
+    // Build a private root, serve from it, then append a doc with a brand
+    // new term THROUGH the running server's lifetime: the next request
+    // must see it — both the new term and the shifted corpus stats.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_live_idx").toString
+    import spark.implicits._
+    graft.llm.Selection.writeBm25Index(
+      Seq((1L, "alpha beta gamma", "en", "s", 16L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/idx")
+    val api2 = new GraftApi(spark, "/root/testdata/sf0.001",
+      Some(s"$tmp/idx"))
+    val addr = api2.start(0)
+    def get2(path: String): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+      val url = new java.net.URI(
+        s"http://localhost:${addr.getPort}$path").toURL
+      val conn = url.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), "UTF-8")
+      (code, new com.fasterxml.jackson.databind.ObjectMapper().readTree(body))
+    }
+    try {
+      assert(get2("/search?q=zeppelin")._2.get("results").size() === 0)
+      graft.llm.Selection.appendToBm25Index(
+        Seq((2L, "zeppelin zeppelin beta", "en", "s", 22L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"),
+        s"$tmp/idx", batchId = 0L)
+      val (code, body) = get2("/search?q=zeppelin")
+      assert(code === 200)
+      val rs = body.get("results")
+      assert(rs.size() === 1 && rs.get(0).get("doc_id").asLong() === 2L,
+        s"appended doc invisible to the running server: $body")
+    } finally api2.stop()
   }
 
   test("GET /similar: existing vec_id with zero neighbors is an empty 200, not a 404") {

@@ -373,6 +373,20 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     val inc = search(s"$tmp/inc")
     assert(inc === search(s"$tmp/full") && inc.nonEmpty)
+    // ownership marker: a NEW stream (different checkpoint) over the
+    // already-fed root must refuse at batch 0 — the stale-partition guard
+    // is blind to leftover batch_id=0 data, the marker is not
+    val mem2 = MemoryStream[(Long, String, String, String, Long)]
+    val q2 = StreamOps.bm25IngestStream(
+      mem2.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/inc", s"$tmp/ckpt_other")
+    try {
+      mem2.addData(s1.head)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    assert(search(s"$tmp/inc") === inc, "refused stream mutated the root")
   }
 
   test("ivfadcIngestStream: streamed appends under frozen geometry == one-shot encode") {
