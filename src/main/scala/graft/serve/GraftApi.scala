@@ -229,26 +229,39 @@ class GraftApi(spark: SparkSession, sfDir: String,
     })
   }
 
-  /** The /phrase frame — [[graft.llm.Selection.phraseSearchIndex]] over
-    * the persisted POSITIONAL postings: per-request reads are the phrase
-    * terms' bucket directories (positions column included — the one
-    * reader that asks for it); the corpus text is never rescanned
-    * (plan-pinned, like /search). */
-  private[serve] def phraseFrame(phrase: Seq[String], limit: Int): DataFrame =
-    graft.llm.Selection.phraseSearchIndex(spark, searchIndexBase, phrase)
+  /** The /phrase frame — the exact tier
+    * ([[graft.llm.Selection.phraseSearchIndex]]) or, at slop > 0, the
+    * ordered-proximity tier ([[graft.llm.Selection.proximitySearchIndex]])
+    * over the persisted POSITIONAL postings: per-request reads are the
+    * phrase terms' bucket directories (positions column included — the
+    * one reader family that asks for it); the corpus text is never
+    * rescanned (plan-pinned, like /search). */
+  private[serve] def phraseFrame(phrase: Seq[String], limit: Int,
+      slop: Int = 0): DataFrame =
+    (if (slop == 0)
+      graft.llm.Selection.phraseSearchIndex(spark, searchIndexBase, phrase)
+    else
+      graft.llm.Selection.proximitySearchIndex(spark, searchIndexBase,
+        phrase, slop))
       .limit(limit)
 
-  /** GET /phrase?q=exact+phrase&limit=10 — exact-adjacency phrase search
-    * (q122/q123's shifted-position intersection) served from the
-    * positional index. Same term tokenization and caps as /search. */
+  /** GET /phrase?q=exact+phrase&limit=10&slop=0 — exact-adjacency phrase
+    * search (q122/q123's shifted-position intersection), or with slop > 0
+    * the ordered-proximity tier (q124/q125's anchor-counted chain: each
+    * adjacent gap ≤ 1+slop). Same term tokenization and caps as
+    * /search. */
   private def phraseEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
     val terms = qp.getOrElse("q", "").trim.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "q must contain at least one term")
     require(terms.size <= 16, "q is capped at 16 phrase terms")
+    val slop = intParam(qp, "slop", 0, 0, 16)
+    require(slop == 0 || terms.size >= 2,
+      "slop requires a phrase of at least two terms")
     val limit = intParam(qp, "limit", 10, 1, 100)
     val cols = Seq("doc_id", "n_occ")
-    val rows = phraseFrame(terms, limit).select(cols.map(col): _*).collect()
+    val rows = phraseFrame(terms, limit, slop)
+      .select(cols.map(col): _*).collect()
     reply(ex, 200, obj { o =>
       val results = o.putArray("results")
       rows.foreach(r => putRow(results.addObject(), cols, r))

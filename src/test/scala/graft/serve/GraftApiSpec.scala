@@ -153,6 +153,22 @@ class GraftApiSpec extends SparkSpec {
       .map(i => (rs.get(i).get("doc_id").asLong(), rs.get(i).get("n_occ").asLong()))
     assert(served === brute)
     assert(get("/phrase?q=")._1 === 422)
+    // slop > 0 routes to the proximity tier: superset of the exact tier's
+    // matches on the same phrase, and equal to the brute proximity scan
+    val exactN = rs.size()
+    val (sc, sb) = get("/phrase?q=sort+merge&slop=1&limit=100")
+    assert(sc === 200)
+    val sRs = sb.get("results")
+    assert(sRs.size() >= exactN)
+    val servedProx = (0 until sRs.size())
+      .map(i => (sRs.get(i).get("doc_id").asLong(),
+        sRs.get(i).get("n_occ").asLong())).toSet
+    val bruteProx = graft.llm.TextAnalysis.proximityOccurrences(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"),
+      Seq("sort", "merge"), slop = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(servedProx === bruteProx)
+    assert(get("/phrase?q=solo&slop=1")._1 === 422)
     // the plan reads the positional postings, never the corpus text
     val frame = api.phraseFrame(Seq("sort", "merge"), 5)
     frame.collect()
