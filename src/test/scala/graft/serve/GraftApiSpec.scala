@@ -346,22 +346,6 @@ class GraftApiSpec extends SparkSpec {
     } finally api2.stop()
   }
 
-  // recurse through AQE query stages + reused exchanges to every cached scan
-  private def collectMemScans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec] = {
-    val here = p.collect {
-      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        Seq(m)
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        collectMemScans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        collectMemScans(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        collectMemScans(r.child)
-    }
-    here.flatten
-  }
-
   // recurse through AQE query stages + reused exchanges to every file scan
   private def scans(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
