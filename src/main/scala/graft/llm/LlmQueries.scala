@@ -1297,7 +1297,8 @@ ORDER BY doc_id""")),
         Tables.documents(s, dir), batchSize = 32),
       Some(s"""
 WITH ltok AS (SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS len
-              FROM documents),
+              FROM documents
+              WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 1),
 r AS (SELECT doc_id, len,
         row_number() OVER (ORDER BY len ASC, doc_id ASC) AS rn
       FROM ltok),

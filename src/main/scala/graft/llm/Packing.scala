@@ -108,10 +108,23 @@ object Packing {
     * so its cumsum window is a dimension-table job; no corpus row ever
     * funnels through one task. One length-keyed shuffle + one batch-keyed
     * aggregation. */
-  def lengthBucketedBatches(docs: DataFrame, batchSize: Int): DataFrame = {
+  def lengthBucketedBatches(docs: DataFrame, batchSize: Int): DataFrame =
+    lengthBucketedBatchesFromLens(
+      graft.Tables.spread(docs)
+        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("len"))
+        // size() of a NULL text's token array is -1 and a tokenless doc
+        // contributes nothing to a padded batch — the same `>= 1` guard as
+        // [[offsets]], so null/empty docs can neither rank (their ordering
+        // vs real lengths is engine-dependent) nor drive waste negative.
+        .filter(col("len") >= 1),
+      batchSize)
+
+  /** [[lengthBucketedBatches]] over a caller-supplied `(doc_id, len)`
+    * frame — the seam that lets the batcher rank on any length measure
+    * (whitespace tokens above; trained-BPE token counts in
+    * `q136_bpe_length_batching`). Callers own the tokenless-doc guard. */
+  def lengthBucketedBatchesFromLens(lens: DataFrame, batchSize: Int): DataFrame = {
     require(batchSize >= 1, "batchSize must be positive")
-    val lens = graft.Tables.spread(docs)
-      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("len"))
     val hist = lens.groupBy("len").agg(count(lit(1)).as("n_len"))
     val cumW = Window.orderBy("len")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)

@@ -268,7 +268,16 @@ class GraftApi(spark: SparkSession, sfDir: String,
     })
   }
 
-  // the distilled quality model (5 rows) — written at index build, cached
+  // the distilled quality model (5 rows) — written at index build, cached.
+  // Presence is checked once (memoized): an externally supplied indexRoot
+  // built by writeBm25Index alone, or by a pre-quality-era build, has no
+  // quality_model/ — that is an operator state, not a request error, so
+  // /quality answers 503 with the rebuild hint instead of a raw 500 from
+  // the lazy parquet read.
+  private lazy val hasQualityModel: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$searchIndexBase/quality_model")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
   private lazy val idxQualityModel: DataFrame = {
     val df = spark.read.parquet(s"$searchIndexBase/quality_model").cache()
     df.count()
@@ -288,6 +297,12 @@ class GraftApi(spark: SparkSession, sfDir: String,
     * and the rule gate's own verdict for one document, served against the
     * model table written at index build. 404 when the doc is absent. */
   private def qualityEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
+    if (!hasQualityModel) {
+      reply(ex, 503, obj(_.put("detail",
+        "index root has no quality model — rebuild the retrieval index " +
+          "or train and write quality_model/ under the index root")))
+      return
+    }
     val docId = qp.get("doc_id").map(parseInt("doc_id", _))
       .getOrElse(throw new IllegalArgumentException("doc_id is required"))
     qualityFrame(docId.toLong).collect().headOption match {

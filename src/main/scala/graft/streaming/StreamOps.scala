@@ -531,11 +531,11 @@ object StreamOps {
     * double-count. The marker closes the blind spot: the first stream to
     * feed a root records its checkpoint path in `_stream_marker`; a
     * stream arriving at batch 0 with a DIFFERENT checkpoint is refused. */
-  private def assertStreamOwnership(spark: SparkSession, basePath: String,
-      checkpoint: String): Unit = {
+  private[streaming] def assertStreamOwnership(spark: SparkSession,
+      basePath: String, checkpoint: String): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$basePath/_stream_marker")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) {
+    def assertSame(): Unit = {
       val in = fs.open(marker)
       val prev = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       require(prev == checkpoint,
@@ -544,9 +544,36 @@ object StreamOps {
           "checkpoint over an already-fed root re-delivers batch ids that " +
           "overwrite the previous stream's partitions. Compact into a " +
           "fresh root or reuse the original checkpoint.")
-    } else {
-      val out = fs.create(marker, true)
-      try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
+    }
+    if (fs.exists(marker)) assertSame()
+    else {
+      // The claim must be ATOMIC: of two streams racing to claim a fresh
+      // root at batch 0, exactly one may win; the loser re-reads the
+      // winner's marker and fails the same checkpoint comparison an
+      // up-front exists() would have. A check-then-create would let both
+      // pass and silently clobber. On HDFS-likes, create(overwrite=false)
+      // is the atomic primitive (namenode-arbitrated); Hadoop's LOCAL
+      // filesystem implements it as its own exists()-then-open (no
+      // O_EXCL), so there we claim through nio createFile, which is
+      // O_CREAT|O_EXCL — the race-spec pins 16 concurrent claimers to one
+      // winner. A loser that reads the marker before the winner's content
+      // lands sees a prefix and refuses — correct either way: it lost.
+      val claimed =
+        try {
+          if (fs.getScheme == "file") {
+            val local = java.nio.file.Paths.get(marker.toUri.getPath)
+            java.nio.file.Files.createDirectories(local.getParent)
+            java.nio.file.Files.createFile(local)
+            java.nio.file.Files.write(local, checkpoint.getBytes("UTF-8"))
+          } else {
+            val out = fs.create(marker, false)
+            try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
+          }
+          true
+        } catch {
+          case _: java.io.IOException if fs.exists(marker) => false
+        }
+      if (!claimed) assertSame()
     }
   }
 

@@ -112,4 +112,21 @@ class PackingSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(p.contains("Window"), p)
   }
+
+  test("lengthBucketedBatches: null/tokenless docs are dropped, same guard as offsets") {
+    import spark.implicits._
+    // a null text (size() == -1) must neither rank nor drive waste
+    // negative; real docs batch exactly as if the null row were absent
+    val docs = Seq(
+      (1L, "a b c", "en", "s", 5L), (2L, null.asInstanceOf[String], "en", "s", 0L),
+      (3L, "d", "en", "s", 1L), (4L, "e f", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Packing.lengthBucketedBatches(docs, batchSize = 2).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 3L)
+    assert(rows.forall(_.getAs[Long]("waste") >= 0L))
+    // batches equal those over the clean subset alone
+    val clean = Packing.lengthBucketedBatches(
+      docs.filter(col("doc_id") =!= 2L), batchSize = 2).collect()
+    assert(rows.map(_.toSeq).toSeq === clean.map(_.toSeq).toSeq)
+  }
 }

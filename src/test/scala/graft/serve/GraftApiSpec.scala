@@ -281,6 +281,12 @@ class GraftApiSpec extends SparkSpec {
       val rs = body.get("results")
       assert(rs.size() === 1 && rs.get(0).get("doc_id").asLong() === 2L,
         s"appended doc invisible to the running server: $body")
+      // this root was built by writeBm25Index alone — no quality_model/.
+      // That is an operator state, not a request error: a clear 503 with
+      // the rebuild hint, not an opaque 500 from the lazy parquet read.
+      val (qCode, qBody) = get2("/quality?doc_id=1")
+      assert(qCode === 503, s"expected 503 on a model-less root: $qBody")
+      assert(qBody.get("detail").asText().contains("no quality model"))
     } finally api2.stop()
   }
 

@@ -389,6 +389,43 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(search(s"$tmp/inc") === inc, "refused stream mutated the root")
   }
 
+  test("stream ownership claim is atomic: N racers on a fresh root, one winner") {
+    // The marker is created with overwrite=false, so of N concurrent
+    // batch-0 claims with DISTINCT checkpoints exactly one can succeed;
+    // every loser must fail the checkpoint comparison (a check-then-create
+    // would let several pass and silently clobber each other's marker).
+    val tmp = java.nio.file.Files.createTempDirectory("ownrace").toString
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val outcomes = (0 until n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Option[String]] {
+        def call(): Option[String] = {
+          gate.await()
+          try {
+            StreamOps.assertStreamOwnership(spark, tmp, s"ckpt_$i")
+            Some(s"ckpt_$i")
+          } catch { case _: IllegalArgumentException => None }
+        }
+      })
+    }
+    gate.countDown()
+    val winners = outcomes.flatMap(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(winners.size === 1, s"expected exactly one owner, got $winners")
+    val marker = new org.apache.hadoop.fs.Path(s"$tmp/_stream_marker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(marker)
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(content === winners.head, "marker does not record the winner")
+    // and the winner's claim is durable: same checkpoint re-passes,
+    // any other still refuses
+    StreamOps.assertStreamOwnership(spark, tmp, winners.head)
+    intercept[IllegalArgumentException] {
+      StreamOps.assertStreamOwnership(spark, tmp, "ckpt_other")
+    }
+  }
+
   test("ivfadcIngestStream: streamed appends under frozen geometry == one-shot encode") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ivfingest").toString
