@@ -507,6 +507,8 @@ object Selection {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell", "batch_id")
       .parquet(s"$basePath/codes")
+    // arm the batch-commit visibility protocol (the BM25 layout's twin)
+    graft.ops.Layout.initCommitLog(spark, basePath)
   }
 
   /** Ingest a new vector batch into a [[writeIvfadcIndex]] layout without
@@ -538,6 +540,10 @@ object Selection {
       s"batchId must be >= 0 (negative ids are reserved for the base/" +
         s"compacted partition batch_id=-1), got $batchId")
     val spark = newEmbeddings.sparkSession
+    // same rewrite-window discipline as appendToBm25Index: the batch
+    // vanishes from reads while its cell partitions rewrite, reappears
+    // atomically on commit
+    graft.ops.Layout.beginBatchCommit(spark, basePath, batchId)
     val cents = broadcast(spark.read.parquet(s"$basePath/cents"))
     val assigned = Similarity.ivfAssignWith(newEmbeddings, cents)
       .join(cents, "cell")
@@ -553,6 +559,7 @@ object Selection {
       .write.mode("overwrite").partitionBy("cell", "batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$basePath/codes")
+    graft.ops.Layout.finishBatchCommit(spark, basePath, batchId)
   }
 
   /** Offline compaction/rebuild of a persisted IVFADC layout: fold every
@@ -579,6 +586,8 @@ object Selection {
     spark.read.parquet(s"$inBase/codebook")
       .write.mode("overwrite").parquet(s"$outBase/codebook")
     val latest = spark.read.parquet(s"$inBase/codes")
+      // committed snapshot only — a crashed half-append never folds in
+      .filter(graft.ops.Layout.committedBatchFilter(spark, inBase))
       .groupBy("vec_id", "m")
       .agg(max_by(struct(col("cell"), col("code")), col("batch_id")).as("s"))
       .select(col("vec_id"), col("m"),
@@ -587,6 +596,7 @@ object Selection {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell", "batch_id")
       .parquet(s"$outBase/codes")
+    graft.ops.Layout.initCommitLog(spark, outBase)
     (nFiles(s"$inBase/codes"), nFiles(s"$outBase/codes"))
   }
 
@@ -653,7 +663,10 @@ object Selection {
     val probedCells: Seq[Long] = dtM.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val adc = spark.read.parquet(s"$basePath/codes")
-      .filter(col("cell").isin(probedCells: _*))
+      .filter(col("cell").isin(probedCells: _*) &&
+        // committed batches only (Layout commit protocol): an in-flight
+        // append/replay can't surface half a batch's codes mid-request
+        graft.ops.Layout.committedBatchFilter(spark, basePath))
       .join(broadcast(dtM), Seq("cell", "m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       // Latest-batch-wins per (vec_id, m) — SAME-CELL re-ingest only: a
@@ -896,6 +909,9 @@ c AS (SELECT doc_id, source, t,
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id")
       .parquet(s"$basePath/corpus_stats")
+    // arm the batch-commit visibility protocol: from-birth layouts serve
+    // appended batches only once fully committed (Layout.initCommitLog)
+    graft.ops.Layout.initCommitLog(spark, basePath)
   }
 
   /** Ingest a doc-disjoint document batch into a [[writeBm25Index]] layout
@@ -923,6 +939,13 @@ c AS (SELECT doc_id, source, t,
     require(batchId >= 0,
       s"batchId must be >= 0 (negative ids are reserved for the base/" +
         s"compacted partition batch_id=-1), got $batchId")
+    // Open the batch's rewrite window BEFORE touching any table: a
+    // replayed batch first vanishes wholesale from serving reads (its
+    // marker drops), is rewritten across all three tables, then reappears
+    // atomically when the marker lands — a concurrent /search can never
+    // see a half-rewritten batch (Layout commit protocol).
+    val spark = newDocs.sparkSession
+    graft.ops.Layout.beginBatchCommit(spark, basePath, batchId)
     // one tokenize pass, three consumers (postings + both stats deltas);
     // positional, matching the base layout's schema
     val delta =
@@ -938,6 +961,7 @@ c AS (SELECT doc_id, source, t,
       .write.mode("overwrite").partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$basePath/corpus_stats")
+    graft.ops.Layout.finishBatchCommit(spark, basePath, batchId)
   }
 
   /** Additive fold-read of the per-batch df deltas: sum over batches per
@@ -948,12 +972,16 @@ c AS (SELECT doc_id, source, t,
   def bm25TermStatsRead(spark: org.apache.spark.sql.SparkSession,
       basePath: String): DataFrame =
     spark.read.parquet(s"$basePath/term_stats")
+      // committed batches only: an in-flight append/replay is invisible
+      // until its marker lands, so the fold never sums a torn batch
+      .filter(graft.ops.Layout.committedBatchFilter(spark, basePath))
       .groupBy("term").agg(sum("df").as("df"))
 
   /** Additive fold-read of the per-batch corpus deltas — one row out. */
   def bm25CorpusStatsRead(spark: org.apache.spark.sql.SparkSession,
       basePath: String): DataFrame =
     spark.read.parquet(s"$basePath/corpus_stats")
+      .filter(graft.ops.Layout.committedBatchFilter(spark, basePath))
       .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
 
   /** Read-path BM25 search over a [[writeBm25Index]] layout: postings
@@ -964,7 +992,8 @@ c AS (SELECT doc_id, source, t,
   def bm25SearchIndex(spark: org.apache.spark.sql.SparkSession,
       basePath: String, terms: Seq[String], topK: Int = 20): DataFrame =
     TextAnalysis.bm25RankFromPostings(
-      graft.ops.Layout.postingsForTerms(spark, s"$basePath/postings", terms),
+      graft.ops.Layout.postingsForTerms(spark, s"$basePath/postings", terms,
+        graft.ops.Layout.committedBatchFilter(spark, basePath)),
       bm25TermStatsRead(spark, basePath)
         .filter(col("term").isin(terms: _*)),
       bm25CorpusStatsRead(spark, basePath), terms, topK)
@@ -1024,7 +1053,8 @@ c AS (SELECT doc_id, source, t,
   private def phraseSlotsJoined(spark: org.apache.spark.sql.SparkSession,
       basePath: String, phrase: Seq[String], shift: Boolean): DataFrame = {
     val postings = graft.ops.Layout.postingsForTerms(spark,
-      s"$basePath/postings", phrase.distinct)
+      s"$basePath/postings", phrase.distinct,
+      graft.ops.Layout.committedBatchFilter(spark, basePath))
       .select("doc_id", "term", "positions")
     val slots = phrase.zipWithIndex.map { case (w, k) =>
       val p = if (shift) transform(col("positions"), x => x - k)
@@ -1055,6 +1085,10 @@ c AS (SELECT doc_id, source, t,
     spark.read.parquet(s"$inBase/postings_meta")
       .write.mode("overwrite").parquet(s"$outBase/postings_meta")
     spark.read.parquet(s"$inBase/postings")
+      // compaction folds the same snapshot serving sees: committed
+      // batches only (the contract already requires quiesced ingest, so
+      // this is belt-and-braces against a crashed half-append)
+      .filter(graft.ops.Layout.committedBatchFilter(spark, inBase))
       .drop("batch_id").withColumn("batch_id", lit(-1L))
       .repartition(col("term_bucket"))
       .sortWithinPartitions("term_bucket", "batch_id", "term")
@@ -1068,6 +1102,9 @@ c AS (SELECT doc_id, source, t,
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id")
       .parquet(s"$outBase/corpus_stats")
+    // the fresh root starts with an empty commit log: only the folded
+    // base partition is visible until its first append commits
+    graft.ops.Layout.initCommitLog(spark, outBase)
     (countParquetFiles(spark, s"$inBase/postings"),
       countParquetFiles(spark, s"$outBase/postings"))
   }

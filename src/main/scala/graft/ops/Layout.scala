@@ -143,6 +143,74 @@ object Layout {
       .parquet(path)
   }
 
+  // ------------------------------------------------------ batch visibility
+
+  /** Batch-commit visibility protocol for the persisted serving layouts.
+    *
+    * An incremental append (appendToBm25Index / appendToIvfadcIndex) is a
+    * multi-table dynamic-partition overwrite; during a re-delivered
+    * batch's delete-then-commit window a concurrent read could transiently
+    * miss or double-count that batch's rows. The protocol closes the
+    * window with one marker file per batch at the index ROOT
+    * (`_commits/batch_<id>`), covering every table of the layout at once:
+    *
+    *   - append = delete the batch's marker ([[beginBatchCommit]]) →
+    *     rewrite the batch's partitions in every table → re-create the
+    *     marker ([[finishBatchCommit]]). Marker create/delete is atomic
+    *     per file, so a reader never observes a half-visible batch.
+    *   - read = list `_commits` once at plan time and keep only
+    *     `batch_id ∈ {-1} ∪ committed` ([[committedBatchFilter]]) — a
+    *     PARTITION-column predicate, so invisibility is directory pruning,
+    *     not a row filter. A replayed batch disappears as a whole until
+    *     its rewrite commits, then reappears as a whole: serving reads are
+    *     snapshot-consistent per batch (stale-but-consistent during the
+    *     window), never torn.
+    *
+    * The base partition `batch_id=-1` (one-shot build / compaction fold)
+    * is always visible — it is written before the root is ever served and
+    * never rewritten in place. Layouts WITHOUT a `_commits` directory
+    * (pre-protocol roots, standalone postings layouts) read unfiltered,
+    * preserving their original semantics. The listing is driver-side and
+    * bounded by the live batch count — compaction folds it back to zero. */
+  def initCommitLog(spark: SparkSession, base: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$base/_commits")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+  }
+
+  /** Open a batch's rewrite window: drop its marker so readers skip the
+    * batch wholesale while its partitions are being (re)written. */
+  def beginBatchCommit(spark: SparkSession, base: String, batchId: Long): Unit = {
+    initCommitLog(spark, base)
+    val p = new org.apache.hadoop.fs.Path(s"$base/_commits/batch_$batchId")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  /** Close a batch's rewrite window: every table's partitions for this
+    * batch are fully written, make the batch visible atomically. */
+  def finishBatchCommit(spark: SparkSession, base: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$base/_commits/batch_$batchId")
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    out.close()
+  }
+
+  /** The read-side visibility predicate on `batch_id` — resolved from the
+    * commit log at plan time, so each request sees a consistent batch
+    * snapshot. `lit(true)` for pre-protocol layouts. */
+  def committedBatchFilter(spark: SparkSession, base: String)
+      : org.apache.spark.sql.Column = {
+    val dir = new org.apache.hadoop.fs.Path(s"$base/_commits")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) lit(true)
+    else {
+      val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_"))
+        .map(_.stripPrefix("batch_").toLong)
+      if (ids.isEmpty) col("batch_id") === -1L
+      else col("batch_id") === -1L || col("batch_id").isin(ids: _*)
+    }
+  }
+
   /** Driver-side twin of [[bucketOf]] — literally the same md5 arithmetic
     * (first 15 hex chars as a 60-bit int, mod nBuckets) evaluated in Scala,
     * so a LITERAL term set resolves its buckets at plan time and the bucket
@@ -162,12 +230,16 @@ object Layout {
     * term predicate pushes into parquet and skips row groups. The scan
     * cost is the query's postings rows — independent of corpus text size. */
   def postingsForTerms(spark: SparkSession, path: String,
-      terms: Seq[String]): DataFrame = {
+      terms: Seq[String],
+      visibility: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val nBuckets = spark.read.parquet(s"${path}_meta").head.getInt(0)
     val buckets = terms.map(bucketOfLocal(_, nBuckets)).distinct
     spark.read.parquet(path)
+      // `visibility` is the caller's batch-commit predicate
+      // ([[committedBatchFilter]] over the owning index root) — another
+      // partition-column conjunct, pruned with the bucket directories
       .filter(col("term_bucket").isin(buckets: _*) &&
-        col("term").isin(terms: _*))
+        col("term").isin(terms: _*) && visibility)
       // batch_id is layout plumbing (append idempotence), not query
       // surface: batches are doc-disjoint by contract, so dropping it
       // cannot create colliding (doc, term) rows

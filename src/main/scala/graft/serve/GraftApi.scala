@@ -77,10 +77,15 @@ class GraftApi(spark: SparkSession, sfDir: String,
   // nothing and vanish from /search). Per-request cost stays the query
   // terms' rows: the term predicate is on the fold's GROUPING key, so it
   // pushes through the aggregate into the parquet scan (spec-pinned);
-  // corpus_stats is a few rows per batch folded to one.
+  // corpus_stats is a few rows per batch folded to one. Each request
+  // resolves the commit log once (Layout.committedBatchFilter) and reads
+  // only fully committed batches — a concurrent append/replay's
+  // delete-then-commit window is invisible (stale-but-consistent, never
+  // torn), which is the serving layer's snapshot-isolation contract.
   private def idxTermStatsFor(terms: Seq[String]): DataFrame =
     spark.read.parquet(s"$searchIndexBase/term_stats")
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(terms: _*) &&
+        graft.ops.Layout.committedBatchFilter(spark, searchIndexBase))
       .groupBy("term").agg(org.apache.spark.sql.functions.sum("df").as("df"))
   private def idxCorpusStats: DataFrame =
     graft.llm.Selection.bm25CorpusStatsRead(spark, searchIndexBase)
@@ -200,7 +205,8 @@ class GraftApi(spark: SparkSession, sfDir: String,
   private[serve] def searchFrame(terms: Seq[String], limit: Int): DataFrame =
     graft.llm.TextAnalysis.bm25RankFromPostings(
       graft.ops.Layout.postingsForTerms(spark,
-        s"$searchIndexBase/postings", terms),
+        s"$searchIndexBase/postings", terms,
+        graft.ops.Layout.committedBatchFilter(spark, searchIndexBase)),
       // Per-request work must be the query terms' rows: the stats are
       // restricted BEFORE the fold and the broadcast inside bm25Score, or
       // every request would aggregate and broadcast the whole vocabulary

@@ -456,6 +456,83 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("batch-commit visibility: reads see whole committed batches, never a torn one") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bmvis").toString
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    Selection.writeBm25Index(base, s"$tmp/idx")
+    Selection.writeBm25Index(base, s"$tmp/baseonly")
+    Selection.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1),
+      s"$tmp/idx", batchId = 0L)
+    val terms = Seq("hash", "join", "window")
+    def search(root: String) =
+      Selection.bm25SearchIndex(spark, root, terms, topK = 20)
+        .collect().map(_.toSeq).toSeq
+    def stats(root: String) =
+      (Selection.bm25TermStatsRead(spark, root)
+         .orderBy("term").collect().map(_.toSeq).toSeq,
+       Selection.bm25CorpusStatsRead(spark, root).collect().head.toSeq)
+    val full = search(s"$tmp/idx")
+    assert(full !== search(s"$tmp/baseonly"), "fixture too small to discriminate")
+
+    // A replayed batch's rewrite window: beginBatchCommit drops the
+    // marker — every read (postings ranks, phrase positions, stats folds)
+    // excludes the WHOLE batch, byte-equal to a base-only root. The
+    // partially-rewritten partitions underneath are invisible: this is
+    // the snapshot the serving layer promises mid-replay.
+    graft.ops.Layout.beginBatchCommit(spark, s"$tmp/idx", 0L)
+    assert(search(s"$tmp/idx") === search(s"$tmp/baseonly"),
+      "in-flight batch leaked into the search read")
+    assert(stats(s"$tmp/idx") === stats(s"$tmp/baseonly"),
+      "in-flight batch leaked into the stats fold")
+    // commit closes the window atomically: the batch reappears as a whole
+    graft.ops.Layout.finishBatchCommit(spark, s"$tmp/idx", 0L)
+    assert(search(s"$tmp/idx") === full)
+
+    // an actual torn replay: begin + rewrite ONE of the three tables,
+    // crash before commit — reads still serve the old consistent snapshot
+    graft.ops.Layout.beginBatchCommit(spark, s"$tmp/idx", 0L)
+    graft.llm.TextAnalysis.bm25TermStatsFromPostings(
+        graft.llm.TextAnalysis.bm25PositionalPostings(
+          docs.filter(col("doc_id") % 2 === 1)))
+      .withColumn("df", col("df") * 999) // a wrong half-written delta
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$tmp/idx/term_stats")
+    assert(stats(s"$tmp/idx") === stats(s"$tmp/baseonly"),
+      "torn term_stats delta visible mid-window")
+    // the recovery path is the replay itself: re-append commits cleanly
+    Selection.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1),
+      s"$tmp/idx", batchId = 0L)
+    assert(search(s"$tmp/idx") === full)
+
+    // pre-protocol roots (no _commits dir) read unfiltered — legacy layouts
+    // keep their original semantics
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/idx/_commits")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/idx/_commits"), true)
+    assert(search(s"$tmp/idx") === full)
+
+    // IVFADC twin: an uncommitted codes batch is invisible to the ANN read
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val nlist = 8
+    Selection.writeIvfadcIndex(emb.filter(col("vec_id") < 400), nlist,
+      s"$tmp/ann")
+    def annSearch() =
+      Selection.ivfadcSearchIndex(spark, s"$tmp/ann", emb, nQueries = 4,
+        k = 5, nprobe = 4, candidates = 64)
+        .collect().map(_.toSeq).toSeq
+    val baseAnn = annSearch()
+    Selection.appendToIvfadcIndex(emb.filter(col("vec_id") >= 400),
+      s"$tmp/ann", batchId = 0L)
+    val fullAnn = annSearch()
+    graft.ops.Layout.beginBatchCommit(spark, s"$tmp/ann", 0L)
+    assert(annSearch() === baseAnn, "in-flight codes batch leaked into ANN read")
+    graft.ops.Layout.finishBatchCommit(spark, s"$tmp/ann", 0L)
+    assert(annSearch() === fullAnn)
+  }
+
   test("compactSearchRoot carries the ann and quality_model siblings across the swap") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_rootcmp").toString
     val full = Selection.retrievalIndex(spark, "/root/testdata/sf0.001")
