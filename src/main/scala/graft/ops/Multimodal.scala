@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -51,6 +51,184 @@ object Multimodal {
             Array(s % 997 / 997.0, w / 640.0, h / 480.0, payload.length / 4096.0))
         }
       }
+  }
+
+  // ------------------------------------------------------ real decode kernels
+
+  /** A media row: three genuine encoded payloads per document (24-bit BMP,
+    * RIFF/WAVE PCM16, GVF1 raw-frame video), built in one mapPartitions
+    * pass. Payload geometry derives from doc metadata; pixel/sample values
+    * from [[MediaCodec.pixel]]/[[MediaCodec.sample]] — closed-form integer
+    * formulas the DuckDB oracle replays WITHOUT the codec, so the
+    * encode→decode round trip is adjudicated by an independent engine. */
+  final case class MediaRow(doc_id: Long, image: Array[Byte],
+      audio: Array[Byte], video: Array[Byte])
+
+  /** Features extracted from DECODED image bytes (not metadata): geometry
+    * from the BMP header, channel sums over the parsed pixel array, and a
+    * 64-bit average-hash as four 16-bit bands (the near-dup banding key).
+    * All integers — exact in both engines. */
+  final case class ImageFeatures(doc_id: Long, w: Int, h: Int, n_px: Long,
+      sum_b: Long, sum_g: Long, sum_r: Long,
+      ahash_b0: Long, ahash_b1: Long, ahash_b2: Long, ahash_b3: Long)
+
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int,
+      n_samples: Long, sumsq: Long, zero_cross: Long, peak: Long)
+
+  final case class VideoSignature(doc_id: Long, n_frames: Int,
+      n_sampled: Int, sig: String)
+
+  /** Encode seam: documents → real media payloads. One iterator pass per
+    * partition (codec/buffer state amortizes across rows — the batch shape
+    * a real encoder farm uses). At 100 TB the payloads arrive encoded; this
+    * seam exists so the DECODE kernels below run against genuine container
+    * bytes with the oracle still able to adjudicate. */
+  def encodeMedia(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (d, nChars) =>
+          val w = (nChars % 24 + 8).toInt
+          val h = (d % 18 + 6).toInt
+          val img = MediaCodec.encodeBmp(w, h, MediaCodec.renderFrame(d, w, h))
+          val n = (nChars % 256 + 64).toInt
+          val wav = MediaCodec.encodeWav(16000,
+            Array.tabulate(n)(i => MediaCodec.sample(d, i)))
+          val nf = (d % 6 + 2).toInt
+          val vid = MediaCodec.encodeVideo(w, h,
+            Array.tabulate(nf)(f => MediaCodec.renderFrame(d, w, h, f)))
+          MediaRow(d, img, wav, vid)
+        }
+      }
+  }
+
+  /** Image decode kernel: parse the BMP (header validation, bottom-up
+    * scanline un-flip, row padding), then channel sums + aHash — an 8×8
+    * nearest-neighbor RESIZE of integer luminance, bit j set iff
+    * 64·lum(j) > Σlum (the mean compare without division). Position-
+    * dependent, so a scanline-order or stride bug in the codec fails the
+    * oracle even though the channel SUMS are order-invariant. */
+  def imageFeaturesFromBytes(docId: Long, bytes: Array[Byte]): ImageFeatures = {
+    val (w, h, bgr) = MediaCodec.decodeBmp(bytes)
+    var sb = 0L; var sg = 0L; var sr = 0L
+    var i = 0
+    while (i < w * h) {
+      sb += bgr(3 * i) & 0xff
+      sg += bgr(3 * i + 1) & 0xff
+      sr += bgr(3 * i + 2) & 0xff
+      i += 1
+    }
+    val lum = new Array[Long](64)
+    var tot = 0L
+    var j = 0
+    while (j < 64) {
+      val sx = (j % 8) * w / 8
+      val sy = (j / 8) * h / 8
+      val p = (sy * w + sx) * 3
+      val l = (bgr(p) & 0xff) + (bgr(p + 1) & 0xff) + (bgr(p + 2) & 0xff)
+      lum(j) = l; tot += l; j += 1
+    }
+    val bands = new Array[Long](4)
+    j = 0
+    while (j < 64) {
+      if (lum(j) * 64 > tot) bands(j / 16) |= 1L << (j % 16)
+      j += 1
+    }
+    ImageFeatures(docId, w, h, w.toLong * h, sb, sg, sr,
+      bands(0), bands(1), bands(2), bands(3))
+  }
+
+  /** Audio decode kernel: walk the RIFF chunks (the encoder plants a junk
+    * chunk between fmt and data, so naive offset math breaks loudly),
+    * then energy (Σv²), strict-sign zero crossings, and peak |v|. */
+  def audioFeaturesFromBytes(docId: Long, bytes: Array[Byte]): AudioFeatures = {
+    val (rate, samples) = MediaCodec.decodeWav(bytes)
+    var sumsq = 0L; var zc = 0L; var peak = 0L
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toLong
+      sumsq += v * v
+      if (v.abs > peak) peak = v.abs
+      if (i >= 1 && v * samples(i - 1).toLong < 0) zc += 1
+      i += 1
+    }
+    AudioFeatures(docId, rate, samples.length.toLong, sumsq, zc, peak)
+  }
+
+  /** Video frame-sample kernel: parse the container header, slice every
+    * `step`-th frame by offset (sampled frames only — the reader never
+    * touches unsampled byte ranges), per-frame total luminance as the
+    * temporal signature. */
+  def videoSignatureFromBytes(docId: Long, bytes: Array[Byte],
+      step: Int): VideoSignature = {
+    val (_, _, nf, frame) = MediaCodec.decodeVideo(bytes)
+    val sums = (0 until nf by step).map { f =>
+      val fb = frame(f)
+      var s = 0L; var i = 0
+      while (i < fb.length) { s += fb(i) & 0xff; i += 1 }
+      s
+    }
+    VideoSignature(docId, nf, sums.length, sums.mkString(","))
+  }
+
+  /** Decoded-image feature frame for a document table — the composition
+    * the queries register: encode seam → decode kernel, each one
+    * mapPartitions pass. */
+  def imageFeatures(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    encodeMedia(docs).select("doc_id", "image").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (d, b) => imageFeaturesFromBytes(d, b) })
+      .toDF()
+  }
+
+  def audioFeatures(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    encodeMedia(docs).select("doc_id", "audio").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (d, b) => audioFeaturesFromBytes(d, b) })
+      .toDF()
+  }
+
+  def videoSignatures(docs: DataFrame, step: Int = 2)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    encodeMedia(docs).select("doc_id", "video").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (d, b) => videoSignatureFromBytes(d, b, step) })
+      .toDF()
+  }
+
+  /** Image near-dup pairs via BANDED aHash (the SimHash trick on pixels):
+    * candidates share at least one 16-bit band of the 64-bit hash —
+    * an equi-join on (band index, band value), never all-pairs — then the
+    * full 64-bit Hamming distance over the four bands filters to
+    * `maxHamming`. Scale shape: 4 rows per image into a band-keyed
+    * shuffle; candidate volume is bounded by band-bucket occupancy (the
+    * LSH guarantee), and the verify is four xor/bit_count ops per
+    * candidate — the same band-then-verify plan as MinHash-LSH text dedup
+    * at 100 TB. */
+  def imageNearDupPairs(docs: DataFrame, maxHamming: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    val feats = imageFeatures(docs)
+      .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
+      .localCheckpoint(false) // one encode+decode pass, two join sides
+    val bands = feats.select(col("doc_id"),
+      posexplode(array(col("ahash_b0"), col("ahash_b1"),
+        col("ahash_b2"), col("ahash_b3"))).as(Seq("band", "v")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    def ham(x: Column, y: Column): Column = bit_count(x.bitwiseXOR(y))
+    cand
+      .join(feats.toDF("doc_a", "a0", "a1", "a2", "a3"), "doc_a")
+      .join(feats.toDF("doc_b", "b0", "b1", "b2", "b3"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (ham(col("a0"), col("b0")) + ham(col("a1"), col("b1")) +
+          ham(col("a2"), col("b2")) + ham(col("a3"), col("b3")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   // ---------------------------------------------------------------------------
@@ -108,5 +286,135 @@ SELECT doc_id,
   ${(0 until 4).map(i =>
         s"((('0x' || substr(md5(text || '|$i'), 1, 15))::BIGINT % 1000)::DOUBLE / 1000.0) AS f$i")
         .mkString(",\n  ")}
-FROM documents ORDER BY doc_id""")))
+FROM documents ORDER BY doc_id""")),
+
+    // Real image decode: encode each doc as a genuine 24-bit BMP (padded
+    // bottom-up scanlines), parse it back, and extract geometry + channel
+    // sums + the 4×16-bit aHash bands FROM THE DECODED BYTES. The oracle
+    // replays the generator formula directly — it never sees the codec —
+    // so any header/stride/flip bug on either side fails the hash match.
+    Q("q132_image_decode",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        imageFeatures(Tables.documents(s, dir)).orderBy("doc_id")
+      },
+      Some(s"""
+WITH $imageBandsCtes
+SELECT s.doc_id, s.w, s.h, s.n_px, s.sum_b, s.sum_g, s.sum_r,
+  b.ahash_b0, b.ahash_b1, b.ahash_b2, b.ahash_b3
+FROM sums s JOIN bands b USING (doc_id) ORDER BY doc_id""")),
+
+    // Real audio decode: RIFF/WAVE PCM16 with a junk chunk planted between
+    // fmt and data (the decoder must WALK chunks, not assume offsets);
+    // features — energy, strict-sign zero crossings, peak — from the
+    // decoded int16 samples. All-integer, exact in both engines.
+    Q("q133_audio_decode",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        audioFeatures(Tables.documents(s, dir)).orderBy("doc_id")
+      },
+      Some("""
+WITH g AS (SELECT doc_id, CAST(n_chars % 256 + 64 AS BIGINT) AS n FROM documents),
+s AS (SELECT doc_id, n, t.i AS i, ((doc_id*31 + t.i*17) % 2048) - 1024 AS v
+      FROM g, LATERAL (SELECT unnest(range(0, g.n)) AS i) t),
+l AS (SELECT doc_id, n, i, v,
+        lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+SELECT doc_id, 16000 AS sample_rate, any_value(n) AS n_samples,
+  CAST(sum(v*v) AS BIGINT) AS sumsq,
+  CAST(sum(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS zero_cross,
+  CAST(max(abs(v)) AS BIGINT) AS peak
+FROM l GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Video frame sampling AGAINST the container: parse the GVF1 header,
+    // slice every 2nd frame by offset, per-frame total luminance as the
+    // temporal signature (CSV-joined for the comparator, like q30's
+    // frame_sample). Frame f's pixels shift the generator by 91f, which
+    // the oracle replays.
+    Q("q134_video_signature",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        videoSignatures(Tables.documents(s, dir), step = 2).orderBy("doc_id")
+      },
+      Some("""
+WITH g AS (SELECT doc_id, CAST(n_chars % 24 + 8 AS INTEGER) AS w,
+                  CAST(doc_id % 18 + 6 AS INTEGER) AS h,
+                  CAST(doc_id % 6 + 2 AS INTEGER) AS nf FROM documents),
+fr AS (SELECT doc_id, w, h, nf, t.f AS f
+       FROM g, LATERAL (SELECT unnest(range(0, g.nf, 2)) AS f) t),
+fs AS (SELECT doc_id, nf, f,
+         CAST(sum((doc_id*7 + f*91 + t.x*5 + u.y*3 + cc.c*11
+                   + t.x*u.y*((doc_id % 13) + 1)) % 256) AS BIGINT)
+           AS lumsum
+       FROM fr,
+        LATERAL (SELECT unnest(range(0, fr.w)) AS x) t,
+        LATERAL (SELECT unnest(range(0, fr.h)) AS y) u,
+        LATERAL (SELECT unnest(range(0, 3)) AS c) cc
+       GROUP BY doc_id, nf, f)
+SELECT doc_id, any_value(nf) AS n_frames, CAST(count(*) AS INTEGER) AS n_sampled,
+  string_agg(lumsum::VARCHAR, ',' ORDER BY f) AS sig
+FROM fs GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Image near-dup via BANDED aHash: candidates share a 16-bit band
+    // (equi-join, never all-pairs — the LSH banding plan), verified by
+    // full 64-bit Hamming distance. The oracle spells the same candidate
+    // set as a banded OR-join over the formula-derived hashes.
+    Q("q135_image_neardup",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        imageNearDupPairs(Tables.documents(s, dir), maxHamming = 8)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+WITH $imageBandsCtes,
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.ahash_b0, b.ahash_b0))
+       + bit_count(xor(a.ahash_b1, b.ahash_b1))
+       + bit_count(xor(a.ahash_b2, b.ahash_b2))
+       + bit_count(xor(a.ahash_b3, b.ahash_b3)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+   AND (a.ahash_b0 = b.ahash_b0 OR a.ahash_b1 = b.ahash_b1
+     OR a.ahash_b2 = b.ahash_b2 OR a.ahash_b3 = b.ahash_b3))
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8
+ORDER BY doc_a, doc_b""")))
+
+  /** Shared oracle fragment: the generator-formula pixel grid, channel
+    * sums, and aHash bands — the independent replay of
+    * [[imageFeaturesFromBytes]] without the codec. */
+  private def imageBandsCtes: String = """
+g AS (SELECT doc_id, CAST(n_chars % 24 + 8 AS INTEGER) AS w,
+             CAST(doc_id % 18 + 6 AS INTEGER) AS h FROM documents),
+ch AS (SELECT doc_id, w, h,
+         (doc_id*7 + t.x*5 + u.y*3 + t.x*u.y*((doc_id % 13) + 1)) % 256 AS b,
+         (doc_id*7 + t.x*5 + u.y*3 + 11 + t.x*u.y*((doc_id % 13) + 1)) % 256 AS gg,
+         (doc_id*7 + t.x*5 + u.y*3 + 22 + t.x*u.y*((doc_id % 13) + 1)) % 256 AS r
+       FROM g,
+        LATERAL (SELECT unnest(range(0, g.w)) AS x) t,
+        LATERAL (SELECT unnest(range(0, g.h)) AS y) u),
+sums AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           CAST(sum(gg) AS BIGINT) AS sum_g,
+           CAST(sum(r) AS BIGINT) AS sum_r
+         FROM ch GROUP BY doc_id),
+cell AS (SELECT doc_id, t.j AS j,
+           ((t.j % 8) * w) // 8 AS sx, ((t.j // 8) * h) // 8 AS sy
+         FROM g, LATERAL (SELECT unnest(range(0, 64)) AS j) t),
+lums AS (SELECT doc_id, j,
+           ((doc_id*7 + sx*5 + sy*3 + sx*sy*((doc_id % 13) + 1)) % 256)
+             + ((doc_id*7 + sx*5 + sy*3 + 11 + sx*sy*((doc_id % 13) + 1)) % 256)
+             + ((doc_id*7 + sx*5 + sy*3 + 22 + sx*sy*((doc_id % 13) + 1)) % 256)
+             AS lum
+         FROM cell),
+bits AS (SELECT doc_id, j,
+           CASE WHEN lum * 64 > sum(lum) OVER (PARTITION BY doc_id)
+                THEN 1 ELSE 0 END AS bit
+         FROM lums),
+bands AS (SELECT doc_id,
+            CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS ahash_b0,
+            CAST(sum(CASE WHEN j // 16 = 1 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS ahash_b1,
+            CAST(sum(CASE WHEN j // 16 = 2 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS ahash_b2,
+            CAST(sum(CASE WHEN j // 16 = 3 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS ahash_b3
+          FROM bits GROUP BY doc_id)"""
 }

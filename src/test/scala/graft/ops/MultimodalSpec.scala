@@ -33,4 +33,75 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.doc_id)
     assert(feats.head.features.toSeq === again.head.features.toSeq)
   }
+
+  // ------------------------------------------------------- real codecs
+
+  test("BMP: byte-exact round trip across padding widths; malformed input refused") {
+    val rng = new scala.util.Random(7)
+    // w=8 pads 0, w=10 pads 2, w=9 pads 1, w=11 pads 3 — every stride case
+    for (w <- Seq(8, 9, 10, 11); h <- Seq(1, 5)) {
+      val px = Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+      val (dw, dh, back) = MediaCodec.decodeBmp(MediaCodec.encodeBmp(w, h, px))
+      assert((dw, dh) === (w, h))
+      assert(back === px, s"round trip broke at w=$w h=$h")
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeBmp("notabmp".getBytes ++ new Array[Byte](64))
+    }
+  }
+
+  test("WAV: round trip walks past the planted junk chunk; validates format") {
+    val rng = new scala.util.Random(11)
+    val samples = Array.fill(333)((rng.nextInt(65536) - 32768).toShort)
+    val bytes = MediaCodec.encodeWav(16000, samples)
+    // the junk chunk really is between fmt and data
+    assert(new String(bytes, 36, 4, "US-ASCII") === "jnk ")
+    val (rate, back) = MediaCodec.decodeWav(bytes)
+    assert(rate === 16000)
+    assert(back === samples)
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeWav("RIFFxxxxJUNK".getBytes ++ new Array[Byte](32))
+    }
+  }
+
+  test("video container: header + lazy frame slicing round trip") {
+    val rng = new scala.util.Random(13)
+    val frames = Array.fill(5)(Array.fill(4 * 3 * 3)(rng.nextInt(256).toByte))
+    val (w, h, nf, frame) =
+      MediaCodec.decodeVideo(MediaCodec.encodeVideo(4, 3, frames))
+    assert((w, h, nf) === (4, 3, 5))
+    for (f <- 0 until 5) assert(frame(f) === frames(f))
+  }
+
+  test("aHash is position-sensitive: a scanline flip changes bands, not sums") {
+    // guards the bottom-up un-flip: channel SUMS are order-invariant, so
+    // only the resize-sampled hash can catch a decoder that forgets to
+    // restore top-down row order
+    val d = 42L; val w = 16; val h = 12
+    val px = MediaCodec.renderFrame(d, w, h)
+    val flipped = new Array[Byte](px.length)
+    for (y <- 0 until h)
+      System.arraycopy(px, y * w * 3, flipped, (h - 1 - y) * w * 3, w * 3)
+    val a = Multimodal.imageFeaturesFromBytes(d, MediaCodec.encodeBmp(w, h, px))
+    val b = Multimodal.imageFeaturesFromBytes(d, MediaCodec.encodeBmp(w, h, flipped))
+    assert((a.sum_b, a.sum_g, a.sum_r) === (b.sum_b, b.sum_g, b.sum_r))
+    assert(Seq(a.ahash_b0, a.ahash_b1, a.ahash_b2, a.ahash_b3)
+      !== Seq(b.ahash_b0, b.ahash_b1, b.ahash_b2, b.ahash_b3),
+      "flip-invariant hash cannot catch scanline-order bugs")
+  }
+
+  test("decode kernels run one pass per partition over real payloads") {
+    implicit val s = spark
+    val img = Multimodal.imageFeatures(docs).collect().sortBy(_.getLong(0))
+    assert(img.length === 2)
+    assert(img.head.getAs[Int]("w") === (11 % 24 + 8))
+    assert(img.head.getAs[Int]("h") === (1 % 18 + 6))
+    val aud = Multimodal.audioFeatures(docs).collect().sortBy(_.getLong(0))
+    assert(aud.head.getAs[Long]("n_samples") === (11 % 256 + 64).toLong)
+    assert(aud.head.getAs[Long]("zero_cross") > 0L)
+    val vid = Multimodal.videoSignatures(docs).collect().sortBy(_.getLong(0))
+    assert(vid.head.getAs[Int]("n_frames") === (1 % 6 + 2))
+    assert(vid.head.getAs[String]("sig").split(",").length ===
+      vid.head.getAs[Int]("n_sampled"))
+  }
 }
