@@ -1508,6 +1508,34 @@ GROUP BY doc_id ORDER BY doc_id"""
     head + trainCtes + encodeCtes + fin
   }
 
+  /** The q136 oracle: the SAME generated train+encode chain as
+    * [[bpeEncodeFromTableOracle]] (shared per-round fragments — the two
+    * engines' round structure cannot drift), folded to per-doc BPE token
+    * counts, then the canonical single-window length-batching spelling
+    * over THOSE counts — adjudicating the composition
+    * trained-tokenizer → token-cost → batch layout end to end. */
+  private def bpeBatchingOracle(rounds: Int, batch: Int,
+      batchSize: Int): String = {
+    val u = "chr(31)"
+    // reuse the full train+encode chain by rebuilding it minus its final
+    // SELECT: everything up to e{rounds*batch} is template-identical
+    val full = bpeEncodeFromTableOracle(rounds, batch)
+    val chain = full.substring(0, full.lastIndexOf("\nSELECT doc_id,"))
+    s"""$chain,
+lens AS (SELECT doc_id,
+           CAST(sum(len(string_split(trim(seq, $u), $u || $u))) AS BIGINT)
+             AS len
+         FROM e${rounds * batch} WHERE doc_id IS NOT NULL GROUP BY doc_id),
+r AS (SELECT doc_id, len,
+        row_number() OVER (ORDER BY len ASC, doc_id ASC) AS rn FROM lens),
+b AS (SELECT CAST(floor((rn - 1) / $batchSize.0) AS BIGINT) AS batch_id,
+        len FROM r)
+SELECT batch_id, count(*) AS n_docs, max(len) AS max_len,
+  CAST(sum(len) AS BIGINT) AS sum_len,
+  CAST(count(*) * max(len) - sum(len) AS BIGINT) AS waste
+FROM b GROUP BY batch_id ORDER BY batch_id"""
+  }
+
   /** The q111 oracle: the encoder's train rounds unrolled exactly like
     * [[bpeTrainOracle]], with doc identity and the per-word char count
     * threaded through every replace CTE, and — unlike the trainer — the
@@ -1931,6 +1959,24 @@ ORDER BY cnt DESC, pair ASC LIMIT 20""")),
         s.read.parquet(bpeMergesMart(s, dir)), maxMerges = 9)
         .orderBy("doc_id"),
       Some(bpeEncodeFromTableOracle(3, 3))),
+
+    // Length-bucketed batching on TRAINED-BPE token counts — the r11 gap
+    // closed: q130 ranks on whitespace tokens, but a training batch pads
+    // to MODEL-tokenizer lengths, so the batcher should rank on the cost
+    // the accelerator actually pays. Composition: persisted merge table
+    // (the q120 train-once mart) → encode-only token counts → the q130
+    // histogram-cumsum batcher over those counts. Scale: the encode adds
+    // one broadcast-merge pass over the corpus (no pair-count shuffle);
+    // batching shape unchanged (no corpus-scale single-task window). The
+    // oracle replays tokenizer training, encode AND the canonical global
+    // batching window in one composed chain.
+    Q("q136_bpe_length_batching",
+      (s, dir) => Packing.lengthBucketedBatchesFromLens(
+        TextAnalysis.bpeEncodeWith(Tables.documents(s, dir),
+            s.read.parquet(bpeMergesMart(s, dir)), maxMerges = 9)
+          .select(col("doc_id"), col("n_tokens").as("len")),
+        batchSize = 32),
+      Some(bpeBatchingOracle(3, 3, 32))),
 
     // q86's curation chain extended with the selection family: quality →
     // exact dedup → decontam (q86's stages, same fragments) → dup-span-

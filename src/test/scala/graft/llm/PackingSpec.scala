@@ -113,6 +113,23 @@ class PackingSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("BPE-count batching ranks on tokenizer cost, not whitespace") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = TextAnalysis.bpeTrainBatched(docs)
+    val lens = TextAnalysis.bpeEncodeWith(docs, merges, maxMerges = 9)
+      .select(col("doc_id"), col("n_tokens").as("len"))
+    val bpe = Packing.lengthBucketedBatchesFromLens(lens, 32).collect()
+    // covers exactly the encoded docs, waste non-negative
+    assert(bpe.map(_.getAs[Long]("n_docs")).sum === lens.count())
+    assert(bpe.forall(_.getAs[Long]("waste") >= 0L))
+    // and it is genuinely a different cost model: the BPE token totals
+    // differ from the whitespace totals (merges shrink, segmentation
+    // into >= 2-char words shifts), so the batch layout is its own
+    val ws = Packing.lengthBucketedBatches(docs, 32).collect()
+    assert(bpe.map(_.getAs[Long]("sum_len")).sum !==
+      ws.map(_.getAs[Long]("sum_len")).sum)
+  }
+
   test("lengthBucketedBatches: null/tokenless docs are dropped, same guard as offsets") {
     import spark.implicits._
     // a null text (size() == -1) must neither rank nor drive waste
