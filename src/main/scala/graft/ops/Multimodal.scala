@@ -231,6 +231,139 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------- persisted aHash near-dup index
+
+  /** The index row shape: one row per (image, band) — the hash band is the
+    * lookup key, the FULL four bands ride along (denormalized) so the
+    * Hamming verify needs no second lookup. `vb` = v mod nVb is the
+    * partition bucket (band value itself is 16-bit — 65k directories per
+    * band would drown the filesystem; the bucket bounds directory count
+    * with the same pruning effect, the postings `term_bucket` move). */
+  private def ahashBandRows(docs: DataFrame)(
+      implicit spark: SparkSession): DataFrame =
+    imageFeatures(docs)
+      .select(col("doc_id"), col("ahash_b0"), col("ahash_b1"),
+        col("ahash_b2"), col("ahash_b3"),
+        posexplode(array(col("ahash_b0"), col("ahash_b1"),
+          col("ahash_b2"), col("ahash_b3"))).as(Seq("band", "v")))
+
+  /** One-shot build of the persisted image near-dup index: band rows
+    * partitioned by (band, vb) under the reserved base partition
+    * `batch_id=-1`, with a geometry sidecar (`bands_meta`) so readers can
+    * never bucket differently than the writer — the aHash twin of the
+    * BM25/IVFADC serving layouts, sharing their append/commit lifecycle
+    * ([[Layout.initCommitLog]]). */
+  def writeAhashIndex(docs: DataFrame, basePath: String, nVb: Int = 64)(
+      implicit spark: SparkSession): Unit = {
+    writeAhashBatch(ahashBandRows(docs), basePath, nVb, -1L, dynamic = false)
+    spark.range(1).select(lit(nVb).as("n_vb"))
+      .write.mode("overwrite").parquet(s"$basePath/bands_meta")
+    Layout.initCommitLog(spark, basePath)
+  }
+
+  /** Ingest a doc-disjoint image batch under its own `batchId` partitions —
+    * dynamic overwrite (replay idempotent) inside the batch-commit window
+    * ([[Layout.beginBatchCommit]]/[[Layout.finishBatchCommit]]), so a
+    * concurrent near-dup read never sees half a batch's band rows. */
+  def appendToAhashIndex(newDocs: DataFrame, basePath: String,
+      batchId: Long)(implicit spark: SparkSession): Unit = {
+    require(batchId >= 0,
+      s"batchId must be >= 0 (negative ids are reserved for the base/" +
+        s"compacted partition batch_id=-1), got $batchId")
+    val nVb = spark.read.parquet(s"$basePath/bands_meta").head.getInt(0)
+    Layout.beginBatchCommit(spark, basePath, batchId)
+    writeAhashBatch(ahashBandRows(newDocs), basePath, nVb, batchId,
+      dynamic = true)
+    Layout.finishBatchCommit(spark, basePath, batchId)
+  }
+
+  private def writeAhashBatch(rows: DataFrame, basePath: String, nVb: Int,
+      batchId: Long, dynamic: Boolean): Unit = {
+    val w = rows
+      .withColumn("vb", pmod(col("v"), lit(nVb)).cast("int"))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("band"), col("vb"))
+      .sortWithinPartitions("band", "vb", "batch_id", "v")
+      .write.mode("overwrite")
+      .partitionBy("band", "vb", "batch_id")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .parquet(s"$basePath/bands")
+  }
+
+  /** Point near-dup search FROM the index: the query image's four band
+    * values prune to ≤ 4 (band, vb) directories (plus the pushed `v`
+    * row-group filter — band rows are v-sorted within files); candidates'
+    * full hashes ride the matched rows, so the Hamming verify is four
+    * xor/bit_count ops per candidate with no second read. Per-request
+    * cost: four band-bucket directories, independent of corpus size. */
+  def ahashSearchIndex(spark: SparkSession, basePath: String,
+      queryBands: Seq[Long], maxHamming: Int,
+      excludeDocId: Long = -1L): DataFrame = {
+    require(queryBands.length == 4, "need the four 16-bit hash bands")
+    val nVb = spark.read.parquet(s"$basePath/bands_meta").head.getInt(0)
+    val hit = queryBands.zipWithIndex.map { case (v, k) =>
+      col("band") === k && col("vb") === (v % nVb).toInt && col("v") === v
+    }.reduce(_ || _)
+    def ham(x: Column, q: Long): Column = bit_count(x.bitwiseXOR(lit(q)))
+    spark.read.parquet(s"$basePath/bands")
+      .filter(hit && Layout.committedBatchFilter(spark, basePath))
+      .filter(col("doc_id") =!= excludeDocId)
+      .select(col("doc_id"), col("ahash_b0"), col("ahash_b1"),
+        col("ahash_b2"), col("ahash_b3"))
+      .distinct()
+      .select(col("doc_id"),
+        (ham(col("ahash_b0"), queryBands(0)) +
+          ham(col("ahash_b1"), queryBands(1)) +
+          ham(col("ahash_b2"), queryBands(2)) +
+          ham(col("ahash_b3"), queryBands(3))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming").asc, col("doc_id").asc)
+  }
+
+  /** Corpus-wide near-dup pairs FROM the index at rest — the compaction-
+    * job shape: the stored band rows ARE the banding melt, so the
+    * candidate join groups within (band, v) directly on the layout and
+    * the denormalized hashes verify without touching documents. Result-
+    * identical to the inline [[imageNearDupPairs]] (q137 shares q135's
+    * oracle). */
+  def ahashPairsFromIndex(spark: SparkSession, basePath: String,
+      maxHamming: Int): DataFrame = {
+    val vis = Layout.committedBatchFilter(spark, basePath)
+    val rows = spark.read.parquet(s"$basePath/bands").filter(vis)
+      .select("doc_id", "band", "v", "ahash_b0", "ahash_b1",
+        "ahash_b2", "ahash_b3")
+    val cand = rows.as("a").join(rows.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ahash_b0").as("a0"), col("a.ahash_b1").as("a1"),
+        col("a.ahash_b2").as("a2"), col("a.ahash_b3").as("a3"),
+        col("b.ahash_b0").as("b0"), col("b.ahash_b1").as("b1"),
+        col("b.ahash_b2").as("b2"), col("b.ahash_b3").as("b3"))
+      .distinct()
+    def ham(x: Column, y: Column): Column = bit_count(x.bitwiseXOR(y))
+    cand.select(col("doc_a"), col("doc_b"),
+        (ham(col("a0"), col("b0")) + ham(col("a1"), col("b1")) +
+          ham(col("a2"), col("b2")) + ham(col("a3"), col("b3")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The persisted aHash index for a data dir — built once per
+    * (session, dir), the [[graft.sec.SecDerive.cachedCount]] mart
+    * discipline. The image-modality sibling of the retrieval index root
+    * (kept separate: media stores live apart from the text/vector root,
+    * and `compactSearchRoot`'s sibling contract stays closed). */
+  def ahashIndexMart(spark: SparkSession, dir: String): String = {
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_ahash_" + graft.sec.SecDerive.pathKey(dir)
+    graft.sec.SecDerive.cachedCount(spark, dir, "ahash_index") {
+      writeAhashIndex(graft.Tables.documents(spark, dir), base)(spark)
+      1L
+    }
+    base
+  }
+
   // ---------------------------------------------------------------------------
 
   // Oracle-checkable slice of the plumbing: payload length, metadata, a
@@ -365,7 +498,22 @@ FROM fs GROUP BY doc_id ORDER BY doc_id""")),
         imageNearDupPairs(Tables.documents(s, dir), maxHamming = 8)
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""
+      Some(imageNearDupOracle)),
+
+    // The same near-dup pairs FROM the persisted index at rest: the stored
+    // band rows ARE the banding melt, candidates group on the layout,
+    // denormalized hashes verify with no documents scan. Shares q135's
+    // oracle — the index tier must be result-identical to the inline tier
+    // (the q122/q123 pattern applied to the image modality).
+    Q("q137_image_neardup_indexed",
+      (s, dir) => ahashPairsFromIndex(s, ahashIndexMart(s, dir),
+        maxHamming = 8).orderBy("doc_a", "doc_b"),
+      Some(imageNearDupOracle)))
+
+  /** The q135/q137 oracle: banded candidate OR-join over formula-derived
+    * hashes + full Hamming verify — shared by the inline and index tiers,
+    * which must be result-identical. */
+  private def imageNearDupOracle: String = s"""
 WITH $imageBandsCtes,
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -377,7 +525,7 @@ pairs AS (
    AND (a.ahash_b0 = b.ahash_b0 OR a.ahash_b1 = b.ahash_b1
      OR a.ahash_b2 = b.ahash_b2 OR a.ahash_b3 = b.ahash_b3))
 SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8
-ORDER BY doc_a, doc_b""")))
+ORDER BY doc_a, doc_b"""
 
   /** Shared oracle fragment: the generator-formula pixel grid, channel
     * sums, and aHash bands — the independent replay of

@@ -133,6 +133,7 @@ class GraftApi(spark: SparkSession, sfDir: String,
       case ("GET", List("search"))          => searchEndpoint(ex, qp)
       case ("GET", List("phrase"))          => phraseEndpoint(ex, qp)
       case ("GET", List("quality"))         => qualityEndpoint(ex, qp)
+      case ("GET", List("imagedup"))        => imagedupEndpoint(ex, qp)
       case ("GET", List("similar"))         => similarEndpoint(ex, qp)
       case ("GET", List("hybrid"))          => hybridEndpoint(ex, qp)
       case ("POST", List("query"))          => sqlEndpoint(ex)
@@ -318,6 +319,53 @@ class GraftApi(spark: SparkSession, sfDir: String,
         o.put("s_micro", r.getAs[Long]("s_micro"))
         o.put("rule_pass", r.getAs[Long]("y") == 1L)
       })
+    }
+  }
+
+  // the persisted image near-dup index — built once per (session, dir) on
+  // first use, the mart discipline (its own root: media stores live apart
+  // from the text/vector serving root)
+  private lazy val ahashIndexBase: String =
+    graft.ops.Multimodal.ahashIndexMart(spark, sfDir)
+
+  /** The /imagedup search frame: the query doc's hash computed by a
+    * point-read decode (pushed doc_id filter — one document's bytes), then
+    * the banded index search ([[graft.ops.Multimodal.ahashSearchIndex]]) —
+    * per-request reads are ≤ 4 (band, vb) directories plus the one-doc
+    * decode; the corpus is never rescanned. None when the doc is absent. */
+  private[serve] def imagedupFrame(docId: Long,
+      maxHamming: Int): Option[DataFrame] = {
+    implicit val sp: SparkSession = spark
+    graft.ops.Multimodal.imageFeatures(
+        graft.Tables.documents(spark, sfDir).filter(col("doc_id") === docId))
+      .collect().headOption
+      .map { r =>
+        graft.ops.Multimodal.ahashSearchIndex(spark, ahashIndexBase,
+          Seq(r.getAs[Long]("ahash_b0"), r.getAs[Long]("ahash_b1"),
+            r.getAs[Long]("ahash_b2"), r.getAs[Long]("ahash_b3")),
+          maxHamming, excludeDocId = docId)
+      }
+  }
+
+  /** GET /imagedup?doc_id=42&max_hamming=8&limit=20 — image near-dup
+    * candidates for one document from the persisted banded aHash index
+    * (an extension; the reference has no media surface). 404 when the doc
+    * is absent. */
+  private def imagedupEndpoint(ex: HttpExchange,
+      qp: Map[String, String]): Unit = {
+    val docId = qp.get("doc_id").map(parseInt("doc_id", _))
+      .getOrElse(throw new IllegalArgumentException("doc_id is required"))
+    val maxHamming = intParam(qp, "max_hamming", 8, 0, 32)
+    val limit = intParam(qp, "limit", 20, 1, 100)
+    imagedupFrame(docId.toLong, maxHamming) match {
+      case None => reply(ex, 404, obj(_.put("detail", "doc_id not found")))
+      case Some(df) =>
+        val cols = Seq("doc_id", "hamming")
+        val rows = df.limit(limit).collect()
+        reply(ex, 200, obj { o =>
+          val results = o.putArray("results")
+          rows.foreach(r => putRow(results.addObject(), cols, r))
+        })
     }
   }
 

@@ -648,6 +648,37 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ingest into the PERSISTED aHash image near-dup index: each
+    * micro-batch of documents encodes/decodes to hash-band rows and
+    * appends through [[graft.ops.Multimodal.appendToAhashIndex]] under the
+    * sink's own batchId — the media-modality member of the ingest-stream
+    * family, sharing the whole contract: batchId == layout idempotence
+    * key (replay rewrites its own partitions), `_stream_marker` ownership
+    * at batch 0, stale-batch guard one level under the (band, vb)
+    * directories, and the batch-commit window so a concurrent /imagedup
+    * never reads half a batch. Base layout exists first
+    * ([[graft.ops.Multimodal.writeAhashIndex]]); batch schema is the
+    * documents table's. */
+  def ahashIngestStream(docsStream: DataFrame, basePath: String,
+      checkpoint: String): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (batchId == 0L) {
+          assertStreamOwnership(b.sparkSession, basePath, checkpoint)
+          require(!staleBatchPartitions(b.sparkSession,
+              s"$basePath/bands", 2),
+            s"index root $basePath has band batches from a previous run " +
+              "but this stream is at batch 0 (new checkpoint): compact " +
+              "into a fresh root or reuse the original checkpoint.")
+        }
+        graft.ops.Multimodal.appendToAhashIndex(b, basePath, batchId)(
+          b.sparkSession)
+        ()
+      }
+      .start()
+
   /** Fold the per-batch partials into the serving index: the (term, df)
     * table and the corpus scalar — the frames [[graft.llm.TextAnalysis
     * .bm25RankWith]] consumes. All sums are exact longs, so the fold equals

@@ -90,6 +90,72 @@ class MultimodalSpec extends SparkSpec {
       "flip-invariant hash cannot catch scanline-order bugs")
   }
 
+  test("aHash index lifecycle: append == one-shot; point search pruned; commit window hides a batch") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ahash").toString
+    // one-shot reference vs base + appended batch
+    Multimodal.writeAhashIndex(corpus, s"$tmp/full")
+    Multimodal.writeAhashIndex(corpus.filter(col("doc_id") % 2 === 0),
+      s"$tmp/inc")
+    Multimodal.appendToAhashIndex(corpus.filter(col("doc_id") % 2 === 1),
+      s"$tmp/inc", batchId = 0L)
+    def pairs(base: String) =
+      Multimodal.ahashPairsFromIndex(spark, base, 8)
+        .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    val full = pairs(s"$tmp/full")
+    assert(pairs(s"$tmp/inc") === full && full.nonEmpty)
+    // and both equal the inline tier
+    val inline = Multimodal.imageNearDupPairs(corpus, 8)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(full === inline)
+    // replay idempotent (physical: row count unchanged)
+    val n = spark.read.parquet(s"$tmp/inc/bands").count()
+    Multimodal.appendToAhashIndex(corpus.filter(col("doc_id") % 2 === 1),
+      s"$tmp/inc", batchId = 0L)
+    assert(spark.read.parquet(s"$tmp/inc/bands").count() === n)
+    assert(pairs(s"$tmp/inc") === full)
+
+    // point search == the pair set restricted to one doc
+    val probe = full.head.head.asInstanceOf[Long]
+    val expected = full.collect {
+      case Seq(a: Long, b: Long, hm: Long) if a == probe || b == probe =>
+        (if (a == probe) b else a, hm)
+    }.sortBy(p => (p._2, p._1))
+    val qb = Multimodal.imageFeatures(
+        corpus.filter(col("doc_id") === probe)).collect().head
+    val got = Multimodal.ahashSearchIndex(spark, s"$tmp/inc",
+        Seq(qb.getAs[Long]("ahash_b0"), qb.getAs[Long]("ahash_b1"),
+          qb.getAs[Long]("ahash_b2"), qb.getAs[Long]("ahash_b3")),
+        8, excludeDocId = probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    // the search is directory-pruned on the layout's partition columns
+    val plan = Multimodal.ahashSearchIndex(spark, s"$tmp/inc",
+        Seq(qb.getAs[Long]("ahash_b0"), qb.getAs[Long]("ahash_b1"),
+          qb.getAs[Long]("ahash_b2"), qb.getAs[Long]("ahash_b3")), 8, probe)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("band"),
+      s"band pruning missing from the point search:\n$plan")
+
+    // commit window: mid-replay the appended batch vanishes wholesale —
+    // the visible pair set is exactly the full set restricted to base
+    // (even-id) docs, the snapshot a concurrent /imagedup would serve
+    Layout.beginBatchCommit(spark, s"$tmp/inc", 0L)
+    assert(pairs(s"$tmp/inc") === full.filter {
+      case Seq(a: Long, b: Long, _) => a % 2 == 0 && b % 2 == 0
+      case _ => false
+    })
+    Layout.finishBatchCommit(spark, s"$tmp/inc", 0L)
+    assert(pairs(s"$tmp/inc") === full)
+
+    // negative ids reserved for the base partition
+    intercept[IllegalArgumentException] {
+      Multimodal.appendToAhashIndex(corpus, s"$tmp/inc", batchId = -1L)
+    }
+  }
+
   test("decode kernels run one pass per partition over real payloads") {
     implicit val s = spark
     val img = Multimodal.imageFeatures(docs).collect().sortBy(_.getLong(0))

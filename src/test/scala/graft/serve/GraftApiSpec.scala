@@ -319,6 +319,36 @@ class GraftApiSpec extends SparkSpec {
     } finally api2.stop()
   }
 
+  test("GET /imagedup serves banded near-dups from the persisted aHash index") {
+    implicit val s = spark
+    // pick a doc that actually has neighbors from the inline tier
+    val anyPair = graft.ops.Multimodal.imageNearDupPairs(
+        graft.Tables.documents(spark, "/root/testdata/sf0.001"), 8)
+      .orderBy("doc_a", "doc_b").limit(1).collect().head
+    val probe = anyPair.getLong(0)
+    val (code, body) = get(s"/imagedup?doc_id=$probe&max_hamming=8")
+    assert(code === 200, s"imagedup failed: $body")
+    val results = body.get("results")
+    assert(results.size() > 0)
+    // served rows == the inline pair set restricted to the probe doc
+    val expected = graft.ops.Multimodal.imageNearDupPairs(
+        graft.Tables.documents(spark, "/root/testdata/sf0.001"), 8)
+      .collect().collect {
+        case r if r.getLong(0) == probe => (r.getLong(1), r.getLong(2))
+        case r if r.getLong(1) == probe => (r.getLong(0), r.getLong(2))
+      }.sortBy(p => (p._2, p._1)).take(20)
+    val got = (0 until results.size()).map { i =>
+      (results.get(i).get("doc_id").asLong(),
+        results.get(i).get("hamming").asLong())
+    }
+    assert(got === expected)
+    // hamming ascends; absent doc 404; validation 422
+    assert(got.map(_._2) === got.map(_._2).sorted)
+    assert(get("/imagedup?doc_id=99999999")._1 === 404)
+    assert(get("/imagedup")._1 === 422)
+    assert(get("/imagedup?doc_id=1&max_hamming=99")._1 === 422)
+  }
+
   test("GET /hybrid fuses the two persisted-index legs; no corpus text in the plan") {
     val (code, body) = get("/hybrid?q=hash+join&vec_id=0&k=5")
     assert(code === 200)

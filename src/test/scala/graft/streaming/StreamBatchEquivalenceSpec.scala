@@ -389,6 +389,45 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(search(s"$tmp/inc") === inc, "refused stream mutated the root")
   }
 
+  test("ahashIngestStream: streamed image appends == one-shot index (pairs-identical)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("ahashingest").toString
+    val docsDF = docsFixture.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (base, streamed) = docsFixture.splitAt(docsFixture.size / 2)
+    graft.ops.Multimodal.writeAhashIndex(
+      base.toDF("doc_id", "text", "lang", "source", "n_chars"), s"$tmp/inc")
+    val (s1, s2) = streamed.splitAt(streamed.size / 2)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.ahashIngestStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/inc", s"$tmp/ckpt")
+    try {
+      mem.addData(s1: _*)
+      q.processAllAvailable()
+      mem.addData(s2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.ops.Multimodal.writeAhashIndex(docsDF, s"$tmp/full")
+    def pairs(root: String) =
+      graft.ops.Multimodal.ahashPairsFromIndex(spark, root, 10)
+        .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    val inc = pairs(s"$tmp/inc")
+    assert(inc === pairs(s"$tmp/full") && inc.nonEmpty)
+    // a NEW stream (different checkpoint) over the fed root refuses at batch 0
+    val mem2 = MemoryStream[(Long, String, String, String, Long)]
+    val q2 = StreamOps.ahashIngestStream(
+      mem2.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/inc", s"$tmp/ckpt_other")
+    try {
+      mem2.addData(s1.head)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    assert(pairs(s"$tmp/inc") === inc, "refused stream mutated the root")
+  }
+
   test("stream ownership claim is atomic: N racers on a fresh root, one winner") {
     // The marker is created with overwrite=false, so of N concurrent
     // batch-0 claims with DISTINCT checkpoints exactly one can succeed;
