@@ -24,11 +24,18 @@ object Packing {
 
   /** Per-doc token offsets within the shard stream (deterministic: stream
     * order is (doc_id)). The base layer both chunkers share. */
-  def offsets(docs: DataFrame, shardCol: String): DataFrame = {
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-    docs
+  def offsets(docs: DataFrame, shardCol: String): DataFrame =
+    offsetsFromCounts(docs
       .select(col("doc_id"), col(shardCol).as("shard"),
-        size(toks(col("text"))).cast("long").as("n_tokens"))
+        size(toks(col("text"))).cast("long").as("n_tokens")))
+
+  /** [[offsets]] over a caller-supplied `(doc_id, shard, n_tokens)` frame —
+    * the seam that lets the packers lay out streams by any token-cost
+    * measure (whitespace above; trained-BPE counts in
+    * `q139_bpe_pack_manifest`). */
+  def offsetsFromCounts(counts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    counts
       // A NULL text makes size() yield -1; a tokenless doc contributes no
       // chunk. Dropping n_tokens < 1 keeps every explode range downstream
       // provably ascending (sequence(first, last) with last >= first) and
@@ -53,7 +60,14 @@ object Packing {
     * covers, with how many of the doc's tokens it holds. Chunk sizes sum
     * back to chunkTokens except each shard's tail chunk. */
   def chunkManifest(docs: DataFrame, shardCol: String, chunkTokens: Int): DataFrame =
-    packPlan(docs, shardCol, chunkTokens)
+    chunkManifestFromOffsets(offsets(docs, shardCol), chunkTokens)
+
+  /** [[chunkManifest]] over a precomputed [[offsets]]/[[offsetsFromCounts]]
+    * frame. */
+  def chunkManifestFromOffsets(offs: DataFrame, chunkTokens: Int): DataFrame =
+    offs
+      .withColumn("first_chunk", floor(col("start_offset") / chunkTokens))
+      .withColumn("last_chunk", floor((col("end_offset") - 1) / chunkTokens))
       .select(col("shard"), col("doc_id"), col("start_offset"), col("end_offset"),
         explode(sequence(col("first_chunk"), col("last_chunk"))).as("chunk_id"))
       .select(col("shard"), col("chunk_id"), col("doc_id"),

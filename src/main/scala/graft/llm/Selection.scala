@@ -1536,6 +1536,40 @@ SELECT batch_id, count(*) AS n_docs, max(len) AS max_len,
 FROM b GROUP BY batch_id ORDER BY batch_id"""
   }
 
+  /** The q139 oracle: BPE token counts from the shared train+encode chain,
+    * threaded through the q51 chunk-manifest spelling (per-shard cumsum,
+    * chunk ranges, generate_series explode) — the packing layout priced in
+    * model-tokenizer tokens. */
+  private def bpePackOracle(rounds: Int, batch: Int,
+      chunkTokens: Int): String = {
+    val u = "chr(31)"
+    val full = bpeEncodeFromTableOracle(rounds, batch)
+    val chain = full.substring(0, full.lastIndexOf("\nSELECT doc_id,"))
+    s"""$chain,
+lens AS (SELECT doc_id,
+           CAST(sum(len(string_split(trim(seq, $u), $u || $u))) AS BIGINT)
+             AS n_tokens
+         FROM e${rounds * batch} WHERE doc_id IS NOT NULL GROUP BY doc_id),
+t AS (SELECT d.doc_id, d.lang AS shard, l.n_tokens
+      FROM documents d JOIN lens l ON l.doc_id = d.doc_id
+      WHERE l.n_tokens >= 1),
+o AS (SELECT doc_id, shard, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+          AS end_offset
+      FROM t),
+p AS (SELECT doc_id, shard, end_offset - n_tokens AS start_offset, end_offset,
+        CAST((end_offset - n_tokens) // $chunkTokens AS BIGINT) AS first_chunk,
+        CAST((end_offset - 1) // $chunkTokens AS BIGINT) AS last_chunk
+      FROM o),
+m AS (SELECT shard, doc_id, start_offset, end_offset,
+        unnest(generate_series(first_chunk, last_chunk)) AS chunk_id
+      FROM p)
+SELECT shard, chunk_id, doc_id,
+  least(end_offset, (chunk_id + 1) * $chunkTokens)
+    - greatest(start_offset, chunk_id * $chunkTokens) AS tokens_in_chunk
+FROM m ORDER BY shard, chunk_id, doc_id"""
+  }
+
   /** The q111 oracle: the encoder's train rounds unrolled exactly like
     * [[bpeTrainOracle]], with doc identity and the per-word char count
     * threaded through every replace CTE, and — unlike the trainer — the
@@ -1977,6 +2011,27 @@ ORDER BY cnt DESC, pair ASC LIMIT 20""")),
           .select(col("doc_id"), col("n_tokens").as("len")),
         batchSize = 32),
       Some(bpeBatchingOracle(3, 3, 32))),
+
+    // Sequence packing priced in trained-BPE tokens: the q51 chunk
+    // manifest (per-lang shard streams cut into 512-token chunks) with
+    // the stream laid out by the MODEL tokenizer's counts — chunk
+    // boundaries land where the accelerator's token budget lands, not
+    // where whitespace approximates it. Same composed-oracle discipline
+    // as q136: train + encode + the canonical manifest spelling in one
+    // generated chain.
+    Q("q139_bpe_pack_manifest",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val counts = TextAnalysis.bpeEncodeWith(docs,
+            s.read.parquet(bpeMergesMart(s, dir)), maxMerges = 9)
+          .select(col("doc_id"), col("n_tokens"))
+          .join(docs.select(col("doc_id"), col("lang").as("shard")), "doc_id")
+          .select(col("doc_id"), col("shard"), col("n_tokens"))
+        Packing.chunkManifestFromOffsets(
+          Packing.offsetsFromCounts(counts), chunkTokens = 512)
+          .orderBy("shard", "chunk_id", "doc_id")
+      },
+      Some(bpePackOracle(3, 3, 512))),
 
     // q86's curation chain extended with the selection family: quality →
     // exact dedup → decontam (q86's stages, same fragments) → dup-span-

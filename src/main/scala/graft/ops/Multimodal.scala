@@ -290,6 +290,27 @@ object Multimodal {
       .parquet(s"$basePath/bands")
   }
 
+  /** Offline compaction of an appended aHash layout into the reserved
+    * `batch_id=-1` base of a FRESH root — the media member of the
+    * compaction family (BM25 postings / IVFADC codes): batches are
+    * doc-disjoint by contract so the fold is a re-bucketed rewrite, the
+    * geometry sidecar copies verbatim, and the fresh root starts with an
+    * empty commit log. Search/pairs against the compacted root are
+    * result-identical (spec-pinned). Returns (in, out) band file counts. */
+  def compactAhashIndex(spark: SparkSession, inBase: String,
+      outBase: String): (Long, Long) = {
+    spark.read.parquet(s"$inBase/bands_meta")
+      .write.mode("overwrite").parquet(s"$outBase/bands_meta")
+    val nVb = spark.read.parquet(s"$inBase/bands_meta").head.getInt(0)
+    val rows = spark.read.parquet(s"$inBase/bands")
+      .filter(Layout.committedBatchFilter(spark, inBase))
+      .drop("vb", "batch_id")
+    writeAhashBatch(rows, outBase, nVb, -1L, dynamic = false)
+    Layout.initCommitLog(spark, outBase)
+    (graft.llm.Selection.countParquetFiles(spark, s"$inBase/bands"),
+      graft.llm.Selection.countParquetFiles(spark, s"$outBase/bands"))
+  }
+
   /** Point near-dup search FROM the index: the query image's four band
     * values prune to ≤ 4 (band, vb) directories (plus the pushed `v`
     * row-group filter — band rows are v-sorted within files); candidates'
@@ -347,6 +368,33 @@ object Multimodal {
           ham(col("a2"), col("b2")) + ham(col("a3"), col("b3")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Media curation gate — the pre-training screen for media corpora,
+    * all predicates over DECODED features (the q46 quality-gate idea
+    * applied to pixels/samples): exposure bounds on mean pixel value,
+    * structure bounds on aHash popcount (a near-uniform or near-saturated
+    * hash means no spatial structure to learn from), full-scale clipping
+    * and low-energy detection on PCM. Integer-exact flags; `keep` is the
+    * conjunction. One narrow decode pass per modality + one doc-keyed
+    * join — fuses with the feature extraction, no extra corpus pass. */
+  def mediaQualityGate(docs: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    val img = imageFeatures(docs)
+    val aud = audioFeatures(docs)
+    val s3 = col("sum_b") + col("sum_g") + col("sum_r")
+    val nbits = (bit_count(col("ahash_b0")) + bit_count(col("ahash_b1")) +
+      bit_count(col("ahash_b2")) + bit_count(col("ahash_b3"))).cast("long")
+    img.join(aud, "doc_id")
+      .select(col("doc_id"),
+        (s3 < col("n_px") * 3 * 96).as("too_dark"),
+        (s3 > col("n_px") * 3 * 160).as("too_bright"),
+        (nbits <= 24 || nbits >= 42).as("low_structure"),
+        (col("sumsq") < col("n_samples") * 150000L).as("quiet"),
+        (col("peak") >= 1024L).as("clipped"))
+      .withColumn("keep",
+        !(col("too_dark") || col("too_bright") || col("low_structure") ||
+          col("quiet") || col("clipped")))
   }
 
   /** The persisted aHash index for a data dir — built once per
@@ -508,7 +556,39 @@ FROM fs GROUP BY doc_id ORDER BY doc_id""")),
     Q("q137_image_neardup_indexed",
       (s, dir) => ahashPairsFromIndex(s, ahashIndexMart(s, dir),
         maxHamming = 8).orderBy("doc_a", "doc_b"),
-      Some(imageNearDupOracle)))
+      Some(imageNearDupOracle)),
+
+    // Media curation gate: exposure / structure / clipping / energy flags
+    // over decoded features, all integer-exact. The oracle replays both
+    // modality chains (formula-side) and the same flag predicates.
+    Q("q138_media_quality",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        mediaQualityGate(Tables.documents(s, dir)).orderBy("doc_id")
+      },
+      Some(s"""
+WITH $imageBandsCtes,
+ag AS (SELECT doc_id, CAST(n_chars % 256 + 64 AS BIGINT) AS n FROM documents),
+asamp AS (SELECT doc_id, n, ((doc_id*31 + t.i*17) % 2048) - 1024 AS v
+          FROM ag, LATERAL (SELECT unnest(range(0, ag.n)) AS i) t),
+aagg AS (SELECT doc_id, any_value(n) AS n_samples,
+           CAST(sum(v*v) AS BIGINT) AS sumsq,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+         FROM asamp GROUP BY doc_id),
+nb AS (SELECT doc_id,
+         CAST(bit_count(ahash_b0) + bit_count(ahash_b1)
+            + bit_count(ahash_b2) + bit_count(ahash_b3) AS BIGINT) AS nbits
+       FROM bands),
+f AS (SELECT s.doc_id,
+        (s.sum_b + s.sum_g + s.sum_r) < s.n_px * 3 * 96 AS too_dark,
+        (s.sum_b + s.sum_g + s.sum_r) > s.n_px * 3 * 160 AS too_bright,
+        (nb.nbits <= 24 OR nb.nbits >= 42) AS low_structure,
+        a.sumsq < a.n_samples * 150000 AS quiet,
+        a.peak >= 1024 AS clipped
+      FROM sums s JOIN nb USING (doc_id) JOIN aagg a ON a.doc_id = s.doc_id)
+SELECT doc_id, too_dark, too_bright, low_structure, quiet, clipped,
+  NOT (too_dark OR too_bright OR low_structure OR quiet OR clipped) AS keep
+FROM f ORDER BY doc_id""")))
 
   /** The q135/q137 oracle: banded candidate OR-join over formula-derived
     * hashes + full Hamming verify — shared by the inline and index tiers,

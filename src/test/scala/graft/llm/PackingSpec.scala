@@ -130,6 +130,30 @@ class PackingSpec extends SparkSpec {
       ws.map(_.getAs[Long]("sum_len")).sum)
   }
 
+  test("BPE-count chunk manifest keeps the packing invariant: full chunks except shard tails") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val counts = TextAnalysis.bpeEncodeWith(docs,
+        TextAnalysis.bpeTrainBatched(docs), maxMerges = 9)
+      .select(col("doc_id"), col("n_tokens"))
+      .join(docs.select(col("doc_id"), col("lang").as("shard")), "doc_id")
+      .select(col("doc_id"), col("shard"), col("n_tokens"))
+    val manifest = Packing.chunkManifestFromOffsets(
+      Packing.offsetsFromCounts(counts), chunkTokens = 512)
+    val perChunk = manifest.groupBy("shard", "chunk_id")
+      .agg(sum("tokens_in_chunk").as("n")).collect()
+    val lastChunk = perChunk.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).max).toMap
+    perChunk.foreach { r =>
+      val full512 = r.getLong(1) < lastChunk(r.getString(0))
+      if (full512) assert(r.getLong(2) === 512L,
+        s"non-tail chunk ${r.getString(0)}/${r.getLong(1)} holds ${r.getLong(2)}")
+      else assert(r.getLong(2) <= 512L)
+    }
+    // total tokens conserved: manifest sums == per-doc BPE counts
+    assert(perChunk.map(_.getLong(2)).sum ===
+      counts.agg(sum("n_tokens")).collect().head.getLong(0))
+  }
+
   test("lengthBucketedBatches: null/tokenless docs are dropped, same guard as offsets") {
     import spark.implicits._
     // a null text (size() == -1) must neither rank nor drive waste

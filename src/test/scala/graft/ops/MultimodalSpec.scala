@@ -154,6 +154,27 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.appendToAhashIndex(corpus, s"$tmp/inc", batchId = -1L)
     }
+
+    // offline compaction into a fresh root: pairs identical, fewer files
+    val (inF, outF) =
+      Multimodal.compactAhashIndex(spark, s"$tmp/inc", s"$tmp/cmp")
+    assert(pairs(s"$tmp/cmp") === full)
+    assert(outF < inF,
+      s"compaction did not shrink the bands layout: $inF -> $outF")
+  }
+
+  test("mediaQualityGate: integer-exact flags, keep is their negation, both outcomes occur") {
+    implicit val s = spark
+    val gate = Multimodal.mediaQualityGate(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001")).collect()
+    assert(gate.length === 500)
+    val kept = gate.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < 500, s"gate is degenerate: kept $kept/500")
+    gate.foreach { r =>
+      val flags = Seq("too_dark", "too_bright", "low_structure", "quiet",
+        "clipped").map(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("keep") === !flags.exists(identity))
+    }
   }
 
   test("decode kernels run one pass per partition over real payloads") {
