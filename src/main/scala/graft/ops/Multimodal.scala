@@ -588,7 +588,39 @@ f AS (SELECT s.doc_id,
       FROM sums s JOIN nb USING (doc_id) JOIN aagg a ON a.doc_id = s.doc_id)
 SELECT doc_id, too_dark, too_bright, low_structure, quiet, clipped,
   NOT (too_dark OR too_bright OR low_structure OR quiet OR clipped) AS keep
-FROM f ORDER BY doc_id""")))
+FROM f ORDER BY doc_id""")),
+
+    // Image dedup clusters: connected components over the banded-aHash
+    // pair graph (q135's edges through the q48 min-label CC operator) —
+    // the cluster key an image dedup/survivorship pass needs, with the
+    // same transitive-closure oracle discipline as the text clusters.
+    Q("q140_image_dedup_clusters",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        graft.llm.Dedup.connectedComponents(
+          imageNearDupPairs(Tables.documents(s, dir), maxHamming = 8),
+          "doc_a", "doc_b")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH RECURSIVE $imageBandsCtes,
+p0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+   AND (a.ahash_b0 = b.ahash_b0 OR a.ahash_b1 = b.ahash_b1
+     OR a.ahash_b2 = b.ahash_b2 OR a.ahash_b3 = b.ahash_b3)
+  WHERE bit_count(xor(a.ahash_b0, b.ahash_b0))
+      + bit_count(xor(a.ahash_b1, b.ahash_b1))
+      + bit_count(xor(a.ahash_b2, b.ahash_b2))
+      + bit_count(xor(a.ahash_b3, b.ahash_b3)) <= 8),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM p0
+          UNION SELECT doc_b, doc_a FROM p0),
+reach AS (SELECT src, dst FROM edges
+          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+FROM labels ORDER BY doc_id""")))
 
   /** The q135/q137 oracle: banded candidate OR-join over formula-derived
     * hashes + full Hamming verify — shared by the inline and index tiers,

@@ -257,13 +257,21 @@ class PlanSpec extends SparkSpec {
     val p = q.queryExecution.sparkPlan.toString
     // lexical leg: the postings scan prunes to the query terms' bucket
     // directories and pushes the term predicate into parquet
-    assert(p.contains("PartitionFilters: [term_bucket"),
+    // (the commit-visibility batch_id predicate shares the filter list,
+    // so term_bucket need not be its first element)
+    assert("PartitionFilters: \\[[^\\]]*term_bucket#\\d+ IN".r
+      .findFirstIn(p).isDefined,
       s"postings not bucket-pruned:\n$p")
     assert(p.contains("In(term"), s"term predicate not pushed:\n$p")
-    // semantic leg: the codes scan carries a dynamic partition-pruning
-    // filter on cell — directories outside the probed cells never open
-    assert(p.contains("dynamicpruning"),
-      s"codes scan not dynamically cell-pruned:\n$p")
+    // semantic leg: the codes scan carries the STATIC literal cell set as
+    // a partition filter (the driver-resolved probe — the contract; DPP
+    // was only ever the fallback and the planner rightly drops the
+    // redundant subquery now that the commit-visibility filter sits in
+    // the same PartitionFilters) — directories outside the probed cells
+    // never open
+    assert(p.contains("cell") &&
+      "cell#\\d+ IN \\(".r.findFirstIn(p).isDefined,
+      s"codes scan not statically cell-pruned:\n$p")
     // neither leg scans the corpus text: the only non-layout input is the
     // embeddings vector store (query fetch + candidate re-rank)
     assert(!p.contains("documents.parquet"),
