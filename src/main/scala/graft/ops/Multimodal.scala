@@ -208,10 +208,18 @@ object Multimodal {
     * candidate — the same band-then-verify plan as MinHash-LSH text dedup
     * at 100 TB. */
   def imageNearDupPairs(docs: DataFrame, maxHamming: Int)(
-      implicit spark: SparkSession): DataFrame = {
-    val feats = imageFeatures(docs)
-      .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
-      .localCheckpoint(false) // one encode+decode pass, two join sides
+      implicit spark: SparkSession): DataFrame =
+    bandedPairsFromFeats(
+      imageFeatures(docs)
+        .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
+        .localCheckpoint(false), // one encode+decode pass, two join sides
+      maxHamming)
+
+  /** The banded candidate join + Hamming verify over a precomputed hash
+    * frame — shared by the inline tier and the recall audit (one decode
+    * pass feeds both tiers there). */
+  private def bandedPairsFromFeats(feats: DataFrame,
+      maxHamming: Int): DataFrame = {
     val bands = feats.select(col("doc_id"),
       posexplode(array(col("ahash_b0"), col("ahash_b1"),
         col("ahash_b2"), col("ahash_b3"))).as(Seq("band", "v")))
@@ -288,6 +296,40 @@ object Multimodal {
       .partitionBy("band", "vb", "batch_id")
     (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
       .parquet(s"$basePath/bands")
+  }
+
+  /** Recall audit for the banded tier (the q121 discipline applied to the
+    * image modality): brute all-pairs Hamming vs the banded candidate set,
+    * per distance. The 4×16 banding GUARANTEES recall 1 for Hamming ≤ 3
+    * (pigeonhole: ≤ 3 flipped bits touch ≤ 3 of the 4 bands, so one band
+    * survives intact); 4..maxHamming is probabilistic and this measures
+    * it. ONE decode pass feeds both tiers; the brute side is the audit
+    * tier — at 100 TB it runs on a sample, while the banded side is the
+    * production path. recall_micro is integral division — exact in both
+    * engines. */
+  def imageNearDupRecall(docs: DataFrame, maxHamming: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    val feats = imageFeatures(docs)
+      .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
+      .localCheckpoint(false)
+    def ham(x: Column, y: Column): Column = bit_count(x.bitwiseXOR(y))
+    val brute = feats.toDF("doc_a", "a0", "a1", "a2", "a3")
+      .join(broadcast(feats.toDF("doc_b", "b0", "b1", "b2", "b3")),
+        col("doc_a") < col("doc_b"))
+      .select((ham(col("a0"), col("b0")) + ham(col("a1"), col("b1")) +
+        ham(col("a2"), col("b2")) + ham(col("a3"), col("b3")))
+        .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("hamming").agg(count(lit(1)).as("n_brute"))
+    val banded = bandedPairsFromFeats(feats, maxHamming)
+      .groupBy("hamming").agg(count(lit(1)).as("n_banded"))
+    brute.join(banded, Seq("hamming"), "left")
+      .select(col("hamming"), col("n_brute"),
+        coalesce(col("n_banded"), lit(0L)).as("n_banded"),
+        expr("coalesce(n_banded, 0L) * 1000000 div n_brute")
+          .as("recall_micro"),
+        (col("hamming") <= 3).as("guaranteed"))
+      .orderBy("hamming")
   }
 
   /** Offline compaction of an appended aHash layout into the reserved
@@ -370,31 +412,41 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** A media row's curation verdict — flags + the conjunction. */
+  final case class MediaGateRow(doc_id: Long, too_dark: Boolean,
+      too_bright: Boolean, low_structure: Boolean, quiet: Boolean,
+      clipped: Boolean, keep: Boolean)
+
   /** Media curation gate — the pre-training screen for media corpora,
     * all predicates over DECODED features (the q46 quality-gate idea
     * applied to pixels/samples): exposure bounds on mean pixel value,
     * structure bounds on aHash popcount (a near-uniform or near-saturated
     * hash means no spatial structure to learn from), full-scale clipping
     * and low-energy detection on PCM. Integer-exact flags; `keep` is the
-    * conjunction. One narrow decode pass per modality + one doc-keyed
-    * join — fuses with the feature extraction, no extra corpus pass. */
+    * conjunction. ONE mapPartitions pass decodes both modalities and
+    * emits the verdict — zero shuffles, zero joins, so the gate fuses
+    * with the scan, scales with input splits, and runs UNCHANGED on a
+    * streaming frame ([[graft.streaming.StreamOps.mediaGateStream]] is
+    * literally this function — batch/stream cannot drift). */
   def mediaQualityGate(docs: DataFrame)(
       implicit spark: SparkSession): DataFrame = {
-    val img = imageFeatures(docs)
-    val aud = audioFeatures(docs)
-    val s3 = col("sum_b") + col("sum_g") + col("sum_r")
-    val nbits = (bit_count(col("ahash_b0")) + bit_count(col("ahash_b1")) +
-      bit_count(col("ahash_b2")) + bit_count(col("ahash_b3"))).cast("long")
-    img.join(aud, "doc_id")
-      .select(col("doc_id"),
-        (s3 < col("n_px") * 3 * 96).as("too_dark"),
-        (s3 > col("n_px") * 3 * 160).as("too_bright"),
-        (nbits <= 24 || nbits >= 42).as("low_structure"),
-        (col("sumsq") < col("n_samples") * 150000L).as("quiet"),
-        (col("peak") >= 1024L).as("clipped"))
-      .withColumn("keep",
-        !(col("too_dark") || col("too_bright") || col("low_structure") ||
-          col("quiet") || col("clipped")))
+    import spark.implicits._
+    encodeMedia(docs).mapPartitions(_.map { m =>
+      val img = imageFeaturesFromBytes(m.doc_id, m.image)
+      val aud = audioFeaturesFromBytes(m.doc_id, m.audio)
+      val s3 = img.sum_b + img.sum_g + img.sum_r
+      val nbits = java.lang.Long.bitCount(img.ahash_b0) +
+        java.lang.Long.bitCount(img.ahash_b1) +
+        java.lang.Long.bitCount(img.ahash_b2) +
+        java.lang.Long.bitCount(img.ahash_b3)
+      val tooDark = s3 < img.n_px * 3 * 96
+      val tooBright = s3 > img.n_px * 3 * 160
+      val lowStructure = nbits <= 24 || nbits >= 42
+      val quiet = aud.sumsq < aud.n_samples * 150000L
+      val clipped = aud.peak >= 1024L
+      MediaGateRow(m.doc_id, tooDark, tooBright, lowStructure, quiet,
+        clipped, !(tooDark || tooBright || lowStructure || quiet || clipped))
+    }).toDF()
   }
 
   /** The persisted aHash index for a data dir — built once per
@@ -620,7 +672,35 @@ reach AS (SELECT src, dst FROM edges
 labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
            FROM reach GROUP BY src)
 SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
-FROM labels ORDER BY doc_id""")))
+FROM labels ORDER BY doc_id""")),
+
+    // Recall audit for the banded aHash tier (q121's discipline on the
+    // image modality): brute all-pairs Hamming vs banded candidates per
+    // distance. Banding guarantees recall 1 through Hamming 3 (pigeonhole
+    // over 4 bands); the 4..8 range is measured. The oracle computes both
+    // tiers from one all-pairs pass over the formula-derived hashes.
+    Q("q141_image_neardup_recall",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        imageNearDupRecall(Tables.documents(s, dir), maxHamming = 8)
+      },
+      Some(s"""
+WITH $imageBandsCtes,
+allp AS (
+  SELECT CAST(bit_count(xor(a.ahash_b0, b.ahash_b0))
+            + bit_count(xor(a.ahash_b1, b.ahash_b1))
+            + bit_count(xor(a.ahash_b2, b.ahash_b2))
+            + bit_count(xor(a.ahash_b3, b.ahash_b3)) AS BIGINT) AS ham,
+         (a.ahash_b0 = b.ahash_b0 OR a.ahash_b1 = b.ahash_b1
+       OR a.ahash_b2 = b.ahash_b2 OR a.ahash_b3 = b.ahash_b3) AS cand
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id),
+br AS (SELECT ham AS hamming, CAST(count(*) AS BIGINT) AS n_brute,
+         CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_banded
+       FROM allp WHERE ham <= 8 GROUP BY ham)
+SELECT hamming, n_brute, n_banded,
+  CAST(n_banded * 1000000 // n_brute AS BIGINT) AS recall_micro,
+  hamming <= 3 AS guaranteed
+FROM br ORDER BY hamming""")))
 
   /** The q135/q137 oracle: banded candidate OR-join over formula-derived
     * hashes + full Hamming verify — shared by the inline and index tiers,

@@ -180,6 +180,15 @@ object StreamOps {
       model: DataFrame): DataFrame =
     graft.llm.Classifier.scoreFrame(docsStream, model)
 
+  /** Streaming twin of the media curation gate (q138): the batch kernel is
+    * a single zero-shuffle mapPartitions (encode seam → decode both
+    * modalities → flag verdict), so the streaming form IS the batch
+    * function applied to the stream — per-partition codec amortization and
+    * all. Zero state; gate the firehose as media arrives. */
+  def mediaGateStream(docsStream: DataFrame): DataFrame =
+    graft.ops.Multimodal.mediaQualityGate(docsStream)(
+      docsStream.sparkSession)
+
   /** Streaming twin of q59's heavy hitters: per group key, a running
     * Misra–Gries sketch over the token stream with AT MOST `k` counters of
     * state per group — the bounded-state property is what makes a

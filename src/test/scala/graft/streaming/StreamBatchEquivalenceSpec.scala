@@ -346,6 +346,26 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       graft.llm.Classifier.logregScore(docsDF, model), "quality score")
   }
 
+  test("mediaGateStream == batch media curation gate (shared single-pass kernel)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val docsDF = docsFixture.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (first, second) = docsFixture.splitAt(docsFixture.size / 2)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val out = StreamOps.mediaGateStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val q = out.writeStream.format("memory").queryName("mediagate")
+      .outputMode("append").start()
+    try {
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assertSameRows(spark.table("mediagate"),
+      graft.ops.Multimodal.mediaQualityGate(docsDF), "media gate")
+  }
+
   test("bm25IngestStream: streamed appends into the serving layout == one-shot build") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("bm25ingest").toString
