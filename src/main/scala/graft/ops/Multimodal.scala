@@ -215,14 +215,15 @@ object Multimodal {
         .localCheckpoint(false), // one encode+decode pass, two join sides
       maxHamming)
 
-  /** The banded candidate join + Hamming verify over a precomputed hash
-    * frame — shared by the inline tier and the recall audit (one decode
-    * pass feeds both tiers there). */
-  private def bandedPairsFromFeats(feats: DataFrame,
-      maxHamming: Int): DataFrame = {
+  /** The banded candidate join + Hamming verify over a precomputed
+    * 4×16-bit fingerprint frame `(doc_id, <prefix>0..3)` — MODALITY-
+    * GENERIC: the image tier, its recall audit, and the audio tier all
+    * feed this one kernel (the banding plan does not care what hashed). */
+  private def bandedPairsFromFeats(feats: DataFrame, maxHamming: Int,
+      prefix: String = "ahash_b"): DataFrame = {
+    val b = (0 to 3).map(i => col(s"$prefix$i"))
     val bands = feats.select(col("doc_id"),
-      posexplode(array(col("ahash_b0"), col("ahash_b1"),
-        col("ahash_b2"), col("ahash_b3"))).as(Seq("band", "v")))
+      posexplode(array(b: _*)).as(Seq("band", "v")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -238,6 +239,51 @@ object Multimodal {
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** A 64-bit audio fingerprint as four 16-bit bands: 64 positions sampled
+    * evenly across the decoded PCM stream, bit j set iff sample j exceeds
+    * the 64-sample mean (the amplitude-envelope analogue of aHash — and
+    * deliberately NOT delta-sign, which degenerates to all-ones on
+    * monotone ramps). Feeds the same banded near-dup kernel as images. */
+  final case class AudioFingerprint(doc_id: Long, afp_b0: Long,
+      afp_b1: Long, afp_b2: Long, afp_b3: Long)
+
+  def audioFingerprintFromBytes(docId: Long,
+      bytes: Array[Byte]): AudioFingerprint = {
+    val (_, samples) = MediaCodec.decodeWav(bytes)
+    val n = samples.length
+    val v = new Array[Long](64)
+    var tot = 0L
+    var j = 0
+    while (j < 64) {
+      val p = (j.toLong * (n - 1) / 64).toInt
+      v(j) = samples(p).toLong
+      tot += v(j); j += 1
+    }
+    val bands = new Array[Long](4)
+    j = 0
+    while (j < 64) {
+      if (v(j) * 64 > tot) bands(j / 16) |= 1L << (j % 16)
+      j += 1
+    }
+    AudioFingerprint(docId, bands(0), bands(1), bands(2), bands(3))
+  }
+
+  def audioFingerprints(docs: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    encodeMedia(docs).select("doc_id", "audio").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (d, b) => audioFingerprintFromBytes(d, b) })
+      .toDF()
+  }
+
+  /** Audio near-dup pairs through the SAME banded kernel as images — the
+    * modality-generic half of the design made concrete: only the
+    * fingerprint function changed. */
+  def audioNearDupPairs(docs: DataFrame, maxHamming: Int)(
+      implicit spark: SparkSession): DataFrame =
+    bandedPairsFromFeats(audioFingerprints(docs).localCheckpoint(false),
+      maxHamming, prefix = "afp_b")
 
   // ------------------------------------------- persisted aHash near-dup index
 
@@ -700,7 +746,42 @@ br AS (SELECT ham AS hamming, CAST(count(*) AS BIGINT) AS n_brute,
 SELECT hamming, n_brute, n_banded,
   CAST(n_banded * 1000000 // n_brute AS BIGINT) AS recall_micro,
   hamming <= 3 AS guaranteed
-FROM br ORDER BY hamming""")))
+FROM br ORDER BY hamming""")),
+
+    // Audio near-dup through the SAME banded kernel as q135 — only the
+    // fingerprint differs (amplitude-envelope bits over the decoded PCM).
+    // The oracle replays fingerprinting from the sample formula and the
+    // identical banded OR-join + Hamming verify.
+    Q("q142_audio_neardup",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        audioNearDupPairs(Tables.documents(s, dir), maxHamming = 4)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""
+WITH ag AS (SELECT doc_id, CAST(n_chars % 256 + 64 AS BIGINT) AS n FROM documents),
+cell AS (SELECT doc_id, n, t.j AS j, (t.j * (n - 1)) // 64 AS p
+         FROM ag, LATERAL (SELECT unnest(range(0, 64)) AS j) t),
+vals AS (SELECT doc_id, j, ((doc_id*31 + p*17) % 2048) - 1024 AS v FROM cell),
+bits AS (SELECT doc_id, j,
+           CASE WHEN 64*v > sum(v) OVER (PARTITION BY doc_id)
+                THEN 1 ELSE 0 END AS bit
+         FROM vals),
+bands AS (SELECT doc_id,
+  CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b0,
+  CAST(sum(CASE WHEN j // 16 = 1 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b1,
+  CAST(sum(CASE WHEN j // 16 = 2 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b2,
+  CAST(sum(CASE WHEN j // 16 = 3 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b3
+  FROM bits GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT)
+      AS hamming
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 4
+ORDER BY doc_a, doc_b""")))
 
   /** The q135/q137 oracle: banded candidate OR-join over formula-derived
     * hashes + full Hamming verify — shared by the inline and index tiers,
