@@ -781,7 +781,80 @@ pairs AS (
   FROM bands a JOIN bands b ON a.doc_id < b.doc_id
    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
 SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 4
-ORDER BY doc_a, doc_b""")))
+ORDER BY doc_a, doc_b""")),
+
+    // Image dedup survivorship BY MEDIA QUALITY (the q129 discipline on
+    // the media modality): per aHash near-dup cluster, the gate-passing
+    // copy survives (quality first, doc_id as the total-order tie-break);
+    // unclustered docs are their own cluster and survive trivially. The
+    // oracle stitches the transitive-closure chain to the gate chain.
+    Q("q143_image_survivorship",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val docs = Tables.documents(s, dir)
+        val labels = graft.llm.Dedup.connectedComponents(
+            imageNearDupPairs(docs, maxHamming = 8), "doc_a", "doc_b")
+          .select(col("doc_id"), col("cluster_id"))
+        val gate = mediaQualityGate(docs).select(col("doc_id"), col("keep"))
+        val keyed = docs.select("doc_id")
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_key"))
+          .join(gate, "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_key")
+          .orderBy(col("keep").desc, col("doc_id").asc)
+        keyed.withColumn("rn", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("cluster_key"),
+            (col("rn") === 1).as("survivor"), col("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH RECURSIVE $imageBandsCtes,
+p0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+   AND (a.ahash_b0 = b.ahash_b0 OR a.ahash_b1 = b.ahash_b1
+     OR a.ahash_b2 = b.ahash_b2 OR a.ahash_b3 = b.ahash_b3)
+  WHERE bit_count(xor(a.ahash_b0, b.ahash_b0))
+      + bit_count(xor(a.ahash_b1, b.ahash_b1))
+      + bit_count(xor(a.ahash_b2, b.ahash_b2))
+      + bit_count(xor(a.ahash_b3, b.ahash_b3)) <= 8),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM p0
+          UNION SELECT doc_b, doc_a FROM p0),
+reach AS (SELECT src, dst FROM edges
+          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src),
+ag AS (SELECT doc_id, CAST(n_chars % 256 + 64 AS BIGINT) AS n FROM documents),
+asamp AS (SELECT doc_id, n, ((doc_id*31 + t.i*17) % 2048) - 1024 AS v
+          FROM ag, LATERAL (SELECT unnest(range(0, ag.n)) AS i) t),
+aagg AS (SELECT doc_id, any_value(n) AS n_samples,
+           CAST(sum(v*v) AS BIGINT) AS sumsq,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+         FROM asamp GROUP BY doc_id),
+nb AS (SELECT doc_id,
+         CAST(bit_count(ahash_b0) + bit_count(ahash_b1)
+            + bit_count(ahash_b2) + bit_count(ahash_b3) AS BIGINT) AS nbits
+       FROM bands),
+gate AS (SELECT s.doc_id,
+           NOT ((s.sum_b + s.sum_g + s.sum_r) < s.n_px * 3 * 96
+             OR (s.sum_b + s.sum_g + s.sum_r) > s.n_px * 3 * 160
+             OR nb.nbits <= 24 OR nb.nbits >= 42
+             OR a.sumsq < a.n_samples * 150000
+             OR a.peak >= 1024) AS keep
+         FROM sums s JOIN nb USING (doc_id) JOIN aagg a ON a.doc_id = s.doc_id),
+keyed AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_key,
+            g.keep
+          FROM documents d
+          LEFT JOIN labels l ON l.doc_id = d.doc_id
+          JOIN gate g ON g.doc_id = d.doc_id),
+r AS (SELECT doc_id, cluster_key, keep,
+        row_number() OVER (PARTITION BY cluster_key
+          ORDER BY keep DESC, doc_id ASC) AS rn
+      FROM keyed)
+SELECT doc_id, cluster_key, rn = 1 AS survivor, keep
+FROM r ORDER BY doc_id""")))
 
   /** The q135/q137 oracle: banded candidate OR-join over formula-derived
     * hashes + full Hamming verify — shared by the inline and index tiers,
