@@ -495,6 +495,13 @@ object Multimodal {
     }).toDF()
   }
 
+  /** Memoized corpus size — drives the q141 audit-sample modulus (the
+    * embCount discipline: one count() per (session, dir), evicted with
+    * the marts). */
+  private def docCount(s: SparkSession, dir: String): Long =
+    graft.sec.SecDerive.cachedCount(s, dir, "doc_count")(
+      graft.Tables.documents(s, dir).count())
+
   /** The persisted aHash index for a data dir — built once per
     * (session, dir), the [[graft.sec.SecDerive.cachedCount]] mart
     * discipline. The image-modality sibling of the retrieval index root
@@ -728,7 +735,21 @@ FROM labels ORDER BY doc_id""")),
     Q("q141_image_neardup_recall",
       (s, dir) => {
         implicit val sp: SparkSession = s
-        imageNearDupRecall(Tables.documents(s, dir), maxHamming = 8)
+        // The brute tier is quadratic BY DESIGN (it is the audit), so its
+        // input is a deterministic hash-free sample whose modulus grows
+        // with the corpus (full corpus ≤ 2k docs — every verify scale;
+        // ~2k-doc sample beyond, so bench scales never pay all-pairs over
+        // the whole corpus). The q57 adaptive-geometry discipline: under
+        // the driver's oracle run the modulus must be 1 or we abort
+        // loudly instead of hash-mismatching.
+        val m = math.max(1L, docCount(s, dir) / 2000L)
+        if (sys.props.contains("graft.oracle.active"))
+          require(m == 1L,
+            s"q141 oracle is generated for the FULL corpus (modulus 1); " +
+              s"this corpus resolves audit modulus $m — regenerate")
+        imageNearDupRecall(
+          Tables.documents(s, dir).filter(col("doc_id") % m === 0),
+          maxHamming = 8)
       },
       Some(s"""
 WITH $imageBandsCtes,
