@@ -702,7 +702,12 @@ FROM f ORDER BY doc_id""")),
     Q("q140_image_dedup_clusters",
       (s, dir) => {
         implicit val sp: SparkSession = s
-        graft.llm.Dedup.connectedComponents(
+        // pointer-jumping variant: the aHash pair graph chains through
+        // gradually-drifting hashes (A~B~C without A~C), so component
+        // diameter grows with corpus size — min-label alone needs
+        // diameter rounds and fails loudly at 10x corpora; the O(log d)
+        // jump converges (outputs are property-tested identical).
+        graft.llm.Dedup.connectedComponentsFast(
           imageNearDupPairs(Tables.documents(s, dir), maxHamming = 8),
           "doc_a", "doc_b")
           .orderBy("doc_id")
@@ -813,7 +818,7 @@ ORDER BY doc_a, doc_b""")),
       (s, dir) => {
         implicit val sp: SparkSession = s
         val docs = Tables.documents(s, dir)
-        val labels = graft.llm.Dedup.connectedComponents(
+        val labels = graft.llm.Dedup.connectedComponentsFast(
             imageNearDupPairs(docs, maxHamming = 8), "doc_a", "doc_b")
           .select(col("doc_id"), col("cluster_id"))
         val gate = mediaQualityGate(docs).select(col("doc_id"), col("keep"))
