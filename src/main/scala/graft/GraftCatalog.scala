@@ -96,5 +96,15 @@ object GraftCatalog {
           org.apache.spark.sql.functions.col("ckey").as("cluster_key"),
           org.apache.spark.sql.functions.col("split"))
         .createOrReplaceTempView("corpus_splits")
+    // Media surfaces (q138/q143): the curation verdict and the per-
+    // cluster survivorship decision as SQL views — a media-filtering job
+    // writes `SELECT doc_id FROM media_gate WHERE keep` (or joins
+    // media_survivors for the dedup-aware variant) without knowing the
+    // codec, the hash, or the clustering. Both are lazy compositions of
+    // the registered query frames, same discipline as corpus_selected.
+    SparkEntry.queries("q138_media_quality")(spark, dir)
+      .createOrReplaceTempView("media_gate")
+    SparkEntry.queries("q143_image_survivorship")(spark, dir)
+      .createOrReplaceTempView("media_survivors")
   }
 }

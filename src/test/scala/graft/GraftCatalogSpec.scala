@@ -240,6 +240,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(leak === 1L)
   }
 
+  test("media views: SQL-only media filtering reconciles with the operators") {
+    GraftCatalog.registerViews(spark, dir)
+    implicit val s = spark
+    // the gate view answers the filtering job's one-liner
+    val keptSql = spark.sql(
+      "SELECT doc_id FROM media_gate WHERE keep ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val keptOp = ops.Multimodal.mediaQualityGate(Tables.documents(spark, dir))
+      .filter(org.apache.spark.sql.functions.col("keep"))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(keptSql === keptOp && keptSql.nonEmpty)
+    // the dedup-aware variant: survivors are gate-consistent — a cluster
+    // with any gate-passing member never elects a failing survivor
+    val bad = spark.sql("""
+      SELECT s.cluster_key FROM media_survivors s
+      WHERE s.survivor AND NOT s.keep
+        AND s.cluster_key IN (
+          SELECT cluster_key FROM media_survivors WHERE keep)""")
+    assert(bad.count() === 0L)
+    // and exactly one survivor per cluster
+    assert(spark.sql("""
+      SELECT max(n) FROM (
+        SELECT cluster_key, sum(CASE WHEN survivor THEN 1 ELSE 0 END) AS n
+        FROM media_survivors GROUP BY cluster_key)""").head.getLong(0) === 1L)
+  }
+
   test("events view carries a real timestamp column, not raw nanos longs") {
     GraftCatalog.registerViews(spark, dir)
     val tsField = spark.table("events").schema("ts")
