@@ -6,15 +6,18 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns with
-  * typed metadata, plus a decode/feature-extract seam.
+  * typed metadata, plus decode/feature-extract kernels.
   *
   * The real pipeline shape at 100 TB: payloads live in parquet binary
   * columns (or pointers to object storage), metadata is columnar and
   * filterable WITHOUT touching bytes, and the decode step is a per-partition
-  * batch operation so codec state amortizes across rows. The image/audio
-  * codecs are not in this container, so [[decodeStub]] substitutes a
-  * deterministic fake — the Spark-side contract (schema, typed Dataset,
-  * mapPartitions batching) is real and unit-tested.
+  * batch operation so codec state amortizes across rows. The decode kernels
+  * are REAL parsers ([[MediaCodec]]: 24-bit BMP, RIFF/WAVE PCM16 with chunk
+  * walking, a raw-frame video container) running in mapPartitions seams;
+  * payload contents come from closed-form integer generators so the DuckDB
+  * oracle adjudicates the encode→decode round trip without ever seeing the
+  * codec. [[decodeStub]] remains as the original minimal-plumbing contract
+  * (schema, typed Dataset, batching) from before the kernels landed.
   */
 object Multimodal {
 
