@@ -252,6 +252,49 @@ object PropertiesSpec extends Properties("graft") {
       score(boosted) >= score(base)
     }
 
+  // ---- media codec round trips (pure JVM — no Spark job per case) ----
+
+  private val bmpGen = for {
+    w <- Gen.choose(1, 40)
+    h <- Gen.choose(1, 30)
+    px <- Gen.listOfN(w * h * 3,
+      Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+  } yield (w, h, px)
+
+  property("BMP codec: decode(encode(px)) == px across every stride/padding") =
+    Prop.forAll(bmpGen) { case (w, h, px) =>
+      val (dw, dh, back) =
+        ops.MediaCodec.decodeBmp(ops.MediaCodec.encodeBmp(w, h, px))
+      dw == w && dh == h && back.sameElements(px)
+    }
+
+  property("WAV codec: the chunk walk recovers every sample and the rate") =
+    Prop.forAll(Gen.choose(8000, 48000),
+      Gen.nonEmptyListOf(Gen.choose(Short.MinValue, Short.MaxValue))) {
+      (rate, ss) =>
+        val samples = ss.toArray
+        val (r, back) =
+          ops.MediaCodec.decodeWav(ops.MediaCodec.encodeWav(rate, samples))
+        r == rate && back.sameElements(samples)
+    }
+
+  private val videoGen = for {
+    w <- Gen.choose(1, 8)
+    h <- Gen.choose(1, 8)
+    nf <- Gen.choose(1, 6)
+    frames <- Gen.listOfN(nf, Gen.listOfN(w * h * 3,
+      Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+  } yield (w, h, frames)
+
+  property("video container: every frame slices back bit-identical") =
+    Prop.forAll(videoGen) { case (w, h, frames) =>
+      val (dw, dh, n, at) =
+        ops.MediaCodec.decodeVideo(ops.MediaCodec.encodeVideo(w, h,
+          frames.toArray))
+      dw == w && dh == h && n == frames.length &&
+        frames.indices.forall(i => at(i).sameElements(frames(i)))
+    }
+
   property("PPS sample: selection is invariant under any constant weight scale") =
     Prop.forAll(bm25DocsGen, Gen.oneOf(3L, 17L, 1000L)) { (docs, scale) =>
       val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
