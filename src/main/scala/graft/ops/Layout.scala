@@ -120,7 +120,7 @@ object Layout {
       s"batchId must be >= 0 (negative ids are reserved for the base/" +
         s"compacted partition batch_id=-1), got $batchId")
     val nBuckets =
-      postings.sparkSession.read.parquet(s"${path}_meta").head.getInt(0)
+      postings.sparkSession.read.parquet(s"${path}_meta").head().getInt(0)
     writePostingsBatch(postings, path, nBuckets, batchId, dynamic = true)
   }
 
@@ -232,7 +232,7 @@ object Layout {
   def postingsForTerms(spark: SparkSession, path: String,
       terms: Seq[String],
       visibility: org.apache.spark.sql.Column = lit(true)): DataFrame = {
-    val nBuckets = spark.read.parquet(s"${path}_meta").head.getInt(0)
+    val nBuckets = spark.read.parquet(s"${path}_meta").head().getInt(0)
     val buckets = terms.map(bucketOfLocal(_, nBuckets)).distinct
     spark.read.parquet(path)
       // `visibility` is the caller's batch-commit predicate

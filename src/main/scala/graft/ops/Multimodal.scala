@@ -393,7 +393,7 @@ object Multimodal {
     require(batchId >= 0,
       s"batchId must be >= 0 (negative ids are reserved for the base/" +
         s"compacted partition batch_id=-1), got $batchId")
-    val nVb = spark.read.parquet(s"$basePath/bands_meta").head.getInt(0)
+    val nVb = spark.read.parquet(s"$basePath/bands_meta").head().getInt(0)
     Layout.beginBatchCommit(spark, basePath, batchId)
     writeAhashBatch(ahashBandRows(newDocs), basePath, nVb, batchId,
       dynamic = true)
@@ -458,7 +458,7 @@ object Multimodal {
       outBase: String): (Long, Long) = {
     spark.read.parquet(s"$inBase/bands_meta")
       .write.mode("overwrite").parquet(s"$outBase/bands_meta")
-    val nVb = spark.read.parquet(s"$inBase/bands_meta").head.getInt(0)
+    val nVb = spark.read.parquet(s"$inBase/bands_meta").head().getInt(0)
     val rows = spark.read.parquet(s"$inBase/bands")
       .filter(Layout.committedBatchFilter(spark, inBase))
       .drop("vb", "batch_id")
@@ -478,7 +478,7 @@ object Multimodal {
       queryBands: Seq[Long], maxHamming: Int,
       excludeDocId: Long = -1L): DataFrame = {
     require(queryBands.length == 4, "need the four 16-bit hash bands")
-    val nVb = spark.read.parquet(s"$basePath/bands_meta").head.getInt(0)
+    val nVb = spark.read.parquet(s"$basePath/bands_meta").head().getInt(0)
     val hit = queryBands.zipWithIndex.map { case (v, k) =>
       col("band") === k && col("vb") === (v % nVb).toInt && col("v") === v
     }.reduce(_ || _)

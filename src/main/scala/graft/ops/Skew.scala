@@ -35,7 +35,7 @@ object Skew {
       // IDENTICAL collapses to one salt bucket — harmless, because stage 1's
       // map-side partial aggregation compresses identical-group rows to one
       // per partition before the shuffle, so no straggler can form there.
-      .withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salt)))
+      .withColumn("__salt", pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salt)))
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(
         sum(col(valueCol).cast(dec)).as("__psum"),
