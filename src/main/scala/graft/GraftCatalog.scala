@@ -34,7 +34,8 @@ object GraftCatalog {
   def registerViews(spark: SparkSession, dir: String,
       withSplitsMart: Boolean = false,
       withSelectionV2: Boolean = false,
-      selectionGeometry: Option[String] = None): Unit = {
+      selectionGeometry: Option[String] = None,
+      withMediaSurvivors: Boolean = false): Unit = {
     Tables.names.foreach { n =>
       Tables.load(spark, dir, n).createOrReplaceTempView(n)
     }
@@ -96,15 +97,17 @@ object GraftCatalog {
           org.apache.spark.sql.functions.col("ckey").as("cluster_key"),
           org.apache.spark.sql.functions.col("split"))
         .createOrReplaceTempView("corpus_splits")
-    // Media surfaces (q138/q143): the curation verdict and the per-
-    // cluster survivorship decision as SQL views — a media-filtering job
-    // writes `SELECT doc_id FROM media_gate WHERE keep` (or joins
-    // media_survivors for the dedup-aware variant) without knowing the
-    // codec, the hash, or the clustering. Both are lazy compositions of
-    // the registered query frames, same discipline as corpus_selected.
+    // Media surfaces: the curation verdict (q138) registers UNFLAGGED —
+    // it is a lazy narrow plan (one mapPartitions decode pass, no action
+    // at registration). The per-cluster survivorship view (q143) is
+    // FLAGGED like the splits mart: building it runs corpus-scale eager
+    // work at registration time (the banded plan's duplication-stats
+    // aggregate plus iterative connected components), which the cheap
+    // default registration must not pay.
     SparkEntry.queries("q138_media_quality")(spark, dir)
       .createOrReplaceTempView("media_gate")
-    SparkEntry.queries("q143_image_survivorship")(spark, dir)
-      .createOrReplaceTempView("media_survivors")
+    if (withMediaSurvivors)
+      SparkEntry.queries("q143_image_survivorship")(spark, dir)
+        .createOrReplaceTempView("media_survivors")
   }
 }

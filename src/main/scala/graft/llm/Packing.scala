@@ -49,12 +49,18 @@ object Packing {
         col("end_offset"))
   }
 
+  /** The one spelling of a doc's [first_chunk, last_chunk] range — shared
+    * by [[packPlan]] and [[chunkManifestFromOffsets]] so the chunk-range
+    * math can never diverge between the plan and the manifest. */
+  private def chunkRanges(offs: DataFrame, chunkTokens: Int): DataFrame =
+    offs
+      .withColumn("first_chunk", floor(col("start_offset") / chunkTokens))
+      .withColumn("last_chunk", floor((col("end_offset") - 1) / chunkTokens))
+
   /** Per-doc packing plan: token offsets plus the [first_chunk, last_chunk]
     * range of `chunkTokens`-sized chunks the doc's tokens fall into. */
   def packPlan(docs: DataFrame, shardCol: String, chunkTokens: Int): DataFrame =
-    offsets(docs, shardCol)
-      .withColumn("first_chunk", floor(col("start_offset") / chunkTokens))
-      .withColumn("last_chunk", floor((col("end_offset") - 1) / chunkTokens))
+    chunkRanges(offsets(docs, shardCol), chunkTokens)
 
   /** The chunk→doc manifest: one row per (shard, chunk, doc) the chunk
     * covers, with how many of the doc's tokens it holds. Chunk sizes sum
@@ -65,9 +71,7 @@ object Packing {
   /** [[chunkManifest]] over a precomputed [[offsets]]/[[offsetsFromCounts]]
     * frame. */
   def chunkManifestFromOffsets(offs: DataFrame, chunkTokens: Int): DataFrame =
-    offs
-      .withColumn("first_chunk", floor(col("start_offset") / chunkTokens))
-      .withColumn("last_chunk", floor((col("end_offset") - 1) / chunkTokens))
+    chunkRanges(offs, chunkTokens)
       .select(col("shard"), col("doc_id"), col("start_offset"), col("end_offset"),
         explode(sequence(col("first_chunk"), col("last_chunk"))).as("chunk_id"))
       .select(col("shard"), col("chunk_id"), col("doc_id"),

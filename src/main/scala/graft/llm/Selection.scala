@@ -970,18 +970,26 @@ c AS (SELECT doc_id, source, t,
     * this fold's groupBy, which prunes the aggregation to the query
     * terms' rows. */
   def bm25TermStatsRead(spark: org.apache.spark.sql.SparkSession,
-      basePath: String): DataFrame =
+      basePath: String,
+      visibility: Option[org.apache.spark.sql.Column] = None): DataFrame =
     spark.read.parquet(s"$basePath/term_stats")
       // committed batches only: an in-flight append/replay is invisible
-      // until its marker lands, so the fold never sums a torn batch
-      .filter(graft.ops.Layout.committedBatchFilter(spark, basePath))
+      // until its marker lands, so the fold never sums a torn batch.
+      // `visibility` lets a multi-table read (search: postings + both
+      // stats) resolve the commit log ONCE — per-table resolution could
+      // observe a commit landing between listings and serve a
+      // cross-table-torn snapshot.
+      .filter(visibility.getOrElse(
+        graft.ops.Layout.committedBatchFilter(spark, basePath)))
       .groupBy("term").agg(sum("df").as("df"))
 
   /** Additive fold-read of the per-batch corpus deltas — one row out. */
   def bm25CorpusStatsRead(spark: org.apache.spark.sql.SparkSession,
-      basePath: String): DataFrame =
+      basePath: String,
+      visibility: Option[org.apache.spark.sql.Column] = None): DataFrame =
     spark.read.parquet(s"$basePath/corpus_stats")
-      .filter(graft.ops.Layout.committedBatchFilter(spark, basePath))
+      .filter(visibility.getOrElse(
+        graft.ops.Layout.committedBatchFilter(spark, basePath)))
       .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
 
   /** Read-path BM25 search over a [[writeBm25Index]] layout: postings
@@ -990,13 +998,17 @@ c AS (SELECT doc_id, source, t,
     * cost is the query terms' postings rows, independent of corpus size
     * and of how many batches built the index. */
   def bm25SearchIndex(spark: org.apache.spark.sql.SparkSession,
-      basePath: String, terms: Seq[String], topK: Int = 20): DataFrame =
+      basePath: String, terms: Seq[String], topK: Int = 20): DataFrame = {
+    // ONE commit-log resolution shared by all three table reads — the
+    // per-request snapshot is batch-consistent ACROSS tables
+    val vis = graft.ops.Layout.committedBatchFilter(spark, basePath)
     TextAnalysis.bm25RankFromPostings(
       graft.ops.Layout.postingsForTerms(spark, s"$basePath/postings", terms,
-        graft.ops.Layout.committedBatchFilter(spark, basePath)),
-      bm25TermStatsRead(spark, basePath)
+        vis),
+      bm25TermStatsRead(spark, basePath, Some(vis))
         .filter(col("term").isin(terms: _*)),
-      bm25CorpusStatsRead(spark, basePath), terms, topK)
+      bm25CorpusStatsRead(spark, basePath, Some(vis)), terms, topK)
+  }
 
   /** Phrase search FROM the positional index — q122's shifted-position
     * intersection with positions read from the layout instead of
@@ -1084,21 +1096,22 @@ c AS (SELECT doc_id, source, t,
       inBase: String, outBase: String): (Long, Long) = {
     spark.read.parquet(s"$inBase/postings_meta")
       .write.mode("overwrite").parquet(s"$outBase/postings_meta")
+    // one snapshot for ALL the fold's reads (postings + both stats):
+    // committed batches only (the contract already requires quiesced
+    // ingest, so this is belt-and-braces against a crashed half-append)
+    val vis = graft.ops.Layout.committedBatchFilter(spark, inBase)
     spark.read.parquet(s"$inBase/postings")
-      // compaction folds the same snapshot serving sees: committed
-      // batches only (the contract already requires quiesced ingest, so
-      // this is belt-and-braces against a crashed half-append)
-      .filter(graft.ops.Layout.committedBatchFilter(spark, inBase))
+      .filter(vis)
       .drop("batch_id").withColumn("batch_id", lit(-1L))
       .repartition(col("term_bucket"))
       .sortWithinPartitions("term_bucket", "batch_id", "term")
       .write.mode("overwrite").partitionBy("term_bucket", "batch_id")
       .parquet(s"$outBase/postings")
-    bm25TermStatsRead(spark, inBase)
+    bm25TermStatsRead(spark, inBase, Some(vis))
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id")
       .parquet(s"$outBase/term_stats")
-    bm25CorpusStatsRead(spark, inBase)
+    bm25CorpusStatsRead(spark, inBase, Some(vis))
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id")
       .parquet(s"$outBase/corpus_stats")

@@ -173,9 +173,38 @@ object Layout {
     * preserving their original semantics. The listing is driver-side and
     * bounded by the live batch count — compaction folds it back to zero. */
   def initCommitLog(spark: SparkSession, base: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(base)
     val p = new org.apache.hadoop.fs.Path(s"$base/_commits")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      fs.mkdirs(p)
+      // BACKFILL on first protocol contact with a pre-protocol root: its
+      // existing batch partitions are committed data (they were readable
+      // unfiltered until this moment), so creating an EMPTY log here
+      // would hide them from every read and drop them from compaction
+      // folds. One bounded directory walk finds the live batch ids.
+      collectBatchIds(fs, root, depth = 4).filter(_ >= 0)
+        .foreach { id =>
+          val m = new org.apache.hadoop.fs.Path(p, s"batch_$id")
+          val out = fs.create(m, true)
+          out.close()
+        }
+    }
   }
+
+  /** Every `batch_id=N` partition value found under `p` (any table, up to
+    * `depth` directory levels — batch_id nests under term_bucket= /
+    * cell= / (band=, vb=) in the serving layouts). */
+  private def collectBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, depth: Int): Set[Long] =
+    if (depth < 0 || !fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (n == "_commits") Set.empty[Long]
+      else if (n.startsWith("batch_id="))
+        n.stripPrefix("batch_id=").toLongOption.toSet
+      else collectBatchIds(fs, st.getPath, depth - 1)
+    }.toSet
 
   /** Open a batch's rewrite window: drop its marker so readers skip the
     * batch wholesale while its partitions are being (re)written. */

@@ -86,9 +86,13 @@ object Multimodal {
     * a real encoder farm uses). At 100 TB the payloads arrive encoded; this
     * seam exists so the DECODE kernels below run against genuine container
     * bytes with the oracle still able to adjudicate. */
-  def encodeMedia(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+  def encodeMedia(docs: DataFrame, spreadInput: Boolean = true)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    graft.Tables.spread(docs)
+    // spreadInput=false is the POINT-READ path (/imagedup's one-doc hash):
+    // spreading one row to the session's shuffle parallelism would cost a
+    // request an exchange plus a fleet of empty tasks
+    (if (spreadInput) graft.Tables.spread(docs) else docs)
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .mapPartitions { rows =>
@@ -179,9 +183,11 @@ object Multimodal {
   /** Decoded-image feature frame for a document table — the composition
     * the queries register: encode seam → decode kernel, each one
     * mapPartitions pass. */
-  def imageFeatures(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+  def imageFeatures(docs: DataFrame, spreadInput: Boolean = true)(
+      implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    encodeMedia(docs).select("doc_id", "image").as[(Long, Array[Byte])]
+    encodeMedia(docs, spreadInput).select("doc_id", "image")
+      .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (d, b) => imageFeaturesFromBytes(d, b) })
       .toDF()
   }
@@ -244,8 +250,11 @@ object Multimodal {
       .select(b.zipWithIndex.map { case (c, i) => c.as(s"f$i") } :+
         col("docs") :+ element_at(col("docs"), 1).as("rep"): _*)
       .localCheckpoint(false) // consumed up to three times below
-    val nGroups = groups.count()
-    val nDocs = feats.count()
+    // one aggregation yields both sides of the dispatch statistic
+    val st = groups
+      .agg(count(lit(1)).as("g"), sum(size(col("docs"))).as("n")).head()
+    val nGroups = st.getLong(0)
+    val nDocs = if (st.isNullAt(1)) 0L else st.getLong(1) // empty corpus
     if (nDocs < 2 * nGroups) return perDocBandedPairs(feats, maxHamming, b)
     def ham(x: Column, y: Column): Column = bit_count(x.bitwiseXOR(y))
     // within a group every ordered pair qualifies at Hamming 0

@@ -78,17 +78,20 @@ class GraftApi(spark: SparkSession, sfDir: String,
   // terms' rows: the term predicate is on the fold's GROUPING key, so it
   // pushes through the aggregate into the parquet scan (spec-pinned);
   // corpus_stats is a few rows per batch folded to one. Each request
-  // resolves the commit log once (Layout.committedBatchFilter) and reads
-  // only fully committed batches — a concurrent append/replay's
-  // delete-then-commit window is invisible (stale-but-consistent, never
-  // torn), which is the serving layer's snapshot-isolation contract.
-  private def idxTermStatsFor(terms: Seq[String]): DataFrame =
+  // resolves the commit log ONCE (Layout.committedBatchFilter) and every
+  // table read in that request shares the resolved predicate, so the
+  // served snapshot is batch-consistent ACROSS postings/term_stats/
+  // corpus_stats — a concurrent append/replay's delete-then-commit
+  // window is invisible (stale-but-consistent, never torn), which is the
+  // serving layer's snapshot-isolation contract.
+  private def idxTermStatsFor(terms: Seq[String],
+      vis: org.apache.spark.sql.Column): DataFrame =
     spark.read.parquet(s"$searchIndexBase/term_stats")
-      .filter(col("term").isin(terms: _*) &&
-        graft.ops.Layout.committedBatchFilter(spark, searchIndexBase))
+      .filter(col("term").isin(terms: _*) && vis)
       .groupBy("term").agg(org.apache.spark.sql.functions.sum("df").as("df"))
-  private def idxCorpusStats: DataFrame =
-    graft.llm.Selection.bm25CorpusStatsRead(spark, searchIndexBase)
+  private def idxCorpusStats(vis: org.apache.spark.sql.Column): DataFrame =
+    graft.llm.Selection.bm25CorpusStatsRead(spark, searchIndexBase,
+      Some(vis))
   // candidate budget for the IVFADC re-rank: the q98 fraction rule
   private lazy val embN: Long = graft.llm.LlmQueries.embCount(spark, sfDir)
 
@@ -203,17 +206,19 @@ class GraftApi(spark: SparkSession, sfDir: String,
   /** The /search ranking frame — exposed so the spec can pin the PLAN (the
     * postings scan is partition-pruned to the query terms' buckets; the
     * corpus text is never rescanned), not just the rows. */
-  private[serve] def searchFrame(terms: Seq[String], limit: Int): DataFrame =
+  private[serve] def searchFrame(terms: Seq[String], limit: Int): DataFrame = {
+    // one commit-log resolution for the whole request (see idxTermStatsFor)
+    val vis = graft.ops.Layout.committedBatchFilter(spark, searchIndexBase)
     graft.llm.TextAnalysis.bm25RankFromPostings(
       graft.ops.Layout.postingsForTerms(spark,
-        s"$searchIndexBase/postings", terms,
-        graft.ops.Layout.committedBatchFilter(spark, searchIndexBase)),
+        s"$searchIndexBase/postings", terms, vis),
       // Per-request work must be the query terms' rows: the stats are
       // restricted BEFORE the fold and the broadcast inside bm25Score, or
       // every request would aggregate and broadcast the whole vocabulary
       // (which at 100 TB exceeds broadcast limits).
-      idxTermStatsFor(terms),
-      idxCorpusStats, terms, topK = limit)
+      idxTermStatsFor(terms, vis),
+      idxCorpusStats(vis), terms, topK = limit)
+  }
 
   /** GET /search?q=space+separated+terms&limit=10 — BM25 lexical ranking
     * over the documents corpus (an extension; the reference has no text
@@ -337,7 +342,8 @@ class GraftApi(spark: SparkSession, sfDir: String,
       maxHamming: Int): Option[DataFrame] = {
     implicit val sp: SparkSession = spark
     graft.ops.Multimodal.imageFeatures(
-        graft.Tables.documents(spark, sfDir).filter(col("doc_id") === docId))
+        graft.Tables.documents(spark, sfDir).filter(col("doc_id") === docId),
+        spreadInput = false) // point read: no one-row repartition
       .collect().headOption
       .map { r =>
         graft.ops.Multimodal.ahashSearchIndex(spark, ahashIndexBase,

@@ -241,7 +241,7 @@ class GraftCatalogSpec extends SparkSpec {
   }
 
   test("media views: SQL-only media filtering reconciles with the operators") {
-    GraftCatalog.registerViews(spark, dir)
+    GraftCatalog.registerViews(spark, dir, withMediaSurvivors = true)
     implicit val s = spark
     // the gate view answers the filtering job's one-liner
     val keptSql = spark.sql(

@@ -514,6 +514,22 @@ class SelectionSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/idx/_commits"), true)
     assert(search(s"$tmp/idx") === full)
 
+    // first protocol contact with that pre-protocol root BACKFILLS its
+    // existing batches: appending batch 1 creates _commits, and batch 0's
+    // pre-protocol data must stay served — an empty log would hide it
+    // forever (and drop it from compaction folds)
+    import spark.implicits._
+    Selection.appendToBm25Index(
+      Seq((900001L, "zeppelin hash join", "en", "s", 18L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/idx", batchId = 1L)
+    val nDocsServed = Selection.bm25CorpusStatsRead(spark, s"$tmp/idx")
+      .collect().head.getAs[Long]("n_docs")
+    assert(nDocsServed === 501L,
+      s"backfill lost pre-protocol batches: serving $nDocsServed of 501 docs")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$tmp/idx/_commits/batch_0")), "batch 0 marker not backfilled")
+
     // IVFADC twin: an uncommitted codes batch is invisible to the ANN read
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val nlist = 8
