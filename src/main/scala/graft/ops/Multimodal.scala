@@ -432,10 +432,25 @@ object Multimodal {
     * production path. recall_micro is integral division — exact in both
     * engines. */
   def imageNearDupRecall(docs: DataFrame, maxHamming: Int)(
-      implicit spark: SparkSession): DataFrame = {
-    val feats = imageFeatures(docs)
-      .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
-      .localCheckpoint(false)
+      implicit spark: SparkSession): DataFrame =
+    bandedRecallFromFeats(
+      imageFeatures(docs)
+        .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
+        .localCheckpoint(false),
+      maxHamming, prefix = "ahash_b")
+
+  /** The audio tier's recall audit — the same kernel over the PCM
+    * fingerprints (q144), so both modalities carry a measured banding
+    * trade, not just the image one. */
+  def audioNearDupRecall(docs: DataFrame, maxHamming: Int)(
+      implicit spark: SparkSession): DataFrame =
+    bandedRecallFromFeats(audioFingerprints(docs).localCheckpoint(false),
+      maxHamming, prefix = "afp_b")
+
+  /** Brute-vs-banded recall per Hamming distance over any 4×16-bit
+    * fingerprint frame — modality-generic like the pair kernel. */
+  private def bandedRecallFromFeats(feats: DataFrame, maxHamming: Int,
+      prefix: String): DataFrame = {
     def ham(x: Column, y: Column): Column = bit_count(x.bitwiseXOR(y))
     val brute = feats.toDF("doc_a", "a0", "a1", "a2", "a3")
       .join(broadcast(feats.toDF("doc_b", "b0", "b1", "b2", "b3")),
@@ -445,7 +460,7 @@ object Multimodal {
         .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy("hamming").agg(count(lit(1)).as("n_brute"))
-    val banded = bandedPairsFromFeats(feats, maxHamming)
+    val banded = bandedPairsFromFeats(feats, maxHamming, prefix)
       .groupBy("hamming").agg(count(lit(1)).as("n_banded"))
     brute.join(banded, Seq("hamming"), "left")
       .select(col("hamming"), col("n_brute"),
@@ -958,7 +973,53 @@ r AS (SELECT doc_id, cluster_key, keep,
           ORDER BY keep DESC, doc_id ASC) AS rn
       FROM keyed)
 SELECT doc_id, cluster_key, rn = 1 AS survivor, keep
-FROM r ORDER BY doc_id""")))
+FROM r ORDER BY doc_id""")),
+
+    // The audio tier's recall audit (q141's twin over PCM fingerprints):
+    // same pigeonhole guarantee through Hamming 3, measured beyond —
+    // notable on THIS corpus because the clustered sawtooth fingerprints
+    // stress the banding differently than the near-distinct image hashes.
+    // Same adaptive audit-sample modulus as q141.
+    Q("q144_audio_neardup_recall",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val m = math.max(1L, docCount(s, dir) / 2000L)
+        if (sys.props.contains("graft.oracle.active"))
+          require(m == 1L,
+            s"q144 oracle is generated for the FULL corpus (modulus 1); " +
+              s"this corpus resolves audit modulus $m — regenerate")
+        audioNearDupRecall(
+          Tables.documents(s, dir).filter(col("doc_id") % m === 0),
+          maxHamming = 4)
+      },
+      Some("""
+WITH ag AS (SELECT doc_id, CAST(n_chars % 256 + 64 AS BIGINT) AS n FROM documents),
+cell AS (SELECT doc_id, n, t.j AS j, (t.j * (n - 1)) // 64 AS p
+         FROM ag, LATERAL (SELECT unnest(range(0, 64)) AS j) t),
+vals AS (SELECT doc_id, j, ((doc_id*31 + p*17) % 2048) - 1024 AS v FROM cell),
+bits AS (SELECT doc_id, j,
+           CASE WHEN 64*v > sum(v) OVER (PARTITION BY doc_id)
+                THEN 1 ELSE 0 END AS bit
+         FROM vals),
+bands AS (SELECT doc_id,
+  CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b0,
+  CAST(sum(CASE WHEN j // 16 = 1 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b1,
+  CAST(sum(CASE WHEN j // 16 = 2 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b2,
+  CAST(sum(CASE WHEN j // 16 = 3 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b3
+  FROM bits GROUP BY doc_id),
+allp AS (
+  SELECT CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+          AS BIGINT) AS ham,
+         (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3) AS cand
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id),
+br AS (SELECT ham AS hamming, CAST(count(*) AS BIGINT) AS n_brute,
+         CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_banded
+       FROM allp WHERE ham <= 4 GROUP BY ham)
+SELECT hamming, n_brute, n_banded,
+  CAST(n_banded * 1000000 // n_brute AS BIGINT) AS recall_micro,
+  hamming <= 3 AS guaranteed
+FROM br ORDER BY hamming""")))
 
   /** The q135/q137 oracle: banded candidate OR-join over formula-derived
     * hashes + full Hamming verify — shared by the inline and index tiers,
