@@ -559,6 +559,21 @@ object Selection {
       .write.mode("overwrite").partitionBy("cell", "batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$basePath/codes")
+    // Reassignment log: one (vec_id) row per appended vector under this
+    // batch's partition. The search path folds this into a per-vec_id
+    // latest-batch map, so a vec_id re-appended into a DIFFERENT cell
+    // shadows its old-cell codes at candidate generation — uncompacted
+    // search == post-compaction search with no cross-cell staleness
+    // window. Still O(batch) to write (nothing reads the old index); the
+    // read-side map is O(vectors appended since last compaction) — the
+    // append log, not the corpus — and compaction folds it back to zero.
+    // Same dynamic-overwrite idempotence as the codes partitions.
+    assigned.select(col("vec_id")).distinct()
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$basePath/reassign")
     graft.ops.Layout.finishBatchCommit(spark, basePath, batchId)
   }
 
@@ -662,22 +677,46 @@ object Selection {
     // before distinct — never corpus-scale).
     val probedCells: Seq[Long] = dtM.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val adc = spark.read.parquet(s"$basePath/codes")
+    val codesRaw = spark.read.parquet(s"$basePath/codes")
       .filter(col("cell").isin(probedCells: _*) &&
         // committed batches only (Layout commit protocol): an in-flight
         // append/replay can't surface half a batch's codes mid-request
         graft.ops.Layout.committedBatchFilter(spark, basePath))
+    // Cross-cell staleness reconciliation: the append path's reassign log
+    // (one row per appended vec_id per batch) folds to a per-vec_id
+    // latest-batch map; a probed-cell code row is live iff its batch IS
+    // that latest batch (or the vec_id was never re-appended and the row
+    // is the base, batch_id=-1). A vec_id re-assigned to a DIFFERENT,
+    // un-probed cell therefore drops out of candidate generation exactly
+    // as it would after compactIvfadcIndex — uncompacted search ==
+    // post-compaction search (spec-pinned in SelectionSpec). The map is
+    // O(vectors appended since last compaction) — the append log, never
+    // the corpus — so the broadcast is bounded by append volume and
+    // compaction resets it; roots with no reassign dir (pre-log layouts,
+    // append-free builds, compaction output) skip the join entirely.
+    val reassignPath = new org.apache.hadoop.fs.Path(s"$basePath/reassign")
+    val hasReassign = reassignPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(reassignPath)
+    val codesLive =
+      if (!hasReassign) codesRaw
+      else {
+        val live = spark.read.parquet(s"$basePath/reassign")
+          .filter(graft.ops.Layout.committedBatchFilter(spark, basePath))
+          .groupBy("vec_id")
+          .agg(max("batch_id").as("live_batch"))
+        codesRaw.join(broadcast(live), Seq("vec_id"), "left")
+          .filter(col("batch_id") === coalesce(col("live_batch"), lit(-1L)))
+          .drop("live_batch")
+      }
+    val adc = codesLive
       .join(broadcast(dtM), Seq("cell", "m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
-      // Latest-batch-wins per (vec_id, m) — SAME-CELL re-ingest only: a
-      // vec_id re-appended into the cell being probed shadows its older
-      // codes here instead of double-summing into a bogus 2x distance. A
-      // later append that re-assigns the vec_id to a DIFFERENT cell is
-      // outside this guard's view (the shuffle sees probed-cell rows
-      // only): if only the old cell is probed, the stale codes still rank
-      // the candidate. The exact-cosine re-rank below scores survivors
-      // against current embeddings, but candidate generation is only
-      // fully reconciled by compactIvfadcIndex. Runs on probed-cell rows
+      // Latest-batch-wins per (vec_id, m): with the reassign log above,
+      // exactly one batch per vec_id survives and this is a no-op; on
+      // legacy roots WITHOUT a reassign dir it still shadows a vec_id
+      // re-appended into the SAME cell so identical re-encodes can't
+      // double-sum into a bogus 2x distance. Runs on probed-cell rows
       // only, same shuffle key prefix as the final sum, so the extra
       // aggregation is partial-combined and near-free. Single-batch
       // layouts pass through unchanged (one row per key).

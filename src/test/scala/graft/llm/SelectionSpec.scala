@@ -403,6 +403,68 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("IVFADC cross-cell re-assignment: uncompacted search == post-compaction search") {
+    val rng = new scala.util.Random(23)
+    val cA = Array.fill(64)(rng.nextGaussian() * 10)
+    val cB = cA.map(-_) // the opposite blob — guaranteed different cells
+    def near(c: Array[Double]) = c.map(x => (x + rng.nextGaussian() * 0.05).toFloat).toSeq
+    val base = Seq.tabulate(160) { i =>
+      (i.toLong, near(if (i < 80) cA else cB), i % 4)
+    }
+    val vecs = base.toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqmove").toString
+    Selection.writeIvfadcIndex(vecs, nlist = 8, s"$tmp/idx")
+    // pick the moved vector from blob A's MOST-POPULATED trained cell, so
+    // after it leaves the probed cell still holds real neighbors (kmeans
+    // can seed a singleton cell on an arbitrary fixed vec_id)
+    val cents = spark.read.parquet(s"$tmp/idx/cents")
+    val assignA = Similarity.ivfAssignWith(
+      vecs.filter(col("vec_id") < 80), cents)
+    val bigCell = assignA.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).head().getLong(0)
+    val movedId = assignA.filter(col("cell") === bigCell)
+      .orderBy("vec_id").head().getAs[Long]("vec_id")
+    // the moved vector's updated embedding lands near cB, so the frozen
+    // centroids assign it to a DIFFERENT cell than its base codes
+    val newEmb = near(cB)
+    Selection.appendToIvfadcIndex(
+      Seq((movedId, newEmb, 1)).toDF("vec_id", "embedding", "label"),
+      s"$tmp/idx", batchId = 0L)
+    // the fixture must bind: the codes physically span two cell dirs
+    val cellsOfMoved = spark.read.parquet(s"$tmp/idx/codes")
+      .filter(col("vec_id") === movedId).select("cell").distinct().count()
+    assert(cellsOfMoved === 2L,
+      s"fixture too thin: vec $movedId spans $cellsOfMoved cells")
+    // current-corpus view: the moved vector carries its NEW embedding
+    val vecs2 = (base.filterNot(_._1 == movedId) :+ ((movedId, newEmb, 1)))
+      .toDF("vec_id", "embedding", "label")
+    // a query sitting exactly on the moved vector's OLD embedding probes
+    // (nprobe=1) only the old cell — the precise window where stale codes
+    // used to rank the moved vector as the best ADC candidate
+    val q = Seq((9000L, base(movedId.toInt)._2.map(_.toDouble)))
+      .toDF("query_id", "qv")
+    def search(root: String) =
+      Selection.ivfadcSearchIndexQueries(spark, root, vecs2, q,
+        k = 5, nprobe = 1, candidates = 5).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rank"))).toSet
+    val inc = search(s"$tmp/idx")
+    assert(inc.nonEmpty && !inc.exists(_._2 == movedId),
+      s"stale old-cell codes still rank the moved vector: $inc")
+    // the contract: candidate generation reconciles re-assignments at
+    // read, so the uncompacted root answers EXACTLY like the compacted one
+    Selection.compactIvfadcIndex(spark, s"$tmp/idx", s"$tmp/cmp")
+    assert(search(s"$tmp/cmp") === inc)
+    // and a query on the moved vector's NEW position (probing exactly its
+    // new cell) serves it from there
+    val qB = Seq((9001L, newEmb.map(_.toDouble))).toDF("query_id", "qv")
+    val fromB = Selection.ivfadcSearchIndexQueries(spark, s"$tmp/idx", vecs2,
+      qB, k = 5, nprobe = 1, candidates = 5).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(fromB.contains(movedId),
+      s"re-assigned vector missing from its new cell's results: $fromB")
+  }
+
   test("BM25 index append: incremental batches == one-shot build; replay idempotent; compaction search-identical") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val tmp = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
