@@ -1012,8 +1012,9 @@ c AS (SELECT doc_id, source, t,
       basePath: String,
       visibility: Option[org.apache.spark.sql.Column] = None): DataFrame =
     spark.read.parquet(s"$basePath/term_stats")
-      // committed batches only: an in-flight append/replay is invisible
-      // until its marker lands, so the fold never sums a torn batch.
+      // committed batches only: an append/replay in flight when this read
+      // PLANS is invisible until its marker lands, so the fold skips the
+      // torn batch (plan-time guarantee — see Layout.initCommitLog).
       // `visibility` lets a multi-table read (search: postings + both
       // stats) resolve the commit log ONCE — per-table resolution could
       // observe a commit landing between listings and serve a

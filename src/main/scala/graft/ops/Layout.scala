@@ -162,9 +162,14 @@ object Layout {
     *     `batch_id ∈ {-1} ∪ committed` ([[committedBatchFilter]]) — a
     *     PARTITION-column predicate, so invisibility is directory pruning,
     *     not a row filter. A replayed batch disappears as a whole until
-    *     its rewrite commits, then reappears as a whole: serving reads are
-    *     snapshot-consistent per batch (stale-but-consistent during the
-    *     window), never torn.
+    *     its rewrite commits, then reappears as a whole: a read PLANNED
+    *     after beginBatchCommit serves a consistent per-batch snapshot
+    *     (stale-but-consistent during the window). The guarantee is
+    *     plan-time, not scan-time: a begin that lands between a reader's
+    *     predicate resolution and its scan can still expose partially
+    *     rewritten partitions — true snapshot isolation would need a
+    *     manifest/rename swap (the compaction path's doctrine), which the
+    *     per-request re-plan in the serving layer approximates.
     *
     * The base partition `batch_id=-1` (one-shot build / compaction fold)
     * is always visible — it is written before the root is ever served and
@@ -232,9 +237,12 @@ object Layout {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) lit(true)
     else {
+      // toLongOption: a stray non-numeric file in _commits (editor temp,
+      // _SUCCESS, half-written name) must not throw at plan time and take
+      // down every serving read of the root — skip it like collectBatchIds
       val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("batch_"))
-        .map(_.stripPrefix("batch_").toLong)
+        .flatMap(_.stripPrefix("batch_").toLongOption)
       if (ids.isEmpty) col("batch_id") === -1L
       else col("batch_id") === -1L || col("batch_id").isin(ids: _*)
     }

@@ -81,9 +81,12 @@ class GraftApi(spark: SparkSession, sfDir: String,
   // resolves the commit log ONCE (Layout.committedBatchFilter) and every
   // table read in that request shares the resolved predicate, so the
   // served snapshot is batch-consistent ACROSS postings/term_stats/
-  // corpus_stats — a concurrent append/replay's delete-then-commit
-  // window is invisible (stale-but-consistent, never torn), which is the
-  // serving layer's snapshot-isolation contract.
+  // corpus_stats — an append/replay window OPEN when the request plans
+  // is invisible (stale-but-consistent). The guarantee is plan-time: a
+  // begin landing mid-request, between predicate resolution and the
+  // scan, can still expose a partially rewritten batch — the per-request
+  // re-resolve narrows that window to one request's planning gap; true
+  // snapshot isolation would need a manifest swap (Layout doctrine).
   private def idxTermStatsFor(terms: Seq[String],
       vis: org.apache.spark.sql.Column): DataFrame =
     spark.read.parquet(s"$searchIndexBase/term_stats")
@@ -281,15 +284,24 @@ class GraftApi(spark: SparkSession, sfDir: String,
   }
 
   // the distilled quality model (5 rows) — written at index build, cached.
-  // Presence is checked once (memoized): an externally supplied indexRoot
-  // built by writeBm25Index alone, or by a pre-quality-era build, has no
-  // quality_model/ — that is an operator state, not a request error, so
-  // /quality answers 503 with the rebuild hint instead of a raw 500 from
-  // the lazy parquet read.
-  private lazy val hasQualityModel: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$searchIndexBase/quality_model")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  // An externally supplied indexRoot built by writeBm25Index alone, or by
+  // a pre-quality-era build, has no quality_model/ — that is an operator
+  // state, not a request error, so /quality answers 503 with the rebuild
+  // hint instead of a raw 500 from the lazy parquet read. The POSITIVE
+  // answer memoizes (the model table itself is cached via
+  // idxQualityModel); the NEGATIVE answer re-checks existence per request
+  // — one fs.exists per 503 — so following the hint ("train and write
+  // quality_model/ under the index root") takes effect on the running
+  // server instead of requiring a restart.
+  @volatile private var qualityModelSeen: Boolean = false
+  private def hasQualityModel: Boolean =
+    qualityModelSeen || {
+      val p = new org.apache.hadoop.fs.Path(s"$searchIndexBase/quality_model")
+      val found =
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      if (found) qualityModelSeen = true
+      found
+    }
   private lazy val idxQualityModel: DataFrame = {
     val df = spark.read.parquet(s"$searchIndexBase/quality_model").cache()
     df.count()

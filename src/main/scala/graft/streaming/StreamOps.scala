@@ -541,49 +541,76 @@ object StreamOps {
     * feed a root records its checkpoint path in `_stream_marker`; a
     * stream arriving at batch 0 with a DIFFERENT checkpoint is refused. */
   private[streaming] def assertStreamOwnership(spark: SparkSession,
-      basePath: String, checkpoint: String): Unit = {
+      basePath: String, checkpoint: String, attempt: Int = 0): Unit = {
+    require(attempt < 8,
+      s"stream-ownership claim on $basePath did not settle after $attempt " +
+        "attempts (marker repeatedly appearing/vanishing — concurrent " +
+        "manual cleanup?)")
     val marker = new org.apache.hadoop.fs.Path(s"$basePath/_stream_marker")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def assertSame(): Unit = {
       val in = fs.open(marker)
       val prev = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      require(prev == checkpoint,
+      if (prev.isEmpty) {
+        // A claim now lands content-complete or not at all (link/rename
+        // below), so an EMPTY marker is a crashed pre-atomic claim from an
+        // older layout version, not an owner — clearing it and re-running
+        // the claim race is the recovery path that used to not exist (the
+        // empty string matched no checkpoint, refusing every legitimate
+        // owner forever). Two streams may both observe the corpse and both
+        // delete; the claim race below still elects exactly one winner.
+        fs.delete(marker, false)
+        claim()
+      } else require(prev == checkpoint,
         s"index root $basePath was fed by a stream checkpointed at " +
           s"'$prev'; this stream's checkpoint is '$checkpoint'. A fresh " +
           "checkpoint over an already-fed root re-delivers batch ids that " +
           "overwrite the previous stream's partitions. Compact into a " +
           "fresh root or reuse the original checkpoint.")
     }
-    if (fs.exists(marker)) assertSame()
-    else {
-      // The claim must be ATOMIC: of two streams racing to claim a fresh
-      // root at batch 0, exactly one may win; the loser re-reads the
-      // winner's marker and fails the same checkpoint comparison an
-      // up-front exists() would have. A check-then-create would let both
-      // pass and silently clobber. On HDFS-likes, create(overwrite=false)
-      // is the atomic primitive (namenode-arbitrated); Hadoop's LOCAL
-      // filesystem implements it as its own exists()-then-open (no
-      // O_EXCL), so there we claim through nio createFile, which is
-      // O_CREAT|O_EXCL — the race-spec pins 16 concurrent claimers to one
-      // winner. A loser that reads the marker before the winner's content
-      // lands sees a prefix and refuses — correct either way: it lost.
+    def claim(): Unit = {
+      // The claim must be ATOMIC and CONTENT-COMPLETE: of two streams
+      // racing to claim a fresh root at batch 0, exactly one may win, and
+      // no reader may ever observe a claimed-but-empty marker (a crash
+      // between create and write used to leave one, permanently refusing
+      // the legitimate owner). Content is written to a dot-prefixed temp
+      // file first; the claim itself is then one atomic name operation
+      // carrying the full content:
+      //   - local fs: hard-link temp → marker. link(2) is O_EXCL-like
+      //     (EEXIST if the marker exists) and atomic, so claim and content
+      //     land together — the race-spec pins 16 concurrent claimers to
+      //     one winner.
+      //   - HDFS-likes: rename(temp, marker) — namenode-arbitrated, fails
+      //     if the destination exists, content already durable in temp.
+      // A loser deletes its temp and re-reads the winner's marker, failing
+      // the same checkpoint comparison an up-front exists() would have.
       val claimed =
         try {
           if (fs.getScheme == "file") {
             val local = java.nio.file.Paths.get(marker.toUri.getPath)
             java.nio.file.Files.createDirectories(local.getParent)
-            java.nio.file.Files.createFile(local)
-            java.nio.file.Files.write(local, checkpoint.getBytes("UTF-8"))
+            val tmp = local.resolveSibling(
+              s"._stream_marker.${java.util.UUID.randomUUID()}.tmp")
+            java.nio.file.Files.write(tmp, checkpoint.getBytes("UTF-8"))
+            try { java.nio.file.Files.createLink(local, tmp); true }
+            finally java.nio.file.Files.deleteIfExists(tmp)
           } else {
-            val out = fs.create(marker, false)
+            val tmp = new org.apache.hadoop.fs.Path(
+              s"$basePath/._stream_marker.${java.util.UUID.randomUUID()}.tmp")
+            val out = fs.create(tmp, true)
             try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
+            val won = fs.rename(tmp, marker)
+            if (!won) fs.delete(tmp, false)
+            won
           }
-          true
         } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
           case _: java.io.IOException if fs.exists(marker) => false
         }
-      if (!claimed) assertSame()
+      if (!claimed) assertStreamOwnership(spark, basePath, checkpoint,
+        attempt + 1)
     }
+    if (fs.exists(marker)) assertSame() else claim()
   }
 
   /** Streaming ingest into the PERSISTED BM25 serving layout: each

@@ -287,6 +287,17 @@ class GraftApiSpec extends SparkSpec {
       val (qCode, qBody) = get2("/quality?doc_id=1")
       assert(qCode === 503, s"expected 503 on a model-less root: $qBody")
       assert(qBody.get("detail").asText().contains("no quality model"))
+      // Following the 503's own hint ON THE RUNNING SERVER — train and
+      // write quality_model/ under the index root — must take effect on
+      // the next request: the negative presence answer is re-checked per
+      // request, so healing the root never requires a restart.
+      val docs001 = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      graft.llm.Classifier.logregTrain(docs001, rounds = 1)
+        .write.mode("overwrite").parquet(s"$tmp/idx/quality_model")
+      val someId = docs001.select("doc_id").orderBy("doc_id").head.getLong(0)
+      val (qCode2, qBody2) = get2(s"/quality?doc_id=$someId")
+      assert(qCode2 === 200, s"healed root still refused: $qBody2")
+      assert(qBody2.has("s_micro"), qBody2.toString)
     } finally api2.stop()
   }
 

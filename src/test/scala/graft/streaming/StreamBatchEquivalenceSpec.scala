@@ -485,6 +485,23 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("an empty _stream_marker (crashed pre-atomic claim) is reclaimable, not a lockout") {
+    // The claim now lands content-complete (link/rename), so an empty
+    // marker can only be a corpse from a crash between the old create and
+    // write — it matches no checkpoint and used to refuse the legitimate
+    // owner forever with no recovery path.
+    val tmp = java.nio.file.Files.createTempDirectory("ownempty").toString
+    val marker = new org.apache.hadoop.fs.Path(s"$tmp/_stream_marker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close() // zero-byte corpse
+    StreamOps.assertStreamOwnership(spark, tmp, "ckpt_a")
+    // the reclaim recorded full content: owner re-passes, others refuse
+    StreamOps.assertStreamOwnership(spark, tmp, "ckpt_a")
+    intercept[IllegalArgumentException] {
+      StreamOps.assertStreamOwnership(spark, tmp, "ckpt_b")
+    }
+  }
+
   test("ivfadcIngestStream: streamed appends under frozen geometry == one-shot encode") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ivfingest").toString
