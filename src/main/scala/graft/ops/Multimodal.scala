@@ -16,45 +16,9 @@ import graft.{Q, Tables}
   * walking, a raw-frame video container) running in mapPartitions seams;
   * payload contents come from closed-form integer generators so the DuckDB
   * oracle adjudicates the encode→decode round trip without ever seeing the
-  * codec. [[decodeStub]] remains as the original minimal-plumbing contract
-  * (schema, typed Dataset, batching) from before the kernels landed.
+  * codec.
   */
 object Multimodal {
-
-  /** A media row after "decode": payload retained, features extracted. */
-  final case class MediaFeatures(
-      doc_id: Long, payload_len: Int, width: Int, height: Int,
-      features: Array[Double])
-
-  /** Wrap documents as media rows: payload = utf-8 bytes standing in for
-    * encoded media; metadata derived deterministically. Pure column ops —
-    * metadata predicates push down without reading payloads. */
-  def asMedia(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      (col("n_chars") % 640 + 64).cast("int").as("width"),
-      (col("doc_id") % 480 + 48).cast("int").as("height"),
-      lit(3).as("channels"))
-
-  /** Per-partition decode + feature extraction over the typed rows. In
-    * production the `???`-shaped body would call the codec (decode bytes,
-    * resize, frame-sample); here it derives a deterministic 4-dim feature
-    * from the payload so tests can assert the plumbing. One iterator pass
-    * per partition — codec init happens once per partition, not per row. */
-  def decodeStub(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    media.select("doc_id", "payload", "width", "height")
-      .as[(Long, Array[Byte], Int, Int)]
-      .mapPartitions { rows =>
-        // codec-init-per-partition seam (real decoder would be created here)
-        rows.map { case (id, payload, w, h) =>
-          val s = payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) & 0xffffffL)
-          MediaFeatures(id, payload.length, w, h,
-            Array(s % 997 / 997.0, w / 640.0, h / 480.0, payload.length / 4096.0))
-        }
-      }
-  }
 
   // ------------------------------------------------------ real decode kernels
 
@@ -373,7 +337,10 @@ object Multimodal {
     * with the same pruning effect, the postings `term_bucket` move). */
   private def ahashBandRows(docs: DataFrame)(
       implicit spark: SparkSession): DataFrame =
-    imageFeatures(docs)
+    ahashBandRowsFromFeats(imageFeatures(docs))
+
+  private def ahashBandRowsFromFeats(feats: DataFrame): DataFrame =
+    feats
       .select(col("doc_id"), col("ahash_b0"), col("ahash_b1"),
         col("ahash_b2"), col("ahash_b3"),
         posexplode(array(col("ahash_b0"), col("ahash_b1"),
@@ -386,8 +353,16 @@ object Multimodal {
     * BM25/IVFADC serving layouts, sharing their append/commit lifecycle
     * ([[Layout.initCommitLog]]). */
   def writeAhashIndex(docs: DataFrame, basePath: String, nVb: Int = 64)(
-      implicit spark: SparkSession): Unit = {
-    writeAhashBatch(ahashBandRows(docs), basePath, nVb, -1L, dynamic = false)
+      implicit spark: SparkSession): Unit =
+    writeAhashIndexFromFeats(imageFeatures(docs), basePath, nVb)
+
+  /** [[writeAhashIndex]] over an ALREADY-DECODED feature frame — the mart
+    * path ([[ahashIndexMart]]) feeds the session's shared decode pass in
+    * here instead of paying a second one for the index build. */
+  private def writeAhashIndexFromFeats(feats: DataFrame, basePath: String,
+      nVb: Int = 64)(implicit spark: SparkSession): Unit = {
+    writeAhashBatch(ahashBandRowsFromFeats(feats), basePath, nVb, -1L,
+      dynamic = false)
     spark.range(1).select(lit(nVb).as("n_vb"))
       .write.mode("overwrite").parquet(s"$basePath/bands_meta")
     Layout.initCommitLog(spark, basePath)
@@ -595,6 +570,83 @@ object Multimodal {
     graft.sec.SecDerive.cachedCount(s, dir, "doc_count")(
       graft.Tables.documents(s, dir).count())
 
+  // ------------------------------------------------ per-(session, dir) marts
+  //
+  // The media modality's twin of the text-side near-dup mart discipline
+  // (LlmQueries.nearDupPairs/nearDupLabels): each expensive derivation —
+  // codec decode pass, banded pair graph, CC label table — is built once
+  // per (session, dir) and shared by every query that consumes it, instead
+  // of each query re-decoding the corpus and re-running CC (r12 measured
+  // ~10 s of duplicated work at sf0.1, ~34 s at sf1). The mart builders
+  // call the SAME public functions the one-shot spellings use, so reading
+  // a mart is byte-identical to building inline.
+
+  /** Decoded image feature frame (q132's rows) — ONE codec pass per
+    * (session, dir) feeds q132/q135/q138/q140/q141/q143 and the persisted
+    * aHash index build. */
+  private def imageFeatMart(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    graft.sec.SecDerive.cached(s, dir, "media_image_feats")(
+      imageFeatures(graft.Tables.documents(s, dir)))
+  }
+
+  /** Decoded audio feature frame (q133's rows) — shared with the media
+    * quality gate's audio flags. */
+  private def audioFeatMart(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    graft.sec.SecDerive.cached(s, dir, "media_audio_feats")(
+      audioFeatures(graft.Tables.documents(s, dir)))
+  }
+
+  /** PCM envelope fingerprints — shared by the audio near-dup tier (q142)
+    * and its recall audit (q144). */
+  private def audioFpMart(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    graft.sec.SecDerive.cached(s, dir, "media_audio_fps")(
+      audioFingerprints(graft.Tables.documents(s, dir)))
+  }
+
+  /** The verified banded image near-dup pair table at the query family's
+    * shared maxHamming=8 — q135 serves it, q140/q143 cluster it. */
+  private def imagePairsMart(s: SparkSession, dir: String): DataFrame =
+    graft.sec.SecDerive.cached(s, dir, "media_image_pairs")(
+      bandedPairsFromFeats(
+        imageFeatMart(s, dir)
+          .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3"),
+        maxHamming = 8))
+
+  /** The image CC label table (q140's rows) — ONE pointer-jumping CC per
+    * (session, dir); q143's survivorship keys on these labels. */
+  private def imageLabelMart(s: SparkSession, dir: String): DataFrame =
+    graft.sec.SecDerive.cached(s, dir, "media_image_labels")(
+      graft.llm.Dedup.connectedComponentsFast(
+        imagePairsMart(s, dir), "doc_a", "doc_b"))
+
+  /** The media gate verdict computed COLUMNAR over the two feature marts —
+    * flag-identical to the fused single-pass [[mediaQualityGate]] (same
+    * thresholds over the same decoded features; the streaming twin keeps
+    * the fused spelling and the batch==stream gate pins them together).
+    * One broadcast-sized join of two cached frames replaces a third and
+    * fourth full decode pass per bench session. */
+  private def mediaGateMart(s: SparkSession, dir: String): DataFrame =
+    graft.sec.SecDerive.cached(s, dir, "media_gate") {
+      val s3 = col("sum_b") + col("sum_g") + col("sum_r")
+      val nbits = bit_count(col("ahash_b0")) + bit_count(col("ahash_b1")) +
+        bit_count(col("ahash_b2")) + bit_count(col("ahash_b3"))
+      imageFeatMart(s, dir)
+        .select(col("doc_id"),
+          (s3 < col("n_px") * 3 * 96).as("too_dark"),
+          (s3 > col("n_px") * 3 * 160).as("too_bright"),
+          (nbits <= 24 || nbits >= 42).as("low_structure"))
+        .join(audioFeatMart(s, dir).select(col("doc_id"),
+          (col("sumsq") < col("n_samples") * 150000L).as("quiet"),
+          (col("peak") >= 1024L).as("clipped")), "doc_id")
+        .select(col("doc_id"), col("too_dark"), col("too_bright"),
+          col("low_structure"), col("quiet"), col("clipped"),
+          (!(col("too_dark") || col("too_bright") || col("low_structure") ||
+            col("quiet") || col("clipped"))).as("keep"))
+    }
+
   /** The persisted aHash index for a data dir — built once per
     * (session, dir), the [[graft.sec.SecDerive.cachedCount]] mart
     * discipline. The image-modality sibling of the retrieval index root
@@ -604,7 +656,7 @@ object Multimodal {
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
       "/graft_ahash_" + graft.sec.SecDerive.pathKey(dir)
     graft.sec.SecDerive.cachedCount(spark, dir, "ahash_index") {
-      writeAhashIndex(graft.Tables.documents(spark, dir), base)(spark)
+      writeAhashIndexFromFeats(imageFeatMart(spark, dir), base)(spark)
       1L
     }
     base
@@ -612,60 +664,57 @@ object Multimodal {
 
   // ---------------------------------------------------------------------------
 
-  // Oracle-checkable slice of the plumbing: payload length, metadata, a
-  // content checksum, and hash-derived features — all computable by DuckDB
-  // on the same bytes. (The mapPartitions decode seam is covered by
-  // MultimodalSpec instead; its features are engine-local by design.)
   val queries: Seq[Q] = Seq(
+    // Container-level metadata over the REAL encoded payloads: the Spark
+    // side measures the bytes encodeMedia actually produced (BMP with
+    // padded scanlines, RIFF/WAVE with the planted junk chunk, the GVF1
+    // frame container) while the oracle replays each format's closed-form
+    // size from the geometry formulas — an independent adjudication of
+    // the encoders' framing (header sizes, stride padding, chunk layout)
+    // without DuckDB ever seeing a codec. The resize/frame-sample plans
+    // stay pure column arithmetic: decode plans are metadata, computable
+    // and filterable without touching payload bytes.
     Q("q30_multimodal_meta",
       (s, dir) => {
-        def feat(i: Int) =
-          ((conv(substring(md5(concat(col("text"), lit(s"|$i"))), 1, 15), 16, 10)
-            .cast("long") % 1000).cast("double") / lit(1000.0)).as(s"f$i")
-        Tables.documents(s, dir).select(
+        implicit val sp: SparkSession = s
+        val sizes = encodeMedia(Tables.documents(s, dir)).toDF()
+          .select(col("doc_id"),
+            length(col("image")).cast("long").as("image_len"),
+            length(col("audio")).cast("long").as("audio_len"),
+            length(col("video")).cast("long").as("video_len"))
+        val nf = col("doc_id") % 6 + 2
+        val w = (col("n_chars") % 24 + 8).cast("double")
+        val h = (col("doc_id") % 18 + 6).cast("double")
+        val meta = Tables.documents(s, dir).select(
           col("doc_id"),
-          length(encode(col("text"), "UTF-8")).cast("long").as("payload_len"),
-          (col("n_chars") % 640 + 64).cast("int").as("width"),
-          (col("doc_id") % 480 + 48).cast("int").as("height"),
-          lit(3).as("channels"),
-          md5(col("text")).as("checksum"),
-          // frame-sampling plan for "video" payloads: every 12th frame of a
-          // synthetic frame count — pure arithmetic, so the sample schedule
-          // is columnar metadata, computable without decoding bytes.
-          // CSV-joined: the driver's pandas comparator cannot hash array
-          // cells (CORRECTNESS_r02); values are identical either way.
-          array_join(
-            sequence(lit(0L), (col("n_chars") % 240 + 23).cast("long"), lit(12L))
-              .cast("array<string>"), ",")
-            .as("frame_sample"),
-          // resize plan: fit into a 224-box preserving aspect ratio — the
-          // target geometry is metadata; the pixel work happens in the
-          // per-partition decode seam.
-          floor((col("n_chars") % 640 + 64).cast("double") * lit(224.0) /
-            greatest((col("n_chars") % 640 + 64).cast("double"),
-              (col("doc_id") % 480 + 48).cast("double"))).cast("int").as("resized_w"),
-          floor((col("doc_id") % 480 + 48).cast("double") * lit(224.0) /
-            greatest((col("n_chars") % 640 + 64).cast("double"),
-              (col("doc_id") % 480 + 48).cast("double"))).cast("int").as("resized_h"),
-          feat(0), feat(1), feat(2), feat(3))
-          .orderBy("doc_id")
+          w.cast("int").as("width"),
+          h.cast("int").as("height"),
+          nf.cast("int").as("n_frames"),
+          // resize plan: fit into a 224-box preserving aspect ratio
+          floor(w * lit(224.0) / greatest(w, h)).cast("int").as("resized_w"),
+          floor(h * lit(224.0) / greatest(w, h)).cast("int").as("resized_h"),
+          // frame-sample schedule: every 2nd frame (q134's step). CSV-
+          // joined: the driver's pandas comparator cannot hash array cells
+          array_join(sequence(lit(0L), nf.cast("long") - 1, lit(2L))
+            .cast("array<string>"), ",").as("frame_sample"))
+        sizes.join(meta, "doc_id").orderBy("doc_id")
       },
-      Some(s"""
+      Some("""
+WITH g AS (SELECT doc_id,
+    CAST(n_chars % 24 + 8 AS INTEGER) AS w,
+    CAST(doc_id % 18 + 6 AS INTEGER) AS h,
+    CAST(doc_id % 6 + 2 AS INTEGER) AS nf,
+    CAST(n_chars % 256 + 64 AS BIGINT) AS n
+  FROM documents)
 SELECT doc_id,
-  octet_length(encode(text))::BIGINT AS payload_len,
-  CAST(n_chars % 640 + 64 AS INTEGER) AS width,
-  CAST(doc_id % 480 + 48 AS INTEGER) AS height,
-  3 AS channels,
-  md5(text) AS checksum,
-  array_to_string([i for i in range(0, CAST(n_chars % 240 + 24 AS INTEGER), 12)], ',') AS frame_sample,
-  CAST(floor((n_chars % 640 + 64)::DOUBLE * 224.0
-       / greatest((n_chars % 640 + 64)::DOUBLE, (doc_id % 480 + 48)::DOUBLE)) AS INTEGER) AS resized_w,
-  CAST(floor((doc_id % 480 + 48)::DOUBLE * 224.0
-       / greatest((n_chars % 640 + 64)::DOUBLE, (doc_id % 480 + 48)::DOUBLE)) AS INTEGER) AS resized_h,
-  ${(0 until 4).map(i =>
-        s"((('0x' || substr(md5(text || '|$i'), 1, 15))::BIGINT % 1000)::DOUBLE / 1000.0) AS f$i")
-        .mkString(",\n  ")}
-FROM documents ORDER BY doc_id""")),
+  CAST(54 + h * ((3*w + 3) // 4 * 4) AS BIGINT) AS image_len,
+  CAST(58 + 2*n AS BIGINT) AS audio_len,
+  CAST(16 + nf * w * h * 3 AS BIGINT) AS video_len,
+  w AS width, h AS height, nf AS n_frames,
+  CAST(floor(w * 224.0 / greatest(w, h)) AS INTEGER) AS resized_w,
+  CAST(floor(h * 224.0 / greatest(w, h)) AS INTEGER) AS resized_h,
+  array_to_string([i for i in range(0, nf, 2)], ',') AS frame_sample
+FROM g ORDER BY doc_id""")),
 
     // Real image decode: encode each doc as a genuine 24-bit BMP (padded
     // bottom-up scanlines), parse it back, and extract geometry + channel
@@ -673,10 +722,7 @@ FROM documents ORDER BY doc_id""")),
     // replays the generator formula directly — it never sees the codec —
     // so any header/stride/flip bug on either side fails the hash match.
     Q("q132_image_decode",
-      (s, dir) => {
-        implicit val sp: SparkSession = s
-        imageFeatures(Tables.documents(s, dir)).orderBy("doc_id")
-      },
+      (s, dir) => imageFeatMart(s, dir).orderBy("doc_id"),
       Some(s"""
 WITH $imageBandsCtes
 SELECT s.doc_id, s.w, s.h, s.n_px, s.sum_b, s.sum_g, s.sum_r,
@@ -688,10 +734,7 @@ FROM sums s JOIN bands b USING (doc_id) ORDER BY doc_id""")),
     // features — energy, strict-sign zero crossings, peak — from the
     // decoded int16 samples. All-integer, exact in both engines.
     Q("q133_audio_decode",
-      (s, dir) => {
-        implicit val sp: SparkSession = s
-        audioFeatures(Tables.documents(s, dir)).orderBy("doc_id")
-      },
+      (s, dir) => audioFeatMart(s, dir).orderBy("doc_id"),
       Some("""
 WITH g AS (SELECT doc_id, CAST(n_chars % 256 + 64 AS BIGINT) AS n FROM documents),
 s AS (SELECT doc_id, n, t.i AS i, ((doc_id*31 + t.i*17) % 2048) - 1024 AS v
@@ -739,11 +782,7 @@ FROM fs GROUP BY doc_id ORDER BY doc_id""")),
     // full 64-bit Hamming distance. The oracle spells the same candidate
     // set as a banded OR-join over the formula-derived hashes.
     Q("q135_image_neardup",
-      (s, dir) => {
-        implicit val sp: SparkSession = s
-        imageNearDupPairs(Tables.documents(s, dir), maxHamming = 8)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => imagePairsMart(s, dir).orderBy("doc_a", "doc_b"),
       Some(imageNearDupOracle)),
 
     // The same near-dup pairs FROM the persisted index at rest: the stored
@@ -760,10 +799,7 @@ FROM fs GROUP BY doc_id ORDER BY doc_id""")),
     // over decoded features, all integer-exact. The oracle replays both
     // modality chains (formula-side) and the same flag predicates.
     Q("q138_media_quality",
-      (s, dir) => {
-        implicit val sp: SparkSession = s
-        mediaQualityGate(Tables.documents(s, dir)).orderBy("doc_id")
-      },
+      (s, dir) => mediaGateMart(s, dir).orderBy("doc_id"),
       Some(s"""
 WITH $imageBandsCtes,
 ag AS (SELECT doc_id, CAST(n_chars % 256 + 64 AS BIGINT) AS n FROM documents),
@@ -793,18 +829,12 @@ FROM f ORDER BY doc_id""")),
     // the cluster key an image dedup/survivorship pass needs, with the
     // same transitive-closure oracle discipline as the text clusters.
     Q("q140_image_dedup_clusters",
-      (s, dir) => {
-        implicit val sp: SparkSession = s
-        // pointer-jumping variant: the aHash pair graph chains through
-        // gradually-drifting hashes (A~B~C without A~C), so component
-        // diameter grows with corpus size — min-label alone needs
-        // diameter rounds and fails loudly at 10x corpora; the O(log d)
-        // jump converges (outputs are property-tested identical).
-        graft.llm.Dedup.connectedComponentsFast(
-          imageNearDupPairs(Tables.documents(s, dir), maxHamming = 8),
-          "doc_a", "doc_b")
-          .orderBy("doc_id")
-      },
+      // pointer-jumping variant (built once in the label mart): the aHash
+      // pair graph chains through gradually-drifting hashes (A~B~C
+      // without A~C), so component diameter grows with corpus size —
+      // min-label alone needs diameter rounds and fails loudly at 10x
+      // corpora; the O(log d) jump converges (property-tested identical).
+      (s, dir) => imageLabelMart(s, dir).orderBy("doc_id"),
       Some(s"""
 WITH RECURSIVE $imageBandsCtes,
 p0 AS (
@@ -845,9 +875,13 @@ FROM labels ORDER BY doc_id""")),
           require(m == 1L,
             s"q141 oracle is generated for the FULL corpus (modulus 1); " +
               s"this corpus resolves audit modulus $m — regenerate")
-        imageNearDupRecall(
-          Tables.documents(s, dir).filter(col("doc_id") % m === 0),
-          maxHamming = 8)
+        // sample filter AFTER the shared decode mart: features are
+        // per-doc pure, so filtering the mart equals decoding the sample
+        bandedRecallFromFeats(
+          imageFeatMart(s, dir)
+            .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
+            .filter(col("doc_id") % m === 0),
+          maxHamming = 8, prefix = "ahash_b")
       },
       Some(s"""
 WITH $imageBandsCtes,
@@ -872,11 +906,8 @@ FROM br ORDER BY hamming""")),
     // The oracle replays fingerprinting from the sample formula and the
     // identical banded OR-join + Hamming verify.
     Q("q142_audio_neardup",
-      (s, dir) => {
-        implicit val sp: SparkSession = s
-        audioNearDupPairs(Tables.documents(s, dir), maxHamming = 4)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => bandedPairsFromFeats(audioFpMart(s, dir),
+        maxHamming = 4, prefix = "afp_b").orderBy("doc_a", "doc_b"),
       Some("""
 WITH ag AS (SELECT doc_id, CAST(n_chars % 256 + 64 AS BIGINT) AS n FROM documents),
 cell AS (SELECT doc_id, n, t.j AS j, (t.j * (n - 1)) // 64 AS p
@@ -909,12 +940,12 @@ ORDER BY doc_a, doc_b""")),
     // oracle stitches the transitive-closure chain to the gate chain.
     Q("q143_image_survivorship",
       (s, dir) => {
-        implicit val sp: SparkSession = s
         val docs = Tables.documents(s, dir)
-        val labels = graft.llm.Dedup.connectedComponentsFast(
-            imageNearDupPairs(docs, maxHamming = 8), "doc_a", "doc_b")
+        // cluster labels and gate verdicts come from the session marts —
+        // the decode + CC work is shared with q132/q135/q138/q140
+        val labels = imageLabelMart(s, dir)
           .select(col("doc_id"), col("cluster_id"))
-        val gate = mediaQualityGate(docs).select(col("doc_id"), col("keep"))
+        val gate = mediaGateMart(s, dir).select(col("doc_id"), col("keep"))
         val keyed = docs.select("doc_id")
           .join(labels, Seq("doc_id"), "left")
           .select(col("doc_id"),
@@ -988,9 +1019,9 @@ FROM r ORDER BY doc_id""")),
           require(m == 1L,
             s"q144 oracle is generated for the FULL corpus (modulus 1); " +
               s"this corpus resolves audit modulus $m — regenerate")
-        audioNearDupRecall(
-          Tables.documents(s, dir).filter(col("doc_id") % m === 0),
-          maxHamming = 4)
+        bandedRecallFromFeats(
+          audioFpMart(s, dir).filter(col("doc_id") % m === 0),
+          maxHamming = 4, prefix = "afp_b")
       },
       Some("""
 WITH ag AS (SELECT doc_id, CAST(n_chars % 256 + 64 AS BIGINT) AS n FROM documents),

@@ -2,8 +2,8 @@ package graft.ops
 
 import graft.SparkSpec
 
-/** Multimodal plumbing: metadata derivation without touching payloads, and
-  * the per-partition decode stub (schema + batching contract). */
+/** Multimodal plumbing: the real codec round trips, decoded-feature
+  * extraction, and the container-size contract q30's oracle adjudicates. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -12,26 +12,20 @@ class MultimodalSpec extends SparkSpec {
     (2L, "spark", "en", "s2", 5L)
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
-  test("asMedia: payload bytes + typed metadata columns") {
-    val m = Multimodal.asMedia(docs).collect().sortBy(_.getLong(0))
-    val r = m.head
-    assert(r.getAs[Array[Byte]]("payload") === "hello world".getBytes("UTF-8"))
-    assert(r.getAs[Int]("width") === (11 % 640 + 64))
-    assert(r.getAs[Int]("height") === (1 % 480 + 48))
-    assert(r.getAs[Int]("channels") === 3)
-  }
-
-  test("decodeStub: mapPartitions emits one typed feature row per input") {
+  test("encodeMedia: container sizes match each format's closed form") {
     implicit val s = spark
-    val feats = Multimodal.decodeStub(Multimodal.asMedia(docs))
-      .collect().sortBy(_.doc_id)
-    assert(feats.length === 2)
-    assert(feats.head.payload_len === 11)
-    assert(feats.head.features.length === 4)
-    // deterministic: same input -> same features
-    val again = Multimodal.decodeStub(Multimodal.asMedia(docs))
-      .collect().sortBy(_.doc_id)
-    assert(feats.head.features.toSeq === again.head.features.toSeq)
+    val rows = Multimodal.encodeMedia(docs).collect().sortBy(_.doc_id)
+    for ((r, meta) <- rows.zip(Seq((1L, 11L), (2L, 5L)))) {
+      val (d, nChars) = meta
+      val w = (nChars % 24 + 8).toInt
+      val h = (d % 18 + 6).toInt
+      val stride = (3 * w + 3) / 4 * 4
+      assert(r.image.length === 54 + h * stride, s"doc $d BMP size")
+      val n = (nChars % 256 + 64).toInt
+      assert(r.audio.length === 58 + 2 * n, s"doc $d WAV size")
+      val nf = (d % 6 + 2).toInt
+      assert(r.video.length === 16 + nf * w * h * 3, s"doc $d GVF1 size")
+    }
   }
 
   // ------------------------------------------------------- real codecs
