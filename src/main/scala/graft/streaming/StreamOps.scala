@@ -370,13 +370,18 @@ object StreamOps {
         val b = batch.toDF()
         if (batchId == 0L) {
           // batch_id=0 leftovers are the legitimate re-delivery case (the
-          // overwrite is idempotent) and batch_id=-1 is the reserved
-          // offline-rebuild base; any OTHER id means a fresh checkpoint
-          // was pointed at an old stats root. Listed through the Hadoop
-          // FileSystem so the guard holds on HDFS/S3/file: URIs, not just
-          // bare local paths (java.io.File silently no-ops on those).
+          // overwrite is idempotent); ANY other id — including the
+          // reserved batch_id=-1 compaction base, which by construction
+          // holds a PREVIOUS stream's already-folded batches — means a
+          // fresh checkpoint was pointed at an already-fed stats root,
+          // and the additive fold would double-count. (Contrast the
+          // ingest streams' staleBatchPartitions, where a -1 base is the
+          // legitimate birth shape: those layouts append doc-disjoint
+          // rows to a pre-built base; these fold additive partials born
+          // from empty.) Listed through the Hadoop FileSystem so the
+          // guard holds on HDFS/S3/file: URIs, not just bare local paths.
           // Both subdirectories must pass: a root whose terms dir was
-          // cleared but whose corpus dir retains batch_id>0 partitions
+          // cleared but whose corpus dir retains foreign partitions
           // would double-count (n_docs, sum_dl) just as silently.
           val stale = Seq("terms", "corpus").exists { sub =>
             val hPath = new org.apache.hadoop.fs.Path(s"$statsPath/$sub")
@@ -386,12 +391,12 @@ object StreamOps {
               .exists { st =>
                 val n = st.getPath.getName
                 n.startsWith("batch_id=") &&
-                  n.stripPrefix("batch_id=") != "0" &&
-                  n.stripPrefix("batch_id=") != "-1"
+                  n.stripPrefix("batch_id=") != "0"
               }
           }
           require(!stale,
-            s"statsPath $statsPath has partitions from a previous run but " +
+            s"statsPath $statsPath has partitions from a previous run " +
+              "(appended batches or a compacted batch_id=-1 base) but " +
               "this stream is at batch 0 (new checkpoint): additive folds " +
               "would double-count. Clear the stats root or reuse the " +
               "original checkpoint.")
@@ -439,14 +444,17 @@ object StreamOps {
           val hPath = new org.apache.hadoop.fs.Path(statsPath)
           val fs = hPath.getFileSystem(
             b.sparkSession.sparkContext.hadoopConfiguration)
+          // batch_id=-1 counts as stale here: the compaction base holds a
+          // previous stream's already-folded batches, so a fresh
+          // checkpoint at batch 0 would re-fold data the base contains
           val stale = fs.exists(hPath) && fs.listStatus(hPath).exists { st =>
             val n = st.getPath.getName
             n.startsWith("batch_id=") &&
-              n.stripPrefix("batch_id=") != "0" &&
-              n.stripPrefix("batch_id=") != "-1"
+              n.stripPrefix("batch_id=") != "0"
           }
           require(!stale,
-            s"statsPath $statsPath has partitions from a previous run but " +
+            s"statsPath $statsPath has partitions from a previous run " +
+              "(appended batches or a compacted batch_id=-1 base) but " +
               "this stream is at batch 0 (new checkpoint): additive folds " +
               "would double-count. Clear the stats root or reuse the " +
               "original checkpoint.")
@@ -482,14 +490,16 @@ object StreamOps {
           val hPath = new org.apache.hadoop.fs.Path(statsPath)
           val fs = hPath.getFileSystem(
             b.sparkSession.sparkContext.hadoopConfiguration)
+          // batch_id=-1 counts as stale here (compacted base == already
+          // fed) — same rule as dsirStatsStream
           val stale = fs.exists(hPath) && fs.listStatus(hPath).exists { st =>
             val n = st.getPath.getName
             n.startsWith("batch_id=") &&
-              n.stripPrefix("batch_id=") != "0" &&
-              n.stripPrefix("batch_id=") != "-1"
+              n.stripPrefix("batch_id=") != "0"
           }
           require(!stale,
-            s"statsPath $statsPath has partitions from a previous run but " +
+            s"statsPath $statsPath has partitions from a previous run " +
+              "(appended batches or a compacted batch_id=-1 base) but " +
               "this stream is at batch 0 (new checkpoint): additive folds " +
               "would double-count. Clear the stats root or reuse the " +
               "original checkpoint.")
@@ -752,12 +762,14 @@ object StreamOps {
     * Counts are additive longs, so [[dsirStatsRead]] of the compacted root
     * equals the read of the fragmented one EXACTLY (spec-pinned); the
     * negative base id can never collide with a restarted stream's batch 0.
-    * Swap-in is the caller's move (stop stream → swap paths → restart with
-    * a fresh checkpoint AND a drained source — a replayable source replays
-    * history the -1 base already contains, double-counting; see
-    * [[bm25IndexStream]]'s operational invariants); compacting the live
-    * dir in place would break the batch_id idempotence layout. Returns
-    * (in, out) parquet file counts. */
+    * Swap-in is the caller's move: stop stream → swap paths → restart with
+    * the ORIGINAL checkpoint (source offsets are the stream's identity;
+    * batches continue above the folded ids and never trip the batch-0
+    * guard). A FRESH checkpoint over the compacted base is refused at
+    * batch 0 — the -1 base is already-folded history, and a replayable
+    * source's batch 0 would re-fold it (spec-pinned refusal). Compacting
+    * the live dir in place would break the batch_id idempotence layout.
+    * Returns (in, out) parquet file counts. */
   def compactDsirStats(spark: SparkSession, statsPath: String,
       outPath: String, targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
     writeFoldedBase(spark, dsirStatsRead(spark, statsPath),

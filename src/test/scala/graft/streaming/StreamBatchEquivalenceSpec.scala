@@ -571,6 +571,38 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     val (t2, c2) = StreamOps.bm25IndexRead(spark, s"$tmp/bm25C")
     assertSameRows(t2, t1, "bm25 terms post-compaction")
     assert(rows(c2) === rows(c1))
+
+    // A FRESH checkpoint pointed at the compacted-only root must refuse at
+    // batch 0: the batch_id=-1 base IS already-folded history, so a
+    // replayable source's batch 0 would re-fold docs the base contains.
+    // (The sanctioned post-compaction restart keeps the ORIGINAL
+    // checkpoint across the path swap — batches continue above the folded
+    // ids and never trip the guard.)
+    for ((root, mk) <- Seq[(String, (MemoryStream[(Long, String, String,
+        String, Long)], String) => org.apache.spark.sql.streaming
+        .StreamingQuery)](
+      (s"$tmp/dsirC", (m, ck) => StreamOps.dsirStatsStream(
+        m.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+        s"$tmp/dsirC", ck)),
+      (s"$tmp/bm25C", (m, ck) => StreamOps.bm25IndexStream(
+        m.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+        s"$tmp/bm25C", ck)))) {
+      val mem = MemoryStream[(Long, String, String, String, Long)]
+      val q = mk(mem, s"$tmp/ckpt_fresh_${root.split('/').last}")
+      try {
+        mem.addData(first: _*)
+        val e = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] { q.processAllAvailable() }
+        def messages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ messages(x.getCause))
+        assert(messages(e).exists(_.contains("double-count")),
+          s"$root: ${e.toString}")
+      } finally q.stop()
+      // and the refused stream did not mutate the compacted base
+      assert(new java.io.File(root).listFiles()
+        .count(_.getName.startsWith("batch_id=")) <= 1, root)
+    }
   }
 
   test("bm25IndexStream refuses a fresh checkpoint over an old stats root (double-count guard)") {
