@@ -185,18 +185,38 @@ ORDER BY n_occ DESC, doc_id ASC"""
     * cannot drift from Classifier.logregTrain. Every arithmetic step
     * mirrors the Scala spelling exactly — same literals, same
     * left-associated operation order, same micro-quantization points. */
-  private def logregZ(wTbl: String): String =
-    (0 until Classifier.NumFeatures)
+  private def logregZ(wTbl: String,
+      F: Int = Classifier.NumFeatures): String =
+    (0 until F)
       .map(j => s"f$j * ($wTbl.w$j::DOUBLE / 1000000.0)")
       .mkString(" + ")
 
-  private def logregSigmoidMicro(wTbl: String): String =
-    s"floor(1000000.0 / (1.0 + exp(-(${logregZ(wTbl)}))) + 0.5)"
+  private def logregSigmoidMicro(wTbl: String,
+      F: Int = Classifier.NumFeatures): String =
+    s"floor(1000000.0 / (1.0 + exp(-(${logregZ(wTbl, F)}))) + 0.5)"
 
+  /** `trainJoin` restricts the TRAINING chain (standardization stats +
+    * gradient rounds) to a subset of `fr` — e.g. the cluster-safe train
+    * split — while `f` (the scoring frame) stays the full corpus
+    * standardized under the TRAIN-split (mu, sd), mirroring
+    * Classifier.scoreFrame's use of the model's own stats. Empty =
+    * original whole-corpus training (q126/q127/q128). */
   private def logregCtes(rounds: Int, lrMicro: Long,
-      includeTok: Boolean = true): String = {
-    val F = Classifier.NumFeatures
+      includeTok: Boolean = true, trainJoin: String = "",
+      F: Int = Classifier.NumFeatures): String = {
     val lr = lrMicro.toDouble / 1e6
+    // f5..f7: the extended texture features (rep-2gram from the shared
+    // quality CTE; hashed char-3-gram distinct ratio — the q23 gram
+    // spelling; stopword ratio — the quality_score component spelling)
+    val extFeats = if (F <= Classifier.NumFeatures) "" else s""",
+        rep_2gram_ratio AS f5,
+        CASE WHEN length(text) >= 3
+             THEN len(list_distinct([${h60("x")} for x in
+                      [substr(text, i, 3) for i in range(1, length(text)-1)]]))::DOUBLE
+                  / (length(text) - 2)::DOUBLE
+             ELSE 0.0 END AS f6,
+        len(list_filter(t, x -> x IN (${stopwords.map(w => s"'$w'").mkString(", ")})))::DOUBLE
+          / len(t)::DOUBLE AS f7"""
     // fr: label = the q46 quality rule over the SHARED quality CTE (same
     // hashed-shingle rep2 spelling), raw features from the token array.
     // fs/ms: decimal-routed Σf, Σf² folded to integer-micro (mu, sd).
@@ -215,6 +235,17 @@ ORDER BY n_occ DESC, doc_id ASC"""
       s"CASE WHEN sd$j > 0 THEN (f$j - mu$j::DOUBLE / 1000000.0) " +
         s"/ (sd$j::DOUBLE / 1000000.0) ELSE 0.0 END AS f$j")
       .mkString(",\n        ")
+    val restricted = trainJoin.nonEmpty
+    val frtCte = if (restricted)
+      s""",
+frt AS (SELECT fr.* FROM fr $trainJoin)""" else ""
+    val statsSrc = if (restricted) "frt" else "fr"
+    val trainFrame = if (restricted) "ftz" else "f"
+    val ftzCte = if (restricted)
+      s""",
+ftz AS (SELECT doc_id, y, f0,
+        $zCols
+      FROM frt, ms)""" else ""
     val head = s"""${if (includeTok) tokCte + ",\n" else ""}$qualityStCte,
 fr AS (SELECT tok.doc_id,
         CASE WHEN $qualityPredSql THEN 1.0 ELSE 0.0 END AS y,
@@ -222,28 +253,28 @@ fr AS (SELECT tok.doc_id,
         floor(ln(1.0 + len(t)::DOUBLE) * 1000000 + 0.5) / 1000000.0 AS f1,
         len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS f2,
         list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t)::DOUBLE AS f3,
-        n_chars::DOUBLE / (1.0 + len(t)::DOUBLE) AS f4
-      FROM tok JOIN st USING (doc_id)),
+        n_chars::DOUBLE / (1.0 + len(t)::DOUBLE) AS f4$extFeats
+      FROM tok JOIN st USING (doc_id))$frtCte,
 fs AS (SELECT $statSums,
         count(*) AS n
-       FROM fr),
+       FROM $statsSrc),
 ms AS (SELECT $statMicros
        FROM fs),
 f AS (SELECT doc_id, y, f0,
         $zCols
-      FROM fr, ms),
+      FROM fr, ms)$ftzCte,
 w0 AS (SELECT ${(0 until F).map(j => s"0::BIGINT AS w$j").mkString(", ")})"""
     val roundCtes = (1 to rounds).map { i =>
       val prev = s"w${i - 1}"
       val grads = (0 until F).map(j =>
-        s"sum(CAST((y - ${logregSigmoidMicro(prev)} / 1000000.0) * f$j " +
+        s"sum(CAST((y - ${logregSigmoidMicro(prev, F)} / 1000000.0) * f$j " +
           s"AS DECIMAL(38,6))) AS g$j").mkString(",\n          ")
       val upds = (0 until F).map(j =>
         s"$prev.w$j + CAST(floor(($lr * (g$j::DOUBLE / n::DOUBLE)) " +
           s"* 1000000.0 + 0.5) AS BIGINT) AS w$j").mkString(",\n          ")
       s"""g$i AS (SELECT $grads,
           count(*) AS n
-        FROM f, $prev),
+        FROM $trainFrame, $prev),
 w$i AS (SELECT $upds
         FROM g$i, $prev)"""
     }.mkString(",\n")
@@ -1666,5 +1697,105 @@ r AS (SELECT doc_id, lang, source,
           ORDER BY (('0x' || substr(md5(doc_id::VARCHAR || '|quota'), 1, 15))::BIGINT),
                    doc_id) AS rn
       FROM d3)
-SELECT doc_id, lang, source FROM r WHERE rn <= 50 ORDER BY doc_id""")))
+SELECT doc_id, lang, source FROM r WHERE rn <= 50 ORDER BY doc_id""")),
+
+    // Held-out evaluation of the distilled quality classifier (the number
+    // q126's in-sample fit and q128's in-sample calibration cannot give):
+    // train ONLY on q95's cluster-safe train split — the split rides the
+    // near-dup cluster key, so no held-out document has a near-duplicate
+    // in the training set — then score the WHOLE corpus under the trained
+    // model (its own (mu, sd), exactly Classifier.scoreFrame's contract)
+    // and report per-split volume, thresholded teacher-rule agreement,
+    // and tie-corrected Mann-Whitney AUC as integer micros. The oracle
+    // replays the entire chain: recursive-CC split assignment, the
+    // train-split-restricted standardization + gradient rounds, full-
+    // corpus scoring, and the same integer AUC fold.
+    Q("q145_quality_classifier_heldout",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val split = clusterSafeSplitAssign(s, dir).select("doc_id", "split")
+        val train = docs.join(split.filter(col("split") === "train"),
+          Seq("doc_id"), "left_semi")
+        Classifier.heldoutReport(
+          Classifier.scoreFrame(docs,
+              Classifier.logregTrain(train, rounds = 5))
+            .join(split, "doc_id"))
+      },
+      Some(s"""$ccLabelsCtes,
+keyed AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS ckey
+          FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+sp AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train'
+                           WHEN bucket < 95 THEN 'val'
+                           ELSE 'test' END AS split
+       FROM (SELECT doc_id, CAST(${h60("CAST(ckey AS VARCHAR) || '|graft'")} % 100
+                         AS INTEGER) AS bucket FROM keyed)),
+${logregCtes(5, 2000000L, includeTok = false,
+        trainJoin = "JOIN sp ON sp.doc_id = fr.doc_id AND sp.split = 'train'")},
+sc AS (SELECT f.doc_id, CAST(y AS BIGINT) AS y,
+        CAST(${logregSigmoidMicro("w5")} AS BIGINT) AS s_micro, sp.split
+       FROM f CROSS JOIN w5 JOIN sp ON sp.doc_id = f.doc_id),
+g AS (SELECT split, s_micro, CAST(sum(y) AS BIGINT) AS p,
+        CAST(count(*) AS BIGINT) - CAST(sum(y) AS BIGINT) AS nn,
+        CAST(sum(CASE WHEN s_micro >= 500000 THEN y ELSE 1 - y END)
+          AS BIGINT) AS agree
+      FROM sc GROUP BY split, s_micro),
+c AS (SELECT *, CAST(coalesce(sum(nn) OVER (PARTITION BY split
+        ORDER BY s_micro ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        0) AS BIGINT) AS cum_n FROM g)
+SELECT split,
+  CAST(sum(p) + sum(nn) AS BIGINT) AS n_docs,
+  CAST(sum(agree) AS BIGINT) AS n_agree,
+  CAST((sum(p * 2 * cum_n + p * nn) * 500000)
+    // nullif(sum(p) * sum(nn), 0) AS BIGINT) AS auc_micro
+FROM c GROUP BY split ORDER BY split""")),
+
+    // q145 with the EXTENDED feature set (NumFeaturesExt = 8: + rep-2gram,
+    // hashed char-3-gram distinct ratio, stopword ratio): the held-out
+    // gate for the feature extension — compare these splits' n_agree /
+    // auc_micro against q145's base model (ClassifierSpec pins the
+    // improvement; SCALE.md records the measurement). Same train-split
+    // discipline, same integer AUC fold; the oracle's training chain
+    // replays all 8 features bit-for-bit.
+    Q("q146_quality_classifier_heldout_ext",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val split = clusterSafeSplitAssign(s, dir).select("doc_id", "split")
+        val train = docs.join(split.filter(col("split") === "train"),
+          Seq("doc_id"), "left_semi")
+        Classifier.heldoutReport(
+          Classifier.scoreFrame(docs,
+              Classifier.logregTrain(train, rounds = 5,
+                nf = Classifier.NumFeaturesExt),
+              nf = Classifier.NumFeaturesExt)
+            .join(split, "doc_id"))
+      },
+      Some(s"""$ccLabelsCtes,
+keyed AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS ckey
+          FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+sp AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train'
+                           WHEN bucket < 95 THEN 'val'
+                           ELSE 'test' END AS split
+       FROM (SELECT doc_id, CAST(${h60("CAST(ckey AS VARCHAR) || '|graft'")} % 100
+                         AS INTEGER) AS bucket FROM keyed)),
+${logregCtes(5, 2000000L, includeTok = false,
+        trainJoin = "JOIN sp ON sp.doc_id = fr.doc_id AND sp.split = 'train'",
+        F = Classifier.NumFeaturesExt)},
+sc AS (SELECT f.doc_id, CAST(y AS BIGINT) AS y,
+        CAST(${logregSigmoidMicro("w5", Classifier.NumFeaturesExt)} AS BIGINT)
+          AS s_micro, sp.split
+       FROM f CROSS JOIN w5 JOIN sp ON sp.doc_id = f.doc_id),
+g AS (SELECT split, s_micro, CAST(sum(y) AS BIGINT) AS p,
+        CAST(count(*) AS BIGINT) - CAST(sum(y) AS BIGINT) AS nn,
+        CAST(sum(CASE WHEN s_micro >= 500000 THEN y ELSE 1 - y END)
+          AS BIGINT) AS agree
+      FROM sc GROUP BY split, s_micro),
+c AS (SELECT *, CAST(coalesce(sum(nn) OVER (PARTITION BY split
+        ORDER BY s_micro ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        0) AS BIGINT) AS cum_n FROM g)
+SELECT split,
+  CAST(sum(p) + sum(nn) AS BIGINT) AS n_docs,
+  CAST(sum(agree) AS BIGINT) AS n_agree,
+  CAST((sum(p * 2 * cum_n + p * nn) * 500000)
+    // nullif(sum(p) * sum(nn), 0) AS BIGINT) AS auc_micro
+FROM c GROUP BY split ORDER BY split""")))
 }

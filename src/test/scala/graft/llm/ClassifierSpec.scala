@@ -36,6 +36,40 @@ class ClassifierSpec extends SparkSpec {
       s"no separation: pass=${means(1L)} fail=${means(0L)}")
   }
 
+  test("extended features beat the base model on the held-out splits (the q146 gate)") {
+    // The feature extension (rep-2gram, hashed char-3-gram distinct
+    // ratio, stopword ratio) is gated on generalization, not in-sample
+    // fit: train both models on the cluster-safe train split, score the
+    // full corpus, and require the extension to win on the HELD-OUT
+    // (val+test) agreement and to not lose on held-out AUC. The whole
+    // chain is deterministic, so this is an exact pin, not a flaky
+    // statistical test.
+    val docs = graft.Tables.documents(spark, dir)
+    val split = graft.llm.LlmQueries.clusterSafeSplitAssign(spark, dir)
+      .select("doc_id", "split")
+    val train = docs.join(split.filter(col("split") === "train"),
+      Seq("doc_id"), "left_semi")
+    def heldout(nf: Int): Map[String, (Long, Long, Long)] =
+      Classifier.heldoutReport(
+        Classifier.scoreFrame(docs,
+            Classifier.logregTrain(train, rounds = 5, nf = nf), nf = nf)
+          .join(split, "doc_id"))
+        .collect().map(r => r.getAs[String]("split") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_agree"),
+            r.getAs[Long]("auc_micro")))).toMap
+    val base = heldout(Classifier.NumFeatures)
+    val ext = heldout(Classifier.NumFeaturesExt)
+    val splits = Seq("val", "test")
+    assert(splits.forall(s => base.contains(s) && ext.contains(s)),
+      s"missing splits: base=${base.keySet} ext=${ext.keySet}")
+    val baseAgree = splits.map(base(_)._2).sum
+    val extAgree = splits.map(ext(_)._2).sum
+    assert(extAgree > baseAgree,
+      s"extension did not improve held-out agreement: $baseAgree -> $extAgree")
+    assert(splits.forall(s => ext(s)._3 >= base(s)._3),
+      s"extension lost held-out AUC: base=$base ext=$ext")
+  }
+
   test("scoring from a WRITTEN model table equals the inline model") {
     val docs = graft.Tables.documents(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft_qcls").toString
