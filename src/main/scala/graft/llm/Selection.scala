@@ -900,6 +900,24 @@ c AS (SELECT doc_id, source, t,
       .orderBy(col("rrf_micro").desc, col("doc_id").asc)
       .limit(topK)
 
+  /** Three-leg reciprocal-rank fusion: lexical + semantic + exact-phrase
+    * (`phr`: (doc_id, phr_rank)). Same 1/(60+rank) micro arithmetic as
+    * [[rrfFuse]]; a doc missing a leg contributes 0 from it. All three
+    * legs are leg-depth-sized frames, so the full joins stay tiny
+    * regardless of corpus size. */
+  def rrfFuse3(lex: DataFrame, sem: DataFrame, phr: DataFrame,
+      topK: Int = 10): DataFrame =
+    lex.join(sem, Seq("doc_id"), "full")
+      .join(phr, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        (coalesce(expr("1000000L div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000L div (60 + sem_rank)"), lit(0L)) +
+          coalesce(expr("1000000L div (60 + phr_rank)"), lit(0L)))
+          .as("rrf_micro"),
+        col("lex_rank"), col("sem_rank"), col("phr_rank"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      .limit(topK)
+
   /** Build-once serving indexes for a data dir — the production retrieval
     * layout: BM25 postings bucketed by term ([[graft.ops.Layout
     * .writePostings]]) + its stats tables, and the IVFADC index
@@ -1213,6 +1231,38 @@ c AS (SELECT doc_id, source, t,
       nQueries = 1, k = legK, nprobe = nprobe, candidates = candidates)
       .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
     rrfFuse(lex, sem, topK)
+  }
+
+  /** [[rrfFusionIndexed]] with an exact-phrase third leg read from the
+    * SAME positional postings layout ([[phraseSearchIndex]] — bucket-
+    * pruned to the phrase terms' directories, positions included, corpus
+    * text never rescanned): phrase hits ranked by occurrence count join
+    * the fusion with their own reciprocal-rank term, so a doc matching
+    * the exact phrase outranks a bag-of-words-only match at equal leg
+    * ranks. The /hybrid?phrase= route serves this composition. */
+  def rrfFusionIndexedPhrase(s: org.apache.spark.sql.SparkSession,
+      base: String, embeddings: DataFrame, terms: Seq[String],
+      phrase: Seq[String], candidates: Long, legK: Int = 50,
+      topK: Int = 10, nprobe: Int = 4): DataFrame = {
+    val lexW = Window.orderBy(col("score_micro").desc, col("doc_id").asc)
+    val lex = bm25SearchIndex(s, base, terms, legK)
+      .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+      .select("doc_id", "lex_rank")
+    val sem = ivfadcSearchIndex(s, s"$base/ann", embeddings,
+      nQueries = 1, k = legK, nprobe = nprobe, candidates = candidates)
+      .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
+    rrfFuse3(lex, sem, phraseLeg(phraseSearchIndex(s, base, phrase), legK),
+      topK)
+  }
+
+  /** Rank a phrase-occurrence frame (doc_id, n_occ) into the fusion's
+    * (doc_id, phr_rank) leg shape — shared by the indexed composition and
+    * the serving layer. */
+  def phraseLeg(occ: DataFrame, legK: Int): DataFrame = {
+    val w = Window.orderBy(col("n_occ").desc, col("doc_id").asc)
+    occ.limit(legK)
+      .withColumn("phr_rank", row_number().over(w).cast("long"))
+      .select("doc_id", "phr_rank")
   }
 
   /** q96's per-doc coverage frame as a session-memoized mart for pipeline
@@ -1975,6 +2025,52 @@ FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""")),
             (col("n_overlap") >= 4).as("fused_overlap_ok"))
       },
       Some("SELECT CAST(0 AS BIGINT) AS query_id, TRUE AS lex_leg_identical, TRUE AS fused_overlap_ok")),
+
+    // Hybrid retrieval with the exact-phrase THIRD leg (q107 + q122's
+    // tier): lexical BM25 + IVFADC semantic + positional-postings phrase,
+    // all from the persisted layout, fused by 3-leg RRF. Gates (the q107
+    // self-audit discipline): (a) the phrase leg from the index is
+    // row-identical to the brute corpus-scan spelling (q123's claim,
+    // re-pinned inside the composition); (b) the full 3-leg fusion from
+    // the indexed legs EXACTLY equals the fusion of brute lex + brute
+    // phrase + the same deterministic sem leg — lex/phrase identity is
+    // exact, so unlike q107's overlap gate this one is equality; (c)
+    // n_phr >= 1 keeps an empty phrase leg from passing vacuously.
+    Q("q147_rrf_fusion_phrase",
+      (s, dir) => {
+        val base = retrievalIndex(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val docs = Tables.documents(s, dir)
+        val terms = Seq("hash", "join", "window")
+        val phrase = Seq("sort", "merge")
+        val cand = math.max(64L, embCount(s, dir) / 16)
+        val fusedIdx = rrfFusionIndexedPhrase(s, base, emb, terms, phrase,
+          candidates = cand)
+        val lexW = Window.orderBy(col("score_micro").desc, col("doc_id").asc)
+        val lexTxt = TextAnalysis.bm25Rank(docs, terms, 50)
+          .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+          .select("doc_id", "lex_rank")
+        val phrIdx = phraseSearchIndex(s, base, phrase)
+        val phrTxt = TextAnalysis.phraseOccurrences(docs, phrase)
+        val sem = ivfadcSearchIndex(s, s"$base/ann", emb,
+          nQueries = 1, k = 50, nprobe = 4, candidates = cand)
+          .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
+        val fusedBrute = rrfFuse3(lexTxt, sem, phraseLeg(phrTxt, 50), 10)
+        val phrAgg = phrTxt.agg(count(lit(1)).as("n_phr"))
+        val phrDiff = phrIdx.exceptAll(phrTxt)
+          .unionByName(phrTxt.exceptAll(phrIdx))
+          .agg(count(lit(1)).as("n_phr_diff"))
+        val fusedDiff = fusedIdx.exceptAll(fusedBrute)
+          .unionByName(fusedBrute.exceptAll(fusedIdx))
+          .agg(count(lit(1)).as("n_fused_diff"))
+        phrAgg.crossJoin(phrDiff).crossJoin(fusedDiff)
+          .select(lit(0L).as("query_id"),
+            (col("n_phr") >= 1 && col("n_phr_diff") === 0)
+              .as("phrase_leg_identical"),
+            (col("n_fused_diff") === 0).as("fused_identical"))
+      },
+      Some("SELECT CAST(0 AS BIGINT) AS query_id, " +
+        "TRUE AS phrase_leg_identical, TRUE AS fused_identical")),
 
     Q("q102_bigram_surprisal",
       (s, dir) => TextAnalysis.bigramSurprisal(Tables.documents(s, dir))

@@ -425,11 +425,13 @@ class GraftApi(spark: SparkSession, sfDir: String,
     })
   }
 
-  /** The /hybrid fusion frame: the two persisted-index legs (/search's
-    * postings BM25, /similar's IVFADC) fused by reciprocal-rank fusion —
-    * the q107 composition served per request. Leg depth 50, fused top-k. */
+  /** The /hybrid fusion frame: the persisted-index legs (/search's
+    * postings BM25, /similar's IVFADC, and — when `phrase` is given —
+    * /phrase's positional exact-phrase tier) fused by reciprocal-rank
+    * fusion — the q107/q147 composition served per request. Every leg is
+    * an index read; leg depth 50, fused top-k. */
   private[serve] def hybridFrame(terms: Seq[String], vecId: Long,
-      k: Int): DataFrame = {
+      k: Int, phrase: Seq[String] = Nil): DataFrame = {
     val lexW = org.apache.spark.sql.expressions.Window
       .orderBy(col("score_micro").desc, col("doc_id").asc)
     val lex = searchFrame(terms, 50)
@@ -437,12 +439,15 @@ class GraftApi(spark: SparkSession, sfDir: String,
       .select("doc_id", "lex_rank")
     val sem = similarFrame(vecId, 50, nprobe = 4)
       .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
-    graft.llm.Selection.rrfFuse(lex, sem, k)
+    if (phrase.isEmpty) graft.llm.Selection.rrfFuse(lex, sem, k)
+    else graft.llm.Selection.rrfFuse3(lex, sem,
+      graft.llm.Selection.phraseLeg(phraseFrame(phrase, 50), legK = 50), k)
   }
 
-  /** GET /hybrid?q=terms&vec_id=42&k=10 — lexical + semantic retrieval
-    * fused over the persisted layouts (an extension; the reference has no
-    * search). Both legs are index reads; no corpus scan. */
+  /** GET /hybrid?q=terms&vec_id=42&k=10[&phrase=exact+phrase] — lexical +
+    * semantic (+ optional exact-phrase) retrieval fused over the
+    * persisted layouts (an extension; the reference has no search). Every
+    * leg is an index read; no corpus scan. */
   private def hybridEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
     val terms = qp.getOrElse("q", "").trim.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty).toSeq
@@ -451,8 +456,16 @@ class GraftApi(spark: SparkSession, sfDir: String,
     val vecId = qp.get("vec_id").map(parseInt("vec_id", _))
       .getOrElse(throw new IllegalArgumentException("vec_id is required"))
     val k = intParam(qp, "k", 10, 1, 100)
-    val cols = Seq("doc_id", "rrf_micro", "lex_rank", "sem_rank")
-    val rows = hybridFrame(terms, vecId.toLong, k)
+    val phrase = qp.get("phrase").map(_.trim
+        .toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    require(phrase.size <= 16, "phrase is capped at 16 terms")
+    require(qp.get("phrase").isEmpty || phrase.nonEmpty,
+      "phrase, when given, must contain at least one term")
+    val cols = Seq("doc_id", "rrf_micro", "lex_rank", "sem_rank") ++
+      (if (phrase.nonEmpty) Seq("phr_rank") else Nil)
+    val rows = hybridFrame(terms, vecId.toLong, k, phrase)
       .select(cols.map(col): _*).collect()
     reply(ex, 200, obj { o =>
       val results = o.putArray("results")

@@ -377,6 +377,31 @@ class GraftApiSpec extends SparkSpec {
       .flatMap(_.metadata.get("Location"))
     assert(!locations.exists(_.contains("documents.parquet")),
       s"corpus text scanned by the hybrid path: $locations")
+
+    // the optional exact-phrase third leg: phrase hits carry phr_rank and
+    // outrank a bag-of-words-only fusion of the same doc set; the phrase
+    // leg reads the positional postings, still no corpus text in the plan
+    val (pCode, pBody) = get("/hybrid?q=hash+join&vec_id=0&k=5&phrase=sort+merge")
+    assert(pCode === 200, pBody.toString)
+    val pResults = pBody.get("results")
+    assert(pResults.size() > 0 && pResults.size() <= 5)
+    assert((0 until pResults.size()).forall(i =>
+      pResults.get(i).has("phr_rank")), pBody.toString)
+    assert((0 until pResults.size()).exists(i =>
+      !pResults.get(i).get("phr_rank").isNull),
+      s"no phrase hit surfaced in the fused top-k: $pBody")
+    val pFrame = api.hybridFrame(Seq("hash", "join"), 0L, 5,
+      phrase = Seq("sort", "merge"))
+    pFrame.collect()
+    val pLocs = scans(pFrame.queryExecution.executedPlan)
+      .flatMap(_.metadata.get("Location"))
+    assert(!pLocs.exists(_.contains("documents.parquet")),
+      s"corpus text scanned by the phrase-leg hybrid path: $pLocs")
+    // postings pruning survives inside the fused plan: the phrase leg's
+    // postings scans carry the term_bucket partition filter
+    val pPlan = pFrame.queryExecution.executedPlan.toString
+    assert(pPlan.contains("term_bucket"),
+      s"phrase leg lost its bucket pruning inside the fusion:\n$pPlan")
   }
 
   test("an explicit prebuilt indexRoot drives the retrieval endpoints") {
