@@ -192,7 +192,7 @@ object Multimodal {
     * 4×16-bit fingerprint frame `(doc_id, <prefix>0..3)` — MODALITY-
     * GENERIC: the image tier, its recall audit, and the audio tier all
     * feed this one kernel (the banding plan does not care what hashed). */
-  private def bandedPairsFromFeats(feats: DataFrame, maxHamming: Int,
+  private[ops] def bandedPairsFromFeats(feats: DataFrame, maxHamming: Int,
       prefix: String = "ahash_b"): DataFrame = {
     val b = (0 to 3).map(i => col(s"$prefix$i"))
     // The plan is STATISTICS-DRIVEN, a decision Catalyst cannot make for
@@ -280,6 +280,50 @@ object Multimodal {
           ham(col("a2"), col("b2")) + ham(col("a3"), col("b3")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Cluster labels over the banded fingerprint graph WITHOUT ever
+    * materializing within-group pairs or per-group member arrays — the
+    * degenerate-fingerprint-safe clustering path. The pair spelling
+    * ([[bandedPairsFromFeats]]) is quadratic in exact-dup group size BY
+    * OUTPUT DEFINITION (every within-group pair is a result row), and its
+    * collapse tier builds one `collect_list` row per distinct fingerprint
+    * — at 100 TB a single degenerate fingerprint (blank images, silence)
+    * becomes one giant row. Clusters don't need either: Hamming distance
+    * depends only on the fingerprints, so the member graph is exactly the
+    * blow-up of the DISTINCT-fingerprint graph — components correspond
+    * 1:1, and because each group's representative is its min member, the
+    * rep graph's min-label CC labels ARE the full graph's labels. So:
+    * one aggregation to (fingerprint → min member, count) — no arrays —
+    * the banded pair join over DISTINCT fingerprints only (self-pairs
+    * structurally impossible), O(log d) pointer-jumping CC on the rep
+    * graph, and one fingerprint-keyed join back to the members. Every row
+    * is O(1); the heaviest intermediate is the distinct-fingerprint
+    * candidate join, which degenerate duplication SHRINKS instead of
+    * exploding. Output-identical to CC over the pair spelling
+    * (spec-pinned, and q140 shares the transitive-closure oracle). */
+  private[ops] def bandedClustersFromFeats(feats: DataFrame,
+      maxHamming: Int, prefix: String = "ahash_b"): DataFrame = {
+    val names = (0 to 3).map(i => s"$prefix$i")
+    val b = names.map(col)
+    val groups = feats
+      .groupBy(b: _*)
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // two consumers: rep graph + member join
+    val repFeats = groups.select(col("rep").as("doc_id") +: b: _*)
+    val repLabels = graft.llm.Dedup.connectedComponentsFast(
+        perDocBandedPairs(repFeats, maxHamming, b), "doc_a", "doc_b")
+      .select(col("doc_id").as("rep"), col("cluster_id").as("rep_cluster"))
+    feats.select(col("doc_id") +: b: _*)
+      .join(groups, names)
+      .join(repLabels, Seq("rep"), "left")
+      // a doc clusters iff its rep has a cross-group edge OR its group has
+      // >= 2 members (an isolated group is its own component; singleton
+      // groups with no edges stay out, matching the pair-graph CC output)
+      .filter(col("rep_cluster").isNotNull || col("cnt") >= 2)
+      .select(col("doc_id"),
+        coalesce(col("rep_cluster"), col("rep")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
   /** A 64-bit audio fingerprint as four 16-bit bands: 64 positions sampled
@@ -616,11 +660,30 @@ object Multimodal {
         maxHamming = 8))
 
   /** The image CC label table (q140's rows) — ONE pointer-jumping CC per
-    * (session, dir); q143's survivorship keys on these labels. */
+    * (session, dir); q143's survivorship keys on these labels. Built
+    * through the degenerate-safe direct path
+    * ([[bandedClustersFromFeats]]): clusters never materialize the
+    * quadratic within-group pairs the pair QUERIES must output, so a
+    * blank-image fingerprint shared by 10^4 docs costs one group row
+    * here, not 5·10^7 pair rows (spec-pinned identical to CC over the
+    * pair spelling). */
   private def imageLabelMart(s: SparkSession, dir: String): DataFrame =
     graft.sec.SecDerive.cached(s, dir, "media_image_labels")(
-      graft.llm.Dedup.connectedComponentsFast(
-        imagePairsMart(s, dir), "doc_a", "doc_b"))
+      bandedClustersFromFeats(
+        imageFeatMart(s, dir)
+          .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3"),
+        maxHamming = 8))
+
+  /** The audio CC label table (q148's rows) — the image label mart's twin
+    * over PCM envelope fingerprints, through the same degenerate-safe
+    * direct path. The audio corpus is the one that NEEDS it most: the
+    * clustered sawtooth envelopes are dup-heavy (the measured 10× collapse
+    * evidence), so its exact-dup groups are exactly the shape whose
+    * within-group pairs the pair spelling would materialize quadratically. */
+  private def audioLabelMart(s: SparkSession, dir: String): DataFrame =
+    graft.sec.SecDerive.cached(s, dir, "media_audio_labels")(
+      bandedClustersFromFeats(audioFpMart(s, dir), maxHamming = 4,
+        prefix = "afp_b"))
 
   /** The media gate verdict computed COLUMNAR over the two feature marts —
     * flag-identical to the fused single-pass [[mediaQualityGate]] (same
@@ -1050,7 +1113,46 @@ br AS (SELECT ham AS hamming, CAST(count(*) AS BIGINT) AS n_brute,
 SELECT hamming, n_brute, n_banded,
   CAST(n_banded * 1000000 // n_brute AS BIGINT) AS recall_micro,
   hamming <= 3 AS guaranteed
-FROM br ORDER BY hamming""")))
+FROM br ORDER BY hamming""")),
+
+    // Audio dedup clusters (q140's twin over PCM envelope fingerprints),
+    // built through the degenerate-safe direct path: the dup-heavy
+    // sawtooth corpus goes fingerprint-group -> rep-graph CC -> member
+    // join without ever spelling out within-group pairs. The oracle is
+    // the same transitive-closure recursion as q140 over the audio band
+    // CTEs at the audio tier's maxHamming=4.
+    Q("q148_audio_dedup_clusters",
+      (s, dir) => audioLabelMart(s, dir).orderBy("doc_id"),
+      Some("""
+WITH RECURSIVE
+ag AS (SELECT doc_id, CAST(n_chars % 256 + 64 AS BIGINT) AS n FROM documents),
+cell AS (SELECT doc_id, n, t.j AS j, (t.j * (n - 1)) // 64 AS p
+         FROM ag, LATERAL (SELECT unnest(range(0, 64)) AS j) t),
+vals AS (SELECT doc_id, j, ((doc_id*31 + p*17) % 2048) - 1024 AS v FROM cell),
+bits AS (SELECT doc_id, j,
+           CASE WHEN 64*v > sum(v) OVER (PARTITION BY doc_id)
+                THEN 1 ELSE 0 END AS bit
+         FROM vals),
+bands AS (SELECT doc_id,
+  CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b0,
+  CAST(sum(CASE WHEN j // 16 = 1 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b1,
+  CAST(sum(CASE WHEN j // 16 = 2 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b2,
+  CAST(sum(CASE WHEN j // 16 = 3 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b3
+  FROM bits GROUP BY doc_id),
+p0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 4),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM p0
+          UNION SELECT doc_b, doc_a FROM p0),
+reach AS (SELECT src, dst FROM edges
+          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+FROM labels ORDER BY doc_id""")))
 
   /** The q135/q137 oracle: banded candidate OR-join over formula-derived
     * hashes + full Hamming verify — shared by the inline and index tiers,

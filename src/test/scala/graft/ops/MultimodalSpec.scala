@@ -185,4 +185,61 @@ class MultimodalSpec extends SparkSpec {
     assert(vid.head.getAs[String]("sig").split(",").length ===
       vid.head.getAs[Int]("n_sampled"))
   }
+
+  test("direct banded clustering == CC over the pair spelling (two implementations, one answer)") {
+    val rng = new scala.util.Random(41)
+    def rnd() = rng.nextLong() & 0xffffL
+    // mixed fixture: an exact-dup group, a drift chain (A~B~C with the
+    // ends > maxHamming apart, so transitivity must do the work), a
+    // cross-group near-dup, and singletons
+    val h0 = Seq(0x1111L, 0x2222L, 0x3333L, 0x4444L)
+    val chain1 = Seq(0x1111L ^ 0x7L, 0x2222L, 0x3333L, 0x4444L)   // ham 3
+    val chain2 = Seq(0x1111L ^ 0x7L, 0x2222L ^ 0x70L, 0x3333L ^ 0x700L,
+      0x4444L)                                                     // +6 from chain1
+    val feats = (
+      (0L to 4L).map(i => (i, h0)) ++                              // exact dups
+      Seq((10L, chain1), (11L, chain2)) ++                         // drift chain
+      (20L to 29L).map(i => (i, Seq(rnd(), rnd(), rnd(), rnd())))  // mostly singles
+    ).map { case (id, b) => (id, b(0), b(1), b(2), b(3)) }
+      .toDF("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
+    val direct = Multimodal.bandedClustersFromFeats(feats, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    val viaPairs = graft.llm.Dedup.connectedComponentsFast(
+        Multimodal.bandedPairsFromFeats(feats, maxHamming = 8),
+        "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(direct === viaPairs && direct.nonEmpty)
+    // the fixture binds: the chain actually merged into cluster 0
+    assert(direct.contains((11L, 0L, false)), direct.toString)
+  }
+
+  test("a degenerate fingerprint shared by 10^4 docs clusters without the quadratic pair blowup") {
+    // The pair spelling would materialize ~5*10^7 within-group rows (its
+    // output contract) and one 10^4-element collect_list row; the direct
+    // clustering path must touch neither — one group row, rep-graph CC,
+    // one member join. Oracle-by-construction: all duplicate members plus
+    // the near group land in cluster 0; the far singleton stays out.
+    import org.apache.spark.sql.functions.{col, lit}
+    val n = 10000L
+    val dup = spark.range(n).select(col("id").as("doc_id"),
+      lit(1L).as("ahash_b0"), lit(2L).as("ahash_b1"),
+      lit(3L).as("ahash_b2"), lit(4L).as("ahash_b3"))
+    val near = Seq((20000L, 1L, 2L, 3L, 100L), (20001L, 1L, 2L, 3L, 100L))
+      .toDF("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
+    val far = Seq((30000L, 0xF0F0L, 0x0F0FL, 0xAAAAL, 0x5555L))
+      .toDF("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
+    val labels = Multimodal.bandedClustersFromFeats(
+      dup.unionByName(near).unionByName(far), maxHamming = 8)
+    val plan = labels.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("collect_list"),
+      s"direct clustering built a per-group array row:\n$plan")
+    val rows = labels.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length === (n + 2).toInt, s"got ${rows.length}")
+    assert(rows.forall(_._2 == 0L))
+    assert(rows.count(_._3) === 1 && rows.find(_._3).get._1 === 0L)
+    assert(!rows.exists(_._1 == 30000L), "far singleton leaked into a cluster")
+  }
 }
