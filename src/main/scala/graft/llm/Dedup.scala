@@ -145,6 +145,17 @@ object Dedup {
     * round's are materialized (and `edges`' before returning) — otherwise
     * executor storage grows linearly in round count and the blocks outlive
     * the call.
+    *
+    * The per-round checkpoint is the STATS-FREE variant
+    * ([[org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats]]):
+    * `Dataset.localCheckpoint` copies the origin plan's statistics onto the
+    * checkpointed frame, and because each round's plan references the
+    * previous label table more than once, the carried BigInt `sizeInBytes`
+    * SQUARES per round — its bit length doubles, and past ~16 rounds the
+    * driver drowns in `BigInteger.multiply` inside join estimation (round
+    * wall doubles at constant data; a drift-chain graph needing 20+ rounds
+    * "hangs"). Short-converging near-clique graphs never reached the wall,
+    * which is why this stayed latent for twelve rounds.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 20): DataFrame = {
@@ -169,11 +180,11 @@ object Dedup {
         .groupBy(col("src")).agg(min("label").as("nbr_min"))
       // Carry the previous label through the checkpoint so convergence is a
       // cheap scan of the just-materialized blocks, not an extra join+shuffle.
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          col("label").as("prev"))
-        .localCheckpoint()
+      val next = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(
+        labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+            col("label").as("prev")))
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       free(labels)
       labels = next
@@ -200,13 +211,23 @@ object Dedup {
     *
     * Same building blocks as the simple variant — two joins + one
     * aggregation per round, everything shuffling on node id, checkpoints
-    * freed as rounds retire — and the same fixed point: labels monotonically
-    * decrease toward the component minimum, the jump is the identity once
-    * propagation fixes, so the result is identical (property-tested against
-    * the simple variant and shared with q48's transitive-closure oracle).
+    * freed as rounds retire (stats-free, see [[connectedComponents]]) — and
+    * the same fixed point: labels monotonically decrease toward the
+    * component minimum, the jump is the identity once propagation fixes, so
+    * the result is identical (property-tested against the simple variant
+    * and shared with q48's transitive-closure oracle).
+    *
+    * maxRounds default is 64, not 35: the textbook distance-doubling bound
+    * assumes label chains aligned with topology (consecutive-id chains hit
+    * it: 300 nodes ≤ 12 rounds, spec-pinned), but a graph whose component
+    * minimum sits behind SCATTERED ids propagates closer to one hop per
+    * round on the worst frontier — the sf0.001 audio drift graph (diameter
+    * 41, ids shuffled by fingerprint grouping) converges in ~30 rounds.
+    * Rounds are cheap (one small join round-trip each) now that the stats
+    * blow-up is gone; the loud throw at 64 still catches pathology.
     */
   def connectedComponentsFast(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 35): DataFrame = {
+      maxRounds: Int = 64): DataFrame = {
     def free(df: DataFrame): Unit =
       df.queryExecution.analyzed.foreach {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
@@ -232,11 +253,11 @@ object Dedup {
       // ids, so self-joining resolves l(l(x)) and halves remaining distance
       val p = propagated.as("p")
       val l2 = propagated.select(col("id").as("jid"), col("label").as("jlabel")).as("j")
-      val next = p.join(l2, col("p.label") === col("j.jid"), "left")
-        .select(col("p.id").as("id"),
-          least(col("p.label"), coalesce(col("j.jlabel"), col("p.label"))).as("label"),
-          col("p.prev").as("prev"))
-        .localCheckpoint()
+      val next = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(
+        p.join(l2, col("p.label") === col("j.jid"), "left")
+          .select(col("p.id").as("id"),
+            least(col("p.label"), coalesce(col("j.jlabel"), col("p.label"))).as("label"),
+            col("p.prev").as("prev")))
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       free(labels)
       labels = next
@@ -249,6 +270,57 @@ object Dedup {
         "pair graph; inspect the input before raising maxRounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("is_canonical"))
+  }
+
+  /** Near-dup cluster labels through the EXACT-DEDUP-FIRST composition —
+    * the degenerate-duplication-safe spelling of q48 (the text twin of
+    * `Multimodal.bandedClustersFromFeats`). The pair-graph spelling is
+    * quadratic in exact-dup group size: N identical crawls of one page
+    * share every band, so the candidate join owes N²/2 verified pairs
+    * before CC ever runs — at 100 TB a boilerplate page crawled 10^4
+    * times is 5·10^7 pair rows for ONE cluster. But every stage of the
+    * pair pipeline (tokens → shingle set → signature → bands → Jaccard)
+    * is a function of the whitespace-normalized text, so docs sharing
+    * `md5(normText)` are interchangeable: the member graph is the blow-up
+    * of the distinct-text graph (cliques inside groups — identical docs
+    * have Jaccard 1 and collide in every band; cross-group edges hold for
+    * all members iff they hold for the reps). Components correspond 1:1,
+    * and since each group's rep is its min member, rep-graph CC labels
+    * ARE the full labels. So: one array-free aggregation to
+    * (text_hash → min doc, count), the whole minhash/LSH/verify pipeline
+    * over REP DOCS ONLY, pointer-jumping CC on the rep graph, one
+    * hash-keyed join back. Degenerate duplication SHRINKS the expensive
+    * stages instead of exploding them. Output-identical to CC over
+    * [[minhashNearDupPairs]] (spec-pinned; q149 shares q48's
+    * transitive-closure oracle).
+    *
+    * The `tokens >= 2` eligibility filter runs BEFORE grouping for the
+    * same reason it runs before the shingle projection in the pair
+    * spelling: a group of shingle-less docs must stay unclustered, not
+    * become a cnt>=2 "cluster" no pair graph would ever produce. */
+  def nearDupLabelsCollapsed(docs: DataFrame, threshold: Double = 0.8)
+      : DataFrame = {
+    val keyed = graft.Tables.spread(docs)
+      .filter(size(toks(col("text"))) >= 2)
+      .select(col("doc_id"), md5(normText(col("text"))).as("__th"))
+    val groups = keyed.groupBy("__th")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // two consumers: rep semi-join + member join
+    val repDocs = docs.join(
+      groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val repLabels = connectedComponentsFast(
+        minhashNearDupPairs(repDocs, threshold), "doc_id_a", "doc_id_b")
+      .select(col("doc_id").as("rep"), col("cluster_id").as("rep_cluster"))
+    keyed
+      .join(groups, "__th")
+      .join(repLabels, Seq("rep"), "left")
+      // a doc clusters iff its rep has a cross-text edge OR its text is
+      // shared (an isolated shared text is its own clique-component);
+      // unique unmatched texts stay out, matching the pair-graph CC output
+      .filter(col("rep_cluster").isNotNull || col("cnt") >= 2)
+      .select(col("doc_id"),
+        coalesce(col("rep_cluster"), col("rep")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
   /** Per-doc 32-bit SimHash fingerprints (token hashes materialized before

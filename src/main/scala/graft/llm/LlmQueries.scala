@@ -585,6 +585,18 @@ FROM k GROUP BY source ORDER BY source""")),
         .orderBy("doc_id"),
       Some(ccOracleSql)),
 
+    // The same clustering through the EXACT-DEDUP-FIRST composition
+    // (group by normalized-text hash -> minhash/LSH/verify over rep docs
+    // only -> rep-graph CC -> hash-keyed blow-up) — the 100 TB production
+    // spelling, where a boilerplate page crawled 10^4 times costs one
+    // group row instead of 5*10^7 verified pairs. Shares q48's
+    // transitive-closure oracle: THREE independent implementations, one
+    // answer.
+    Q("q149_neardup_clusters_collapsed",
+      (s, dir) => Dedup.nearDupLabelsCollapsed(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some(ccOracleSql)),
+
     // Deterministic corpus shuffle into training shards: independent hashes
     // pick the shard and the within-shard order, so the training-example
     // sequence is fixed across runs/retries/cluster sizes — the

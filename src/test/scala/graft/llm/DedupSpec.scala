@@ -148,4 +148,79 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("connectedComponentsFast: scattered-id path converges with flat round cost (stats-free checkpoints)") {
+    // Regression for the localCheckpoint origin-stats blow-up: a path whose
+    // node ids are SHUFFLED relative to topology propagates its minimum far
+    // slower than the consecutive-id chain above (one worst-frontier hop
+    // per round instead of textbook doubling), so CC runs 15+ rounds — and
+    // Dataset.localCheckpoint's carried statistics, squared by each round's
+    // label self-join, made round cost DOUBLE past ~16 rounds (BigInteger
+    // arithmetic inside join estimation; an effective hang by round 23).
+    // With the stats-free checkpoint the whole run stays in seconds.
+    val rng = new scala.util.Random(7)
+    val ids = rng.shuffle((0L until 100L).toVector)
+    val pairs = ids.sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("doc_id_a", "doc_id_b")
+    val t0 = System.nanoTime()
+    val labels = Dedup.connectedComponentsFast(pairs, "doc_id_a", "doc_id_b")
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(labels.length === 100 && labels.forall(_.getLong(1) == 0L))
+    assert(secs < 120.0,
+      f"rounds must stay cheap once checkpoints drop origin stats ($secs%.1f s)")
+  }
+
+  test("nearDupLabelsCollapsed == CC over the pair spelling (exact groups, chains, shorties)") {
+    // exact-dup groups (incl. whitespace/case variants), a near-dup chain
+    // bridging two groups, unrelated singletons, and sub-shingle docs
+    // that must stay out of every cluster
+    val mixed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "  THE  quick  brown fox jumps over the lazy dog "),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (6L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "completely different text about spark engines"),
+      (7L, "an unrelated essay on columnar execution and shuffles"),
+      (8L, "tiny"), (9L, "tiny"), (10L, "")
+    ).map { case (id, t) => (id, t, "en", s"s${id % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val direct = Dedup.nearDupLabelsCollapsed(mixed, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val viaPairs = Dedup.connectedComponentsFast(
+        Dedup.minhashNearDupPairs(mixed, 0.5), "doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(direct === viaPairs && direct.nonEmpty)
+    // the fixture binds: {1,2,5} merged with {3,6} through the near edge...
+    assert(direct.contains((6L, 1L, false)), direct.toString)
+    // ...and the shingle-less exact dups {8,9} never became a "cluster"
+    assert(!direct.exists(l => l._1 == 8L || l._1 == 9L || l._1 == 10L))
+  }
+
+  test("10^4 identical crawls cluster without the quadratic pair stage") {
+    // The pair spelling owes ~5*10^7 verified pairs for this corpus (its
+    // candidate join's output contract); the collapsed path's expensive
+    // stages see exactly TWO rep docs. Completing in unit-test time IS the
+    // evidence; labels are oracle-by-construction (the clique plus its
+    // whitespace/case variants all labeled 0 — normText grouping, the same
+    // key exactDedup collapses on; the unrelated doc stays out). Cross-
+    // GROUP near edges are the previous test's job.
+    val page = "subscribe to our newsletter for updates terms privacy contact"
+    val dup = spark.range(10000).selectExpr(
+      "id AS doc_id", s"'$page' AS text", "'en' AS lang",
+      "concat('s', id % 4) AS source", s"${page.length}L AS n_chars")
+    val rest = Seq(
+      (20000L, s"  ${page.toUpperCase}  "),
+      (20001L, page.replace(" ", "   ")),
+      (30000L, "a genuinely distinct technical document body")
+    ).map { case (id, t) => (id, t, "en", "s9", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val labels = Dedup.nearDupLabelsCollapsed(dup.unionByName(rest), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(labels.length === 10002, s"got ${labels.length}")
+    assert(labels.forall(_._2 == 0L))
+    assert(labels.count(_._3) === 1 && labels.find(_._3).get._1 === 0L)
+    assert(!labels.exists(_._1 == 30000L), "distinct doc leaked into a cluster")
+  }
 }
