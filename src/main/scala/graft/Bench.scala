@@ -23,6 +23,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Sample host load BEFORE any of our own work: the contended flag asks
+    // "was someone ELSE using this host", and sampling after session init +
+    // the 32-thread warehouse warmup measured our own burst instead (a run
+    // launched at /proc/loadavg 0.03 sampled 2.51 post-warmup and flagged
+    // itself). Both samples travel in the JSON: loadavg_launch (pre-JVM-work,
+    // drives the flag) and loadavg_start (post-warmup, the old field, kept
+    // for continuity with r10-r12 artifacts).
+    val osBeanEarly = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val loadLaunch = osBeanEarly.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -134,12 +145,16 @@ object Bench {
     // numbers so a polluted run can never silently stand in for a quiet
     // one. Threshold scales with host width (a loadavg of 3 is idle on 64
     // cores, saturation on 2) with a floor of 2.0 — the level measured to
-    // skew THIS suite's numbers on the 32-core reference host.
-    val contended = loadStart > math.max(2.0, cpus.toDouble / 16.0)
+    // skew THIS suite's numbers on the 32-core reference host. The flag
+    // reads loadavg_launch (sampled before our own JVM did any work):
+    // pre-existing load is what skews measurements; the bench's own warmup
+    // burst is identical across runs and was flagging every run on this
+    // host regardless of how idle it actually was.
+    val contended = loadLaunch > math.max(2.0, cpus.toDouble / 16.0)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":$sf,""" +
         s""""cpu_sec":$cpuJson,"gc_sec":$gcJson,"runs":$runsJson,"total_cpu_sec":${fmt(totalCpu)},""" +
-        s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"cpus":$cpus,"contended":$contended}"""
+        s""""loadavg_launch":${fmt(loadLaunch)},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg)},"cpus":$cpus,"contended":$contended}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     // The driver keeps only the LAST 2000 chars of stdout and parses a JSON
     // line out of them; the full-detail line above is ~14 KB, so it has
@@ -156,7 +171,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qsShort,""" +
         s""""failed":$failed,"sf":$sf,"total_cpu_sec":${fmt3(totalCpu)},""" +
-        s""""loadavg_start":${fmt3(loadStart)},"loadavg_end":${fmt3(loadavg)},"cpus":$cpus,""" +
+        s""""loadavg_launch":${fmt3(loadLaunch)},"loadavg_start":${fmt3(loadStart)},"loadavg_end":${fmt3(loadavg)},"cpus":$cpus,""" +
         s""""contended":$contended}""")
     spark.stop()
   }
