@@ -297,10 +297,12 @@ object Selection {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cv")))),
           s => s.getField("cv")).as("cw_new"))
-      cb = cb.join(means, Seq("m", "code"), "left")
-        .select(col("m"), col("code"),
-          coalesce(col("cw_new"), col("cw")).as("cw"))
-        .localCheckpoint(true)
+      // stats-free: cb enters the round plan twice (assign + carry-forward
+      // join) — same squaring hazard as kmeansTrain/connectedComponents
+      cb = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(
+        cb.join(means, Seq("m", "code"), "left")
+          .select(col("m"), col("code"),
+            coalesce(col("cw_new"), col("cw")).as("cw")))
     }
     cb
   }

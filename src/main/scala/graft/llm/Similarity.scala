@@ -217,10 +217,13 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("centroid")))),
           s => s.getField("centroid")).as("cent_new"))
-      cents = cents.join(means, Seq("cell"), "left")
-        .select(col("cell"),
-          coalesce(col("cent_new"), col("cent")).as("cent"))
-        .localCheckpoint(true)
+      // stats-free: cents enters the round plan twice (assign + carry-
+      // forward join), so a plain localCheckpoint's carried statistics
+      // would square per round — see GraftSqlBridge.localCheckpointNoStats
+      cents = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(
+        cents.join(means, Seq("cell"), "left")
+          .select(col("cell"),
+            coalesce(col("cent_new"), col("cent")).as("cent")))
     }
     cents
   }
