@@ -1,0 +1,281 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Reference-LM perplexity scoring — the CCNet quality-filter pattern
+  * (Wenzek et al. 2019, arXiv:1911.00359): train a per-language n-gram
+  * language model on a TRUSTED reference source (CCNet uses Wikipedia; here
+  * the synthetic corpus's `source = 'src0'` slice), score every document
+  * under its own language's model, and filter on mean per-token surprisal.
+  * Low surprisal = fluent, in-domain text; high = boilerplate/noise. This is
+  * extension surface (the reference warehouse has no text pipeline) — the
+  * self-trained q73/q102 surprisal scores are in-corpus signals; this family
+  * adds the out-of-domain scoring CCNet actually filters with: the model is
+  * trained on one corpus and applied to another, so unseen tokens/bigrams
+  * are normal and smoothing is load-bearing.
+  *
+  * Smoothing = "stupid backoff" (Brants et al. 2007, "Large Language Models
+  * in Machine Translation"): unnormalized scores
+  *
+  *   S(w2|w1) = c(w1 w2)/c(w1)        if the bigram was seen, else
+  *              0.4 * c(w2)/N         if the unigram w2 was seen, else
+  *              0.4 * 1/N             (out-of-vocabulary floor)
+  *
+  * — no discounting or normalization pass, which is exactly why it scales:
+  * the model IS the count tables, counts are additive over doc-disjoint
+  * shards ([[mergeLmUnigramStats]]/[[mergeLmBigramStats]] — the same
+  * composition law as the BM25 stats tables), and training is one
+  * map-side-combinable groupBy per n-gram order.
+  *
+  * Determinism/oracle discipline (SURVEY §7.4): n-grams shuffle as 60-bit
+  * md5 hashes ([[TextOps.hash60]]), never strings (the q102 recipe); each
+  * per-bigram surprisal −ln S is quantized to integer micros BEFORE the
+  * per-doc sum, so aggregation order cannot move a bit; every double op is
+  * mirrored term-by-term in the DuckDB oracle.
+  *
+  * Scale shape (100 TB corpus, bounded reference): the unigram table is
+  * vocabulary-sized and the per-lang token totals are one row per language —
+  * both broadcast. The bigram table is reference-corpus-bounded (CCNet's
+  * per-lang models are a few GB): below the broadcast threshold AQE
+  * broadcasts it; beyond, the score join shuffles the exploded corpus ONCE
+  * on (lang, hp, hb) while both unigram probes stay map-side. Nothing in
+  * the plan is ever keyed on corpus-scale strings.
+  */
+object LangModel {
+
+  /** Backoff multiplier λ from Brants et al. 2007 §4 (their empirically
+    * fixed 0.4). Embedded as a literal on both engines. */
+  val Backoff = 0.4
+
+  /** The trusted reference source the per-language models train on. */
+  val RefSource = "src0"
+
+  /** Mean-surprisal keep threshold for [[lmFilter]], in nats. Documents at
+    * or below it pass (lower surprisal = more reference-like). Calibrated
+    * once on the synthetic corpus: reference docs average ~2.2 nats, the
+    * rest ~3.8 (p50 3.76, p90 4.18) — 4.0 keeps the head+middle and drops
+    * the worst ~quarter, the CCNet head/middle/tail shape. */
+  val MaxAvgSurprisal = 4.0
+
+  /** Per-doc bigram hash frame: one row per adjacent token pair with the
+    * three hashes scoring needs — hp = h(w1) (context count probe),
+    * hb = h("w1 w2") (bigram probe), h2 = h(w2) (backoff unigram probe).
+    * Hash-only output: corpus-scale shuffles downstream never carry text. */
+  private[llm] def bigramFrame(docs: DataFrame): DataFrame =
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(
+            hash60(element_at(col("t"), i + 1)).as("hp"),
+            hash60(concat(element_at(col("t"), i + 1), lit(" "),
+              element_at(col("t"), i + 2))).as("hb"),
+            hash60(element_at(col("t"), i + 2)).as("h2")))).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.hp").as("hp"),
+        col("p.hb").as("hb"), col("p.h2").as("h2"))
+
+  /** Per-language unigram counts over a reference corpus: (lang, h, c_uni).
+    * One explode + one hash-keyed count with map-side partials. */
+  def lmUnigramStats(ref: DataFrame): DataFrame =
+    graft.Tables.spread(ref)
+      .select(col("lang"), explode(toks(col("text"))).as("w"))
+      .select(col("lang"), hash60(col("w")).as("h"))
+      .groupBy("lang", "h").agg(count(lit(1)).as("c_uni"))
+
+  /** Per-language bigram counts over a reference corpus:
+    * (lang, hp, hb, c_pair). hp rides along (functionally determined by hb
+    * for real bigrams, 2^-60 collisions aside) so scoring probes one table. */
+  def lmBigramStats(ref: DataFrame): DataFrame =
+    bigramFrame(ref)
+      .groupBy("lang", "hp", "hb").agg(count(lit(1)).as("c_pair"))
+
+  /** Per-language token totals (lang, n_tok) — derived from the unigram
+    * table, so a merged/appended model's totals are always consistent with
+    * its counts (the BM25 corpus-stats discipline). */
+  def lmCorpusStats(uni: DataFrame): DataFrame =
+    uni.groupBy("lang").agg(sum("c_uni").as("n_tok"))
+
+  /** Counts are sums over docs, so doc-disjoint shards compose EXACTLY:
+    * merged stats == one-shot stats over the union corpus (spec-pinned).
+    * Same additivity law as [[TextAnalysis.mergeBm25TermStats]]. */
+  def mergeLmUnigramStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("lang", "h")
+      .agg(sum("c_uni").as("c_uni"))
+
+  def mergeLmBigramStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("lang", "hp", "hb")
+      .agg(sum("c_pair").as("c_pair"))
+
+  /** Score documents under a trained model: per doc,
+    * avg_surprisal = mean over its bigrams of −ln S(w2|w1) (nats, via the
+    * integer-micro quantization described in the object scaladoc).
+    *
+    * Documents whose `lang` has no reference model are DROPPED (inner join
+    * on the per-lang totals): there is nothing meaningful to score them
+    * against — CCNet likewise only scores languages it has a model for.
+    * Sub-2-token documents have no bigrams and are likewise absent.
+    *
+    * Join shape: totals + unigrams broadcast (vocabulary-sized); the bigram
+    * model joins on (lang, hp, hb) — AQE-broadcast here, a single exploded-
+    * corpus shuffle at reference scales beyond the threshold. */
+  def lmScoreWith(docs: DataFrame, uni: DataFrame, pair: DataFrame)
+      : DataFrame = {
+    val u1 = uni.select(col("lang"), col("h").as("hp"),
+      col("c_uni").as("c1"))
+    val u2 = uni.select(col("lang"), col("h").as("h2"),
+      col("c_uni").as("c2"))
+    val n = lmCorpusStats(uni)
+    val micro = (x: Column) =>
+      floor(x * lit(1000000) + lit(0.5)).cast("long")
+    val sMicro =
+      when(col("c_pair").isNotNull,
+        micro(log(col("c1").cast("double")) -
+          log(col("c_pair").cast("double"))))
+      .when(col("c2").isNotNull,
+        micro(log(col("n_tok").cast("double")) -
+          log(col("c2").cast("double") * lit(Backoff))))
+      .otherwise(
+        micro(log(col("n_tok").cast("double")) - log(lit(Backoff))))
+    bigramFrame(docs)
+      .join(pair, Seq("lang", "hp", "hb"), "left")
+      .join(broadcast(u1), Seq("lang", "hp"), "left")
+      .join(broadcast(u2), Seq("lang", "h2"), "left")
+      .join(broadcast(n), Seq("lang"))
+      .select(col("doc_id"), col("lang"), sMicro.as("s_micro"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s_micro").as("sum_micro"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        (col("sum_micro").cast("double") / col("n_bigrams").cast("double")
+          / lit(1000000.0)).as("avg_surprisal"))
+  }
+
+  /** Train-on-reference + score-everything convenience: the CCNet pass.
+    * The reference slice is a pushed-down filter of the same scan. */
+  def lmScore(docs: DataFrame, refSource: String = RefSource): DataFrame = {
+    val ref = docs.filter(col("source") === refSource)
+    lmScoreWith(docs, lmUnigramStats(ref), lmBigramStats(ref))
+  }
+
+  /** The perplexity quality filter: keep documents whose mean surprisal
+    * under their language's reference model is at most `maxAvg` nats.
+    * Unscorable docs (no model for the lang, or <2 tokens) do not pass —
+    * at 100 TB those route to their own review bucket, not silently into
+    * the kept set. */
+  def lmFilter(docs: DataFrame, maxAvg: Double = MaxAvgSurprisal,
+      refSource: String = RefSource): DataFrame =
+    lmScore(docs, refSource)
+      .filter(col("avg_surprisal") <= maxAvg)
+      .select("doc_id", "lang", "n_bigrams", "avg_surprisal")
+
+  // ---------------------------------------------------------------------------
+  // Registered queries + DuckDB oracles
+  // ---------------------------------------------------------------------------
+
+  import graft.{Q, Tables}
+  import LlmQueries.{h60, tokCte}
+
+  /** Shared oracle chain: bigram hash frame over all docs (with source so
+    * the model CTEs can restrict to the reference slice), reference model
+    * counts, and the three-tier backoff score — generated next to the Scala
+    * so the two spellings cannot drift. */
+  private def scoreCtes: String = s"""$tokCte,
+bi AS (SELECT doc_id, lang, source,
+         unnest([{'hp': ${h60("t[i+1]")},
+                  'hb': ${h60("t[i+1] || ' ' || t[i+2]")},
+                  'h2': ${h60("t[i+2]")}}
+                 for i in range(0, len(t) - 1)]) AS p
+       FROM tok WHERE len(t) >= 2),
+bh AS (SELECT doc_id, lang, source, p.hp AS hp, p.hb AS hb, p.h2 AS h2
+       FROM bi),
+rtok AS (SELECT lang, unnest(t) AS w FROM tok WHERE source = '$RefSource'),
+uni AS (SELECT lang, ${h60("w")} AS h, CAST(count(*) AS BIGINT) AS c_uni
+        FROM rtok GROUP BY 1, 2),
+pair AS (SELECT lang, hp, hb, CAST(count(*) AS BIGINT) AS c_pair
+         FROM bh WHERE source = '$RefSource' GROUP BY 1, 2, 3),
+n AS (SELECT lang, CAST(sum(c_uni) AS BIGINT) AS n_tok FROM uni GROUP BY 1),
+s AS (SELECT bh.doc_id, bh.lang,
+        CASE WHEN c_pair IS NOT NULL THEN
+               CAST(floor((ln(CAST(c1 AS DOUBLE)) - ln(CAST(c_pair AS DOUBLE)))
+                          * 1000000 + 0.5) AS BIGINT)
+             WHEN c2 IS NOT NULL THEN
+               CAST(floor((ln(CAST(n_tok AS DOUBLE))
+                           - ln(CAST(c2 AS DOUBLE) * $Backoff))
+                          * 1000000 + 0.5) AS BIGINT)
+             ELSE
+               CAST(floor((ln(CAST(n_tok AS DOUBLE)) - ln($Backoff))
+                          * 1000000 + 0.5) AS BIGINT) END AS s_micro
+      FROM bh
+      LEFT JOIN pair ON pair.lang = bh.lang AND pair.hp = bh.hp
+                    AND pair.hb = bh.hb
+      LEFT JOIN (SELECT lang, h, c_uni AS c1 FROM uni) u1
+             ON u1.lang = bh.lang AND u1.h = bh.hp
+      LEFT JOIN (SELECT lang, h, c_uni AS c2 FROM uni) u2
+             ON u2.lang = bh.lang AND u2.h = bh.h2
+      JOIN n ON n.lang = bh.lang),
+a AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(s_micro) AS BIGINT) AS sum_micro
+      FROM s GROUP BY doc_id, lang),
+scored AS (SELECT doc_id, lang, n_bigrams,
+             CAST(sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000.0
+               AS avg_surprisal
+           FROM a)"""
+
+  val queries: Seq[Q] = Seq(
+    // The CCNet pass end-to-end: train per-lang reference models on the
+    // trusted source, score EVERY document (reference docs included — they
+    // calibrate where the in-domain mass sits). Honest direct build: train
+    // + score in one plan, no mart.
+    Q("q150_lm_perplexity",
+      (s, dir) => lmScore(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH $scoreCtes
+SELECT doc_id, lang, n_bigrams, avg_surprisal FROM scored
+ORDER BY doc_id""")),
+
+    // The filter surface: survivors at the calibrated threshold.
+    Q("q151_lm_ppl_filter",
+      (s, dir) => lmFilter(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH $scoreCtes
+SELECT doc_id, lang, n_bigrams, avg_surprisal FROM scored
+WHERE avg_surprisal <= $MaxAvgSurprisal
+ORDER BY doc_id""")),
+
+    // Shard-composability gate: model counts are additive over doc-disjoint
+    // shards, so shard-trained + merged stats must equal the one-shot build
+    // AND score identically — the property that lets a 100 TB reference
+    // train incrementally (the BM25 stats-table law, q100 family). The
+    // oracle is the literal expected row (q147's gate pattern): the gate's
+    // value is the Spark-side multiset comparisons, not the SQL.
+    Q("q152_lm_stats_merge",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ref = docs.filter(col("source") === RefSource)
+        val (refA, refB) = (ref.filter(col("doc_id") % 2 === 0),
+          ref.filter(col("doc_id") % 2 =!= 0))
+        val mergedU = mergeLmUnigramStats(lmUnigramStats(refA),
+          lmUnigramStats(refB))
+        val mergedP = mergeLmBigramStats(lmBigramStats(refA),
+          lmBigramStats(refB))
+        val oneU = lmUnigramStats(ref)
+        val oneP = lmBigramStats(ref)
+        def diffCount(a: DataFrame, b: DataFrame, as: String): DataFrame =
+          a.exceptAll(b).unionByName(b.exceptAll(a))
+            .agg(count(lit(1)).as(as))
+        val sMerged = lmScoreWith(docs, mergedU, mergedP)
+        val sOne = lmScoreWith(docs, oneU, oneP)
+        diffCount(mergedU, oneU, "n_uni_diff")
+          .crossJoin(diffCount(mergedP, oneP, "n_pair_diff"))
+          .crossJoin(diffCount(sMerged, sOne, "n_score_diff"))
+          .crossJoin(oneU.agg(countDistinct(col("lang")).as("n_langs")))
+          .select(
+            (col("n_uni_diff") === 0).as("uni_identical"),
+            (col("n_pair_diff") === 0).as("pair_identical"),
+            (col("n_score_diff") === 0).as("scores_identical"),
+            (col("n_langs") >= 1).as("model_nonempty"))
+      },
+      Some("SELECT TRUE AS uni_identical, TRUE AS pair_identical, " +
+        "TRUE AS scores_identical, TRUE AS model_nonempty")))
+}

@@ -389,4 +389,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(cik#\\d+, doc_year#\\d+, \\d+\\)".r
       .findAllIn(q94).nonEmpty, s"q94 not keyed on (cik, doc_year):\n$q94")
   }
+
+  test("reference-LM scoring broadcasts the model probes; corpus scans stay 4-column") {
+    val p = plan("q150_lm_perplexity")
+    // unigram probes ×2 + per-lang totals are hinted broadcasts; the bigram
+    // model join is deliberately UNhinted (reference-bounded, AQE's call)
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the reference slice is a pushed filter of the documents scan
+    assert(p.contains("EqualTo(source,src0)"), p)
+    // nothing reads beyond the 4 columns the pass needs
+    assert(scanColumnSets(p).forall(
+      _.subsetOf(Set("doc_id", "lang", "text", "source"))), p)
+    // per-doc aggregation keeps its map-side partial stage
+    assert(p.contains("partial_"), p)
+  }
 }
