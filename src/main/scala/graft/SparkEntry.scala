@@ -321,7 +321,8 @@ object SparkEntry {
       Multimodal.queries ++ Skew.queries ++ AsofJoin.queries ++
       RangeJoin.queries ++ Quality.queries ++ Trends.queries ++
       IncrementalAgg.queries ++ Scd.queries ++ graft.llm.Curation.queries ++
-      graft.llm.Selection.queries ++ graft.llm.LangModel.queries
+      graft.llm.Selection.queries ++ graft.llm.LangModel.queries ++
+      ops.Zorder.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * ingest-shaped pipeline facts → statements → ratios → screener, surfaced

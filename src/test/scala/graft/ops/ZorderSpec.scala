@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Z-order layout: bit-exact interleave kernel, scaling endpoints, and the
+  * end-to-end layout gate (content preserved; both dimensions prunable
+  * under z-order while the single-dim baseline is blind off its key). */
+class ZorderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zvalue matches the local bit-twiddling reference") {
+    val rng = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 1023L),
+      ((1L << 21) - 1, (1L << 21) - 1)) ++
+      Seq.fill(50)((rng.nextLong(1L << 21), rng.nextLong(1L << 21)))
+    val got = cases.toDF("x", "y")
+      .select(Zorder.zvalue(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    assert(got.toSeq === cases.map { case (x, y) => Zorder.zvalueLocal(x, y) })
+    // bit 0 of x lands at position 0, bit 0 of y at position 1
+    assert(Zorder.zvalueLocal(1L, 0L) === 1L)
+    assert(Zorder.zvalueLocal(0L, 1L) === 2L)
+    assert(Zorder.zvalueLocal(3L, 3L) === 15L)
+  }
+
+  test("scaling maps the value range onto [0, 2^ScaleBits) inclusively") {
+    val cells = 1L << Zorder.ScaleBits
+    val got = Seq((5L, 5L, 905L), (905L, 5L, 905L), (455L, 5L, 905L))
+      .toDF("v", "mn", "mx")
+      .select(Zorder.scaled(col("v"), col("mn"), col("mx")).as("s"))
+      .as[Long].collect()
+    assert(got(0) === 0L)                      // min → first cell
+    assert(got(1) === 900L * cells / 901L)     // max → top occupied cell...
+    assert(got(1) < cells)                     // ...and never overflows
+    assert(got(2) === (455L - 5L) * cells / 901L)
+  }
+
+  test("the layout gate holds end-to-end: content preserved, both dims prunable") {
+    val row = graft.SparkEntry.queries("q154_zorder_layout_gate")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getBoolean(0), "content not preserved by the rewrite")
+    assert(row.getBoolean(1), "z-order failed to prune the 2-D box")
+    assert(row.getBoolean(2), "z-order not better than range layout on the y-band")
+    assert(row.getBoolean(3), "x-range baseline unexpectedly pruned the y-band")
+  }
+}
