@@ -123,7 +123,20 @@ object LangModel {
     * model joins on (lang, hp, hb) — AQE-broadcast here, a single exploded-
     * corpus shuffle at reference scales beyond the threshold. */
   def lmScoreWith(docs: DataFrame, uni: DataFrame, pair: DataFrame)
-      : DataFrame = {
+      : DataFrame =
+    scoredBigrams(docs, uni, pair)
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s_micro").as("sum_micro"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        (col("sum_micro").cast("double") / col("n_bigrams").cast("double")
+          / lit(1000000.0)).as("avg_surprisal"))
+
+  /** The pre-aggregation frame: one row per scored bigram,
+    * (doc_id, lang, s_micro). Shared by the batch fold above and the
+    * streaming twin (whose per-doc fold runs in flatMapGroupsWithState —
+    * the joins here are all stream-static, legal in append mode). */
+  private[graft] def scoredBigrams(docs: DataFrame, uni: DataFrame,
+      pair: DataFrame): DataFrame = {
     val u1 = uni.select(col("lang"), col("h").as("hp"),
       col("c_uni").as("c1"))
     val u2 = uni.select(col("lang"), col("h").as("h2"),
@@ -146,11 +159,19 @@ object LangModel {
       .join(broadcast(u2), Seq("lang", "h2"), "left")
       .join(broadcast(n), Seq("lang"))
       .select(col("doc_id"), col("lang"), sMicro.as("s_micro"))
-      .groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("n_bigrams"), sum("s_micro").as("sum_micro"))
-      .select(col("doc_id"), col("lang"), col("n_bigrams"),
-        (col("sum_micro").cast("double") / col("n_bigrams").cast("double")
-          / lit(1000000.0)).as("avg_surprisal"))
+  }
+
+  /** Persist the per-language reference model under `basePath/lm_model`:
+    * the two count tables ARE the model (stupid backoff has no
+    * normalization pass); totals re-derive from the unigrams at read so a
+    * later merged/appended model can never carry inconsistent totals. */
+  def writeLmModel(docs: DataFrame, basePath: String,
+      refSource: String = RefSource): Unit = {
+    val ref = docs.filter(col("source") === refSource)
+    lmUnigramStats(ref).write.mode("overwrite")
+      .parquet(s"$basePath/lm_model/uni")
+    lmBigramStats(ref).write.mode("overwrite")
+      .parquet(s"$basePath/lm_model/pair")
   }
 
   /** Train-on-reference + score-everything convenience: the CCNet pass.

@@ -941,6 +941,9 @@ c AS (SELECT doc_id, source, t,
       // the /quality endpoint scores against the written table
       Classifier.logregTrain(Tables.documents(s, dir), rounds = 5)
         .write.mode("overwrite").parquet(s"$base/quality_model")
+      // the per-language reference LM (q150) — /perplexity scores
+      // against the persisted count tables
+      LangModel.writeLmModel(Tables.documents(s, dir), base)
       1L
     }
     base

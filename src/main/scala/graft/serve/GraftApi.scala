@@ -139,6 +139,7 @@ class GraftApi(spark: SparkSession, sfDir: String,
       case ("GET", List("search"))          => searchEndpoint(ex, qp)
       case ("GET", List("phrase"))          => phraseEndpoint(ex, qp)
       case ("GET", List("quality"))         => qualityEndpoint(ex, qp)
+      case ("GET", List("perplexity"))      => perplexityEndpoint(ex, qp)
       case ("GET", List("imagedup"))        => imagedupEndpoint(ex, qp)
       case ("GET", List("similar"))         => similarEndpoint(ex, qp)
       case ("GET", List("hybrid"))          => hybridEndpoint(ex, qp)
@@ -335,6 +336,68 @@ class GraftApi(spark: SparkSession, sfDir: String,
         o.put("doc_id", r.getAs[Long]("doc_id"))
         o.put("s_micro", r.getAs[Long]("s_micro"))
         o.put("rule_pass", r.getAs[Long]("y") == 1L)
+      })
+    }
+  }
+
+  // the per-language reference LM (q150) — two count tables written at
+  // index build. Same availability discipline as the quality model: the
+  // POSITIVE existence answer memoizes, the NEGATIVE one re-checks per
+  // request so writing lm_model/ heals a running server without restart.
+  @volatile private var lmModelSeen: Boolean = false
+  private def hasLmModel: Boolean =
+    lmModelSeen || {
+      val p = new org.apache.hadoop.fs.Path(s"$searchIndexBase/lm_model")
+      val found =
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      if (found) lmModelSeen = true
+      found
+    }
+  private lazy val idxLmUni: DataFrame = {
+    val df = spark.read.parquet(s"$searchIndexBase/lm_model/uni").cache()
+    df.count()
+    df
+  }
+  private lazy val idxLmPair: DataFrame = {
+    val df = spark.read.parquet(s"$searchIndexBase/lm_model/pair").cache()
+    df.count()
+    df
+  }
+
+  /** The /perplexity scoring frame: the q150 scorer restricted to one doc —
+    * a pushed point-read of the documents table; the exploded side is one
+    * document's bigrams, every model probe a broadcast. */
+  private[serve] def perplexityFrame(docId: Long): DataFrame =
+    graft.llm.LangModel.lmScoreWith(
+      graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") === docId),
+      idxLmUni, idxLmPair)
+
+  /** GET /perplexity?doc_id=42 — mean per-bigram surprisal under the doc's
+    * language reference model (persisted at index build) plus the q151
+    * filter verdict. 404 when the doc is absent or unscorable (no model
+    * for its language, or fewer than two tokens — the batch scorer's drop
+    * semantics, surfaced instead of silently defaulted). */
+  private def perplexityEndpoint(ex: HttpExchange,
+      qp: Map[String, String]): Unit = {
+    if (!hasLmModel) {
+      reply(ex, 503, obj(_.put("detail",
+        "index root has no reference LM — rebuild the retrieval index " +
+          "or write lm_model/ under the index root")))
+      return
+    }
+    val docId = qp.get("doc_id").map(parseInt("doc_id", _))
+      .getOrElse(throw new IllegalArgumentException("doc_id is required"))
+    perplexityFrame(docId.toLong).collect().headOption match {
+      case None => reply(ex, 404,
+        obj(_.put("detail", "doc_id not found or not scorable")))
+      case Some(r) => reply(ex, 200, obj { o =>
+        o.put("doc_id", r.getAs[Long]("doc_id"))
+        o.put("lang", r.getAs[String]("lang"))
+        o.put("n_bigrams", r.getAs[Long]("n_bigrams"))
+        o.put("avg_surprisal", r.getAs[Double]("avg_surprisal"))
+        o.put("keep", r.getAs[Double]("avg_surprisal") <=
+          graft.llm.LangModel.MaxAvgSurprisal)
       })
     }
   }

@@ -180,6 +180,36 @@ object StreamOps {
       model: DataFrame): DataFrame =
     graft.llm.Classifier.scoreFrame(docsStream, model)
 
+  /** Streaming twin of the q150 reference-LM perplexity scorer: the shared
+    * per-bigram kernel ([[graft.llm.LangModel.scoredBigrams]] — explode +
+    * stream-static model joins, all legal in append mode) followed by a
+    * per-doc fold in flatMapGroupsWithState with NO retained state: a
+    * document's bigrams are derived from its own input row, so every group
+    * is complete within its micro-batch and emits immediately — bounded
+    * memory on an unbounded stream (state is never stored; a re-delivered
+    * doc re-emits, the same contract as every append projection twin).
+    * Same integer-micro arithmetic and ((sum/n)/1e6) association as the
+    * batch fold, so stream output == batch output row-for-row. */
+  def lmScoreStream(docsStream: DataFrame, uni: DataFrame,
+      pair: DataFrame): DataFrame = {
+    import docsStream.sparkSession.implicits._
+    graft.llm.LangModel.scoredBigrams(docsStream, uni, pair)
+      .as[(Long, String, Long)]
+      .groupByKey { case (docId, lang, _) => (docId, lang) }
+      .flatMapGroupsWithState[Int, (Long, String, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long)],
+            state: GroupState[Int]) =>
+          var n = 0L
+          var sum = 0L
+          rows.foreach { case (_, _, sMicro) => n += 1; sum += sMicro }
+          // state deliberately untouched: nothing outlives the batch
+          Iterator.single((key._1, key._2, n,
+            sum.toDouble / n.toDouble / 1000000.0))
+      }
+      .toDF("doc_id", "lang", "n_bigrams", "avg_surprisal")
+  }
+
   /** Streaming twin of the media curation gate (q138): the batch kernel is
     * a single zero-shuffle mapPartitions (encode seam → decode both
     * modalities → flag verdict), so the streaming form IS the batch

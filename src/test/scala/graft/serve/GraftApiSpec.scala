@@ -203,6 +203,34 @@ class GraftApiSpec extends SparkSpec {
       s"doc_id not pushed into the point read:\n$p")
   }
 
+  test("GET /perplexity serves the persisted reference LM; 404 on a miss") {
+    val (code, body) = get("/perplexity?doc_id=7")
+    assert(code === 200)
+    assert(body.get("doc_id").asLong() === 7L)
+    // the served score equals the batch scorer's against the same model
+    val dir0 = "/root/testdata/sf0.001"
+    val base = graft.llm.Selection.retrievalIndex(spark, dir0)
+    val batch = graft.llm.LangModel.lmScoreWith(
+      graft.Tables.documents(spark, dir0),
+      spark.read.parquet(s"$base/lm_model/uni"),
+      spark.read.parquet(s"$base/lm_model/pair"))
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 7L)
+      .collect().head
+    assert(body.get("avg_surprisal").asDouble() ===
+      batch.getAs[Double]("avg_surprisal"))
+    assert(body.get("n_bigrams").asLong() === batch.getAs[Long]("n_bigrams"))
+    assert(body.get("lang").asText() === batch.getAs[String]("lang"))
+    assert(body.get("keep").asBoolean() ===
+      (batch.getAs[Double]("avg_surprisal") <=
+        graft.llm.LangModel.MaxAvgSurprisal))
+    assert(get("/perplexity?doc_id=99999999")._1 === 404)
+    assert(get("/perplexity")._1 === 422)
+    // point-read shape: the doc_id predicate pushes into the documents scan
+    val p = api.perplexityFrame(7L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("doc_id"),
+      s"doc_id not pushed into the point read:\n$p")
+  }
+
   test("GET /similar serves ANN from the persisted IVFADC index; plan opens only probed cells") {
     val (code, body) = get("/similar?vec_id=42&k=5")
     assert(code === 200)

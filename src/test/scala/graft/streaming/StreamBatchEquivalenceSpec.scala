@@ -346,6 +346,30 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       graft.llm.Classifier.logregScore(docsDF, model), "quality score")
   }
 
+  test("lmScoreStream == batch reference-LM scorer against the same written model") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("lmscore").toString
+    val docsDF = docsFixture.toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.llm.LangModel.writeLmModel(docsDF, tmp)
+    val uni = spark.read.parquet(s"$tmp/lm_model/uni")
+    val pair = spark.read.parquet(s"$tmp/lm_model/pair")
+    val (first, second) = docsFixture.splitAt(docsFixture.size / 2)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val out = StreamOps.lmScoreStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      uni, pair)
+    val q = out.writeStream.format("memory").queryName("lmscore")
+      .outputMode("append").start()
+    try {
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assertSameRows(spark.table("lmscore"),
+      graft.llm.LangModel.lmScoreWith(docsDF, uni, pair), "lm score")
+  }
+
   test("mediaGateStream == batch media curation gate (shared single-pass kernel)") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
