@@ -465,6 +465,71 @@ FROM (SELECT doc_id FROM documents WHERE source <> 'src1') d
 LEFT JOIN hits h ON h.doc_id = d.doc_id
 ORDER BY d.doc_id"""
 
+  /** Integer-micro PageRank iteration CTEs (see [[GraphRank.pageRank]]):
+    * expects an `edges` CTE (symmetrized src/dst) in scope and emits
+    * `deg`/`gnodes`/`nn`/`pr0..pr{iters}` — every step BIGINT floor
+    * division, so the replay is bit-exact. DuckDB's sum(BIGINT) widens to
+    * HUGEINT; the CASTs pin every column back to BIGINT to match Spark. */
+  private def pagerankCtes(iters: Int): String = {
+    val base = s"""deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+gnodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+nn AS (SELECT count(*) AS n FROM gnodes),
+pr0 AS (SELECT doc_id, CAST(1000000 // (SELECT n FROM nn) AS BIGINT) AS r
+        FROM gnodes)"""
+    val its = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT e.dst AS doc_id,
+  CAST((150000 // (SELECT n FROM nn)) +
+       ((85 * CAST(sum(rr.r // d.deg) AS BIGINT)) // 100) AS BIGINT) AS r
+  FROM edges e JOIN pr${i - 1} rr ON rr.doc_id = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst)"""
+    }
+    (base +: its).mkString(",\n")
+  }
+
+  /** Personalized-PageRank iteration CTEs (teleport mass pinned on `seed`,
+    * see [[GraphRank.personalizedPageRank]]): expects `edges`, emits
+    * `deg`/`gnodes`/`pp0..pp{iters}`. LEFT JOIN keeps unreached nodes at
+    * rank 0 — same rows as the Spark side's nodes-anchored left join. */
+  private def pprCtes(seed: Long, iters: Int): String = {
+    val base = s"""deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+gnodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+pp0 AS (SELECT doc_id,
+          CAST(CASE WHEN doc_id = $seed THEN 1000000 ELSE 0 END AS BIGINT) AS r
+        FROM gnodes)"""
+    val its = (1 to iters).map { i =>
+      s"""pp$i AS (SELECT g.doc_id,
+  CAST(CASE WHEN g.doc_id = $seed THEN 150000 ELSE 0 END +
+       ((85 * CAST(coalesce(s.cs, 0) AS BIGINT)) // 100) AS BIGINT) AS r
+  FROM gnodes g LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(rr.r // d.deg) AS cs
+    FROM edges e JOIN pp${i - 1} rr ON rr.doc_id = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.doc_id = g.doc_id)"""
+    }
+    (base +: its).mkString(",\n")
+  }
+
+  /** JL sign-projection as SQL: [[Similarity.JlDim]] list_dot_products
+    * against the SAME ±1 literal rows the Spark plan uses (jlSigns is a pure
+    * function of the md5 convention, evaluated once here at SQL-build time). */
+  private def jlProjSql(vExpr: String): String = {
+    val signs = Similarity.jlSigns(inDim = 64)
+    signs.map(row => s"list_dot_product($vExpr, [${
+      row.map(d => if (d > 0) "1.0" else "-1.0").mkString(",")}])")
+      .mkString("[", ",\n ", "]")
+  }
+
+  /** The JL prefilter candidate CTE chain (shared by q157 and its q158
+    * recall gate): project, rank by projected cosine, keep the top
+    * [[Similarity.adaptiveJlCands]] ids (resolves to the literal 200 for
+    * every N ≤ 2000, i.e. at the correctness SF). */
+  private val jlCandCtes: String = s"""$embCte,
+pj AS (SELECT vec_id, label, v, ${jlProjSql("v")} AS p FROM e),
+qq AS (SELECT v AS qv, p AS qp FROM pj WHERE vec_id = 0),
+sc AS (SELECT pj.vec_id, ${cosineSql("pj.p", "qq.qp")} AS pc FROM pj, qq),
+cand AS (SELECT vec_id FROM sc ORDER BY pc DESC, vec_id ASC LIMIT 200)"""
+
   // ---------------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------------
@@ -1809,5 +1874,100 @@ SELECT split,
   CAST(sum(agree) AS BIGINT) AS n_agree,
   CAST((sum(p * 2 * cum_n + p * nn) * 500000)
     // nullif(sum(p) * sum(nn), 0) AS BIGINT) AS auc_micro
-FROM c GROUP BY split ORDER BY split""")))
+FROM c GROUP BY split ORDER BY split""")),
+
+    // Graph centrality over the near-dup similarity graph: fixed-4-iteration
+    // integer-micro PageRank (GraphRank scaladoc has the scale model). Reads
+    // the memoized pair mart; the oracle unrolls the same four iterations in
+    // BIGINT floor arithmetic — bit-exact, no float summation order.
+    Q("q155_graph_pagerank",
+      (s, dir) => GraphRank.pageRank(nearDupPairs(s, dir)).orderBy("doc_id"),
+      Some(s"""
+WITH $minhashCtes,
+pairs AS (SELECT doc_id_a, doc_id_b FROM j WHERE jaccard >= 0.8),
+edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+          UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+${pagerankCtes(4)}
+SELECT doc_id, r AS rank_micros FROM pr4 ORDER BY doc_id""")),
+
+    // Centrality-aware survivorship: per near-dup cluster keep the MOST
+    // CENTRAL member (max PageRank, ties -> min doc_id) as the canonical
+    // representative — the doc most similar to the rest of its cluster is
+    // the least likely to be the truncated/mangled copy (vs q48's min-id
+    // rule). One window over the label mart x rank table.
+    Q("q156_central_representatives",
+      (s, dir) => GraphRank.centralRepresentatives(
+        nearDupLabels(s, dir), GraphRank.pageRank(nearDupPairs(s, dir)))
+        .orderBy("cluster_id"),
+      Some(s"""$ccLabelsCtes,
+${pagerankCtes(4)},
+m AS (SELECT l.cluster_id, l.doc_id, rr.r
+      FROM labels l JOIN pr4 rr ON rr.doc_id = l.doc_id),
+w AS (SELECT cluster_id, doc_id, r,
+        row_number() OVER (PARTITION BY cluster_id
+          ORDER BY r DESC, doc_id ASC) AS rn,
+        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+          AS cluster_size
+      FROM m)
+SELECT cluster_id, doc_id AS rep_doc_id, CAST(r AS BIGINT) AS rank_micros,
+       cluster_size
+FROM w WHERE rn = 1 ORDER BY cluster_id""")),
+
+    // Personalized PageRank from a seed document: teleport mass pinned on
+    // the seed, so rank = graph-diffusion proximity — random-walk "related
+    // documents" over the near-dup graph. Unreached nodes kept at rank 0.
+    Q("q159_personalized_pagerank",
+      (s, dir) => GraphRank.personalizedPageRank(nearDupPairs(s, dir), 8L)
+        .orderBy(col("rank_micros").desc, col("doc_id")),
+      Some(s"""
+WITH $minhashCtes,
+pairs AS (SELECT doc_id_a, doc_id_b FROM j WHERE jaccard >= 0.8),
+edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+          UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+${pprCtes(8L, 4)}
+SELECT doc_id, r AS rank_micros FROM pp4
+ORDER BY rank_micros DESC, doc_id""")),
+
+    // ANN via Johnson-Lindenstrauss sign-projection prefilter: rank the
+    // corpus in the 32-dim projected space (narrow column, half the
+    // multiply-adds), exact-rerank only the top candidate ids (broadcast
+    // semi-join point-fetch of the wide vectors). Same output contract as
+    // q24's brute baseline; q158 measures the recall. Candidate budget is
+    // adaptive (see Similarity.adaptiveJlCands — floors to the oracle's
+    // literal 200 at the correctness SF).
+    Q("q157_jl_prefilter_topk",
+      (s, dir) => Similarity.jlPrefilterTopK(
+        Tables.embeddings(s, dir), 0L, k = 20,
+        cands = Similarity.adaptiveJlCands(embCount(s, dir))),
+      Some(s"""
+WITH $jlCandCtes
+SELECT e.vec_id, e.label, ${cosineSql("e.v", "qq.qv")} AS cosine
+FROM e JOIN cand USING (vec_id), qq
+ORDER BY cosine DESC, vec_id ASC LIMIT 20""")),
+
+    // Recall gate for q157: |JL top-20 ∩ brute top-20| as integer micros.
+    // Both chains replayed on both engines — the measured recall is part of
+    // the contract, not an assumption.
+    Q("q158_jl_recall_gate",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val jl = Similarity.jlPrefilterTopK(emb, 0L, k = 20,
+          cands = Similarity.adaptiveJlCands(embCount(s, dir)))
+          .select("vec_id")
+        val br = Similarity.bruteTopK(emb, 0L, 20).select("vec_id")
+        jl.join(br, Seq("vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(20L).as("k"), col("n_hits"),
+            expr("(n_hits * 1000000) div 20").as("recall_micros"))
+      },
+      Some(s"""
+WITH $jlCandCtes,
+jl AS (SELECT e.vec_id, ${cosineSql("e.v", "qq.qv")} AS cosine
+       FROM e JOIN cand USING (vec_id), qq
+       ORDER BY cosine DESC, vec_id ASC LIMIT 20),
+brute AS (SELECT e.vec_id FROM e, qq
+          ORDER BY ${cosineSql("e.v", "qq.qv")} DESC, vec_id ASC LIMIT 20)
+SELECT CAST(20 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST((count(*) * 1000000) // 20 AS BIGINT) AS recall_micros
+FROM jl JOIN brute USING (vec_id)""")))
 }

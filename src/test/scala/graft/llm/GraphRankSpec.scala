@@ -1,0 +1,102 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Integer-micro PageRank: exact agreement with an in-test reference
+  * implementation of the same integer recurrence, structural properties
+  * (star center ranks highest, mass conservation), and the
+  * max-rank/min-id survivorship rule of centralRepresentatives. */
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** In-test reference: the SAME integer recurrence, driver-side. */
+  private def refRanks(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = deg.keySet
+    val n = nodes.size.toLong
+    var r = nodes.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => r(src) / deg(src) }.sum).toMap
+      r = nodes.map(v => v -> (150000L / n + 85L * in(v) / 100L)).toMap
+    }
+    r
+  }
+
+  private def sparkRanks(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphRank.pageRank(pairs.toDF("doc_id_a", "doc_id_b")).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+
+  test("path graph matches the reference integer recurrence exactly") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(sparkRanks(pairs) === refRanks(pairs, 4))
+  }
+
+  test("star graph: center ranks highest, leaves tie, mass ~conserved") {
+    val pairs = (1L to 6L).map(l => (0L, l))
+    val r = sparkRanks(pairs)
+    assert(r === refRanks(pairs, 4))
+    assert((1L to 6L).forall(l => r(0L) > r(l)))
+    assert((1L to 6L).map(r).distinct.size === 1)
+    // floor division loses < 1 micro per node per step
+    val total = r.values.sum
+    assert(total <= 1000000L && total > 1000000L - 10L * r.size)
+  }
+
+  test("two components rank independently (no cross-component mass)") {
+    val pairs = Seq((1L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val r = sparkRanks(pairs)
+    assert(r === refRanks(pairs, 4))
+    assert(r.keySet === Set(1L, 2L, 10L, 11L, 12L))
+  }
+
+  /** In-test reference for the personalized variant. */
+  private def refPpr(pairs: Seq[(Long, Long)], seed: Long,
+      iters: Int): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = deg.keySet
+    var r = nodes.map(v => v -> (if (v == seed) 1000000L else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => r(src) / deg(src) }.sum).toMap
+      r = nodes.map(v =>
+        v -> ((if (v == seed) 150000L else 0L) + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalized: matches reference; mass decays with graph distance") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = GraphRank.personalizedPageRank(
+      pairs.toDF("doc_id_a", "doc_id_b"), 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refPpr(pairs, 1L, 4))
+    // the seed dominates (non-lazy walks oscillate by parity along a path,
+    // so no strict per-hop monotonicity claim); beyond the 4-hop horizon = 0
+    assert(got.values.max === got(1L))
+    assert(got(6L) === 0L)      // 5 hops from the seed, walk length 4
+    assert(got(5L) > 0L)        // exactly 4 hops: reached on the last round
+  }
+
+  test("personalized: seed outside the graph yields all-zero ranks") {
+    val pairs = Seq((1L, 2L))
+    val got = GraphRank.personalizedPageRank(
+      pairs.toDF("doc_id_a", "doc_id_b"), 99L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("centralRepresentatives: max rank wins, ties break to min doc_id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val ranks = Seq((1L, 50L), (2L, 90L), (3L, 90L), (7L, 10L), (9L, 10L))
+      .toDF("doc_id", "rank_micros")
+    val out = GraphRank.centralRepresentatives(labels, ranks)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((2L, 90L, 3L)))   // 2 beats 3 on doc_id at equal rank
+    assert(out(7L) === ((7L, 10L, 2L)))
+  }
+}

@@ -187,4 +187,44 @@ class SimilaritySpec extends SparkSpec {
       assert(tuned >= seeded)
     }
   }
+
+  test("jlSigns: deterministic pure function, values are exactly ±1") {
+    val a = Similarity.jlSigns(inDim = 64)
+    val b = Similarity.jlSigns(inDim = 64)
+    assert(a === b)
+    assert(a.size === Similarity.JlDim && a.forall(_.size === 64))
+    assert(a.flatten.forall(s => s == 1.0 || s == -1.0))
+    // not degenerate: both signs occur in every row
+    assert(a.forall(row => row.contains(1.0) && row.contains(-1.0)))
+  }
+
+  test("jlPrefilterTopK with a full candidate budget equals bruteTopK") {
+    // cands >= corpus size -> the prefilter admits everything and the exact
+    // re-rank IS the brute answer, row for row
+    val brute = Similarity.bruteTopK(vecs, 0L, 5).collect().toSeq
+    val jl = Similarity.jlPrefilterTopK(vecs, 0L, k = 5, cands = 5, inDim = 4)
+      .collect().toSeq
+    assert(jl === brute)
+  }
+
+  test("jlPrefilterTopK: output cosines are exact (re-ranked), not projected") {
+    val out = Similarity.jlPrefilterTopK(vecs, 0L, k = 3, cands = 5, inDim = 4)
+      .collect()
+    assert(out.head.getLong(0) === 0L)
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(out(1).getLong(0) === 1L)
+  }
+
+  test("JL recall at the adaptive budget on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val brute = Similarity.bruteTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val jl = Similarity.jlPrefilterTopK(emb, 0L, k = 10,
+      cands = Similarity.adaptiveJlCands(n)).collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect jl).size.toDouble / brute.size
+    // isotropic synthetic embeddings are the JL worst case (see scaladoc);
+    // the adaptive budget still has to clear a floor for the operator to be
+    // worth its prefilter
+    withClue(s"recall $recall: ") { assert(recall >= 0.7) }
+  }
 }
