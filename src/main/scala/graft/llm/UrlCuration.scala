@@ -1,0 +1,179 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** URL-level corpus curation — the first stage of every crawl pipeline
+  * (CommonCrawl-style): canonicalize raw URLs, dedup exact canonical
+  * duplicates, and score hosts for blocklist candidacy.
+  *
+  * The synthetic `documents` table has no URL column, so a deterministic raw
+  * URL is DERIVED per doc (same role as the sec_* tables' lineitem
+  * derivation — test scaffolding, not the product path; production reads a
+  * real url column). The derivation deliberately injects every mess the
+  * canonicalizer must remove: scheme/host case, `www.` prefixes, explicit
+  * default ports, tracking params in shuffled order, fragments.
+  *
+  * Scale shape: canonicalization is a NARROW MAP of codegen'd string
+  * built-ins (regexp_extract/replace, split, array_sort/filter/join) — no
+  * shuffle, no UDF, pushes through any scan. URL dedup is one groupBy on
+  * the canonical key (co-partitioned with a url-keyed layout); host stats
+  * are a two-level aggregation with map-side partials. Nothing holds
+  * per-host state in memory — a 10^9-page host is just a bigger group.
+  */
+object UrlCuration {
+
+  /** Deterministic raw-URL derivation (test scaffolding; see object doc). */
+  def deriveUrl(d: Column, source: Column): Column = {
+    val tld = (d % 20 % 3).cast("int")
+    val host = concat(source, lit(".example."),
+      when(tld === 0, lit("org")).when(tld === 1, lit("net"))
+        .otherwise(lit("com")))
+    val paramsA = concat(lit("utm_source=rss&id="), (d % 20).cast("string"),
+      lit("&utm_campaign=x"),
+      when(d % 2 === 0, lit("&ref=home")).otherwise(lit("")))
+    val paramsB = concat(lit("id="), (d % 20).cast("string"),
+      when(d % 2 === 0, lit("&ref=home")).otherwise(lit("")),
+      lit("&utm_campaign=x&utm_source=rss"))
+    concat(
+      when(d % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      when(d % 7 === 0, upper(host)).otherwise(host),
+      when(d % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/d/"), (d % 100).cast("string"),
+      lit("?"), when(d % 3 === 0, paramsB).otherwise(paramsA),
+      when(d % 11 === 0, lit("#top")).otherwise(lit("")))
+  }
+
+  /** Canonical URL: fragment dropped, scheme lowered to https, host lowered
+    * with `www.` and default-port `:443` stripped, trailing slash trimmed,
+    * tracking params (utm_*) removed and the survivors SORTED — so two
+    * spellings of the same resource compare equal as strings. Returns
+    * (canon_url, host, domain) expressions over a raw `url` column. */
+  def canonicalize(url: Column): (Column, Column, Column) = {
+    val u = element_at(split(url, "#"), 1)
+    val rest = regexp_extract(u, "^[A-Za-z]+://(.*)$", 1)
+    val hostport = regexp_extract(rest, "^([^/]*)", 1)
+    val path = regexp_extract(rest, "^[^/]*(/[^?]*)", 1)
+    val query = regexp_extract(u, "\\?(.*)$", 1)
+    val h = regexp_replace(
+      regexp_replace(lower(hostport), ":443$", ""), "^www\\.", "")
+    val p = regexp_replace(path, "(.)/$", "$1")
+    val kept = array_join(array_sort(filter(split(query, "&"),
+      x => substring(x, 1, 4) =!= "utm_" && x =!= "")), "&")
+    val canon = concat(lit("https://"), h, p,
+      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+    val domain = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    (canon, h, domain)
+  }
+
+  /** doc_id, url, canon_url, host, domain for every document. */
+  def urlMart(docs: DataFrame): DataFrame = {
+    val withRaw = docs.select(col("doc_id"), col("n_chars"),
+      deriveUrl(col("doc_id"), col("source")).as("url"))
+    val (canon, host, domain) = canonicalize(col("url"))
+    withRaw.select(col("doc_id"), col("n_chars"), col("url"),
+      canon.as("canon_url"), host.as("host"), domain.as("domain"))
+  }
+
+  /** Exact canonical-URL dedup: keeper = min doc_id per canonical URL. */
+  def urlDedup(mart: DataFrame): DataFrame =
+    mart.groupBy("canon_url")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Host-level curation stats: docs, distinct canonical URLs, duplicate
+    * share in integer micros, mean doc length — the table a blocklist or
+    * per-host quota keys on. */
+  def hostStats(mart: DataFrame, dupShareBlock: Long = 500000L): DataFrame =
+    mart.groupBy("domain", "host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("canon_url").as("n_urls"),
+        sum("n_chars").as("sum_chars"))
+      .select(col("domain"), col("host"), col("n_docs"), col("n_urls"),
+        expr("((n_docs - n_urls) * 1000000) div n_docs").as("dup_share_micros"),
+        expr("sum_chars div n_docs").as("avg_chars"))
+      .withColumn("blocklist_candidate",
+        col("dup_share_micros") >= dupShareBlock)
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracle fragments
+  // ---------------------------------------------------------------------------
+
+  /** The derivation + canonicalization chain as DuckDB CTEs, mirroring the
+    * Spark expressions step for step (validated 0/500 cross-engine
+    * mismatches before the operators were written). */
+  private val martCtes: String = """
+raw AS (SELECT doc_id, n_chars,
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+  (CASE WHEN doc_id % 7 = 0 THEN upper(source || '.example.' ||
+     (CASE WHEN doc_id % 20 % 3 = 0 THEN 'org'
+           WHEN doc_id % 20 % 3 = 1 THEN 'net' ELSE 'com' END))
+   ELSE source || '.example.' ||
+     (CASE WHEN doc_id % 20 % 3 = 0 THEN 'org'
+           WHEN doc_id % 20 % 3 = 1 THEN 'net' ELSE 'com' END) END) ||
+  (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+  '/d/' || CAST(doc_id % 100 AS VARCHAR) || '?' ||
+  (CASE WHEN doc_id % 3 = 0
+    THEN 'id=' || CAST(doc_id % 20 AS VARCHAR) ||
+         (CASE WHEN doc_id % 2 = 0 THEN '&ref=home' ELSE '' END) ||
+         '&utm_campaign=x&utm_source=rss'
+    ELSE 'utm_source=rss&id=' || CAST(doc_id % 20 AS VARCHAR) ||
+         '&utm_campaign=x' ||
+         (CASE WHEN doc_id % 2 = 0 THEN '&ref=home' ELSE '' END) END) ||
+  (CASE WHEN doc_id % 11 = 0 THEN '#top' ELSE '' END) AS url
+  FROM documents),
+c1 AS (SELECT doc_id, n_chars, url, str_split(url, '#')[1] AS u FROM raw),
+c2 AS (SELECT *, regexp_extract(u, '^[A-Za-z]+://(.*)$', 1) AS rest,
+         regexp_extract(u, '\?(.*)$', 1) AS query FROM c1),
+c3 AS (SELECT *, regexp_extract(rest, '^([^/]*)', 1) AS hostport,
+         regexp_extract(rest, '^[^/]*(/[^?]*)', 1) AS path FROM c2),
+c4 AS (SELECT *,
+         regexp_replace(regexp_replace(lower(hostport), ':443$', ''),
+                        '^www\.', '') AS h,
+         regexp_replace(path, '(.)/$', '\1') AS p FROM c3),
+c5 AS (SELECT *, array_to_string(list_sort(list_filter(str_split(query, '&'),
+         x -> substr(x, 1, 4) <> 'utm_' AND x <> '')), '&') AS kept FROM c4),
+mart AS (SELECT doc_id, n_chars, url,
+  'https://' || h || p ||
+    (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS canon_url,
+  h AS host, regexp_extract(h, '([^.]+\.[^.]+)$', 1) AS domain
+  FROM c5)"""
+
+  val queries: Seq[Q] = Seq(
+    // Canonicalization itself: every doc's raw and canonical URL + the
+    // host/registered-domain extraction. A pure narrow map of built-ins.
+    Q("q160_url_canonicalize",
+      (s, dir) => urlMart(Tables.documents(s, dir))
+        .select("doc_id", "url", "canon_url", "host", "domain")
+        .orderBy("doc_id"),
+      Some(s"""WITH $martCtes
+SELECT doc_id, url, canon_url, host, domain FROM mart ORDER BY doc_id""")),
+
+    // Exact canonical-URL dedup: min-id keeper per canonical URL — the
+    // crawl-frontier dedup that runs BEFORE any content hashing.
+    Q("q161_url_dedup",
+      (s, dir) => urlDedup(urlMart(Tables.documents(s, dir)))
+        .orderBy("canon_url"),
+      Some(s"""WITH $martCtes
+SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keeper,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM mart GROUP BY canon_url ORDER BY canon_url""")),
+
+    // Host-level stats: duplicate share + mean length per host — the table
+    // a domain blocklist or per-host quota keys on.
+    Q("q162_host_stats",
+      (s, dir) => hostStats(urlMart(Tables.documents(s, dir)))
+        .orderBy("domain", "host"),
+      Some(s"""WITH $martCtes
+SELECT domain, host, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls,
+  CAST(((count(*) - count(DISTINCT canon_url)) * 1000000) // count(*)
+    AS BIGINT) AS dup_share_micros,
+  CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars,
+  ((count(*) - count(DISTINCT canon_url)) * 1000000) // count(*) >= 500000
+    AS blocklist_candidate
+FROM mart GROUP BY domain, host ORDER BY domain, host""")))
+}

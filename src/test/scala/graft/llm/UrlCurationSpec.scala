@@ -1,0 +1,72 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** URL canonicalization: hand-pinned cases for every mess the derivation
+  * injects, dedup grouping, and the host-stats arithmetic. */
+class UrlCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canonOf(urls: String*): Seq[(String, String, String)] = {
+    val df = urls.toDF("url")
+    val (c, h, d) = UrlCuration.canonicalize(col("url"))
+    df.select(c.as("c"), h.as("h"), d.as("d")).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+  }
+
+  test("canonicalize: case, www, default port, fragment, tracking params") {
+    val Seq((c, h, d)) = canonOf(
+      "HTTPS://WWW.Blog.Example.COM:443/a/b?utm_source=x&z=1&utm_campaign=y&a=2#frag")
+    assert(c === "https://blog.example.com/a/b?a=2&z=1") // params sorted, utm_* gone
+    assert(h === "blog.example.com")
+    assert(d === "example.com")
+  }
+
+  test("canonicalize: no query survives -> no '?'; trailing slash trimmed") {
+    val Seq((c1, _, _)) = canonOf("https://a.example.org/p/?utm_source=x")
+    assert(c1 === "https://a.example.org/p")
+    val Seq((c2, _, _)) = canonOf("https://a.example.org/?utm_source=x")
+    // root path: the (.)/$ rule keeps a bare '/'
+    assert(c2 === "https://a.example.org/")
+  }
+
+  test("canonicalize: two spellings of one resource compare equal") {
+    val Seq((a, _, _), (b, _, _)) = canonOf(
+      "HTTPS://WWW.site.example.net:443/d/7?utm_campaign=x&id=3&ref=home#top",
+      "https://site.example.net/d/7?ref=home&id=3&utm_source=rss")
+    assert(a === b)
+  }
+
+  test("urlDedup groups by canonical url with min-id keeper") {
+    val docs = Seq(
+      (0L, "t", "en", "src0", 10L), (100L, "t", "en", "src0", 10L),
+      (1L, "t", "en", "src1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val mart = UrlCuration.urlMart(docs)
+    val out = UrlCuration.urlDedup(mart).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // docs 0 and 100 agree on every canonical residue (path %100, id %20,
+    // ref parity) but differ in case/www/params-order/fragment mess
+    val dupGroup = out.filter(_._2._2 == 2L)
+    assert(dupGroup.size === 1 && dupGroup.head._2._1 === 0L)
+    assert(out.values.count(_._2 == 1L) === 1)
+  }
+
+  test("hostStats: dup share and avg chars in exact integer micros") {
+    val docs = Seq(
+      (0L, "t", "en", "src0", 10L), (20L, "t", "en", "src0", 20L),
+      (40L, "t", "en", "src0", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = UrlCuration.hostStats(UrlCuration.urlMart(docs)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") === 3L)
+    // ids 0/20/40 share id%20=0; paths are 0, 20, 40 -> 3 distinct urls...
+    // except 0 and 20 only differ mod 100, so all three paths distinct
+    assert(r.getAs[Long]("n_urls") === 3L)
+    assert(r.getAs[Long]("dup_share_micros") === 0L)
+    assert(r.getAs[Long]("avg_chars") === 61L / 3L)
+    assert(!r.getAs[Boolean]("blocklist_candidate"))
+  }
+}
