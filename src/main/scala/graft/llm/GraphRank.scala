@@ -122,12 +122,16 @@ object GraphRank {
     * (ties -> min doc_id): joins a cluster label table (doc_id, cluster_id)
     * with [[pageRank]] output and keeps the top-ranked member. One window
     * over the cluster key — co-partitioned with any cluster-keyed layout. */
-  def centralRepresentatives(labels: DataFrame, ranks: DataFrame): DataFrame = {
+  def centralRepresentatives(labels: DataFrame, ranks: DataFrame): DataFrame =
+    centralRepsFromMart(labels.select("doc_id", "cluster_id")
+      .join(ranks, Seq("doc_id")))
+
+  /** [[centralRepresentatives]] over an already-joined
+    * (doc_id, cluster_id, rank_micros) mart — one window, no join. */
+  def centralRepsFromMart(mart: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("cluster_id")
-    val member = labels.select("doc_id", "cluster_id")
-      .join(ranks, Seq("doc_id"))
-    member
+    mart
       .withColumn("rn", row_number().over(
         w.orderBy(col("rank_micros").desc, col("doc_id").asc)))
       .withColumn("cluster_size", count(lit(1)).over(w))

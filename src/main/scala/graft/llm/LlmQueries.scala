@@ -100,6 +100,17 @@ object LlmQueries {
     graft.sec.SecDerive.cached(s, dir, "neardup_labels")(
       Dedup.connectedComponents(nearDupPairs(s, dir), "doc_id_a", "doc_id_b"))
 
+  /** Near-dup cluster labels × integer-micro PageRank as a stored mart
+    * (doc_id, cluster_id, is_canonical, rank_micros) — graph-NODE-sized
+    * (only clustered docs appear), so it serves like a dimension. q155
+    * stays the honest build of the rank table; q156 and the /related
+    * endpoint read this mart (the q21/q48 build-once convention). */
+  private[graft] def centralityMart(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.sec.SecDerive.cached(s, dir, "centrality_mart")(
+      nearDupLabels(s, dir)
+        .join(GraphRank.pageRank(nearDupPairs(s, dir)), Seq("doc_id")))
+
   /** Per-doc leakage-safe split assignment — the frame q95 aggregates and
     * the `corpus_splits` SQL view exposes: split rides the near-dup CLUSTER
     * key (label mart, with each unclustered doc its own key) through the one
@@ -1896,8 +1907,7 @@ SELECT doc_id, r AS rank_micros FROM pr4 ORDER BY doc_id""")),
     // the least likely to be the truncated/mangled copy (vs q48's min-id
     // rule). One window over the label mart x rank table.
     Q("q156_central_representatives",
-      (s, dir) => GraphRank.centralRepresentatives(
-        nearDupLabels(s, dir), GraphRank.pageRank(nearDupPairs(s, dir)))
+      (s, dir) => GraphRank.centralRepsFromMart(centralityMart(s, dir))
         .orderBy("cluster_id"),
       Some(s"""$ccLabelsCtes,
 ${pagerankCtes(4)},

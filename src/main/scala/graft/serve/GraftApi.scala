@@ -142,6 +142,7 @@ class GraftApi(spark: SparkSession, sfDir: String,
       case ("GET", List("perplexity"))      => perplexityEndpoint(ex, qp)
       case ("GET", List("imagedup"))        => imagedupEndpoint(ex, qp)
       case ("GET", List("similar"))         => similarEndpoint(ex, qp)
+      case ("GET", List("related"))         => relatedEndpoint(ex, qp)
       case ("GET", List("hybrid"))          => hybridEndpoint(ex, qp)
       case ("POST", List("query"))          => sqlEndpoint(ex)
       case _ =>
@@ -448,6 +449,42 @@ class GraftApi(spark: SparkSession, sfDir: String,
           rows.foreach(r => putRow(results.addObject(), cols, r))
         })
     }
+  }
+
+  /** The /related frame: cluster-mates of `docId` from the centrality mart
+    * (near-dup labels × integer-micro PageRank — graph-node-sized, memoized
+    * per (session, dir) like the serving marts above), ranked most-central
+    * first. At scale this is a point read on a doc-keyed label layout
+    * followed by a cluster-keyed member fetch — never a corpus scan. */
+  private[serve] def relatedFrame(docId: Long, k: Int): DataFrame = {
+    val mart = graft.llm.LlmQueries.centralityMart(spark, sfDir)
+    val cl = mart.filter(col("doc_id") === docId).select("cluster_id")
+    mart.join(broadcast(cl), Seq("cluster_id"))
+      .filter(col("doc_id") =!= docId)
+      .orderBy(col("rank_micros").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "cluster_id", "rank_micros")
+  }
+
+  /** GET /related?doc_id=42&k=10 — the doc's near-duplicate cluster-mates,
+    * most central (highest PageRank over the similarity graph) first (an
+    * extension; the reference has no document surface). 404 when the doc
+    * is in NO cluster — for graph-diffusion proximity beyond the cluster,
+    * see [[graft.llm.GraphRank.personalizedPageRank]]. */
+  private def relatedEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
+    val docId = qp.get("doc_id").map(parseInt("doc_id", _))
+      .getOrElse(throw new IllegalArgumentException("doc_id is required"))
+    val k = intParam(qp, "k", 10, 1, 100)
+    val cols = Seq("doc_id", "cluster_id", "rank_micros")
+    val rows = relatedFrame(docId.toLong, k).collect()
+    // a clustered doc always has >= 1 cluster-mate (clusters are >= 2 docs
+    // by construction), so empty == unclustered == not a graph resource
+    if (rows.isEmpty)
+      reply(ex, 404, obj(_.put("detail", "doc_id not in any cluster")))
+    else reply(ex, 200, obj { o =>
+      val results = o.putArray("results")
+      rows.foreach(r => putRow(results.addObject(), cols, r))
+    })
   }
 
   /** The /similar search frame (see [[searchFrame]]): IVFADC over the

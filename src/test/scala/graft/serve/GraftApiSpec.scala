@@ -358,6 +358,27 @@ class GraftApiSpec extends SparkSpec {
     } finally api2.stop()
   }
 
+  test("GET /related serves cluster-mates ranked most-central first") {
+    val mart = graft.llm.LlmQueries.centralityMart(spark, "/root/testdata/sf0.001")
+    val probeRow = mart.orderBy("doc_id").head
+    val probe = probeRow.getAs[Long]("doc_id")
+    val cluster = probeRow.getAs[Long]("cluster_id")
+    val (code, body) = get(s"/related?doc_id=$probe&k=10")
+    assert(code === 200)
+    val results = body.get("results")
+    assert(results.size() > 0)
+    val ids = (0 until results.size()).map(results.get(_).get("doc_id").asLong())
+    assert(!ids.contains(probe), "probe doc returned as its own relative")
+    assert((0 until results.size())
+      .forall(i => results.get(i).get("cluster_id").asLong() === cluster))
+    val rm = (0 until results.size())
+      .map(results.get(_).get("rank_micros").asLong())
+    assert(rm === rm.sorted.reverse, "not ranked most-central first")
+    // unclustered/absent doc is not a graph resource; missing param is 422
+    assert(get("/related?doc_id=99999999")._1 === 404)
+    assert(get("/related")._1 === 422)
+  }
+
   test("GET /imagedup serves banded near-dups from the persisted aHash index") {
     implicit val s = spark
     // pick a doc that actually has neighbors from the inline tier
