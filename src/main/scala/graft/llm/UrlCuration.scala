@@ -97,6 +97,36 @@ object UrlCuration {
       .withColumn("blocklist_candidate",
         col("dup_share_micros") >= dupShareBlock)
 
+  /** Shard-mergeable intermediate for [[hostStats]]: DISTINCT counts are
+    * not scalar-additive, so the mergeable form carries per-(host,
+    * canon_url) partials — the BM25/LM stats-table law applied to URL
+    * curation. Merging = summing on the url key; finalization counts keys.
+    * This is how the host table stays incrementally maintainable over a
+    * 100 TB crawl: each ingest batch contributes its keyed partial, no
+    * batch ever re-reads the corpus. */
+  def hostStatsShard(mart: DataFrame): DataFrame =
+    mart.groupBy("domain", "host", "canon_url")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+
+  /** Fold doc-disjoint shard partials: additive on the url key. */
+  def mergeHostStatsShards(shards: Seq[DataFrame]): DataFrame =
+    shards.reduce(_ unionByName _)
+      .groupBy("domain", "host", "canon_url")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars"))
+
+  /** Finalize merged url-keyed partials to the [[hostStats]] table —
+    * n_urls = one row per surviving url key, no DISTINCT needed. */
+  def hostStatsFromShards(merged: DataFrame,
+      dupShareBlock: Long = 500000L): DataFrame =
+    merged.groupBy("domain", "host")
+      .agg(sum("n_docs").as("n_docs"), count(lit(1)).as("n_urls"),
+        sum("sum_chars").as("sum_chars"))
+      .select(col("domain"), col("host"), col("n_docs"), col("n_urls"),
+        expr("((n_docs - n_urls) * 1000000) div n_docs").as("dup_share_micros"),
+        expr("sum_chars div n_docs").as("avg_chars"))
+      .withColumn("blocklist_candidate",
+        col("dup_share_micros") >= dupShareBlock)
+
   // ---------------------------------------------------------------------------
   // DuckDB oracle fragments
   // ---------------------------------------------------------------------------
@@ -167,7 +197,24 @@ FROM mart GROUP BY canon_url ORDER BY canon_url""")),
     Q("q162_host_stats",
       (s, dir) => hostStats(urlMart(Tables.documents(s, dir)))
         .orderBy("domain", "host"),
-      Some(s"""WITH $martCtes
+      Some(hostStatsOracle)),
+
+    // The merge law: the SAME host table built from doc-disjoint shards via
+    // url-keyed mergeable partials (distinct counts are not scalar-additive
+    // — the keyed intermediate is the whole point). Shares q162's oracle:
+    // the gate IS the one-shot == shard-merged equality.
+    Q("q163_host_stats_merge",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val shards = Seq(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+          .map(d => hostStatsShard(urlMart(d)))
+        hostStatsFromShards(mergeHostStatsShards(shards))
+          .orderBy("domain", "host")
+      },
+      Some(hostStatsOracle)))
+
+  private lazy val hostStatsOracle: String = s"""WITH $martCtes
 SELECT domain, host, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls,
   CAST(((count(*) - count(DISTINCT canon_url)) * 1000000) // count(*)
@@ -175,5 +222,5 @@ SELECT domain, host, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars,
   ((count(*) - count(DISTINCT canon_url)) * 1000000) // count(*) >= 500000
     AS blocklist_candidate
-FROM mart GROUP BY domain, host ORDER BY domain, host""")))
+FROM mart GROUP BY domain, host ORDER BY domain, host"""
 }

@@ -168,6 +168,14 @@ object StreamOps {
   def qualityFilterStream(docsStream: DataFrame): DataFrame =
     graft.llm.TextAnalysis.qualityFilter(docsStream)
 
+  /** URL canonicalization under `readStream`: the SAME narrow-map column
+    * expressions as the batch q160 ([[graft.llm.UrlCuration.urlMart]]) —
+    * zero shuffle, zero state; the crawl-frontier canonicalize step runs
+    * unchanged on the firehose (downstream: feed the url-keyed stats
+    * partials exactly like the BM25/LM ingest streams). */
+  def urlCanonicalizeStream(docsStream: DataFrame): DataFrame =
+    graft.llm.UrlCuration.urlMart(docsStream)
+
   /** Classifier scoring under `readStream`: the SAME projection as the
     * batch q127 scorer against a WRITTEN model table
     * ([[graft.llm.Classifier.logregTrain]]'s (j, w, mu, sd) output) — the

@@ -53,6 +53,29 @@ class UrlCurationSpec extends SparkSpec {
     assert(out.values.count(_._2 == 1L) === 1)
   }
 
+  test("shard-merge law: merged partials == one-shot; cross-shard dup counted once") {
+    // ids 0 and 100 canonicalize to the SAME url and land in DIFFERENT
+    // parity shards — the case scalar-additive distinct counts get wrong
+    val docs = Seq(
+      (0L, "t", "en", "src0", 10L), (100L, "t", "en", "src0", 20L),
+      (1L, "t", "en", "src1", 30L), (21L, "t", "en", "src1", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val oneShot = UrlCuration.hostStats(UrlCuration.urlMart(docs))
+      .orderBy("domain", "host").collect().toSeq
+    val shards = Seq(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+      .map(d => UrlCuration.hostStatsShard(UrlCuration.urlMart(d)))
+    val merged = UrlCuration.hostStatsFromShards(
+      UrlCuration.mergeHostStatsShards(shards))
+      .orderBy("domain", "host").collect().toSeq
+    assert(merged === oneShot)
+    val src0 = merged.find(_.getAs[String]("host").startsWith("src0")).get
+    assert(src0.getAs[Long]("n_docs") === 2L)
+    assert(src0.getAs[Long]("n_urls") === 1L) // the cross-shard dup, once
+    assert(src0.getAs[Long]("dup_share_micros") === 500000L)
+    assert(src0.getAs[Boolean]("blocklist_candidate"))
+  }
+
   test("hostStats: dup share and avg chars in exact integer micros") {
     val docs = Seq(
       (0L, "t", "en", "src0", 10L), (20L, "t", "en", "src0", 20L),

@@ -170,6 +170,22 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("urlCanonicalizeStream == UrlCuration.urlMart on the fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.urlCanonicalizeStream(
+        mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .writeStream.format("memory").queryName("equiv_urlcanon")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(docsFixture: _*)
+      q.processAllAvailable()
+      val batch = graft.llm.UrlCuration.urlMart(
+        docsFixture.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      assertSameRows(spark.table("equiv_urlcanon"), batch, "urlCanonicalize")
+    } finally q.stop()
+  }
+
   test("piiScrubStream == Curation.piiScrub on the fixture") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, String, Long)]
