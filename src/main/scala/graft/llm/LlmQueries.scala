@@ -531,7 +531,15 @@ pp0 AS (SELECT doc_id,
       .mkString("[", ",\n ", "]")
   }
 
-  /** The JL prefilter candidate CTE chain (shared by q157 and its q158
+  /** The JL top-k oracle (shared by q157 inline and q164 indexed — one
+    * ground truth for both spellings). */
+  private lazy val jlTopkOracle: String = s"""
+WITH $jlCandCtes
+SELECT e.vec_id, e.label, ${cosineSql("e.v", "qq.qv")} AS cosine
+FROM e JOIN cand USING (vec_id), qq
+ORDER BY cosine DESC, vec_id ASC LIMIT 20"""
+
+  /** The JL prefilter candidate CTE chain (shared by q157/q164 and the q158
     * recall gate): project, rank by projected cosine, keep the top
     * [[Similarity.adaptiveJlCands]] ids (resolves to the literal 200 for
     * every N ≤ 2000, i.e. at the correctness SF). */
@@ -1949,11 +1957,18 @@ ORDER BY rank_micros DESC, doc_id""")),
       (s, dir) => Similarity.jlPrefilterTopK(
         Tables.embeddings(s, dir), 0L, k = 20,
         cands = Similarity.adaptiveJlCands(embCount(s, dir))),
-      Some(s"""
-WITH $jlCandCtes
-SELECT e.vec_id, e.label, ${cosineSql("e.v", "qq.qv")} AS cosine
-FROM e JOIN cand USING (vec_id), qq
-ORDER BY cosine DESC, vec_id ASC LIMIT 20""")),
+      Some(jlTopkOracle)),
+
+    // The q157 prefilter against the PERSISTED projected column (written at
+    // index build next to the vector store): the corpus pass reads only the
+    // narrow mart; the wide vectors are point-fetched for the candidates.
+    // Shares q157's oracle — indexed == inline, one ground truth.
+    Q("q164_jl_indexed",
+      (s, dir) => Similarity.jlPrefilterTopKIndexed(s,
+        s"${Selection.retrievalIndex(s, dir)}/jl_projected",
+        Tables.embeddings(s, dir), 0L, k = 20,
+        cands = Similarity.adaptiveJlCands(embCount(s, dir))),
+      Some(jlTopkOracle)),
 
     // Recall gate for q157: |JL top-20 ∩ brute top-20| as integer micros.
     // Both chains replayed on both engines — the measured recall is part of

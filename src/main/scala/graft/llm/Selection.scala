@@ -944,6 +944,10 @@ c AS (SELECT doc_id, source, t,
       // the per-language reference LM (q150) — /perplexity scores
       // against the persisted count tables
       LangModel.writeLmModel(Tables.documents(s, dir), base)
+      // the JL projected column (q157/q164) — ANN prefilters scan this
+      // narrow mart instead of the wide vector store
+      Similarity.writeJlProjected(Tables.embeddings(s, dir),
+        s"$base/jl_projected")
       1L
     }
     base

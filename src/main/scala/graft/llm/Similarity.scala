@@ -188,6 +188,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the JL projected column next to the vector store — the scale
+    * path [[jlProject]]'s doc promises: computed once at index build (a
+    * narrow map), queries then scan 32 doubles per vector instead of the
+    * wide embeddings. */
+  def writeJlProjected(embeddings: DataFrame, path: String): Unit =
+    embeddings.select(col("vec_id"), col("label"),
+        jlProject(col("embedding"), jlSigns(inDim = 64)).as("p"))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[jlPrefilterTopK]] against the PERSISTED projected column: the
+    * corpus-wide prefilter reads only the narrow mart (the query's own
+    * projected row comes from the same mart — a pushed point read, no
+    * re-projection), and the wide vector store is touched for exactly the
+    * candidate ids. Result-identical to the inline spelling by
+    * construction — q164 gates it on q157's oracle. */
+  def jlPrefilterTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      projectedPath: String, embeddings: DataFrame, queryId: Long, k: Int,
+      cands: Int): DataFrame = {
+    val proj = spark.read.parquet(projectedPath)
+    val qp = broadcast(proj.filter(col("vec_id") === queryId)
+      .select(col("p").as("qp")))
+    val candIds = graft.Tables.spread(proj.select("vec_id", "p"))
+      .crossJoin(qp)
+      .select(col("vec_id"), cosine(col("p"), col("qp")).as("pc"))
+      .orderBy(col("pc").desc, col("vec_id").asc)
+      .limit(cands)
+      .select("vec_id")
+    val q = broadcast(embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb")))
+    embeddings.join(broadcast(candIds), Seq("vec_id"))
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("q_emb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** LSH ANN: top-k by cosine among vectors sharing >= 1 table-bucket with
     * the query. The bucket computation is a narrow map over the corpus; the
     * candidate filter is a broadcast semi-join on the query's (tiny) bucket

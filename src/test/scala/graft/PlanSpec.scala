@@ -404,4 +404,26 @@ class PlanSpec extends SparkSpec {
     // per-doc aggregation keeps its map-side partial stage
     assert(p.contains("partial_"), p)
   }
+
+  test("indexed JL prefilter scans only the narrow projected mart; wide store point-fetched") {
+    val p = plan("q164_jl_indexed")
+    // the corpus-wide pass reads (vec_id, p) from jl_projected — never the
+    // 64-float embedding column; the embeddings scans serve the 1-row query
+    // side and the candidate point-fetch only
+    val projScans = scanColumnSets(p).filter(_.contains("p"))
+    assert(projScans.nonEmpty && projScans.forall(_.subsetOf(
+      Set("vec_id", "p"))), p)
+    // both top-k stages stay local-heap + merge
+    assert("TakeOrderedAndProject".r.findAllMatchIn(p).size === 2, p)
+    // candidates and the query row broadcast; the wide store never shuffles
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("graph pagerank: rank⋈edges joins aggregate with map-side partials, no cartesian") {
+    val p = plan("q155_graph_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    // 4 iterations -> 4 dst-keyed aggregations, each with a partial stage
+    assert("partial_sum".r.findAllMatchIn(p).size >= 4, p)
+  }
 }
