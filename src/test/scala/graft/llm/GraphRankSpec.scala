@@ -88,6 +88,35 @@ class GraphRankSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 0L))
   }
 
+  private def triStats(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    GraphRank.triangleStats(pairs.toDF("doc_id_a", "doc_id_b")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("triangleStats: clique vs chain at equal size") {
+    // triangle: every node deg 2, 1 triangle, coefficient 1.0 (1e6 micros)
+    val tri = triStats(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(tri === Map(
+      1L -> ((2L, 1L, 1000000L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((2L, 1L, 1000000L))))
+    // 3-chain: same 3 nodes, zero triangles, middle coefficient 0
+    val chain = triStats(Seq((1L, 2L), (2L, 3L)))
+    assert(chain(2L) === ((2L, 0L, 0L)))
+    assert(chain(1L) === ((1L, 0L, 0L)))
+  }
+
+  test("triangleStats: K4 counts each triangle once per corner; open wedge partial") {
+    val k4 = triStats(Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)))
+    // K4: 4 triangles total, each node in 3 of them, deg 3, coeff 1.0
+    assert(k4.values.forall(_ === ((3L, 3L, 1000000L))))
+    // triangle + pendant: node 1 deg 3, still only 1 triangle ->
+    // coefficient 2e6*1/(3*2) = 333333 (floor)
+    val pend = triStats(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)))
+    assert(pend(1L) === ((3L, 1L, 333333L)))
+    assert(pend(4L) === ((1L, 0L, 0L)))
+  }
+
   test("centralRepresentatives: max rank wins, ties break to min doc_id") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
       .toDF("doc_id", "cluster_id")
