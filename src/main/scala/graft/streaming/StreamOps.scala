@@ -478,25 +478,7 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF()
-        if (batchId == 0L) {
-          val hPath = new org.apache.hadoop.fs.Path(statsPath)
-          val fs = hPath.getFileSystem(
-            b.sparkSession.sparkContext.hadoopConfiguration)
-          // batch_id=-1 counts as stale here: the compaction base holds a
-          // previous stream's already-folded batches, so a fresh
-          // checkpoint at batch 0 would re-fold data the base contains
-          val stale = fs.exists(hPath) && fs.listStatus(hPath).exists { st =>
-            val n = st.getPath.getName
-            n.startsWith("batch_id=") &&
-              n.stripPrefix("batch_id=") != "0"
-          }
-          require(!stale,
-            s"statsPath $statsPath has partitions from a previous run " +
-              "(appended batches or a compacted batch_id=-1 base) but " +
-              "this stream is at batch 0 (new checkpoint): additive folds " +
-              "would double-count. Clear the stats root or reuse the " +
-              "original checkpoint.")
-        }
+        if (batchId == 0L) requireFreshStatsRoot(b.sparkSession, statsPath)
         graft.llm.Selection.dsirBucketStats(
           graft.llm.Selection.dsirBucketCounts(b, buckets), targetSource)
           .withColumn("batch_id", lit(batchId))
@@ -506,6 +488,27 @@ object StreamOps {
         ()
       }
       .start()
+
+  /** Batch-0 freshness guard shared by the additive stats streams: any
+    * `batch_id=` partition other than 0 (legitimate re-delivery of the
+    * first batch) means the root holds a previous run's folds — appended
+    * batches OR a compacted `batch_id=-1` base (already-folded data) —
+    * and a fresh checkpoint re-folding onto it would double-count. */
+  private def requireFreshStatsRoot(spark: SparkSession,
+      statsPath: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(statsPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = fs.exists(hPath) && fs.listStatus(hPath).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("batch_id=") && n.stripPrefix("batch_id=") != "0"
+    }
+    require(!stale,
+      s"statsPath $statsPath has partitions from a previous run " +
+        "(appended batches or a compacted batch_id=-1 base) but " +
+        "this stream is at batch 0 (new checkpoint): additive folds " +
+        "would double-count. Clear the stats root or reuse the " +
+        "original checkpoint.")
+  }
 
   /** Fold the per-batch DSIR partials into the serving stats table. */
   def dsirStatsRead(spark: SparkSession, statsPath: String): DataFrame =
@@ -524,24 +527,7 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF()
-        if (batchId == 0L) {
-          val hPath = new org.apache.hadoop.fs.Path(statsPath)
-          val fs = hPath.getFileSystem(
-            b.sparkSession.sparkContext.hadoopConfiguration)
-          // batch_id=-1 counts as stale here (compacted base == already
-          // fed) — same rule as dsirStatsStream
-          val stale = fs.exists(hPath) && fs.listStatus(hPath).exists { st =>
-            val n = st.getPath.getName
-            n.startsWith("batch_id=") &&
-              n.stripPrefix("batch_id=") != "0"
-          }
-          require(!stale,
-            s"statsPath $statsPath has partitions from a previous run " +
-              "(appended batches or a compacted batch_id=-1 base) but " +
-              "this stream is at batch 0 (new checkpoint): additive folds " +
-              "would double-count. Clear the stats root or reuse the " +
-              "original checkpoint.")
-        }
+        if (batchId == 0L) requireFreshStatsRoot(b.sparkSession, statsPath)
         graft.llm.Sampling.sourceCounts(b)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").partitionBy("batch_id")
@@ -554,6 +540,39 @@ object StreamOps {
   /** Fold the per-batch source-count partials into the serving table. */
   def sourceCountsRead(spark: SparkSession, statsPath: String): DataFrame =
     spark.read.parquet(statsPath).groupBy("source").agg(sum("n").as("n"))
+
+  /** Streaming maintenance of the q162 host-curation table: per micro-batch
+    * the url-keyed MERGEABLE partials (q163's shard law —
+    * [[graft.llm.UrlCuration.hostStatsShard]]) land under `batch_id=N`
+    * with the same layout-level exactly-once recipe as [[dsirStatsStream]]
+    * (dynamic partition overwrite = idempotent re-delivery; batch-0
+    * freshness guard). [[hostStatsRead]] folds on the url key and
+    * finalizes — equal to the batch [[graft.llm.UrlCuration.hostStats]]
+    * over the same docs even when one canonical URL's copies arrive in
+    * different micro-batches (spec-pinned), which is exactly the case a
+    * scalar-additive fold would double-count. */
+  def hostStatsStream(docsStream: DataFrame, statsPath: String,
+      checkpoint: String): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (batchId == 0L) requireFreshStatsRoot(b.sparkSession, statsPath)
+        graft.llm.UrlCuration.hostStatsShard(graft.llm.UrlCuration.urlMart(b))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(statsPath)
+        ()
+      }
+      .start()
+
+  /** Fold the per-batch url-keyed partials and finalize the host table. */
+  def hostStatsRead(spark: SparkSession, statsPath: String): DataFrame =
+    graft.llm.UrlCuration.hostStatsFromShards(
+      spark.read.parquet(statsPath)
+        .groupBy("domain", "host", "canon_url")
+        .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars")))
 
   /** Batch-0 restart guard shared by the serving-layout ingest streams:
     * true iff a `batch_id=` partition other than 0 (legitimate

@@ -317,6 +317,43 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       graft.llm.Selection.dsirResample(docsDF, k = 20), "dsir via stream stats")
   }
 
+  test("hostStatsStream folded partials == batch host stats; cross-batch dup once") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("hoststats").toString
+    // ids 0 and 100 canonicalize to the SAME url and arrive in DIFFERENT
+    // micro-batches — the case a scalar-additive distinct fold double-counts
+    val first = Seq((0L, "t", "en", "src0", 10L), (1L, "t", "en", "src1", 30L))
+    val second = Seq((100L, "t", "en", "src0", 20L), (21L, "t", "en", "src1", 40L))
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.hostStatsStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+    } finally q.stop()
+    val folded = StreamOps.hostStatsRead(spark, s"$tmp/stats")
+    val batch = graft.llm.UrlCuration.hostStats(graft.llm.UrlCuration.urlMart(
+      (first ++ second).toDF("doc_id", "text", "lang", "source", "n_chars")))
+    assertSameRows(folded, batch, "host stats via stream partials")
+    val src0 = folded.filter(col("host").startsWith("src0")).collect().head
+    assert(src0.getAs[Long]("n_docs") === 2L)
+    assert(src0.getAs[Long]("n_urls") === 1L)
+    // fresh checkpoint over a fed root refuses (additive double-count guard)
+    val mem2 = MemoryStream[(Long, String, String, String, Long)]
+    val q2 = StreamOps.hostStatsStream(
+      mem2.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/stats", s"$tmp/ckpt2")
+    try {
+      mem2.addData(first: _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("double-count") ||
+        Option(e.getCause).exists(_.getMessage.contains("double-count")))
+    } finally q2.stop()
+  }
+
   test("sourceCountsStream folded partials == batch counts; mixture identical through them") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("srccnt").toString
