@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{CharGramHashSeq, DotProduct, Hash60, MisraGriesTopK, ShingleHashSeq, Simhash32, SortedIntersectCount, ThresholdedIntersectCount}
+import graft.expr.{CharGramHashSeq, DotProduct, Hash60, HllSketch, MisraGriesTopK, ShingleHashSeq, Simhash32, SortedIntersectCount, ThresholdedIntersectCount}
 
 /** SparkSessionExtensions entry point: exposes the native kernels as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works alongside
@@ -56,6 +56,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_mg_topk(value, k, out_k) - Misra-Gries heavy-hitters: top out_k strings by frequency with <= k counters of state"),
       (args: Seq[Expression]) =>
         new MisraGriesTopK(args(0), litInt(args, 1, "k"), litInt(args, 2, "out_k"))))
+    ext.injectFunction((FunctionIdentifier("graft_hll"),
+      info("graft_hll",
+        "graft_hll(value[, p]) - HyperLogLog distinct estimate over the " +
+          "md5-portable hash; 2^p bytes of register state (default p=12, " +
+          "sigma ~1.6%), register-wise-max mergeable"),
+      (args: Seq[Expression]) => {
+        val child = org.apache.spark.sql.catalyst.expressions.Cast(
+          args(0), org.apache.spark.sql.types.StringType)
+        if (args.length > 1) new HllSketch(child, litInt(args, 1, "p"))
+        else new HllSketch(child, 12)
+      }))
     // Spark ships a distributed Bloom-filter aggregate + probe (the pair its
     // InjectRuntimeFilter optimization builds runtime row filters from) but
     // registers neither for end users; exposing them gives the decontamination

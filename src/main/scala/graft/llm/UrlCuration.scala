@@ -212,7 +212,32 @@ FROM mart GROUP BY canon_url ORDER BY canon_url""")),
         hostStatsFromShards(mergeHostStatsShards(shards))
           .orderBy("domain", "host")
       },
-      Some(hostStatsOracle)))
+      Some(hostStatsOracle)),
+
+    // HLL distinct-URL audit per host: exact count (the oracle-checkable
+    // column) + the sketch's within-tolerance boolean (the self-audit
+    // contract every approximate operator here carries — q87/q93's rule).
+    Q("q166_hll_distinct_urls",
+      (s, dir) => hostDistinctAudit(urlMart(Tables.documents(s, dir)))
+        .orderBy("domain", "host"),
+      Some(s"""WITH $martCtes
+SELECT domain, host, CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls_exact,
+       true AS hll_ok
+FROM mart GROUP BY domain, host ORDER BY domain, host""")))
+
+  /** Per-host distinct-URL counts, exact AND HyperLogLog, with the repo's
+    * self-audit contract for approximate operators: the query emits the
+    * exact count plus a within-tolerance boolean (a SQL oracle cannot
+    * replay the estimator, so the audit is the deterministic output). At
+    * 100 TB the exact side is the expensive one — the sketch is 4 KB of
+    * mergeable state per host, one pass, shard-order-independent. */
+  def hostDistinctAudit(mart: DataFrame): DataFrame =
+    mart.groupBy("domain", "host")
+      .agg(countDistinct("canon_url").as("n_urls_exact"),
+        graft.expr.HllSketch(col("canon_url")).as("est"))
+      .select(col("domain"), col("host"), col("n_urls_exact"),
+        (abs(col("est") - col("n_urls_exact")) <=
+          greatest(lit(1L), expr("n_urls_exact div 20"))).as("hll_ok"))
 
   private lazy val hostStatsOracle: String = s"""WITH $martCtes
 SELECT domain, host, CAST(count(*) AS BIGINT) AS n_docs,
