@@ -109,5 +109,12 @@ object GraftCatalog {
     if (withMediaSurvivors)
       SparkEntry.queries("q143_image_survivorship")(spark, dir)
         .createOrReplaceTempView("media_survivors")
+    // URL-curation surfaces (q160/q162): both lazy narrow/agg plans over
+    // the documents scan — no eager work at registration, so UNFLAGGED.
+    llm.UrlCuration.urlMart(Tables.documents(spark, dir))
+      .createOrReplaceTempView("url_mart")
+    llm.UrlCuration.hostStats(
+        llm.UrlCuration.urlMart(Tables.documents(spark, dir)))
+      .createOrReplaceTempView("host_stats")
   }
 }

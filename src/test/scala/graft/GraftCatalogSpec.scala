@@ -266,6 +266,22 @@ class GraftCatalogSpec extends SparkSpec {
         FROM media_survivors GROUP BY cluster_key)""").head.getLong(0) === 1L)
   }
 
+  test("url views: SQL-only crawl curation reconciles with the operators") {
+    GraftCatalog.registerViews(spark, dir)
+    // frontier dedup in pure SQL over url_mart == the q161 operator
+    val sqlDedup = spark.sql(
+      """SELECT canon_url, min(doc_id) AS keeper, count(*) AS n_copies
+         FROM url_mart GROUP BY canon_url""")
+    val op = llm.UrlCuration.urlDedup(
+      llm.UrlCuration.urlMart(Tables.documents(spark, dir)))
+    assert(sqlDedup.exceptAll(op).isEmpty && op.exceptAll(sqlDedup).isEmpty)
+    // host_stats view serves the blocklist question as one SQL predicate
+    val blocked = spark.sql(
+      "SELECT host FROM host_stats WHERE blocklist_candidate").count()
+    val total = spark.sql("SELECT count(*) FROM host_stats").collect()(0).getLong(0)
+    assert(total > 0 && blocked <= total)
+  }
+
   test("events view carries a real timestamp column, not raw nanos longs") {
     GraftCatalog.registerViews(spark, dir)
     val tsField = spark.table("events").schema("ts")
