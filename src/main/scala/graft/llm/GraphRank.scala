@@ -37,6 +37,24 @@ import org.apache.spark.sql.functions._
   */
 object GraphRank {
 
+  /** Shared graph prep for the rank variants: symmetrize the a<b pair table
+    * and checkpoint (stats-free) the degree-annotated edge table and the
+    * node set — both re-read every iteration. */
+  private def checkpointedGraph(pairs: DataFrame, aCol: String,
+      bCol: String): (DataFrame, DataFrame) = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // Stats-free on purpose: see the connectedComponents scaladoc for why
+    // localCheckpoint's carried stats are poison on re-referenced plans.
+    val edgesDeg = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(
+      edges.join(deg, "src"))
+    val nodes = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(
+      edges.select(col("src").as("doc_id")).distinct())
+    (edgesDeg, nodes)
+  }
+
   /** Integer-micro PageRank over an undirected pair graph.
     *
     * @param pairs one row per undirected edge, endpoints `aCol` < `bCol`
@@ -47,17 +65,7 @@ object GraphRank {
     */
   def pageRank(pairs: DataFrame, aCol: String = "doc_id_a",
       bCol: String = "doc_id_b", iters: Int = 4): DataFrame = {
-    val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // Reused every round: materialize once, stats-free (see the
-    // connectedComponents scaladoc for why localCheckpoint's carried stats
-    // are poison on re-referenced plans).
-    val edgesDeg = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(
-      edges.join(deg, "src"))
-    val nodes = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(
-      edges.select(col("src").as("doc_id")).distinct())
+    val (edgesDeg, nodes) = checkpointedGraph(pairs, aCol, bCol)
     // Broadcast scalar |V| — the house pattern for plan-side constants.
     val n = broadcast(nodes.agg(count(lit(1)).as("n")))
 
@@ -88,14 +96,7 @@ object GraphRank {
   def personalizedPageRank(pairs: DataFrame, seedId: Long,
       aCol: String = "doc_id_a", bCol: String = "doc_id_b",
       iters: Int = 4): DataFrame = {
-    val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(
-      edges.join(deg, "src"))
-    val nodes = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(
-      edges.select(col("src").as("doc_id")).distinct())
+    val (edgesDeg, nodes) = checkpointedGraph(pairs, aCol, bCol)
     val seedMass = (id: Long, m: Long) =>
       when(col("doc_id") === id, lit(m)).otherwise(lit(0L))
 
