@@ -135,10 +135,9 @@ object GraphRank {
     * Scale shape: wedge join shuffles pairs on the middle vertex; closure is
     * an equi-join back on the (a, c) key; per-corner credit is one union +
     * keyed agg. Skewed high-degree middles are the classic hazard ("the
-    * last reducer") — at production scale the mitigation is the same
-    * orientation trick applied by DEGREE (orient edges low-degree →
-    * high-degree), which this graph doesn't need at tested scales; noted,
-    * not silently assumed. Coefficient is integer micros:
+    * last reducer") — [[triangleStatsDegreeOrdered]] is the production
+    * tier that bounds it; this id-ordered spelling is the simple tier the
+    * shared oracle pins both against. Coefficient is integer micros:
     * (2e6 · triangles) div (deg · (deg−1)), deg>=2 guarded.
     */
   def triangleStats(pairs: DataFrame, aCol: String = "doc_id_a",
@@ -150,6 +149,51 @@ object GraphRank {
       .join(e.as("ac"),
         col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
       .select(col("ab.a").as("x"), col("ab.b").as("y"), col("bc.b").as("z"))
+    triangleFinish(e, tri)
+  }
+
+  /** [[triangleStats]] with DEGREE-ORDERED orientation — the actual "last
+    * reducer" mitigation, implemented rather than footnoted: every edge is
+    * re-oriented from its lower-(degree, id) endpoint to the higher, and
+    * wedges fan out ONLY from the smaller endpoint. In the oriented DAG the
+    * out-degree of any node is O(√|E|) (a node keeps an out-edge only
+    * toward neighbors of no smaller degree, and fewer than √(2|E|) nodes
+    * have degree ≥ √(2|E|)), so the wedge join's per-key fan-out — the
+    * quadratic term a degree-10^6 spam hub would otherwise contribute — is
+    * bounded regardless of skew. Each triangle is still found exactly once:
+    * its minimum-(degree, id) corner is the unique corner with both
+    * out-edges, and the closing edge carries exactly one orientation.
+    * Output is IDENTICAL to [[triangleStats]] by construction — q167 pins
+    * it on q165's oracle (two implementations, one ground truth). */
+  def triangleStatsDegreeOrdered(pairs: DataFrame, aCol: String = "doc_id_a",
+      bCol: String = "doc_id_b"): DataFrame = {
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDegs = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = withDegs.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+    // wedge from the min-(deg, id) corner; the closing edge's single
+    // orientation picks exactly one of the two wedge orders
+    val tri = o.as("ab")
+      .join(o.as("ac"),
+        col("ab.src") === col("ac.src") && col("ab.dst") =!= col("ac.dst"))
+      .join(o.as("bc"),
+        col("bc.src") === col("ab.dst") && col("bc.dst") === col("ac.dst"))
+      .select(col("ab.src").as("x"), col("ab.dst").as("y"),
+        col("ac.dst").as("z"))
+    triangleFinish(e, tri)
+  }
+
+  /** Shared finisher: credit each triangle to its 3 corners, join degrees,
+    * emit the integer-micro clustering coefficient. */
+  private def triangleFinish(e: DataFrame, tri: DataFrame): DataFrame = {
     val perNode = tri.select(col("x").as("doc_id"))
       .unionByName(tri.select(col("y").as("doc_id")))
       .unionByName(tri.select(col("z").as("doc_id")))

@@ -531,6 +531,29 @@ pp0 AS (SELECT doc_id,
       .mkString("[", ",\n ", "]")
   }
 
+  /** The triangle/clustering oracle (shared by q165's id-ordered and
+    * q167's degree-ordered spellings — one ground truth). */
+  private lazy val triangleOracle: String = s"""
+WITH $minhashCtes,
+pairs AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j WHERE jaccard >= 0.8),
+tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        FROM pairs ab JOIN pairs bc ON bc.a = ab.b
+        JOIN pairs ac ON ac.a = ab.a AND ac.b = bc.b),
+pn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+         SELECT x AS doc_id FROM tri
+         UNION ALL SELECT y FROM tri
+         UNION ALL SELECT z FROM tri) GROUP BY doc_id),
+deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS doc_id FROM pairs
+          UNION ALL SELECT b FROM pairs) GROUP BY doc_id)
+SELECT deg.doc_id, deg.deg, coalesce(pn.n_triangles, 0) AS n_triangles,
+  CASE WHEN deg.deg >= 2
+    THEN CAST((2000000 * coalesce(pn.n_triangles, 0))
+              // (deg.deg * (deg.deg - 1)) AS BIGINT)
+    ELSE 0 END AS clustering_micros
+FROM deg LEFT JOIN pn ON pn.doc_id = deg.doc_id
+ORDER BY deg.doc_id"""
+
   /** The JL top-k oracle (shared by q157 inline and q164 indexed — one
     * ground truth for both spellings). */
   private lazy val jlTopkOracle: String = s"""
@@ -1953,26 +1976,15 @@ ORDER BY rank_micros DESC, doc_id""")),
     Q("q165_triangle_stats",
       (s, dir) => GraphRank.triangleStats(nearDupPairs(s, dir))
         .orderBy("doc_id"),
-      Some(s"""
-WITH $minhashCtes,
-pairs AS (SELECT doc_id_a AS a, doc_id_b AS b FROM j WHERE jaccard >= 0.8),
-tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z
-        FROM pairs ab JOIN pairs bc ON bc.a = ab.b
-        JOIN pairs ac ON ac.a = ab.a AND ac.b = bc.b),
-pn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
-         SELECT x AS doc_id FROM tri
-         UNION ALL SELECT y FROM tri
-         UNION ALL SELECT z FROM tri) GROUP BY doc_id),
-deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
-          SELECT a AS doc_id FROM pairs
-          UNION ALL SELECT b FROM pairs) GROUP BY doc_id)
-SELECT deg.doc_id, deg.deg, coalesce(pn.n_triangles, 0) AS n_triangles,
-  CASE WHEN deg.deg >= 2
-    THEN CAST((2000000 * coalesce(pn.n_triangles, 0))
-              // (deg.deg * (deg.deg - 1)) AS BIGINT)
-    ELSE 0 END AS clustering_micros
-FROM deg LEFT JOIN pn ON pn.doc_id = deg.doc_id
-ORDER BY deg.doc_id""")),
+      Some(triangleOracle)),
+
+    // The degree-ordered tier (the "last reducer" skew mitigation,
+    // implemented): identical output by construction, pinned on q165's
+    // oracle — two implementations, one ground truth (the q48/q65 law).
+    Q("q167_triangle_stats_ordered",
+      (s, dir) => GraphRank.triangleStatsDegreeOrdered(nearDupPairs(s, dir))
+        .orderBy("doc_id"),
+      Some(triangleOracle)),
 
     // ANN via Johnson-Lindenstrauss sign-projection prefilter: rank the
     // corpus in the 32-dim projected space (narrow column, half the

@@ -117,6 +117,25 @@ class GraphRankSpec extends SparkSpec {
     assert(pend(4L) === ((1L, 0L, 0L)))
   }
 
+  test("degree-ordered triangles == id-ordered triangles on mixed topologies") {
+    // K4 + pendant + triangle-with-tail + disconnected chain + a hub whose
+    // degree dominates (the orientation actually reorders its edges)
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (4L, 5L),                                                   // pendant
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L),             // tri+tail
+      (20L, 21L), (21L, 22L),                                     // chain
+      (30L, 31L), (30L, 32L), (30L, 33L), (30L, 34L), (31L, 32L)) // hub
+    val df = pairs.toDF("doc_id_a", "doc_id_b")
+    val simple = GraphRank.triangleStats(df).orderBy("doc_id").collect().toSeq
+    val ordered = GraphRank.triangleStatsDegreeOrdered(df)
+      .orderBy("doc_id").collect().toSeq
+    assert(ordered === simple)
+    // and the hub's triangle is found despite every hub edge re-orienting
+    val hub = ordered.find(_.getLong(0) == 30L).get
+    assert(hub.getLong(2) === 1L)
+  }
+
   test("centralRepresentatives: max rank wins, ties break to min doc_id") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
       .toDF("doc_id", "cluster_id")
