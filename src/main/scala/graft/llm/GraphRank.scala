@@ -176,14 +176,19 @@ object GraphRank {
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // keep the dst's degree on the oriented edge: the wedge join below uses
+    // the SAME (deg, id) order to emit each dst pair once, already in the
+    // closing edge's orientation — half the wedges, and the closure is a
+    // pure existence join
     val o = withDegs.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
-      when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-    // wedge from the min-(deg, id) corner; the closing edge's single
-    // orientation picks exactly one of the two wedge orders
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dd"))
     val tri = o.as("ab")
       .join(o.as("ac"),
-        col("ab.src") === col("ac.src") && col("ab.dst") =!= col("ac.dst"))
+        col("ab.src") === col("ac.src") &&
+          (col("ab.dd") < col("ac.dd") ||
+            (col("ab.dd") === col("ac.dd") && col("ab.dst") < col("ac.dst"))))
       .join(o.as("bc"),
         col("bc.src") === col("ab.dst") && col("bc.dst") === col("ac.dst"))
       .select(col("ab.src").as("x"), col("ab.dst").as("y"),
