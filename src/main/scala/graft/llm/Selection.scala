@@ -529,23 +529,27 @@ object Selection {
     * codebook, one cell-keyed exchange of 8-small-int code rows. Nothing
     * reads the existing index; append cost is O(batch), not O(corpus).
     *
-    * Exactly-once: each batch lands under its caller-supplied `batchId`
-    * partitions with DYNAMIC partition overwrite (the streaming stats
-    * recipe) — re-delivering a batch (driver retry after a successful
-    * commit, operator re-run) rewrites its own partitions byte-identically
-    * instead of appending duplicate code rows. Re-ingesting a vec_id in a
-    * LATER batch (an updated embedding) is shadowed latest-wins at search
-    * time and physically dropped by [[compactIvfadcIndex]]. */
+    * Exactly-once (Layout manifest protocol): each delivery of logical
+    * batch `batchId` lands under its own fresh PHYSICAL partition id and
+    * becomes visible through one atomic manifest swap — a re-delivered
+    * batch (driver retry after a successful commit, operator re-run)
+    * REPLACES its previous delivery in the visible set instead of
+    * appending duplicate code rows, and the superseded directories are
+    * reclaimed by [[graft.ops.Layout.vacuumLayout]]. Re-ingesting a
+    * vec_id in a LATER batch (an updated embedding) is shadowed
+    * latest-LOGICAL-batch-wins at search time and physically dropped by
+    * [[compactIvfadcIndex]]. */
   def appendToIvfadcIndex(newEmbeddings: DataFrame, basePath: String,
       batchId: Long): Unit = {
     require(batchId >= 0,
       s"batchId must be >= 0 (negative ids are reserved for the base/" +
         s"compacted partition batch_id=-1), got $batchId")
     val spark = newEmbeddings.sparkSession
-    // same rewrite-window discipline as appendToBm25Index: the batch
-    // vanishes from reads while its cell partitions rewrite, reappears
-    // atomically on commit
-    graft.ops.Layout.beginBatchCommit(spark, basePath, batchId)
+    // snapshot discipline (Layout manifest protocol): this delivery
+    // writes under its own fresh PHYSICAL partition id, so reads keep
+    // serving the previous delivery untouched until the one atomic
+    // manifest swap at finish — never a torn or vanished batch
+    val phys = graft.ops.Layout.beginBatchCommit(spark, basePath, batchId)
     val cents = broadcast(spark.read.parquet(s"$basePath/cents"))
     val assigned = Similarity.ivfAssignWith(newEmbeddings, cents)
       .join(cents, "cell")
@@ -556,7 +560,7 @@ object Selection {
     pqEncode(assigned.select("vec_id", "embedding"),
         spark.read.parquet(s"$basePath/codebook"))
       .join(assigned.select("vec_id", "cell"), "vec_id")
-      .withColumn("batch_id", lit(batchId))
+      .withColumn("batch_id", lit(phys))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell", "batch_id")
       .option("partitionOverwriteMode", "dynamic")
@@ -571,12 +575,12 @@ object Selection {
     // append log, not the corpus — and compaction folds it back to zero.
     // Same dynamic-overwrite idempotence as the codes partitions.
     assigned.select(col("vec_id")).distinct()
-      .withColumn("batch_id", lit(batchId))
+      .withColumn("batch_id", lit(phys))
       .coalesce(1)
       .write.mode("overwrite").partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$basePath/reassign")
-    graft.ops.Layout.finishBatchCommit(spark, basePath, batchId)
+    graft.ops.Layout.finishBatchCommit(spark, basePath, phys)
   }
 
   /** Offline compaction/rebuild of a persisted IVFADC layout: fold every
@@ -606,7 +610,11 @@ object Selection {
       // committed snapshot only — a crashed half-append never folds in
       .filter(graft.ops.Layout.committedBatchFilter(spark, inBase))
       .groupBy("vec_id", "m")
-      .agg(max_by(struct(col("cell"), col("code")), col("batch_id")).as("s"))
+      // recency orders by LOGICAL batch (physical partition ids encode
+      // the delivery attempt; a late re-delivery of an old batch must
+      // not outrank a logically newer one — Layout.logicalBatch)
+      .agg(max_by(struct(col("cell"), col("code")),
+        graft.ops.Layout.logicalBatch(col("batch_id"))).as("s"))
       .select(col("vec_id"), col("m"),
         col("s.cell").as("cell"), col("s.code").as("code"))
     latest.withColumn("batch_id", lit(-1L))
@@ -703,12 +711,18 @@ object Selection {
     val codesLive =
       if (!hasReassign) codesRaw
       else {
+        // logical recency: physical ids encode delivery attempts, so the
+        // latest-batch map and the membership test both fold through
+        // Layout.logicalBatch (the manifest guarantees one physical per
+        // logical, so logical equality is as precise as physical)
         val live = spark.read.parquet(s"$basePath/reassign")
           .filter(graft.ops.Layout.committedBatchFilter(spark, basePath))
           .groupBy("vec_id")
-          .agg(max("batch_id").as("live_batch"))
+          .agg(max(graft.ops.Layout.logicalBatch(col("batch_id")))
+            .as("live_batch"))
         codesRaw.join(broadcast(live), Seq("vec_id"), "left")
-          .filter(col("batch_id") === coalesce(col("live_batch"), lit(-1L)))
+          .filter(graft.ops.Layout.logicalBatch(col("batch_id")) ===
+            coalesce(col("live_batch"), lit(-1L)))
           .drop("live_batch")
       }
     val adc = codesLive
@@ -723,7 +737,8 @@ object Selection {
       // aggregation is partial-combined and near-free. Single-batch
       // layouts pass through unchanged (one row per key).
       .groupBy("query_id", "vec_id", "m")
-      .agg(max_by(col("d2"), col("batch_id")).as("d2"))
+      .agg(max_by(col("d2"),
+        graft.ops.Layout.logicalBatch(col("batch_id"))).as("d2"))
       .groupBy("query_id", "vec_id")
       .agg(sum("d2").as("adc"))
     rerankTopK(adc, embeddings, queries, k, candidates, salts)
@@ -991,9 +1006,10 @@ c AS (SELECT doc_id, source, t,
     * batches compose EXACTLY into the one-shot build over the union
     * corpus (spec-pinned).
     *
-    * Exactly-once: every write is a DYNAMIC overwrite of the batch's own
-    * partitions, so a re-delivered batch rewrites itself byte-identically
-    * instead of double-counting (the [[appendToIvfadcIndex]] recipe).
+    * Exactly-once (Layout manifest protocol): each delivery writes under
+    * its own fresh physical partition id and ONE atomic manifest swap
+    * replaces the previous delivery in the visible set, so a re-delivered
+    * batch can never double-count (the [[appendToIvfadcIndex]] recipe).
     * Append cost is O(batch): one tokenize+count pass over the new docs,
     * one bucket-keyed exchange of postings rows, one vocabulary-delta
     * aggregation — nothing reads the existing index. Re-ingesting an
@@ -1005,29 +1021,29 @@ c AS (SELECT doc_id, source, t,
     require(batchId >= 0,
       s"batchId must be >= 0 (negative ids are reserved for the base/" +
         s"compacted partition batch_id=-1), got $batchId")
-    // Open the batch's rewrite window BEFORE touching any table: a
-    // replayed batch first vanishes wholesale from serving reads (its
-    // marker drops), is rewritten across all three tables, then reappears
-    // atomically when the marker lands — a concurrent /search can never
-    // see a half-rewritten batch (Layout commit protocol).
+    // Snapshot discipline (Layout manifest protocol): allocate the
+    // delivery's physical partition id BEFORE touching any table; all
+    // three tables write under it while serving reads keep the previous
+    // delivery, then ONE manifest swap makes the whole delivery visible —
+    // a concurrent /search can never see a half-rewritten batch.
     val spark = newDocs.sparkSession
-    graft.ops.Layout.beginBatchCommit(spark, basePath, batchId)
+    val phys = graft.ops.Layout.beginBatchCommit(spark, basePath, batchId)
     // one tokenize pass, three consumers (postings + both stats deltas);
     // positional, matching the base layout's schema
     val delta =
       TextAnalysis.bm25PositionalPostings(newDocs).localCheckpoint(false)
-    graft.ops.Layout.appendPostings(delta, s"$basePath/postings", batchId)
+    graft.ops.Layout.appendPostings(delta, s"$basePath/postings", phys)
     TextAnalysis.bm25TermStatsFromPostings(delta)
-      .withColumn("batch_id", lit(batchId))
+      .withColumn("batch_id", lit(phys))
       .write.mode("overwrite").partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$basePath/term_stats")
     TextAnalysis.bm25CorpusStatsFromPostings(delta)
-      .withColumn("batch_id", lit(batchId))
+      .withColumn("batch_id", lit(phys))
       .write.mode("overwrite").partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$basePath/corpus_stats")
-    graft.ops.Layout.finishBatchCommit(spark, basePath, batchId)
+    graft.ops.Layout.finishBatchCommit(spark, basePath, phys)
   }
 
   /** Additive fold-read of the per-batch df deltas: sum over batches per

@@ -102,10 +102,10 @@ object Layout {
 
   /** Ingest a doc-disjoint postings delta into a [[writePostings]] layout
     * under its own `batch_id` partitions — the lexical twin of
-    * [[graft.llm.Selection.appendToIvfadcIndex]]. Exactly-once: DYNAMIC
-    * partition overwrite means a re-delivered batch (driver retry after a
-    * successful commit, operator re-run) rewrites its own (bucket, batch)
-    * partitions byte-identically instead of appending duplicate rows.
+    * [[graft.llm.Selection.appendToIvfadcIndex]]. `batchId` here is the
+    * PHYSICAL delivery id ([[beginBatchCommit]]'s return) when called
+    * inside the manifest protocol; DYNAMIC partition overwrite keeps a
+    * crashed attempt's retry (same physical id) self-healing.
     * Postings rows are per (doc, term), so doc-disjoint batches union into
     * exactly the one-shot build over the union corpus (spec-pinned).
     * Re-ingesting an EXISTING doc_id is NOT shadowed here (a new doc
@@ -145,55 +145,156 @@ object Layout {
 
   // ------------------------------------------------------ batch visibility
 
-  /** Batch-commit visibility protocol for the persisted serving layouts.
+  /** Batch-commit SNAPSHOT protocol for the persisted serving layouts.
     *
-    * An incremental append (appendToBm25Index / appendToIvfadcIndex) is a
-    * multi-table dynamic-partition overwrite; during a re-delivered
-    * batch's delete-then-commit window a concurrent read could transiently
-    * miss or double-count that batch's rows. The protocol closes the
-    * window with one marker file per batch at the index ROOT
-    * (`_commits/batch_<id>`), covering every table of the layout at once:
+    * An incremental append (appendToBm25Index / appendToIvfadcIndex /
+    * appendToAhashIndex) is a multi-table partition write; a re-delivered
+    * batch is a rewrite of content a concurrent read may be serving. The
+    * protocol gives readers true per-root snapshot isolation — the moral
+    * equivalent of the reference's per-company `conn.commit()`
+    * (ingest_facts.py:145: the warehouse never serves a half-committed
+    * company) — with TWO rules:
     *
-    *   - append = delete the batch's marker ([[beginBatchCommit]]) →
-    *     rewrite the batch's partitions in every table → re-create the
-    *     marker ([[finishBatchCommit]]). Marker create/delete is atomic
-    *     per file, so a reader never observes a half-visible batch.
-    *   - read = list `_commits` once at plan time and keep only
-    *     `batch_id ∈ {-1} ∪ committed` ([[committedBatchFilter]]) — a
-    *     PARTITION-column predicate, so invisibility is directory pruning,
-    *     not a row filter. A replayed batch disappears as a whole until
-    *     its rewrite commits, then reappears as a whole: a read PLANNED
-    *     after beginBatchCommit serves a consistent per-batch snapshot
-    *     (stale-but-consistent during the window). The guarantee is
-    *     plan-time, not scan-time: a begin that lands between a reader's
-    *     predicate resolution and its scan can still expose partially
-    *     rewritten partitions — true snapshot isolation would need a
-    *     manifest/rename swap (the compaction path's doctrine), which the
-    *     per-request re-plan in the serving layer approximates.
+    *   1. **Committed data files are immutable.** A batch delivery never
+    *      overwrites partitions a published snapshot references: each
+    *      delivery of logical batch L writes under a fresh PHYSICAL
+    *      partition id `(L+1)*GenStride + gen` (gen = delivery attempt,
+    *      allocated by [[beginBatchCommit]]). The previous delivery's
+    *      directories stay on disk untouched until [[vacuumLayout]].
+    *   2. **Visibility is one atomic manifest swap.** The root's
+    *      `_commits/manifest-<version>` file (write-temp + atomic rename;
+    *      highest version wins) lists the visible `logical physical`
+    *      pairs — exactly one physical per logical. [[finishBatchCommit]]
+    *      publishes the next version; [[committedBatchFilter]] resolves
+    *      the current one into a partition-column predicate
+    *      (`batch_id ∈ {-1} ∪ physicals`), so invisibility is directory
+    *      pruning, not a row filter.
+    *
+    * Together: a read that resolves its file listing and manifest at ANY
+    * point observes a consistent snapshot through its collect — even if a
+    * begin + full rewrite + finish lands between its plan resolution and
+    * its action, the files it planned against still exist and the batch
+    * set it resolved was some published manifest. There is no window in
+    * which a batch "vanishes": a replay serves the PREVIOUS delivery
+    * until the swap, then the new one (stale-but-consistent, never torn).
+    *
+    * Recency across deliveries: per-vector latest-wins logic (IVFADC
+    * codes/reassign) must order by LOGICAL batch — [[logicalBatch]] maps
+    * a physical partition id back to its logical id (`-1` base → `-1`;
+    * legacy raw ids < GenStride → themselves) so a late re-delivery of an
+    * old batch can never outrank a logically newer one.
     *
     * The base partition `batch_id=-1` (one-shot build / compaction fold)
-    * is always visible — it is written before the root is ever served and
-    * never rewritten in place. Layouts WITHOUT a `_commits` directory
-    * (pre-protocol roots, standalone postings layouts) read unfiltered,
-    * preserving their original semantics. The listing is driver-side and
-    * bounded by the live batch count — compaction folds it back to zero. */
+    * is always visible — written before the root is ever served, never
+    * rewritten in place. Layouts WITHOUT a `_commits` directory
+    * (standalone postings layouts) read unfiltered, preserving their
+    * original semantics; pre-manifest roots carrying old-style
+    * `_commits/batch_<id>` marker files read from the markers until first
+    * manifest contact folds them in. One writer per root (the append
+    * contract); the manifest listing is driver-side and O(live batches) —
+    * compaction folds it back to zero. */
+  val GenStride = 1000000L
+
+  /** Physical partition id → logical batch id: base/legacy ids pass
+    * through, stride-encoded delivery ids map back. The recency key for
+    * every latest-wins fold over `batch_id`. */
+  def logicalBatch(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c < GenStride, c)
+      .otherwise(floor(c / GenStride).cast("long") - 1L)
+
+  /** Driver-side twin of [[logicalBatch]]. */
+  def logicalBatchLocal(p: Long): Long =
+    if (p < GenStride) p else p / GenStride - 1
+
+  private def commitsDir(base: String) =
+    new org.apache.hadoop.fs.Path(s"$base/_commits")
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (version, path) of every published manifest under `_commits`. */
+  private def listManifests(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
+      val n = p.getName
+      if (n.startsWith("manifest-"))
+        n.stripPrefix("manifest-").toLongOption.map(_ -> p)
+      else None
+    }
+
+  /** Highest-version manifest's (version, logical → physical) map, if any
+    * manifest has ever been published on this root. */
+  private def currentManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[(Long, Map[Long, Long])] = {
+    val ms = listManifests(fs, dir)
+    if (ms.isEmpty) None
+    else {
+      val (v, p) = ms.maxBy(_._1)
+      val in = fs.open(p)
+      val body = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val arr = new Array[Byte](8192)
+        var n = in.read(arr)
+        while (n >= 0) { buf.write(arr, 0, n); n = in.read(arr) }
+        buf.toString("UTF-8")
+      } finally in.close()
+      val m = body.linesIterator.map(_.trim).filter(_.nonEmpty).flatMap { l =>
+        l.split("\\s+") match {
+          case Array(lg, ph) =>
+            for (a <- lg.toLongOption; b <- ph.toLongOption) yield a -> b
+          case _ => None
+        }
+      }.toMap
+      Some((v, m))
+    }
+  }
+
+  /** Publish manifest `version`: write the full pair list to a temp file,
+    * then atomically rename into place — readers see the old complete
+    * manifest or the new complete one, never a partial list. A rename
+    * collision means a second writer raced this publish: the single-
+    * writer-per-root contract was broken, fail loudly. */
+  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, version: Long,
+      m: Map[Long, Long]): Unit = {
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".manifest-$version.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      m.toSeq.sorted.map { case (l, p) => s"$l $p\n" }.mkString.getBytes("UTF-8"))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, f"manifest-$version%020d")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent manifest publish on $dir at version $version — " +
+          "the layout contract is one writer per root")
+    }
+  }
+
+  /** Arm the protocol on a root: ensure `_commits` exists and a manifest
+    * is published. First contact with a pre-manifest root BACKFILLS its
+    * existing batches — old-style marker files if present, else one
+    * bounded directory walk for live `batch_id=` partitions (they were
+    * readable unfiltered until this moment; an empty manifest would hide
+    * them from every read and drop them from compaction folds). Multiple
+    * physical deliveries of one logical batch resolve max-physical-wins. */
   def initCommitLog(spark: SparkSession, base: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(base)
-    val p = new org.apache.hadoop.fs.Path(s"$base/_commits")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      fs.mkdirs(p)
-      // BACKFILL on first protocol contact with a pre-protocol root: its
-      // existing batch partitions are committed data (they were readable
-      // unfiltered until this moment), so creating an EMPTY log here
-      // would hide them from every read and drop them from compaction
-      // folds. One bounded directory walk finds the live batch ids.
-      collectBatchIds(fs, root, depth = 4).filter(_ >= 0)
-        .foreach { id =>
-          val m = new org.apache.hadoop.fs.Path(p, s"batch_$id")
-          val out = fs.create(m, true)
-          out.close()
-        }
+    val dir = commitsDir(base)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    if (currentManifest(fs, dir).isEmpty) {
+      val markers = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_"))
+        .flatMap(_.stripPrefix("batch_").toLongOption)
+      val physicals =
+        if (markers.nonEmpty) markers.toSet
+        else collectBatchIds(fs, root, depth = 4).filter(_ >= 0)
+      val m = physicals.groupBy(logicalBatchLocal)
+        .map { case (l, ps) => l -> ps.max }
+      publishManifest(fs, dir, version = 1L, m)
     }
   }
 
@@ -202,51 +303,109 @@ object Layout {
     * cell= / (band=, vb=) in the serving layouts). */
   private def collectBatchIds(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, depth: Int): Set[Long] =
-    if (depth < 0 || !fs.exists(p)) Set.empty
-    else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
-      val n = st.getPath.getName
-      if (n == "_commits") Set.empty[Long]
-      else if (n.startsWith("batch_id="))
-        n.stripPrefix("batch_id=").toLongOption.toSet
-      else collectBatchIds(fs, st.getPath, depth - 1)
-    }.toSet
+    collectBatchDirs(fs, p, depth).map(_._1).toSet
 
-  /** Open a batch's rewrite window: drop its marker so readers skip the
-    * batch wholesale while its partitions are being (re)written. */
-  def beginBatchCommit(spark: SparkSession, base: String, batchId: Long): Unit = {
+  /** Start a delivery of logical batch `batchId`: allocate and return the
+    * PHYSICAL partition id the caller must write every table's partitions
+    * under. Side-effect-free on visibility — the previous delivery (if
+    * any) keeps serving until [[finishBatchCommit]] swaps the manifest.
+    * Gen allocation counts from the last FINISHED delivery, so a crashed
+    * attempt's never-published gen is reused and self-heals via the
+    * dynamic-overwrite rewrite. */
+  def beginBatchCommit(spark: SparkSession, base: String,
+      batchId: Long): Long = {
+    require(batchId >= 0 && batchId < GenStride - 1,
+      s"logical batch id out of range [0, ${GenStride - 1}): $batchId")
     initCommitLog(spark, base)
-    val p = new org.apache.hadoop.fs.Path(s"$base/_commits/batch_$batchId")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    val dir = commitsDir(base)
+    val m = currentManifest(fsOf(spark, dir), dir).map(_._2)
+      .getOrElse(Map.empty[Long, Long])
+    val gen = m.get(batchId) match {
+      case Some(p) if p >= GenStride => p % GenStride + 1
+      case _ => 0L // never delivered, or a legacy raw-id delivery
+    }
+    require(gen < GenStride, s"gen counter exhausted for batch $batchId")
+    (batchId + 1) * GenStride + gen
   }
 
-  /** Close a batch's rewrite window: every table's partitions for this
-    * batch are fully written, make the batch visible atomically. */
-  def finishBatchCommit(spark: SparkSession, base: String, batchId: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$base/_commits/batch_$batchId")
-    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .create(p, true)
-    out.close()
+  /** Commit a delivery: every table's partitions for `physicalId` (the
+    * value [[beginBatchCommit]] returned) are fully written; publish the
+    * next manifest version mapping the logical batch to this physical —
+    * ONE atomic rename makes the whole multi-table delivery visible and
+    * the previous delivery's directories garbage ([[vacuumLayout]]). */
+  def finishBatchCommit(spark: SparkSession, base: String,
+      physicalId: Long): Unit = {
+    initCommitLog(spark, base)
+    val dir = commitsDir(base)
+    val fs = fsOf(spark, dir)
+    val (v, m) = currentManifest(fs, dir).get
+    publishManifest(fs, dir, v + 1,
+      m + (logicalBatchLocal(physicalId) -> physicalId))
   }
 
   /** The read-side visibility predicate on `batch_id` — resolved from the
-    * commit log at plan time, so each request sees a consistent batch
-    * snapshot. `lit(true)` for pre-protocol layouts. */
+    * current manifest at plan time, so each request sees one published
+    * snapshot. `lit(true)` for pre-protocol layouts (no `_commits`);
+    * old-style marker files serve as the visible set on roots no manifest
+    * has touched yet. */
   def committedBatchFilter(spark: SparkSession, base: String)
       : org.apache.spark.sql.Column = {
-    val dir = new org.apache.hadoop.fs.Path(s"$base/_commits")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = commitsDir(base)
+    val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) lit(true)
     else {
-      // toLongOption: a stray non-numeric file in _commits (editor temp,
-      // _SUCCESS, half-written name) must not throw at plan time and take
-      // down every serving read of the root — skip it like collectBatchIds
-      val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("batch_"))
-        .flatMap(_.stripPrefix("batch_").toLongOption)
+      val ids = currentManifest(fs, dir) match {
+        case Some((_, m)) => m.values.toSeq
+        case None =>
+          // toLongOption: a stray non-numeric file in _commits (editor
+          // temp, _SUCCESS, half-written name) must not throw at plan
+          // time and take down every serving read of the root
+          fs.listStatus(dir).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("batch_"))
+            .flatMap(_.stripPrefix("batch_").toLongOption)
+      }
       if (ids.isEmpty) col("batch_id") === -1L
       else col("batch_id") === -1L || col("batch_id").isin(ids: _*)
     }
   }
+
+  /** Garbage-collect SUPERSEDED deliveries: delete `batch_id=<p>`
+    * directories whose logical batch maps to a HIGHER physical in the
+    * current manifest — i.e. deliveries a later finish replaced. Never
+    * touches the base, visible physicals, or ids above the visible gen
+    * (a begun-but-unfinished delivery in flight). Run it only once no
+    * reader planned before the superseding swap can still be collecting —
+    * the retention horizon is the caller's, same as every MVCC vacuum.
+    * Returns the number of directories deleted. */
+  def vacuumLayout(spark: SparkSession, base: String): Long = {
+    val dir = commitsDir(base)
+    val fs = fsOf(spark, dir)
+    currentManifest(fs, dir) match {
+      case None => 0L
+      case Some((_, m)) =>
+        val doomed = collectBatchDirs(fs,
+            new org.apache.hadoop.fs.Path(base), depth = 4)
+          .filter { case (id, _) =>
+            id >= 0 && m.get(logicalBatchLocal(id)).exists(_ > id)
+          }
+        doomed.foreach { case (_, p) => fs.delete(p, true) }
+        doomed.size.toLong
+    }
+  }
+
+  /** Every `batch_id=N` partition directory found under `p` (any table,
+    * up to `depth` levels), with its parsed id. */
+  private def collectBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, depth: Int)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (depth < 0 || !fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (n == "_commits") Nil
+      else if (n.startsWith("batch_id="))
+        n.stripPrefix("batch_id=").toLongOption.map(_ -> st.getPath).toSeq
+      else collectBatchDirs(fs, st.getPath, depth - 1)
+    }
 
   /** Driver-side twin of [[bucketOf]] — literally the same md5 arithmetic
     * (first 15 hex chars as a 60-bit int, mod nBuckets) evaluated in Scala,

@@ -412,20 +412,21 @@ object Multimodal {
     Layout.initCommitLog(spark, basePath)
   }
 
-  /** Ingest a doc-disjoint image batch under its own `batchId` partitions —
-    * dynamic overwrite (replay idempotent) inside the batch-commit window
-    * ([[Layout.beginBatchCommit]]/[[Layout.finishBatchCommit]]), so a
-    * concurrent near-dup read never sees half a batch's band rows. */
+  /** Ingest a doc-disjoint image batch under its delivery's PHYSICAL
+    * partitions (the [[Layout.beginBatchCommit]] manifest protocol):
+    * reads keep serving the previous delivery until the atomic manifest
+    * swap at [[Layout.finishBatchCommit]], so a concurrent near-dup read
+    * never sees half a batch's band rows — or a vanished batch. */
   def appendToAhashIndex(newDocs: DataFrame, basePath: String,
       batchId: Long)(implicit spark: SparkSession): Unit = {
     require(batchId >= 0,
       s"batchId must be >= 0 (negative ids are reserved for the base/" +
         s"compacted partition batch_id=-1), got $batchId")
     val nVb = spark.read.parquet(s"$basePath/bands_meta").head().getInt(0)
-    Layout.beginBatchCommit(spark, basePath, batchId)
-    writeAhashBatch(ahashBandRows(newDocs), basePath, nVb, batchId,
+    val phys = Layout.beginBatchCommit(spark, basePath, batchId)
+    writeAhashBatch(ahashBandRows(newDocs), basePath, nVb, phys,
       dynamic = true)
-    Layout.finishBatchCommit(spark, basePath, batchId)
+    Layout.finishBatchCommit(spark, basePath, phys)
   }
 
   private def writeAhashBatch(rows: DataFrame, basePath: String, nVb: Int,

@@ -78,15 +78,16 @@ class GraftApi(spark: SparkSession, sfDir: String,
   // terms' rows: the term predicate is on the fold's GROUPING key, so it
   // pushes through the aggregate into the parquet scan (spec-pinned);
   // corpus_stats is a few rows per batch folded to one. Each request
-  // resolves the commit log ONCE (Layout.committedBatchFilter) and every
+  // resolves the manifest ONCE (Layout.committedBatchFilter) and every
   // table read in that request shares the resolved predicate, so the
   // served snapshot is batch-consistent ACROSS postings/term_stats/
-  // corpus_stats — an append/replay window OPEN when the request plans
-  // is invisible (stale-but-consistent). The guarantee is plan-time: a
-  // begin landing mid-request, between predicate resolution and the
-  // scan, can still expose a partially rewritten batch — the per-request
-  // re-resolve narrows that window to one request's planning gap; true
-  // snapshot isolation would need a manifest swap (Layout doctrine).
+  // corpus_stats. The Layout manifest protocol makes this TRUE snapshot
+  // isolation: committed data files are immutable (each delivery writes
+  // a fresh physical partition set; visibility is one atomic manifest
+  // rename), so even a delivery that begins, rewrites, and commits
+  // mid-request cannot tear this request's resolved snapshot — it keeps
+  // reading the files its plan listed (stale-but-consistent), and the
+  // NEXT request resolves the new manifest.
   private def idxTermStatsFor(terms: Seq[String],
       vis: org.apache.spark.sql.Column): DataFrame =
     spark.read.parquet(s"$searchIndexBase/term_stats")

@@ -485,15 +485,21 @@ class SelectionSpec extends SparkSpec {
     // same longs, so every score_micro is bit-identical, not just same-rank
     assert(inc === search(s"$tmp/full") && inc.nonEmpty)
 
-    // Replay: re-delivering batch 1 dynamic-overwrites its own partitions —
-    // search AND physical row count unchanged (idempotence is physical)
+    // Replay: re-delivering batch 1 lands under a fresh delivery id and
+    // swaps the manifest — the VISIBLE row set is unchanged (logical
+    // idempotence), and vacuum reclaims the superseded delivery so the
+    // physical layout returns to one copy per batch
     def postingsRows(base: String): Long =
-      spark.read.parquet(s"$base/postings").count()
+      spark.read.parquet(s"$base/postings")
+        .filter(graft.ops.Layout.committedBatchFilter(spark, base))
+        .count()
     val nRows = postingsRows(s"$tmp/inc")
     Selection.appendToBm25Index(docs.filter(col("doc_id") % 3 === 2),
       s"$tmp/inc", batchId = 1L)
     assert(search(s"$tmp/inc") === inc)
     assert(postingsRows(s"$tmp/inc") === nRows)
+    assert(graft.ops.Layout.vacuumLayout(spark, s"$tmp/inc") > 0)
+    assert(spark.read.parquet(s"$tmp/inc/postings").count() === nRows)
 
     // bucket pruning survives the appends (batch_id subpartitions nest
     // INSIDE the bucket directories, so the term_bucket partition filter
@@ -518,14 +524,14 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
-  test("batch-commit visibility: reads see whole committed batches, never a torn one") {
+  test("batch-commit snapshot: manifest swap atomic, in-flight deliveries invisible, planned readers keep their snapshot") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val tmp = java.nio.file.Files.createTempDirectory("graft_bmvis").toString
     val base = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
     Selection.writeBm25Index(base, s"$tmp/idx")
     Selection.writeBm25Index(base, s"$tmp/baseonly")
-    Selection.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1),
-      s"$tmp/idx", batchId = 0L)
+    Selection.appendToBm25Index(odd, s"$tmp/idx", batchId = 0L)
     val terms = Seq("hash", "join", "window")
     def search(root: String) =
       Selection.bm25SearchIndex(spark, root, terms, topK = 20)
@@ -535,51 +541,82 @@ class SelectionSpec extends SparkSpec {
          .orderBy("term").collect().map(_.toSeq).toSeq,
        Selection.bm25CorpusStatsRead(spark, root).collect().head.toSeq)
     val full = search(s"$tmp/idx")
+    val fullStats = stats(s"$tmp/idx")
     assert(full !== search(s"$tmp/baseonly"), "fixture too small to discriminate")
 
-    // A replayed batch's rewrite window: beginBatchCommit drops the
-    // marker — every read (postings ranks, phrase positions, stats folds)
-    // excludes the WHOLE batch, byte-equal to a base-only root. The
-    // partially-rewritten partitions underneath are invisible: this is
-    // the snapshot the serving layer promises mid-replay.
-    graft.ops.Layout.beginBatchCommit(spark, s"$tmp/idx", 0L)
-    assert(search(s"$tmp/idx") === search(s"$tmp/baseonly"),
-      "in-flight batch leaked into the search read")
-    assert(stats(s"$tmp/idx") === stats(s"$tmp/baseonly"),
-      "in-flight batch leaked into the stats fold")
-    // commit closes the window atomically: the batch reappears as a whole
-    graft.ops.Layout.finishBatchCommit(spark, s"$tmp/idx", 0L)
-    assert(search(s"$tmp/idx") === full)
+    // (a) begin is allocation, not disturbance: the previous delivery
+    // keeps serving through the whole rewrite window — nothing vanishes
+    val physA = graft.ops.Layout.beginBatchCommit(spark, s"$tmp/idx", 0L)
+    assert(physA >= graft.ops.Layout.GenStride,
+      s"delivery id not stride-encoded: $physA")
+    assert(graft.ops.Layout.logicalBatchLocal(physA) === 0L)
+    assert(search(s"$tmp/idx") === full,
+      "begin disturbed the serving snapshot")
+    assert(stats(s"$tmp/idx") === fullStats)
 
-    // an actual torn replay: begin + rewrite ONE of the three tables,
-    // crash before commit — reads still serve the old consistent snapshot
-    graft.ops.Layout.beginBatchCommit(spark, s"$tmp/idx", 0L)
+    // (b) a crashed rewrite: a WRONG delta lands under the allocated
+    // physical id and the writer dies before finish — invisible to every
+    // read (the manifest never mentioned that physical)
     graft.llm.TextAnalysis.bm25TermStatsFromPostings(
-        graft.llm.TextAnalysis.bm25PositionalPostings(
-          docs.filter(col("doc_id") % 2 === 1)))
+        graft.llm.TextAnalysis.bm25PositionalPostings(odd))
       .withColumn("df", col("df") * 999) // a wrong half-written delta
-      .withColumn("batch_id", lit(0L))
+      .withColumn("batch_id", lit(physA))
       .write.mode("overwrite").partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$tmp/idx/term_stats")
-    assert(stats(s"$tmp/idx") === stats(s"$tmp/baseonly"),
-      "torn term_stats delta visible mid-window")
-    // the recovery path is the replay itself: re-append commits cleanly
-    Selection.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1),
-      s"$tmp/idx", batchId = 0L)
+    assert(stats(s"$tmp/idx") === fullStats,
+      "crashed delivery's partitions visible before finish")
+    // recovery IS the replay: the re-append reuses the unfinished gen,
+    // dynamic-overwrites the crashed partitions cleanly, and swaps once
+    Selection.appendToBm25Index(odd, s"$tmp/idx", batchId = 0L)
     assert(search(s"$tmp/idx") === full)
+    assert(stats(s"$tmp/idx") === fullStats)
 
-    // pre-protocol roots (no _commits dir) read unfiltered — legacy layouts
-    // keep their original semantics
+    // (c) THE snapshot guarantee: a reader whose plan (file listing +
+    // manifest) resolved BEFORE a begin + full rewrite + finish still
+    // collects its planned snapshot — committed files are immutable and
+    // the swap only redirects NEW plans. The interleaved delivery ships
+    // DIFFERENT content so the two snapshots are distinguishable.
+    val plannedSearch =
+      Selection.bm25SearchIndex(spark, s"$tmp/idx", terms, topK = 20)
+    val plannedStats = Selection.bm25CorpusStatsRead(spark, s"$tmp/idx")
+    Selection.appendToBm25Index(
+      odd.filter(col("doc_id") % 3 === 0), s"$tmp/idx", batchId = 0L)
+    val newFull = search(s"$tmp/idx")
+    assert(newFull !== full, "fixture: replacement delivery not distinguishable")
+    assert(plannedSearch.collect().map(_.toSeq).toSeq === full,
+      "reader planned before the swap saw the new delivery (torn snapshot)")
+    assert(plannedStats.collect().head.toSeq === fullStats._2,
+      "stats fold planned before the swap drifted")
+    // exactly one physical per logical is visible: the filtered scan
+    // serves {-1, latest delivery} only
+    val visIds = spark.read.parquet(s"$tmp/idx/term_stats")
+      .filter(graft.ops.Layout.committedBatchFilter(spark, s"$tmp/idx"))
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(visIds.size === 2 && visIds.contains(-1L),
+      s"visible batch set not {-1, latest}: $visIds")
+
+    // (d) vacuum: superseded deliveries (two earlier gens of batch 0) are
+    // garbage after the swap — vacuum removes their directories without
+    // moving the served snapshot
+    val removed = graft.ops.Layout.vacuumLayout(spark, s"$tmp/idx")
+    assert(removed > 0, "vacuum found no superseded delivery directories")
+    assert(search(s"$tmp/idx") === newFull)
+
+    // (e) pre-protocol roots (no _commits dir) read unfiltered — legacy
+    // layouts keep their original semantics (post-vacuum, disk holds
+    // exactly the visible deliveries, so unfiltered == filtered)
     val fs = new org.apache.hadoop.fs.Path(s"$tmp/idx/_commits")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/idx/_commits"), true)
-    assert(search(s"$tmp/idx") === full)
+    assert(search(s"$tmp/idx") === newFull)
 
     // first protocol contact with that pre-protocol root BACKFILLS its
-    // existing batches: appending batch 1 creates _commits, and batch 0's
-    // pre-protocol data must stay served — an empty log would hide it
-    // forever (and drop it from compaction folds)
+    // existing batches from the directory walk (stride-encoded physicals
+    // map back through logicalBatchLocal): appending batch 1 re-creates
+    // _commits, and batch 0's pre-protocol data must stay served — an
+    // empty manifest would hide it forever
     import spark.implicits._
     Selection.appendToBm25Index(
       Seq((900001L, "zeppelin hash join", "en", "s", 18L))
@@ -587,28 +624,32 @@ class SelectionSpec extends SparkSpec {
       s"$tmp/idx", batchId = 1L)
     val nDocsServed = Selection.bm25CorpusStatsRead(spark, s"$tmp/idx")
       .collect().head.getAs[Long]("n_docs")
-    assert(nDocsServed === 501L,
-      s"backfill lost pre-protocol batches: serving $nDocsServed of 501 docs")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(
-      s"$tmp/idx/_commits/batch_0")), "batch 0 marker not backfilled")
+    val nExpected = 250L + odd.filter(col("doc_id") % 3 === 0).count() + 1L
+    assert(nDocsServed === nExpected,
+      s"backfill lost pre-protocol batches: serving $nDocsServed of $nExpected docs")
 
-    // IVFADC twin: an uncommitted codes batch is invisible to the ANN read
+    // IVFADC twin: begin leaves the ANN read on its committed snapshot,
+    // and a crashed reassign-log write under the allocated physical id —
+    // which, if visible, would shadow every base code — changes nothing
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val nlist = 8
-    Selection.writeIvfadcIndex(emb.filter(col("vec_id") < 400), nlist,
+    Selection.writeIvfadcIndex(emb.filter(col("vec_id") < 400), 8,
       s"$tmp/ann")
     def annSearch() =
       Selection.ivfadcSearchIndex(spark, s"$tmp/ann", emb, nQueries = 4,
         k = 5, nprobe = 4, candidates = 64)
         .collect().map(_.toSeq).toSeq
-    val baseAnn = annSearch()
     Selection.appendToIvfadcIndex(emb.filter(col("vec_id") >= 400),
       s"$tmp/ann", batchId = 0L)
     val fullAnn = annSearch()
-    graft.ops.Layout.beginBatchCommit(spark, s"$tmp/ann", 0L)
-    assert(annSearch() === baseAnn, "in-flight codes batch leaked into ANN read")
-    graft.ops.Layout.finishBatchCommit(spark, s"$tmp/ann", 0L)
-    assert(annSearch() === fullAnn)
+    val physAnn = graft.ops.Layout.beginBatchCommit(spark, s"$tmp/ann", 0L)
+    assert(annSearch() === fullAnn, "begin disturbed the ANN snapshot")
+    emb.filter(col("vec_id") < 400).select(col("vec_id"))
+      .withColumn("batch_id", lit(physAnn))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$tmp/ann/reassign")
+    assert(annSearch() === fullAnn,
+      "crashed reassign delivery visible before finish")
   }
 
   test("compactSearchRoot carries the ann and quality_model siblings across the swap") {

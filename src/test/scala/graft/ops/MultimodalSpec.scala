@@ -84,7 +84,7 @@ class MultimodalSpec extends SparkSpec {
       "flip-invariant hash cannot catch scanline-order bugs")
   }
 
-  test("aHash index lifecycle: append == one-shot; point search pruned; commit window hides a batch") {
+  test("aHash index lifecycle: append == one-shot; point search pruned; replay snapshot-isolated") {
     implicit val s = spark
     import org.apache.spark.sql.functions.col
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
@@ -104,12 +104,19 @@ class MultimodalSpec extends SparkSpec {
     val inline = Multimodal.imageNearDupPairs(corpus, 8)
       .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     assert(full === inline)
-    // replay idempotent (physical: row count unchanged)
-    val n = spark.read.parquet(s"$tmp/inc/bands").count()
+    // replay idempotent: the re-delivery lands under a fresh delivery id
+    // and swaps the manifest — visible rows unchanged, and vacuum returns
+    // the physical layout to one copy per batch
+    def visibleBands(): Long =
+      spark.read.parquet(s"$tmp/inc/bands")
+        .filter(Layout.committedBatchFilter(spark, s"$tmp/inc")).count()
+    val n = visibleBands()
     Multimodal.appendToAhashIndex(corpus.filter(col("doc_id") % 2 === 1),
       s"$tmp/inc", batchId = 0L)
-    assert(spark.read.parquet(s"$tmp/inc/bands").count() === n)
+    assert(visibleBands() === n)
     assert(pairs(s"$tmp/inc") === full)
+    assert(Layout.vacuumLayout(spark, s"$tmp/inc") > 0)
+    assert(spark.read.parquet(s"$tmp/inc/bands").count() === n)
 
     // point search == the pair set restricted to one doc
     val probe = full.head.head.asInstanceOf[Long]
@@ -133,16 +140,15 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("band"),
       s"band pruning missing from the point search:\n$plan")
 
-    // commit window: mid-replay the appended batch vanishes wholesale —
-    // the visible pair set is exactly the full set restricted to base
-    // (even-id) docs, the snapshot a concurrent /imagedup would serve
-    Layout.beginBatchCommit(spark, s"$tmp/inc", 0L)
-    assert(pairs(s"$tmp/inc") === full.filter {
-      case Seq(a: Long, b: Long, _) => a % 2 == 0 && b % 2 == 0
-      case _ => false
-    })
-    Layout.finishBatchCommit(spark, s"$tmp/inc", 0L)
-    assert(pairs(s"$tmp/inc") === full)
+    // snapshot protocol: begin allocates the next delivery id without
+    // disturbing the served pair set — mid-replay a concurrent /imagedup
+    // keeps serving the previous committed delivery, never a torn or
+    // vanished batch (Layout manifest protocol)
+    val physB = Layout.beginBatchCommit(spark, s"$tmp/inc", 0L)
+    assert(physB >= Layout.GenStride &&
+      Layout.logicalBatchLocal(physB) === 0L)
+    assert(pairs(s"$tmp/inc") === full,
+      "begin disturbed the served aHash snapshot")
 
     // negative ids reserved for the base partition
     intercept[IllegalArgumentException] {
