@@ -111,10 +111,10 @@ object GraftCatalog {
         .createOrReplaceTempView("media_survivors")
     // URL-curation surfaces (q160/q162): both lazy narrow/agg plans over
     // the documents scan — no eager work at registration, so UNFLAGGED.
-    llm.UrlCuration.urlMart(Tables.documents(spark, dir))
-      .createOrReplaceTempView("url_mart")
-    llm.UrlCuration.hostStats(
-        llm.UrlCuration.urlMart(Tables.documents(spark, dir)))
+    // One mart plan feeds both views so the spellings cannot drift.
+    val urlMart = llm.UrlCuration.urlMart(Tables.documents(spark, dir))
+    urlMart.createOrReplaceTempView("url_mart")
+    llm.UrlCuration.hostStats(urlMart)
       .createOrReplaceTempView("host_stats")
   }
 }

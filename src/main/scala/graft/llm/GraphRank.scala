@@ -37,21 +37,41 @@ import org.apache.spark.sql.functions._
   */
 object GraphRank {
 
-  /** Shared graph prep for the rank variants: symmetrize the a<b pair table
-    * and checkpoint (stats-free) the degree-annotated edge table and the
-    * node set — both re-read every iteration. */
-  private def checkpointedGraph(pairs: DataFrame, aCol: String,
-      bCol: String): (DataFrame, DataFrame) = {
+  /** The symmetrized, degree-annotated edge table (src, dst, deg) of an
+    * a<b pair table — the shared graph prep every operator here consumes.
+    * Callers that run SEVERAL graph operators per session should build
+    * this once into a mart (LlmQueries.symGraphEdges) and pass it to the
+    * `*OnGraph` variants; the pair-table entry points below remain the
+    * self-contained spelling. */
+  def symmetrize(pairs: DataFrame, aCol: String = "doc_id_a",
+      bCol: String = "doc_id_b"): DataFrame = {
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    edges.join(deg, "src")
+  }
+
+  /** Node set of a [[symmetrize]]d edge table. */
+  def nodesOf(edgesDeg: DataFrame): DataFrame =
+    edgesDeg.select(col("src").as("doc_id")).distinct()
+
+  /** Undirected (doc_id, deg) degree table of a [[symmetrize]]d edge
+    * table — the symmetrized out-degree IS the undirected degree. */
+  def degreesOf(edgesDeg: DataFrame): DataFrame =
+    edgesDeg.select(col("src").as("doc_id"), col("deg")).distinct()
+
+  /** Shared graph prep for the self-contained rank entry points:
+    * [[symmetrize]] and checkpoint (stats-free) the edge table and the
+    * node set — both re-read every iteration. */
+  private def checkpointedGraph(pairs: DataFrame, aCol: String,
+      bCol: String): (DataFrame, DataFrame) = {
     // Stats-free on purpose: see the connectedComponents scaladoc for why
     // localCheckpoint's carried stats are poison on re-referenced plans.
     val edgesDeg = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(
-      edges.join(deg, "src"))
+      symmetrize(pairs, aCol, bCol))
     val nodes = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(
-      edges.select(col("src").as("doc_id")).distinct())
+      nodesOf(edgesDeg))
     (edgesDeg, nodes)
   }
 
@@ -66,6 +86,16 @@ object GraphRank {
   def pageRank(pairs: DataFrame, aCol: String = "doc_id_a",
       bCol: String = "doc_id_b", iters: Int = 4): DataFrame = {
     val (edgesDeg, nodes) = checkpointedGraph(pairs, aCol, bCol)
+    pageRankOnGraph(edgesDeg, nodes, iters)
+  }
+
+  /** [[pageRank]] over a PREBUILT (materialized) symmetrized graph — the
+    * mart path: one graph prep per session feeds every rank variant and
+    * the triangle tiers' degree reads. `edgesDeg`/`nodes` must be
+    * plan-stable (checkpointed or persisted) — they are re-read every
+    * iteration. */
+  def pageRankOnGraph(edgesDeg: DataFrame, nodes: DataFrame,
+      iters: Int = 4): DataFrame = {
     // Broadcast scalar |V| — the house pattern for plan-side constants.
     val n = broadcast(nodes.agg(count(lit(1)).as("n")))
 
@@ -97,6 +127,13 @@ object GraphRank {
       aCol: String = "doc_id_a", bCol: String = "doc_id_b",
       iters: Int = 4): DataFrame = {
     val (edgesDeg, nodes) = checkpointedGraph(pairs, aCol, bCol)
+    personalizedPageRankOnGraph(edgesDeg, nodes, seedId, iters)
+  }
+
+  /** [[personalizedPageRank]] over a PREBUILT symmetrized graph (the mart
+    * path — see [[pageRankOnGraph]]). */
+  def personalizedPageRankOnGraph(edgesDeg: DataFrame, nodes: DataFrame,
+      seedId: Long, iters: Int = 4): DataFrame = {
     val seedMass = (id: Long, m: Long) =>
       when(col("doc_id") === id, lit(m)).otherwise(lit(0L))
 
@@ -141,7 +178,8 @@ object GraphRank {
     * (2e6 · triangles) div (deg · (deg−1)), deg>=2 guarded.
     */
   def triangleStats(pairs: DataFrame, aCol: String = "doc_id_a",
-      bCol: String = "doc_id_b"): DataFrame = {
+      bCol: String = "doc_id_b",
+      degrees: Option[DataFrame] = None): DataFrame = {
     val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     // wedges a<b<c closed by (a, c): each triangle once
     val tri = e.as("ab")
@@ -149,7 +187,7 @@ object GraphRank {
       .join(e.as("ac"),
         col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
       .select(col("ab.a").as("x"), col("ab.b").as("y"), col("bc.b").as("z"))
-    triangleFinish(e, tri)
+    triangleFinish(degrees.getOrElse(pairDegrees(e)), tri)
   }
 
   /** [[triangleStats]] with DEGREE-ORDERED orientation — the actual "last
@@ -166,11 +204,11 @@ object GraphRank {
     * Output is IDENTICAL to [[triangleStats]] by construction — q167 pins
     * it on q165's oracle (two implementations, one ground truth). */
   def triangleStatsDegreeOrdered(pairs: DataFrame, aCol: String = "doc_id_a",
-      bCol: String = "doc_id_b"): DataFrame = {
+      bCol: String = "doc_id_b",
+      degrees: Option[DataFrame] = None): DataFrame = {
     val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-    val deg = e.select(col("a").as("v"))
-      .unionByName(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+    val degFrame = degrees.getOrElse(pairDegrees(e))
+    val deg = degFrame.select(col("doc_id").as("v"), col("deg").as("d"))
     val withDegs = e
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
@@ -193,19 +231,24 @@ object GraphRank {
         col("bc.src") === col("ab.dst") && col("bc.dst") === col("ac.dst"))
       .select(col("ab.src").as("x"), col("ab.dst").as("y"),
         col("ac.dst").as("z"))
-    triangleFinish(e, tri)
+    triangleFinish(degFrame, tri)
   }
 
-  /** Shared finisher: credit each triangle to its 3 corners, join degrees,
-    * emit the integer-micro clustering coefficient. */
-  private def triangleFinish(e: DataFrame, tri: DataFrame): DataFrame = {
+  /** Undirected (doc_id, deg) degrees straight from an (a, b) pair frame —
+    * the self-contained fallback when no [[degreesOf]] mart is passed. */
+  private def pairDegrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("doc_id"))
+      .unionByName(e.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+
+  /** Shared finisher: credit each triangle to its 3 corners, join the
+    * (doc_id, deg) degree table, emit the integer-micro clustering
+    * coefficient. */
+  private def triangleFinish(deg: DataFrame, tri: DataFrame): DataFrame = {
     val perNode = tri.select(col("x").as("doc_id"))
       .unionByName(tri.select(col("y").as("doc_id")))
       .unionByName(tri.select(col("z").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
-    val deg = e.select(col("a").as("doc_id"))
-      .unionByName(e.select(col("b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
     deg.join(perNode, Seq("doc_id"), "left")
       .select(col("doc_id"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))

@@ -100,6 +100,30 @@ object LlmQueries {
     graft.sec.SecDerive.cached(s, dir, "neardup_labels")(
       Dedup.connectedComponents(nearDupPairs(s, dir), "doc_id_a", "doc_id_b"))
 
+  /** The symmetrized, degree-annotated edge table of the near-dup graph,
+    * memoized per (session, dir): ONE graph prep (symmetrize union +
+    * degree agg) serves both PageRank variants (q155/q159, the /related
+    * mart) and the triangle tiers' degree reads (q165/q167) — previously
+    * each ran its own union+agg over the pair mart. Edge-sized, persisted,
+    * plan-stable across the rank iterations. */
+  private def symGraphEdges(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.sec.SecDerive.cached(s, dir, "sym_graph_edges")(
+      GraphRank.symmetrize(nearDupPairs(s, dir)))
+
+  /** Node set of [[symGraphEdges]], memoized — re-read every rank round. */
+  private def symGraphNodes(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.sec.SecDerive.cached(s, dir, "sym_graph_nodes")(
+      GraphRank.nodesOf(symGraphEdges(s, dir)))
+
+  /** Undirected (doc_id, deg) degree table of [[symGraphEdges]], memoized
+    * — the triangle tiers' shared degree read. */
+  private def symGraphDegrees(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.sec.SecDerive.cached(s, dir, "sym_graph_degrees")(
+      GraphRank.degreesOf(symGraphEdges(s, dir)))
+
   /** Near-dup cluster labels × integer-micro PageRank as a stored mart
     * (doc_id, cluster_id, is_canonical, rank_micros) — graph-NODE-sized
     * (only clustered docs appear), so it serves like a dimension. q155
@@ -109,7 +133,8 @@ object LlmQueries {
       : org.apache.spark.sql.DataFrame =
     graft.sec.SecDerive.cached(s, dir, "centrality_mart")(
       nearDupLabels(s, dir)
-        .join(GraphRank.pageRank(nearDupPairs(s, dir)), Seq("doc_id")))
+        .join(GraphRank.pageRankOnGraph(symGraphEdges(s, dir),
+          symGraphNodes(s, dir)), Seq("doc_id")))
 
   /** Per-doc leakage-safe split assignment — the frame q95 aggregates and
     * the `corpus_splits` SQL view exposes: split rides the near-dup CLUSTER
@@ -1920,10 +1945,12 @@ FROM c GROUP BY split ORDER BY split""")),
 
     // Graph centrality over the near-dup similarity graph: fixed-4-iteration
     // integer-micro PageRank (GraphRank scaladoc has the scale model). Reads
-    // the memoized pair mart; the oracle unrolls the same four iterations in
-    // BIGINT floor arithmetic — bit-exact, no float summation order.
+    // the memoized symmetrized-graph mart (one graph prep per session across
+    // q155/q156/q159/q165/q167); the oracle unrolls the same four iterations
+    // in BIGINT floor arithmetic — bit-exact, no float summation order.
     Q("q155_graph_pagerank",
-      (s, dir) => GraphRank.pageRank(nearDupPairs(s, dir)).orderBy("doc_id"),
+      (s, dir) => GraphRank.pageRankOnGraph(symGraphEdges(s, dir),
+        symGraphNodes(s, dir)).orderBy("doc_id"),
       Some(s"""
 WITH $minhashCtes,
 pairs AS (SELECT doc_id_a, doc_id_b FROM j WHERE jaccard >= 0.8),
@@ -1958,7 +1985,8 @@ FROM w WHERE rn = 1 ORDER BY cluster_id""")),
     // the seed, so rank = graph-diffusion proximity — random-walk "related
     // documents" over the near-dup graph. Unreached nodes kept at rank 0.
     Q("q159_personalized_pagerank",
-      (s, dir) => GraphRank.personalizedPageRank(nearDupPairs(s, dir), 8L)
+      (s, dir) => GraphRank.personalizedPageRankOnGraph(
+        symGraphEdges(s, dir), symGraphNodes(s, dir), 8L)
         .orderBy(col("rank_micros").desc, col("doc_id")),
       Some(s"""
 WITH $minhashCtes,
@@ -1974,7 +2002,8 @@ ORDER BY rank_micros DESC, doc_id""")),
     // separates mutual-dup cliques (template spam, coeff ~1e6 micros) from
     // revision chains (coeff 0) at equal cluster size.
     Q("q165_triangle_stats",
-      (s, dir) => GraphRank.triangleStats(nearDupPairs(s, dir))
+      (s, dir) => GraphRank.triangleStats(nearDupPairs(s, dir),
+        degrees = Some(symGraphDegrees(s, dir)))
         .orderBy("doc_id"),
       Some(triangleOracle)),
 
@@ -1982,7 +2011,8 @@ ORDER BY rank_micros DESC, doc_id""")),
     // implemented): identical output by construction, pinned on q165's
     // oracle — two implementations, one ground truth (the q48/q65 law).
     Q("q167_triangle_stats_ordered",
-      (s, dir) => GraphRank.triangleStatsDegreeOrdered(nearDupPairs(s, dir))
+      (s, dir) => GraphRank.triangleStatsDegreeOrdered(nearDupPairs(s, dir),
+        degrees = Some(symGraphDegrees(s, dir)))
         .orderBy("doc_id"),
       Some(triangleOracle)),
 

@@ -132,8 +132,11 @@ object Similarity {
     * cosine ≫ noise floor) separate far above the distortion and take a
     * fixed small C — the gate query reports the measured value either way
     * (0.95 @ sf0.01 with this budget). Floors to 200 for every N ≤ 2000,
-    * which is the generated-oracle literal at the correctness SF. */
-  def adaptiveJlCands(n: Long): Int = math.max(200, (n / 10).toInt)
+    * which is the generated-oracle literal at the correctness SF. Computed
+    * in Long and clamped: N/10 overflows Int beyond ~21.4B rows, and a
+    * wrapped-negative budget would poison the downstream `.limit`. */
+  def adaptiveJlCands(n: Long): Int =
+    math.max(200L, n / 10).min(Int.MaxValue.toLong).toInt
 
   /** Deterministic ±1 JL sign matrix (the 1-bit Achlioptas 2003 variant of
     * the Johnson–Lindenstrauss random projection): sign(j, i) is derived
@@ -158,9 +161,9 @@ object Similarity {
     array(signs.map(row => dotPlane(v, row)): _*)
 
   /** ANN top-k via JL prefilter + exact re-rank: rank the corpus by cosine in
-    * the 16-dim PROJECTED space (sign projections preserve angles in
+    * the [[JlDim]]-dim PROJECTED space (sign projections preserve angles in
     * expectation — JL lemma), keep the top `cands` ids, then re-rank ONLY
-    * those by exact 64-dim cosine. The scale contract: the wide vectors are
+    * those by exact full-width cosine. The scale contract: the wide vectors are
     * touched for `cands` rows per query (an id-keyed point fetch against any
     * bucketed/indexed layout — modeled here by the broadcast semi-join), not
     * for the whole corpus; the corpus-wide pass reads only the narrow
@@ -192,9 +195,10 @@ object Similarity {
     * path [[jlProject]]'s doc promises: computed once at index build (a
     * narrow map), queries then scan 32 doubles per vector instead of the
     * wide embeddings. */
-  def writeJlProjected(embeddings: DataFrame, path: String): Unit =
+  def writeJlProjected(embeddings: DataFrame, path: String,
+      inDim: Int = 64): Unit =
     embeddings.select(col("vec_id"), col("label"),
-        jlProject(col("embedding"), jlSigns(inDim = 64)).as("p"))
+        jlProject(col("embedding"), jlSigns(inDim)).as("p"))
       .write.mode("overwrite").parquet(path)
 
   /** [[jlPrefilterTopK]] against the PERSISTED projected column: the

@@ -87,10 +87,20 @@ object UrlCuration {
     * share in integer micros, mean doc length — the table a blocklist or
     * per-host quota keys on. */
   def hostStats(mart: DataFrame, dupShareBlock: Long = 500000L): DataFrame =
-    mart.groupBy("domain", "host")
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct("canon_url").as("n_urls"),
-        sum("n_chars").as("sum_chars"))
+    finalizeHostStats(
+      mart.groupBy("domain", "host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("canon_url").as("n_urls"),
+          sum("n_chars").as("sum_chars")),
+      dupShareBlock)
+
+  /** Shared finalization of a (domain, host, n_docs, n_urls, sum_chars)
+    * frame into the [[hostStats]] surface — ONE place owns the dup-share /
+    * avg-chars formulas and the blocklist threshold, so the one-shot and
+    * shard-merged spellings cannot drift. */
+  private def finalizeHostStats(counts: DataFrame,
+      dupShareBlock: Long): DataFrame =
+    counts
       .select(col("domain"), col("host"), col("n_docs"), col("n_urls"),
         expr("((n_docs - n_urls) * 1000000) div n_docs").as("dup_share_micros"),
         expr("sum_chars div n_docs").as("avg_chars"))
@@ -118,14 +128,11 @@ object UrlCuration {
     * n_urls = one row per surviving url key, no DISTINCT needed. */
   def hostStatsFromShards(merged: DataFrame,
       dupShareBlock: Long = 500000L): DataFrame =
-    merged.groupBy("domain", "host")
-      .agg(sum("n_docs").as("n_docs"), count(lit(1)).as("n_urls"),
-        sum("sum_chars").as("sum_chars"))
-      .select(col("domain"), col("host"), col("n_docs"), col("n_urls"),
-        expr("((n_docs - n_urls) * 1000000) div n_docs").as("dup_share_micros"),
-        expr("sum_chars div n_docs").as("avg_chars"))
-      .withColumn("blocklist_candidate",
-        col("dup_share_micros") >= dupShareBlock)
+    finalizeHostStats(
+      merged.groupBy("domain", "host")
+        .agg(sum("n_docs").as("n_docs"), count(lit(1)).as("n_urls"),
+          sum("sum_chars").as("sum_chars")),
+      dupShareBlock)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracle fragments
