@@ -67,6 +67,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (args.length > 1) new HllSketch(child, litInt(args, 1, "p"))
         else new HllSketch(child, 12)
       }))
+    // The register-vector face of graft_hll: sketch emits the 2^p-byte
+    // registers (the shard-mergeable partial), merge folds vectors
+    // register-wise-max, estimate finalizes — the SQL spelling of the
+    // UrlCuration HLL shard tier.
+    ext.injectFunction((FunctionIdentifier("graft_hll_sketch"),
+      info("graft_hll_sketch",
+        "graft_hll_sketch(value[, p]) - HyperLogLog register vector " +
+          "(binary, 2^p bytes; default p=12) — the mergeable partial"),
+      (args: Seq[Expression]) => {
+        val child = org.apache.spark.sql.catalyst.expressions.Cast(
+          args(0), org.apache.spark.sql.types.StringType)
+        if (args.length > 1)
+          graft.expr.HllRegisters(child, litInt(args, 1, "p"))
+        else graft.expr.HllRegisters(child, 12)
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_hll_merge"),
+      info("graft_hll_merge",
+        "graft_hll_merge(registers[, p]) - register-wise-max fold of " +
+          "graft_hll_sketch vectors"),
+      (args: Seq[Expression]) =>
+        if (args.length > 1)
+          graft.expr.HllMergeRegisters(args(0), litInt(args, 1, "p"))
+        else graft.expr.HllMergeRegisters(args(0), 12)))
+    ext.injectFunction((FunctionIdentifier("graft_hll_estimate"),
+      info("graft_hll_estimate",
+        "graft_hll_estimate(registers[, p]) - distinct estimate from a " +
+          "graft_hll_sketch register vector"),
+      (args: Seq[Expression]) =>
+        if (args.length > 1)
+          graft.expr.HllEstimate(args(0), litInt(args, 1, "p"))
+        else graft.expr.HllEstimate(args(0), 12)))
     // Spark ships a distributed Bloom-filter aggregate + probe (the pair its
     // InjectRuntimeFilter optimization builds runtime row filters from) but
     // registers neither for end users; exposing them gives the decontamination

@@ -71,6 +71,130 @@ case class HllSketch(
     copy(child = newChild)
 }
 
+/** [[HllSketch]] emitting the raw REGISTER VECTOR (binary, 2^p bytes)
+  * instead of the estimate — the shard-mergeable partial: a host-stats
+  * shard carries one register vector per host (O(hosts), not O(urls)),
+  * shards merge by [[HllMergeRegisters]] (register-wise max), and
+  * [[HllEstimate]] finalizes. The vector is a pure function of the value
+  * SET (max is order/replay-independent), so one-shot and shard-merged
+  * sketches are BYTE-IDENTICAL — the spec-pinned merge law. */
+case class HllRegisters(
+    child: Expression,
+    p: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllSketch.State]
+  with UnaryLike[Expression] {
+
+  require(p >= 4 && p <= 16, s"precision p=$p must be in [4, 16]")
+
+  override def prettyName: String = "graft_hll_sketch"
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def createAggregationBuffer(): HllSketch.State =
+    new HllSketch.State(p)
+
+  override def update(buf: HllSketch.State, input: InternalRow): HllSketch.State = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[UTF8String])
+    buf
+  }
+
+  override def merge(buf: HllSketch.State, other: HllSketch.State): HllSketch.State = {
+    buf.absorb(other); buf
+  }
+
+  override def eval(buf: HllSketch.State): Any = buf.regs.clone()
+
+  override def serialize(buf: HllSketch.State): Array[Byte] = buf.regs.clone()
+
+  override def deserialize(bytes: Array[Byte]): HllSketch.State =
+    new HllSketch.State(p, bytes.clone())
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllRegisters =
+    copy(child = newChild)
+}
+
+/** Register-wise-max fold of [[HllRegisters]] vectors — the shard merge.
+  * Commutative and idempotent: shard layout, merge order, and re-delivered
+  * partials cannot change the merged vector. */
+case class HllMergeRegisters(
+    child: Expression,
+    p: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllSketch.State]
+  with UnaryLike[Expression] {
+
+  require(p >= 4 && p <= 16, s"precision p=$p must be in [4, 16]")
+
+  override def prettyName: String = "graft_hll_merge"
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def createAggregationBuffer(): HllSketch.State =
+    new HllSketch.State(p)
+
+  override def update(buf: HllSketch.State, input: InternalRow): HllSketch.State = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      require(bytes.length == (1 << p),
+        s"register vector length ${bytes.length} != 2^$p — " +
+          "sketch precision mismatch")
+      buf.absorb(new HllSketch.State(p, bytes))
+    }
+    buf
+  }
+
+  override def merge(buf: HllSketch.State, other: HllSketch.State): HllSketch.State = {
+    buf.absorb(other); buf
+  }
+
+  override def eval(buf: HllSketch.State): Any = buf.regs.clone()
+
+  override def serialize(buf: HllSketch.State): Array[Byte] = buf.regs.clone()
+
+  override def deserialize(bytes: Array[Byte]): HllSketch.State =
+    new HllSketch.State(p, bytes.clone())
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllMergeRegisters =
+    copy(child = newChild)
+}
+
+/** Scalar finalizer: a register vector → the HLL estimate. Runs over
+  * group-sized (post-aggregation) rows only, so the codegen fallback costs
+  * nothing on the corpus path. */
+case class HllEstimate(child: Expression, p: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(p >= 4 && p <= 16, s"precision p=$p must be in [4, 16]")
+
+  override def prettyName: String = "graft_hll_estimate"
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    require(bytes.length == (1 << p),
+      s"register vector length ${bytes.length} != 2^$p — " +
+        "sketch precision mismatch")
+    new HllSketch.State(p, bytes).estimate
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate =
+    copy(child = newChild)
+}
+
 object HllSketch {
   /** Column entry; the child is cast to string (one hash convention). */
   def apply(c: Column): Column = apply(c, 12)
@@ -79,6 +203,23 @@ object HllSketch {
     GraftSqlBridge.column(
       new HllSketch(GraftSqlBridge.expression(c.cast("string")), p)
         .toAggregateExpression())
+
+  /** Aggregate raw values into a register vector (the shard partial). */
+  def registers(c: Column, p: Int = 12): Column =
+    GraftSqlBridge.column(
+      new HllRegisters(GraftSqlBridge.expression(c.cast("string")), p)
+        .toAggregateExpression())
+
+  /** Fold register vectors register-wise-max (the shard merge). */
+  def mergeRegisters(c: Column, p: Int = 12): Column =
+    GraftSqlBridge.column(
+      new HllMergeRegisters(GraftSqlBridge.expression(c), p)
+        .toAggregateExpression())
+
+  /** Finalize a register vector to the distinct estimate. */
+  def estimateOf(c: Column, p: Int = 12): Column =
+    GraftSqlBridge.column(
+      HllEstimate(GraftSqlBridge.expression(c), p))
 
   final class State(val p: Int, val regs: Array[Byte]) {
     def this(p: Int) = this(p, new Array[Byte](1 << p))

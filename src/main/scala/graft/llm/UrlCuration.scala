@@ -135,6 +135,42 @@ object UrlCuration {
       dupShareBlock)
 
   // ---------------------------------------------------------------------------
+  // HLL-register shard tier: O(hosts) partials instead of O(urls)
+  // ---------------------------------------------------------------------------
+
+  /** Approximate shard partial for the host table: the distinct-URL state
+    * is a 2^p-byte HyperLogLog REGISTER VECTOR per host instead of one row
+    * per (host, canon_url) — [[hostStatsShard]]'s 100 TB cost drops from
+    * O(distinct urls) to O(hosts) per shard, the upgrade the native
+    * [[graft.expr.HllSketch]] was built for. Registers are additive under
+    * register-wise max, so the merge law still holds shard-order- and
+    * re-delivery-independent; the finalized n_urls becomes an estimate
+    * carrying the q166 self-audit contract. */
+  def hostStatsShardHll(mart: DataFrame, p: Int = 12): DataFrame =
+    mart.groupBy("domain", "host")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        graft.expr.HllSketch.registers(col("canon_url"), p).as("urls_hll"))
+
+  /** Fold doc-disjoint HLL shard partials: longs add, registers max. */
+  def mergeHostStatsShardsHll(shards: Seq[DataFrame],
+      p: Int = 12): DataFrame =
+    shards.reduce(_ unionByName _)
+      .groupBy("domain", "host")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars"),
+        graft.expr.HllSketch.mergeRegisters(col("urls_hll"), p).as("urls_hll"))
+
+  /** Finalize merged HLL partials to the [[hostStats]] surface with
+    * n_urls = the register estimate (approximate; the exact tier stays
+    * [[hostStatsFromShards]]). */
+  def hostStatsFromShardsHll(merged: DataFrame, p: Int = 12,
+      dupShareBlock: Long = 500000L): DataFrame =
+    finalizeHostStats(
+      merged.select(col("domain"), col("host"), col("n_docs"),
+        graft.expr.HllSketch.estimateOf(col("urls_hll"), p).as("n_urls"),
+        col("sum_chars")),
+      dupShareBlock)
+
+  // ---------------------------------------------------------------------------
   // DuckDB oracle fragments
   // ---------------------------------------------------------------------------
 
@@ -230,6 +266,49 @@ FROM mart GROUP BY canon_url ORDER BY canon_url""")),
       Some(s"""WITH $martCtes
 SELECT domain, host, CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls_exact,
        true AS hll_ok
+FROM mart GROUP BY domain, host ORDER BY domain, host""")),
+
+    // q163's merge law re-run in the HLL-register tier: shard partials are
+    // one 4 KB register vector per host (O(hosts), not O(urls)), longs add
+    // and registers max. The registers are a pure function of the URL SET,
+    // so the one-shot sketch and the shard-merged sketch must be
+    // BYTE-IDENTICAL (shard_merge_exact) — a stronger gate than tolerance —
+    // and the estimate carries the q166 within-tolerance audit. Exact
+    // columns (n_docs, n_urls_exact, avg_chars) stay oracle-checked.
+    Q("q168_host_stats_hll_merge",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val mart = urlMart(docs)
+        val shards = Seq(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+          .map(d => hostStatsShardHll(urlMart(d)))
+        val merged = mergeHostStatsShardsHll(shards)
+          .select(col("domain"), col("host"), col("n_docs"),
+            col("sum_chars"), col("urls_hll"),
+            graft.expr.HllSketch.estimateOf(col("urls_hll"))
+              .as("n_urls_est"))
+        val oneShot = hostStatsShardHll(mart)
+          .select(col("domain"), col("host"),
+            col("urls_hll").as("one_shot_hll"))
+        val exact = mart.groupBy("domain", "host")
+          .agg(countDistinct("canon_url").as("n_urls_exact"))
+        merged
+          .join(exact, Seq("domain", "host"))
+          .join(oneShot, Seq("domain", "host"))
+          .select(col("domain"), col("host"), col("n_docs"),
+            col("n_urls_exact"),
+            expr("sum_chars div n_docs").as("avg_chars"),
+            (abs(col("n_urls_est") - col("n_urls_exact")) <=
+              greatest(lit(1L), expr("n_urls_exact div 20"))).as("hll_ok"),
+            (col("urls_hll") === col("one_shot_hll"))
+              .as("shard_merge_exact"))
+          .orderBy("domain", "host")
+      },
+      Some(s"""WITH $martCtes
+SELECT domain, host, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls_exact,
+  CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars,
+  true AS hll_ok, true AS shard_merge_exact
 FROM mart GROUP BY domain, host ORDER BY domain, host""")))
 
   /** Per-host distinct-URL counts, exact AND HyperLogLog, with the repo's

@@ -574,6 +574,41 @@ object StreamOps {
         .groupBy("domain", "host", "canon_url")
         .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars")))
 
+  /** [[hostStatsStream]] in the HLL-REGISTER tier (the q168 shard format):
+    * each micro-batch lands one 2^p-byte register vector per host
+    * ([[graft.llm.UrlCuration.hostStatsShardHll]]) under its `batch_id`
+    * partition — O(hosts this batch) rows instead of O(urls this batch) —
+    * with the same dynamic-overwrite exactly-once recipe and batch-0
+    * freshness guard. Registers are idempotent under max, so a
+    * re-delivered batch's vector folds to the same serving answer even
+    * byte-for-byte. */
+  def hostStatsHllStream(docsStream: DataFrame, statsPath: String,
+      checkpoint: String): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (batchId == 0L) requireFreshStatsRoot(b.sparkSession, statsPath)
+        graft.llm.UrlCuration.hostStatsShardHll(
+            graft.llm.UrlCuration.urlMart(b))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(statsPath)
+        ()
+      }
+      .start()
+
+  /** Fold the per-batch register partials (sum longs, register-wise max)
+    * and finalize the host table with the estimated n_urls — a URL seen in
+    * several micro-batches sets the same registers each time, so the fold
+    * counts it once (the spec gate pins fold == one-shot batch build,
+    * byte-identical registers). */
+  def hostStatsHllRead(spark: SparkSession, statsPath: String): DataFrame =
+    graft.llm.UrlCuration.hostStatsFromShardsHll(
+      graft.llm.UrlCuration.mergeHostStatsShardsHll(
+        Seq(spark.read.parquet(statsPath).drop("batch_id"))))
+
   /** Batch-0 restart guard shared by the serving-layout ingest streams:
     * true iff a `batch_id=` partition other than 0 (legitimate
     * re-delivery) or -1 (the reserved base) exists `depth` directory

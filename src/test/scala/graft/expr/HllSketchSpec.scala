@@ -41,6 +41,40 @@ class HllSketchSpec extends SparkSpec {
       s"estimate $est for $n distinct")
   }
 
+  test("register face: sketch/merge/estimate compose to the direct estimate; shard merge is byte-exact") {
+    val vals = (1 to 1000).map("r" + _)
+    val df = vals.toDF("v")
+    // direct estimate == registers -> estimate
+    val direct = df.agg(HllSketch(col("v")).as("e")).collect().head.getLong(0)
+    val viaRegs = df.agg(HllSketch.registers(col("v")).as("r"))
+      .select(HllSketch.estimateOf(col("r")).as("e"))
+      .collect().head.getLong(0)
+    assert(direct === viaRegs)
+    // shard-merged registers are BYTE-IDENTICAL to the one-shot vector
+    // (register state is a pure function of the value set)
+    val oneShot = df.agg(HllSketch.registers(col("v")).as("r"))
+      .collect().head.getAs[Array[Byte]]("r")
+    val shards = Seq(vals.filter(_.hashCode % 2 == 0), vals.filter(_.hashCode % 2 != 0))
+      .map(s => s.toDF("v").agg(HllSketch.registers(col("v")).as("r")))
+    val merged = shards.reduce(_ unionByName _)
+      .agg(HllSketch.mergeRegisters(col("r")).as("r"))
+      .collect().head.getAs[Array[Byte]]("r")
+    assert(java.util.Arrays.equals(oneShot, merged),
+      "shard-merged register vector differs from the one-shot vector")
+    // SQL spellings agree with the Column API
+    df.createOrReplaceTempView("hll_regs_probe")
+    val sqlEst = spark.sql(
+      "SELECT graft_hll_estimate(graft_hll_merge(r)) AS e FROM " +
+        "(SELECT graft_hll_sketch(v) AS r FROM hll_regs_probe GROUP BY length(v))")
+      .collect().head.getLong(0)
+    assert(sqlEst === direct)
+    // precision mismatch fails loudly, not silently wrong
+    intercept[Exception] {
+      df.agg(HllSketch.registers(col("v"), 12).as("r"))
+        .select(HllSketch.estimateOf(col("r"), 10)).collect()
+    }
+  }
+
   test("per-group aggregation and the SQL-registered function agree") {
     val df = (1 to 300).map(i => (s"g${i % 3}", s"v${i % 37}")).toDF("g", "v")
     df.createOrReplaceTempView("hll_probe")

@@ -354,6 +354,63 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("hostStatsHllStream folded registers == one-shot batch build; cross-batch dup once") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("hoststatshll").toString
+    // ids 0 and 100 canonicalize to the SAME url and arrive in DIFFERENT
+    // micro-batches — registers are set-functions, so the dup must set the
+    // same registers twice and fold to ONE distinct url
+    val first = Seq((0L, "t", "en", "src0", 10L), (1L, "t", "en", "src1", 30L))
+    val second = Seq((100L, "t", "en", "src0", 20L), (21L, "t", "en", "src1", 40L))
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.hostStatsHllStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+    } finally q.stop()
+    val allDocs = (first ++ second).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val folded = StreamOps.hostStatsHllRead(spark, s"$tmp/stats")
+    // the fold equals the ONE-SHOT batch build of the same tier exactly —
+    // registers are pure functions of the url set, no tolerance needed
+    val oneShot = graft.llm.UrlCuration.hostStatsFromShardsHll(
+      graft.llm.UrlCuration.mergeHostStatsShardsHll(Seq(
+        graft.llm.UrlCuration.hostStatsShardHll(
+          graft.llm.UrlCuration.urlMart(allDocs)))))
+    assertSameRows(folded, oneShot, "host stats via HLL stream partials")
+    // and so do the raw register vectors (byte-identical merge law)
+    val foldedRegs = spark.read.parquet(s"$tmp/stats").drop("batch_id")
+      .groupBy("domain", "host")
+      .agg(graft.expr.HllSketch.mergeRegisters(col("urls_hll")).as("r"))
+    val oneShotRegs = graft.llm.UrlCuration.hostStatsShardHll(
+        graft.llm.UrlCuration.urlMart(allDocs))
+      .select(col("domain"), col("host"), col("urls_hll").as("r"))
+    assertSameRows(foldedRegs, oneShotRegs, "merged register vectors")
+    // the cross-batch dup counted once, and the tiny-set estimate is exact
+    // (linear counting regime)
+    val src0 = folded.filter(col("host").startsWith("src0")).collect().head
+    assert(src0.getAs[Long]("n_docs") === 2L)
+    assert(src0.getAs[Long]("n_urls") === 1L)
+    // partial size is O(hosts): each batch wrote exactly one row per host
+    val perBatch = spark.read.parquet(s"$tmp/stats")
+      .groupBy("batch_id", "host").count().collect()
+    assert(perBatch.forall(_.getAs[Long]("count") === 1L))
+    // fresh checkpoint over a fed root refuses (additive double-count guard)
+    val mem2 = MemoryStream[(Long, String, String, String, Long)]
+    val q2 = StreamOps.hostStatsHllStream(
+      mem2.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/stats", s"$tmp/ckpt2")
+    try {
+      mem2.addData(first: _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("double-count") ||
+        Option(e.getCause).exists(_.getMessage.contains("double-count")))
+    } finally q2.stop()
+  }
+
   test("sourceCountsStream folded partials == batch counts; mixture identical through them") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("srccnt").toString
