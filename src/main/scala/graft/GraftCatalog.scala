@@ -116,5 +116,10 @@ object GraftCatalog {
     urlMart.createOrReplaceTempView("url_mart")
     llm.UrlCuration.hostStats(urlMart)
       .createOrReplaceTempView("host_stats")
+    // The chain APPLIED: dedup -> host blocklist -> per-host quota (q169)
+    // — the crawl-side sibling of corpus_selected_v3. Lazy narrow/agg
+    // plan like the other URL views.
+    SparkEntry.queries("q169_url_curated")(spark, dir)
+      .createOrReplaceTempView("corpus_url_curated")
   }
 }

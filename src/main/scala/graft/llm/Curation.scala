@@ -27,19 +27,30 @@ import TextOps._
   */
 object Curation {
 
-  /** Deterministic cap-K per (lang, source) stratum — the q77 contract
-    * (hash-salted order with doc_id tie-break, retry-stable and
-    * cluster-size-independent), shared by the standalone query and the q86
-    * pipeline stage so the quota semantics cannot drift between them. */
-  def quotaSample(docs: org.apache.spark.sql.DataFrame, k: Int)
+  /** The generalized quota kernel: deterministic cap-K per stratum,
+    * hash-salted order with doc_id tie-break — retry-stable and
+    * cluster-size-independent. One shuffle on the stratum key; the window
+    * rank-and-drops without sorting the corpus. q77's strata are
+    * (lang, source); the URL-curation chain keys the same kernel on host
+    * ([[UrlCuration.curatedCorpus]]) — one spelling, no drift. */
+  def quotaCap(docs: org.apache.spark.sql.DataFrame, k: Int,
+      keys: Seq[org.apache.spark.sql.Column], salt: String)
       : org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy("lang", "source")
-      .orderBy(hash60(concat(col("doc_id").cast("string"), lit("|quota"))),
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(hash60(concat(col("doc_id").cast("string"), lit(salt))),
         col("doc_id"))
     docs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .select("doc_id", "lang", "source")
+      .drop("__rn")
   }
+
+  /** Deterministic cap-K per (lang, source) stratum — the q77 contract,
+    * shared by the standalone query and the q86 pipeline stage so the
+    * quota semantics cannot drift between them. */
+  def quotaSample(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    quotaCap(docs, k, Seq(col("lang"), col("source")), "|quota")
+      .select("doc_id", "lang", "source")
 
   /** RE2-safe PII patterns (run verbatim in the DuckDB mirrors). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

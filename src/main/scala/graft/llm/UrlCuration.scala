@@ -135,6 +135,48 @@ object UrlCuration {
       dupShareBlock)
 
   // ---------------------------------------------------------------------------
+  // The APPLIED chain: dedup → host blocklist → per-host quota
+  // ---------------------------------------------------------------------------
+
+  /** Hosts the curation chain drops, from the [[hostStats]] table — two
+    * legs: the duplicate-share candidacy flag (SEO-mirror/spam hosts) and
+    * a minimum mean page length (content-farm hosts serving consistently
+    * tiny pages). Host-count-sized — broadcastable at any corpus scale. */
+  def hostBlocklist(stats: DataFrame, minAvgChars: Long): DataFrame =
+    stats
+      .filter(col("blocklist_candidate") || col("avg_chars") < minAvgChars)
+      .select("host")
+
+  /** The URL-curation chain APPLIED, not just scored: canonical-URL dedup
+    * (min-id keeper per canonical url) → host blocklist filter
+    * ([[hostBlocklist]], broadcast anti-join) → per-HOST quota (the q77
+    * hash-ranked cap, [[Curation.quotaCap]] keyed on host) — the
+    * crawl-side counterpart of the corpus_selected_v3 content chain.
+    *
+    * Scale shape: one groupBy on canon_url (the dedup), one broadcast
+    * anti-join against the host-sized blocklist, one window shuffled on
+    * host (rank-and-drop, never a corpus sort).
+    *
+    * NOTE on the synthetic fixture: the derived URLs give every host the
+    * SAME duplicate share, so a dup-share cutoff is all-or-nothing there;
+    * the registered query (q169) disables that leg (threshold 1e6 — never
+    * reached, share is strictly below 1e6 by construction) and lets the
+    * avg-chars leg discriminate. Production defaults keep both legs. */
+  def curatedCorpus(docs: DataFrame, hostQuota: Int,
+      dupShareBlock: Long = 500000L, minAvgChars: Long = 0L): DataFrame = {
+    val mart = urlMart(docs)
+    val keepers = urlDedup(mart).select(col("keeper").as("doc_id"))
+    val blocked =
+      hostBlocklist(hostStats(mart, dupShareBlock), minAvgChars)
+    val deduped = mart
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(broadcast(blocked), Seq("host"), "left_anti")
+    graft.llm.Curation.quotaCap(deduped, hostQuota, Seq(col("host")),
+        "|urlquota")
+      .select("doc_id", "canon_url", "host", "domain")
+  }
+
+  // ---------------------------------------------------------------------------
   // HLL-register shard tier: O(hosts) partials instead of O(urls)
   // ---------------------------------------------------------------------------
 
@@ -309,7 +351,36 @@ SELECT domain, host, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls_exact,
   CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars,
   true AS hll_ok, true AS shard_merge_exact
-FROM mart GROUP BY domain, host ORDER BY domain, host""")))
+FROM mart GROUP BY domain, host ORDER BY domain, host""")),
+
+    // The chain APPLIED (the corpus_url_curated view's backing query):
+    // canonical dedup -> host blocklist -> per-host quota cap 3. The
+    // avg-chars blocklist leg discriminates on this fixture (see the
+    // curatedCorpus scaladoc for why the dup-share leg is all-or-nothing
+    // on derived URLs); the quota binds (5 keepers per host > 3). The
+    // oracle composes the three already-verified stages' SQL.
+    Q("q169_url_curated",
+      (s, dir) => curatedCorpus(Tables.documents(s, dir), hostQuota = 3,
+        dupShareBlock = 1000000L, minAvgChars = 300L)
+        .orderBy("doc_id"),
+      Some(s"""WITH $martCtes,
+hs AS (SELECT host,
+         ((count(*) - count(DISTINCT canon_url)) * 1000000) // count(*)
+           AS ds,
+         sum(n_chars) // count(*) AS ac
+       FROM mart GROUP BY host),
+blocked AS (SELECT host FROM hs WHERE ds >= 1000000 OR ac < 300),
+keep AS (SELECT min(doc_id) AS doc_id FROM mart GROUP BY canon_url),
+d AS (SELECT m.doc_id, m.canon_url, m.host, m.domain FROM mart m
+      JOIN keep k ON k.doc_id = m.doc_id
+      WHERE m.host NOT IN (SELECT host FROM blocked)),
+w AS (SELECT doc_id, canon_url, host, domain,
+        row_number() OVER (PARTITION BY host ORDER BY
+          (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|urlquota'),
+            1, 15))::BIGINT) ASC, doc_id ASC) AS rn
+      FROM d)
+SELECT doc_id, canon_url, host, domain FROM w WHERE rn <= 3
+ORDER BY doc_id""")))
 
   /** Per-host distinct-URL counts, exact AND HyperLogLog, with the repo's
     * self-audit contract for approximate operators: the query emits the

@@ -280,6 +280,26 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT host FROM host_stats WHERE blocklist_candidate").count()
     val total = spark.sql("SELECT count(*) FROM host_stats").collect()(0).getLong(0)
     assert(total > 0 && blocked <= total)
+    // corpus_url_curated == the q169 chain (dedup -> blocklist -> quota),
+    // reconciled view-vs-operator like corpus_selected_v3
+    val view = spark.sql("SELECT * FROM corpus_url_curated")
+    val chain = llm.UrlCuration.curatedCorpus(
+      Tables.documents(spark, dir), hostQuota = 3,
+      dupShareBlock = 1000000L, minAvgChars = 300L)
+    assert(view.exceptAll(chain).isEmpty && chain.exceptAll(view).isEmpty)
+    assert(view.count() > 0, "curated corpus view is empty")
+    // the chain's invariants hold THROUGH the view: unique canonical urls,
+    // quota respected per host, no blocklisted host serves a row
+    assert(spark.sql(
+      """SELECT max(n) FROM (SELECT canon_url, count(*) AS n
+         FROM corpus_url_curated GROUP BY canon_url)""").head.getLong(0) === 1L)
+    assert(spark.sql(
+      """SELECT max(n) FROM (SELECT host, count(*) AS n
+         FROM corpus_url_curated GROUP BY host)""").head.getLong(0) <= 3L)
+    assert(spark.sql(
+      """SELECT count(*) FROM corpus_url_curated
+         WHERE host IN (SELECT host FROM host_stats WHERE avg_chars < 300)""")
+      .head.getLong(0) === 0L)
   }
 
   test("events view carries a real timestamp column, not raw nanos longs") {

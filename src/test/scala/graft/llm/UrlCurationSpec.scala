@@ -76,6 +76,32 @@ class UrlCurationSpec extends SparkSpec {
     assert(src0.getAs[Boolean]("blocklist_candidate"))
   }
 
+  test("curatedCorpus: dedup, dup-share blocklist, and per-host quota each bind") {
+    // host src5 (ids = 5 mod 100): four copies of ONE canonical url ->
+    // dup share 750000 >= 500000, blocklisted by the dup leg.
+    // host src1 (ids = 1 mod 20, distinct mod 100): four distinct urls,
+    // dup share 0, kept.
+    val docs = Seq(
+      (5L, "t", "en", "src5", 10L), (105L, "t", "en", "src5", 10L),
+      (205L, "t", "en", "src5", 10L), (305L, "t", "en", "src5", 10L),
+      (1L, "t", "en", "src1", 10L), (21L, "t", "en", "src1", 10L),
+      (41L, "t", "en", "src1", 10L), (61L, "t", "en", "src1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // quota above the host size: only dedup + blocklist act
+    val kept = UrlCuration.curatedCorpus(docs, hostQuota = 10)
+      .collect()
+    assert(kept.forall(_.getAs[String]("host").startsWith("src1")),
+      "dup-share-blocklisted host leaked through the chain")
+    assert(kept.length === 4)
+    // quota binds: cap 2 keeps exactly 2 of the surviving host's docs
+    val capped = UrlCuration.curatedCorpus(docs, hostQuota = 2).collect()
+    assert(capped.length === 2 &&
+      capped.forall(_.getAs[String]("host").startsWith("src1")))
+    // the avg-chars leg: a min length above src1's mean empties it too
+    assert(UrlCuration.curatedCorpus(docs, hostQuota = 10,
+      minAvgChars = 11L).isEmpty)
+  }
+
   test("hostStats: dup share and avg chars in exact integer micros") {
     val docs = Seq(
       (0L, "t", "en", "src0", 10L), (20L, "t", "en", "src0", 20L),
