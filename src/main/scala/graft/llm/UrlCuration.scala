@@ -69,10 +69,17 @@ object UrlCuration {
     (canon, h, domain)
   }
 
-  /** doc_id, url, canon_url, host, domain for every document. */
+  /** doc_id, url, canon_url, host, domain for every document. A frame that
+    * already carries a REAL `url` column (the landed corpus —
+    * [[graft.sources.JsonlLanding.ensureCorpusUrls]], or any production
+    * crawl table) is consumed as-is; the deterministic derivation applies
+    * only as the fixture fallback for url-less frames. */
   def urlMart(docs: DataFrame): DataFrame = {
-    val withRaw = docs.select(col("doc_id"), col("n_chars"),
-      deriveUrl(col("doc_id"), col("source")).as("url"))
+    val withRaw =
+      if (docs.columns.contains("url"))
+        docs.select(col("doc_id"), col("n_chars"), col("url"))
+      else docs.select(col("doc_id"), col("n_chars"),
+        deriveUrl(col("doc_id"), col("source")).as("url"))
     val (canon, host, domain) = canonicalize(col("url"))
     withRaw.select(col("doc_id"), col("n_chars"), col("url"),
       canon.as("canon_url"), host.as("host"), domain.as("domain"))
@@ -257,11 +264,36 @@ mart AS (SELECT doc_id, n_chars, url,
   h AS host, regexp_extract(h, '([^.]+\.[^.]+)$', 1) AS domain
   FROM c5)"""
 
+  /** q160's output over the LANDED corpus: read the JSONL landing's real
+    * `url` column through the DSv2 source (string landing contract, casts
+    * here) and canonicalize THAT — no derivation in the query path. The
+    * landed urls equal the derived ones by construction, so q170 shares
+    * q160's oracle (the q122/q123 two-spellings-one-truth law). */
+  def landedUrlMart(s: SparkSession, dir: String): DataFrame = {
+    val landing = graft.sources.JsonlLanding.ensureCorpusUrls(s, dir)
+    urlMart(s.read.format("graft-jsonl")
+      .schema("doc_id string, url string, n_chars string")
+      .load(landing)
+      .select(col("doc_id").cast("long").as("doc_id"), col("url"),
+        col("n_chars").cast("long").as("n_chars")))
+  }
+
   val queries: Seq[Q] = Seq(
     // Canonicalization itself: every doc's raw and canonical URL + the
     // host/registered-domain extraction. A pure narrow map of built-ins.
     Q("q160_url_canonicalize",
       (s, dir) => urlMart(Tables.documents(s, dir))
+        .select("doc_id", "url", "canon_url", "host", "domain")
+        .orderBy("doc_id"),
+      Some(s"""WITH $martCtes
+SELECT doc_id, url, canon_url, host, domain FROM mart ORDER BY doc_id""")),
+
+    // The REAL-url path: the corpus URL frontier landed as JSONL (cluster-
+    // side write, no driver collect) and read back through the graft-jsonl
+    // DSv2 source — the production shape where url is a stored column, not
+    // a derivation. Same output as q160 over the same logical urls.
+    Q("q170_url_canonicalize_landed",
+      (s, dir) => landedUrlMart(s, dir)
         .select("doc_id", "url", "canon_url", "host", "domain")
         .orderBy("doc_id"),
       Some(s"""WITH $martCtes

@@ -19,6 +19,60 @@ import org.apache.spark.sql.SparkSession
   * concurrent suites converge on one complete file.
   */
 object JsonlLanding {
+
+  /** Distributed JSONL landing of the corpus URL frontier — a REAL `url`
+    * column at rest (one `{doc_id, url, n_chars}` record per doc), the
+    * production shape [[graft.llm.UrlCuration.urlMart]] consumes directly
+    * (its inline derivation is the fixture-only fallback). Unlike the
+    * ticker landing this is a FACT-scale write, so it stays on the
+    * cluster: one `to_json` narrow map into the text sink (no driver
+    * collect), part files renamed to the `.jsonl` source contract, then
+    * one atomic directory move — concurrent builders converge on one
+    * complete landing. The url content here is the deterministic
+    * derivation (the sandbox has no crawl); in production the same layout
+    * lands from the fetcher and NOTHING downstream changes. */
+  def ensureCorpusUrls(spark: SparkSession, dir: String): String =
+    synchronized {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val target =
+        Paths.get(sys.props("java.io.tmpdir"), s"graft_corpus_urls_$key")
+      if (!Files.exists(target)) {
+        import org.apache.spark.sql.functions._
+        val tmp = Files.createTempDirectory(
+          target.getParent, "graft_corpus_urls_tmp")
+        val outDir = new File(tmp.toFile, "out")
+        graft.Tables.documents(spark, dir)
+          .select(to_json(struct(
+            col("doc_id").cast("string").as("doc_id"),
+            graft.llm.UrlCuration.deriveUrl(col("doc_id"), col("source"))
+              .as("url"),
+            col("n_chars").cast("string").as("n_chars"))).as("value"))
+          .write.mode("overwrite").text(outDir.toString)
+        val data = new File(tmp.toFile, "data")
+        require(data.mkdirs(), s"cannot create $data")
+        outDir.listFiles()
+          .filter(f => f.isFile && f.getName.startsWith("part-"))
+          .sortBy(_.getName).zipWithIndex
+          .foreach { case (pf, i) =>
+            Files.move(pf.toPath,
+              new File(data, f"part-$i%05d.jsonl").toPath)
+          }
+        try Files.move(data.toPath, target, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // another process landed it first — theirs is complete, use it
+          case _: java.nio.file.FileAlreadyExistsException => ()
+        }
+        deleteRecursively(tmp.toFile)
+      }
+      target.toString
+    }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     val key = java.lang.Integer.toHexString(dir.hashCode)
     val target = Paths.get(sys.props("java.io.tmpdir"), s"graft_tickers_$key.jsonl")

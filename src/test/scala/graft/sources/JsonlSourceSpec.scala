@@ -46,6 +46,34 @@ class JsonlSourceSpec extends SparkSpec {
     assert(scanOf(df).readSchema().fieldNames.toSeq === Seq("ticker"))
   }
 
+  test("corpus-url landing: real url column at rest, pushdown + pruning hold, mart identical") {
+    val dir = "/root/testdata/sf0.001"
+    val landing = JsonlLanding.ensureCorpusUrls(spark, dir)
+    val landed = spark.read.format("graft-jsonl")
+      .schema("doc_id string, url string, n_chars string").load(landing)
+    val docs = graft.Tables.documents(spark, dir)
+    // every doc landed exactly once
+    assert(landed.count() === docs.count())
+    assert(landed.select("doc_id").distinct().count() === docs.count())
+    // point filter pushes into the parse; projection prunes the schema —
+    // the plan pin that makes the landed read a real scan, not a toy
+    val q = landed.filter(col("doc_id") === "42").select("url")
+    val scan = scanOf(q)
+    assert(scan.pushed.map(_.toString).exists(_.contains("EqualTo(doc_id")),
+      scan.description())
+    val readCols = scan.readSchema().fieldNames.toSet
+    assert(!readCols.contains("n_chars"),
+      s"unprojected field materialized: $readCols")
+    // urlMart over the LANDED frame (real url column, no derivation) ==
+    // urlMart over documents (derivation fallback) — row-identical
+    val landedMart = graft.llm.UrlCuration.urlMart(
+      landed.select(col("doc_id").cast("long").as("doc_id"), col("url"),
+        col("n_chars").cast("long").as("n_chars")))
+    val derivedMart = graft.llm.UrlCuration.urlMart(docs)
+    assert(landedMart.exceptAll(derivedMart).isEmpty &&
+      derivedMart.exceptAll(landedMart).isEmpty)
+  }
+
   test("supported filters push into the scan and Spark elides its re-filter") {
     val df = read.filter(col("ticker").startsWith("MS") &&
       col("cik_str") >= "0000000003")
