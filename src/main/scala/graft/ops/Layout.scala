@@ -483,14 +483,15 @@ object Layout {
     * flip, never in-place).
     *
     * Returns (input file count, output file count). */
+  private[ops] def parquetFiles(p: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(p))
+  }
+
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    def parquetFiles(p: String): Seq[java.io.File] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      walk(new java.io.File(p))
-    }
     val inFiles = parquetFiles(inPath)
     val totalBytes = inFiles.map(_.length()).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)

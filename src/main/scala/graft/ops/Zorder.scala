@@ -105,6 +105,23 @@ object Zorder {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** The `COMPACT PARQUET ... ZORDER BY (x, y)` rewrite: same file-count
+    * sizing rule as [[Layout.compact]] (ceil of on-disk bytes over
+    * `targetBytes`), but the output layout is [[writeZordered]] on the two
+    * named columns instead of the shuffle-free concatenate — one SQL
+    * statement owns both maintenance jobs (the Delta OPTIMIZE [ZORDER BY]
+    * shape). Returns (input, output) parquet file counts. */
+  def compactZordered(spark: SparkSession, inPath: String, outPath: String,
+      xName: String, yName: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val inFiles = Layout.parquetFiles(inPath)
+    val totalBytes = inFiles.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    writeZordered(spark.read.parquet(inPath), outPath,
+      col(xName), col(yName), nOut)
+    (inFiles.size, Layout.parquetFiles(outPath).size)
+  }
+
   /** The single-dimension baseline: range-layout on x alone (what a
     * conventional sort-by-key table gives you). */
   def writeRangeOrdered(df: DataFrame, path: String, x: Column,

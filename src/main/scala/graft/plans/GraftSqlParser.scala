@@ -9,25 +9,36 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
 
 /** Parser extension (SparkSessionExtensions.injectParser): the maintenance
-  * statement every large table system grows (Delta OPTIMIZE, Iceberg
-  * rewrite_data_files), here driving graft's own compaction:
+  * statement every large table system grows (Delta OPTIMIZE [ZORDER BY],
+  * Iceberg rewrite_data_files), here driving graft's own layout jobs:
   *
-  *   COMPACT PARQUET '<inPath>' INTO '<outPath>' [TARGET <bytes>]
+  *   COMPACT PARQUET '<inPath>' INTO '<outPath>'
+  *     [TARGET <bytes>] [ZORDER BY (<xCol>, <yCol>)]
   *
-  * Everything else falls through to Spark's parser verbatim — the extension
-  * is additive, never a reinterpretation. The statement plans as a
-  * LeafRunnableCommand (runs eagerly on the driver like all DDL, returns
-  * the (files_in, files_out) audit row), and the rewrite itself is the
-  * distributed shuffle-free coalesce in Layout.compact.
+  * Without ZORDER BY the rewrite is the shuffle-free coalesce in
+  * Layout.compact; with it, the same file-count sizing routes through
+  * Zorder.writeZordered so file min/max envelopes prune BOTH named
+  * dimensions (the q154 gate's layout) — one statement owns both
+  * maintenance jobs. Everything else falls through to Spark's parser
+  * verbatim — the extension is additive, never a reinterpretation. The
+  * statement plans as a LeafRunnableCommand (runs eagerly on the driver
+  * like all DDL, returns the (files_in, files_out) audit row).
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Compact =
-    """(?is)\s*COMPACT\s+PARQUET\s+'([^']+)'\s+INTO\s+'([^']+)'(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
+    ("""(?is)\s*COMPACT\s+PARQUET\s+'([^']+)'\s+INTO\s+'([^']+)'""" +
+      """(?:\s+TARGET\s+(\d+))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,""" +
+      """\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Compact(in, out, target) =>
+    case Compact(in, out, target, zx, zy) =>
       CompactCommand(in, out,
-        Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024))
+        Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024),
+        (Option(zx), Option(zy)) match {
+          case (Some(x), Some(y)) => Some((x, y))
+          case _ => None
+        })
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -49,14 +60,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseDataType(sqlText)
 }
 
-/** Eager driver-side command node for COMPACT PARQUET. */
-case class CompactCommand(inPath: String, outPath: String, targetBytes: Long)
+/** Eager driver-side command node for COMPACT PARQUET [ZORDER BY]. */
+case class CompactCommand(inPath: String, outPath: String, targetBytes: Long,
+    zorderBy: Option[(String, String)] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_in", IntegerType, nullable = false)(),
     AttributeReference("files_out", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (in, out) = graft.ops.Layout.compact(spark, inPath, outPath, targetBytes)
+    val (in, out) = zorderBy match {
+      case Some((x, y)) =>
+        graft.ops.Zorder.compactZordered(spark, inPath, outPath, x, y,
+          targetBytes)
+      case None =>
+        graft.ops.Layout.compact(spark, inPath, outPath, targetBytes)
+    }
     Seq(Row(in, out))
   }
 }

@@ -36,4 +36,37 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.sql("SELECT 1 + 1 AS x").head.getInt(0) === 2)
     intercept[Exception](spark.sql("COMPACT NONSENSE"))
   }
+
+  test("ZORDER BY clause rewrites through the z-order layout; envelopes prune both dimensions") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_sqlzorder_in_").toString
+    val out = Files.createTempDirectory("graft_sqlzorder_out_").toString
+    // a 64x64 grid hashed across input files: an unorganized layout whose
+    // file envelopes cover everything — the worst case z-order must fix
+    val grid = spark.range(4096)
+      .select(col("id"), (col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    grid.repartition(16).write.mode("overwrite").parquet(in)
+
+    // TARGET sized so the statement yields a healthy multi-file output
+    // (16 input files over a 4 KB target -> tens of outputs)
+    val audit = spark.sql(
+      s"COMPACT PARQUET '$in' INTO '$out' TARGET 4096 ZORDER BY (x, y)")
+    val r = audit.head
+    assert(r.getInt(0) === 16 && r.getInt(1) > 8,
+      s"expected a multi-file z-ordered output, got $r")
+    // content preserved through the rewrite
+    val back = spark.read.parquet(out)
+    assert(back.count() === 4096 &&
+      back.exceptAll(grid).isEmpty && grid.exceptAll(back).isEmpty)
+    // the q154 envelope gate on the statement's output: an ~8x8 box inside
+    // one Morton quadrant must NOT hit most files (the unorganized input's
+    // envelopes all would); z-ordered files cover small rectangles
+    val env = graft.ops.Zorder.fileEnvelopes(spark, out, col("x"), col("y"))
+    val hit = env.agg(graft.ops.Zorder.hitFraction(env,
+      Some(lit(8L)), Some(lit(15L)), Some(lit(8L)), Some(lit(15L)))
+      .as("f")).head.getDouble(0)
+    assert(hit <= 0.5, s"box hit fraction $hit — layout not z-ordered")
+    // key column is layout, not schema
+    assert(back.columns.toSeq === Seq("id", "x", "y"))
+  }
 }
