@@ -130,6 +130,59 @@ object GraphRank {
     personalizedPageRankOnGraph(edgesDeg, nodes, seedId, iters)
   }
 
+  /** The WEIGHTED symmetrized graph: (src, dst, w, sw) where `w` is the
+    * integer-micro edge weight (the pair mart's verified similarity) and
+    * `sw` the source's total outgoing weight — the weighted analog of
+    * [[symmetrize]]'s degree annotation. */
+  def symmetrizeWeighted(pairs: DataFrame, aCol: String = "doc_id_a",
+      bCol: String = "doc_id_b", wCol: String = "w"): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"), col(wCol).as("w"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"),
+        col(wCol).as("w")))
+    val sw = edges.groupBy("src").agg(sum("w").as("sw"))
+    edges.join(sw, "src")
+  }
+
+  /** Similarity-weighted PageRank: each node splits its rank among its
+    * neighbors PROPORTIONALLY to the verified edge similarity instead of
+    * uniformly — `c(u→v) = (r(u) · w(u,v)) div sw(u)` — so centrality
+    * prefers the CLOSEST cluster-mates: the doc most similar to its
+    * cluster outranks one hanging off the cluster by a borderline edge,
+    * even at equal degree. Same integer-micro discipline as [[pageRank]]
+    * (weights ≤ 1e6 and ranks ≤ 1e6, so the product stays ≤ 1e12 — exact
+    * in a long), same per-iteration join/agg cost shape; the uniform
+    * variant is exactly this recurrence with all weights equal. */
+  def weightedPageRankOnGraph(edgesW: DataFrame, nodes: DataFrame,
+      iters: Int = 4): DataFrame = {
+    val n = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var ranks = nodes.crossJoin(n)
+      .select(col("doc_id"), expr("1000000 div n").as("rank_micros"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(edgesW, ranks("doc_id") === edgesW("src"))
+        .select(col("dst").as("doc_id"),
+          expr("(rank_micros * w) div sw").as("c"))
+      ranks = contrib.groupBy("doc_id").agg(sum("c").as("cs"))
+        .crossJoin(n)
+        .select(col("doc_id"),
+          expr("150000 div n + (85 * cs) div 100").as("rank_micros"))
+    }
+    ranks
+  }
+
+  /** Self-contained [[weightedPageRankOnGraph]] over an a<b pair table
+    * carrying an integer-micro weight column. */
+  def weightedPageRank(pairs: DataFrame, aCol: String = "doc_id_a",
+      bCol: String = "doc_id_b", wCol: String = "w",
+      iters: Int = 4): DataFrame = {
+    val edgesW = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(
+      symmetrizeWeighted(pairs, aCol, bCol, wCol))
+    val nodes = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(
+      nodesOf(edgesW))
+    weightedPageRankOnGraph(edgesW, nodes, iters)
+  }
+
   /** [[personalizedPageRank]] over a PREBUILT symmetrized graph (the mart
     * path — see [[pageRankOnGraph]]). */
   def personalizedPageRankOnGraph(edgesDeg: DataFrame, nodes: DataFrame,

@@ -124,17 +124,40 @@ object LlmQueries {
     graft.sec.SecDerive.cached(s, dir, "sym_graph_degrees")(
       GraphRank.degreesOf(symGraphEdges(s, dir)))
 
+  /** The WEIGHTED twin of [[symGraphEdges]]: edge weight = the pair
+    * mart's verified Jaccard in integer micros (floor(j·1e6) — exact
+    * cross-engine: both sides compute the same IEEE double from the same
+    * intersection integers, then the same floor), with per-src total
+    * weight annotated. Feeds the similarity-weighted rank tier. */
+  private def symGraphWeightedEdges(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.sec.SecDerive.cached(s, dir, "sym_graph_wedges")(
+      GraphRank.symmetrizeWeighted(
+        nearDupPairs(s, dir).withColumn("w",
+          floor(col("jaccard") * lit(1000000.0)).cast("long"))))
+
   /** Near-dup cluster labels × integer-micro PageRank as a stored mart
     * (doc_id, cluster_id, is_canonical, rank_micros) — graph-NODE-sized
     * (only clustered docs appear), so it serves like a dimension. q155
     * stays the honest build of the rank table; q156 and the /related
-    * endpoint read this mart (the q21/q48 build-once convention). */
-  private[graft] def centralityMart(s: SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame =
-    graft.sec.SecDerive.cached(s, dir, "centrality_mart")(
+    * endpoint read this mart (the q21/q48 build-once convention).
+    * `weighted = true` re-bases the ranks on the similarity-weighted
+    * recurrence ([[GraphRank.weightedPageRankOnGraph]]) — the flag q172's
+    * survivorship runs behind; the default stays the uniform tier. */
+  private[graft] def centralityMart(s: SparkSession, dir: String,
+      weighted: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val name = if (weighted) "centrality_mart_weighted" else "centrality_mart"
+    graft.sec.SecDerive.cached(s, dir, name)(
       nearDupLabels(s, dir)
-        .join(GraphRank.pageRankOnGraph(symGraphEdges(s, dir),
-          symGraphNodes(s, dir)), Seq("doc_id")))
+        .join(
+          if (weighted)
+            GraphRank.weightedPageRankOnGraph(symGraphWeightedEdges(s, dir),
+              symGraphNodes(s, dir))
+          else
+            GraphRank.pageRankOnGraph(symGraphEdges(s, dir),
+              symGraphNodes(s, dir)),
+          Seq("doc_id")))
+  }
 
   /** Per-doc leakage-safe split assignment — the frame q95 aggregates and
     * the `corpus_splits` SQL view exposes: split rides the near-dup CLUSTER
@@ -542,6 +565,42 @@ pp0 AS (SELECT doc_id,
     FROM edges e JOIN pp${i - 1} rr ON rr.doc_id = e.src
     JOIN deg d ON d.src = e.src
     GROUP BY e.dst) s ON s.doc_id = g.doc_id)"""
+    }
+    (base +: its).mkString(",\n")
+  }
+
+  /** Weighted edge CTEs over the minhash `j` table: Jaccard in integer
+    * micros (same floor both engines — identical IEEE doubles from
+    * identical intersection integers), symmetrized. Named `wpairs` /
+    * `wedges` so they compose with [[ccLabelsCtes]]' unweighted `pairs` /
+    * `edges` in one WITH clause. */
+  private val weightedEdgesCtes: String =
+    s"""wpairs AS (SELECT doc_id_a, doc_id_b,
+           CAST(floor(jaccard * 1000000) AS BIGINT) AS w
+         FROM j WHERE jaccard >= 0.8),
+wedges AS (SELECT doc_id_a AS src, doc_id_b AS dst, w FROM wpairs
+           UNION ALL SELECT doc_id_b, doc_id_a, w FROM wpairs)"""
+
+  /** Similarity-WEIGHTED PageRank iteration CTEs (see
+    * [[GraphRank.weightedPageRankOnGraph]]): expects a `wedges` CTE
+    * (symmetrized src/dst/w) in scope, emits `sw`/`gnodes`/`nn`/`wr0..
+    * wr{iters}` — contributions are `(r · w) // sw`, every step BIGINT
+    * floor arithmetic like the uniform replay. */
+  private def weightedPagerankCtes(iters: Int): String = {
+    val base = s"""sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw
+      FROM wedges GROUP BY src),
+gnodes AS (SELECT DISTINCT src AS doc_id FROM wedges),
+nn AS (SELECT count(*) AS n FROM gnodes),
+wr0 AS (SELECT doc_id, CAST(1000000 // (SELECT n FROM nn) AS BIGINT) AS r
+        FROM gnodes)"""
+    val its = (1 to iters).map { i =>
+      s"""wr$i AS (SELECT e.dst AS doc_id,
+  CAST((150000 // (SELECT n FROM nn)) +
+       ((85 * CAST(sum((rr.r * e.w) // s.sw) AS BIGINT)) // 100)
+    AS BIGINT) AS r
+  FROM wedges e JOIN wr${i - 1} rr ON rr.doc_id = e.src
+  JOIN sw s ON s.src = e.src
+  GROUP BY e.dst)"""
     }
     (base +: its).mkString(",\n")
   }
@@ -2015,6 +2074,43 @@ ORDER BY rank_micros DESC, doc_id""")),
         degrees = Some(symGraphDegrees(s, dir)))
         .orderBy("doc_id"),
       Some(triangleOracle)),
+
+    // Similarity-WEIGHTED PageRank: rank mass splits proportionally to the
+    // verified Jaccard (integer micros) instead of 1/deg — centrality that
+    // prefers the CLOSEST cluster-mates. The oracle unrolls the identical
+    // weighted integer recurrence ((r·w) // sw per edge, BIGINT floors).
+    Q("q171_weighted_pagerank",
+      (s, dir) => GraphRank.weightedPageRankOnGraph(
+        symGraphWeightedEdges(s, dir), symGraphNodes(s, dir))
+        .orderBy("doc_id"),
+      Some(s"""
+WITH $minhashCtes,
+$weightedEdgesCtes,
+${weightedPagerankCtes(4)}
+SELECT doc_id, r AS rank_micros FROM wr4 ORDER BY doc_id""")),
+
+    // q156's survivorship re-based on the weighted ranks (the flagged
+    // centralityMart tier): per cluster keep the member most similar to
+    // the rest of its cluster under the weighted recurrence — a doc
+    // attached by one borderline edge can no longer out-rank the core.
+    Q("q172_central_representatives_weighted",
+      (s, dir) => GraphRank.centralRepsFromMart(
+        centralityMart(s, dir, weighted = true))
+        .orderBy("cluster_id"),
+      Some(s"""$ccLabelsCtes,
+$weightedEdgesCtes,
+${weightedPagerankCtes(4)},
+m AS (SELECT l.cluster_id, l.doc_id, rr.r
+      FROM labels l JOIN wr4 rr ON rr.doc_id = l.doc_id),
+wnd AS (SELECT cluster_id, doc_id, r,
+          row_number() OVER (PARTITION BY cluster_id
+            ORDER BY r DESC, doc_id ASC) AS rn,
+          CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+            AS cluster_size
+        FROM m)
+SELECT cluster_id, doc_id AS rep_doc_id, CAST(r AS BIGINT) AS rank_micros,
+       cluster_size
+FROM wnd WHERE rn = 1 ORDER BY cluster_id""")),
 
     // ANN via Johnson-Lindenstrauss sign-projection prefilter: rank the
     // corpus in the 32-dim projected space (narrow column, half the

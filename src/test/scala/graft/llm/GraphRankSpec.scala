@@ -136,6 +136,30 @@ class GraphRankSpec extends SparkSpec {
     assert(hub.getLong(2) === 1L)
   }
 
+  test("weighted PageRank: equal weights reduce to uniform exactly; skew prefers the closer mate") {
+    // floor((r·w)/(deg·w)) == floor(r/deg) for any positive w, so the
+    // equal-weight run must be BIT-identical to the uniform tier
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+    val uniform = sparkRanks(pairs)
+    val equalW = GraphRank.weightedPageRank(
+      pairs.toDF("doc_id_a", "doc_id_b")
+        .withColumn("w", org.apache.spark.sql.functions.lit(800000L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(equalW === uniform)
+
+    // a path 1-2-3 with a strong 1-2 edge and a borderline 2-3 edge: node
+    // 1 receives most of 2's mass, so it outranks 3 (at equal degree the
+    // uniform tier would tie them)
+    val skew = Seq((1L, 2L, 990000L), (2L, 3L, 800000L))
+      .toDF("doc_id_a", "doc_id_b", "w")
+    val r = GraphRank.weightedPageRank(skew).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(3L),
+      s"weighted rank did not prefer the high-similarity mate: $r")
+    val tied = sparkRanks(Seq((1L, 2L), (2L, 3L)))
+    assert(tied(1L) === tied(3L), "uniform tier should tie the endpoints")
+  }
+
   test("centralRepresentatives: max rank wins, ties break to min doc_id") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
       .toDF("doc_id", "cluster_id")
