@@ -98,6 +98,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (args.length > 1)
           graft.expr.HllEstimate(args(0), litInt(args, 1, "p"))
         else graft.expr.HllEstimate(args(0), 12)))
+    // Count-Min: the FREQUENCY member of the sketch family (HLL distinct,
+    // Misra-Gries top-k) — point-frequency estimates for any key without a
+    // vocabulary-sized shuffle; counter-wise-additive shard merge.
+    ext.injectFunction((FunctionIdentifier("graft_cms_sketch"),
+      info("graft_cms_sketch",
+        "graft_cms_sketch(value[, depth, width]) - Count-Min sketch " +
+          "(binary) over the md5-portable hash; counters sum on merge"),
+      (args: Seq[Expression]) => {
+        val child = org.apache.spark.sql.catalyst.expressions.Cast(
+          args(0), org.apache.spark.sql.types.StringType)
+        if (args.length > 2)
+          graft.expr.CmsSketchAgg(child, litInt(args, 1, "depth"),
+            litInt(args, 2, "width"))
+        else graft.expr.CmsSketchAgg(child, graft.expr.Cms.DefaultDepth,
+          graft.expr.Cms.DefaultWidth)
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_cms_merge"),
+      info("graft_cms_merge",
+        "graft_cms_merge(sketch) - counter-wise-sum fold of " +
+          "graft_cms_sketch payloads"),
+      (args: Seq[Expression]) => graft.expr.CmsMergeAgg(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
+      info("graft_cms_estimate",
+        "graft_cms_estimate(sketch, key) - point-frequency estimate " +
+          "(always >= the true count)"),
+      (args: Seq[Expression]) => graft.expr.CmsEstimate(args(0),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          args(1), org.apache.spark.sql.types.StringType))))
     // Spark ships a distributed Bloom-filter aggregate + probe (the pair its
     // InjectRuntimeFilter optimization builds runtime row filters from) but
     // registers neither for end users; exposing them gives the decontamination

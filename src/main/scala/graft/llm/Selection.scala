@@ -1055,13 +1055,13 @@ c AS (SELECT doc_id, source, t,
       basePath: String,
       visibility: Option[org.apache.spark.sql.Column] = None): DataFrame =
     spark.read.parquet(s"$basePath/term_stats")
-      // committed batches only: an append/replay in flight when this read
-      // PLANS is invisible until its marker lands, so the fold skips the
-      // torn batch (plan-time guarantee — see Layout.initCommitLog).
-      // `visibility` lets a multi-table read (search: postings + both
-      // stats) resolve the commit log ONCE — per-table resolution could
-      // observe a commit landing between listings and serve a
-      // cross-table-torn snapshot.
+      // committed batches only: an in-flight delivery's partitions are
+      // invisible until the manifest swap, and the swapped-out delivery's
+      // files stay on disk for readers that planned against them — true
+      // snapshot isolation (Layout manifest protocol). `visibility` lets
+      // a multi-table read (search: postings + both stats) resolve the
+      // manifest ONCE, so the served snapshot is batch-consistent ACROSS
+      // tables.
       .filter(visibility.getOrElse(
         graft.ops.Layout.committedBatchFilter(spark, basePath)))
       .groupBy("term").agg(sum("df").as("df"))
@@ -1081,10 +1081,14 @@ c AS (SELECT doc_id, source, t,
     * cost is the query terms' postings rows, independent of corpus size
     * and of how many batches built the index. */
   def bm25SearchIndex(spark: org.apache.spark.sql.SparkSession,
-      basePath: String, terms: Seq[String], topK: Int = 20): DataFrame = {
-    // ONE commit-log resolution shared by all three table reads — the
-    // per-request snapshot is batch-consistent ACROSS tables
-    val vis = graft.ops.Layout.committedBatchFilter(spark, basePath)
+      basePath: String, terms: Seq[String], topK: Int = 20,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    // ONE manifest resolution shared by all three table reads — the
+    // per-request snapshot is batch-consistent ACROSS tables. asOfVersion
+    // time-travels the whole read to a prior published manifest
+    // (Layout.committedBatchFilterAt — the audit/reproduce read).
+    val vis =
+      graft.ops.Layout.committedBatchFilterAt(spark, basePath, asOfVersion)
     TextAnalysis.bm25RankFromPostings(
       graft.ops.Layout.postingsForTerms(spark, s"$basePath/postings", terms,
         vis),
@@ -2354,5 +2358,48 @@ SELECT source, n_terms,
   CAST(floor(CAST(n_terms * sxy - sx * sy AS DOUBLE)
     / CAST(n_terms * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
     AS slope_micro
-FROM a ORDER BY source""")))
+FROM a ORDER BY source""")),
+
+    // Count-Min point-frequency over the token stream (the frequency
+    // member of the sketch family — q166's HLL answers distinct, q93's
+    // Misra-Gries answers top-k): exact counts for the top-20 tokens are
+    // the oracle-checked columns; the sketch carries two deterministic
+    // audits — the one-sided CMS guarantee (estimate >= exact, over by at
+    // most the measured 4N/w band) and the merge law (doc-disjoint shard
+    // sketches fold counter-wise-additive to the BYTE-IDENTICAL one-shot
+    // sketch, the q168 gate pattern). At 100 TB the exact side is the
+    // expensive one; the sketch is a fixed 64 KB of mergeable state.
+    Q("q173_cms_token_freq",
+      (s, dir) => {
+        val tokens = graft.Tables.spread(Tables.documents(s, dir))
+          .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+          .localCheckpoint(false)
+        val total = tokens.agg(count(lit(1)).as("n_total"))
+        val oneShot = tokens
+          .agg(graft.expr.Cms.sketch(col("token")).as("sk"))
+        val merged = Seq(0, 1)
+          .map(p => tokens.filter(col("doc_id") % 2 === p)
+            .agg(graft.expr.Cms.sketch(col("token")).as("shard")))
+          .reduce(_ unionByName _)
+          .agg(graft.expr.Cms.merge(col("shard")).as("skm"))
+        val top = tokens.groupBy("token")
+          .agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("token").asc).limit(20)
+        val est = graft.expr.Cms.estimateOf(col("skm"), col("token"))
+        top.crossJoin(broadcast(oneShot)).crossJoin(broadcast(merged))
+          .crossJoin(broadcast(total))
+          .select(col("token"), col("n_exact"),
+            (est >= col("n_exact") &&
+              est - col("n_exact") <=
+                greatest(lit(1L), expr("(4 * n_total) div 2048")))
+              .as("cms_ok"),
+            (col("sk") === col("skm")).as("merge_exact"))
+          .orderBy(col("n_exact").desc, col("token").asc)
+      },
+      Some(s"""WITH ${LlmQueries.tokCte},
+f AS (SELECT unnest(t) AS token FROM tok),
+freq AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+         FROM f GROUP BY token)
+SELECT token, n_exact, true AS cms_ok, true AS merge_exact
+FROM freq ORDER BY n_exact DESC, token ASC LIMIT 20""")))
 }

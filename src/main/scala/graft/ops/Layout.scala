@@ -231,23 +231,28 @@ object Layout {
     if (ms.isEmpty) None
     else {
       val (v, p) = ms.maxBy(_._1)
-      val in = fs.open(p)
-      val body = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val arr = new Array[Byte](8192)
-        var n = in.read(arr)
-        while (n >= 0) { buf.write(arr, 0, n); n = in.read(arr) }
-        buf.toString("UTF-8")
-      } finally in.close()
-      val m = body.linesIterator.map(_.trim).filter(_.nonEmpty).flatMap { l =>
-        l.split("\\s+") match {
-          case Array(lg, ph) =>
-            for (a <- lg.toLongOption; b <- ph.toLongOption) yield a -> b
-          case _ => None
-        }
-      }.toMap
-      Some((v, m))
+      Some((v, readManifestFile(fs, p)))
     }
+  }
+
+  /** Parse one manifest file's `logical physical` pair lines. */
+  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Map[Long, Long] = {
+    val in = fs.open(p)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val arr = new Array[Byte](8192)
+      var n = in.read(arr)
+      while (n >= 0) { buf.write(arr, 0, n); n = in.read(arr) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    body.linesIterator.map(_.trim).filter(_.nonEmpty).flatMap { l =>
+      l.split("\\s+") match {
+        case Array(lg, ph) =>
+          for (a <- lg.toLongOption; b <- ph.toLongOption) yield a -> b
+        case _ => None
+      }
+    }.toMap
   }
 
   /** Publish manifest `version`: write the full pair list to a temp file,
@@ -349,24 +354,57 @@ object Layout {
     * old-style marker files serve as the visible set on roots no manifest
     * has touched yet. */
   def committedBatchFilter(spark: SparkSession, base: String)
-      : org.apache.spark.sql.Column = {
+      : org.apache.spark.sql.Column =
+    committedBatchFilterAt(spark, base, version = None)
+
+  /** [[committedBatchFilter]] AS OF a manifest version — TIME TRAVEL over
+    * the serving layout: every published manifest is an immutable snapshot
+    * and superseded data files survive until [[vacuumLayout]], so a read
+    * filtered at version V reproduces exactly what V served — the audit /
+    * reproduce-a-past-answer read (`VERSION AS OF` in Delta terms).
+    * Versions are listed by [[manifestVersions]]; asking for a version
+    * never published throws (an audit read must not silently fall back to
+    * a different snapshot). Vacuum is the retention horizon: a vacuumed
+    * version's manifest still resolves but its superseded files are gone,
+    * the same contract as every MVCC store. */
+  def committedBatchFilterAt(spark: SparkSession, base: String,
+      version: Option[Long]): org.apache.spark.sql.Column = {
     val dir = commitsDir(base)
     val fs = fsOf(spark, dir)
-    if (!fs.exists(dir)) lit(true)
-    else {
-      val ids = currentManifest(fs, dir) match {
-        case Some((_, m)) => m.values.toSeq
+    if (!fs.exists(dir)) {
+      require(version.isEmpty,
+        s"$base has no commit log — no manifest versions to read AS OF")
+      lit(true)
+    } else {
+      val ids = version match {
+        case Some(v) =>
+          val ms = listManifests(fs, dir).toMap
+          val p = ms.getOrElse(v, throw new IllegalArgumentException(
+            s"no manifest version $v under $dir " +
+              s"(published: ${ms.keys.toSeq.sorted.mkString(", ")})"))
+          readManifestFile(fs, p).values.toSeq
         case None =>
-          // toLongOption: a stray non-numeric file in _commits (editor
-          // temp, _SUCCESS, half-written name) must not throw at plan
-          // time and take down every serving read of the root
-          fs.listStatus(dir).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith("batch_"))
-            .flatMap(_.stripPrefix("batch_").toLongOption)
+          currentManifest(fs, dir) match {
+            case Some((_, m)) => m.values.toSeq
+            case None =>
+              // toLongOption: a stray non-numeric file in _commits (editor
+              // temp, _SUCCESS, half-written name) must not throw at plan
+              // time and take down every serving read of the root
+              fs.listStatus(dir).toSeq.map(_.getPath.getName)
+                .filter(_.startsWith("batch_"))
+                .flatMap(_.stripPrefix("batch_").toLongOption)
+          }
       }
       if (ids.isEmpty) col("batch_id") === -1L
       else col("batch_id") === -1L || col("batch_id").isin(ids: _*)
     }
+  }
+
+  /** Published manifest versions of a root, ascending — the time-travel
+    * catalog ([[committedBatchFilterAt]]). */
+  def manifestVersions(spark: SparkSession, base: String): Seq[Long] = {
+    val dir = commitsDir(base)
+    listManifests(fsOf(spark, dir), dir).map(_._1).sorted
   }
 
   /** Garbage-collect SUPERSEDED deliveries: delete `batch_id=<p>`

@@ -652,6 +652,41 @@ class SelectionSpec extends SparkSpec {
       "crashed reassign delivery visible before finish")
   }
 
+  test("manifest time travel: AS OF an old version reproduces that snapshot exactly") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bmasof").toString
+    val terms = Seq("hash", "join", "window")
+    def search(asOf: Option[Long]) =
+      Selection.bm25SearchIndex(spark, s"$tmp/idx", terms, topK = 20,
+        asOfVersion = asOf).collect().map(_.toSeq).toSeq
+    Selection.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+      s"$tmp/idx")
+    val vBase = graft.ops.Layout.manifestVersions(spark, s"$tmp/idx").max
+    val baseRes = search(None)
+    Selection.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1),
+      s"$tmp/idx", batchId = 0L)
+    val vFull = graft.ops.Layout.manifestVersions(spark, s"$tmp/idx").max
+    val fullRes = search(None)
+    // a REPLACEMENT delivery of batch 0 moves the current answer...
+    Selection.appendToBm25Index(
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 3 === 0),
+      s"$tmp/idx", batchId = 0L)
+    val newRes = search(None)
+    assert(newRes !== fullRes, "fixture versions not distinguishable")
+    assert(fullRes !== baseRes, "fixture versions not distinguishable")
+    // ...but every published version still reproduces ITS answer: the
+    // manifests are immutable and superseded files survive until vacuum
+    assert(search(Some(vFull)) === fullRes,
+      "AS OF the pre-replacement version drifted")
+    assert(search(Some(vBase)) === baseRes,
+      "AS OF the base version drifted")
+    // an unpublished version is an audit error, never a silent fallback
+    intercept[IllegalArgumentException] { search(Some(9999L)) }
+    // vacuum is the retention horizon: past versions' superseded files go
+    assert(graft.ops.Layout.vacuumLayout(spark, s"$tmp/idx") > 0)
+    assert(search(None) === newRes)
+  }
+
   test("compactSearchRoot carries the ann and quality_model siblings across the swap") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_rootcmp").toString
     val full = Selection.retrievalIndex(spark, "/root/testdata/sf0.001")
