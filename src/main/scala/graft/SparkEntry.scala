@@ -322,7 +322,8 @@ object SparkEntry {
       RangeJoin.queries ++ Quality.queries ++ Trends.queries ++
       IncrementalAgg.queries ++ Scd.queries ++ graft.llm.Curation.queries ++
       graft.llm.Selection.queries ++ graft.llm.LangModel.queries ++
-      ops.Zorder.queries ++ graft.llm.UrlCuration.queries
+      ops.Zorder.queries ++ graft.llm.UrlCuration.queries ++
+      ops.Analyze.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * ingest-shaped pipeline facts → statements → ratios → screener, surfaced

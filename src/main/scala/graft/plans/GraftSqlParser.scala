@@ -31,6 +31,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,""" +
       """\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*;?\s*""").r
 
+  // ANALYZE PARQUET '<in>' INTO '<out>' [COLUMNS (a, b, ...)] — persist the
+  // one-pass per-column stats mart (ops.Analyze scale tier: HLL NDV, native
+  // min/max, null counts). Mirrors ANALYZE TABLE ... COMPUTE STATISTICS FOR
+  // COLUMNS, but path-addressed like the COMPACT statement above.
+  private val Analyze =
+    ("""(?is)\s*ANALYZE\s+PARQUET\s+'([^']+)'\s+INTO\s+'([^']+)'""" +
+      """(?:\s+COLUMNS\s*\(\s*([A-Za-z0-9_]+(?:\s*,\s*[A-Za-z0-9_]+)*)\s*\))?""" +
+      """\s*;?\s*""").r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Compact(in, out, target, zx, zy) =>
       CompactCommand(in, out,
@@ -39,6 +48,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           case (Some(x), Some(y)) => Some((x, y))
           case _ => None
         })
+    case Analyze(in, out, cols) =>
+      AnalyzeCommand(in, out,
+        Option(cols).map(_.split(",").map(_.trim).toSeq))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -76,5 +88,19 @@ case class CompactCommand(inPath: String, outPath: String, targetBytes: Long,
         graft.ops.Layout.compact(spark, inPath, outPath, targetBytes)
     }
     Seq(Row(in, out))
+  }
+}
+
+/** Eager driver-side command node for ANALYZE PARQUET: writes the
+  * scale-tier stats mart and returns the (n_cols, n_rows) audit row. */
+case class AnalyzeCommand(inPath: String, outPath: String,
+    cols: Option[Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("n_cols", IntegerType, nullable = false)(),
+    AttributeReference("n_rows",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (nCols, nRows) = graft.ops.Analyze.writeStats(spark, inPath, outPath, cols)
+    Seq(Row(nCols, nRows))
   }
 }

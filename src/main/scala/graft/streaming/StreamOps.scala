@@ -609,6 +609,38 @@ object StreamOps {
       graft.llm.UrlCuration.mergeHostStatsShardsHll(
         Seq(spark.read.parquet(statsPath).drop("batch_id"))))
 
+  /** Streaming twin of the ANALYZE stats mart ([[graft.ops.Analyze]]):
+    * each micro-batch lands ONE wide partial row (counts, native min/max,
+    * HLL NDV registers — [[graft.ops.Analyze.statsShard]]) under its
+    * `batch_id` partition with the dynamic-overwrite exactly-once recipe
+    * and the batch-0 freshness guard. All three folds are commutative and
+    * associative (sum / min / max / register-max), so
+    * [[tableStatsRead]] == one-shot batch `columnStats` over the union of
+    * the batches — the spec-pinned equivalence gate. */
+  def tableStatsStream(docsStream: DataFrame, statsPath: String,
+      checkpoint: String,
+      cols: Seq[String] = graft.ops.Analyze.DocumentCols): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (batchId == 0L) requireFreshStatsRoot(b.sparkSession, statsPath)
+        graft.ops.Analyze.statsShard(b, cols)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(statsPath)
+        ()
+      }
+      .start()
+
+  /** Fold the per-batch wide partials and finalize the per-column stats
+    * table (the serving read of [[tableStatsStream]]). */
+  def tableStatsRead(spark: SparkSession, statsPath: String,
+      cols: Seq[String] = graft.ops.Analyze.DocumentCols): DataFrame =
+    graft.ops.Analyze.statsFromShards(
+      spark.read.parquet(statsPath).drop("batch_id"), cols)
+
   /** Batch-0 restart guard shared by the serving-layout ingest streams:
     * true iff a `batch_id=` partition other than 0 (legitimate
     * re-delivery) or -1 (the reserved base) exists `depth` directory

@@ -1,0 +1,76 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ANALYZE stats collection: exact-tier values, the native min/max fold
+  * (numeric order, not lexicographic), the wide-row shard-merge law, and
+  * the ANALYZE PARQUET statement face. */
+class AnalyzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, Some("en"), "web", Some(9L)),
+    (2L, Some("en"), "web", Some(10L)),
+    (3L, None, "books", Some(2L)),
+    (4L, Some("fr"), "web", None),
+    (5L, Some("fr"), "books", Some(100L))
+  ).toDF("doc_id", "lang", "source", "n_chars")
+
+  test("exact tier: counts, NDV, native-ordered min/max, tolerance boolean") {
+    val rows = Analyze.columnStatsExact(fixture).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("doc_id", "lang", "source", "n_chars"))
+
+    val nChars = rows("n_chars")
+    assert(nChars.getLong(1) === 5L)   // n_rows
+    assert(nChars.getLong(2) === 1L)   // null_count
+    assert(nChars.getLong(3) === 4L)   // n_distinct (nulls excluded)
+    // native numeric fold: min is 2 (not lexicographic "10"), max 100
+    assert(nChars.getString(4) === "2" && nChars.getString(5) === "100")
+    assert(nChars.getBoolean(6))       // HLL within tolerance at this n
+
+    val lang = rows("lang")
+    assert(lang.getLong(2) === 1L && lang.getLong(3) === 2L)
+    assert(lang.getString(4) === "en" && lang.getString(5) === "fr")
+  }
+
+  test("shard-merge law: 3 hash shards merged == one-shot exactly") {
+    val shards = (0 until 3).map(i =>
+      Analyze.statsShard(fixture.where(pmod(col("doc_id"), lit(3)) === i)))
+      .reduce(_ unionByName _)
+    val merged = Analyze.statsFromShards(shards).collect().toSeq
+    val oneShot = Analyze.columnStats(fixture).collect().toSeq
+    assert(merged === oneShot)
+  }
+
+  test("ANALYZE PARQUET statement writes the mart and returns the audit row") {
+    val in = Files.createTempDirectory("graft_analyze_in_").toString
+    val out = Files.createTempDirectory("graft_analyze_out_").toString
+    fixture.write.mode("overwrite").parquet(in)
+
+    val audit = spark.sql(
+      s"ANALYZE PARQUET '$in' INTO '$out' COLUMNS (doc_id, lang, n_chars)")
+    assert(audit.columns.toSeq === Seq("n_cols", "n_rows"))
+    val r = audit.head
+    assert(r.getInt(0) === 3 && r.getLong(1) === 5L)
+
+    val mart = spark.read.parquet(out).orderBy("column_name").collect().toSeq
+    val direct = Analyze
+      .columnStats(spark.read.parquet(in), Seq("doc_id", "lang", "n_chars"))
+      .collect().toSeq
+    assert(mart === direct)
+    assert(mart.map(_.getString(0)) === Seq("doc_id", "lang", "n_chars").sorted)
+  }
+
+  test("statement without COLUMNS defaults to the schema's analyzable set") {
+    val in = Files.createTempDirectory("graft_analyze_in2_").toString
+    val out = Files.createTempDirectory("graft_analyze_out2_").toString
+    fixture.write.mode("overwrite").parquet(in)
+    val r = spark.sql(s"analyze parquet '$in' into '$out';").head
+    assert(r.getInt(0) === 4 && r.getLong(1) === 5L)
+  }
+}

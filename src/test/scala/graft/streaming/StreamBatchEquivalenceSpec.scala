@@ -855,4 +855,43 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       assertSameRows(spark.read.parquet(table), batch, "mergeStream")
     } finally q.stop()
   }
+
+  test("tableStatsStream folded wide partials == one-shot batch columnStats") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("tablestats").toString
+    val (first, second) = docsFixture.splitAt(docsFixture.size / 2)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.tableStatsStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/stats", s"$tmp/ckpt")
+    try {
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+    } finally q.stop()
+    val docsDF = docsFixture.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val folded = StreamOps.tableStatsRead(spark, s"$tmp/stats")
+    // sum/min/max/register-max are all commutative+associative, so the
+    // two-batch fold equals the one-shot build EXACTLY (HLL estimate
+    // included — the merged registers are byte-identical)
+    assertSameRows(folded, graft.ops.Analyze.columnStats(docsDF),
+      "table stats via stream partials")
+    // each batch landed exactly ONE wide partial row
+    val perBatch = spark.read.parquet(s"$tmp/stats")
+      .groupBy("batch_id").count().collect()
+    assert(perBatch.length === 2 &&
+      perBatch.forall(_.getAs[Long]("count") === 1L))
+    // fresh checkpoint over a fed root refuses (additive double-count guard)
+    val mem2 = MemoryStream[(Long, String, String, String, Long)]
+    val q2 = StreamOps.tableStatsStream(
+      mem2.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/stats", s"$tmp/ckpt2")
+    try {
+      mem2.addData(first: _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("double-count") ||
+        Option(e.getCause).exists(_.getMessage.contains("double-count")))
+    } finally q2.stop()
+  }
 }
