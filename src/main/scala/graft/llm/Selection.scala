@@ -1708,7 +1708,29 @@ FROM m ORDER BY shard, chunk_id, doc_id"""
     * LAST round's winner applied too, then one per-doc aggregation of the
     * final segmentation. Generated from the same per-round template so the
     * two engines' round structure cannot drift. */
-  private def bpeEncodeOracle(rounds: Int): String = {
+  private def bpeEncodeOracle(rounds: Int): String =
+    bpeSegOracleCtes(rounds) + s"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(nch) AS BIGINT) AS n_chars_seg,
+       CAST(sum(len(string_split(trim(seq, chr(31)), chr(31) || chr(31)))) AS BIGINT)
+         AS n_tokens
+FROM s${rounds + 1} WHERE doc_id IS NOT NULL GROUP BY doc_id ORDER BY doc_id"""
+
+  // q176's oracle: the same replayed merge chain, finalized by unnesting
+  // the post-merge symbols into the vocabulary table.
+  private def bpeVocabOracle(rounds: Int): String =
+    bpeSegOracleCtes(rounds) + s"""
+SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM (SELECT doc_id,
+        unnest(string_split(trim(seq, chr(31)), chr(31) || chr(31))) AS token
+      FROM s${rounds + 1} WHERE doc_id IS NOT NULL)
+GROUP BY token ORDER BY token"""
+
+  /** The shared DuckDB replay of [[graft.llm.TextAnalysis.bpeSegment]]:
+    * word extraction + `rounds` winner-pick/replace CTEs, ending at
+    * s(rounds+1) = the final segmentation. Finalizers differ per query. */
+  private def bpeSegOracleCtes(rounds: Int): String = {
     val u = "chr(31)"
     val head = s"""
 WITH w1 AS (SELECT doc_id,
@@ -1735,13 +1757,7 @@ s${r + 1} AS (SELECT doc_id, nch,
                                          string_split(pair, ' ')[2] AS b
                                   FROM win$r) _ab$r ON TRUE)"""
     }.mkString
-    val fin = s"""
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(nch) AS BIGINT) AS n_chars_seg,
-       CAST(sum(len(string_split(trim(seq, $u), $u || $u))) AS BIGINT)
-         AS n_tokens
-FROM s${rounds + 1} WHERE doc_id IS NOT NULL GROUP BY doc_id ORDER BY doc_id"""
-    head + roundCtes + fin
+    head + roundCtes
   }
 
   val queries: Seq[Q] = Seq(
@@ -2152,6 +2168,13 @@ ORDER BY cnt DESC, pair ASC LIMIT 20""")),
       (s, dir) => TextAnalysis.bpeEncode(Tables.documents(s, dir))
         .orderBy("doc_id"),
       Some(bpeEncodeOracle(3))),
+
+    // The tokenizer's vocabulary table: per post-merge TOKEN, document and
+    // occurrence counts — exact, replayed symbol-for-symbol by the oracle.
+    // Output is vocabulary-sized; the corpus passes are q111's.
+    Q("q176_bpe_vocab",
+      (s, dir) => TextAnalysis.bpeVocab(Tables.documents(s, dir)),
+      Some(bpeVocabOracle(3))),
 
     // The batched trainer round — the 30k-merge cost axis: top-B
     // non-conflicting merges per count pass instead of one (SCALE.md).

@@ -659,18 +659,37 @@ object TextAnalysis {
     * query keeps train+encode in one plan so the oracle can replay both. */
   def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame = {
     val US = "\u001f"
+    val syms = (seq: Column) => split(
+      regexp_replace(seq, s"^$US|$US$$", ""), US + US)
+    bpeSegment(docs, rounds)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("nch"),
+        size(syms(col("seq"))).cast("long").as("ntok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("nch").as("n_chars_seg"),
+        sum("ntok").as("n_tokens"))
+  }
+
+  /** The shared train+segment chain of [[bpeEncode]]/[[bpeVocab]]: trains
+    * `rounds` merges inline and returns the per-word segmentation frame
+    * (doc_id, word, nch, seq) — `word` is carried through the replace
+    * chain untouched (columns ride along; the merges never look at it) so
+    * a consumer can audit the decode law against the original. */
+  def bpeSegment(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val US = "\u001f"
     def wrap(c: Column): Column = concat(lit(US), c, lit(US))
     val syms = (seq: Column) => split(
       regexp_replace(seq, s"^$US|$US$$", ""), US + US)
     // Train on the SAME corpus as bpeTrainRounds — no doc_id filter here;
     // null-doc rows count toward the winners and are dropped only in the
-    // final per-doc aggregation, so the learned merge table is exactly the
-    // one the trainer ships.
+    // consumers' final aggregation, so the learned merge table is exactly
+    // the one the trainer ships.
     var seqs = graft.Tables.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(toks(col("text"))).as("w0"))
       .select(col("doc_id"), regexp_replace(col("w0"), US, "").as("word"))
       .filter(length(col("word")) >= 2)
-      .select(col("doc_id"), length(col("word")).cast("long").as("nch"),
+      .select(col("doc_id"), col("word"),
+        length(col("word")).cast("long").as("nch"),
         concat_ws("", transform(
           filter(split(col("word"), ""), c => c =!= ""),
           c => wrap(c))).as("seq"))
@@ -692,19 +711,45 @@ object TextAnalysis {
       // frame, and a cross product would annihilate every row — the round
       // must instead be a no-op on the current segmentation.
       seqs = seqs.join(broadcast(ab), lit(true), "left")
-        .select(col("doc_id"), col("nch"),
+        .select(col("doc_id"), col("word"), col("nch"),
           when(col("a").isNull, col("seq"))
             .otherwise(replace(col("seq"),
               concat(wrap(col("a")), wrap(col("b"))),
               wrap(concat(col("a"), col("b"))))).as("seq"))
     }
     seqs
+  }
+
+  /** The vocabulary face of the inline-trained encoder: explode every
+    * word's post-merge symbols and report, per TOKEN, how many documents
+    * and occurrences carry it — the tokenizer sanity table (which merges
+    * actually fire, what the tail looks like) a vocabulary review reads.
+    * Output is vocabulary-sized (alphabet + at most `rounds` merged
+    * symbols), never corpus-sized; the oracle replays the identical merge
+    * chain and unnests the same symbols. */
+  def bpeVocab(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val US = "\u001f"
+    val syms = (seq: Column) => split(
+      regexp_replace(seq, s"^$US|$US$$", ""), US + US)
+    bpeSegment(docs, rounds)
       .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), col("nch"),
-        size(syms(col("seq"))).cast("long").as("ntok"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("nch").as("n_chars_seg"),
-        sum("ntok").as("n_tokens"))
+      .select(col("doc_id"), explode(syms(col("seq"))).as("token"))
+      .groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy("token")
+  }
+
+  /** Decode — the encoder's inverse, made explicit: a BPE merge moves
+    * token BOUNDARIES and never bytes, so stripping the U+001F separators
+    * from a segmentation reproduces the original word exactly. Returns
+    * (doc_id, word, decoded); the spec gate pins decoded == word for every
+    * [[bpeSegment]] row — the lossless-round-trip law a tokenizer ships
+    * under (and the reason U+001F is scrubbed from input words first). */
+  def bpeDecode(segmented: DataFrame): DataFrame = {
+    val US = "\u001f"
+    segmented.select(col("doc_id"), col("word"),
+      regexp_replace(col("seq"), US, "").as("decoded"))
   }
 
   /** Encode from a PERSISTED merge table — the production split

@@ -774,6 +774,41 @@ class SelectionSpec extends SparkSpec {
     assert(two === Seq((1L, 2L, 8L, 4L), (2L, 3L, 6L, 3L)))
   }
 
+  test("bpe vocab: token doc/occurrence counts match the hand-derived merges") {
+    val docs = Seq(
+      doc(1L, "abab abab"),
+      doc(2L, "xy xy xy")).toDF(docCols: _*)
+    // after r1 a+b, r2 x+y, r3 ab+ab: doc1 = [abab]x2, doc2 = [xy]x3
+    val v3 = TextAnalysis.bpeVocab(docs, rounds = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(v3 === Seq(("abab", 1L, 2L), ("xy", 1L, 3L)))
+    // with 2 rounds the last merge is absent: doc1 stays [ab][ab] per word
+    val v2 = TextAnalysis.bpeVocab(docs, rounds = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(v2 === Seq(("ab", 1L, 4L), ("xy", 1L, 3L)))
+  }
+
+  test("bpe decode round-trip: stripping separators reproduces every word exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      doc(1L, "abab abab"),
+      doc(2L, "xy xy xy"),
+      doc(3L, "ba ba abab")).toDF(docCols: _*)
+    val seg = TextAnalysis.bpeSegment(docs, rounds = 3)
+      .filter(col("doc_id").isNotNull)
+    val dec = TextAnalysis.bpeDecode(seg)
+    // the lossless law: decoded == word on EVERY row
+    assert(dec.filter(col("decoded") =!= col("word")).isEmpty)
+    // and nothing was dropped or invented: the decoded multiset equals the
+    // eligible (len >= 2, lowercased) word multiset of the corpus
+    val decoded = dec.groupBy("doc_id", "decoded").count()
+    val words = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("doc_id"), col("w").as("decoded")).count()
+    assert(decoded.exceptAll(words).isEmpty && words.exceptAll(decoded).isEmpty)
+  }
+
   test("bpe encode from a persisted merge table equals the inline-trained encode bit-for-bit") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
