@@ -121,5 +121,11 @@ object GraftCatalog {
     // plan like the other URL views.
     SparkEntry.queries("q169_url_curated")(spark, dir)
       .createOrReplaceTempView("corpus_url_curated")
+    // ANALYZE's per-column stats (q174's scale tier) as a view: what a
+    // planner or a data-quality dashboard reads to see row/null counts,
+    // native-typed min/max, and HLL NDV per documents column. Lazy one-pass
+    // agg plan, UNFLAGGED.
+    ops.Analyze.columnStats(Tables.documents(spark, dir))
+      .createOrReplaceTempView("documents_stats")
   }
 }

@@ -99,6 +99,13 @@ class GraftApi(spark: SparkSession, sfDir: String,
   // candidate budget for the IVFADC re-rank: the q98 fraction rule
   private lazy val embN: Long = graft.llm.LlmQueries.embCount(spark, sfDir)
 
+  // /stats: the ANALYZE mart (q174's scale tier), computed once per server
+  // — column-count rows, driver-cached like every serving mart; at 100 TB
+  // this is a read of the table ANALYZE PARQUET wrote.
+  private lazy val documentsStats: Array[Row] =
+    graft.ops.Analyze.columnStats(graft.Tables.documents(spark, sfDir))
+      .collect()
+
   private var server: HttpServer = _
 
   /** Start on `port` (0 = ephemeral); returns the bound address. */
@@ -145,6 +152,7 @@ class GraftApi(spark: SparkSession, sfDir: String,
       case ("GET", List("similar"))         => similarEndpoint(ex, qp)
       case ("GET", List("related"))         => relatedEndpoint(ex, qp)
       case ("GET", List("hybrid"))          => hybridEndpoint(ex, qp)
+      case ("GET", List("stats"))           => statsEndpoint(ex, qp)
       case ("POST", List("query"))          => sqlEndpoint(ex)
       case _ =>
         reply(ex, 404, obj(_.put("detail", "Not Found")))
@@ -484,6 +492,25 @@ class GraftApi(spark: SparkSession, sfDir: String,
       reply(ex, 404, obj(_.put("detail", "doc_id not in any cluster")))
     else reply(ex, 200, obj { o =>
       val results = o.putArray("results")
+      rows.foreach(r => putRow(results.addObject(), cols, r))
+    })
+  }
+
+  /** GET /stats[?column=name]: the per-column ANALYZE stats of the corpus
+    * table — row/null counts, native-typed min/max, HLL NDV. Unknown
+    * column names 404 (a typo must not read as "no stats"). */
+  private def statsEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
+    val cols = Seq("column_name", "n_rows", "null_count", "n_distinct_est",
+      "min_str", "max_str")
+    val rows = qp.get("column") match {
+      case Some(c) => documentsStats.filter(_.getString(0) == c)
+      case None => documentsStats
+    }
+    if (rows.isEmpty)
+      reply(ex, 404, obj(_.put("detail", "column not analyzed")))
+    else reply(ex, 200, obj { o =>
+      o.put("table", "documents")
+      val results = o.putArray("columns")
       rows.foreach(r => putRow(results.addObject(), cols, r))
     })
   }

@@ -302,6 +302,20 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) === 0L)
   }
 
+  test("documents_stats view reconciles with the ANALYZE operator and the table") {
+    GraftCatalog.registerViews(spark, dir)
+    val view = spark.sql("SELECT * FROM documents_stats")
+    val op = ops.Analyze.columnStats(Tables.documents(spark, dir))
+    assert(view.exceptAll(op).isEmpty && op.exceptAll(view).isEmpty)
+    // the stats answer real planning questions in one SQL read: row count
+    // matches the table, null counts are bounded by it, NDV is positive
+    val nRows = spark.sql("SELECT count(*) FROM documents").head.getLong(0)
+    assert(spark.sql(
+      """SELECT count(*) FROM documents_stats
+         WHERE n_rows <> """ + nRows +
+        " OR null_count > n_rows OR n_distinct_est <= 0").head.getLong(0) === 0L)
+  }
+
   test("events view carries a real timestamp column, not raw nanos longs") {
     GraftCatalog.registerViews(spark, dir)
     val tsField = spark.table("events").schema("ts")

@@ -379,6 +379,27 @@ class GraftApiSpec extends SparkSpec {
     assert(get("/related")._1 === 422)
   }
 
+  test("GET /stats serves the ANALYZE mart; column filter; unknown column 404") {
+    val (code, body) = get("/stats")
+    assert(code === 200)
+    assert(body.get("table").asText() === "documents")
+    val cols = body.get("columns")
+    val names = (0 until cols.size()).map(cols.get(_).get("column_name").asText())
+    assert(names.sorted === Seq("doc_id", "lang", "n_chars", "source"))
+    // every row carries the table's row count and sane bounds
+    val nRows = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    (0 until cols.size()).foreach { i =>
+      val c = cols.get(i)
+      assert(c.get("n_rows").asLong() === nRows)
+      assert(c.get("null_count").asLong() <= nRows)
+      assert(c.get("n_distinct_est").asLong() > 0)
+    }
+    val (c2, b2) = get("/stats?column=lang")
+    assert(c2 === 200 && b2.get("columns").size() === 1)
+    assert(get("/stats?column=nope")._1 === 404)
+  }
+
   test("GET /imagedup serves banded near-dups from the persisted aHash index") {
     implicit val s = spark
     // pick a doc that actually has neighbors from the inline tier
