@@ -9,11 +9,15 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
 
 /** Parser extension (SparkSessionExtensions.injectParser): the maintenance
-  * statement every large table system grows (Delta OPTIMIZE [ZORDER BY],
-  * Iceberg rewrite_data_files), here driving graft's own layout jobs:
+  * statements every large table system grows (Delta OPTIMIZE [ZORDER BY] /
+  * ANALYZE / VACUUM / DESCRIBE HISTORY, Iceberg rewrite_data_files),
+  * here driving graft's own layout jobs:
   *
   *   COMPACT PARQUET '<inPath>' INTO '<outPath>'
   *     [TARGET <bytes>] [ZORDER BY (<xCol>, <yCol>)]
+  *   ANALYZE PARQUET '<inPath>' INTO '<outPath>' [COLUMNS (a, b, ...)]
+  *   VACUUM LAYOUT '<base>'
+  *   DESCRIBE LAYOUT '<base>'
   *
   * Without ZORDER BY the rewrite is the shuffle-free coalesce in
   * Layout.compact; with it, the same file-count sizing routes through
@@ -40,6 +44,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+COLUMNS\s*\(\s*([A-Za-z0-9_]+(?:\s*,\s*[A-Za-z0-9_]+)*)\s*\))?""" +
       """\s*;?\s*""").r
 
+  // VACUUM LAYOUT '<base>' — garbage-collect superseded deliveries under a
+  // batch-committed serving layout (ops.Layout.vacuumLayout), the retention
+  // half of the manifest-swap protocol. DESCRIBE LAYOUT '<base>' lists the
+  // published manifest versions (the time-travel catalog).
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+LAYOUT\s+'([^']+)'\s*;?\s*""".r
+  private val Describe =
+    """(?is)\s*DESCRIBE\s+LAYOUT\s+'([^']+)'\s*;?\s*""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Compact(in, out, target, zx, zy) =>
       CompactCommand(in, out,
@@ -51,6 +64,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Analyze(in, out, cols) =>
       AnalyzeCommand(in, out,
         Option(cols).map(_.split(",").map(_.trim).toSeq))
+    case Vacuum(base) => VacuumLayoutCommand(base)
+    case Describe(base) => DescribeLayoutCommand(base)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -103,4 +118,25 @@ case class AnalyzeCommand(inPath: String, outPath: String,
     val (nCols, nRows) = graft.ops.Analyze.writeStats(spark, inPath, outPath, cols)
     Seq(Row(nCols, nRows))
   }
+}
+
+/** Eager driver-side command node for VACUUM LAYOUT: reclaims superseded
+  * deliveries, returns how many partition directories were removed. */
+case class VacuumLayoutCommand(base: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("removed_dirs",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.Layout.vacuumLayout(spark, base)))
+}
+
+/** Eager driver-side command node for DESCRIBE LAYOUT: one row per
+  * published manifest version, oldest first — the time-travel catalog a
+  * reader passes to `committedBatchFilterAt`. */
+case class DescribeLayoutCommand(base: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.ops.Layout.manifestVersions(spark, base).map(Row(_))
 }

@@ -37,6 +37,35 @@ class GraftSqlParserSpec extends SparkSpec {
     intercept[Exception](spark.sql("COMPACT NONSENSE"))
   }
 
+  test("VACUUM LAYOUT and DESCRIBE LAYOUT drive the manifest protocol") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Layout
+    val base = Files.createTempDirectory("graft_sqlvacuum_").toString
+    def deliver(tag: String): Unit = {
+      val p = Layout.beginBatchCommit(spark, base, 0L)
+      Seq((1L, tag)).toDF("id", "t").withColumn("batch_id", lit(p))
+        .write.partitionBy("batch_id").mode("append").parquet(s"$base/t")
+      Layout.finishBatchCommit(spark, base, p)
+    }
+    deliver("v1"); deliver("v2")
+    // DESCRIBE lists every published manifest version, oldest first:
+    // init's empty v0 plus one per finished delivery
+    val desc = spark.sql(s"DESCRIBE LAYOUT '$base'")
+    assert(desc.columns.toSeq === Seq("version"))
+    val versions = desc.collect().map(_.getLong(0)).toSeq
+    assert(versions.length === 3 && versions === versions.sorted)
+    // VACUUM removes exactly the superseded first delivery
+    val removed = spark.sql(s"VACUUM LAYOUT '$base'").head.getLong(0)
+    assert(removed === 1L)
+    // the served snapshot did not move
+    val served = spark.read.parquet(s"$base/t")
+      .filter(Layout.committedBatchFilter(spark, base))
+      .select("t").collect().map(_.getString(0)).toSeq
+    assert(served === Seq("v2"))
+    // idempotent: a second vacuum finds nothing
+    assert(spark.sql(s"vacuum layout '$base';").head.getLong(0) === 0L)
+  }
+
   test("ZORDER BY clause rewrites through the z-order layout; envelopes prune both dimensions") {
     import org.apache.spark.sql.functions._
     val in = Files.createTempDirectory("graft_sqlzorder_in_").toString
