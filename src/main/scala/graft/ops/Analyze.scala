@@ -158,6 +158,22 @@ object Analyze {
     (picked.size, n)
   }
 
+  /** The stats mart CONSUMED at plan time — the cost-based decision every
+    * warehouse planner makes from exactly this table: join through a
+    * broadcast when the dimension's ANALYZE row count is under `maxRows`,
+    * through the shuffle otherwise. The mart read is a driver-side lookup
+    * of a column-count-row table (what a CBO's catalog read is), never a
+    * corpus-scale job; at 100 TB the alternative — sizing the dimension by
+    * scanning it at plan time — is exactly what stats exist to avoid.
+    * Stale stats degrade to a worse JOIN STRATEGY, never a wrong answer
+    * (the hint moves the exchange, not the semantics). */
+  def joinPlannedByStats(fact: DataFrame, dim: DataFrame, stats: DataFrame,
+      keys: Seq[String], maxRows: Long = 1000000L): DataFrame = {
+    val dimRows = stats.agg(max(col("n_rows"))).head.getLong(0)
+    val dimSide = if (dimRows <= maxRows) broadcast(dim) else dim
+    fact.join(dimSide, keys)
+  }
+
   private val docOracleCols =
     Seq("doc_id", "lang", "source", "n_chars")
 

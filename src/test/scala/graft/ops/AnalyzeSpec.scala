@@ -66,6 +66,32 @@ class AnalyzeSpec extends SparkSpec {
     assert(mart.map(_.getString(0)) === Seq("doc_id", "lang", "n_chars").sorted)
   }
 
+  test("joinPlannedByStats: the mart drives the join strategy, not the data") {
+    val dim = Seq((1L, "en"), (2L, "fr")).toDF("k", "v")
+    val fact = Seq((1L, 10L), (2L, 20L), (1L, 30L)).toDF("k", "x")
+    val stats = Analyze.columnStats(dim, Seq("k", "v"))
+    def planOf(maxRows: Long): String =
+      Analyze.joinPlannedByStats(fact, dim, stats, Seq("k"), maxRows)
+        .queryExecution.executedPlan.toString
+    // isolate the STATS decision: Spark's own size-based auto-broadcast
+    // would hint this tiny fixture either way
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      // stats say 2 rows: under the budget -> broadcast join
+      assert(planOf(1000000L).contains("BroadcastHashJoin"))
+      // budget 0: stats rule the dim too big -> the shuffle join
+      val big = planOf(0L)
+      assert(!big.contains("BroadcastHashJoin") &&
+        (big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin")))
+    } finally spark.conf.set(key, prev)
+    // either strategy, same rows
+    val viaStats = Analyze.joinPlannedByStats(fact, dim, stats, Seq("k"))
+    assert(viaStats.orderBy("k", "x").collect().toSeq ===
+      fact.join(dim, Seq("k")).orderBy("k", "x").collect().toSeq)
+  }
+
   test("statement without COLUMNS defaults to the schema's analyzable set") {
     val in = Files.createTempDirectory("graft_analyze_in2_").toString
     val out = Files.createTempDirectory("graft_analyze_out2_").toString
