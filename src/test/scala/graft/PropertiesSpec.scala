@@ -305,4 +305,29 @@ object PropertiesSpec extends Properties("graft") {
           .collect().map(_.toSeq).toSet
       sel(df) == sel(scaled)
     }
+
+  // ANALYZE shard law: however the rows are hash-sharded (any modulus, so
+  // shard counts of 1..5 including empty shards), the merged wide partials
+  // finalize to EXACTLY the one-shot stats — counts add, native min/max
+  // fold, HLL registers max; none is order- or layout-sensitive. Nullable
+  // lang exercises null_count and null-skipping NDV through the merge.
+  private val statsDocGen = for {
+    id <- Gen.choose(1L, 100000L)
+    lang <- Gen.option(Gen.oneOf("en", "fr", "de"))
+    source <- Gen.oneOf("web", "books", "code")
+    n <- Gen.choose(-50L, 5000L)
+  } yield (id, lang, source, n)
+
+  property("ANALYZE shard merge == one-shot for any shard layout") =
+    Prop.forAll(Gen.nonEmptyListOf(statsDocGen), Gen.choose(1, 5)) {
+      (rows, nShards) =>
+        val df = rows.toDF("doc_id", "lang", "source", "n_chars")
+        val cols = Seq("doc_id", "lang", "source", "n_chars")
+        val shards = (0 until nShards).map(i =>
+          ops.Analyze.statsShard(
+            df.where(pmod(col("doc_id"), lit(nShards)) === i), cols))
+          .reduce(_ unionByName _)
+        ops.Analyze.statsFromShards(shards, cols).collect().toSeq ==
+          ops.Analyze.columnStats(df, cols).collect().toSeq
+    }
 }
