@@ -104,34 +104,42 @@ object LlmQueries {
     * memoized per (session, dir): ONE graph prep (symmetrize union +
     * degree agg) serves both PageRank variants (q155/q159, the /related
     * mart) and the triangle tiers' degree reads (q165/q167) — previously
-    * each ran its own union+agg over the pair mart. Edge-sized, persisted,
-    * plan-stable across the rank iterations. */
+    * each ran its own union+agg over the pair mart. Edge-sized, memoized
+    * through a STATS-FREE CHECKPOINT
+    * ([[graft.sec.SecDerive.cachedStable]]), NOT a lazy persist: the rank
+    * loops re-reference this frame every iteration, and a persisted
+    * InMemoryRelation's carried stats + lineage made exactly that
+    * re-referencing blow up plan estimation (the measured r14
+    * q155/q156/q159 3–8× regression — the checkpointed form is what the
+    * self-contained [[GraphRank]] path always used). */
   private def symGraphEdges(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    graft.sec.SecDerive.cached(s, dir, "sym_graph_edges")(
+    graft.sec.SecDerive.cachedStable(s, dir, "sym_graph_edges")(
       GraphRank.symmetrize(nearDupPairs(s, dir)))
 
-  /** Node set of [[symGraphEdges]], memoized — re-read every rank round. */
+  /** Node set of [[symGraphEdges]], memoized — re-read every rank round
+    * (checkpointed, same reason as the edges). */
   private def symGraphNodes(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    graft.sec.SecDerive.cached(s, dir, "sym_graph_nodes")(
+    graft.sec.SecDerive.cachedStable(s, dir, "sym_graph_nodes")(
       GraphRank.nodesOf(symGraphEdges(s, dir)))
 
   /** Undirected (doc_id, deg) degree table of [[symGraphEdges]], memoized
     * — the triangle tiers' shared degree read. */
   private def symGraphDegrees(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    graft.sec.SecDerive.cached(s, dir, "sym_graph_degrees")(
+    graft.sec.SecDerive.cachedStable(s, dir, "sym_graph_degrees")(
       GraphRank.degreesOf(symGraphEdges(s, dir)))
 
   /** The WEIGHTED twin of [[symGraphEdges]]: edge weight = the pair
     * mart's verified Jaccard in integer micros (floor(j·1e6) — exact
     * cross-engine: both sides compute the same IEEE double from the same
     * intersection integers, then the same floor), with per-src total
-    * weight annotated. Feeds the similarity-weighted rank tier. */
+    * weight annotated. Feeds the similarity-weighted rank tier
+    * (checkpointed like [[symGraphEdges]] — same iterative consumer). */
   private def symGraphWeightedEdges(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    graft.sec.SecDerive.cached(s, dir, "sym_graph_wedges")(
+    graft.sec.SecDerive.cachedStable(s, dir, "sym_graph_wedges")(
       GraphRank.symmetrizeWeighted(
         nearDupPairs(s, dir).withColumn("w",
           floor(col("jaccard") * lit(1000000.0)).cast("long"))))

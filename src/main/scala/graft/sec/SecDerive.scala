@@ -87,6 +87,40 @@ object SecDerive {
     }
   }
 
+  /** [[cached]] for marts that feed ITERATIVE plans (the rank loops'
+    * 4-round join recurrences, pointer-jumping): materializes through a
+    * STATS-FREE local checkpoint instead of a lazy persist. A persisted
+    * InMemoryRelation keeps the origin plan's statistics and full lineage,
+    * and a loop plan that re-references it every round multiplies those
+    * sizes in join estimation — the exact poison
+    * [[org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats]]
+    * documents, and the measured r14 regression (q155/q156/q159 ran 3–8×
+    * slower the round their graph prep moved from the self-contained
+    * checkpointed path onto a lazy-persist mart). The checkpoint truncates
+    * lineage and carries no stats, so the mart behaves exactly like the
+    * old per-call `GraphRank.checkpointedGraph` — but built once per
+    * (session, dir). Build is EAGER (the checkpoint materializes), which
+    * is what these marts want: every caller iterates over them
+    * immediately. Eviction: checkpoint blocks free when the RDD is GC'd
+    * (nothing to unpersist), so [[evictMemo]]'s unpersist is a no-op here
+    * — same lifetime story as the old path's per-call checkpoints. */
+  private[graft] def cachedStable(spark: SparkSession, dir: String,
+      name: String)(mk: => DataFrame): DataFrame = {
+    val key = (dir, name)
+    memo.synchronized(entriesFor(spark).get(key)).getOrElse {
+      // built OUTSIDE the lock, like cached(): the checkpoint runs a job
+      val built = org.apache.spark.sql.GraftSqlBridge.localCheckpointNoStats(mk)
+      memo.synchronized {
+        entriesFor(spark).get(key) match {
+          case Some(winner) => winner // loser's blocks are GC-reclaimed
+          case None =>
+            entriesFor(spark).put(key, built)
+            built
+        }
+      }
+    }
+  }
+
   // Scalar companion to [[cached]]: memoized COUNTS and once-markers
   // (q34/q57/q98/q104 resolve adaptive geometry from the embeddings row
   // count; the persisted-layout builders use the marker to run exactly
