@@ -687,11 +687,17 @@ object Selection {
     // before distinct — never corpus-scale).
     val probedCells: Seq[Long] = dtM.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
+    // ONE visibility snapshot for the whole request: codes and the
+    // reassign log below filter through the SAME resolved predicate, so a
+    // manifest swap landing mid-request can't produce a cross-table
+    // snapshot (old delivery's codes against the new delivery's reassign
+    // map) — the bm25SearchIndex pattern.
+    val vis = graft.ops.Layout.committedBatchFilter(spark, basePath)
     val codesRaw = spark.read.parquet(s"$basePath/codes")
       .filter(col("cell").isin(probedCells: _*) &&
         // committed batches only (Layout commit protocol): an in-flight
         // append/replay can't surface half a batch's codes mid-request
-        graft.ops.Layout.committedBatchFilter(spark, basePath))
+        vis)
     // Cross-cell staleness reconciliation: the append path's reassign log
     // (one row per appended vec_id per batch) folds to a per-vec_id
     // latest-batch map; a probed-cell code row is live iff its batch IS
@@ -716,7 +722,7 @@ object Selection {
         // Layout.logicalBatch (the manifest guarantees one physical per
         // logical, so logical equality is as precise as physical)
         val live = spark.read.parquet(s"$basePath/reassign")
-          .filter(graft.ops.Layout.committedBatchFilter(spark, basePath))
+          .filter(vis) // the SAME snapshot the codes read resolved
           .groupBy("vec_id")
           .agg(max(graft.ops.Layout.logicalBatch(col("batch_id")))
             .as("live_batch"))

@@ -145,16 +145,25 @@ object Analyze {
       cols: Option[Seq[String]]): (Int, Long) = {
     val df = spark.read.parquet(inPath)
     val picked = cols.getOrElse {
-      // default: every non-string-blob column (cap min/max payloads) —
-      // strings are audited only when explicitly named
+      // default: non-string columns only — a string column is audited only
+      // when explicitly named in COLUMNS, because min/max of a free-text
+      // blob is a multi-KB payload with no planning value (a name-length
+      // heuristic can't see payload size: `text` is 4 chars)
       df.schema.fields.toSeq.collect {
-        case f if f.dataType.typeName != "string" || f.name.length <= 16 =>
-          f.name
+        case f if f.dataType.typeName != "string" => f.name
       }
     }
+    // ONE pass: the stats frame is column-count rows, so collect it, write
+    // the collected rows, and read n_rows off the first row — re-counting
+    // the input for the return value would be a second full scan (at the
+    // design scale, doubling the ANALYZE cost).
     val stats = columnStats(df, picked)
-    stats.coalesce(1).write.mode("overwrite").parquet(outPath)
-    val n = df.count()
+    val rows = stats.collect().toIndexedSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(stats.schema.fields))
+      .write.mode("overwrite").parquet(outPath)
+    val n = rows.headOption.map(_.getAs[Long]("n_rows")).getOrElse(df.count())
     (picked.size, n)
   }
 
@@ -169,8 +178,13 @@ object Analyze {
     * (the hint moves the exchange, not the semantics). */
   def joinPlannedByStats(fact: DataFrame, dim: DataFrame, stats: DataFrame,
       keys: Seq[String], maxRows: Long = 1000000L): DataFrame = {
-    val dimRows = stats.agg(max(col("n_rows"))).head.getLong(0)
-    val dimSide = if (dimRows <= maxRows) broadcast(dim) else dim
+    // Missing/empty mart (never ANALYZEd, or all-null n_rows) must degrade
+    // to the conservative no-hint path, not crash planning: no stats means
+    // no license to broadcast.
+    val dimRows = stats.agg(max(col("n_rows")).as("n")).collect()
+      .headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
+    val dimSide =
+      if (dimRows.exists(_ <= maxRows)) broadcast(dim) else dim
     fact.join(dimSide, keys)
   }
 

@@ -59,8 +59,15 @@ object JsonlLanding {
           }
         try Files.move(data.toPath, target, StandardCopyOption.ATOMIC_MOVE)
         catch {
-          // another process landed it first — theirs is complete, use it
-          case _: java.nio.file.FileAlreadyExistsException => ()
+          // another process landed it first — theirs is complete, use it.
+          // An ATOMIC_MOVE of a DIRECTORY onto an existing non-empty target
+          // surfaces as ENOTEMPTY (DirectoryNotEmptyException or a plain
+          // FileSystemException, both FileSystemException subtypes) rather
+          // than FileAlreadyExistsException, so match the supertype and
+          // rethrow only when the target genuinely isn't there — i.e. the
+          // failure wasn't the concurrent-lander case.
+          case e: java.nio.file.FileSystemException =>
+            if (!Files.exists(target)) throw e
         }
         deleteRecursively(tmp.toFile)
       }

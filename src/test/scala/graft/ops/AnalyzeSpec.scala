@@ -92,11 +92,40 @@ class AnalyzeSpec extends SparkSpec {
       fact.join(dim, Seq("k")).orderBy("k", "x").collect().toSeq)
   }
 
-  test("statement without COLUMNS defaults to the schema's analyzable set") {
+  test("statement without COLUMNS audits only non-string columns — " +
+      "a text blob never lands in the mart by default") {
     val in = Files.createTempDirectory("graft_analyze_in2_").toString
     val out = Files.createTempDirectory("graft_analyze_out2_").toString
-    fixture.write.mode("overwrite").parquet(in)
+    // the payload column the default MUST exclude: short NAME, multi-KB body
+    fixture
+      .withColumn("text", concat(lit("x" * 4096), col("doc_id").cast("string")))
+      .write.mode("overwrite").parquet(in)
     val r = spark.sql(s"analyze parquet '$in' into '$out';").head
-    assert(r.getInt(0) === 4 && r.getLong(1) === 5L)
+    assert(r.getInt(0) === 2 && r.getLong(1) === 5L) // doc_id, n_chars
+    val audited = spark.read.parquet(out)
+      .select("column_name").collect().map(_.getString(0)).toSet
+    assert(audited === Set("doc_id", "n_chars"))
+    // explicit naming is still the opt-in for strings
+    val out2 = Files.createTempDirectory("graft_analyze_out3_").toString
+    val r2 = spark.sql(
+      s"analyze parquet '$in' into '$out2' columns (lang, text)").head
+    assert(r2.getInt(0) === 2)
+  }
+
+  test("joinPlannedByStats: a missing/empty stats mart degrades to the " +
+      "shuffle join, never a crash") {
+    val dim = Seq((1L, "en"), (2L, "fr")).toDF("k", "v")
+    val fact = Seq((1L, 10L), (2L, 20L)).toDF("k", "x")
+    val emptyStats = Analyze.columnStats(dim, Seq("k")).where(lit(false))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = Analyze.joinPlannedByStats(fact, dim, emptyStats, Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"))
+    } finally spark.conf.set(key, prev)
+    assert(Analyze.joinPlannedByStats(fact, dim, emptyStats, Seq("k"))
+      .orderBy("k").collect().map(_.getAs[Long]("x")).toSeq === Seq(10L, 20L))
   }
 }
