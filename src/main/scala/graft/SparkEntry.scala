@@ -175,10 +175,15 @@ object SparkEntry {
 
     // F8 with EVERY screener parameter bound at once (api.py:63-99): the
     // year equality + all three ratio floors fold into one conjunctive
-    // predicate ahead of the broadcast join — the only multi-param
-    // combination q11/q11b leave unchecked end-to-end.
+    // predicate ahead of the dim join — the only multi-param combination
+    // q11/q11b leave unchecked end-to-end. This tier also runs the
+    // STATS-PLANNED dim join (Screener.screenerPlanned): the join strategy
+    // comes from the companies dim's persisted ANALYZE mart, not a
+    // hand-placed broadcast hint — the CBO loop closed on a registered
+    // query, against the same oracle as the hinted tier.
     Q("q92_screener_full_params",
-      (s, dir) => Screener.screener(ratiosV3(s, dir), SecDerive.companies(s, dir),
+      (s, dir) => Screener.screenerPlanned(ratiosV3(s, dir),
+        SecDerive.companies(s, dir), SecDerive.companiesStats(s, dir),
         Screener.ScreenerParams(fiscalYear = Some(1995), minRoe = Some(0.05),
           minFcfMargin = Some(0.01), minNetMargin = Some(0.05), limit = 50)),
       Some(s"""${SecSql.fullPrelude}

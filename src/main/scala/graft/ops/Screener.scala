@@ -26,19 +26,42 @@ object Screener {
     * sort+limit plans as TakeOrderedAndProject (no global sort). `cik` is
     * appended to the sort as a deterministic tie-breaker (ties on roe are
     * otherwise broken arbitrarily — SURVEY §7.4). */
-  def screener(ratios: DataFrame, companies: DataFrame, p: ScreenerParams): DataFrame = {
+  def screener(ratios: DataFrame, companies: DataFrame, p: ScreenerParams): DataFrame =
+    finishScreen(filtered(ratios, p).join(broadcast(companies), "cik"), p)
+
+  /** [[screener]] with the dim join planned BY THE STATS MART instead of a
+    * hard-coded broadcast hint: the companies side routes through
+    * [[Analyze.joinPlannedByStats]] against the dim's persisted ANALYZE
+    * stats — a driver-side catalog read, never a plan-time scan of the
+    * dim. This is the reference's own shape: api.py delegates the join
+    * strategy to Postgres's cost-based planner, which reads pg_statistic;
+    * here the engine owns that catalog. Identical rows to [[screener]]
+    * (stats move the exchange, not the semantics) — q11/q11b/q92 run this
+    * path against the hand-hinted tier's oracle. */
+  def screenerPlanned(ratios: DataFrame, companies: DataFrame,
+      companiesStats: DataFrame, p: ScreenerParams): DataFrame =
+    finishScreen(
+      Analyze.joinPlannedByStats(filtered(ratios, p), companies,
+        companiesStats, Seq("cik")),
+      p)
+
+  /** The dynamic conjunctive predicate fold (F8) shared by both tiers. */
+  private def filtered(ratios: DataFrame, p: ScreenerParams): DataFrame = {
     val filters: Seq[Column] = Seq(
       p.fiscalYear.map(y => col("fiscal_year") === y),
       p.minRoe.map(v => col("roe") >= v),
       p.minFcfMargin.map(v => col("fcf_margin") >= v),
       p.minNetMargin.map(v => col("net_margin") >= v)).flatten
     filters.foldLeft(ratios)(_.filter(_))
-      .join(broadcast(companies), "cik")
+  }
+
+  /** Shared projection + multi-key top-k (O2) over the joined frame. */
+  private def finishScreen(joined: DataFrame, p: ScreenerParams): DataFrame =
+    joined
       .select(col("ticker"), col("name"), col("cik"), col("fiscal_year"),
         col("roe"), col("fcf_margin"), col("net_margin"))
       .orderBy(col("fiscal_year").desc, col("roe").desc_nulls_last, col("cik").asc)
       .limit(p.limit)
-  }
 
   /** Typed serving edge: the same screener as a Dataset[ScreenerHit] — what
     * the API layer would serialize to JSON (SecModel.ScreenerHit mirrors the

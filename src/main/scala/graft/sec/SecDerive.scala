@@ -209,6 +209,20 @@ object SecDerive {
     cached(spark, dir, "ratios_v3")(
       graft.ops.Ratios.compute(statementsV3(spark, dir)))
 
+  /** ANALYZE stats of the companies dim as a stored mart — the planner's
+    * catalog row. [[graft.ops.Analyze.joinPlannedByStats]] reads THIS (a
+    * persisted column-count-row frame, a driver-side lookup) to pick the
+    * screener's dim-join strategy, instead of sizing the dim by scanning
+    * it at plan time — the delegation the reference makes to Postgres's
+    * stats-owning planner (api.py runs its screener joins through the
+    * CBO, which reads pg_statistic). Built once per (session, dir), like
+    * every stored mart; at 100 TB this is the `ANALYZE PARQUET ... INTO`
+    * output sitting next to the table. */
+  def companiesStats(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "companies_stats")(
+      graft.ops.Analyze.columnStats(companies(spark, dir),
+        Seq("cik", "ticker")))
+
   /** facts: one row per lineitem line. Narrow EAV fact table (schema.sql:26-40). */
   def facts(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "facts")(factsPlan(spark, dir))

@@ -198,8 +198,11 @@ class GraftApi(spark: SparkSession, sfDir: String,
     }
   }
 
-  /** GET /screener: dynamic conjunctive filters + broadcast dim join +
-    * top-k — Screener.screener, the injection-proof Option[Column] fold. */
+  /** GET /screener: dynamic conjunctive filters + stats-planned dim join +
+    * top-k — Screener.screenerPlanned, the injection-proof Option[Column]
+    * fold with the join strategy read from the companies dim's persisted
+    * ANALYZE mart (the reference delegates the same decision to Postgres's
+    * CBO — api.py runs the screener through the stats-owning planner). */
   private def screenerEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
     val p = Screener.ScreenerParams(
       fiscalYear = qp.get("year").map(parseInt("year", _)),
@@ -209,7 +212,8 @@ class GraftApi(spark: SparkSession, sfDir: String,
       limit = intParam(qp, "limit", 25, 1, 200))
     val cols = Seq("ticker", "name", "fiscal_year", "roe", "fcf_margin",
       "net_margin")
-    val rows = Screener.screener(ratios, companies, p)
+    val rows = Screener.screenerPlanned(ratios, companies,
+        graft.sec.SecDerive.companiesStats(spark, sfDir), p)
       .select(cols.map(col): _*).collect()
     reply(ex, 200, obj { o =>
       val results = o.putArray("results")

@@ -49,4 +49,37 @@ class ScreenerSpec extends SparkSpec {
     val c3 = ds.collect().find(_.cik == "c3").get
     assert(c3.net_margin === None && c3.fiscal_year === 2021)
   }
+
+  test("stats-planned screener: the ANALYZE mart flips the join strategy " +
+      "without scanning the dim; rows match the hinted tier") {
+    val p = Screener.ScreenerParams(minRoe = Some(0.05))
+    // a dim whose every SCAN is counted — the CBO contract is that plan
+    // time reads the catalog (the stats mart), never the dim itself
+    val scans = spark.sparkContext.longAccumulator("dim_scans")
+    val countedDim = companies.as[(String, String, String)]
+      .mapPartitions { it => scans.add(1L); it }
+      .toDF("cik", "ticker", "name")
+    def planWith(stats: org.apache.spark.sql.DataFrame): String =
+      Screener.screenerPlanned(ratios, countedDim, stats, p)
+        .queryExecution.executedPlan.toString
+    val realStats = Analyze.columnStats(companies, Seq("cik", "ticker"))
+    // a mart CLAIMING the dim is a billion rows — only the catalog claim
+    // changes, the data doesn't
+    val bigStats = realStats
+      .withColumn("n_rows", lit(1000000000L))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // isolate the stats decision from auto-BHJ
+      assert(planWith(realStats).contains("BroadcastHashJoin"))
+      assert(!planWith(bigStats).contains("BroadcastHashJoin"))
+    } finally spark.conf.set(key, prev)
+    // plan construction consulted only the stats mart: zero dim scans
+    assert(scans.value === 0L)
+    // either strategy, the hinted tier's rows
+    val viaStats = Screener.screenerPlanned(ratios, companies, realStats, p)
+      .collect().toSeq
+    val hinted = Screener.screener(ratios, companies, p).collect().toSeq
+    assert(viaStats === hinted)
+  }
 }
