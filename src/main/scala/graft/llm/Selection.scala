@@ -646,10 +646,14 @@ object Selection {
 
   /** [[ivfadcSearchIndex]] for an EXPLICIT query set `(query_id, qv)` — the
     * serving seam: an API request searches one arbitrary vector, not the
-    * first-N gate convention. Same plan, same pruning. */
+    * first-N gate convention. Same plan, same pruning. `asOfVersion`
+    * resolves the codes+reassign snapshot at a PAST manifest version
+    * (time travel — the audit/reproduce read; unknown versions refuse,
+    * the committedBatchFilterAt contract). */
   def ivfadcSearchIndexQueries(spark: org.apache.spark.sql.SparkSession,
       basePath: String, embeddings: DataFrame, queries: DataFrame, k: Int,
-      nprobe: Int, candidates: Long, salts: Int = 64): DataFrame = {
+      nprobe: Int, candidates: Long, salts: Int = 64,
+      asOfVersion: Option[Long] = None): DataFrame = {
     val cents = broadcast(spark.read.parquet(s"$basePath/cents"))
     val cb = spark.read.parquet(s"$basePath/codebook")
     val wProbe = Window.partitionBy("query_id")
@@ -692,7 +696,8 @@ object Selection {
     // manifest swap landing mid-request can't produce a cross-table
     // snapshot (old delivery's codes against the new delivery's reassign
     // map) — the bm25SearchIndex pattern.
-    val vis = graft.ops.Layout.committedBatchFilter(spark, basePath)
+    val vis = graft.ops.Layout.committedBatchFilterAt(spark, basePath,
+      asOfVersion)
     val codesRaw = spark.read.parquet(s"$basePath/codes")
       .filter(col("cell").isin(probedCells: _*) &&
         // committed batches only (Layout commit protocol): an in-flight

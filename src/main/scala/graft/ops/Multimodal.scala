@@ -517,10 +517,13 @@ object Multimodal {
     * row-group filter — band rows are v-sorted within files); candidates'
     * full hashes ride the matched rows, so the Hamming verify is four
     * xor/bit_count ops per candidate with no second read. Per-request
-    * cost: four band-bucket directories, independent of corpus size. */
+    * cost: four band-bucket directories, independent of corpus size.
+    * `asOfVersion` reads the band layout at a PAST manifest version (time
+    * travel — unknown versions refuse, the committedBatchFilterAt
+    * contract). */
   def ahashSearchIndex(spark: SparkSession, basePath: String,
       queryBands: Seq[Long], maxHamming: Int,
-      excludeDocId: Long = -1L): DataFrame = {
+      excludeDocId: Long = -1L, asOfVersion: Option[Long] = None): DataFrame = {
     require(queryBands.length == 4, "need the four 16-bit hash bands")
     val nVb = spark.read.parquet(s"$basePath/bands_meta").head().getInt(0)
     val hit = queryBands.zipWithIndex.map { case (v, k) =>
@@ -528,7 +531,7 @@ object Multimodal {
     }.reduce(_ || _)
     def ham(x: Column, q: Long): Column = bit_count(x.bitwiseXOR(lit(q)))
     spark.read.parquet(s"$basePath/bands")
-      .filter(hit && Layout.committedBatchFilter(spark, basePath))
+      .filter(hit && Layout.committedBatchFilterAt(spark, basePath, asOfVersion))
       .filter(col("doc_id") =!= excludeDocId)
       .select(col("doc_id"), col("ahash_b0"), col("ahash_b1"),
         col("ahash_b2"), col("ahash_b3"))

@@ -53,6 +53,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Describe =
     """(?is)\s*DESCRIBE\s+LAYOUT\s+'([^']+)'\s*;?\s*""".r
 
+  // SNAPSHOT LAYOUT '<base>' TABLE '<table>' [AS OF <v>] AS VIEW <name> —
+  // the time-travel FRONT DOOR: registers a temp view over one table of a
+  // batch-committed layout, visibility-filtered at the given manifest
+  // version (current manifest when AS OF is omitted). The Delta
+  // `VERSION AS OF` read re-expressed for path-addressed layouts; an
+  // unpublished version refuses (committedBatchFilterAt's contract — an
+  // audit read must not silently serve a different snapshot).
+  private val Snapshot =
+    ("""(?is)\s*SNAPSHOT\s+LAYOUT\s+'([^']+)'\s+TABLE\s+'([A-Za-z0-9_/]+)'""" +
+      """(?:\s+AS\s+OF\s+(\d+))?\s+AS\s+VIEW\s+([A-Za-z_][A-Za-z0-9_]*)""" +
+      """\s*;?\s*""").r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Compact(in, out, target, zx, zy) =>
       CompactCommand(in, out,
@@ -66,6 +78,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(cols).map(_.split(",").map(_.trim).toSeq))
     case Vacuum(base) => VacuumLayoutCommand(base)
     case Describe(base) => DescribeLayoutCommand(base)
+    case Snapshot(base, table, v, view) =>
+      SnapshotLayoutCommand(base, table, Option(v).map(_.toLong), view)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -128,6 +142,30 @@ case class VacuumLayoutCommand(base: String) extends LeafRunnableCommand {
       org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.ops.Layout.vacuumLayout(spark, base)))
+}
+
+/** Eager driver-side command node for SNAPSHOT LAYOUT ... AS VIEW: resolve
+  * the visibility predicate at the requested (or current) manifest
+  * version, register the filtered table scan as a temp view, and return
+  * the (view, version) audit row. The view is a LAZY plan — the
+  * visibility filter is a partition-column predicate, so invisible
+  * deliveries are pruned directories, not filtered rows. */
+case class SnapshotLayoutCommand(base: String, table: String,
+    version: Option[Long], view: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val vis = graft.ops.Layout.committedBatchFilterAt(spark, base, version)
+    spark.read.parquet(s"$base/$table").filter(vis)
+      .createOrReplaceTempView(view)
+    val resolved = version.orElse(
+      graft.ops.Layout.manifestVersions(spark, base).lastOption)
+      .getOrElse(-1L) // pre-protocol layout: no versions published
+    Seq(Row(view, resolved))
+  }
 }
 
 /** Eager driver-side command node for DESCRIBE LAYOUT: one row per

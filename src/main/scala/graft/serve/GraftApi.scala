@@ -224,9 +224,13 @@ class GraftApi(spark: SparkSession, sfDir: String,
   /** The /search ranking frame — exposed so the spec can pin the PLAN (the
     * postings scan is partition-pruned to the query terms' buckets; the
     * corpus text is never rescanned), not just the rows. */
-  private[serve] def searchFrame(terms: Seq[String], limit: Int): DataFrame = {
-    // one commit-log resolution for the whole request (see idxTermStatsFor)
-    val vis = graft.ops.Layout.committedBatchFilter(spark, searchIndexBase)
+  private[serve] def searchFrame(terms: Seq[String], limit: Int,
+      asOf: Option[Long] = None): DataFrame = {
+    // one commit-log resolution for the whole request (see idxTermStatsFor);
+    // asOf pins it to a PAST manifest version (time travel — unknown
+    // versions refuse with 422, the committedBatchFilterAt contract)
+    val vis = graft.ops.Layout.committedBatchFilterAt(spark, searchIndexBase,
+      asOf)
     graft.llm.TextAnalysis.bm25RankFromPostings(
       graft.ops.Layout.postingsForTerms(spark,
         s"$searchIndexBase/postings", terms, vis),
@@ -252,7 +256,8 @@ class GraftApi(spark: SparkSession, sfDir: String,
     require(terms.size <= 32, "q is capped at 32 terms")
     val limit = intParam(qp, "limit", 10, 1, 100)
     val cols = Seq("doc_id", "score_micro", "n_terms_hit")
-    val rows = searchFrame(terms, limit).select(cols.map(col): _*).collect()
+    val rows = searchFrame(terms, limit, asOfParam(qp))
+      .select(cols.map(col): _*).collect()
     reply(ex, 200, obj { o =>
       val results = o.putArray("results")
       rows.foreach(r => putRow(results.addObject(), cols, r))
@@ -427,8 +432,8 @@ class GraftApi(spark: SparkSession, sfDir: String,
     * the banded index search ([[graft.ops.Multimodal.ahashSearchIndex]]) —
     * per-request reads are ≤ 4 (band, vb) directories plus the one-doc
     * decode; the corpus is never rescanned. None when the doc is absent. */
-  private[serve] def imagedupFrame(docId: Long,
-      maxHamming: Int): Option[DataFrame] = {
+  private[serve] def imagedupFrame(docId: Long, maxHamming: Int,
+      asOf: Option[Long] = None): Option[DataFrame] = {
     implicit val sp: SparkSession = spark
     graft.ops.Multimodal.imageFeatures(
         graft.Tables.documents(spark, sfDir).filter(col("doc_id") === docId),
@@ -438,7 +443,7 @@ class GraftApi(spark: SparkSession, sfDir: String,
         graft.ops.Multimodal.ahashSearchIndex(spark, ahashIndexBase,
           Seq(r.getAs[Long]("ahash_b0"), r.getAs[Long]("ahash_b1"),
             r.getAs[Long]("ahash_b2"), r.getAs[Long]("ahash_b3")),
-          maxHamming, excludeDocId = docId)
+          maxHamming, excludeDocId = docId, asOfVersion = asOf)
       }
   }
 
@@ -452,7 +457,7 @@ class GraftApi(spark: SparkSession, sfDir: String,
       .getOrElse(throw new IllegalArgumentException("doc_id is required"))
     val maxHamming = intParam(qp, "max_hamming", 8, 0, 32)
     val limit = intParam(qp, "limit", 20, 1, 100)
-    imagedupFrame(docId.toLong, maxHamming) match {
+    imagedupFrame(docId.toLong, maxHamming, asOfParam(qp)) match {
       case None => reply(ex, 404, obj(_.put("detail", "doc_id not found")))
       case Some(df) =>
         val cols = Seq("doc_id", "hamming")
@@ -523,15 +528,15 @@ class GraftApi(spark: SparkSession, sfDir: String,
     * persisted index — probed-cell code reads + a `candidates`-bounded
     * exact re-rank against the vector store; per-request cost independent
     * of corpus size. */
-  private[serve] def similarFrame(vecId: Long, k: Int,
-      nprobe: Int): DataFrame = {
+  private[serve] def similarFrame(vecId: Long, k: Int, nprobe: Int,
+      asOf: Option[Long] = None): DataFrame = {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") === vecId)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv"))
     graft.llm.Selection.ivfadcSearchIndexQueries(spark,
       s"$searchIndexBase/ann", emb, queries, k, nprobe,
-      candidates = math.max(64L, embN / 16))
+      candidates = math.max(64L, embN / 16), asOfVersion = asOf)
   }
 
   /** GET /similar?vec_id=42&k=10&nprobe=4 — ANN over the persisted IVFADC
@@ -543,7 +548,7 @@ class GraftApi(spark: SparkSession, sfDir: String,
     val k = intParam(qp, "k", 10, 1, 100)
     val nprobe = intParam(qp, "nprobe", 4, 1, 64)
     val cols = Seq("query_id", "vec_id", "rank", "cosine")
-    val rows = similarFrame(vecId.toLong, k, nprobe)
+    val rows = similarFrame(vecId.toLong, k, nprobe, asOfParam(qp))
       .select(cols.map(col): _*).collect()
     // 404 only when the id is genuinely absent from the store: an existing
     // vector with zero neighbors (one-vector store, all candidates pruned)
@@ -669,6 +674,15 @@ class GraftApi(spark: SparkSession, sfDir: String,
     require(v >= lo && v <= hi, s"$name must be in $lo..$hi")
     v
   }
+
+  /** `?as_of=<manifest version>` — the time-travel pin on the index-read
+    * endpoints (/search, /similar, /imagedup). Non-numeric values 422
+    * here; an unpublished version 422s downstream when
+    * committedBatchFilterAt refuses it (an audit read must never silently
+    * fall back to a different snapshot). */
+  private def asOfParam(qp: Map[String, String]): Option[Long] =
+    qp.get("as_of").map(v => v.toLongOption.getOrElse(
+      throw new IllegalArgumentException("as_of must be an integer version")))
 
   private def obj(f: ObjectNode => Unit): ObjectNode = {
     val o = mapper.createObjectNode(); f(o); o

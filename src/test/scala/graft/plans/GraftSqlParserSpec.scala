@@ -66,6 +66,44 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.sql(s"vacuum layout '$base';").head.getLong(0) === 0L)
   }
 
+  test("SNAPSHOT LAYOUT registers a version-pinned view; unknown versions refuse") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Layout
+    val base = Files.createTempDirectory("graft_sqlsnap_").toString
+    def deliver(tag: String): Unit = {
+      val p = Layout.beginBatchCommit(spark, base, 0L)
+      Seq((1L, tag)).toDF("id", "t").withColumn("batch_id", lit(p))
+        .write.partitionBy("batch_id").mode("append").parquet(s"$base/t")
+      Layout.finishBatchCommit(spark, base, p)
+    }
+    deliver("v1"); deliver("v2")
+    val versions = Layout.manifestVersions(spark, base)
+    assert(versions.length === 3) // init's empty manifest + two deliveries
+
+    // AS OF the superseded delivery's version reproduces ITS answer
+    val r1 = spark.sql(s"SNAPSHOT LAYOUT '$base' TABLE 't' " +
+      s"AS OF ${versions(1)} AS VIEW snap_old").head
+    assert(r1.getString(0) === "snap_old" && r1.getLong(1) === versions(1))
+    assert(spark.table("snap_old").select("t")
+      .collect().map(_.getString(0)).toSeq === Seq("v1"))
+
+    // no AS OF: the current snapshot, audit row carries the resolved version
+    val r2 = spark.sql(
+      s"snapshot layout '$base' table 't' as view snap_now;").head
+    assert(r2.getLong(1) === versions.last)
+    assert(spark.table("snap_now").select("t")
+      .collect().map(_.getString(0)).toSeq === Seq("v2"))
+
+    // the init manifest is empty: AS OF it sees only the (absent) base
+    spark.sql(s"SNAPSHOT LAYOUT '$base' TABLE 't' " +
+      s"AS OF ${versions.head} AS VIEW snap_empty")
+    assert(spark.table("snap_empty").count() === 0L)
+
+    // an unpublished version refuses — never a silent different snapshot
+    intercept[IllegalArgumentException](spark.sql(
+      s"SNAPSHOT LAYOUT '$base' TABLE 't' AS OF 999 AS VIEW snap_nope"))
+  }
+
   test("ZORDER BY clause rewrites through the z-order layout; envelopes prune both dimensions") {
     import org.apache.spark.sql.functions._
     val in = Files.createTempDirectory("graft_sqlzorder_in_").toString

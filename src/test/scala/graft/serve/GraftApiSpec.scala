@@ -488,6 +488,41 @@ class GraftApiSpec extends SparkSpec {
     } finally api2.stop()
   }
 
+  test("GET /search?as_of= reproduces a superseded answer at its version; " +
+      "unknown versions 422") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_api_asof").toString
+    graft.llm.Selection.writeBm25Index(
+      docs.filter(col("doc_id") % 2 === 0), s"$tmp/idx")
+    val vBase = graft.ops.Layout.manifestVersions(spark, s"$tmp/idx").max
+    val api2 = new GraftApi(spark, "/root/testdata/sf0.001", Some(s"$tmp/idx"))
+    val addr = api2.start(0)
+    def get2(path: String): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${addr.getPort}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), mapper.readTree(resp.body()))
+    }
+    try {
+      val (c0, before) = get2("/search?q=hash+join&limit=5")
+      assert(c0 === 200 && before.get("results").size() > 0)
+      // an append moves the current answer...
+      graft.llm.Selection.appendToBm25Index(
+        docs.filter(col("doc_id") % 2 === 1), s"$tmp/idx", batchId = 0L)
+      val (c1, after) = get2("/search?q=hash+join&limit=5")
+      assert(c1 === 200 && !(after == before),
+        "fixture versions not distinguishable through /search")
+      // ...but ?as_of= the superseded version reproduces ITS answer exactly
+      val (c2, replay) = get2(s"/search?q=hash+join&limit=5&as_of=$vBase")
+      assert(c2 === 200 && replay === before)
+      // refusals: unpublished version, non-numeric version
+      assert(get2("/search?q=hash&as_of=9999")._1 === 422)
+      assert(get2("/search?q=hash&as_of=abc")._1 === 422)
+    } finally api2.stop()
+  }
+
   // recurse through AQE query stages + reused exchanges to every file scan
   private def scans(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
