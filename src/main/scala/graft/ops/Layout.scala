@@ -411,20 +411,37 @@ object Layout {
     * directories whose logical batch maps to a HIGHER physical in the
     * current manifest — i.e. deliveries a later finish replaced. Never
     * touches the base, visible physicals, or ids above the visible gen
-    * (a begun-but-unfinished delivery in flight). Run it only once no
-    * reader planned before the superseding swap can still be collecting —
-    * the retention horizon is the caller's, same as every MVCC vacuum.
-    * Returns the number of directories deleted. */
-  def vacuumLayout(spark: SparkSession, base: String): Long = {
+    * (a begun-but-unfinished delivery in flight).
+    *
+    * `keepVersions` is the RETENTION HORIZON (the Delta `RETAIN`
+    * precedent, counted in manifest versions rather than hours —
+    * deterministic, so testable): every physical referenced by any of the
+    * newest `keepVersions` manifests survives, so time travel
+    * ([[committedBatchFilterAt]]) keeps reproducing those versions
+    * exactly; only files ALL kept versions have superseded are deleted.
+    * The default 1 keeps only the current snapshot's files — the original
+    * all-or-nothing behavior, now a policy choice instead of the only
+    * option. Run it only once no reader planned before the superseding
+    * swap can still be collecting. Returns the number of directories
+    * deleted. */
+  def vacuumLayout(spark: SparkSession, base: String,
+      keepVersions: Int = 1): Long = {
+    require(keepVersions >= 1,
+      s"KEEP must retain at least the current version, got $keepVersions")
     val dir = commitsDir(base)
     val fs = fsOf(spark, dir)
     currentManifest(fs, dir) match {
       case None => 0L
       case Some((_, m)) =>
+        val keptPhysicals: Set[Long] = listManifests(fs, dir)
+          .sortBy(-_._1).take(keepVersions)
+          .flatMap { case (_, p) => readManifestFile(fs, p).values }
+          .toSet
         val doomed = collectBatchDirs(fs,
             new org.apache.hadoop.fs.Path(base), depth = 4)
           .filter { case (id, _) =>
-            id >= 0 && m.get(logicalBatchLocal(id)).exists(_ > id)
+            id >= 0 && m.get(logicalBatchLocal(id)).exists(_ > id) &&
+              !keptPhysicals.contains(id)
           }
         doomed.foreach { case (_, p) => fs.delete(p, true) }
         doomed.size.toLong

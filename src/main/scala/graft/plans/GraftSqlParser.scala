@@ -16,8 +16,9 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   COMPACT PARQUET '<inPath>' INTO '<outPath>'
   *     [TARGET <bytes>] [ZORDER BY (<xCol>, <yCol>)]
   *   ANALYZE PARQUET '<inPath>' INTO '<outPath>' [COLUMNS (a, b, ...)]
-  *   VACUUM LAYOUT '<base>'
+  *   VACUUM LAYOUT '<base>' [KEEP <n> VERSIONS]
   *   DESCRIBE LAYOUT '<base>'
+  *   SNAPSHOT LAYOUT '<base>' TABLE '<table>' [AS OF <v>] AS VIEW <name>
   *
   * Without ZORDER BY the rewrite is the shuffle-free coalesce in
   * Layout.compact; with it, the same file-count sizing routes through
@@ -44,12 +45,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+COLUMNS\s*\(\s*([A-Za-z0-9_]+(?:\s*,\s*[A-Za-z0-9_]+)*)\s*\))?""" +
       """\s*;?\s*""").r
 
-  // VACUUM LAYOUT '<base>' — garbage-collect superseded deliveries under a
-  // batch-committed serving layout (ops.Layout.vacuumLayout), the retention
-  // half of the manifest-swap protocol. DESCRIBE LAYOUT '<base>' lists the
-  // published manifest versions (the time-travel catalog).
+  // VACUUM LAYOUT '<base>' [KEEP <n> VERSIONS] — garbage-collect
+  // superseded deliveries under a batch-committed serving layout
+  // (ops.Layout.vacuumLayout), the retention half of the manifest-swap
+  // protocol. KEEP makes retention a POLICY (the Delta RETAIN precedent):
+  // the newest n manifest versions stay exactly reproducible via AS OF;
+  // without it only the current snapshot's files survive. DESCRIBE LAYOUT
+  // '<base>' lists the published manifest versions (the time-travel
+  // catalog).
   private val Vacuum =
-    """(?is)\s*VACUUM\s+LAYOUT\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+LAYOUT\s+'([^']+)'""" +
+      """(?:\s+KEEP\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
   private val Describe =
     """(?is)\s*DESCRIBE\s+LAYOUT\s+'([^']+)'\s*;?\s*""".r
 
@@ -76,7 +82,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Analyze(in, out, cols) =>
       AnalyzeCommand(in, out,
         Option(cols).map(_.split(",").map(_.trim).toSeq))
-    case Vacuum(base) => VacuumLayoutCommand(base)
+    case Vacuum(base, keep) =>
+      VacuumLayoutCommand(base, Option(keep).map(_.toInt).getOrElse(1))
     case Describe(base) => DescribeLayoutCommand(base)
     case Snapshot(base, table, v, view) =>
       SnapshotLayoutCommand(base, table, Option(v).map(_.toLong), view)
@@ -135,13 +142,15 @@ case class AnalyzeCommand(inPath: String, outPath: String,
 }
 
 /** Eager driver-side command node for VACUUM LAYOUT: reclaims superseded
-  * deliveries, returns how many partition directories were removed. */
-case class VacuumLayoutCommand(base: String) extends LeafRunnableCommand {
+  * deliveries outside the KEEP horizon, returns how many partition
+  * directories were removed. */
+case class VacuumLayoutCommand(base: String, keepVersions: Int = 1)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("removed_dirs",
       org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(graft.ops.Layout.vacuumLayout(spark, base)))
+    Seq(Row(graft.ops.Layout.vacuumLayout(spark, base, keepVersions)))
 }
 
 /** Eager driver-side command node for SNAPSHOT LAYOUT ... AS VIEW: resolve

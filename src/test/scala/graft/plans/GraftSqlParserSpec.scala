@@ -66,6 +66,43 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.sql(s"vacuum layout '$base';").head.getLong(0) === 0L)
   }
 
+  test("VACUUM LAYOUT KEEP n VERSIONS pins the time-travel horizon") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Layout
+    val base = Files.createTempDirectory("graft_sqlvacuumkeep_").toString
+    def deliver(tag: String): Unit = {
+      val p = Layout.beginBatchCommit(spark, base, 0L)
+      Seq((1L, tag)).toDF("id", "t").withColumn("batch_id", lit(p))
+        .write.partitionBy("batch_id").mode("append").parquet(s"$base/t")
+      Layout.finishBatchCommit(spark, base, p)
+    }
+    deliver("v1"); deliver("v2"); deliver("v3")
+    val versions = Layout.manifestVersions(spark, base) // init + 3 finishes
+    assert(versions.length === 4)
+    def asOf(v: Long): Seq[String] =
+      spark.read.parquet(s"$base/t")
+        .filter(Layout.committedBatchFilterAt(spark, base, Some(v)))
+        .select("t").collect().map(_.getString(0)).toSeq
+
+    // KEEP 2: only the delivery BOTH kept versions superseded goes
+    val removed = spark
+      .sql(s"VACUUM LAYOUT '$base' KEEP 2 VERSIONS").head.getLong(0)
+    assert(removed === 1L)
+    // inside the horizon: the superseded-but-kept version still reproduces
+    assert(asOf(versions(2)) === Seq("v2"))
+    assert(asOf(versions.last) === Seq("v3"))
+    // outside the horizon: the manifest resolves but its files are gone —
+    // the documented MVCC degradation
+    assert(asOf(versions(1)) === Seq.empty)
+
+    // KEEP 0 refuses: the current version is not negotiable
+    intercept[Exception](spark.sql(s"VACUUM LAYOUT '$base' KEEP 0 VERSIONS"))
+
+    // plain VACUUM (keep 1) reclaims the rest; the served snapshot holds
+    assert(spark.sql(s"vacuum layout '$base';").head.getLong(0) === 1L)
+    assert(asOf(versions.last) === Seq("v3"))
+  }
+
   test("SNAPSHOT LAYOUT registers a version-pinned view; unknown versions refuse") {
     import org.apache.spark.sql.functions._
     import graft.ops.Layout
