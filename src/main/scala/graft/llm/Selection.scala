@@ -1581,6 +1581,26 @@ keep$r AS (SELECT c.rk, c.pair, c.cnt, c.a, c.b FROM cand$r c
     base
   }
 
+  /** The UNBATCHED merge table persisted — q177's train-once vocabulary
+    * source: [[TextAnalysis.bpeTrainRounds]]' (round, pair, cnt) lifted
+    * with rk = 1 (the shipped-table schema [[TextAnalysis.bpeEncodeWith]]
+    * documents), written once per (session, dir). Kept separate from
+    * [[bpeMergesMart]] (the batched trainer's table) because q177's claim
+    * is bit-equality with the inline 3-round train, which only the
+    * unbatched winners reproduce. */
+  private[llm] def bpeMergesMartUnbatched(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_bpe_merges_ub_" + graft.sec.SecDerive.pathKey(dir)
+    graft.sec.SecDerive.cachedCount(s, dir, "bpe_merges_ub") {
+      TextAnalysis.bpeTrainRounds(Tables.documents(s, dir))
+        .withColumn("rk", lit(1L))
+        .write.mode("overwrite").parquet(base)
+      1L
+    }
+    base
+  }
+
   /** The q120 oracle: the batched TRAINING chain replayed verbatim (the
     * [[bpeTrainBatchedOracle]] per-round fragments — counts, ranked
     * candidates, prefix-conflict-free keeps, per-rank corpus applies), then
@@ -2185,6 +2205,18 @@ ORDER BY cnt DESC, pair ASC LIMIT 20""")),
     // Output is vocabulary-sized; the corpus passes are q111's.
     Q("q176_bpe_vocab",
       (s, dir) => TextAnalysis.bpeVocab(Tables.documents(s, dir)),
+      Some(bpeVocabOracle(3))),
+
+    // Train-once VOCAB tier (the q120 precedent applied to q176's face):
+    // the unbatched 3-round merge table WRITTEN once, the vocabulary
+    // computed FROM the written table — no pair-count shuffle in this
+    // plan; the training passes are the one-time mart build. SAME oracle
+    // as q176: replaying the persisted merges in global order reproduces
+    // the inline-trained vocabulary bit-for-bit (also spec-pinned
+    // frame-vs-frame in TextAnalysisSpec).
+    Q("q177_bpe_vocab_from_table",
+      (s, dir) => TextAnalysis.bpeVocabWith(Tables.documents(s, dir),
+        s.read.parquet(bpeMergesMartUnbatched(s, dir)), maxMerges = 3),
       Some(bpeVocabOracle(3))),
 
     // The batched trainer round — the 30k-merge cost axis: top-B

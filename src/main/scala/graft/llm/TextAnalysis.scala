@@ -781,9 +781,25 @@ object TextAnalysis {
   def bpeEncodeWith(docs: DataFrame, merges: DataFrame,
       maxMerges: Int): DataFrame = {
     val US = "\u001f"
-    def wrap(c: Column): Column = concat(lit(US), c, lit(US))
     val syms = (seq: Column) => split(
       regexp_replace(seq, s"^$US|$US$$", ""), US + US)
+    bpeSegmentWith(docs, merges, maxMerges)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("nch"),
+        size(syms(col("seq"))).cast("long").as("ntok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("nch").as("n_chars_seg"),
+        sum("ntok").as("n_tokens"))
+  }
+
+  /** The segmentation chain shared by [[bpeEncodeWith]] and
+    * [[bpeVocabWith]]: apply a persisted merge table in global (round, rk)
+    * order to the per-word character sequences — (doc_id, nch, seq), no
+    * training pass in the plan. */
+  private def bpeSegmentWith(docs: DataFrame, merges: DataFrame,
+      maxMerges: Int): DataFrame = {
+    val US = "\u001f"
+    def wrap(c: Column): Column = concat(lit(US), c, lit(US))
     val ranked = merges
       .withColumn("grk", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -810,12 +826,28 @@ object TextAnalysis {
               wrap(concat(col("a"), col("b"))))).as("seq"))
     }
     seqs
+  }
+
+  /** The vocabulary face FROM a persisted merge table — [[bpeVocab]]'s
+    * train-once tier (the [[bpeEncodeWith]] seam applied to the vocabulary
+    * face): replay the written merges in global order, then the same token
+    * unnest + doc/occurrence counts. Applying the persisted UNBATCHED
+    * `rounds`-row table with `maxMerges = rounds` reproduces the
+    * inline-trained [[bpeVocab]] BIT-FOR-BIT — q177 shares q176's oracle
+    * and the spec pins the equality — so the inline train is the audit
+    * tier and the per-corpus cost here is one no-shuffle encode pass. */
+  def bpeVocabWith(docs: DataFrame, merges: DataFrame,
+      maxMerges: Int): DataFrame = {
+    val US = "\u001f"
+    val syms = (seq: Column) => split(
+      regexp_replace(seq, s"^$US|$US$$", ""), US + US)
+    bpeSegmentWith(docs, merges, maxMerges)
       .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), col("nch"),
-        size(syms(col("seq"))).cast("long").as("ntok"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("nch").as("n_chars_seg"),
-        sum("ntok").as("n_tokens"))
+      .select(col("doc_id"), explode(syms(col("seq"))).as("token"))
+      .groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy("token")
   }
 
   /** Per-doc character-distribution Shannon entropy — the quality signal

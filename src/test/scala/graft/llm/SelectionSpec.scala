@@ -846,6 +846,30 @@ class SelectionSpec extends SparkSpec {
       inline.map(t => (t._1, t._2, t._3)))
   }
 
+  test("bpe vocab from a persisted merge table equals the inline-trained vocab bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      doc(1L, "abab abab"),
+      doc(2L, "xy xy xy"),
+      doc(3L, "ba ba abab")).toDF(docCols: _*)
+    val inline = TextAnalysis.bpeVocab(docs, rounds = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_vtbl").toString
+    TextAnalysis.bpeTrainRounds(docs, rounds = 3)
+      .withColumn("rk", lit(1L))
+      .write.mode("overwrite").parquet(tmp)
+    val fromTable = TextAnalysis.bpeVocabWith(docs,
+      spark.read.parquet(tmp), maxMerges = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(fromTable === inline,
+      "table-fed vocab diverged from the inline-trained vocab")
+    // ranks past the table's end are no-ops here too
+    val padded = TextAnalysis.bpeVocabWith(docs,
+      spark.read.parquet(tmp), maxMerges = 9)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(padded === inline, "absent merge ranks must be no-ops")
+  }
+
   test("dsir: target-like raw docs outweigh off-domain ones; deterministic") {
     // Target (src1) speaks vocabulary A; half the raw docs speak A, half
     // speak B. The log-likelihood-ratio weight must rank every A-speaking
