@@ -98,4 +98,47 @@ object Decontam {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** [[contaminationReport]] with the benchmark side prefiltered through a
+    * COUNT-MIN SKETCH of the corpus grams — the frequency sketch's applied
+    * consumer (the q58 Bloom precedent, pointed the other way): probe
+    * every benchmark gram against the corpus sketch BEFORE the join, and
+    * drop the ones the sketch scores 0. CMS never undercounts (its
+    * one-sided guarantee), so a zero estimate PROVES the gram is absent
+    * from the corpus and cannot contaminate — no false negatives; the
+    * overcounted survivors are removed by the exact semi-join exactly like
+    * Bloom's false positives. OUTPUT is therefore identical to
+    * [[contaminationReport]] (q178 shares q50's oracle).
+    *
+    * Scale shape: at 100 TB the corpus sketch is a PERSISTED/streamed
+    * artifact (q173's shard-additive merge law + the streaming
+    * maintenance twin), a few hundred KB regardless of corpus size, so
+    * the probe is a broadcast-sized scalar pass over the benchmark —
+    * megabytes — and only benchmark grams that actually occur in the
+    * corpus reach the broadcast semi-join. This query keeps the sketch
+    * build inline so the oracle replays the whole chain; `sketchOf` is
+    * the seam a persisted sketch drops into. */
+  def cmsContaminationReport(train: DataFrame, benchmark: DataFrame,
+      k: Int = 3, sketchOf: Option[DataFrame] = None): DataFrame = {
+    import graft.expr.Cms
+    val trainGrams = gramHashes(train, k)
+    // one corpus pass folds every train gram into a fixed counter table
+    // (TypedImperativeAggregate: map-side partials, counter-additive merge)
+    val sketch = sketchOf.getOrElse(
+      trainGrams.agg(Cms.sketch(col("gh")).as("sk")))
+    val bg = gramHashes(benchmark, k).select("gh").distinct()
+    // the prefilter: crossJoin with the 1-row sketch (the aggregate-scalar
+    // pattern), keep only grams the corpus sketch CAN contain
+    val live = bg.crossJoin(broadcast(sketch))
+      .filter(Cms.estimateOf(col("sk"), col("gh")) > 0L)
+      .select("gh")
+    val hits = trainGrams
+      .join(broadcast(live), Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    train.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
 }

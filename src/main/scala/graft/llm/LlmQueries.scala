@@ -897,6 +897,22 @@ ORDER BY doc_id_a, doc_id_b""")),
       },
       Some(decontamOracleSql)),
 
+    // The Count-Min sketch APPLIED (q173 builds it; this consumes it): the
+    // benchmark grams are probed against a CMS of the corpus grams BEFORE
+    // the join — a zero estimate proves absence (CMS never undercounts),
+    // the exact semi-join removes the overcounted survivors, so the ORACLE
+    // IS IDENTICAL to q50's, exactly the q58 Bloom claim with the sketch
+    // on the other side.
+    Q("q178_cms_decontam",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Decontam.cmsContaminationReport(
+          docs.filter(col("source") =!= "src1"),
+          docs.filter(col("source") === "src1"))
+          .orderBy("doc_id")
+      },
+      Some(decontamOracleSql)),
+
     // Weighted mixture: upsample en to 250%, downsample zh to 40%, keep the
     // rest — the per-source reweighting step of corpus assembly.
     Q("q52_weighted_mixture",

@@ -53,6 +53,30 @@ class DecontamSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("cms prefilter output equals the exact path; zero estimate proves absence") {
+    val train = docs(
+      1L -> "we saw the quick brown fox yesterday evening",
+      2L -> "completely unrelated text about spark plans here",
+      3L -> "the quick brown fox jumps over lazy dogs",
+      4L -> "hi there")
+    val exact = Decontam.contaminationReport(train, bench)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val cms = Decontam.cmsContaminationReport(train, bench)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(cms === exact)
+    // the one-sided law the prefilter leans on: a key never inserted can
+    // collide UP (false positive) but a zero estimate is PROOF of absence —
+    // insert disjoint keys and check every inserted key scores >= its count
+    import graft.expr.Cms
+    val sk = (1 to 50).map(i => s"present$i").toDF("k")
+      .agg(Cms.sketch(col("k")).as("sk"))
+    val est = (1 to 50).map(i => s"present$i").toDF("k")
+      .crossJoin(sk)
+      .select(Cms.estimateOf(col("sk"), col("k")).as("e"))
+      .collect().map(_.getLong(0))
+    assert(est.forall(_ >= 1L), "CMS undercounted an inserted key")
+  }
+
   test("bloom path leaks no temp views and interleaved calls don't clobber") {
     val before = spark.catalog.listTables().count()
     val trainA = docs(1L -> "we saw the quick brown fox yesterday evening")
