@@ -118,6 +118,21 @@ object Decontam {
     * corpus reach the broadcast semi-join. This query keeps the sketch
     * build inline so the oracle replays the whole chain; `sketchOf` is
     * the seam a persisted sketch drops into. */
+  /** One shard's Count-Min partial of the corpus grams — a single (sk)
+    * row. The streaming maintenance unit ([[graft.streaming.StreamOps]]
+    * lands one per micro-batch) and the batch shard unit alike: CMS
+    * counters are integer SUMS, so [[gramSketchFromShards]]' fold is
+    * BYTE-IDENTICAL to the one-shot sketch of the union — the strongest
+    * merge law in the sketch family (stronger than HLL's register max),
+    * spec-pinned in StreamBatchEquivalenceSpec. */
+  def gramSketchShard(train: DataFrame, k: Int = 3): DataFrame =
+    gramHashes(train, k).agg(graft.expr.Cms.sketch(col("gh")).as("sk"))
+
+  /** Counter-additive fold of [[gramSketchShard]] rows → the 1-row sketch
+    * frame [[cmsContaminationReport]]'s `sketchOf` seam consumes. */
+  def gramSketchFromShards(shards: DataFrame): DataFrame =
+    shards.agg(graft.expr.Cms.merge(col("sk")).as("sk"))
+
   def cmsContaminationReport(train: DataFrame, benchmark: DataFrame,
       k: Int = 3, sketchOf: Option[DataFrame] = None): DataFrame = {
     import graft.expr.Cms

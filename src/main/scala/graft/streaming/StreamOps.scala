@@ -641,6 +641,39 @@ object StreamOps {
     graft.ops.Analyze.statsFromShards(
       spark.read.parquet(statsPath).drop("batch_id"), cols)
 
+  /** Streaming maintenance of the corpus-gram Count-Min sketch — the
+    * artifact q178's decontamination prefilter consumes
+    * ([[graft.llm.Decontam.cmsContaminationReport]]'s `sketchOf` seam):
+    * each micro-batch lands ONE serialized sketch row of its docs' gram
+    * hashes ([[graft.llm.Decontam.gramSketchShard]]) under its `batch_id`
+    * partition, with the dynamic-overwrite exactly-once recipe and the
+    * batch-0 freshness guard. CMS counters are integer sums, so the
+    * serving fold ([[corpusCmsRead]]) is BYTE-IDENTICAL to the one-shot
+    * batch sketch of the union, and a re-DELIVERED batch overwrites its
+    * own partition — nothing can double-count (the StreamBatch
+    * equivalence gate pins both). */
+  def corpusCmsStream(docsStream: DataFrame, sketchPath: String,
+      checkpoint: String, k: Int = 3): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (batchId == 0L) requireFreshStatsRoot(b.sparkSession, sketchPath)
+        graft.llm.Decontam.gramSketchShard(b, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(sketchPath)
+        ()
+      }
+      .start()
+
+  /** Counter-additive fold of the per-batch sketch rows → the 1-row
+    * sketch frame the decontamination prefilter reads. */
+  def corpusCmsRead(spark: SparkSession, sketchPath: String): DataFrame =
+    graft.llm.Decontam.gramSketchFromShards(
+      spark.read.parquet(sketchPath).drop("batch_id"))
+
   /** Batch-0 restart guard shared by the serving-layout ingest streams:
     * true iff a `batch_id=` partition other than 0 (legitimate
     * re-delivery) or -1 (the reserved base) exists `depth` directory

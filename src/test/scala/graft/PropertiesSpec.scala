@@ -330,4 +330,57 @@ object PropertiesSpec extends Properties("graft") {
         ops.Analyze.statsFromShards(shards, cols).collect().toSeq ==
           ops.Analyze.columnStats(df, cols).collect().toSeq
     }
+
+  // CMS merge law: however the keys are sharded, the counter-additive fold
+  // of shard sketches is BYTE-identical to the one-shot sketch (integer
+  // sums — order- and layout-free), the invariant both the q175-style
+  // shard gates and the streaming maintenance lean on.
+  property("CMS shard merge == one-shot bytes for any shard layout") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1L, 40L)), Gen.choose(1, 5)) {
+      (keys, nShards) =>
+        val df = keys.toDF("k")
+        val shards = (0 until nShards).map(i =>
+          df.where(pmod(col("k"), lit(nShards)) === i)
+            .agg(graft.expr.Cms.sketch(col("k")).as("sk")))
+          .reduce(_ unionByName _)
+        val merged = shards.agg(graft.expr.Cms.merge(col("sk")).as("sk"))
+          .collect().head.getAs[Array[Byte]](0)
+        val oneShot = df.agg(graft.expr.Cms.sketch(col("k")).as("sk"))
+          .collect().head.getAs[Array[Byte]](0)
+        java.util.Arrays.equals(merged, oneShot)
+    }
+
+  // VACUUM KEEP horizon law, over arbitrary delivery histories: after d
+  // re-deliveries of one logical batch and a vacuum keeping n versions,
+  // (a) exactly max(0, d - n) superseded delivery directories are
+  // reclaimed, (b) every manifest version inside the horizon still
+  // reproduces ITS answer via AS OF, (c) the current read never moves.
+  property("VACUUM KEEP n: horizon versions reproduce; d-n dirs reclaimed") =
+    Prop.forAll(Gen.choose(2, 4), Gen.choose(1, 5)) { (d, n) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_vacuum_prop_").toString
+      (1 to d).foreach { i =>
+        val p = ops.Layout.beginBatchCommit(spark, base, 0L)
+        Seq((1L, s"v$i")).toDF("id", "t").withColumn("batch_id", lit(p))
+          .write.partitionBy("batch_id").mode("append").parquet(s"$base/t")
+        ops.Layout.finishBatchCommit(spark, base, p)
+      }
+      val versions = ops.Layout.manifestVersions(spark, base) // init + d
+      def asOf(v: Long): Seq[String] =
+        spark.read.parquet(s"$base/t")
+          .filter(ops.Layout.committedBatchFilterAt(spark, base, Some(v)))
+          .select("t").collect().map(_.getString(0)).toSeq
+      val removed = ops.Layout.vacuumLayout(spark, base, keepVersions = n)
+      val horizon = versions.takeRight(n)
+      // version 1 + i carries delivery i's content; the init manifest (v1)
+      // is empty by construction
+      val horizonOk = horizon.forall { v =>
+        val expected =
+          if (v == versions.head) Seq.empty[String] else Seq(s"v${v - 1}")
+        asOf(v) == expected
+      }
+      removed == math.max(0, d - n).toLong &&
+        horizonOk &&
+        asOf(versions.last) == Seq(s"v$d")
+    }
 }

@@ -894,4 +894,47 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
         Option(e.getCause).exists(_.getMessage.contains("double-count")))
     } finally q2.stop()
   }
+
+  test("corpusCmsStream folded sketch == one-shot batch sketch BYTE-identically; " +
+      "the streamed sketch drives the q178 prefilter to the exact answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("cmsstream").toString
+    val (first, second) = docsFixture.splitAt(docsFixture.size / 2)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.corpusCmsStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/sk", s"$tmp/ckpt")
+    try {
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+    } finally q.stop()
+    val docsDF = docsFixture.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // counter-additive merge law: the two-batch fold is the one-shot
+    // sketch byte-for-byte (stronger than HLL's register-max equality)
+    val folded = StreamOps.corpusCmsRead(spark, s"$tmp/sk")
+      .collect().head.getAs[Array[Byte]]("sk")
+    val oneShot = graft.llm.Decontam.gramSketchShard(docsDF)
+      .collect().head.getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(folded, oneShot),
+      "streamed CMS fold diverged from the one-shot sketch")
+    // each batch landed exactly ONE sketch row
+    val perBatch = spark.read.parquet(s"$tmp/sk")
+      .groupBy("batch_id").count().collect()
+    assert(perBatch.length === 2 &&
+      perBatch.forall(_.getAs[Long]("count") === 1L))
+    // end-to-end: the STREAM-MAINTAINED sketch dropped into the q178
+    // prefilter seam yields the exact path's answer (the one-sided law
+    // holds through the fold because fold == one-shot exactly)
+    val train = docsDF.filter(org.apache.spark.sql.functions.col("source") =!= "src1")
+    val bench = docsDF.filter(org.apache.spark.sql.functions.col("source") === "src1")
+    // NOTE: the streamed sketch covers ALL docs (a superset of train) —
+    // still sound: a superset sketch only ADDS counts, and extra counts
+    // only admit more candidates for the exact join to discard
+    val viaStream = graft.llm.Decontam.cmsContaminationReport(train, bench,
+        sketchOf = Some(StreamOps.corpusCmsRead(spark, s"$tmp/sk")))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val exact = graft.llm.Decontam.contaminationReport(train, bench)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaStream === exact)
+  }
 }
