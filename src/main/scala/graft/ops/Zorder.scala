@@ -157,6 +157,41 @@ object Zorder {
       count(lit(1)).cast("double")
   }
 
+  /** Persist the per-file envelope mart next to the layout — the
+    * data-skipping catalog a reader prunes with (Delta/Iceberg keep the
+    * same per-file column ranges in their manifests). One narrow scan of
+    * the layout, a files-sized output (32 rows here, a few thousand at
+    * 100 TB). */
+  def writeFileEnvelopes(spark: SparkSession, path: String, envPath: String,
+      x: Column, y: Column): Unit =
+    fileEnvelopes(spark, path, x, y).coalesce(1)
+      .write.mode("overwrite").parquet(envPath)
+
+  /** Envelope-pruned box read — the APPLIED tier of q154's measurement:
+    * consult the persisted envelope mart, keep only the files whose
+    * (x, y) envelope intersects the box, and scan JUST those, with the
+    * exact row predicate re-applied. Pruning is sound (a skipped file's
+    * envelope provably excludes every matching row), so the result is
+    * EXACTLY the full-scan filter's. The mart read is a files-sized
+    * catalog read resolved on the driver — the same bounded pattern as
+    * the IVF probed-cell set; the data pass never opens a pruned file.
+    * Returns (rows, filesScanned, filesTotal). */
+  def envelopePrunedRead(spark: SparkSession, path: String, envPath: String,
+      x: Column, y: Column, xLo: Long, xHi: Long, yLo: Long, yHi: Long)
+      : (DataFrame, Int, Int) = {
+    val env = spark.read.parquet(envPath).collect() // files-sized: bounded
+    val hits = env.filter { r =>
+      r.getAs[Long]("x_max") >= xLo && r.getAs[Long]("x_min") <= xHi &&
+        r.getAs[Long]("y_max") >= yLo && r.getAs[Long]("y_min") <= yHi
+    }.map(_.getAs[String]("f")).toSeq
+    val rowFilter = x.cast("long").between(xLo, xHi) &&
+      y.cast("long").between(yLo, yHi)
+    val rows =
+      if (hits.isEmpty) spark.read.parquet(path).where(lit(false))
+      else spark.read.parquet(hits: _*).where(rowFilter)
+    (rows, hits.size, env.length)
+  }
+
   // ---------------------------------------------------------------------------
   // Registered queries + oracles
   // ---------------------------------------------------------------------------
@@ -264,5 +299,58 @@ FROM sxy ORDER BY o_orderkey"""
             (col("x_band") >= 0.9).as("range_blind_on_band"))
       },
       Some("SELECT TRUE AS content_preserved, TRUE AS zorder_prunes_box, " +
-        "TRUE AS zorder_beats_range_on_band, TRUE AS range_blind_on_band")))
+        "TRUE AS zorder_beats_range_on_band, TRUE AS range_blind_on_band")),
+
+    // The applied skipping read: the persisted envelope mart prunes the
+    // file list BEFORE the scan, the exact predicate re-applies on the
+    // survivors, and the result is row-for-row the full-scan filter's
+    // (the oracle runs the same box over the source table). The
+    // `pruned_lt_total` column pins that pruning actually happened —
+    // q154 already established the central box intersects ≤ half the
+    // z-ordered files, so a full-list read here is a red gate, not a
+    // slow pass.
+    graft.Q("q179_envelope_pruned_read",
+      (s, dir) => {
+        val base = layoutBase(s, dir)
+        val envPath = s"$base/env"
+        graft.sec.SecDerive.cachedCount(s, dir, "zorder_env") {
+          writeFileEnvelopes(s, s"$base/z", envPath, xCol, yCol)
+          1L
+        }
+        // Box bounds: 45%..55% of each dimension's range — 4 scalars
+        // resolved on the driver (bounded), floor-arithmetic mirrored
+        // literally by the oracle SQL below.
+        val b = graft.Tables.orders(s, dir).agg(
+          min(xCol.cast("long")).as("x_mn"), max(xCol.cast("long")).as("x_mx"),
+          min(yCol.cast("long")).as("y_mn"), max(yCol.cast("long")).as("y_mx"))
+          .collect().head
+        def lo(mn: Long, mx: Long): Long =
+          mn + math.floor((mx - mn).toDouble * 0.45).toLong
+        def hi(mn: Long, mx: Long): Long =
+          mn + math.floor((mx - mn).toDouble * 0.55).toLong
+        val (xMn, xMx) = (b.getAs[Long]("x_mn"), b.getAs[Long]("x_mx"))
+        val (yMn, yMx) = (b.getAs[Long]("y_mn"), b.getAs[Long]("y_mx"))
+        val (rows, scanned, total) = envelopePrunedRead(s, s"$base/z",
+          envPath, xCol, yCol,
+          lo(xMn, xMx), hi(xMn, xMx), lo(yMn, yMx), hi(yMn, yMx))
+        rows.select(col("o_orderkey"),
+            lit(scanned < total).as("pruned_lt_total"))
+          .orderBy("o_orderkey")
+      },
+      Some {
+        val ySql = "CAST(date_diff('day', DATE '1990-01-01', " +
+          "CAST(o_orderdate AS DATE)) AS BIGINT)"
+        def band(mn: String, mx: String, v: String): String =
+          s"$v BETWEEN $mn + CAST(floor(CAST($mx - $mn AS DOUBLE) * 0.45) " +
+            s"AS BIGINT) AND $mn + CAST(floor(CAST($mx - $mn AS DOUBLE) " +
+            s"* 0.55) AS BIGINT)"
+        s"""WITH b AS (SELECT CAST(min(o_custkey) AS BIGINT) AS x_mn,
+                  CAST(max(o_custkey) AS BIGINT) AS x_mx,
+                  min($ySql) AS y_mn, max($ySql) AS y_mx FROM orders)
+SELECT o_orderkey, TRUE AS pruned_lt_total
+FROM orders CROSS JOIN b
+WHERE ${band("x_mn", "x_mx", "CAST(o_custkey AS BIGINT)")}
+  AND ${band("y_mn", "y_mx", ySql)}
+ORDER BY o_orderkey"""
+      }))
 }

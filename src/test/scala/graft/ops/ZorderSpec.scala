@@ -37,6 +37,32 @@ class ZorderSpec extends SparkSpec {
     assert(got(2) === (455L - 5L) * cells / 901L)
   }
 
+  test("envelope-pruned read == full-scan filter; scan opens only " +
+      "envelope-intersecting files") {
+    val tmp = java.nio.file.Files.createTempDirectory("zorder_prune_").toString
+    val df = (0 until 2000)
+      .map(i => (i.toLong, (i * 37 % 1000).toLong, (i * 91 % 800).toLong))
+      .toDF("id", "x", "y")
+    Zorder.writeZordered(df, s"$tmp/z", col("x"), col("y"), nFiles = 16)
+    Zorder.writeFileEnvelopes(spark, s"$tmp/z", s"$tmp/env", col("x"), col("y"))
+    val (rows, scanned, total) = Zorder.envelopePrunedRead(spark, s"$tmp/z",
+      s"$tmp/env", col("x"), col("y"), 450L, 550L, 360L, 440L)
+    // exactness: pruned read is row-for-row the full filter
+    val full = df.where(col("x").between(450, 550) && col("y").between(360, 440))
+    assert(rows.select("id").as[Long].collect().sorted.toSeq ===
+      full.select("id").as[Long].collect().sorted.toSeq)
+    // the central box must prune (q154 pins ≤ 0.5 for the 10% box) and the
+    // scan may touch ONLY files the envelope mart admitted
+    assert(scanned < total, s"no pruning: $scanned/$total files")
+    assert(total === 16)
+    val opened = rows.select(input_file_name()).distinct().as[String].collect()
+    assert(opened.length <= scanned)
+    // empty-intersection box short-circuits to zero rows, zero files
+    val (none, s0, _) = Zorder.envelopePrunedRead(spark, s"$tmp/z",
+      s"$tmp/env", col("x"), col("y"), 5000L, 6000L, 0L, 10000L)
+    assert(s0 === 0 && none.count() === 0L)
+  }
+
   test("the layout gate holds end-to-end: content preserved, both dims prunable") {
     val row = graft.SparkEntry.queries("q154_zorder_layout_gate")(
       spark, "/root/testdata/sf0.001").collect().head
