@@ -41,7 +41,77 @@ object Quality {
         min(col(valueCol)).as("vmin"),
         max(col(valueCol)).as("vmax"))
 
+  /** Exact rank-based quantile WITHOUT a global sort — the third tier of
+    * the quantile family: q44 is exact-by-sort (buffers whole groups),
+    * q87 is the mergeable approximate sketch, this is exact at the
+    * sketch's cost shape. Two narrow passes: (1) a 1024-bin histogram of
+    * the column (one tiny-key shuffle, map-side partials — the bin
+    * arithmetic is [[Zorder.scaled]], monotonic in the value, so bin
+    * order IS value order), whose cumulative counts locate the bin
+    * holding rank ceil(q·n) EXACTLY (bin counts are exact integers);
+    * then (2) a top-k pass over just that bin's rows (expected n/1024 of
+    * the data; TakeOrdered, no global exchange). The histogram readback
+    * is a bounded ≤1024-row catalog read — the probed-cell pattern.
+    * Returns the smallest value with rank ≥ ceil(q·n) (the multiset
+    * k-th smallest; tie-order-free, so both engines agree bit-exactly).
+    * Assumes the in-bin rank fits an Int (expected band ≈ n/1024; a
+    * heavier-tailed column wants more ScaleBits, not a new algorithm). */
+  def exactQuantileBanded(df: DataFrame, v: Column, q: Double): Long = {
+    require(q > 0.0 && q <= 1.0, s"quantile $q out of (0, 1]")
+    val vals = df.select(v.cast("long").as("v")).where(col("v").isNotNull)
+    val b = vals.agg(min("v").as("mn"), max("v").as("mx"),
+      count(lit(1)).as("n")).collect().head // 3 scalars: bounded
+    val n = b.getAs[Long]("n")
+    require(n > 0, "quantile of an empty column")
+    val (mn, mx) = (b.getAs[Long]("mn"), b.getAs[Long]("mx"))
+    val r = math.ceil(q * n).toLong
+    val binned = vals.withColumn("b",
+      Zorder.scaled(col("v"), lit(mn), lit(mx)))
+    val hist = binned.groupBy("b").agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getAs[Long]("b"), x.getAs[Long]("c")))
+      .sortBy(_._1) // ≤ 2^ScaleBits rows: bounded
+    var cum = 0L
+    var i = 0
+    while (cum + hist(i)._2 < r) { cum += hist(i)._2; i += 1 }
+    val tBin = hist(i)._1
+    val k = (r - cum).toInt
+    binned.where(col("b") === tBin)
+      .orderBy("v").limit(k)
+      .agg(max("v")).collect().head.getLong(0)
+  }
+
   val queries: Seq[Q] = Seq(
+    // The banded exact quantile, applied: the exact P90 n_chars cutoff
+    // (length thresholds are a standard curation signal) computed WITHOUT
+    // a global sort, then the per-source keep counts at/above it. The
+    // oracle computes the same rank-based cutoff by brute row_number —
+    // one ground truth, two cost shapes; any banding error (wrong bin,
+    // wrong in-bin rank, a tie mishandled) flips the cutoff and every
+    // count with it.
+    Q("q180_quantile_banded_cutoff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cut = exactQuantileBanded(docs, col("n_chars"), 0.9)
+        docs.where(col("n_chars") >= cut)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"))
+          .select(col("source"), lit(cut).as("cutoff"), col("n_kept"))
+          .orderBy("source")
+      },
+      Some("""
+WITH ranked AS (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+         row_number() OVER (ORDER BY n_chars) AS rn,
+         count(*) OVER () AS n
+  FROM documents),
+c AS (SELECT v AS cutoff FROM ranked
+      WHERE rn = CAST(ceil(0.9 * n) AS BIGINT))
+SELECT source, cutoff, count(*) AS n_kept
+FROM documents, c
+WHERE n_chars >= cutoff
+GROUP BY source, cutoff
+ORDER BY source""")),
+
     Q("q45_dq_profile",
       (s, dir) => profileFacts(SecDerive.facts(s, dir)),
       Some(s"""${SecSql.basePrelude}

@@ -350,6 +350,18 @@ object PropertiesSpec extends Properties("graft") {
         java.util.Arrays.equals(merged, oneShot)
     }
 
+  // Banded exact quantile law: for ANY multiset and any q in (0, 1], the
+  // histogram-band algorithm returns exactly the ceil(q*n)-th smallest
+  // value (ties, negatives, constant columns, single elements included) —
+  // the invariant q180 leans on at corpus scale.
+  property("banded quantile == rank-based k-th smallest") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L)),
+      Gen.choose(1, 100)) { (xs, pct) =>
+      val q = pct / 100.0
+      val got = ops.Quality.exactQuantileBanded(xs.toDF("v"), col("v"), q)
+      got == xs.sorted.apply(math.ceil(q * xs.size).toInt - 1)
+    }
+
   // VACUUM KEEP horizon law, over arbitrary delivery histories: after d
   // re-deliveries of one logical batch and a vacuum keeping n versions,
   // (a) exactly max(0, d - n) superseded delivery directories are
