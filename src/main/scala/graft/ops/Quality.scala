@@ -80,6 +80,44 @@ object Quality {
       .agg(max("v")).collect().head.getLong(0)
   }
 
+  /** Per-GROUP banded exact quantile, entirely in-plan (no driver
+    * readbacks — the grouped generalization of [[exactQuantileBanded]]):
+    * per-group (min, max, rank) in one agg, bins via [[Zorder.scaled]],
+    * a per-group cumulative window over the (groups × ≤1024)-row
+    * histogram finds each group's rank-holding bin exactly, and one
+    * row_number window over just the band rows (expected n/1024 per
+    * group) reads off the in-bin k-th smallest. Group stats and bin
+    * targets broadcast (groups-sized); the only data-sized exchanges are
+    * the histogram's tiny-key shuffle and the band window. Returns one
+    * (group, cutoff) row per group — the smallest value with rank ≥
+    * ceil(q·n_g), tie-order-free. */
+  def groupedQuantileBanded(df: DataFrame, groupCol: String, v: Column,
+      q: Double): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"quantile $q out of (0, 1]")
+    val vals = df.select(col(groupCol).as("g"), v.cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val stats = vals.groupBy("g").agg(min("v").as("mn"), max("v").as("mx"),
+      ceil(lit(q) * count(lit(1))).cast("long").as("r"))
+    val binned = vals.join(broadcast(stats), "g")
+      .withColumn("b", Zorder.scaled(col("v"), col("mn"), col("mx")))
+      .select("g", "v", "b", "r")
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("b")
+    val tgt = binned.groupBy("g", "b").agg(count(lit(1)).as("c"),
+        first("r").as("r"))
+      .withColumn("cum", sum("c").over(wcum))
+      .where(col("cum") >= col("r"))
+      .withColumn("rn", row_number().over(wcum))
+      .where(col("rn") === 1)
+      .select(col("g"), col("b"), (col("r") - (col("cum") - col("c"))).as("k"))
+    val wband = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v")
+    binned.join(broadcast(tgt), Seq("g", "b"))
+      .withColumn("vrn", row_number().over(wband))
+      .where(col("vrn") === col("k"))
+      .select(col("g").as(groupCol), col("v").as("cutoff"))
+  }
+
   val queries: Seq[Q] = Seq(
     // The banded exact quantile, applied: the exact P90 n_chars cutoff
     // (length thresholds are a standard curation signal) computed WITHOUT
@@ -111,6 +149,23 @@ FROM documents, c
 WHERE n_chars >= cutoff
 GROUP BY source, cutoff
 ORDER BY source""")),
+
+    // The grouped tier applied: exact per-language median document length,
+    // no global (or even per-group) sort — the cutoff table a per-lang
+    // length filter consumes. Oracle: brute per-group row_number rank.
+    Q("q181_quantile_banded_by_group",
+      (s, dir) => groupedQuantileBanded(
+          Tables.documents(s, dir), "lang", col("n_chars"), 0.5)
+        .orderBy("lang"),
+      Some("""
+WITH ranked AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang, v AS cutoff FROM ranked
+WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+ORDER BY lang""")),
 
     Q("q45_dq_profile",
       (s, dir) => profileFacts(SecDerive.facts(s, dir)),

@@ -362,6 +362,22 @@ object PropertiesSpec extends Properties("graft") {
       got == xs.sorted.apply(math.ceil(q * xs.size).toInt - 1)
     }
 
+  // The grouped (in-plan) variant obeys the same law per group.
+  property("grouped banded quantile == per-group rank k-th smallest") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.choose(-500L, 500L))),
+      Gen.choose(1, 100)) { (xs, pct) =>
+      val q = pct / 100.0
+      val got = ops.Quality.groupedQuantileBanded(
+          xs.toDF("lang", "v"), "lang", col("v"), q)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = xs.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        g -> sorted(math.ceil(q * sorted.size).toInt - 1)
+      }
+      got == want
+    }
+
   // VACUUM KEEP horizon law, over arbitrary delivery histories: after d
   // re-deliveries of one logical batch and a vacuum keeping n versions,
   // (a) exactly max(0, d - n) superseded delivery directories are
