@@ -118,6 +118,47 @@ object Quality {
       .select(col("g").as(groupCol), col("v").as("cutoff"))
   }
 
+  /** One shard's histogram partial over a FIXED [lo, hi] domain — (b, c)
+    * rows. Fixed bounds (an ingest-contract domain, not data-derived)
+    * keep every shard's bins ALIGNED, so shard partials merge by integer
+    * addition, exactly — the streaming maintenance unit
+    * ([[graft.streaming.StreamOps]] lands one per micro-batch). Values
+    * outside the domain are clamped into the edge bins (still monotonic,
+    * so the band algebra below stays sound). */
+  def histogramShard(df: DataFrame, v: Column, lo: Long, hi: Long)
+      : DataFrame =
+    df.select(v.cast("long").as("v")).where(col("v").isNotNull)
+      .withColumn("b", Zorder.scaled(
+        greatest(least(col("v"), lit(hi)), lit(lo)), lit(lo), lit(hi)))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+
+  /** Exact rank-based quantile from a maintained histogram + one band
+    * pass over the at-rest corpus: the histogram (streamed or batch —
+    * the fold is exact, so it doesn't matter which) locates the
+    * rank-holding bin from its integer cumulative counts; the corpus
+    * pass touches only that bin's rows. Returns the same value as
+    * [[exactQuantileBanded]] — both are THE ceil(q·n)-th smallest, just
+    * computed against different histogram provenance. */
+  def quantileFromHistogram(hist: DataFrame, corpus: DataFrame, v: Column,
+      q: Double, lo: Long, hi: Long): Long = {
+    require(q > 0.0 && q <= 1.0, s"quantile $q out of (0, 1]")
+    val bins = hist.collect() // ≤ 2^ScaleBits rows: bounded
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("c"))).sortBy(_._1)
+    val n = bins.map(_._2).sum
+    require(n > 0, "quantile of an empty histogram")
+    val r = math.ceil(q * n).toLong
+    var cum = 0L
+    var i = 0
+    while (cum + bins(i)._2 < r) { cum += bins(i)._2; i += 1 }
+    val (tBin, k) = (bins(i)._1, (r - cum).toInt)
+    corpus.select(v.cast("long").as("v")).where(col("v").isNotNull)
+      .where(Zorder.scaled(
+        greatest(least(col("v"), lit(hi)), lit(lo)), lit(lo), lit(hi))
+        === tBin)
+      .orderBy("v").limit(k)
+      .agg(max("v")).collect().head.getLong(0)
+  }
+
   val queries: Seq[Q] = Seq(
     // The banded exact quantile, applied: the exact P90 n_chars cutoff
     // (length thresholds are a standard curation signal) computed WITHOUT

@@ -674,6 +674,41 @@ object StreamOps {
     graft.llm.Decontam.gramSketchFromShards(
       spark.read.parquet(sketchPath).drop("batch_id"))
 
+  /** Streaming maintenance of a fixed-domain length histogram — the
+    * artifact the banded exact quantile reads its rank-holding bin from
+    * ([[graft.ops.Quality.quantileFromHistogram]]): each micro-batch
+    * lands its (b, c) histogram shard ([[graft.ops.Quality
+    * .histogramShard]] — bins over a FIXED [lo, hi] ingest domain, so
+    * every batch's bins align) under its `batch_id` partition with the
+    * dynamic-overwrite exactly-once recipe and the batch-0 freshness
+    * guard. Bin counts are integer sums: the serving fold
+    * ([[histogramRead]]) equals the one-shot batch histogram EXACTLY,
+    * so the quantile it locates is the exact rank answer, not an
+    * estimate (the StreamBatch equivalence gate pins cutoff equality
+    * against [[graft.ops.Quality.exactQuantileBanded]]). */
+  def histogramStream(docsStream: DataFrame, vName: String, lo: Long,
+      hi: Long, histPath: String, checkpoint: String): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (batchId == 0L) requireFreshStatsRoot(b.sparkSession, histPath)
+        graft.ops.Quality.histogramShard(b, col(vName), lo, hi)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(histPath)
+        ()
+      }
+      .start()
+
+  /** Integer-additive fold of the per-batch histogram shards → the
+    * aligned (b, c) frame [[graft.ops.Quality.quantileFromHistogram]]
+    * consumes. */
+  def histogramRead(spark: SparkSession, histPath: String): DataFrame =
+    spark.read.parquet(histPath)
+      .groupBy("b").agg(sum("c").as("c"))
+
   /** Batch-0 restart guard shared by the serving-layout ingest streams:
     * true iff a `batch_id=` partition other than 0 (legitimate
     * re-delivery) or -1 (the reserved base) exists `depth` directory

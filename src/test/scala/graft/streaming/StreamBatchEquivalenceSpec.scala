@@ -937,4 +937,41 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(viaStream === exact)
   }
+
+  test("histogramStream folded shards == one-shot histogram exactly; " +
+      "the streamed histogram locates the EXACT banded quantile") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("histstream").toString
+    val (lo, hi) = (0L, 4096L)
+    val (first, second) = docsFixture.splitAt(docsFixture.size / 2)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.histogramStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "n_chars", lo, hi, s"$tmp/h", s"$tmp/ckpt")
+    try {
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+    } finally q.stop()
+    val docsDF = docsFixture.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // integer-additive fold law: the folded shards ARE the one-shot
+    // histogram, bin for bin
+    val folded = StreamOps.histogramRead(spark, s"$tmp/h")
+      .collect().map(r => (r.getAs[Long]("b"), r.getAs[Long]("c"))).sorted
+    val oneShot = graft.ops.Quality
+      .histogramShard(docsDF, org.apache.spark.sql.functions.col("n_chars"),
+        lo, hi)
+      .collect().map(r => (r.getAs[Long]("b"), r.getAs[Long]("c"))).sorted
+    assert(folded.toSeq === oneShot.toSeq)
+    // end-to-end: the stream-maintained histogram + one band pass lands on
+    // the SAME exact rank answer as the self-contained batch path — both
+    // are the ceil(q*n)-th smallest, provenance-free
+    Seq(0.5, 0.9, 1.0).foreach { qq =>
+      val viaStream = graft.ops.Quality.quantileFromHistogram(
+        StreamOps.histogramRead(spark, s"$tmp/h"), docsDF,
+        org.apache.spark.sql.functions.col("n_chars"), qq, lo, hi)
+      val batch = graft.ops.Quality.exactQuantileBanded(docsDF,
+        org.apache.spark.sql.functions.col("n_chars"), qq)
+      assert(viaStream === batch, s"cutoff diverged at q=$qq")
+    }
+  }
 }
