@@ -16,6 +16,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   COMPACT PARQUET '<inPath>' INTO '<outPath>'
   *     [TARGET <bytes>] [ZORDER BY (<xCol>, <yCol>)]
   *   ANALYZE PARQUET '<inPath>' INTO '<outPath>' [COLUMNS (a, b, ...)]
+  *   ANALYZE PARQUET '<inPath>' INTO '<outPath>'
+  *     HISTOGRAM FOR <col> DOMAIN <lo> TO <hi>
   *   VACUUM LAYOUT '<base>' [KEEP <n> VERSIONS]
   *   DESCRIBE LAYOUT '<base>'
   *   SNAPSHOT LAYOUT '<base>' TABLE '<table>' [AS OF <v>] AS VIEW <name>
@@ -44,6 +46,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*ANALYZE\s+PARQUET\s+'([^']+)'\s+INTO\s+'([^']+)'""" +
       """(?:\s+COLUMNS\s*\(\s*([A-Za-z0-9_]+(?:\s*,\s*[A-Za-z0-9_]+)*)\s*\))?""" +
       """\s*;?\s*""").r
+
+  // ANALYZE PARQUET '<in>' INTO '<out>' HISTOGRAM FOR <col>
+  // DOMAIN <lo> TO <hi> — persist the fixed-domain histogram mart
+  // (ops.Quality.histogramShard): aligned integer bins, so later shards
+  // (batch or streamed) merge by addition and the banded exact quantile
+  // reads its rank-holding bin from the mart instead of re-scanning.
+  private val AnalyzeHist =
+    ("""(?is)\s*ANALYZE\s+PARQUET\s+'([^']+)'\s+INTO\s+'([^']+)'""" +
+      """\s+HISTOGRAM\s+FOR\s+([A-Za-z_][A-Za-z0-9_]*)""" +
+      """\s+DOMAIN\s+(-?\d+)\s+TO\s+(-?\d+)\s*;?\s*""").r
 
   // VACUUM LAYOUT '<base>' [KEEP <n> VERSIONS] — garbage-collect
   // superseded deliveries under a batch-committed serving layout
@@ -79,6 +91,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           case (Some(x), Some(y)) => Some((x, y))
           case _ => None
         })
+    case AnalyzeHist(in, out, c, lo, hi) =>
+      AnalyzeHistogramCommand(in, out, c, lo.toLong, hi.toLong)
     case Analyze(in, out, cols) =>
       AnalyzeCommand(in, out,
         Option(cols).map(_.split(",").map(_.trim).toSeq))
@@ -138,6 +152,34 @@ case class AnalyzeCommand(inPath: String, outPath: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val (nCols, nRows) = graft.ops.Analyze.writeStats(spark, inPath, outPath, cols)
     Seq(Row(nCols, nRows))
+  }
+}
+
+/** Eager driver-side command node for ANALYZE ... HISTOGRAM: writes the
+  * fixed-domain histogram mart (≤ 2^ScaleBits (b, c) rows regardless of
+  * input size — one tiny-key shuffle with map-side partials) and returns
+  * the (n_bins, n_rows) audit row. DOMAIN bounds are part of the
+  * statement because alignment is the merge contract: every shard of the
+  * same mart must bin over the same [lo, hi]. */
+case class AnalyzeHistogramCommand(inPath: String, outPath: String,
+    colName: String, lo: Long, hi: Long) extends LeafRunnableCommand {
+  require(lo < hi, s"empty histogram domain [$lo, $hi]")
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("n_bins", IntegerType, nullable = false)(),
+    AttributeReference("n_rows",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.ops.Quality.histogramShard(spark.read.parquet(inPath),
+        org.apache.spark.sql.functions.col(colName), lo, hi)
+      .coalesce(1).write.mode("overwrite").parquet(outPath)
+    val audit = spark.read.parquet(outPath)
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).cast("int").as("n_bins"),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum("c"),
+          org.apache.spark.sql.functions.lit(0L)).as("n_rows"))
+      .collect().head
+    Seq(Row(audit.getInt(0), audit.getLong(1)))
   }
 }
 

@@ -66,6 +66,40 @@ class AnalyzeSpec extends SparkSpec {
     assert(mart.map(_.getString(0)) === Seq("doc_id", "lang", "n_chars").sorted)
   }
 
+  test("ANALYZE ... HISTOGRAM statement writes the fixed-domain mart the " +
+      "banded quantile reads exactly") {
+    val in = Files.createTempDirectory("graft_hist_in_").toString
+    val out = Files.createTempDirectory("graft_hist_out_").toString
+    fixture.write.mode("overwrite").parquet(in)
+
+    val audit = spark.sql(
+      s"ANALYZE PARQUET '$in' INTO '$out' HISTOGRAM FOR n_chars " +
+        "DOMAIN 0 TO 4096")
+    assert(audit.columns.toSeq === Seq("n_bins", "n_rows"))
+    assert(audit.head.getLong(1) === 4L) // the null n_chars row drops out
+
+    // the statement-produced mart IS the histogramShard frame...
+    val mart = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val direct = Quality
+      .histogramShard(spark.read.parquet(in), col("n_chars"), 0L, 4096L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(mart === direct)
+
+    // ...and the banded quantile read off it is the exact rank answer
+    val viaMart = Quality.quantileFromHistogram(
+      spark.read.parquet(out), spark.read.parquet(in), col("n_chars"),
+      0.5, 0L, 4096L)
+    assert(viaMart === Quality.exactQuantileBanded(
+      spark.read.parquet(in), col("n_chars"), 0.5))
+
+    // an empty domain refuses at parse/plan time
+    val e = intercept[IllegalArgumentException](spark.sql(
+      s"ANALYZE PARQUET '$in' INTO '$out' HISTOGRAM FOR n_chars " +
+        "DOMAIN 9 TO 9"))
+    assert(e.getMessage.contains("empty histogram domain"))
+  }
+
   test("joinPlannedByStats: the mart drives the join strategy, not the data") {
     val dim = Seq((1L, "en"), (2L, "fr")).toDF("k", "v")
     val fact = Seq((1L, 10L), (2L, 20L), (1L, 30L)).toDF("k", "x")
