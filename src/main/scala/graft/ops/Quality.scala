@@ -140,23 +140,36 @@ object Quality {
     * [[exactQuantileBanded]] — both are THE ceil(q·n)-th smallest, just
     * computed against different histogram provenance. */
   def quantileFromHistogram(hist: DataFrame, corpus: DataFrame, v: Column,
-      q: Double, lo: Long, hi: Long): Long = {
-    require(q > 0.0 && q <= 1.0, s"quantile $q out of (0, 1]")
-    val bins = hist.collect() // ≤ 2^ScaleBits rows: bounded
-      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("c"))).sortBy(_._1)
-    val n = bins.map(_._2).sum
-    require(n > 0, "quantile of an empty histogram")
-    val r = math.ceil(q * n).toLong
-    var cum = 0L
-    var i = 0
-    while (cum + bins(i)._2 < r) { cum += bins(i)._2; i += 1 }
-    val (tBin, k) = (bins(i)._1, (r - cum).toInt)
+      q: Double, lo: Long, hi: Long): Long =
+    quantileFromBins(hist.collect() // ≤ 2^ScaleBits rows: bounded
+        .map(r => (r.getAs[Long]("b"), r.getAs[Long]("c"))).toSeq,
+      corpus, v, q, lo, hi)
+
+  /** [[quantileFromHistogram]] over already-resolved (b, c) bins — the
+    * face a serving layer with a driver-cached histogram calls. */
+  def quantileFromBins(bins: Seq[(Long, Long)], corpus: DataFrame,
+      v: Column, q: Double, lo: Long, hi: Long): Long = {
+    val (tBin, k) = rankBin(bins, q)
     corpus.select(v.cast("long").as("v")).where(col("v").isNotNull)
       .where(Zorder.scaled(
         greatest(least(col("v"), lit(hi)), lit(lo)), lit(lo), lit(hi))
         === tBin)
       .orderBy("v").limit(k)
       .agg(max("v")).collect().head.getLong(0)
+  }
+
+  /** The bin walk: which aligned bin holds rank ceil(q·n), and the rank's
+    * offset within it — exact, from integer cumulative counts. */
+  def rankBin(bins: Seq[(Long, Long)], q: Double): (Long, Int) = {
+    require(q > 0.0 && q <= 1.0, s"quantile $q out of (0, 1]")
+    val sorted = bins.sortBy(_._1)
+    val n = sorted.map(_._2).sum
+    require(n > 0, "quantile of an empty histogram")
+    val r = math.ceil(q * n).toLong
+    var cum = 0L
+    var i = 0
+    while (cum + sorted(i)._2 < r) { cum += sorted(i)._2; i += 1 }
+    (sorted(i)._1, (r - cum).toInt)
   }
 
   val queries: Seq[Q] = Seq(

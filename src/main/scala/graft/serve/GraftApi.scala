@@ -106,6 +106,17 @@ class GraftApi(spark: SparkSession, sfDir: String,
     graft.ops.Analyze.columnStats(graft.Tables.documents(spark, sfDir))
       .collect()
 
+  // /quantile: the fixed-domain length histogram (the mart ANALYZE ...
+  // HISTOGRAM writes at 100 TB; ≤ 2^ScaleBits rows), computed once per
+  // server like the stats mart. Per-request work = a driver-side walk of
+  // the cached bins + ONE band pass over expected n/1024 of the corpus —
+  // the answer is the EXACT rank quantile, not an estimate.
+  private val histLo = 0L
+  private val histHi = 1L << 20 // ingest-contract n_chars domain
+  private lazy val nCharsHist: Array[Row] =
+    graft.ops.Quality.histogramShard(graft.Tables.documents(spark, sfDir),
+      col("n_chars"), histLo, histHi).collect()
+
   private var server: HttpServer = _
 
   /** Start on `port` (0 = ephemeral); returns the bound address. */
@@ -153,6 +164,7 @@ class GraftApi(spark: SparkSession, sfDir: String,
       case ("GET", List("related"))         => relatedEndpoint(ex, qp)
       case ("GET", List("hybrid"))          => hybridEndpoint(ex, qp)
       case ("GET", List("stats"))           => statsEndpoint(ex, qp)
+      case ("GET", List("quantile"))        => quantileEndpoint(ex, qp)
       case ("POST", List("query"))          => sqlEndpoint(ex)
       case _ =>
         reply(ex, 404, obj(_.put("detail", "Not Found")))
@@ -521,6 +533,27 @@ class GraftApi(spark: SparkSession, sfDir: String,
       o.put("table", "documents")
       val results = o.putArray("columns")
       rows.foreach(r => putRow(results.addObject(), cols, r))
+    })
+  }
+
+  /** GET /quantile?q=0.9 — the EXACT rank-based n_chars quantile served
+    * from the cached fixed-domain histogram (the banded algorithm's
+    * serving face): the bin walk is driver-side over ≤1024 cached rows,
+    * the band pass touches expected n/1024 of the corpus. q outside
+    * (0, 1] is a 422 (the require → IllegalArgumentException path). */
+  private def quantileEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
+    val q = qp.getOrElse("q", "0.5").toDoubleOption
+      .getOrElse(throw new IllegalArgumentException("q must be a number"))
+    val bins = nCharsHist
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("c"))).toSeq
+    val cutoff = graft.ops.Quality.quantileFromBins(bins,
+      graft.Tables.documents(spark, sfDir), col("n_chars"), q,
+      histLo, histHi)
+    reply(ex, 200, obj { o =>
+      o.put("column", "n_chars")
+      o.put("q", q)
+      o.put("cutoff", cutoff)
+      o.put("n", bins.map(_._2).sum)
     })
   }
 

@@ -400,6 +400,26 @@ class GraftApiSpec extends SparkSpec {
     assert(get("/stats?column=nope")._1 === 404)
   }
 
+  test("GET /quantile serves the EXACT rank quantile from the cached " +
+      "histogram; out-of-range q is a 422") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(0.5, 0.9, 1.0).foreach { q =>
+      val (code, body) = get(s"/quantile?q=$q")
+      assert(code === 200)
+      assert(body.get("column").asText() === "n_chars")
+      assert(body.get("n").asLong() === docs.count())
+      val want = graft.ops.Quality.exactQuantileBanded(
+        docs, org.apache.spark.sql.functions.col("n_chars"), q)
+      assert(body.get("cutoff").asLong() === want, s"at q=$q")
+    }
+    // default q is the median
+    assert(get("/quantile")._2.get("q").asDouble() === 0.5)
+    assert(get("/quantile?q=0")._1 === 422)
+    assert(get("/quantile?q=1.5")._1 === 422)
+    assert(get("/quantile?q=abc")._1 === 422)
+  }
+
   test("GET /imagedup serves banded near-dups from the persisted aHash index") {
     implicit val s = spark
     // pick a doc that actually has neighbors from the inline tier
