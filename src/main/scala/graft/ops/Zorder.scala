@@ -181,7 +181,12 @@ object Zorder {
       : (DataFrame, Int, Int) = {
     val env = spark.read.parquet(envPath).collect() // files-sized: bounded
     val hits = env.filter { r =>
-      r.getAs[Long]("x_max") >= xLo && r.getAs[Long]("x_min") <= xHi &&
+      // a null envelope bound means the file has NO non-null rows on that
+      // dimension — such rows can't match a between, so the file is
+      // soundly prunable, not an error
+      Seq("x_min", "x_max", "y_min", "y_max")
+        .forall(c => !r.isNullAt(r.fieldIndex(c))) &&
+        r.getAs[Long]("x_max") >= xLo && r.getAs[Long]("x_min") <= xHi &&
         r.getAs[Long]("y_max") >= yLo && r.getAs[Long]("y_min") <= yHi
     }.map(_.getAs[String]("f")).toSeq
     val rowFilter = x.cast("long").between(xLo, xHi) &&

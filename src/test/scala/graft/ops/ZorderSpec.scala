@@ -61,6 +61,22 @@ class ZorderSpec extends SparkSpec {
     val (none, s0, _) = Zorder.envelopePrunedRead(spark, s"$tmp/z",
       s"$tmp/env", col("x"), col("y"), 5000L, 6000L, 0L, 10000L)
     assert(s0 === 0 && none.count() === 0L)
+    // a file whose dimension is ENTIRELY null has a null envelope — it is
+    // soundly prunable (null never matches a between), not an NPE
+    val withNulls = df.select(col("id"),
+        when(col("id") < 1000, col("x")).as("x"), col("y"))
+    withNulls.where(col("id") >= 1000).coalesce(1)
+      .write.parquet(s"$tmp/z2") // one all-null-x file
+    withNulls.where(col("id") < 1000).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/z2")
+    Zorder.writeFileEnvelopes(spark, s"$tmp/z2", s"$tmp/env2",
+      col("x"), col("y"))
+    val (rows2, s2, t2) = Zorder.envelopePrunedRead(spark, s"$tmp/z2",
+      s"$tmp/env2", col("x"), col("y"), 0L, 1000L, 0L, 1000L)
+    assert(t2 === 2 && s2 === 1)
+    assert(rows2.select("id").as[Long].collect().sorted.toSeq ===
+      withNulls.where(col("x").between(0, 1000) && col("y").between(0, 1000))
+        .select("id").as[Long].collect().sorted.toSeq)
   }
 
   test("the layout gate holds end-to-end: content preserved, both dims prunable") {
