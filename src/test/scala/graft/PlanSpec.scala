@@ -55,6 +55,16 @@ class PlanSpec extends SparkSpec {
     assert(!q4.contains("ResolvedHint"))
   }
 
+  test("grouped banded quantile: broadcast-only joins, map-side histogram, " +
+      "no cartesian") {
+    val p = plan("q181_quantile_banded_by_group")
+    // group stats and bin targets are groups-sized: both joins broadcast
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the histogram agg does its work map-side (tiny-key shuffle)
+    assert(p.contains("partial_count") || p.contains("partial_"))
+  }
+
   test("events hourly agg groups by window with partial aggregation") {
     val p = plan("q29_events_hourly")
     assert(p.contains("HashAggregate"))
