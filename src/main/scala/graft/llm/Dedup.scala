@@ -61,37 +61,50 @@ object Dedup {
     * (doc_id-keyed, co-partitionable) joins that fetch shingle sets for the
     * verify. No step is quadratic in the corpus.
     */
-  def minhashNearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    // Docs with <2 tokens have NO shingles: their MinhashSig would be all
-    // Long.MaxValue sentinels (DuckDB's list_min([]) yields NULLs instead)
-    // and a candidate pair against one would hit 0/0 Jaccard — engines
-    // disagree on both. Filter them out BEFORE the shingle projection
-    // (mirrored by `WHERE len(s) > 0` in the q21 oracle — equivalent: a doc
-    // has >=1 2-gram shingle iff it has >=2 tokens); an empty doc cannot be
-    // a near-dup of anything under set-Jaccard semantics. Filtering on the
-    // CHEAP token count, pre-projection, matters: a post-projection
-    // `size(shingle_set) > 0` predicate gets pushed below the projection and
-    // re-evaluates the whole shingle pipeline per row (measured +60% on q21).
-    val eligible = graft.Tables.spread(docs)
+  /** Docs with <2 tokens have NO shingles: their MinhashSig would be all
+    * Long.MaxValue sentinels (DuckDB's list_min([]) yields NULLs instead)
+    * and a candidate pair against one would hit 0/0 Jaccard — engines
+    * disagree on both. Filter them out BEFORE the shingle projection
+    * (mirrored by `WHERE len(s) > 0` in the q21 oracle — equivalent: a doc
+    * has >=1 2-gram shingle iff it has >=2 tokens); an empty doc cannot be
+    * a near-dup of anything under set-Jaccard semantics. Filtering on the
+    * CHEAP token count, pre-projection, matters: a post-projection
+    * `size(shingle_set) > 0` predicate gets pushed below the projection and
+    * re-evaluates the whole shingle pipeline per row (measured +60% on
+    * q21). Shared by the one-shot pair run and the incremental probe —
+    * a doc's bands/shingles depend only on its own text, which is exactly
+    * why an incremental index is sound. */
+  private def eligibleDocs(docs: DataFrame): DataFrame =
+    graft.Tables.spread(docs)
       .filter(size(toks(col("text"))) >= 2)
-    // Verify sets: sorted distinct shingle HASHES (the q23 merge-intersect
-    // spelling) — native kernels end to end, no interpreted string-array
-    // lambdas. RAW 60-bit hashes here (not the signatures' mod-P images,
-    // whose ~n²/2^32 per-doc collision rate would quietly shrink distinct
-    // sets): at 2^60 a collision is ~n²/2^61, so the hash-set Jaccard equals
-    // the string-set Jaccard, and both engines hash identically anyway.
-    val shingleSets = eligible.select(
+
+  /** Verify sets: sorted distinct shingle HASHES (the q23 merge-intersect
+    * spelling) — native kernels end to end, no interpreted string-array
+    * lambdas. RAW 60-bit hashes here (not the signatures' mod-P images,
+    * whose ~n²/2^32 per-doc collision rate would quietly shrink distinct
+    * sets): at 2^60 a collision is ~n²/2^61, so the hash-set Jaccard equals
+    * the string-set Jaccard, and both engines hash identically anyway. */
+  private def shingleSetsOf(eligible: DataFrame): DataFrame =
+    eligible.select(
       col("doc_id"),
       array_sort(array_distinct(
         graft.expr.ShingleHashSeq(toks(col("text")), 2))).as("shingle_set"))
-    val sigs = minhashSignatures(eligible)
-    // Repartition on the band key: both self-join sides share ONE exchange
-    // (ReuseExchange), so the md5+permutation signature prep runs once, and
-    // shuffle_hash is the strategy that still exists at corpus scale.
-    val bands = sigs
+
+  /** Exploded (doc_id, band_idx, band_hash) rows of the docs' signatures —
+    * the LSH bucket keys both the self-join and the index probe match on. */
+  private def bandsOf(eligible: DataFrame): DataFrame =
+    minhashSignatures(eligible)
       .select(col("doc_id"), explode(lshBands(col("sig"))).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
         col("band.band_hash").as("band_hash"))
+
+  def minhashNearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val eligible = eligibleDocs(docs)
+    val shingleSets = shingleSetsOf(eligible)
+    // Repartition on the band key: both self-join sides share ONE exchange
+    // (ReuseExchange), so the md5+permutation signature prep runs once, and
+    // shuffle_hash is the strategy that still exists at corpus scale.
+    val bands = bandsOf(eligible)
       .repartition(col("band_idx"), col("band_hash"))
     val a = bands.as("a")
     val b = bands.hint("shuffle_hash").as("b")
@@ -121,6 +134,78 @@ object Dedup {
         (col("icnt").cast("double") / (col("nsum") - col("icnt")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Incremental MinHash dedup: persisted band index + delta probe
+  // ---------------------------------------------------------------------------
+
+  /** Persist the corpus's MinHash dedup index: the exploded band table
+    * (sorted by (band_idx, band_hash) so parquet row-group min/max covers
+    * the probe's bucket lookups) and the verify shingle sets (sorted by
+    * doc_id for the candidate point-fetch). THE 100 TB dedup operation is
+    * probing a DELTA against this index ([[probeMinhashIndex]]) — the
+    * corpus's signatures are computed once at admission, never again. A
+    * doc's bands/shingles depend only on its own text, so the index is
+    * append-only by construction ([[appendMinhashIndex]]). */
+  def writeMinhashIndex(docs: DataFrame, indexPath: String): Unit =
+    writeIndexParts(docs, indexPath, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Admit a new delta into the index — typically the probe's SURVIVORS
+    * (docs that did not near-dup against the corpus). Append-only: existing
+    * files are never rewritten. */
+  def appendMinhashIndex(docs: DataFrame, indexPath: String): Unit =
+    writeIndexParts(docs, indexPath, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeIndexParts(docs: DataFrame, indexPath: String,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    val eligible = eligibleDocs(docs)
+    bandsOf(eligible).sortWithinPartitions("band_idx", "band_hash")
+      .write.mode(mode).parquet(s"$indexPath/bands")
+    shingleSetsOf(eligible).sortWithinPartitions("doc_id")
+      .write.mode(mode).parquet(s"$indexPath/shingles")
+  }
+
+  /** Near-dup pairs between a NEW delta and the indexed corpus, without
+    * recomputing anything corpus-sized: the delta's bands/shingles are
+    * delta-sized and BROADCAST, so the index scans stream map-side — no
+    * corpus shuffle, no corpus signature recompute. Exactness law
+    * (spec-pinned): probe(delta, index(old)) == the cross (old × new)
+    * subset of `minhashNearDupPairs(old ∪ delta)` — sound because a doc's
+    * bands and shingle set depend only on its own text. Output
+    * (doc_id_a, doc_id_b, jaccard) with a < b, the q21 convention. */
+  def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, indexPath: String,
+      threshold: Double = 0.8): DataFrame = {
+    val eligible = eligibleDocs(newDocs)
+    val newBands = bandsOf(eligible)
+    val newSets = shingleSetsOf(eligible)
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+    val candidates = idxBands.join(broadcast(newBands),
+        idxBands("band_idx") === newBands("band_idx") &&
+          idxBands("band_hash") === newBands("band_hash"))
+      .select(idxBands("doc_id").as("doc_id_old"),
+        newBands("doc_id").as("doc_id_new"))
+      .distinct()
+    val idxSets = spark.read.parquet(s"$indexPath/shingles")
+      .select(col("doc_id").as("doc_id_old"), col("shingle_set").as("sh_old"))
+    val deltaSets = newSets
+      .select(col("doc_id").as("doc_id_new"), col("shingle_set").as("sh_new"))
+    idxSets
+      .join(broadcast(candidates), "doc_id_old") // index streams map-side
+      .join(broadcast(deltaSets), "doc_id_new")
+      .select(col("doc_id_old"), col("doc_id_new"),
+        graft.expr.ThresholdedIntersectCount(col("sh_old"), col("sh_new"),
+          graft.expr.ThresholdedIntersectCount.jaccardBound(
+            size(col("sh_old")) + size(col("sh_new")), threshold)).as("icnt"),
+        (size(col("sh_old")) + size(col("sh_new"))).as("nsum"))
+      .select(col("doc_id_old"), col("doc_id_new"),
+        (col("icnt").cast("double") / (col("nsum") - col("icnt")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("doc_id_old"), col("doc_id_new")).as("doc_id_a"),
+        greatest(col("doc_id_old"), col("doc_id_new")).as("doc_id_b"),
+        col("jaccard"))
   }
 
   /** Connected components over the near-dup pair graph — the step that turns

@@ -692,6 +692,33 @@ WITH $minhashCtes
 SELECT doc_id_a, doc_id_b, jaccard FROM j WHERE jaccard >= 0.8
 ORDER BY doc_id_a, doc_id_b""")),
 
+    // INCREMENTAL near-dup: the corpus's band+shingle index is persisted
+    // once (a 10% delta split on doc_id stands in for a new crawl batch);
+    // the probe computes only the DELTA's signatures, broadcasts them, and
+    // streams the index — no corpus shuffle, no corpus recompute. The
+    // oracle runs the ONE-SHOT q21 chain over the whole table restricted
+    // to cross (old × new) pairs: probe == one-shot is the exactness law
+    // (a doc's bands/shingles depend only on its own text).
+    Q("q182_neardup_incremental",
+      (s, dir) => {
+        val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_mhidx_" + graft.sec.SecDerive.pathKey(dir)
+        val docs = Tables.documents(s, dir)
+        graft.sec.SecDerive.cachedCount(s, dir, "minhash_index") {
+          Dedup.writeMinhashIndex(
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), base)
+          1L
+        }
+        Dedup.probeMinhashIndex(s,
+            docs.filter(pmod(col("doc_id"), lit(10)) === 0), base, 0.8)
+          .orderBy("doc_id_a", "doc_id_b")
+      },
+      Some(s"""
+WITH $minhashCtes
+SELECT doc_id_a, doc_id_b, jaccard FROM j
+WHERE jaccard >= 0.8 AND ((doc_id_a % 10 = 0) <> (doc_id_b % 10 = 0))
+ORDER BY doc_id_a, doc_id_b""")),
+
     // Near-dup CLUSTERING: connected components over the q21 pair graph —
     // the step that turns pairwise matches into dedup decisions (canonical
     // survivor = min doc_id per component). Oracle: recursive-CTE transitive

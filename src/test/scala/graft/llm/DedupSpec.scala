@@ -41,6 +41,40 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated excluded
   }
 
+  test("incremental probe == one-shot cross pairs; admit loop catches dups " +
+      "against corpus AND earlier deltas") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = real.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val d1 = real.filter(pmod(col("doc_id"), lit(10)) === 0 &&
+      pmod(col("doc_id"), lit(20)) === 0)
+    val d2 = real.filter(pmod(col("doc_id"), lit(10)) === 0 &&
+      pmod(col("doc_id"), lit(20)) =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("mhidx_").toString
+    Dedup.writeMinhashIndex(old, tmp)
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("doc_id_a", "doc_id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def crossOf(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val aIds = a.select("doc_id").as[Long].collect().toSet
+      val bIds = b.select("doc_id").as[Long].collect().toSet
+      pairs(Dedup.minhashNearDupPairs(a.unionByName(b), 0.8))
+        .filter { case (x, y) =>
+          (aIds(x) && bIds(y)) || (bIds(x) && aIds(y)) }
+    }
+
+    // exactness law: probe(delta, index(old)) == one-shot cross subset
+    assert(pairs(Dedup.probeMinhashIndex(spark, d1, tmp, 0.8)) ===
+      crossOf(old, d1))
+    // the admit loop: append delta1, probe delta2 — dups caught against
+    // the ORIGINAL corpus and the earlier delta alike
+    Dedup.appendMinhashIndex(d1, tmp)
+    assert(pairs(Dedup.probeMinhashIndex(spark, d2, tmp, 0.8)) ===
+      crossOf(old.unionByName(d1), d2))
+  }
+
   test("simhash: identical docs equal; near dups within small Hamming distance") {
     val fps = Dedup.simhashFingerprints(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
