@@ -172,6 +172,26 @@ object Quality {
     (sorted(i)._1, (r - cum).toInt)
   }
 
+  /** Constraint-enforcing split — the dead-letter pattern every 100 TB
+    * ingest needs: rows violating any named constraint route to a
+    * QUARANTINE frame carrying the violated-constraint list; rows passing
+    * all constraints route to the good frame. Nothing silently drops —
+    * good + quarantine == input row-for-row (the conservation law,
+    * property-pinned). SQL CHECK semantics (Delta constraints likewise):
+    * a constraint is violated iff it evaluates FALSE — a NULL (unknown)
+    * passes, so null checks are written explicitly (`isNotNull`). The
+    * split is two filters over one shared scan: no shuffle, no join;
+    * at scale each side writes in a single pass. */
+  def enforceConstraints(df: DataFrame,
+      constraints: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    require(constraints.nonEmpty, "no constraints given")
+    val labeled = df.withColumn("violations", array_compact(array(
+      constraints.map { case (name, c) =>
+        when(c === false, lit(name)) }: _*)))
+    (labeled.filter(size(col("violations")) === 0).drop("violations"),
+      labeled.filter(size(col("violations")) > 0))
+  }
+
   val queries: Seq[Q] = Seq(
     // The banded exact quantile, applied: the exact P90 n_chars cutoff
     // (length thresholds are a standard curation signal) computed WITHOUT
@@ -203,6 +223,52 @@ FROM documents, c
 WHERE n_chars >= cutoff
 GROUP BY source, cutoff
 ORDER BY source""")),
+
+    // The quarantine report: per-constraint violation counts (zero rows
+    // kept via the seeded left join — a silent disappearance must read as
+    // 0, not absence) plus the conservation audit every row carries. The
+    // 'n_chars_matches' constraint holds on this corpus by construction —
+    // its 0 row proves seeding; the other two genuinely split the table.
+    Q("q183_constraint_quarantine",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val constraints = Seq(
+          ("lang_latin", col("lang").isin("en", "fr", "es", "de")),
+          ("n_chars_matches", col("n_chars") === length(col("text"))),
+          ("text_min_100", length(col("text")) >= 100))
+        val (good, bad) = enforceConstraints(docs, constraints)
+        val summary = good.agg(count(lit(1)).as("n_good"))
+          .crossJoin(bad.agg(count(lit(1)).as("n_quarantined")))
+          .crossJoin(docs.agg(count(lit(1)).as("__n")))
+          .select(col("n_good"), col("n_quarantined"),
+            (col("n_good") + col("n_quarantined") === col("__n"))
+              .as("conserved"))
+        val violCounts = bad
+          .select(explode(col("violations")).as("constraint_name"))
+          .groupBy("constraint_name").agg(count(lit(1)).as("n_violations"))
+        constraints.map(_._1).toDF("constraint_name")
+          .join(violCounts, Seq("constraint_name"), "left")
+          .na.fill(0L, Seq("n_violations"))
+          .crossJoin(broadcast(summary))
+          .orderBy("constraint_name")
+      },
+      Some("""
+WITH f AS (SELECT
+    CASE WHEN (lang IN ('en','fr','es','de')) = false THEN 1 ELSE 0 END AS v1,
+    CASE WHEN (n_chars = length(text)) = false THEN 1 ELSE 0 END AS v2,
+    CASE WHEN (length(text) >= 100) = false THEN 1 ELSE 0 END AS v3
+  FROM documents),
+s AS (SELECT CAST(sum(CASE WHEN v1 + v2 + v3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+             CAST(sum(CASE WHEN v1 + v2 + v3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+             CAST(count(*) AS BIGINT) AS n FROM f),
+c(constraint_name, n_violations) AS (
+  SELECT 'lang_latin', CAST(sum(v1) AS BIGINT) FROM f
+  UNION ALL SELECT 'n_chars_matches', CAST(sum(v2) AS BIGINT) FROM f
+  UNION ALL SELECT 'text_min_100', CAST(sum(v3) AS BIGINT) FROM f)
+SELECT constraint_name, n_violations, n_good, n_quarantined,
+  (n_good + n_quarantined = n) AS conserved
+FROM c, s ORDER BY constraint_name""")),
 
     // The grouped tier applied: exact per-language median document length,
     // no global (or even per-group) sort — the cutoff table a per-lang

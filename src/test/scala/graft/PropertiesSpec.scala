@@ -378,6 +378,29 @@ object PropertiesSpec extends Properties("graft") {
       got == want
     }
 
+  // Quarantine conservation law: for ANY rows (nulls included) and this
+  // constraint set, good + quarantined == input as multisets, the two
+  // sides are disjoint, and a NULL constraint verdict passes (SQL CHECK
+  // semantics) while FALSE quarantines.
+  property("enforceConstraints conserves rows; null verdict passes") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.option(Gen.choose(-5L, 5L)), Gen.alphaStr.map(_.take(4))))) { xs =>
+      val df = xs.toDF("v", "s")
+      val (good, bad) = ops.Quality.enforceConstraints(df, Seq(
+        ("v_pos", col("v") > 0), // NULL v → unknown → passes
+        ("s_short", length(col("s")) <= 2)))
+      val inRows = df.collect().map(_.toSeq).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val outRows = (good.collect().map(_.toSeq) ++
+          bad.drop("violations").collect().map(_.toSeq)).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val nullsPass = good.collect().forall(r => r.isNullAt(0) ||
+          r.getLong(0) > 0) &&
+        bad.collect().forall(r => !r.isNullAt(0) ||
+          !r.getSeq[String](2).contains("v_pos"))
+      inRows == outRows && nullsPass
+    }
+
   // VACUUM KEEP horizon law, over arbitrary delivery histories: after d
   // re-deliveries of one logical batch and a vacuum keeping n versions,
   // (a) exactly max(0, d - n) superseded delivery directories are
