@@ -407,6 +407,22 @@ object Layout {
     listManifests(fsOf(spark, dir), dir).map(_._1).sorted
   }
 
+  /** One published manifest version's (logical batch → physical delivery)
+    * entries — the catalog row set `DIFF LAYOUT` compares. Unknown
+    * versions refuse ([[committedBatchFilterAt]]'s contract: an audit
+    * read must not silently substitute a different snapshot). */
+  def manifestEntriesAt(spark: SparkSession, base: String, version: Long)
+      : Map[Long, Long] = {
+    val dir = commitsDir(base)
+    val fs = fsOf(spark, dir)
+    require(fs.exists(dir), s"$base has no commit log — nothing to diff")
+    val ms = listManifests(fs, dir).toMap
+    val p = ms.getOrElse(version, throw new IllegalArgumentException(
+      s"no manifest version $version under $dir " +
+        s"(published: ${ms.keys.toSeq.sorted.mkString(", ")})"))
+    readManifestFile(fs, p)
+  }
+
   /** Garbage-collect SUPERSEDED deliveries: delete `batch_id=<p>`
     * directories whose logical batch maps to a HIGHER physical in the
     * current manifest — i.e. deliveries a later finish replaced. Never

@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *     HISTOGRAM FOR <col> DOMAIN <lo> TO <hi>
   *   VACUUM LAYOUT '<base>' [KEEP <n> VERSIONS]
   *   DESCRIBE LAYOUT '<base>'
+  *   DIFF LAYOUT '<base>' VERSIONS <v1> TO <v2>
   *   SNAPSHOT LAYOUT '<base>' TABLE '<table>' [AS OF <v>] AS VIEW <name>
   *
   * Without ZORDER BY the rewrite is the shuffle-free coalesce in
@@ -71,6 +72,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Describe =
     """(?is)\s*DESCRIBE\s+LAYOUT\s+'([^']+)'\s*;?\s*""".r
 
+  // DIFF LAYOUT '<base>' VERSIONS <v1> TO <v2> — what changed between two
+  // published snapshots, answered from the MANIFESTS alone (no data scan,
+  // the point at 100 TB): one row per logical batch that was added,
+  // removed, or rewritten (same logical, different physical delivery)
+  // between v1 and v2. The Delta DESCRIBE HISTORY / table-diff shape for
+  // path-addressed layouts; unknown versions refuse.
+  private val Diff =
+    ("""(?is)\s*DIFF\s+LAYOUT\s+'([^']+)'""" +
+      """\s+VERSIONS\s+(\d+)\s+TO\s+(\d+)\s*;?\s*""").r
+
   // SNAPSHOT LAYOUT '<base>' TABLE '<table>' [AS OF <v>] AS VIEW <name> —
   // the time-travel FRONT DOOR: registers a temp view over one table of a
   // batch-committed layout, visibility-filtered at the given manifest
@@ -99,6 +110,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Vacuum(base, keep) =>
       VacuumLayoutCommand(base, Option(keep).map(_.toInt).getOrElse(1))
     case Describe(base) => DescribeLayoutCommand(base)
+    case Diff(base, v1, v2) => DiffLayoutCommand(base, v1.toLong, v2.toLong)
     case Snapshot(base, table, v, view) =>
       SnapshotLayoutCommand(base, table, Option(v).map(_.toLong), view)
     case _ => delegate.parsePlan(sqlText)
@@ -216,6 +228,35 @@ case class SnapshotLayoutCommand(base: String, table: String,
       graft.ops.Layout.manifestVersions(spark, base).lastOption)
       .getOrElse(-1L) // pre-protocol layout: no versions published
     Seq(Row(view, resolved))
+  }
+}
+
+/** Eager driver-side command node for DIFF LAYOUT ... VERSIONS v1 TO v2:
+  * manifest set difference — one row per logical batch whose membership
+  * or physical delivery changed between the two published snapshots,
+  * sorted by logical batch. Answered entirely from the two manifest
+  * files; no table data is opened. */
+case class DiffLayoutCommand(base: String, v1: Long, v2: Long)
+    extends LeafRunnableCommand {
+  private val LongT = org.apache.spark.sql.types.LongType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("logical_batch", LongT, nullable = false)(),
+    AttributeReference("change",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("physical_from", LongT, nullable = true)(),
+    AttributeReference("physical_to", LongT, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val from = graft.ops.Layout.manifestEntriesAt(spark, base, v1)
+    val to = graft.ops.Layout.manifestEntriesAt(spark, base, v2)
+    val rows =
+      (to.keySet -- from.keySet).toSeq.map(l =>
+        Row(l, "added", null, to(l))) ++
+      (from.keySet -- to.keySet).toSeq.map(l =>
+        Row(l, "removed", from(l), null)) ++
+      (from.keySet & to.keySet).toSeq
+        .filter(l => from(l) != to(l))
+        .map(l => Row(l, "rewritten", from(l), to(l)))
+    rows.sortBy(_.getLong(0))
   }
 }
 

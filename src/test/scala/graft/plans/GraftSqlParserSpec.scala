@@ -103,6 +103,46 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(asOf(versions.last) === Seq("v3"))
   }
 
+  test("DIFF LAYOUT VERSIONS reports added/rewritten/removed logical " +
+      "batches from the manifests alone") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Layout
+    val base = Files.createTempDirectory("graft_sqldiff_").toString
+    def deliver(logical: Long, tag: String): Long = {
+      val p = Layout.beginBatchCommit(spark, base, logical)
+      Seq((1L, tag)).toDF("id", "t").withColumn("batch_id", lit(p))
+        .write.partitionBy("batch_id").mode("append").parquet(s"$base/t")
+      Layout.finishBatchCommit(spark, base, p)
+      p
+    }
+    deliver(0L, "b0")            // -> version 2 (after init's 1)
+    val p0b = deliver(0L, "b0'") // rewrite of logical 0 -> version 3
+    val p1 = deliver(1L, "b1")   // new logical 1 -> version 4
+    val vs = Layout.manifestVersions(spark, base)
+    assert(vs.length === 4)
+
+    val d = spark.sql(
+      s"DIFF LAYOUT '$base' VERSIONS ${vs(1)} TO ${vs.last}")
+    assert(d.columns.toSeq ===
+      Seq("logical_batch", "change", "physical_from", "physical_to"))
+    val rows = d.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.get(2)), Option(r.get(3)))).toSeq
+    assert(rows === Seq(
+      (0L, "rewritten", Some(Layout.manifestEntriesAt(spark, base, vs(1))(0L)),
+        Some(p0b)),
+      (1L, "added", None, Some(p1))))
+    // reverse direction: the same facts read as removed / rewritten back
+    val back = spark.sql(
+      s"DIFF LAYOUT '$base' VERSIONS ${vs.last} TO ${vs(1)}")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back === Seq((0L, "rewritten"), (1L, "removed")))
+    // a version diffed against itself is empty; unknown versions refuse
+    assert(spark.sql(
+      s"DIFF LAYOUT '$base' VERSIONS ${vs.last} TO ${vs.last}").count() === 0L)
+    intercept[Exception](
+      spark.sql(s"DIFF LAYOUT '$base' VERSIONS 1 TO 999").collect())
+  }
+
   test("SNAPSHOT LAYOUT registers a version-pinned view; unknown versions refuse") {
     import org.apache.spark.sql.functions._
     import graft.ops.Layout
