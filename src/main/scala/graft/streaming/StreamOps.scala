@@ -709,6 +709,40 @@ object StreamOps {
     spark.read.parquet(histPath)
       .groupBy("b").agg(sum("c").as("c"))
 
+  /** Streaming constraint enforcement — the dead-letter pattern on the
+    * ingest path ([[graft.ops.Quality.enforceConstraints]]'s twin): each
+    * micro-batch splits ONCE over a shared scan and lands its good rows
+    * under `goodPath/batch_id=` and its quarantined rows (with the
+    * violated-constraint list) under `quarantinePath/batch_id=`, both
+    * with the dynamic-overwrite exactly-once recipe — a re-delivered
+    * batch overwrites BOTH of its partitions atomically per side, so the
+    * conservation law (good + quarantined == input) holds per batch and
+    * therefore over any fold of batches. Batch-0 freshness guards on both
+    * roots. */
+  def quarantineStream(docsStream: DataFrame,
+      constraints: Seq[(String, org.apache.spark.sql.Column)],
+      goodPath: String, quarantinePath: String,
+      checkpoint: String): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (batchId == 0L) {
+          requireFreshStatsRoot(b.sparkSession, goodPath)
+          requireFreshStatsRoot(b.sparkSession, quarantinePath)
+        }
+        val (good, bad) = graft.ops.Quality.enforceConstraints(b, constraints)
+        def land(df: DataFrame, path: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        land(good, goodPath)
+        land(bad, quarantinePath)
+        ()
+      }
+      .start()
+
   /** Batch-0 restart guard shared by the serving-layout ingest streams:
     * true iff a `batch_id=` partition other than 0 (legitimate
     * re-delivery) or -1 (the reserved base) exists `depth` directory

@@ -938,6 +938,40 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(viaStream === exact)
   }
 
+  test("quarantineStream: streamed good/quarantine folds == the batch " +
+      "split; conservation holds across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("quarstream").toString
+    val constraints = Seq(
+      ("n_chars_pos", org.apache.spark.sql.functions.col("n_chars") > 0),
+      ("src_known", org.apache.spark.sql.functions.col("source")
+        .isin("src0", "src1", "src2")))
+    val (first, second) = docsFixture.splitAt(docsFixture.size / 2)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.quarantineStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      constraints, s"$tmp/good", s"$tmp/quar", s"$tmp/ckpt")
+    try {
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+    } finally q.stop()
+    val docsDF = docsFixture.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (bGood, bBad) = graft.ops.Quality.enforceConstraints(docsDF, constraints)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val sGood = spark.read.parquet(s"$tmp/good")
+    val sQuar = spark.read.parquet(s"$tmp/quar")
+    assert(ids(sGood) === ids(bGood))
+    assert(ids(sQuar) === ids(bBad))
+    // conservation across the fold of batches
+    assert(sGood.count() + sQuar.count() === docsDF.count())
+    // quarantined rows carry the same violation lists as the batch split
+    def viols(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.select("doc_id", "violations").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).sorted.toSeq).toMap
+    assert(viols(sQuar) === viols(bBad))
+  }
+
   test("histogramStream folded shards == one-shot histogram exactly; " +
       "the streamed histogram locates the EXACT banded quantile") {
     implicit val sqlCtx = spark.sqlContext
