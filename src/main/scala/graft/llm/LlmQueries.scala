@@ -719,6 +719,53 @@ SELECT doc_id_a, doc_id_b, jaccard FROM j
 WHERE jaccard >= 0.8 AND ((doc_id_a % 10 = 0) <> (doc_id_b % 10 = 0))
 ORDER BY doc_id_a, doc_id_b""")),
 
+    // The ADMISSION decision over the incremental probe — q182's applied
+    // tier: delta docs that near-dup the indexed corpus are rejected,
+    // survivors are admitted (and appendMinhashIndex is the admit write,
+    // spec-gated in DedupSpec). Anti-join of the delta against the
+    // probe's dup ids (both delta-sized, broadcastable); per-source
+    // admit/reject counts are what a crawl-ingest run reports.
+    Q("q184_incremental_admission",
+      (s, dir) => {
+        val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_mhidx_" + graft.sec.SecDerive.pathKey(dir)
+        val docs = Tables.documents(s, dir)
+        graft.sec.SecDerive.cachedCount(s, dir, "minhash_index") {
+          Dedup.writeMinhashIndex(
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), base)
+          1L
+        }
+        val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val dupIds = Dedup.probeMinhashIndex(s, delta, base, 0.8)
+          // the delta-side id of each cross pair (old and new ids are
+          // disjoint by the split, so pick the one in the delta)
+          .select(when(pmod(col("doc_id_a"), lit(10)) === 0,
+            col("doc_id_a")).otherwise(col("doc_id_b")).as("doc_id"))
+          .distinct()
+        delta.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("n_admitted"))
+          .join(
+            delta.join(broadcast(dupIds), Seq("doc_id"), "left_semi")
+              .groupBy("source").agg(count(lit(1)).as("n_rejected")),
+            Seq("source"), "full_outer")
+          .na.fill(0L, Seq("n_admitted", "n_rejected"))
+          .orderBy("source")
+      },
+      Some(s"""
+WITH $minhashCtes,
+dup AS (SELECT DISTINCT CASE WHEN doc_id_a % 10 = 0 THEN doc_id_a
+                             ELSE doc_id_b END AS doc_id
+        FROM j WHERE jaccard >= 0.8
+          AND ((doc_id_a % 10 = 0) <> (doc_id_b % 10 = 0))),
+delta AS (SELECT * FROM documents WHERE doc_id % 10 = 0)
+SELECT source,
+  CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_admitted,
+  CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_rejected
+FROM delta LEFT JOIN dup ON dup.doc_id = delta.doc_id
+GROUP BY source ORDER BY source""")),
+
     // Near-dup CLUSTERING: connected components over the q21 pair graph —
     // the step that turns pairwise matches into dedup decisions (canonical
     // survivor = min doc_id per component). Oracle: recursive-CTE transitive
