@@ -73,6 +73,14 @@ class DedupSpec extends SparkSpec {
     Dedup.appendMinhashIndex(d1, tmp)
     assert(pairs(Dedup.probeMinhashIndex(spark, d2, tmp, 0.8)) ===
       crossOf(old.unionByName(d1), d2))
+    // an empty delta probes to an empty result, not an error
+    assert(Dedup.probeMinhashIndex(spark,
+      real.limit(0), tmp, 0.8).count() === 0L)
+    // an all-too-short delta (no shingles) likewise probes empty
+    import spark.implicits._
+    val shorty = Seq((999999L, "word", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.probeMinhashIndex(spark, shorty, tmp, 0.8).count() === 0L)
   }
 
   test("simhash: identical docs equal; near dups within small Hamming distance") {
