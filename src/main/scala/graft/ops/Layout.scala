@@ -423,6 +423,25 @@ object Layout {
     readManifestFile(fs, p)
   }
 
+  /** Manifest set difference between two published versions — one row per
+    * logical batch (logical, change, physical_from, physical_to), sorted
+    * by logical batch; shared by `DIFF LAYOUT` and `GET /diff`. Priced at
+    * manifest size: two small files read, no table data opened. */
+  def diffManifests(spark: SparkSession, base: String, v1: Long, v2: Long)
+      : Seq[(Long, String, Option[Long], Option[Long])] = {
+    val from = manifestEntriesAt(spark, base, v1)
+    val to = manifestEntriesAt(spark, base, v2)
+    val rows =
+      (to.keySet -- from.keySet).toSeq.map(l =>
+        (l, "added", None: Option[Long], Some(to(l)))) ++
+      (from.keySet -- to.keySet).toSeq.map(l =>
+        (l, "removed", Some(from(l)), None: Option[Long])) ++
+      (from.keySet & to.keySet).toSeq
+        .filter(l => from(l) != to(l))
+        .map(l => (l, "rewritten", Some(from(l)), Some(to(l))))
+    rows.sortBy(_._1)
+  }
+
   /** Garbage-collect SUPERSEDED deliveries: delete `batch_id=<p>`
     * directories whose logical batch maps to a HIGHER physical in the
     * current manifest — i.e. deliveries a later finish replaced. Never

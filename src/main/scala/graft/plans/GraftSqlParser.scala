@@ -245,19 +245,12 @@ case class DiffLayoutCommand(base: String, v1: Long, v2: Long)
       org.apache.spark.sql.types.StringType, nullable = false)(),
     AttributeReference("physical_from", LongT, nullable = true)(),
     AttributeReference("physical_to", LongT, nullable = true)())
-  override def run(spark: SparkSession): Seq[Row] = {
-    val from = graft.ops.Layout.manifestEntriesAt(spark, base, v1)
-    val to = graft.ops.Layout.manifestEntriesAt(spark, base, v2)
-    val rows =
-      (to.keySet -- from.keySet).toSeq.map(l =>
-        Row(l, "added", null, to(l))) ++
-      (from.keySet -- to.keySet).toSeq.map(l =>
-        Row(l, "removed", from(l), null)) ++
-      (from.keySet & to.keySet).toSeq
-        .filter(l => from(l) != to(l))
-        .map(l => Row(l, "rewritten", from(l), to(l)))
-    rows.sortBy(_.getLong(0))
-  }
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.ops.Layout.diffManifests(spark, base, v1, v2).map {
+      case (l, change, from, to) =>
+        Row(l, change, from.map(java.lang.Long.valueOf).orNull,
+          to.map(java.lang.Long.valueOf).orNull)
+    }
 }
 
 /** Eager driver-side command node for DESCRIBE LAYOUT: one row per

@@ -165,6 +165,8 @@ class GraftApi(spark: SparkSession, sfDir: String,
       case ("GET", List("hybrid"))          => hybridEndpoint(ex, qp)
       case ("GET", List("stats"))           => statsEndpoint(ex, qp)
       case ("GET", List("quantile"))        => quantileEndpoint(ex, qp)
+      case ("GET", List("versions"))        => versionsEndpoint(ex)
+      case ("GET", List("diff"))            => diffEndpoint(ex, qp)
       case ("POST", List("query"))          => sqlEndpoint(ex)
       case _ =>
         reply(ex, 404, obj(_.put("detail", "Not Found")))
@@ -554,6 +556,46 @@ class GraftApi(spark: SparkSession, sfDir: String,
       o.put("q", q)
       o.put("cutoff", cutoff)
       o.put("n", bins.map(_._2).sum)
+    })
+  }
+
+  /** GET /versions — the time-travel catalog of the serving index layout:
+    * the published manifest versions a client may pass as `as_of` to
+    * /search, /similar, /imagedup, or as from/to to [[diffEndpoint]].
+    * The missing half of the `?as_of=` contract: refusal of unknown
+    * versions is only usable if the known ones are discoverable. */
+  private def versionsEndpoint(ex: HttpExchange): Unit = {
+    val vs = graft.ops.Layout.manifestVersions(spark, searchIndexBase)
+    reply(ex, 200, obj { o =>
+      o.put("base", searchIndexBase)
+      val arr = o.putArray("versions")
+      vs.foreach(arr.add)
+    })
+  }
+
+  /** GET /diff?from=<v1>&to=<v2> — manifest set difference of the serving
+    * index layout between two published versions (the DIFF LAYOUT
+    * statement's HTTP face): one entry per logical batch added, removed,
+    * or rewritten. Unknown versions are a 422 (the refusal contract);
+    * both parameters are required. Priced at manifest size — no index
+    * data is opened. */
+  private def diffEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
+    def v(name: String): Long = qp.get(name)
+      .flatMap(_.toLongOption)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$name must be a manifest version number"))
+    val rows = graft.ops.Layout.diffManifests(spark, searchIndexBase,
+      v("from"), v("to"))
+    reply(ex, 200, obj { o =>
+      o.put("base", searchIndexBase)
+      val arr = o.putArray("changes")
+      rows.foreach { case (l, change, from, to) =>
+        val e = arr.addObject()
+        e.put("logical_batch", l)
+        e.put("change", change)
+        from.foreach(e.put("physical_from", _))
+        to.foreach(e.put("physical_to", _))
+      }
     })
   }
 

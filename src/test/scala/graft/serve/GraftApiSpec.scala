@@ -508,6 +508,48 @@ class GraftApiSpec extends SparkSpec {
     } finally api2.stop()
   }
 
+  test("GET /versions lists the time-travel catalog; GET /diff reports the " +
+      "manifest set difference; unknown versions 422") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_api_diff").toString
+    graft.llm.Selection.writeBm25Index(
+      docs.filter(col("doc_id") % 2 === 0), s"$tmp/idx")
+    val vBase = graft.ops.Layout.manifestVersions(spark, s"$tmp/idx").max
+    graft.llm.Selection.appendToBm25Index(
+      docs.filter(col("doc_id") % 2 === 1), s"$tmp/idx", batchId = 7L)
+    val api2 = new GraftApi(spark, "/root/testdata/sf0.001", Some(s"$tmp/idx"))
+    val addr = api2.start(0)
+    def get2(path: String): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${addr.getPort}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), mapper.readTree(resp.body()))
+    }
+    try {
+      val (c0, vs) = get2("/versions")
+      assert(c0 === 200)
+      val listed = (0 until vs.get("versions").size())
+        .map(vs.get("versions").get(_).asLong())
+      assert(listed ===
+        graft.ops.Layout.manifestVersions(spark, s"$tmp/idx"))
+      assert(listed.contains(vBase) && listed.max > vBase)
+      // the append reads as ONE added logical batch between the versions
+      val (c1, d) = get2(s"/diff?from=$vBase&to=${listed.max}")
+      assert(c1 === 200)
+      val changes = d.get("changes")
+      assert(changes.size() === 1)
+      assert(changes.get(0).get("logical_batch").asLong() === 7L)
+      assert(changes.get(0).get("change").asText() === "added")
+      assert(!changes.get(0).has("physical_from"))
+      // empty self-diff; refusals on unknown / missing versions
+      assert(get2(s"/diff?from=$vBase&to=$vBase")._2.get("changes").size() === 0)
+      assert(get2("/diff?from=999&to=1000")._1 === 422)
+      assert(get2(s"/diff?from=$vBase")._1 === 422)
+    } finally api2.stop()
+  }
+
   test("GET /search?as_of= reproduces a superseded answer at its version; " +
       "unknown versions 422") {
     import org.apache.spark.sql.functions.col
