@@ -140,30 +140,101 @@ object Dedup {
   // Incremental MinHash dedup: persisted band index + delta probe
   // ---------------------------------------------------------------------------
 
-  /** Persist the corpus's MinHash dedup index: the exploded band table
-    * (sorted by (band_idx, band_hash) so parquet row-group min/max covers
-    * the probe's bucket lookups) and the verify shingle sets (sorted by
-    * doc_id for the candidate point-fetch). THE 100 TB dedup operation is
-    * probing a DELTA against this index ([[probeMinhashIndex]]) — the
-    * corpus's signatures are computed once at admission, never again. A
-    * doc's bands/shingles depend only on its own text, so the index is
-    * append-only by construction ([[appendMinhashIndex]]). */
-  def writeMinhashIndex(docs: DataFrame, indexPath: String): Unit =
-    writeIndexParts(docs, indexPath, org.apache.spark.sql.SaveMode.Overwrite)
+  /** (doc_id, rep) membership of the eligible docs' exact-text groups —
+    * rep = min doc_id per md5(normText), the exactDedup key. Every stage
+    * of the minhash pipeline (shingle set → signature → bands → Jaccard)
+    * is a function of the normalized text, so docs in one group are
+    * interchangeable: indexing/probing REP DOCS ONLY and expanding rep
+    * pairs through this membership is output-identical to the doc-level
+    * pipeline (the [[nearDupLabelsCollapsed]] argument) — and it is the
+    * degenerate-duplication guard for the incremental tier: 10^4
+    * identical crawls in the corpus cost the probe ONE band row per
+    * band, not 10^4 candidates per colliding delta doc. */
+  private def exactGroupsOf(eligible: DataFrame): DataFrame =
+    eligible
+      .select(col("doc_id"), md5(normText(col("text"))).as("__th"))
+      .withColumn("rep", min("doc_id").over(Window.partitionBy("__th")))
+      .select("doc_id", "rep")
+
+  /** Persist the corpus's MinHash dedup index — three tables under
+    * `indexPath`, every one partitioned by `batch_id` and governed by the
+    * Layout manifest protocol ([[graft.ops.Layout.initCommitLog]]), the
+    * same exactly-once/snapshot law as the BM25/IVFADC/aHash layouts:
+    *
+    *   - `bands`    — exploded (doc_id, band_idx, band_hash) of the REP
+    *                  docs, sorted by the band key so parquet row-group
+    *                  min/max covers the probe's bucket lookups;
+    *   - `shingles` — the reps' verify shingle sets, sorted by doc_id;
+    *   - `members`  — (doc_id, rep) for EVERY eligible doc: the exact-dup
+    *                  group membership rep pairs expand through.
+    *
+    * THE 100 TB dedup operation is probing a DELTA against this index
+    * ([[probeMinhashIndex]]) — the corpus's signatures are computed once
+    * at admission, never again. A doc's bands/shingles depend only on its
+    * own text, so the index is append-only by construction
+    * ([[appendMinhashIndex]]). The base build writes the reserved
+    * `batch_id=-1` partition (always visible; stream/ingest batches are
+    * >= 0, the writeIvfadcIndex convention) and clears any previous
+    * commit log — Overwrite means a fresh index, not a fresh base under
+    * stale appends. */
+  def writeMinhashIndex(docs: DataFrame, indexPath: String): Unit = {
+    val spark = docs.sparkSession
+    val commits = new org.apache.hadoop.fs.Path(s"$indexPath/_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(commits)) fs.delete(commits, true)
+    writeIndexDelta(docs, indexPath, phys = -1L, dynamic = false)
+    graft.ops.Layout.initCommitLog(spark, indexPath)
+  }
 
   /** Admit a new delta into the index — typically the probe's SURVIVORS
-    * (docs that did not near-dup against the corpus). Append-only: existing
-    * files are never rewritten. */
-  def appendMinhashIndex(docs: DataFrame, indexPath: String): Unit =
-    writeIndexParts(docs, indexPath, org.apache.spark.sql.SaveMode.Append)
+    * (docs that did not near-dup against the corpus). Exactly-once under
+    * the Layout manifest protocol (the appendToIvfadcIndex recipe): the
+    * delivery lands under its own fresh PHYSICAL partition id and becomes
+    * visible through one atomic manifest swap, so a re-delivered batch
+    * (driver retry after a successful commit) dynamic-overwrites its own
+    * partitions byte-identically instead of double-appending a doc's
+    * bands AND shingles — which would make the probe emit duplicate pairs
+    * and make a retried delta match its own half-committed copy at
+    * jaccard 1.0, rejecting everything. A probe planned during an append
+    * keeps reading the previous snapshot: bands, shingles and members
+    * resolve from ONE manifest, never a torn pair. Existing files are
+    * never rewritten; superseded deliveries are reclaimed by
+    * [[graft.ops.Layout.vacuumLayout]]. The delta is collapsed to reps
+    * WITHIN the batch; exact dups across batches (possible only when the
+    * admission policy is bypassed) stay separate reps until
+    * [[compactMinhashIndex]] folds them. */
+  def appendMinhashIndex(docs: DataFrame, indexPath: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"batchId must be >= 0 (negative ids are reserved for the base/" +
+        s"compacted partition batch_id=-1), got $batchId")
+    val spark = docs.sparkSession
+    val phys = graft.ops.Layout.beginBatchCommit(spark, indexPath, batchId)
+    writeIndexDelta(docs, indexPath, phys, dynamic = true)
+    graft.ops.Layout.finishBatchCommit(spark, indexPath, phys)
+  }
 
-  private def writeIndexParts(docs: DataFrame, indexPath: String,
-      mode: org.apache.spark.sql.SaveMode): Unit = {
+  private def writeIndexDelta(docs: DataFrame, indexPath: String,
+      phys: Long, dynamic: Boolean): Unit = {
     val eligible = eligibleDocs(docs)
-    bandsOf(eligible).sortWithinPartitions("band_idx", "band_hash")
-      .write.mode(mode).parquet(s"$indexPath/bands")
-    shingleSetsOf(eligible).sortWithinPartitions("doc_id")
-      .write.mode(mode).parquet(s"$indexPath/shingles")
+    // two consumers (rep semi-join + members table): checkpoint the
+    // narrow (doc_id, rep) frame, not the text-carrying eligible scan
+    val members = exactGroupsOf(eligible).localCheckpoint(false)
+    val reps = eligible.join(
+      members.filter(col("doc_id") === col("rep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    def put(df: DataFrame, table: String): Unit = {
+      val w = df.withColumn("batch_id", lit(phys))
+        .write.mode("overwrite").partitionBy("batch_id")
+      // base build: static overwrite replaces the whole table dir (a fresh
+      // index must not inherit stale appended partitions); delta: dynamic
+      // overwrite touches only this delivery's partition
+      (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+        .parquet(s"$indexPath/$table")
+    }
+    put(bandsOf(reps).sortWithinPartitions("band_idx", "band_hash"), "bands")
+    put(shingleSetsOf(reps).sortWithinPartitions("doc_id"), "shingles")
+    put(members, "members")
   }
 
   /** Near-dup pairs between a NEW delta and the indexed corpus, without
@@ -173,39 +244,142 @@ object Dedup {
     * (spec-pinned): probe(delta, index(old)) == the cross (old × new)
     * subset of `minhashNearDupPairs(old ∪ delta)` — sound because a doc's
     * bands and shingle set depend only on its own text. Output
-    * (doc_id_a, doc_id_b, jaccard) with a < b, the q21 convention. */
+    * (doc_id_a, doc_id_b, jaccard) with a < b, the q21 convention.
+    *
+    * Degenerate-duplication guard: both sides are collapsed to exact-text
+    * REPS before banding (index-side at write time, delta-side here), so
+    * the candidate broadcast and the shingle verify scale with DISTINCT
+    * texts, not crawl multiplicity — a band bucket holding 10^4 identical
+    * template-spam docs is one index row, and the member-level pairs are
+    * recovered by two output-sized expansion joins at the end. Snapshot
+    * discipline: all three index reads filter through ONE manifest
+    * resolution (`vis`), so a concurrent append can never serve a torn
+    * bands/shingles/members mix. */
   def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, indexPath: String,
       threshold: Double = 0.8): DataFrame = {
+    val vis = graft.ops.Layout.committedBatchFilter(spark, indexPath)
+    val (repPairs, dMembers) = probeRepPairs(spark, newDocs, indexPath,
+      threshold, vis)
+    val idxMembers = spark.read.parquet(s"$indexPath/members").filter(vis)
+      .select(col("doc_id").as("doc_id_old"), col("rep").as("rep_old"))
+    val dMem = dMembers
+      .select(col("doc_id").as("doc_id_new"), col("rep").as("rep_new"))
+    idxMembers
+      .join(broadcast(repPairs), "rep_old") // index streams map-side
+      .join(broadcast(dMem), "rep_new")
+      .select(least(col("doc_id_old"), col("doc_id_new")).as("doc_id_a"),
+        greatest(col("doc_id_old"), col("doc_id_new")).as("doc_id_b"),
+        col("jaccard"))
+  }
+
+  /** Delta doc_ids that near-dup the indexed corpus — the ADMISSION
+    * rejection set, O(delta) end to end: rep pairs are resolved once and
+    * only the DELTA side expands through its membership; the index's
+    * members table is never scanned (a full-pair expansion is output-
+    * sized in the corpus's dup multiplicity, which an admission decision
+    * does not need). Same pair semantics as [[probeMinhashIndex]]:
+    * a delta doc is rejected iff it pairs with an INDEXED doc at
+    * jaccard >= threshold — within-delta duplication alone never
+    * rejects. */
+  def probeMinhashDupDeltaIds(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, indexPath: String,
+      threshold: Double = 0.8): DataFrame = {
+    val vis = graft.ops.Layout.committedBatchFilter(spark, indexPath)
+    val (repPairs, dMembers) = probeRepPairs(spark, newDocs, indexPath,
+      threshold, vis)
+    dMembers.join(
+        broadcast(repPairs.select(col("rep_new").as("rep")).distinct()),
+        Seq("rep"), "left_semi")
+      .select("doc_id")
+  }
+
+  /** Shared probe core: REP-level cross pairs (rep_old, rep_new, jaccard)
+    * at >= threshold, plus the delta's membership frame (checkpointed —
+    * the callers consume it again for expansion). `vis` is the caller's
+    * single manifest resolution, applied to every index read. */
+  private def probeRepPairs(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, indexPath: String, threshold: Double,
+      vis: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     val eligible = eligibleDocs(newDocs)
-    val newBands = bandsOf(eligible)
-    val newSets = shingleSetsOf(eligible)
-    val idxBands = spark.read.parquet(s"$indexPath/bands")
+    val dMembers = exactGroupsOf(eligible).localCheckpoint(false)
+    val dReps = eligible.join(
+      dMembers.filter(col("doc_id") === col("rep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val newBands = bandsOf(dReps)
+    val newSets = shingleSetsOf(dReps)
+    val idxBands = spark.read.parquet(s"$indexPath/bands").filter(vis)
     val candidates = idxBands.join(broadcast(newBands),
         idxBands("band_idx") === newBands("band_idx") &&
           idxBands("band_hash") === newBands("band_hash"))
-      .select(idxBands("doc_id").as("doc_id_old"),
-        newBands("doc_id").as("doc_id_new"))
+      .select(idxBands("doc_id").as("rep_old"),
+        newBands("doc_id").as("rep_new"))
       .distinct()
-    val idxSets = spark.read.parquet(s"$indexPath/shingles")
-      .select(col("doc_id").as("doc_id_old"), col("shingle_set").as("sh_old"))
+    val idxSets = spark.read.parquet(s"$indexPath/shingles").filter(vis)
+      .select(col("doc_id").as("rep_old"), col("shingle_set").as("sh_old"))
     val deltaSets = newSets
-      .select(col("doc_id").as("doc_id_new"), col("shingle_set").as("sh_new"))
-    idxSets
-      .join(broadcast(candidates), "doc_id_old") // index streams map-side
-      .join(broadcast(deltaSets), "doc_id_new")
-      .select(col("doc_id_old"), col("doc_id_new"),
+      .select(col("doc_id").as("rep_new"), col("shingle_set").as("sh_new"))
+    val repPairs = idxSets
+      .join(broadcast(candidates), "rep_old") // index streams map-side
+      .join(broadcast(deltaSets), "rep_new")
+      .select(col("rep_old"), col("rep_new"),
         graft.expr.ThresholdedIntersectCount(col("sh_old"), col("sh_new"),
           graft.expr.ThresholdedIntersectCount.jaccardBound(
             size(col("sh_old")) + size(col("sh_new")), threshold)).as("icnt"),
         (size(col("sh_old")) + size(col("sh_new"))).as("nsum"))
-      .select(col("doc_id_old"), col("doc_id_new"),
+      .select(col("rep_old"), col("rep_new"),
         (col("icnt").cast("double") / (col("nsum") - col("icnt")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(least(col("doc_id_old"), col("doc_id_new")).as("doc_id_a"),
-        greatest(col("doc_id_old"), col("doc_id_new")).as("doc_id_b"),
-        col("jaccard"))
+    (repPairs, dMembers)
+  }
+
+  /** Offline compaction of a [[writeMinhashIndex]] layout into the
+    * reserved `batch_id=-1` base of a FRESH root (`outBase`) — the
+    * compactIvfadcIndex doctrine: compacting the live dir in place would
+    * break the batch_id layout the append idempotence rests on; swap-in
+    * is the caller's publish-by-rename. Probe-identical (spec-pinned),
+    * and it closes the one collapse gap appends leave open: per-batch
+    * collapse cannot see exact dups ACROSS deliveries, so here reps with
+    * IDENTICAL shingle sets fold to one super-rep (sound for probe
+    * semantics — bands and Jaccard are functions of the shingle set
+    * alone) and their members re-point. Scale shape: one groupBy on the
+    * shingle-set key over the reps table (reps-sized, not corpus-sized),
+    * one members-sized re-map join, no text read, nothing recomputed.
+    * Returns (input, output) parquet file counts across the three
+    * tables. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      inBase: String, outBase: String): (Long, Long) = {
+    val vis = graft.ops.Layout.committedBatchFilter(spark, inBase)
+    val sh = spark.read.parquet(s"$inBase/shingles").filter(vis)
+      .select("doc_id", "shingle_set")
+    val supers = sh.groupBy("shingle_set").agg(min("doc_id").as("srep"))
+      .localCheckpoint(false) // consumed by repMap and the shingles write
+    val repMap = sh.join(supers, "shingle_set")
+      .select(col("doc_id").as("rep"), col("srep"))
+      .localCheckpoint(false)
+    def put(df: DataFrame, table: String, sortCols: Seq[String]): Unit =
+      df.sortWithinPartitions(sortCols.map(col): _*)
+        .withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$outBase/$table")
+    put(spark.read.parquet(s"$inBase/members").filter(vis)
+        .select("doc_id", "rep").join(repMap, "rep")
+        .select(col("doc_id"), col("srep").as("rep")),
+      "members", Seq("rep"))
+    put(supers.select(col("srep").as("doc_id"), col("shingle_set")),
+      "shingles", Seq("doc_id"))
+    put(spark.read.parquet(s"$inBase/bands").filter(vis)
+        .select("doc_id", "band_idx", "band_hash")
+        .join(repMap.filter(col("rep") === col("srep"))
+          .select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi"),
+      "bands", Seq("band_idx", "band_hash"))
+    graft.ops.Layout.initCommitLog(spark, outBase)
+    def nFiles(base: String): Long =
+      Seq("bands", "shingles", "members").map { t =>
+        Selection.countParquetFiles(spark, s"$base/$t")
+      }.sum
+    (nFiles(inBase), nFiles(outBase))
   }
 
   /** Connected components over the near-dup pair graph — the step that turns

@@ -736,12 +736,9 @@ ORDER BY doc_id_a, doc_id_b""")),
           1L
         }
         val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        val dupIds = Dedup.probeMinhashIndex(s, delta, base, 0.8)
-          // the delta-side id of each cross pair (old and new ids are
-          // disjoint by the split, so pick the one in the delta)
-          .select(when(pmod(col("doc_id_a"), lit(10)) === 0,
-            col("doc_id_a")).otherwise(col("doc_id_b")).as("doc_id"))
-          .distinct()
+        // O(delta) rejection set: rep-level probe + delta-side expansion
+        // only — the admission decision never scans the index's members
+        val dupIds = Dedup.probeMinhashDupDeltaIds(s, delta, base, 0.8)
         delta.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
           .groupBy("source").agg(count(lit(1)).as("n_admitted"))
           .join(
