@@ -179,9 +179,7 @@ object Dedup {
     * stale appends. */
   def writeMinhashIndex(docs: DataFrame, indexPath: String): Unit = {
     val spark = docs.sparkSession
-    val commits = new org.apache.hadoop.fs.Path(s"$indexPath/_commits")
-    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(commits)) fs.delete(commits, true)
+    graft.ops.Layout.resetCommitLog(spark, indexPath)
     writeIndexDelta(docs, indexPath, phys = -1L, dynamic = false)
     graft.ops.Layout.initCommitLog(spark, indexPath)
   }
@@ -350,6 +348,7 @@ object Dedup {
     * tables. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       inBase: String, outBase: String): (Long, Long) = {
+    graft.ops.Layout.resetCommitLog(spark, outBase) // fresh-root semantics
     val vis = graft.ops.Layout.committedBatchFilter(spark, inBase)
     val sh = spark.read.parquet(s"$inBase/shingles").filter(vis)
       .select("doc_id", "shingle_set")

@@ -485,6 +485,10 @@ object Selection {
   def writeIvfadcIndex(embeddings: DataFrame, nlist: Int,
       basePath: String): Unit = {
     val spark = embeddings.sparkSession
+    // a full rewrite replaces the GEOMETRY (cents/codebook): retire any
+    // previous manifests so no as_of read decodes a retired snapshot's
+    // codes against the new geometry (Layout.resetCommitLog doc)
+    graft.ops.Layout.resetCommitLog(spark, basePath)
     Similarity.kmeansTrain(embeddings, nlist, iters = 1)
       .write.mode("overwrite").parquet(s"$basePath/cents")
     val cents = broadcast(spark.read.parquet(s"$basePath/cents"))
@@ -602,6 +606,7 @@ object Selection {
   def compactIvfadcIndex(spark: org.apache.spark.sql.SparkSession,
       inBase: String, outBase: String): (Long, Long) = {
     def nFiles(p: String): Long = countParquetFiles(spark, p)
+    graft.ops.Layout.resetCommitLog(spark, outBase) // fresh-root semantics
     spark.read.parquet(s"$inBase/cents")
       .write.mode("overwrite").parquet(s"$outBase/cents")
     spark.read.parquet(s"$inBase/codebook")
@@ -988,6 +993,9 @@ c AS (SELECT doc_id, source, t,
     * a second time). */
   def writeBm25Index(docs: DataFrame, basePath: String): Unit = {
     val spark = docs.sparkSession
+    // a full rewrite replaces the postings AND the bucket-count sidecar:
+    // retire any previous manifests (Layout.resetCommitLog doc)
+    graft.ops.Layout.resetCommitLog(spark, basePath)
     // positional postings: BM25 readers prune the positions column away;
     // phrase queries serve from it (phraseSearchIndex)
     graft.ops.Layout.writePostings(
@@ -1192,6 +1200,7 @@ c AS (SELECT doc_id, source, t,
     * and /quality. Returns (input, output) postings file counts. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       inBase: String, outBase: String): (Long, Long) = {
+    graft.ops.Layout.resetCommitLog(spark, outBase) // fresh-root semantics
     spark.read.parquet(s"$inBase/postings_meta")
       .write.mode("overwrite").parquet(s"$outBase/postings_meta")
     // one snapshot for ALL the fold's reads (postings + both stats):

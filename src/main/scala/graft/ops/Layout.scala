@@ -310,6 +310,21 @@ object Layout {
       p: org.apache.hadoop.fs.Path, depth: Int): Set[Long] =
     collectBatchDirs(fs, p, depth).map(_._1).toSet
 
+  /** Retire a root's commit log — the one-shot index builders' move: a
+    * full rewrite replaces the table data AND any geometry sidecars
+    * (bucket counts, centroids, codebooks), so every previously published
+    * manifest version describes files that no longer exist, possibly
+    * under a DIFFERENT geometry. Keeping those manifests would let an
+    * as_of read resolve a retired snapshot and silently decode it with
+    * the new geometry (wrong candidates) or serve empty rows; deleting
+    * the log makes history restart at the rewrite — old versions refuse,
+    * exactly like vacuumed ones. */
+  def resetCommitLog(spark: SparkSession, base: String): Unit = {
+    val dir = commitsDir(base)
+    val fs = fsOf(spark, dir)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+
   /** Start a delivery of logical batch `batchId`: allocate and return the
     * PHYSICAL partition id the caller must write every table's partitions
     * under. Side-effect-free on visibility — the previous delivery (if
@@ -365,8 +380,9 @@ object Layout {
     * Versions are listed by [[manifestVersions]]; asking for a version
     * never published throws (an audit read must not silently fall back to
     * a different snapshot). Vacuum is the retention horizon: a vacuumed
-    * version's manifest still resolves but its superseded files are gone,
-    * the same contract as every MVCC store. */
+    * version's manifest is retired WITH its superseded files, so reading
+    * it throws exactly like an unpublished version — it can never be
+    * silently served partial/empty. */
   def committedBatchFilterAt(spark: SparkSession, base: String,
       version: Option[Long]): org.apache.spark.sql.Column = {
     val dir = commitsDir(base)
@@ -479,6 +495,16 @@ object Layout {
               !keptPhysicals.contains(id)
           }
         doomed.foreach { case (_, p) => fs.delete(p, true) }
+        // Retire the manifests OUTSIDE the keep horizon too: a version
+        // whose superseded files are gone must REFUSE time-travel reads
+        // (committedBatchFilterAt throws "no manifest version") and drop
+        // out of manifestVersions / GET /versions — otherwise an as_of
+        // read of a vacuumed snapshot silently serves partial/empty rows,
+        // indistinguishable from a genuinely empty version, breaking the
+        // "an audit read must never silently serve a different snapshot"
+        // contract.
+        listManifests(fs, dir).sortBy(-_._1).drop(keepVersions)
+          .foreach { case (_, p) => fs.delete(p, false) }
         doomed.size.toLong
     }
   }

@@ -405,6 +405,10 @@ object Multimodal {
     * here instead of paying a second one for the index build. */
   private def writeAhashIndexFromFeats(feats: DataFrame, basePath: String,
       nVb: Int = 64)(implicit spark: SparkSession): Unit = {
+    // a full rewrite may change the bucketing geometry (nVb): retire the
+    // old manifests so no as_of read can decode a retired snapshot's band
+    // keys with the NEW sidecar's geometry (Layout.resetCommitLog doc)
+    Layout.resetCommitLog(spark, basePath)
     writeAhashBatch(ahashBandRowsFromFeats(feats), basePath, nVb, -1L,
       dynamic = false)
     spark.range(1).select(lit(nVb).as("n_vb"))
@@ -500,6 +504,7 @@ object Multimodal {
     * result-identical (spec-pinned). Returns (in, out) band file counts. */
   def compactAhashIndex(spark: SparkSession, inBase: String,
       outBase: String): (Long, Long) = {
+    Layout.resetCommitLog(spark, outBase) // fresh-root semantics
     spark.read.parquet(s"$inBase/bands_meta")
       .write.mode("overwrite").parquet(s"$outBase/bands_meta")
     val nVb = spark.read.parquet(s"$inBase/bands_meta").head().getInt(0)

@@ -150,12 +150,25 @@ object Quality {
   def quantileFromBins(bins: Seq[(Long, Long)], corpus: DataFrame,
       v: Column, q: Double, lo: Long, hi: Long): Long = {
     val (tBin, k) = rankBin(bins, q)
-    corpus.select(v.cast("long").as("v")).where(col("v").isNotNull)
+    val band = corpus.select(v.cast("long").as("v")).where(col("v").isNotNull)
       .where(Zorder.scaled(
         greatest(least(col("v"), lit(hi)), lit(lo)), lit(lo), lit(hi))
         === tBin)
       .orderBy("v").limit(k)
-      .agg(max("v")).collect().head.getLong(0)
+      .agg(max("v").as("cutoff"), count(lit(1)).as("n_band"))
+      .collect().head
+    // Stale-histogram guard: the bins and `corpus` must describe the same
+    // data. If the histogram drifted (a streamed maintenance gap, a table
+    // rewrite under a driver-cached snapshot), the target band can hold
+    // fewer than k rows — max over zero rows is a NULL that NPEd here, and
+    // a short-but-nonempty band is a silently WRONG cutoff. Fail loudly
+    // with the refresh instruction instead.
+    if (band.isNullAt(0) || band.getLong(1) < k)
+      throw new IllegalStateException(
+        s"stale histogram: rank bin $tBin holds ${band.getLong(1)} rows, " +
+          s"need $k — the bins no longer describe this corpus; recompute " +
+          "the histogram (ANALYZE ... HISTOGRAM) and retry")
+    band.getLong(0)
   }
 
   /** The bin walk: which aligned bin holds rank ceil(q·n), and the rank's
@@ -169,6 +182,13 @@ object Quality {
     var cum = 0L
     var i = 0
     while (cum + sorted(i)._2 < r) { cum += sorted(i)._2; i += 1 }
+    // the in-bin rank feeds limit(k): a single bin holding > 2^31 rows at
+    // the target rank would overflow to a negative k and silently
+    // misbehave — fail loudly (the documented assumption, now checked);
+    // the remedy is more bins (raise ScaleBits) over such a skewed column
+    require(r - cum <= Int.MaxValue,
+      s"in-bin rank ${r - cum} overflows Int in bin ${sorted(i)._1} — " +
+        "the histogram is too coarse for this skew; raise ScaleBits")
     (sorted(i)._1, (r - cum).toInt)
   }
 

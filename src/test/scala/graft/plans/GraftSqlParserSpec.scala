@@ -91,9 +91,12 @@ class GraftSqlParserSpec extends SparkSpec {
     // inside the horizon: the superseded-but-kept version still reproduces
     assert(asOf(versions(2)) === Seq("v2"))
     assert(asOf(versions.last) === Seq("v3"))
-    // outside the horizon: the manifest resolves but its files are gone —
-    // the documented MVCC degradation
-    assert(asOf(versions(1)) === Seq.empty)
+    // outside the horizon: the manifest is RETIRED with its files, so the
+    // read REFUSES — a vacuumed snapshot must be indistinguishable from an
+    // unpublished one, never silently served partial/empty
+    intercept[IllegalArgumentException](asOf(versions(1)))
+    assert(!Layout.manifestVersions(spark, base).contains(versions(1)),
+      "vacuumed version still listed in the time-travel catalog")
 
     // KEEP 0 refuses: the current version is not negotiable
     intercept[Exception](spark.sql(s"VACUUM LAYOUT '$base' KEEP 0 VERSIONS"))
