@@ -279,11 +279,24 @@ object Dedup {
     * does not need). Same pair semantics as [[probeMinhashIndex]]:
     * a delta doc is rejected iff it pairs with an INDEXED doc at
     * jaccard >= threshold — within-delta duplication alone never
-    * rejects. */
+    * rejects.
+    *
+    * `excludeLogicalBatch` is the REPLAY seam for streaming admission
+    * ([[graft.streaming.StreamOps.minhashAdmissionStream]]): a re-driven
+    * micro-batch probes an index that already holds its own first
+    * delivery's survivors, which would self-match at jaccard 1.0 and
+    * shrink the re-committed survivor set — excluding the batch's own
+    * logical id makes the replayed probe see exactly the pre-delivery
+    * snapshot, so replay == once. */
   def probeMinhashDupDeltaIds(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, indexPath: String,
-      threshold: Double = 0.8): DataFrame = {
-    val vis = graft.ops.Layout.committedBatchFilter(spark, indexPath)
+      threshold: Double = 0.8,
+      excludeLogicalBatch: Option[Long] = None): DataFrame = {
+    val base = graft.ops.Layout.committedBatchFilter(spark, indexPath)
+    // logicalBatch(-1) = -1: the always-visible base partition never
+    // matches an excluded id (appends require batchId >= 0)
+    val vis = excludeLogicalBatch.fold(base)(lb =>
+      base && graft.ops.Layout.logicalBatch(col("batch_id")) =!= lit(lb))
     val (repPairs, dMembers) = probeRepPairs(spark, newDocs, indexPath,
       threshold, vis)
     dMembers.join(

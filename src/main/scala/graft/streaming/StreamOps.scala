@@ -951,6 +951,52 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ADMISSION into the persisted MinHash dedup index — q184 as
+    * a stream: each micro-batch of documents is probed against the index
+    * ([[graft.llm.Dedup.probeMinhashDupDeltaIds]], O(batch) — delta bands
+    * broadcast, index streams map-side), near-dups of the ALREADY-ADMITTED
+    * corpus are rejected, and the survivors append under the sink's own
+    * batchId through the Layout manifest protocol — so a batch-2 doc that
+    * duplicates a batch-1 survivor is caught exactly like one duplicating
+    * the original corpus (dups caught ACROSS micro-batches, the
+    * StreamBatchEquivalenceSpec gate).
+    *
+    * Exactly-once: the probe EXCLUDES the batch's own logical id, so a
+    * re-driven micro-batch (crash after commit, checkpoint replay) sees
+    * the pre-delivery snapshot instead of self-matching its first
+    * delivery's survivors at jaccard 1.0 — the replayed admission decides
+    * identically and the append dynamic-overwrites its own partitions
+    * byte-identically. Survivors are materialized (eager localCheckpoint)
+    * BEFORE the append so the index write never reads the parquet dirs it
+    * is overwriting. Base index exists first
+    * ([[graft.llm.Dedup.writeMinhashIndex]]); batch schema is the
+    * documents table's. */
+  def minhashAdmissionStream(docsStream: DataFrame, basePath: String,
+      checkpoint: String, threshold: Double = 0.8): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        val sess = b.sparkSession
+        if (batchId == 0L) {
+          assertStreamOwnership(sess, basePath, checkpoint)
+          require(!Seq("bands", "shingles", "members").exists(t =>
+              staleBatchPartitions(sess, s"$basePath/$t", 0)),
+            s"index root $basePath has batch partitions from a previous " +
+              "run but this stream is at batch 0 (new checkpoint): a " +
+              "re-admitted doc would self-reject against its old copy. " +
+              "Compact into a fresh root or reuse the original checkpoint.")
+        }
+        val dupIds = graft.llm.Dedup.probeMinhashDupDeltaIds(sess, b,
+          basePath, threshold, excludeLogicalBatch = Some(batchId))
+        val survivors = b
+          .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+          .localCheckpoint() // eager: break the read-write cycle
+        graft.llm.Dedup.appendMinhashIndex(survivors, basePath, batchId)
+        ()
+      }
+      .start()
+
   /** Fold the per-batch partials into the serving index: the (term, df)
     * table and the corpus scalar — the frames [[graft.llm.TextAnalysis
     * .bm25RankWith]] consumes. All sums are exact longs, so the fold equals

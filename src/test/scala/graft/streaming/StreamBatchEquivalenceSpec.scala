@@ -582,6 +582,72 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(pairs(s"$tmp/inc") === inc, "refused stream mutated the root")
   }
 
+  test("minhashAdmissionStream: dups caught across micro-batches; streamed == " +
+      "batch admit loop; replay-excluded probe makes redelivery idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mhadmit").toString
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def d(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val corpus = Seq(
+      d(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      d(2L, "one two three four five six seven eight"))
+    val b1 = Seq(
+      d(10L, "completely fresh text about columnar shuffles"), // admit
+      d(11L, "alpha beta gamma delta epsilon zeta eta theta")) // corpus dup
+    val b2 = Seq(
+      d(20L, "completely fresh text about columnar shuffles"), // dup of 10,
+                                                               // a batch-1
+                                                               // SURVIVOR
+      d(21L, "another genuinely novel document body right here")) // admit
+    def admitted(root: String): Set[Long] =
+      spark.read.parquet(s"$root/members")
+        .filter(graft.ops.Layout.committedBatchFilter(spark, root))
+        .select("doc_id").as[Long].collect().toSet
+
+    graft.llm.Dedup.writeMinhashIndex(corpus.toDF(cols: _*), s"$tmp/idx")
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.minhashAdmissionStream(
+      mem.toDF().toDF(cols: _*), s"$tmp/idx", s"$tmp/ckpt")
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // 11 rejected against the corpus; 20 rejected against batch 1's
+    // survivor — the cross-micro-batch catch
+    assert(admitted(s"$tmp/idx") === Set(1L, 2L, 10L, 21L))
+
+    // streamed == the batch admit loop (the q184/q182 DedupSpec shape)
+    graft.llm.Dedup.writeMinhashIndex(corpus.toDF(cols: _*), s"$tmp/twin")
+    Seq((b1, 0L), (b2, 1L)).foreach { case (batch, id) =>
+      val bDF = batch.toDF(cols: _*)
+      val dup = graft.llm.Dedup.probeMinhashDupDeltaIds(
+        spark, bDF, s"$tmp/twin", 0.8)
+      graft.llm.Dedup.appendMinhashIndex(
+        bDF.join(dup, Seq("doc_id"), "left_anti").localCheckpoint(),
+        s"$tmp/twin", id)
+    }
+    assert(admitted(s"$tmp/twin") === admitted(s"$tmp/idx"))
+
+    // the replay seam is load-bearing: WITHOUT the exclusion a re-driven
+    // batch 1 self-matches its own committed survivor (21) at jaccard 1.0
+    val b2DF = b2.toDF(cols: _*)
+    val selfDups = graft.llm.Dedup.probeMinhashDupDeltaIds(
+      spark, b2DF, s"$tmp/idx", 0.8).as[Long].collect().toSet
+    assert(selfDups.contains(21L), "fixture can't see its own delivery")
+    // ...and WITH it, the redelivery decides identically and the dynamic
+    // overwrite leaves the index exactly where it was
+    val dupReplay = graft.llm.Dedup.probeMinhashDupDeltaIds(
+      spark, b2DF, s"$tmp/idx", 0.8, excludeLogicalBatch = Some(1L))
+    graft.llm.Dedup.appendMinhashIndex(
+      b2DF.join(dupReplay, Seq("doc_id"), "left_anti").localCheckpoint(),
+      s"$tmp/idx", 1L)
+    assert(admitted(s"$tmp/idx") === Set(1L, 2L, 10L, 21L),
+      "replayed admission moved the index")
+  }
+
   test("stream ownership claim is atomic: N racers on a fresh root, one winner") {
     // The marker is created with overwrite=false, so of N concurrent
     // batch-0 claims with DISTINCT checkpoints exactly one can succeed;
