@@ -189,12 +189,45 @@ object Zorder {
         r.getAs[Long]("x_max") >= xLo && r.getAs[Long]("x_min") <= xHi &&
         r.getAs[Long]("y_max") >= yLo && r.getAs[Long]("y_min") <= yHi
     }.map(_.getAs[String]("f")).toSeq
+    (scanHits(spark, path, hits, x, y, xLo, xHi, yLo, yHi),
+      hits.size, env.length)
+  }
+
+  /** [[envelopePrunedRead]]'s SCALE tier: the envelope intersect runs as a
+    * SPARK PLAN over the mart (the box predicate pushes into the mart's
+    * parquet scan), and the driver receives only the MATCHING file names —
+    * never the full mart. At 100 TB with 100 MB files the mart is ~10^6
+    * rows; the driver tier above collects all of them per read, this tier
+    * collects |hits| (the irreducible bound: the reader must be handed the
+    * file list — the same shape as Iceberg's planFiles returning matched
+    * scan tasks from a distributed manifest read). Null envelope bounds
+    * prune under plain Column semantics (null comparisons are never TRUE),
+    * exactly matching the driver walk — tier-equal, spec-pinned. Keep the
+    * driver tier for small layouts (no extra Spark jobs); route catalogs
+    * past ~10^5 files through this one (SCALE.md). */
+  def envelopePrunedReadDist(spark: SparkSession, path: String,
+      envPath: String, x: Column, y: Column,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): (DataFrame, Int, Int) = {
+    val env = spark.read.parquet(envPath)
+    val hit = col("x_max") >= xLo && col("x_min") <= xHi &&
+      col("y_max") >= yLo && col("y_min") <= yHi
+    val total = env.count()
+    val hits = env.filter(hit).select("f") // hit-sized driver readback
+      .collect().map(_.getString(0)).toSeq
+    (scanHits(spark, path, hits, x, y, xLo, xHi, yLo, yHi),
+      hits.size, total.toInt)
+  }
+
+  /** Shared data pass of both pruning tiers: scan ONLY the admitted files
+    * with the exact row predicate re-applied (pruning is sound, so the
+    * result is exactly the full-scan filter's). */
+  private def scanHits(spark: SparkSession, path: String, hits: Seq[String],
+      x: Column, y: Column, xLo: Long, xHi: Long, yLo: Long, yHi: Long)
+      : DataFrame = {
     val rowFilter = x.cast("long").between(xLo, xHi) &&
       y.cast("long").between(yLo, yHi)
-    val rows =
-      if (hits.isEmpty) spark.read.parquet(path).where(lit(false))
-      else spark.read.parquet(hits: _*).where(rowFilter)
-    (rows, hits.size, env.length)
+    if (hits.isEmpty) spark.read.parquet(path).where(lit(false))
+    else spark.read.parquet(hits: _*).where(rowFilter)
   }
 
   // ---------------------------------------------------------------------------
@@ -335,7 +368,10 @@ FROM sxy ORDER BY o_orderkey"""
           mn + math.floor((mx - mn).toDouble * 0.55).toLong
         val (xMn, xMx) = (b.getAs[Long]("x_mn"), b.getAs[Long]("x_mx"))
         val (yMn, yMx) = (b.getAs[Long]("y_mn"), b.getAs[Long]("y_mx"))
-        val (rows, scanned, total) = envelopePrunedRead(s, s"$base/z",
+        // the SCALE tier: the mart prune is a distributed filter, the
+        // driver receives only the matching file names (tier-equal to
+        // the driver walk, ZorderSpec)
+        val (rows, scanned, total) = envelopePrunedReadDist(s, s"$base/z",
           envPath, xCol, yCol,
           lo(xMn, xMx), hi(xMn, xMx), lo(yMn, yMx), hi(yMn, yMx))
         rows.select(col("o_orderkey"),

@@ -79,6 +79,43 @@ class ZorderSpec extends SparkSpec {
         .select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("distributed envelope prune == driver tier: same files, same rows, " +
+      "nulls and empty boxes included") {
+    // many-file layout: 64 files so the mart prune has real work, and an
+    // all-null-x file so the Column-semantics null handling is exercised
+    val tmp = java.nio.file.Files.createTempDirectory("zorder_dist_").toString
+    val df = (0 until 4000)
+      .map(i => (i.toLong, (i * 37 % 1000).toLong, (i * 91 % 800).toLong))
+      .toDF("id", "x", "y")
+    Zorder.writeZordered(df, s"$tmp/z", col("x"), col("y"), nFiles = 63)
+    (0 until 30).map(i => (100000L + i, null.asInstanceOf[java.lang.Long],
+        (i % 800).toLong))
+      .toDF("id", "x", "y")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/z") // 64th: null-x
+    Zorder.writeFileEnvelopes(spark, s"$tmp/z", s"$tmp/env",
+      col("x"), col("y"))
+    def run(f: (org.apache.spark.sql.SparkSession, String, String,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        Long, Long, Long, Long) => (org.apache.spark.sql.DataFrame, Int, Int),
+        box: (Long, Long, Long, Long)): (Seq[Long], Int, Int) = {
+      val (rows, s, t) = f(spark, s"$tmp/z", s"$tmp/env",
+        col("x"), col("y"), box._1, box._2, box._3, box._4)
+      (rows.select("id").as[Long].collect().sorted.toSeq, s, t)
+    }
+    for (box <- Seq((450L, 550L, 360L, 440L), // central box
+                    (5000L, 6000L, 0L, 10000L), // empty intersection
+                    (0L, 1000L, 0L, 800L))) { // everything non-null
+      val driver = run(Zorder.envelopePrunedRead, box)
+      val dist = run(Zorder.envelopePrunedReadDist, box)
+      assert(dist === driver, s"tiers diverged on box $box")
+    }
+    // and the central box actually pruned on this 64-file layout
+    val (_, scanned, total) = Zorder.envelopePrunedReadDist(spark, s"$tmp/z",
+      s"$tmp/env", col("x"), col("y"), 450L, 550L, 360L, 440L)
+    assert(total === 64 && scanned < total,
+      s"no pruning on the many-file layout: $scanned/$total")
+  }
+
   test("the layout gate holds end-to-end: content preserved, both dims prunable") {
     val row = graft.SparkEntry.queries("q154_zorder_layout_gate")(
       spark, "/root/testdata/sf0.001").collect().head
