@@ -183,6 +183,31 @@ object UrlCuration {
       .select("doc_id", "canon_url", "host", "domain")
   }
 
+  /** [[curatedCorpus]] with the blocklist anti-join planned BY THE STATS
+    * MART instead of a hard-coded broadcast hint — the second consumer of
+    * [[graft.ops.Analyze.joinPlannedByStats]] (the screener closed the
+    * CBO loop for one join; this one routes a curation-chain dim join
+    * through the same catalog). The blocklist here is what it is in
+    * production: a PERSISTED artifact refreshed offline (with its own
+    * ANALYZE mart), not a frame re-derived inside every curation run —
+    * so the plan-time sizing is a driver-side catalog read, never a scan
+    * of the blocklist, and a blocklist grown past the broadcast budget
+    * (millions of spam hosts) degrades to the shuffled anti-join instead
+    * of an executor-OOMing broadcast. Identical rows to [[curatedCorpus]]
+    * given the same blocklist content (stats move the exchange, not the
+    * semantics) — q185 runs this path against q169's oracle. */
+  def curatedCorpusPlanned(docs: DataFrame, hostQuota: Int,
+      blocked: DataFrame, blockedStats: DataFrame): DataFrame = {
+    val mart = urlMart(docs)
+    val keepers = urlDedup(mart).select(col("keeper").as("doc_id"))
+    val deduped = mart.join(keepers, Seq("doc_id"), "left_semi")
+    val afterBlock = graft.ops.Analyze.joinPlannedByStats(
+      deduped, blocked.select("host"), blockedStats, Seq("host"),
+      joinType = "left_anti")
+    Curation.quotaCap(afterBlock, hostQuota, Seq(col("host")), "|urlquota")
+      .select("doc_id", "canon_url", "host", "domain")
+  }
+
   // ---------------------------------------------------------------------------
   // HLL-register shard tier: O(hosts) partials instead of O(urls)
   // ---------------------------------------------------------------------------
@@ -395,7 +420,39 @@ FROM mart GROUP BY domain, host ORDER BY domain, host""")),
       (s, dir) => curatedCorpus(Tables.documents(s, dir), hostQuota = 3,
         dupShareBlock = 1000000L, minAvgChars = 300L)
         .orderBy("doc_id"),
-      Some(s"""WITH $martCtes,
+      Some(curatedOracleSql)),
+
+    // The chain with the blocklist anti-join planned BY STATS — the second
+    // joinPlannedByStats consumer (the screener was the first): the
+    // blocklist is persisted once (same thresholds as q169) with its own
+    // ANALYZE mart, and the anti-join's broadcast-vs-shuffle choice is a
+    // plan-time catalog read, never a blocklist scan. Shares q169's
+    // oracle verbatim: the stats move the exchange, not the rows.
+    Q("q185_url_curated_planned",
+      (s, dir) => {
+        val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_blocklist_" + graft.sec.SecDerive.pathKey(dir)
+        graft.sec.SecDerive.cachedCount(s, dir, "url_blocklist") {
+          hostBlocklist(
+              hostStats(urlMart(Tables.documents(s, dir)), 1000000L), 300L)
+            .write.mode("overwrite").parquet(s"$base/t")
+          // host is a string column: name it explicitly (the default
+          // ANALYZE picker audits non-string columns only)
+          graft.ops.Analyze.writeStats(s, s"$base/t", s"$base/stats",
+            Some(Seq("host")))._2
+        }
+        curatedCorpusPlanned(Tables.documents(s, dir), hostQuota = 3,
+          blocked = s.read.parquet(s"$base/t"),
+          blockedStats = s.read.parquet(s"$base/stats"))
+          .orderBy("doc_id")
+      },
+      Some(curatedOracleSql)))
+
+  /** The applied-chain ground truth (canonical dedup → host blocklist at
+    * dup-share 1e6 / avg-chars 300 → per-host quota 3), composed from the
+    * three already-verified stages' SQL — shared verbatim by q169 (the
+    * hinted tier) and q185 (the stats-planned tier). */
+  private lazy val curatedOracleSql: String = s"""WITH $martCtes,
 hs AS (SELECT host,
          ((count(*) - count(DISTINCT canon_url)) * 1000000) // count(*)
            AS ds,
@@ -412,7 +469,7 @@ w AS (SELECT doc_id, canon_url, host, domain,
             1, 15))::BIGINT) ASC, doc_id ASC) AS rn
       FROM d)
 SELECT doc_id, canon_url, host, domain FROM w WHERE rn <= 3
-ORDER BY doc_id""")))
+ORDER BY doc_id"""
 
   /** Per-host distinct-URL counts, exact AND HyperLogLog, with the repo's
     * self-audit contract for approximate operators: the query emits the

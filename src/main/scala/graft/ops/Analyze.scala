@@ -175,9 +175,13 @@ object Analyze {
     * corpus-scale job; at 100 TB the alternative — sizing the dimension by
     * scanning it at plan time — is exactly what stats exist to avoid.
     * Stale stats degrade to a worse JOIN STRATEGY, never a wrong answer
-    * (the hint moves the exchange, not the semantics). */
+    * (the hint moves the exchange, not the semantics). `joinType` extends
+    * the decision beyond the inner equi-join: a host-blocklist anti-join
+    * is the same broadcast-vs-shuffle choice over the same catalog read
+    * (BroadcastHashJoin LeftAnti vs a shuffled anti). */
   def joinPlannedByStats(fact: DataFrame, dim: DataFrame, stats: DataFrame,
-      keys: Seq[String], maxRows: Long = 1000000L): DataFrame = {
+      keys: Seq[String], maxRows: Long = 1000000L,
+      joinType: String = "inner"): DataFrame = {
     // Missing/empty mart (never ANALYZEd, or all-null n_rows) must degrade
     // to the conservative no-hint path, not crash planning: no stats means
     // no license to broadcast.
@@ -185,7 +189,7 @@ object Analyze {
       .headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
     val dimSide =
       if (dimRows.exists(_ <= maxRows)) broadcast(dim) else dim
-    fact.join(dimSide, keys)
+    fact.join(dimSide, keys, joinType)
   }
 
   private val docOracleCols =

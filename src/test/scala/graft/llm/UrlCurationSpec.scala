@@ -102,6 +102,46 @@ class UrlCurationSpec extends SparkSpec {
       minAvgChars = 11L).isEmpty)
   }
 
+  test("curatedCorpusPlanned: the ANALYZE mart flips the anti-join strategy " +
+      "without scanning the blocklist; rows == the hinted chain") {
+    val docs = Seq(
+      (5L, "t", "en", "src5", 10L), (105L, "t", "en", "src5", 10L),
+      (205L, "t", "en", "src5", 10L), (305L, "t", "en", "src5", 10L),
+      (1L, "t", "en", "src1", 10L), (21L, "t", "en", "src1", 10L),
+      (41L, "t", "en", "src1", 10L), (61L, "t", "en", "src1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val mart = UrlCuration.urlMart(docs)
+    val blocked = UrlCuration.hostBlocklist(UrlCuration.hostStats(mart), 0L)
+    // the decision must come from the MART, not the data: hand the planner
+    // fabricated stats rows and watch the plan move while the blocklist
+    // frame (and its true size) stays untouched
+    def stats(nRows: Long) =
+      Seq(("host", nRows)).toDF("column_name", "n_rows")
+    def planOf(nRows: Long): String = {
+      val out = UrlCuration.curatedCorpusPlanned(docs, hostQuota = 10,
+        blocked, stats(nRows))
+      out.queryExecution.executedPlan.toString
+    }
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // isolate the stats decision
+      assert(planOf(2L).contains("BroadcastHashJoin"),
+        "small-by-stats blocklist did not broadcast")
+      val big = planOf(10000000L)
+      assert(!big.contains("BroadcastHashJoin") &&
+        (big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin")),
+        "huge-by-stats blocklist still broadcast")
+    } finally spark.conf.set(key, prev)
+    // either strategy, the hinted chain's rows (dup-share leg blocks src5)
+    val planned = UrlCuration.curatedCorpusPlanned(docs, hostQuota = 10,
+        blocked, stats(2L))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val hinted = UrlCuration.curatedCorpus(docs, hostQuota = 10)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(planned === hinted && planned.nonEmpty)
+  }
+
   test("hostStats: dup share and avg chars in exact integer micros") {
     val docs = Seq(
       (0L, "t", "en", "src0", 10L), (20L, "t", "en", "src0", 20L),
