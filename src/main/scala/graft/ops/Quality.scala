@@ -118,6 +118,74 @@ object Quality {
       .select(col("g").as(groupCol), col("v").as("cutoff"))
   }
 
+  /** Per-GROUP fixed-domain histogram — the grouped maintenance unit:
+    * (g, b, c) rows, ≤ groups × 2^ScaleBits, shard partials merging by
+    * integer addition exactly like [[histogramShard]]'s (bins stay
+    * aligned because the domain is fixed, not data-derived). */
+  def groupedHistogramShard(df: DataFrame, groupCol: String, v: Column,
+      lo: Long, hi: Long): DataFrame =
+    df.select(col(groupCol).as("g"), v.cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .withColumn("b", Zorder.scaled(
+        greatest(least(col("v"), lit(hi)), lit(lo)), lit(lo), lit(hi)))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+
+  /** Grouped twin of [[quantileFromBins]]: exact per-group rank cutoffs
+    * from MAINTAINED per-group bins ([[groupedHistogramShard]] provenance
+    * — a serving layer caches them driver-side, groups × ≤1024 rows) plus
+    * ONE band data pass for ALL groups: the per-group bin walk resolves
+    * (group, band bin, in-bin rank) on the driver, the targets broadcast,
+    * and a row_number window over just the band rows (expected n_g/1024
+    * per group) reads off each group's k-th smallest — the
+    * [[groupedQuantileBanded]] plan shape with histogram provenance
+    * swapped, and the same answer: BOTH are the ceil(q·n_g)-th smallest
+    * per group (spec-pinned equal). Returns (groupCol, cutoff, n) rows.
+    * Stale bins fail loudly ([[quantileFromBins]]'s law, grouped): a
+    * group whose band holds fewer than k rows drops out of the window
+    * output, and the caller-visible contract is the thrown
+    * IllegalStateException, not a silently wrong cutoff. */
+  def groupedQuantileFromBins(bins: Seq[(String, Long, Long)],
+      corpus: DataFrame, groupCol: String, v: Column, q: Double,
+      lo: Long, hi: Long): DataFrame = {
+    require(bins.nonEmpty, "quantile of an empty grouped histogram")
+    val targets = bins.groupBy(_._1).toSeq.map { case (g, rows) =>
+      val (tBin, k) = rankBin(rows.map(r => (r._2, r._3)), q)
+      (g, tBin, k, rows.map(_._3).sum)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tgt = broadcast(targets.toDF("g", "b", "k", "n"))
+    val binned = corpus
+      .select(col(groupCol).as("g"), v.cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .withColumn("b", Zorder.scaled(
+        greatest(least(col("v"), lit(hi)), lit(lo)), lit(lo), lit(hi)))
+    val wband = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v")
+    val out = binned.join(tgt, Seq("g", "b"))
+      .withColumn("vrn", row_number().over(wband))
+      .where(col("vrn") === col("k"))
+      .select(col("g").as(groupCol), col("v").as("cutoff"), col("n"))
+      .collect() // groups-sized: bounded
+    if (out.length != targets.length) {
+      val missing = targets.map(_._1).toSet --
+        out.map(_.getString(0)).toSet
+      throw new IllegalStateException(
+        s"stale grouped histogram: groups ${missing.mkString(", ")} hold " +
+          "fewer band rows than their bins claim — the bins no longer " +
+          "describe this corpus; recompute the histogram and retry")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(groupCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cutoff",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** One shard's histogram partial over a FIXED [lo, hi] domain — (b, c)
     * rows. Fixed bounds (an ingest-contract domain, not data-derived)
     * keep every shard's bins ALIGNED, so shard partials merge by integer

@@ -117,6 +117,19 @@ class GraftApi(spark: SparkSession, sfDir: String,
     graft.ops.Quality.histogramShard(graft.Tables.documents(spark, sfDir),
       col("n_chars"), histLo, histHi).collect()
 
+  // /quantile?group_by=: per-group fixed-domain histograms, cached like
+  // the global one — groups × ≤1024 rows per groupable dim (lang/source
+  // are bounded-cardinality dims; free-form columns are refused at the
+  // endpoint, which is also what keeps this cache bounded).
+  private val quantileGroupCols = Set("lang", "source")
+  private val groupHistCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Row]]
+  private def groupedNCharsHist(groupCol: String): Array[Row] =
+    groupHistCache.getOrElseUpdate(groupCol,
+      graft.ops.Quality.groupedHistogramShard(
+        graft.Tables.documents(spark, sfDir), groupCol, col("n_chars"),
+        histLo, histHi).collect())
+
   private var server: HttpServer = _
 
   /** Start on `port` (0 = ephemeral); returns the bound address. */
@@ -546,17 +559,46 @@ class GraftApi(spark: SparkSession, sfDir: String,
   private def quantileEndpoint(ex: HttpExchange, qp: Map[String, String]): Unit = {
     val q = qp.getOrElse("q", "0.5").toDoubleOption
       .getOrElse(throw new IllegalArgumentException("q must be a number"))
-    val bins = nCharsHist
-      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("c"))).toSeq
-    val cutoff = graft.ops.Quality.quantileFromBins(bins,
-      graft.Tables.documents(spark, sfDir), col("n_chars"), q,
-      histLo, histHi)
-    reply(ex, 200, obj { o =>
-      o.put("column", "n_chars")
-      o.put("q", q)
-      o.put("cutoff", cutoff)
-      o.put("n", bins.map(_._2).sum)
-    })
+    qp.get("group_by") match {
+      case None =>
+        val bins = nCharsHist
+          .map(r => (r.getAs[Long]("b"), r.getAs[Long]("c"))).toSeq
+        val cutoff = graft.ops.Quality.quantileFromBins(bins,
+          graft.Tables.documents(spark, sfDir), col("n_chars"), q,
+          histLo, histHi)
+        reply(ex, 200, obj { o =>
+          o.put("column", "n_chars")
+          o.put("q", q)
+          o.put("cutoff", cutoff)
+          o.put("n", bins.map(_._2).sum)
+        })
+      case Some(g) =>
+        // bounded-cardinality dims only: a free-form column would make
+        // the per-group cache (and the response) corpus-shaped
+        if (!quantileGroupCols(g))
+          throw new IllegalArgumentException(
+            s"group_by must be one of ${quantileGroupCols.toSeq.sorted
+              .mkString(", ")}")
+        val bins = groupedNCharsHist(g)
+          .map(r => (r.getAs[String]("g"), r.getAs[Long]("b"),
+            r.getAs[Long]("c"))).toSeq
+        val rows = graft.ops.Quality.groupedQuantileFromBins(bins,
+            graft.Tables.documents(spark, sfDir), g, col("n_chars"), q,
+            histLo, histHi)
+          .orderBy(g).collect() // groups-sized
+        reply(ex, 200, obj { o =>
+          o.put("column", "n_chars")
+          o.put("q", q)
+          o.put("group_by", g)
+          val arr = o.putArray("groups")
+          rows.foreach { r =>
+            val e = arr.addObject()
+            e.put("group", r.getString(0))
+            e.put("cutoff", r.getLong(1))
+            e.put("n", r.getLong(2))
+          }
+        })
+    }
   }
 
   /** GET /versions — the time-travel catalog of the serving index layout:

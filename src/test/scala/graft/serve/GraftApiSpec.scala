@@ -3,6 +3,8 @@ package graft.serve
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import graft.SparkSpec
@@ -418,6 +420,29 @@ class GraftApiSpec extends SparkSpec {
     assert(get("/quantile?q=0")._1 === 422)
     assert(get("/quantile?q=1.5")._1 === 422)
     assert(get("/quantile?q=abc")._1 === 422)
+  }
+
+  test("GET /quantile?group_by= serves exact per-group cutoffs == " +
+      "groupedQuantileBanded; unknown columns 422") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    for (g <- Seq("lang", "source"); q <- Seq(0.5, 0.9)) {
+      val (code, body) = get(s"/quantile?q=$q&group_by=$g")
+      assert(code === 200)
+      assert(body.get("group_by").asText() === g)
+      val served = body.get("groups").elements().asScala
+        .map(e => e.get("group").asText() ->
+          (e.get("cutoff").asLong(), e.get("n").asLong())).toMap
+      val want = graft.ops.Quality.groupedQuantileBanded(docs, g,
+          org.apache.spark.sql.functions.col("n_chars"), q)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(served.view.mapValues(_._1).toMap === want, s"at $g q=$q")
+      // group sizes come from the cached bins and must sum to the corpus
+      assert(served.values.map(_._2).sum === docs.count())
+    }
+    // free-form columns are refused — the cache stays dim-bounded
+    assert(get("/quantile?group_by=text")._1 === 422)
+    assert(get("/quantile?group_by=doc_id")._1 === 422)
   }
 
   test("GET /imagedup serves banded near-dups from the persisted aHash index") {
