@@ -252,11 +252,16 @@ object Dedup {
     * recovered by two output-sized expansion joins at the end. Snapshot
     * discipline: all three index reads filter through ONE manifest
     * resolution (`vis`), so a concurrent append can never serve a torn
-    * bands/shingles/members mix. */
+    * bands/shingles/members mix. `asOfVersion` probes the index at a
+    * PAST manifest version (time travel — unknown/vacuumed versions
+    * refuse, the committedBatchFilterAt contract), completing the
+    * BM25/IVFADC/aHash lifecycle parity. */
   def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, indexPath: String,
-      threshold: Double = 0.8): DataFrame = {
-    val vis = graft.ops.Layout.committedBatchFilter(spark, indexPath)
+      threshold: Double = 0.8,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val vis = graft.ops.Layout.committedBatchFilterAt(spark, indexPath,
+      asOfVersion)
     val (repPairs, dMembers) = probeRepPairs(spark, newDocs, indexPath,
       threshold, vis)
     val idxMembers = spark.read.parquet(s"$indexPath/members").filter(vis)

@@ -127,6 +127,21 @@ class DedupSpec extends SparkSpec {
     Dedup.appendMinhashIndex(d2.limit(0), tmp, batchId = 1L)
     assert(probe() === once)
 
+    // Time travel: a probe AS OF the pre-append manifest reproduces the
+    // base-only answer (d1's cross pairs vanish); unknown versions refuse.
+    val versions = graft.ops.Layout.manifestVersions(spark, tmp)
+    val preAppend = Dedup.probeMinhashIndex(spark, d2, tmp, 0.8,
+        asOfVersion = Some(versions.min))
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d1Ids = d1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(preAppend === once.filter { case (a, b) =>
+      !d1Ids(a) && !d1Ids(b) })
+    intercept[IllegalArgumentException] {
+      Dedup.probeMinhashIndex(spark, d2, tmp, 0.8,
+        asOfVersion = Some(9999L)).count()
+    }
+
     // Offline compaction folds every committed batch (re-collapsing
     // cross-batch exact dups to super-reps) into the batch_id=-1 base of
     // a fresh root: probe-identical, strictly fewer files.
