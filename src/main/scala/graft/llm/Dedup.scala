@@ -212,6 +212,69 @@ object Dedup {
     graft.ops.Layout.finishBatchCommit(spark, indexPath, phys)
   }
 
+  /** The full ADMISSION transaction — probe, decide, append, and LOG, all
+    * under ONE batch commit: delta docs near-dupping the indexed corpus
+    * are rejected, survivors' bands/shingles/members land under the
+    * delivery's physical partition, and a per-source
+    * (n_admitted, n_rejected) row set lands in the `admissions` table
+    * under the SAME partition — so the atomic manifest swap publishes the
+    * decision and its audit record together (a crash between them cannot
+    * leave an admitted batch with no report, or a report for an invisible
+    * batch), and a replayed delivery rewrites both byte-identically (the
+    * probe excludes the batch's own logical id — [[probeMinhashDupDeltaIds]]).
+    * This is what a crawl-ingest run actually executes; q184 is its
+    * decision arithmetic under the oracle, [[graft.streaming.StreamOps
+    * .minhashAdmissionStream]] drives it per micro-batch. */
+  def admitIntoMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, indexPath: String, batchId: Long,
+      threshold: Double = 0.8): Unit = {
+    require(batchId >= 0,
+      s"batchId must be >= 0 (negative ids are reserved for the base/" +
+        s"compacted partition batch_id=-1), got $batchId")
+    val dupIds = probeMinhashDupDeltaIds(spark, delta, indexPath, threshold,
+      excludeLogicalBatch = Some(batchId))
+    // eager: the append overwrites the parquet dirs the probe reads
+    val flagged = delta.join(
+        broadcast(dupIds.withColumn("__dup", lit(true))),
+        Seq("doc_id"), "left")
+      .localCheckpoint()
+    val phys = graft.ops.Layout.beginBatchCommit(spark, indexPath, batchId)
+    writeIndexDelta(flagged.filter(col("__dup").isNull).drop("__dup"),
+      indexPath, phys, dynamic = true)
+    flagged.groupBy("source").agg(
+        sum(when(col("__dup").isNull, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("__dup").isNull, 0L).otherwise(1L)).as("n_rejected"))
+      .withColumn("batch_id", lit(phys))
+      .coalesce(1) // sources-sized
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$indexPath/admissions")
+    graft.ops.Layout.finishBatchCommit(spark, indexPath, phys)
+  }
+
+  /** The committed admission audit: one (batch, source, n_admitted,
+    * n_rejected) row per source per COMMITTED admission batch — exactly
+    * the decisions the visible index reflects, because log and index
+    * swap in together ([[admitIntoMinhashIndex]]). */
+  def admissionLog(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/admissions")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      // a base-built root that never admitted: an empty log, not a 404
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("batch", LongType),
+          StructField("source", StringType),
+          StructField("n_admitted", LongType),
+          StructField("n_rejected", LongType))))
+    } else
+      spark.read.parquet(s"$indexPath/admissions")
+        .filter(graft.ops.Layout.committedBatchFilter(spark, indexPath))
+        .select(graft.ops.Layout.logicalBatch(col("batch_id")).as("batch"),
+          col("source"), col("n_admitted"), col("n_rejected"))
+  }
+
   private def writeIndexDelta(docs: DataFrame, indexPath: String,
       phys: Long, dynamic: Boolean): Unit = {
     val eligible = eligibleDocs(docs)

@@ -966,10 +966,13 @@ object StreamOps {
     * the pre-delivery snapshot instead of self-matching its first
     * delivery's survivors at jaccard 1.0 — the replayed admission decides
     * identically and the append dynamic-overwrites its own partitions
-    * byte-identically. Survivors are materialized (eager localCheckpoint)
-    * BEFORE the append so the index write never reads the parquet dirs it
-    * is overwriting. Base index exists first
-    * ([[graft.llm.Dedup.writeMinhashIndex]]); batch schema is the
+    * byte-identically. The flagged batch is materialized (eager
+    * localCheckpoint) BEFORE the append so the index write never reads
+    * the parquet dirs it is overwriting, and each batch's per-source
+    * (n_admitted, n_rejected) row set publishes in the SAME manifest swap
+    * as its index delta ([[graft.llm.Dedup.admitIntoMinhashIndex]]) —
+    * queryable via [[graft.llm.Dedup.admissionLog]]. Base index exists
+    * first ([[graft.llm.Dedup.writeMinhashIndex]]); batch schema is the
     * documents table's. */
   def minhashAdmissionStream(docsStream: DataFrame, basePath: String,
       checkpoint: String, threshold: Double = 0.8): StreamingQuery =
@@ -980,19 +983,18 @@ object StreamOps {
         val sess = b.sparkSession
         if (batchId == 0L) {
           assertStreamOwnership(sess, basePath, checkpoint)
-          require(!Seq("bands", "shingles", "members").exists(t =>
-              staleBatchPartitions(sess, s"$basePath/$t", 0)),
+          require(!Seq("bands", "shingles", "members", "admissions")
+              .exists(t => staleBatchPartitions(sess, s"$basePath/$t", 0)),
             s"index root $basePath has batch partitions from a previous " +
               "run but this stream is at batch 0 (new checkpoint): a " +
               "re-admitted doc would self-reject against its old copy. " +
               "Compact into a fresh root or reuse the original checkpoint.")
         }
-        val dupIds = graft.llm.Dedup.probeMinhashDupDeltaIds(sess, b,
-          basePath, threshold, excludeLogicalBatch = Some(batchId))
-        val survivors = b
-          .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
-          .localCheckpoint() // eager: break the read-write cycle
-        graft.llm.Dedup.appendMinhashIndex(survivors, basePath, batchId)
+        // probe + decide + append + per-source admission LOG, all under
+        // one batch commit — the decision and its audit record publish in
+        // the same manifest swap (Dedup.admitIntoMinhashIndex)
+        graft.llm.Dedup.admitIntoMinhashIndex(sess, b, basePath, batchId,
+          threshold)
         ()
       }
       .start()

@@ -618,6 +618,12 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     // 11 rejected against the corpus; 20 rejected against batch 1's
     // survivor — the cross-micro-batch catch
     assert(admitted(s"$tmp/idx") === Set(1L, 2L, 10L, 21L))
+    // the admission LOG published with each batch's manifest swap carries
+    // the per-source decisions (one source 's' per batch here)
+    val log = graft.llm.Dedup.admissionLog(spark, s"$tmp/idx")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(log === Set((0L, "s", 1L, 1L), (1L, "s", 1L, 1L)))
 
     // streamed == the batch admit loop (the q184/q182 DedupSpec shape)
     graft.llm.Dedup.writeMinhashIndex(corpus.toDF(cols: _*), s"$tmp/twin")
@@ -637,15 +643,19 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     val selfDups = graft.llm.Dedup.probeMinhashDupDeltaIds(
       spark, b2DF, s"$tmp/idx", 0.8).as[Long].collect().toSet
     assert(selfDups.contains(21L), "fixture can't see its own delivery")
-    // ...and WITH it, the redelivery decides identically and the dynamic
-    // overwrite leaves the index exactly where it was
-    val dupReplay = graft.llm.Dedup.probeMinhashDupDeltaIds(
-      spark, b2DF, s"$tmp/idx", 0.8, excludeLogicalBatch = Some(1L))
-    graft.llm.Dedup.appendMinhashIndex(
-      b2DF.join(dupReplay, Seq("doc_id"), "left_anti").localCheckpoint(),
-      s"$tmp/idx", 1L)
+    // ...and WITH it, the redelivery (the full admission transaction)
+    // decides identically: index AND admission log land exactly where
+    // they were
+    graft.llm.Dedup.admitIntoMinhashIndex(spark, b2DF, s"$tmp/idx", 1L, 0.8)
     assert(admitted(s"$tmp/idx") === Set(1L, 2L, 10L, 21L),
       "replayed admission moved the index")
+    val logReplay = graft.llm.Dedup.admissionLog(spark, s"$tmp/idx")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(logReplay === log, "replayed admission duplicated log rows")
+    // a root that never ran the admission transaction (the twin used the
+    // raw append) serves an EMPTY log, not a missing-path error
+    assert(graft.llm.Dedup.admissionLog(spark, s"$tmp/twin").collect().isEmpty)
   }
 
   test("stream ownership claim is atomic: N racers on a fresh root, one winner") {
