@@ -156,6 +156,14 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.appendMinhashIndex(d1, tmp, batchId = -1L)
     }
+
+    // the root is a first-class citizen of the layout catalog: DESCRIBE
+    // LAYOUT lists its published versions (SQL front door, free with the
+    // protocol) and they match the time-travel catalog
+    val described = spark.sql(s"DESCRIBE LAYOUT '$tmp'")
+      .select("version").collect().map(_.getLong(0)).toSet
+    assert(described === graft.ops.Layout.manifestVersions(spark, tmp).toSet
+      && described.nonEmpty)
   }
 
   test("incremental probe hot-band guard: 10^4 identical indexed crawls cost " +
