@@ -763,6 +763,43 @@ SELECT source,
 FROM delta LEFT JOIN dup ON dup.doc_id = delta.doc_id
 GROUP BY source ORDER BY source""")),
 
+    // The admission TRANSACTION's audit face: writeMinhashIndex(corpus) +
+    // admitIntoMinhashIndex(delta) on a dedicated root (probe + decide +
+    // survivor append + per-source log, ONE manifest swap), then read the
+    // committed admissionLog. Oracle = q184's decision arithmetic plus the
+    // logical batch id — the log must carry exactly the counts the
+    // one-shot split computes, because the log and the index publish
+    // together (a replayed admission cannot double a row: DedupSpec).
+    Q("q186_admission_log",
+      (s, dir) => {
+        val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_mhadmit_" + graft.sec.SecDerive.pathKey(dir)
+        val docs = Tables.documents(s, dir)
+        graft.sec.SecDerive.cachedCount(s, dir, "minhash_admit_log") {
+          Dedup.writeMinhashIndex(
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), base)
+          Dedup.admitIntoMinhashIndex(s,
+            docs.filter(pmod(col("doc_id"), lit(10)) === 0), base,
+            batchId = 0L, threshold = 0.8)
+          1L
+        }
+        Dedup.admissionLog(s, base).orderBy("source")
+      },
+      Some(s"""
+WITH $minhashCtes,
+dup AS (SELECT DISTINCT CASE WHEN doc_id_a % 10 = 0 THEN doc_id_a
+                             ELSE doc_id_b END AS doc_id
+        FROM j WHERE jaccard >= 0.8
+          AND ((doc_id_a % 10 = 0) <> (doc_id_b % 10 = 0))),
+delta AS (SELECT * FROM documents WHERE doc_id % 10 = 0)
+SELECT CAST(0 AS BIGINT) AS batch, source,
+  CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_admitted,
+  CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_rejected
+FROM delta LEFT JOIN dup ON dup.doc_id = delta.doc_id
+GROUP BY source ORDER BY source""")),
+
     // Near-dup CLUSTERING: connected components over the q21 pair graph —
     // the step that turns pairwise matches into dedup decisions (canonical
     // survivor = min doc_id per component). Oracle: recursive-CTE transitive
