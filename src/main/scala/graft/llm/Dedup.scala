@@ -180,6 +180,13 @@ object Dedup {
   def writeMinhashIndex(docs: DataFrame, indexPath: String): Unit = {
     val spark = docs.sparkSession
     graft.ops.Layout.resetCommitLog(spark, indexPath)
+    // a rebuild must not resurrect the PREVIOUS index's audit: initCommitLog's
+    // directory-walk backfill would re-publish a leftover admissions batch
+    // partition into the fresh manifest, serving the old index's per-source
+    // counts as the new index's committed history
+    val adm = new org.apache.hadoop.fs.Path(s"$indexPath/admissions")
+    val fs = adm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(adm)) { fs.delete(adm, true); () }
     writeIndexDelta(docs, indexPath, phys = -1L, dynamic = false)
     graft.ops.Layout.initCommitLog(spark, indexPath)
   }
@@ -208,6 +215,9 @@ object Dedup {
         s"compacted partition batch_id=-1), got $batchId")
     val spark = docs.sparkSession
     val phys = graft.ops.Layout.beginBatchCommit(spark, indexPath, batchId)
+    // a recovery delivery smaller than the crashed attempt must REPLACE
+    // its partials, not inherit them (clearPhysDirs doc)
+    clearPhysDirs(spark, indexPath, phys)
     writeIndexDelta(docs, indexPath, phys, dynamic = true)
     graft.ops.Layout.finishBatchCommit(spark, indexPath, phys)
   }
@@ -231,25 +241,61 @@ object Dedup {
     require(batchId >= 0,
       s"batchId must be >= 0 (negative ids are reserved for the base/" +
         s"compacted partition batch_id=-1), got $batchId")
-    val dupIds = probeMinhashDupDeltaIds(spark, delta, indexPath, threshold,
-      excludeLogicalBatch = Some(batchId))
-    // eager: the append overwrites the parquet dirs the probe reads
-    val flagged = delta.join(
-        broadcast(dupIds.withColumn("__dup", lit(true))),
-        Seq("doc_id"), "left")
+    // ONE shingle/band pass over the delta, shared by probe and append:
+    // the probe core checkpoints the delta-derived frames, so the survivor
+    // writes below reuse them instead of re-tokenizing the batch
+    val vis = excludedVis(spark, indexPath, Some(batchId))
+    val (repPairs, dMembers, newBands, newSets) =
+      probeCore(spark, delta, indexPath, threshold, vis, materialize = true)
+    // groups admit or reject ATOMICALLY (exact-dup members share their
+    // rep's pairs), so the decision is rep-level; eager-checkpointing it
+    // severs the last read of the index files the append overwrites
+    val dupReps = repPairs.select(col("rep_new").as("rep")).distinct()
       .localCheckpoint()
     val phys = graft.ops.Layout.beginBatchCommit(spark, indexPath, batchId)
-    writeIndexDelta(flagged.filter(col("__dup").isNull).drop("__dup"),
-      indexPath, phys, dynamic = true)
-    flagged.groupBy("source").agg(
+    clearPhysDirs(spark, indexPath, phys)
+    val keepRep = dupReps.select(col("rep").as("doc_id"))
+    def put(df: DataFrame, table: String): Unit =
+      df.withColumn("batch_id", lit(phys))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$indexPath/$table")
+    put(newBands.join(keepRep, Seq("doc_id"), "left_anti")
+      .sortWithinPartitions("band_idx", "band_hash"), "bands")
+    put(newSets.join(keepRep, Seq("doc_id"), "left_anti")
+      .sortWithinPartitions("doc_id"), "shingles")
+    put(dMembers.join(dupReps, Seq("rep"), "left_anti"), "members")
+    val dupIds = dMembers.join(dupReps, Seq("rep"), "left_semi")
+      .select("doc_id")
+    put(delta
+      .join(broadcast(dupIds.withColumn("__dup", lit(true))),
+        Seq("doc_id"), "left")
+      .groupBy("source").agg(
         sum(when(col("__dup").isNull, 1L).otherwise(0L)).as("n_admitted"),
         sum(when(col("__dup").isNull, 0L).otherwise(1L)).as("n_rejected"))
-      .withColumn("batch_id", lit(phys))
-      .coalesce(1) // sources-sized
-      .write.mode("overwrite").partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(s"$indexPath/admissions")
+      .coalesce(1), // sources-sized
+      "admissions")
     graft.ops.Layout.finishBatchCommit(spark, indexPath, phys)
+  }
+
+  /** Pre-delete a delivery's `batch_id=<phys>` directories across the four
+    * index tables before writing it: dynamic partition overwrite only
+    * replaces partitions the NEW frame contains rows for, so without this
+    * a recovery delivery smaller than the crashed attempt (the limiting
+    * case: an empty one) would COMMIT the torn partials instead of
+    * replacing them — bands without shingles would then reject future
+    * deltas as dups of docs that were never admitted. With the clear,
+    * replay == delivered content exactly, whatever the crashed attempt
+    * left behind. Driver-side: four directory deletes, no data read. */
+  private def clearPhysDirs(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, phys: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("bands", "shingles", "members", "admissions").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(
+        s"$indexPath/$t/batch_id=$phys")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
   }
 
   /** The committed admission audit: one (batch, source, n_admitted,
@@ -325,8 +371,8 @@ object Dedup {
       asOfVersion: Option[Long] = None): DataFrame = {
     val vis = graft.ops.Layout.committedBatchFilterAt(spark, indexPath,
       asOfVersion)
-    val (repPairs, dMembers) = probeRepPairs(spark, newDocs, indexPath,
-      threshold, vis)
+    val (repPairs, dMembers, _, _) = probeCore(spark, newDocs, indexPath,
+      threshold, vis, materialize = false)
     val idxMembers = spark.read.parquet(s"$indexPath/members").filter(vis)
       .select(col("doc_id").as("doc_id_old"), col("rep").as("rep_old"))
     val dMem = dMembers
@@ -360,33 +406,48 @@ object Dedup {
       newDocs: DataFrame, indexPath: String,
       threshold: Double = 0.8,
       excludeLogicalBatch: Option[Long] = None): DataFrame = {
-    val base = graft.ops.Layout.committedBatchFilter(spark, indexPath)
-    // logicalBatch(-1) = -1: the always-visible base partition never
-    // matches an excluded id (appends require batchId >= 0)
-    val vis = excludeLogicalBatch.fold(base)(lb =>
-      base && graft.ops.Layout.logicalBatch(col("batch_id")) =!= lit(lb))
-    val (repPairs, dMembers) = probeRepPairs(spark, newDocs, indexPath,
-      threshold, vis)
+    val (repPairs, dMembers, _, _) = probeCore(spark, newDocs, indexPath,
+      threshold, excludedVis(spark, indexPath, excludeLogicalBatch),
+      materialize = false)
     dMembers.join(
         broadcast(repPairs.select(col("rep_new").as("rep")).distinct()),
         Seq("rep"), "left_semi")
       .select("doc_id")
   }
 
+  /** The committed-snapshot predicate, optionally excluding one logical
+    * batch's deliveries — the admission-replay seam. logicalBatch(-1) =
+    * -1: the always-visible base partition never matches an excluded id
+    * (appends require batchId >= 0). */
+  private def excludedVis(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, excludeLogicalBatch: Option[Long])
+      : org.apache.spark.sql.Column = {
+    val base = graft.ops.Layout.committedBatchFilter(spark, indexPath)
+    excludeLogicalBatch.fold(base)(lb =>
+      base && graft.ops.Layout.logicalBatch(col("batch_id")) =!= lit(lb))
+  }
+
   /** Shared probe core: REP-level cross pairs (rep_old, rep_new, jaccard)
-    * at >= threshold, plus the delta's membership frame (checkpointed —
-    * the callers consume it again for expansion). `vis` is the caller's
-    * single manifest resolution, applied to every index read. */
-  private def probeRepPairs(spark: org.apache.spark.sql.SparkSession,
+    * at >= threshold, plus the delta-derived frames (membership, rep
+    * bands, rep shingle sets). `vis` is the caller's single manifest
+    * resolution, applied to every index read. `materialize` checkpoints
+    * the rep bands/shingle frames too (all delta-rep-sized) — the
+    * admission transaction sets it so the survivor APPEND reuses the
+    * probe's one shingle/band pass instead of re-tokenizing the batch;
+    * plain probes skip the extra barrier. */
+  private def probeCore(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, indexPath: String, threshold: Double,
-      vis: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+      vis: org.apache.spark.sql.Column, materialize: Boolean)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    def keep(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(false) else df
     val eligible = eligibleDocs(newDocs)
     val dMembers = exactGroupsOf(eligible).localCheckpoint(false)
     val dReps = eligible.join(
       dMembers.filter(col("doc_id") === col("rep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
-    val newBands = bandsOf(dReps)
-    val newSets = shingleSetsOf(dReps)
+    val newBands = keep(bandsOf(dReps))
+    val newSets = keep(shingleSetsOf(dReps))
     val idxBands = spark.read.parquet(s"$indexPath/bands").filter(vis)
     val candidates = idxBands.join(broadcast(newBands),
         idxBands("band_idx") === newBands("band_idx") &&
@@ -410,7 +471,7 @@ object Dedup {
         (col("icnt").cast("double") / (col("nsum") - col("icnt")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (repPairs, dMembers)
+    (repPairs, dMembers, newBands, newSets)
   }
 
   /** Offline compaction of a [[writeMinhashIndex]] layout into the
@@ -454,6 +515,19 @@ object Dedup {
         .join(repMap.filter(col("rep") === col("srep"))
           .select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi"),
       "bands", Seq("band_idx", "band_hash"))
+    // carry the committed admission AUDIT across the fold — compaction
+    // must not erase the per-batch decision history the exactly-once
+    // admission exists to preserve. Rows keep their physical partition
+    // ids, so initCommitLog's backfill walk re-publishes exactly the
+    // committed set and admissionLog(outBase) == admissionLog(inBase).
+    val admIn = new org.apache.hadoop.fs.Path(s"$inBase/admissions")
+    if (admIn.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(admIn)) {
+      spark.read.parquet(s"$inBase/admissions").filter(vis)
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$outBase/admissions")
+    }
     graft.ops.Layout.initCommitLog(spark, outBase)
     def nFiles(base: String): Long =
       Seq("bands", "shingles", "members").map { t =>

@@ -125,7 +125,12 @@ object Quality {
   def groupedHistogramShard(df: DataFrame, groupCol: String, v: Column,
       lo: Long, hi: Long): DataFrame =
     df.select(col(groupCol).as("g"), v.cast("long").as("v"))
-      .where(col("v").isNotNull)
+      // NULL group values are excluded, matching [[groupedQuantileBanded]]
+      // (whose group-stats equi-join silently drops them): keeping them
+      // here would seed a bins entry whose band rows no equi-join can
+      // ever match (NULL != NULL), making the read-off throw a false
+      // stale-histogram error on perfectly fresh bins
+      .where(col("v").isNotNull && col("g").isNotNull)
       .withColumn("b", Zorder.scaled(
         greatest(least(col("v"), lit(hi)), lit(lo)), lit(lo), lit(hi)))
       .groupBy("g", "b").agg(count(lit(1)).as("c"))
@@ -148,10 +153,15 @@ object Quality {
       corpus: DataFrame, groupCol: String, v: Column, q: Double,
       lo: Long, hi: Long): DataFrame = {
     require(bins.nonEmpty, "quantile of an empty grouped histogram")
-    val targets = bins.groupBy(_._1).toSeq.map { case (g, rows) =>
-      val (tBin, k) = rankBin(rows.map(r => (r._2, r._3)), q)
-      (g, tBin, k, rows.map(_._3).sum)
-    }
+    // defensive twin of the shard-side null-group exclusion: a null group
+    // can never equi-join its band rows back, so a target for it would
+    // always read as a (false) stale histogram
+    val targets = bins.filter(_._1 != null).groupBy(_._1).toSeq
+      .map { case (g, rows) =>
+        val (tBin, k) = rankBin(rows.map(r => (r._2, r._3)), q)
+        (g, tBin, k, rows.map(_._3).sum)
+      }
+    require(targets.nonEmpty, "quantile of an all-null-group histogram")
     val spark = corpus.sparkSession
     import spark.implicits._
     val tgt = broadcast(targets.toDF("g", "b", "k", "n"))

@@ -744,11 +744,20 @@ object StreamOps {
       .start()
 
   /** Batch-0 restart guard shared by the serving-layout ingest streams:
-    * true iff a `batch_id=` partition other than 0 (legitimate
-    * re-delivery) or -1 (the reserved base) exists `depth` directory
-    * levels under `path` — batch_id nests under term_bucket= in the
-    * postings layout and under cell= in the codes layout, so the guard
-    * must look one level down, not just at the root. */
+    * true iff a `batch_id=` partition belonging to a LOGICAL batch other
+    * than 0 (a legitimate batch-0 re-delivery) or the reserved base (-1)
+    * exists `depth` directory levels under `path` — batch_id nests under
+    * term_bucket= in the postings layout and under cell= in the codes
+    * layout, so the guard must look one level down, not just at the
+    * root. The id is resolved through [[graft.ops.Layout
+    * .logicalBatchLocal]]: manifest-protocol appends land under
+    * phys-strided ids (logical 0 → batch_id=1000000+gen), and whitelisting
+    * only the literal "0" would refuse the documented crash-replay — a
+    * sink that committed batch 0 but crashed before the streaming
+    * checkpoint recorded it re-runs batchId 0 on restart with the SAME
+    * checkpoint, and must be allowed to dynamic-overwrite its own
+    * delivery (ownership against OTHER streams is the marker's job, not
+    * this guard's). */
   private def staleBatchPartitions(spark: SparkSession, path: String,
       depth: Int): Boolean = {
     val hPath = new org.apache.hadoop.fs.Path(path)
@@ -759,8 +768,9 @@ object StreamOps {
         fs.listStatus(p).exists { st =>
           val n = st.getPath.getName
           n.startsWith("batch_id=") &&
-            n.stripPrefix("batch_id=") != "0" &&
-            n.stripPrefix("batch_id=") != "-1"
+            n.stripPrefix("batch_id=").toLongOption.forall { id =>
+              id != -1L && graft.ops.Layout.logicalBatchLocal(id) != 0L
+            }
         }
       else fs.listStatus(p).filter(_.isDirectory)
         .exists(st => walk(st.getPath, d - 1))
@@ -768,8 +778,8 @@ object StreamOps {
   }
 
   /** Batch-0 ownership check for the serving-layout ingest streams: the
-    * stale-partition guard is blind to batch_id ∈ {0, -1} (0 is a
-    * legitimate re-delivery, -1 the base), so a PREVIOUS stream's batch-0
+    * stale-partition guard is blind to logical batch 0 and the base -1
+    * (0 is a legitimate re-delivery), so a PREVIOUS stream's batch-0
     * data would silently survive a fresh-checkpoint restart and the new
     * stream's batch 0 would dynamic-overwrite only the partitions its own
     * docs hit — stale postings/codes linger and later re-deliveries

@@ -123,9 +123,14 @@ class DedupSpec extends SparkSpec {
       .write.mode("append").partitionBy("batch_id").parquet(s"$tmp/bands")
     assert(probe() === once, "uncommitted torn delivery visible to the probe")
     // recovery IS the replay: the real append reuses the unfinished gen,
-    // dynamic-overwrites the torn partition, and swaps once
+    // CLEARS the torn partition (dynamic overwrite alone would keep
+    // partials a smaller recovery doesn't re-cover — the limiting case
+    // being this empty one), and swaps once
     Dedup.appendMinhashIndex(d2.limit(0), tmp, batchId = 1L)
     assert(probe() === once)
+    assert(spark.read.parquet(s"$tmp/bands")
+        .filter(col("batch_id") === phys).count() === 0L,
+      "torn partials survived the recovery delivery")
 
     // Time travel: a probe AS OF the pre-append manifest reproduces the
     // base-only answer (d1's cross pairs vanish); unknown versions refuse.

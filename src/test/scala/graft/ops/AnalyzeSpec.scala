@@ -100,6 +100,31 @@ class AnalyzeSpec extends SparkSpec {
     assert(e.getMessage.contains("empty histogram domain"))
   }
 
+  test("grouped quantile from bins: NULL group values are excluded, not a " +
+      "false stale-histogram throw; non-null groups exact") {
+    val docs = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L),
+      (4L, "fr", 100L), (5L, "fr", 200L),
+      (6L, null.asInstanceOf[String], 999L) // null group: excluded
+    ).toDF("doc_id", "lang", "n_chars")
+    val bins = Quality
+      .groupedHistogramShard(docs, "lang", col("n_chars"), 0L, 4096L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(bins.forall(_._1 != null), "null group leaked into the bins")
+    val out = Quality.groupedQuantileFromBins(bins, docs, "lang",
+        col("n_chars"), 0.5, 0L, 4096L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === Map("en" -> 20L, "fr" -> 100L))
+    // the defensive filter: a stray null-group bins row (older shard
+    // provenance) is ignored rather than read as a stale histogram
+    val out2 = Quality.groupedQuantileFromBins(
+        bins :+ (null.asInstanceOf[String], 0L, 1L), docs, "lang",
+        col("n_chars"), 0.5, 0L, 4096L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out2 === out)
+  }
+
   test("joinPlannedByStats: the mart drives the join strategy, not the data") {
     val dim = Seq((1L, "en"), (2L, "fr")).toDF("k", "v")
     val fact = Seq((1L, 10L), (2L, 20L), (1L, 30L)).toDF("k", "x")

@@ -656,6 +656,58 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     // a root that never ran the admission transaction (the twin used the
     // raw append) serves an EMPTY log, not a missing-path error
     assert(graft.llm.Dedup.admissionLog(spark, s"$tmp/twin").collect().isEmpty)
+
+    // compaction carries the committed audit across the fold...
+    graft.llm.Dedup.compactMinhashIndex(spark, s"$tmp/idx", s"$tmp/cmp")
+    val logCmp = graft.llm.Dedup.admissionLog(spark, s"$tmp/cmp")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(logCmp === log, "compaction lost the admission audit")
+
+    // ...while a REBUILD retires it: Overwrite means a fresh index, and a
+    // fresh index must not serve the previous corpus's decision history
+    graft.llm.Dedup.writeMinhashIndex(corpus.toDF(cols: _*), s"$tmp/idx")
+    assert(graft.llm.Dedup.admissionLog(spark, s"$tmp/idx").collect().isEmpty,
+      "rebuild resurrected the previous index's admissions")
+  }
+
+  test("batch-0 crash replay: a sink that committed batch 0 but lost its " +
+      "checkpoint re-drives it instead of refusing (phys-strided guard)") {
+    // The stale-partition guard must resolve batch_id dirs through
+    // logicalBatchLocal: manifest-protocol deliveries of LOGICAL batch 0
+    // land under phys-strided ids (batch_id=1000000+gen), and a guard
+    // whitelisting only the literal "0" would refuse the documented
+    // recovery — same checkpoint path, batch 0 re-driven after the sink
+    // committed but the streaming checkpoint didn't.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mhreplay0").toString
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def d(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val corpus = Seq(d(1L, "alpha beta gamma delta epsilon zeta eta"))
+    val b1 = Seq(d(10L, "completely fresh text about columnar shuffles"))
+    graft.llm.Dedup.writeMinhashIndex(corpus.toDF(cols: _*), s"$tmp/idx")
+    def admitted(): Set[Long] =
+      spark.read.parquet(s"$tmp/idx/members")
+        .filter(graft.ops.Layout.committedBatchFilter(spark, s"$tmp/idx"))
+        .select("doc_id").as[Long].collect().toSet
+    def drive(): Unit = {
+      val mem = MemoryStream[(Long, String, String, String, Long)]
+      val q = StreamOps.minhashAdmissionStream(
+        mem.toDF().toDF(cols: _*), s"$tmp/idx", s"$tmp/ckpt")
+      try { mem.addData(b1: _*); q.processAllAvailable() } finally q.stop()
+    }
+    drive()
+    val once = admitted()
+    assert(once === Set(1L, 10L))
+    // crash model: the sink's manifest swap landed, the streaming
+    // checkpoint didn't — on recovery the same checkpoint path re-drives
+    // batch 0 over a root whose only partitions are logical batch 0's
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/ckpt")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/ckpt"), true)
+    drive() // before the logicalBatchLocal guard this threw "stale"
+    assert(admitted() === once, "batch-0 replay moved the index")
   }
 
   test("stream ownership claim is atomic: N racers on a fresh root, one winner") {
