@@ -278,25 +278,15 @@ object Dedup {
     graft.ops.Layout.finishBatchCommit(spark, indexPath, phys)
   }
 
-  /** Pre-delete a delivery's `batch_id=<phys>` directories across the four
-    * index tables before writing it: dynamic partition overwrite only
-    * replaces partitions the NEW frame contains rows for, so without this
-    * a recovery delivery smaller than the crashed attempt (the limiting
-    * case: an empty one) would COMMIT the torn partials instead of
-    * replacing them — bands without shingles would then reject future
-    * deltas as dups of docs that were never admitted. With the clear,
-    * replay == delivered content exactly, whatever the crashed attempt
-    * left behind. Driver-side: four directory deletes, no data read. */
+  /** Pre-delete a delivery's `batch_id=<phys>` directories across the
+    * index tables before writing it — without this, a recovery delivery
+    * smaller than the crashed attempt would COMMIT the torn partials:
+    * bands without shingles would then reject future deltas as dups of
+    * docs that were never admitted ([[graft.ops.Layout
+    * .clearPhysicalDelivery]]). */
   private def clearPhysDirs(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, phys: Long): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    Seq("bands", "shingles", "members", "admissions").foreach { t =>
-      val p = new org.apache.hadoop.fs.Path(
-        s"$indexPath/$t/batch_id=$phys")
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) { fs.delete(p, true); () }
-    }
-  }
+      indexPath: String, phys: Long): Unit =
+    graft.ops.Layout.clearPhysicalDelivery(spark, indexPath, phys)
 
   /** The committed admission audit: one (batch, source, n_admitted,
     * n_rejected) row per source per COMMITTED admission batch — exactly

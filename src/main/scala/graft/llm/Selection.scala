@@ -554,6 +554,9 @@ object Selection {
     // serving the previous delivery untouched until the one atomic
     // manifest swap at finish — never a torn or vanished batch
     val phys = graft.ops.Layout.beginBatchCommit(spark, basePath, batchId)
+    // a recovery delivery smaller than the crashed attempt must REPLACE
+    // its partials, not inherit them (Layout.clearPhysicalDelivery doc)
+    graft.ops.Layout.clearPhysicalDelivery(spark, basePath, phys)
     val cents = broadcast(spark.read.parquet(s"$basePath/cents"))
     val assigned = Similarity.ivfAssignWith(newEmbeddings, cents)
       .join(cents, "cell")
@@ -1047,6 +1050,9 @@ c AS (SELECT doc_id, source, t,
     // a concurrent /search can never see a half-rewritten batch.
     val spark = newDocs.sparkSession
     val phys = graft.ops.Layout.beginBatchCommit(spark, basePath, batchId)
+    // a recovery delivery smaller than the crashed attempt must REPLACE
+    // its partials, not inherit them (Layout.clearPhysicalDelivery doc)
+    graft.ops.Layout.clearPhysicalDelivery(spark, basePath, phys)
     // one tokenize pass, three consumers (postings + both stats deltas);
     // positional, matching the base layout's schema
     val delta =

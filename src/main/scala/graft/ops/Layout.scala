@@ -348,6 +348,24 @@ object Layout {
     (batchId + 1) * GenStride + gen
   }
 
+  /** Delete every `batch_id=<phys>` partition directory under `base`
+    * (any table, nested up to 4 levels — the vacuum walk's geometry):
+    * the PRE-WRITE clear that makes a delivery REPLACE whatever a
+    * crashed attempt left under the same physical id. Dynamic partition
+    * overwrite alone only rewrites partitions the new frame has rows
+    * for, so a recovery delivery smaller than the crashed attempt (the
+    * limiting case: an empty one) would otherwise COMMIT the torn
+    * partials at [[finishBatchCommit]]. Driver-side directory deletes,
+    * no data read; a no-op for ids no crash ever wrote. */
+  def clearPhysicalDelivery(spark: SparkSession, base: String,
+      phys: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(base)
+    val fs = fsOf(spark, root)
+    collectBatchDirs(fs, root, depth = 4)
+      .filter(_._1 == phys)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
   /** Commit a delivery: every table's partitions for `physicalId` (the
     * value [[beginBatchCommit]] returned) are fully written; publish the
     * next manifest version mapping the logical batch to this physical —

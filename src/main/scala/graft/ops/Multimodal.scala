@@ -428,6 +428,9 @@ object Multimodal {
         s"compacted partition batch_id=-1), got $batchId")
     val nVb = spark.read.parquet(s"$basePath/bands_meta").head().getInt(0)
     val phys = Layout.beginBatchCommit(spark, basePath, batchId)
+    // a recovery delivery smaller than the crashed attempt must REPLACE
+    // its partials, not inherit them (Layout.clearPhysicalDelivery doc)
+    Layout.clearPhysicalDelivery(spark, basePath, phys)
     writeAhashBatch(ahashBandRows(newDocs), basePath, nVb, phys,
       dynamic = true)
     Layout.finishBatchCommit(spark, basePath, phys)

@@ -401,6 +401,23 @@ class SelectionSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Selection.appendToIvfadcIndex(vecs, s"$tmp/inc", batchId = -1L)
     }
+
+    // Torn partials + an EMPTY recovery delivery: the pre-write clear
+    // must REPLACE the crashed attempt's files — dynamic overwrite alone
+    // rewrites only partitions the recovery has rows for, so without the
+    // clear these duplicate codes would COMMIT and shadow their vectors'
+    // real cells (latest-logical-batch-wins).
+    val physT = graft.ops.Layout.beginBatchCommit(spark, s"$tmp/inc", 3L)
+    spark.read.parquet(s"$tmp/inc/codes").limit(20)
+      .drop("batch_id").withColumn("batch_id", lit(physT))
+      .write.mode("append").partitionBy("cell", "batch_id")
+      .parquet(s"$tmp/inc/codes")
+    Selection.appendToIvfadcIndex(vecs.limit(0), s"$tmp/inc", batchId = 3L)
+    assert(search(s"$tmp/inc") === inc,
+      "empty recovery committed the torn partials")
+    assert(spark.read.parquet(s"$tmp/inc/codes")
+        .filter(col("batch_id") === physT).count() === 0L,
+      "torn partials survived the empty recovery")
   }
 
   test("IVFADC cross-cell re-assignment: uncompacted search == post-compaction search") {

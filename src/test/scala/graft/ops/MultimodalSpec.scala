@@ -86,7 +86,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("aHash index lifecycle: append == one-shot; point search pruned; replay snapshot-isolated") {
     implicit val s = spark
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val tmp = java.nio.file.Files.createTempDirectory("graft_ahash").toString
     // one-shot reference vs base + appended batch
@@ -117,6 +117,20 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs(s"$tmp/inc") === full)
     assert(Layout.vacuumLayout(spark, s"$tmp/inc") > 0)
     assert(spark.read.parquet(s"$tmp/inc/bands").count() === n)
+
+    // torn partials + an EMPTY recovery delivery: the pre-write clear
+    // replaces the crashed attempt's files instead of committing them
+    val physT = Layout.beginBatchCommit(spark, s"$tmp/inc", 1L)
+    spark.read.parquet(s"$tmp/inc/bands").limit(10)
+      .drop("batch_id").withColumn("batch_id", lit(physT))
+      .write.mode("append").partitionBy("band", "vb", "batch_id")
+      .parquet(s"$tmp/inc/bands")
+    Multimodal.appendToAhashIndex(corpus.limit(0), s"$tmp/inc", batchId = 1L)
+    assert(pairs(s"$tmp/inc") === full,
+      "empty recovery committed the torn partials")
+    assert(spark.read.parquet(s"$tmp/inc/bands")
+        .filter(col("batch_id") === physT).count() === 0L,
+      "torn partials survived the empty recovery")
 
     // point search == the pair set restricted to one doc
     val probe = full.head.head.asInstanceOf[Long]
