@@ -216,8 +216,8 @@ object Dedup {
     val spark = docs.sparkSession
     val phys = graft.ops.Layout.beginBatchCommit(spark, indexPath, batchId)
     // a recovery delivery smaller than the crashed attempt must REPLACE
-    // its partials, not inherit them (clearPhysDirs doc)
-    clearPhysDirs(spark, indexPath, phys)
+    // its partials, not inherit them (Layout.clearPhysicalDelivery doc)
+    graft.ops.Layout.clearPhysicalDelivery(spark, indexPath, phys)
     writeIndexDelta(docs, indexPath, phys, dynamic = true)
     graft.ops.Layout.finishBatchCommit(spark, indexPath, phys)
   }
@@ -253,7 +253,7 @@ object Dedup {
     val dupReps = repPairs.select(col("rep_new").as("rep")).distinct()
       .localCheckpoint()
     val phys = graft.ops.Layout.beginBatchCommit(spark, indexPath, batchId)
-    clearPhysDirs(spark, indexPath, phys)
+    graft.ops.Layout.clearPhysicalDelivery(spark, indexPath, phys)
     val keepRep = dupReps.select(col("rep").as("doc_id"))
     def put(df: DataFrame, table: String): Unit =
       df.withColumn("batch_id", lit(phys))
@@ -267,26 +267,35 @@ object Dedup {
     put(dMembers.join(dupReps, Seq("rep"), "left_anti"), "members")
     val dupIds = dMembers.join(dupReps, Seq("rep"), "left_semi")
       .select("doc_id")
+    // `batch` rides as a DATA column (not just the partition id):
+    // compaction folds the audit into the base partition, and rows must
+    // keep saying which admission batch they record — folding them under
+    // live logical ids instead would collide with a post-compaction
+    // stream's own batch ids in the manifest
     put(delta
       .join(broadcast(dupIds.withColumn("__dup", lit(true))),
         Seq("doc_id"), "left")
       .groupBy("source").agg(
         sum(when(col("__dup").isNull, 1L).otherwise(0L)).as("n_admitted"),
         sum(when(col("__dup").isNull, 0L).otherwise(1L)).as("n_rejected"))
+      .withColumn("batch", lit(batchId))
       .coalesce(1), // sources-sized
       "admissions")
     graft.ops.Layout.finishBatchCommit(spark, indexPath, phys)
+    // bound executor storage across a long-running admission stream: the
+    // probe frames were checkpointed for reuse WITHIN this transaction;
+    // retire their blocks now (the connectedComponents discipline)
+    Seq(dMembers, newBands, newSets, dupReps).foreach(freeCheckpoint)
   }
 
-  /** Pre-delete a delivery's `batch_id=<phys>` directories across the
-    * index tables before writing it — without this, a recovery delivery
-    * smaller than the crashed attempt would COMMIT the torn partials:
-    * bands without shingles would then reject future deltas as dups of
-    * docs that were never admitted ([[graft.ops.Layout
-    * .clearPhysicalDelivery]]). */
-  private def clearPhysDirs(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, phys: Long): Unit =
-    graft.ops.Layout.clearPhysicalDelivery(spark, indexPath, phys)
+  /** Release a localCheckpoint's executor blocks (the checkpointed frame
+    * is a LogicalRDD over a persisted internal RDD — unpersist it). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** The committed admission audit: one (batch, source, n_admitted,
     * n_rejected) row per source per COMMITTED admission batch — exactly
@@ -307,8 +316,11 @@ object Dedup {
     } else
       spark.read.parquet(s"$indexPath/admissions")
         .filter(graft.ops.Layout.committedBatchFilter(spark, indexPath))
-        .select(graft.ops.Layout.logicalBatch(col("batch_id")).as("batch"),
-          col("source"), col("n_admitted"), col("n_rejected"))
+        // `batch` is a data column: live rows carry their admission batch,
+        // compacted rows (folded under batch_id=-1) keep saying which
+        // batch they recorded
+        .select(col("batch"), col("source"), col("n_admitted"),
+          col("n_rejected"))
   }
 
   private def writeIndexDelta(docs: DataFrame, indexPath: String,
@@ -507,13 +519,24 @@ object Dedup {
       "bands", Seq("band_idx", "band_hash"))
     // carry the committed admission AUDIT across the fold — compaction
     // must not erase the per-batch decision history the exactly-once
-    // admission exists to preserve. Rows keep their physical partition
-    // ids, so initCommitLog's backfill walk re-publishes exactly the
-    // committed set and admissionLog(outBase) == admissionLog(inBase).
+    // admission exists to preserve. The rows FOLD INTO THE BASE partition
+    // (their `batch` data column keeps saying which admission batch each
+    // records): keeping live batch_id partitions instead would (a) make
+    // the batch-0 stale guard refuse a fresh admission stream over the
+    // compacted root — with "compact into a fresh root" as the error's
+    // own, now-circular remedy — and (b) collide in the manifest with a
+    // post-compaction stream's own logical batch ids, silently hiding
+    // history. A stale admissions dir in a REUSED outBase is removed
+    // either way (the writeMinhashIndex rebuild rule: a fresh root must
+    // not resurrect some other index's audit).
+    val admOut = new org.apache.hadoop.fs.Path(s"$outBase/admissions")
+    val admFs = admOut.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (admFs.exists(admOut)) { admFs.delete(admOut, true); () }
     val admIn = new org.apache.hadoop.fs.Path(s"$inBase/admissions")
     if (admIn.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(admIn)) {
       spark.read.parquet(s"$inBase/admissions").filter(vis)
+        .drop("batch_id").withColumn("batch_id", lit(-1L))
         .coalesce(1)
         .write.mode("overwrite").partitionBy("batch_id")
         .parquet(s"$outBase/admissions")

@@ -489,6 +489,15 @@ object Selection {
     // previous manifests so no as_of read decodes a retired snapshot's
     // codes against the new geometry (Layout.resetCommitLog doc)
     graft.ops.Layout.resetCommitLog(spark, basePath)
+    // ...and the previous index's REASSIGN log: the static overwrites
+    // below replace cents/codebook/codes but not this aux table, and
+    // initCommitLog's backfill walk would re-publish its stale batch
+    // partitions — the search's latest-logical-batch-wins fold would then
+    // filter the rebuilt base codes of every previously-appended vec_id
+    // out of every search, silently
+    val reassign = new org.apache.hadoop.fs.Path(s"$basePath/reassign")
+    val rfs = reassign.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rfs.exists(reassign)) { rfs.delete(reassign, true); () }
     Similarity.kmeansTrain(embeddings, nlist, iters = 1)
       .write.mode("overwrite").parquet(s"$basePath/cents")
     val cents = broadcast(spark.read.parquet(s"$basePath/cents"))
@@ -610,6 +619,13 @@ object Selection {
       inBase: String, outBase: String): (Long, Long) = {
     def nFiles(p: String): Long = countParquetFiles(spark, p)
     graft.ops.Layout.resetCommitLog(spark, outBase) // fresh-root semantics
+    // the fold APPLIES the reassign shadowing physically, so the fresh
+    // root has no reassign log — and a REUSED outBase must not keep a
+    // stale one for the backfill walk to resurrect (writeIvfadcIndex doc)
+    val reassignOut = new org.apache.hadoop.fs.Path(s"$outBase/reassign")
+    val rofs = reassignOut
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rofs.exists(reassignOut)) { rofs.delete(reassignOut, true); () }
     spark.read.parquet(s"$inBase/cents")
       .write.mode("overwrite").parquet(s"$outBase/cents")
     spark.read.parquet(s"$inBase/codebook")

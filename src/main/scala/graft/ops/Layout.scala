@@ -323,6 +323,11 @@ object Layout {
     val dir = commitsDir(base)
     val fs = fsOf(spark, dir)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
+    // the stream-ownership marker is state of the REPLACED index too: a
+    // rebuilt (or compacted-into) root must accept a new ingest stream,
+    // not refuse it on behalf of the dead stream that fed the old data
+    val marker = new org.apache.hadoop.fs.Path(s"$base/_stream_marker")
+    if (fs.exists(marker)) { fs.delete(marker, false); () }
   }
 
   /** Start a delivery of logical batch `batchId`: allocate and return the
@@ -348,22 +353,37 @@ object Layout {
     (batchId + 1) * GenStride + gen
   }
 
-  /** Delete every `batch_id=<phys>` partition directory under `base`
-    * (any table, nested up to 4 levels — the vacuum walk's geometry):
-    * the PRE-WRITE clear that makes a delivery REPLACE whatever a
-    * crashed attempt left under the same physical id. Dynamic partition
-    * overwrite alone only rewrites partitions the new frame has rows
-    * for, so a recovery delivery smaller than the crashed attempt (the
-    * limiting case: an empty one) would otherwise COMMIT the torn
-    * partials at [[finishBatchCommit]]. Driver-side directory deletes,
-    * no data read; a no-op for ids no crash ever wrote. */
+  /** Claim a delivery and clear any CRASHED attempt's leftovers under the
+    * same physical id — the pre-write step every manifest-protocol append
+    * runs between [[beginBatchCommit]] and its table writes. Dynamic
+    * partition overwrite alone only rewrites partitions the new frame has
+    * rows for, so a recovery delivery smaller than the crashed attempt
+    * (the limiting case: an empty one) would otherwise COMMIT the torn
+    * partials at [[finishBatchCommit]].
+    *
+    * Priced for the NO-crash case, which is every healthy append: a
+    * `pending_<phys>` intent marker in `_commits` records an in-flight
+    * attempt ([[finishBatchCommit]] retires it), so the directory walk
+    * that hunts `batch_id=<phys>` dirs (every table, nested to the vacuum
+    * walk's depth — hundreds of listStatus calls on a bucketed root, real
+    * money per micro-batch on an object store) runs ONLY when a previous
+    * attempt's marker proves a crash actually happened. */
   def clearPhysicalDelivery(spark: SparkSession, base: String,
       phys: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(base)
-    val fs = fsOf(spark, root)
-    collectBatchDirs(fs, root, depth = 4)
-      .filter(_._1 == phys)
-      .foreach { case (_, p) => fs.delete(p, true) }
+    val dir = commitsDir(base)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, s"pending_$phys")
+    if (fs.exists(marker)) {
+      // crash evidence: a prior attempt claimed this phys and never
+      // finished — its partials (if any got written) must go
+      val root = new org.apache.hadoop.fs.Path(base)
+      collectBatchDirs(fs, root, depth = 4)
+        .filter(_._1 == phys)
+        .foreach { case (_, p) => fs.delete(p, true) }
+    } else {
+      fs.create(marker, true).close()
+    }
   }
 
   /** Commit a delivery: every table's partitions for `physicalId` (the
@@ -379,6 +399,11 @@ object Layout {
     val (v, m) = currentManifest(fs, dir).get
     publishManifest(fs, dir, v + 1,
       m + (logicalBatchLocal(physicalId) -> physicalId))
+    // retire the delivery's pending marker ([[clearPhysicalDelivery]]):
+    // the attempt finished, so no future replay needs the crash walk
+    fs.delete(new org.apache.hadoop.fs.Path(dir, s"pending_$physicalId"),
+      false)
+    ()
   }
 
   /** The read-side visibility predicate on `batch_id` — resolved from the

@@ -117,6 +117,9 @@ class DedupSpec extends SparkSpec {
     // the torn bands rows would join d2's bands (d2 docs ARE in-flight
     // here) and the missing shingles would silently drop the verify.
     val phys = graft.ops.Layout.beginBatchCommit(spark, tmp, batchId = 1L)
+    // the real append claims the delivery (pending marker) before writing
+    // — the crash model must too, or the recovery's crash walk won't run
+    graft.ops.Layout.clearPhysicalDelivery(spark, tmp, phys)
     spark.read.parquet(s"$tmp/bands")
       .filter(col("batch_id") === -1L).limit(50)
       .drop("batch_id").withColumn("batch_id", lit(phys))

@@ -408,6 +408,8 @@ class SelectionSpec extends SparkSpec {
     // clear these duplicate codes would COMMIT and shadow their vectors'
     // real cells (latest-logical-batch-wins).
     val physT = graft.ops.Layout.beginBatchCommit(spark, s"$tmp/inc", 3L)
+    // claim the delivery (pending marker) like the real append does
+    graft.ops.Layout.clearPhysicalDelivery(spark, s"$tmp/inc", physT)
     spark.read.parquet(s"$tmp/inc/codes").limit(20)
       .drop("batch_id").withColumn("batch_id", lit(physT))
       .write.mode("append").partitionBy("cell", "batch_id")

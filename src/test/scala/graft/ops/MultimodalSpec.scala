@@ -121,6 +121,8 @@ class MultimodalSpec extends SparkSpec {
     // torn partials + an EMPTY recovery delivery: the pre-write clear
     // replaces the crashed attempt's files instead of committing them
     val physT = Layout.beginBatchCommit(spark, s"$tmp/inc", 1L)
+    // claim the delivery (pending marker) like the real append does
+    Layout.clearPhysicalDelivery(spark, s"$tmp/inc", physT)
     spark.read.parquet(s"$tmp/inc/bands").limit(10)
       .drop("batch_id").withColumn("batch_id", lit(physT))
       .write.mode("append").partitionBy("band", "vb", "batch_id")

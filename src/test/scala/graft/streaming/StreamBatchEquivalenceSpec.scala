@@ -657,12 +657,28 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     // raw append) serves an EMPTY log, not a missing-path error
     assert(graft.llm.Dedup.admissionLog(spark, s"$tmp/twin").collect().isEmpty)
 
-    // compaction carries the committed audit across the fold...
+    // compaction carries the committed audit across the fold (folded into
+    // the base partition, `batch` riding as a data column)...
     graft.llm.Dedup.compactMinhashIndex(spark, s"$tmp/idx", s"$tmp/cmp")
     val logCmp = graft.llm.Dedup.admissionLog(spark, s"$tmp/cmp")
       .collect().map(r => (r.getLong(0), r.getString(1),
         r.getLong(2), r.getLong(3))).toSet
     assert(logCmp === log, "compaction lost the admission audit")
+    // ...AND the compacted root accepts a fresh admission stream at batch
+    // 0: the folded audit must not trip the stale-partition guard (whose
+    // error text prescribes compaction as the remedy — it has to work)
+    val memC = MemoryStream[(Long, String, String, String, Long)]
+    val qC = StreamOps.minhashAdmissionStream(
+      memC.toDF().toDF(cols: _*), s"$tmp/cmp", s"$tmp/ckpt_cmp")
+    try {
+      memC.addData(d(90L, "an entirely new crawl document about joins"))
+      qC.processAllAvailable()
+    } finally qC.stop()
+    val logAfter = graft.llm.Dedup.admissionLog(spark, s"$tmp/cmp")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(logAfter === log + ((0L, "s", 1L, 0L)),
+      "fresh stream over the compacted root lost or garbled the audit")
 
     // ...while a REBUILD retires it: Overwrite means a fresh index, and a
     // fresh index must not serve the previous corpus's decision history
