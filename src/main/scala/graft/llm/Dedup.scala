@@ -140,6 +140,28 @@ object Dedup {
   // Incremental MinHash dedup: persisted band index + delta probe
   // ---------------------------------------------------------------------------
 
+  /** Broadcast budget for the DELTA-derived frames of the incremental
+    * probe, counted in delta docs (an upper bound on every frame the probe
+    * would broadcast: reps <= eligible <= docs; bands = 4x reps; dup ids
+    * <= docs). Under the budget the delta broadcasts and the index streams
+    * map-side — the design intent, since admission deltas are micro-batch
+    * sized. OVER it (a whole crawl day probed at once) every delta-side
+    * hint degrades to a shuffled hash join instead of OOMing the driver —
+    * the same stats-sized decision [[graft.ops.Analyze.joinPlannedByStats]]
+    * makes from the ANALYZE mart, here made from one count on the frame
+    * itself (already materialized for the admission transaction, one
+    * delta-sized count otherwise). 100k docs x ~8 band rows + shingle sets
+    * stays well inside a 1-4 GiB executor broadcast budget; stale sizing
+    * is impossible because the count is of the probe's own input. */
+  val DefaultProbeBroadcastMaxDocs: Long = 100000L
+
+  /** Delta-side join shape: broadcast when the sizing decision says the
+    * delta is small (the map-side-streaming plan), shuffled hash join with
+    * the delta as build side otherwise — the strategy flip moves the
+    * exchange, never the rows (spec-pinned). */
+  private def sized(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df.hint("shuffle_hash")
+
   /** (doc_id, rep) membership of the eligible docs' exact-text groups —
     * rep = min doc_id per md5(normText), the exactDedup key. Every stage
     * of the minhash pipeline (shingle set → signature → bands → Jaccard)
@@ -237,7 +259,8 @@ object Dedup {
     * .minhashAdmissionStream]] drives it per micro-batch. */
   def admitIntoMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       delta: DataFrame, indexPath: String, batchId: Long,
-      threshold: Double = 0.8): Unit = {
+      threshold: Double = 0.8,
+      broadcastMaxDocs: Long = DefaultProbeBroadcastMaxDocs): Unit = {
     require(batchId >= 0,
       s"batchId must be >= 0 (negative ids are reserved for the base/" +
         s"compacted partition batch_id=-1), got $batchId")
@@ -245,8 +268,9 @@ object Dedup {
     // the probe core checkpoints the delta-derived frames, so the survivor
     // writes below reuse them instead of re-tokenizing the batch
     val vis = excludedVis(spark, indexPath, Some(batchId))
-    val (repPairs, dMembers, newBands, newSets) =
-      probeCore(spark, delta, indexPath, threshold, vis, materialize = true)
+    val (repPairs, dMembers, newBands, newSets, small) =
+      probeCore(spark, delta, indexPath, threshold, vis, materialize = true,
+        broadcastMaxDocs)
     // groups admit or reject ATOMICALLY (exact-dup members share their
     // rep's pairs), so the decision is rep-level; eager-checkpointing it
     // severs the last read of the index files the append overwrites
@@ -271,13 +295,25 @@ object Dedup {
     // compaction folds the audit into the base partition, and rows must
     // keep saying which admission batch they record — folding them under
     // live logical ids instead would collide with a post-compaction
-    // stream's own batch ids in the manifest
+    // stream's own batch ids in the manifest.
+    // Three disjoint outcomes per delta doc: ADMITTED (eligible survivor —
+    // its bands/shingles/members landed above, so the count equals what
+    // the index now protects), REJECTED (near-dupped the corpus), and
+    // SKIPPED (fewer than 2 tokens — no shingles exist, so the doc is
+    // never indexed and NEVER dedup-protected: an exact copy of it in a
+    // later batch skips again rather than rejecting; set-Jaccard has no
+    // opinion on empty sets, and counting such docs as "admitted" would
+    // make the log promise protection the index cannot give).
+    val eligIds = dMembers.select("doc_id").withColumn("__elig", lit(true))
     put(delta
-      .join(broadcast(dupIds.withColumn("__dup", lit(true))),
+      .join(sized(dupIds.withColumn("__dup", lit(true)), small),
         Seq("doc_id"), "left")
+      .join(sized(eligIds, small), Seq("doc_id"), "left")
       .groupBy("source").agg(
-        sum(when(col("__dup").isNull, 1L).otherwise(0L)).as("n_admitted"),
-        sum(when(col("__dup").isNull, 0L).otherwise(1L)).as("n_rejected"))
+        sum(when(col("__dup").isNull && col("__elig").isNotNull, 1L)
+          .otherwise(0L)).as("n_admitted"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_rejected"),
+        sum(when(col("__elig").isNull, 1L).otherwise(0L)).as("n_skipped"))
       .withColumn("batch", lit(batchId))
       .coalesce(1), // sources-sized
       "admissions")
@@ -298,29 +334,46 @@ object Dedup {
     }
 
   /** The committed admission audit: one (batch, source, n_admitted,
-    * n_rejected) row per source per COMMITTED admission batch — exactly
-    * the decisions the visible index reflects, because log and index
-    * swap in together ([[admitIntoMinhashIndex]]). */
+    * n_rejected, n_skipped) row per source per COMMITTED admission batch —
+    * exactly the decisions the visible index reflects, because log and
+    * index swap in together ([[admitIntoMinhashIndex]]); n_admitted counts
+    * INDEXED survivors only, n_skipped the sub-2-token docs the index can
+    * never protect. `asOfVersion` reads the log AS OF a past manifest
+    * version (same refusal contract as the probe's time travel — the log
+    * and the index share one manifest, so the pair is always consistent).
+    * Logs written before the n_skipped column read it as 0 (nothing was
+    * skipped-and-counted back then; the column is additive). */
   def admissionLog(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): DataFrame = {
+      indexPath: String, asOfVersion: Option[Long] = None): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/admissions")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
-      // a base-built root that never admitted: an empty log, not a 404
+      // a base-built root that never admitted: an empty log, not a 404 —
+      // but an explicit as_of must still validate against the catalog
+      // (unknown/vacuumed versions refuse even when the log is empty)
+      asOfVersion.foreach(_ =>
+        graft.ops.Layout.committedBatchFilterAt(spark, indexPath,
+          asOfVersion))
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("batch", LongType),
           StructField("source", StringType),
           StructField("n_admitted", LongType),
-          StructField("n_rejected", LongType))))
-    } else
-      spark.read.parquet(s"$indexPath/admissions")
-        .filter(graft.ops.Layout.committedBatchFilter(spark, indexPath))
-        // `batch` is a data column: live rows carry their admission batch,
-        // compacted rows (folded under batch_id=-1) keep saying which
-        // batch they recorded
-        .select(col("batch"), col("source"), col("n_admitted"),
-          col("n_rejected"))
+          StructField("n_rejected", LongType),
+          StructField("n_skipped", LongType))))
+    } else {
+      val raw = spark.read.parquet(s"$indexPath/admissions")
+        .filter(graft.ops.Layout.committedBatchFilterAt(spark, indexPath,
+          asOfVersion))
+      val withSkip =
+        if (raw.columns.contains("n_skipped")) raw
+        else raw.withColumn("n_skipped", lit(0L))
+      // `batch` is a data column: live rows carry their admission batch,
+      // compacted rows (folded under batch_id=-1) keep saying which
+      // batch they recorded
+      withSkip.select(col("batch"), col("source"), col("n_admitted"),
+        col("n_rejected"), col("n_skipped"))
+    }
   }
 
   private def writeIndexDelta(docs: DataFrame, indexPath: String,
@@ -344,12 +397,19 @@ object Dedup {
     put(bandsOf(reps).sortWithinPartitions("band_idx", "band_hash"), "bands")
     put(shingleSetsOf(reps).sortWithinPartitions("doc_id"), "shingles")
     put(members, "members")
+    // all three writes are done — retire the checkpoint's executor blocks
+    // now instead of waiting for ContextCleaner GC (a long-lived driver
+    // appending batches in a loop would otherwise accumulate them)
+    freeCheckpoint(members)
   }
 
   /** Near-dup pairs between a NEW delta and the indexed corpus, without
-    * recomputing anything corpus-sized: the delta's bands/shingles are
-    * delta-sized and BROADCAST, so the index scans stream map-side — no
-    * corpus shuffle, no corpus signature recompute. Exactness law
+    * recomputing anything corpus-sized: under the broadcast budget
+    * ([[DefaultProbeBroadcastMaxDocs]]) the delta's bands/shingles are
+    * BROADCAST and the index scans stream map-side — no corpus shuffle,
+    * no corpus signature recompute; a delta past the budget (a whole
+    * crawl day probed at once) degrades every delta-side join to a
+    * shuffled hash join instead of an oversized broadcast. Exactness law
     * (spec-pinned): probe(delta, index(old)) == the cross (old × new)
     * subset of `minhashNearDupPairs(old ∪ delta)` — sound because a doc's
     * bands and shingle set depend only on its own text. Output
@@ -370,18 +430,19 @@ object Dedup {
   def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, indexPath: String,
       threshold: Double = 0.8,
-      asOfVersion: Option[Long] = None): DataFrame = {
+      asOfVersion: Option[Long] = None,
+      broadcastMaxDocs: Long = DefaultProbeBroadcastMaxDocs): DataFrame = {
     val vis = graft.ops.Layout.committedBatchFilterAt(spark, indexPath,
       asOfVersion)
-    val (repPairs, dMembers, _, _) = probeCore(spark, newDocs, indexPath,
-      threshold, vis, materialize = false)
+    val (repPairs, dMembers, _, _, small) = probeCore(spark, newDocs,
+      indexPath, threshold, vis, materialize = false, broadcastMaxDocs)
     val idxMembers = spark.read.parquet(s"$indexPath/members").filter(vis)
       .select(col("doc_id").as("doc_id_old"), col("rep").as("rep_old"))
     val dMem = dMembers
       .select(col("doc_id").as("doc_id_new"), col("rep").as("rep_new"))
     idxMembers
-      .join(broadcast(repPairs), "rep_old") // index streams map-side
-      .join(broadcast(dMem), "rep_new")
+      .join(sized(repPairs, small), "rep_old") // index streams map-side
+      .join(sized(dMem, small), "rep_new")
       .select(least(col("doc_id_old"), col("doc_id_new")).as("doc_id_a"),
         greatest(col("doc_id_old"), col("doc_id_new")).as("doc_id_b"),
         col("jaccard"))
@@ -407,12 +468,14 @@ object Dedup {
   def probeMinhashDupDeltaIds(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, indexPath: String,
       threshold: Double = 0.8,
-      excludeLogicalBatch: Option[Long] = None): DataFrame = {
-    val (repPairs, dMembers, _, _) = probeCore(spark, newDocs, indexPath,
-      threshold, excludedVis(spark, indexPath, excludeLogicalBatch),
-      materialize = false)
+      excludeLogicalBatch: Option[Long] = None,
+      broadcastMaxDocs: Long = DefaultProbeBroadcastMaxDocs): DataFrame = {
+    val (repPairs, dMembers, _, _, small) = probeCore(spark, newDocs,
+      indexPath, threshold,
+      excludedVis(spark, indexPath, excludeLogicalBatch),
+      materialize = false, broadcastMaxDocs)
     dMembers.join(
-        broadcast(repPairs.select(col("rep_new").as("rep")).distinct()),
+        sized(repPairs.select(col("rep_new").as("rep")).distinct(), small),
         Seq("rep"), "left_semi")
       .select("doc_id")
   }
@@ -431,39 +494,55 @@ object Dedup {
 
   /** Shared probe core: REP-level cross pairs (rep_old, rep_new, jaccard)
     * at >= threshold, plus the delta-derived frames (membership, rep
-    * bands, rep shingle sets). `vis` is the caller's single manifest
-    * resolution, applied to every index read. `materialize` checkpoints
-    * the rep bands/shingle frames too (all delta-rep-sized) — the
-    * admission transaction sets it so the survivor APPEND reuses the
-    * probe's one shingle/band pass instead of re-tokenizing the batch;
-    * plain probes skip the extra barrier. */
+    * bands, rep shingle sets) and the SIZING decision (`small`) the
+    * callers reuse for their own delta-side joins. `vis` is the caller's
+    * single manifest resolution, applied to every index read.
+    * `materialize` checkpoints the delta frames (all delta-rep-sized) —
+    * the admission transaction sets it so the survivor APPEND reuses the
+    * probe's one shingle/band pass instead of re-tokenizing the batch,
+    * and frees the blocks when the transaction closes. Plain probes skip
+    * the checkpoints entirely: their result is returned LAZY, so a
+    * checkpoint would pin executor blocks until ContextCleaner GC (the
+    * long-lived-driver leak); recomputing the delta-sized exact-group
+    * window per consumer is the cheaper trade.
+    *
+    * The sizing count is `dMembers.count()` when the frame is already
+    * checkpointed (free) and a raw `newDocs.count()` otherwise — a
+    * conservative upper bound (docs >= eligible >= reps), so an
+    * over-estimate degrades to a shuffle, never to an oversized
+    * broadcast. */
   private def probeCore(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, indexPath: String, threshold: Double,
-      vis: org.apache.spark.sql.Column, materialize: Boolean)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      vis: org.apache.spark.sql.Column, materialize: Boolean,
+      broadcastMaxDocs: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Boolean) = {
     def keep(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(false) else df
     val eligible = eligibleDocs(newDocs)
-    val dMembers = exactGroupsOf(eligible).localCheckpoint(false)
+    val dMembers = keep(exactGroupsOf(eligible))
+    val small =
+      (if (materialize) dMembers.count() else newDocs.count()) <=
+        broadcastMaxDocs
     val dReps = eligible.join(
       dMembers.filter(col("doc_id") === col("rep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
     val newBands = keep(bandsOf(dReps))
     val newSets = keep(shingleSetsOf(dReps))
     val idxBands = spark.read.parquet(s"$indexPath/bands").filter(vis)
-    val candidates = idxBands.join(broadcast(newBands),
-        idxBands("band_idx") === newBands("band_idx") &&
-          idxBands("band_hash") === newBands("band_hash"))
+    val sizedBands = sized(newBands, small)
+    val candidates = idxBands.join(sizedBands,
+        idxBands("band_idx") === sizedBands("band_idx") &&
+          idxBands("band_hash") === sizedBands("band_hash"))
       .select(idxBands("doc_id").as("rep_old"),
-        newBands("doc_id").as("rep_new"))
+        sizedBands("doc_id").as("rep_new"))
       .distinct()
     val idxSets = spark.read.parquet(s"$indexPath/shingles").filter(vis)
       .select(col("doc_id").as("rep_old"), col("shingle_set").as("sh_old"))
     val deltaSets = newSets
       .select(col("doc_id").as("rep_new"), col("shingle_set").as("sh_new"))
     val repPairs = idxSets
-      .join(broadcast(candidates), "rep_old") // index streams map-side
-      .join(broadcast(deltaSets), "rep_new")
+      .join(sized(candidates, small), "rep_old") // index streams map-side
+      .join(sized(deltaSets, small), "rep_new")
       .select(col("rep_old"), col("rep_new"),
         graft.expr.ThresholdedIntersectCount(col("sh_old"), col("sh_new"),
           graft.expr.ThresholdedIntersectCount.jaccardBound(
@@ -473,7 +552,7 @@ object Dedup {
         (col("icnt").cast("double") / (col("nsum") - col("icnt")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (repPairs, dMembers, newBands, newSets)
+    (repPairs, dMembers, newBands, newSets, small)
   }
 
   /** Offline compaction of a [[writeMinhashIndex]] layout into the

@@ -767,9 +767,11 @@ GROUP BY source ORDER BY source""")),
     // admitIntoMinhashIndex(delta) on a dedicated root (probe + decide +
     // survivor append + per-source log, ONE manifest swap), then read the
     // committed admissionLog. Oracle = q184's decision arithmetic plus the
-    // logical batch id — the log must carry exactly the counts the
-    // one-shot split computes, because the log and the index publish
-    // together (a replayed admission cannot double a row: DedupSpec).
+    // logical batch id and the SKIPPED tier (sub-2-token docs have no
+    // shingles, are never indexed, and must not be reported as protected
+    // "admissions") — the log must carry exactly the counts the one-shot
+    // split computes, because the log and the index publish together (a
+    // replayed admission cannot double a row: DedupSpec).
     Q("q186_admission_log",
       (s, dir) => {
         val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
@@ -793,11 +795,16 @@ dup AS (SELECT DISTINCT CASE WHEN doc_id_a % 10 = 0 THEN doc_id_a
           AND ((doc_id_a % 10 = 0) <> (doc_id_b % 10 = 0))),
 delta AS (SELECT * FROM documents WHERE doc_id % 10 = 0)
 SELECT CAST(0 AS BIGINT) AS batch, source,
-  CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_admitted,
+  CAST(sum(CASE WHEN dup.doc_id IS NULL AND elig.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
   CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-    AS n_rejected
-FROM delta LEFT JOIN dup ON dup.doc_id = delta.doc_id
+    AS n_rejected,
+  CAST(sum(CASE WHEN elig.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_skipped
+FROM delta
+LEFT JOIN dup ON dup.doc_id = delta.doc_id
+LEFT JOIN (SELECT doc_id FROM sh WHERE len(s) > 0) elig
+  ON elig.doc_id = delta.doc_id
 GROUP BY source ORDER BY source""")),
 
     // Near-dup CLUSTERING: connected components over the q21 pair graph —

@@ -441,7 +441,16 @@ object Layout {
           val p = ms.getOrElse(v, throw new IllegalArgumentException(
             s"no manifest version $v under $dir " +
               s"(published: ${ms.keys.toSeq.sorted.mkString(", ")})"))
-          readManifestFile(fs, p).values.toSeq
+          // a vacuum can retire the file between the listing and this
+          // read — surface the same clean refusal as a never-published
+          // version, not a raw FileNotFoundException mid-plan
+          val m = try readManifestFile(fs, p) catch {
+            case _: java.io.FileNotFoundException =>
+              throw new IllegalArgumentException(
+                s"no manifest version $v under $dir — retired by a " +
+                  "concurrent vacuum between listing and read")
+          }
+          m.values.toSeq
         case None =>
           currentManifest(fs, dir) match {
             case Some((_, m)) => m.values.toSeq
@@ -479,7 +488,13 @@ object Layout {
     val p = ms.getOrElse(version, throw new IllegalArgumentException(
       s"no manifest version $version under $dir " +
         s"(published: ${ms.keys.toSeq.sorted.mkString(", ")})"))
-    readManifestFile(fs, p)
+    try readManifestFile(fs, p) catch {
+      // same vacuum race as committedBatchFilterAt: refuse cleanly
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"no manifest version $version under $dir — retired by a " +
+            "concurrent vacuum between listing and read")
+    }
   }
 
   /** Manifest set difference between two published versions — one row per

@@ -211,6 +211,95 @@ class DedupSpec extends SparkSpec {
     assert(dupIds === Set(50000L, 50001L))
   }
 
+  test("sized probe degrade: a delta past the broadcast budget flips every " +
+      "delta-side join to a shuffle — strategy moves, rows do not") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = real.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val delta = real.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("mhidx_sized_").toString
+    Dedup.writeMinhashIndex(old, tmp)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("doc_id_a", "doc_id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // isolate the SIZED decision from Spark's own auto-broadcast (the
+    // joinPlannedByStats spec discipline): with it off, a broadcast in
+    // the plan can only come from the probe's own hint
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val small = Dedup.probeMinhashIndex(spark, delta, tmp, 0.8)
+      val big = Dedup.probeMinhashIndex(spark, delta, tmp, 0.8,
+        asOfVersion = None, broadcastMaxDocs = 0L)
+      val smallPlan = small.queryExecution.executedPlan.toString
+      val bigPlan = big.queryExecution.executedPlan.toString
+      assert(smallPlan.contains("BroadcastHashJoin"),
+        "under-budget probe lost its map-side broadcast plan")
+      assert(!bigPlan.contains("BroadcastHashJoin") &&
+        bigPlan.contains("ShuffledHashJoin"),
+        "over-budget probe still broadcasts the delta")
+      assert(rows(big) === rows(small),
+        "the strategy flip changed the pair set")
+      // the admission faces take the same budget: identical decisions
+      val dupSmall = Dedup.probeMinhashDupDeltaIds(spark, delta, tmp, 0.8)
+        .as[Long].collect().toSet
+      val dupBig = Dedup.probeMinhashDupDeltaIds(spark, delta, tmp, 0.8,
+          excludeLogicalBatch = None, broadcastMaxDocs = 0L)
+        .as[Long].collect().toSet
+      assert(dupBig === dupSmall)
+      // ...and the full transaction under budget 0 commits the same index
+      // state and audit as the broadcast tier on a twin root
+      val t2 = java.nio.file.Files.createTempDirectory("mhidx_szb_").toString
+      Dedup.writeMinhashIndex(old, t2)
+      Dedup.admitIntoMinhashIndex(spark, delta, tmp, 0L, 0.8)
+      Dedup.admitIntoMinhashIndex(spark, delta, t2, 0L, 0.8,
+        broadcastMaxDocs = 0L)
+      def state(root: String): (Set[Long], Set[(Long, String, Long, Long, Long)]) = (
+        spark.read.parquet(s"$root/members")
+          .filter(graft.ops.Layout.committedBatchFilter(spark, root))
+          .select("doc_id").as[Long].collect().toSet,
+        Dedup.admissionLog(spark, root).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet)
+      assert(state(t2) === state(tmp),
+        "shuffled admission committed a different index/audit state")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("admission audit separates skipped sub-2-token docs from indexed " +
+      "admissions — and documents that they are never dedup-protected") {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 46L))
+    val delta = Seq(
+      (10L, "a fresh document body about shuffle exchanges", "en", "s", 46L),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 46L),
+      (12L, "word", "en", "s", 4L)) // < 2 tokens: no shingles, SKIPPED
+    val tmp = java.nio.file.Files.createTempDirectory("mhadm_skip_").toString
+    Dedup.writeMinhashIndex(corpus.toDF(cols: _*), tmp)
+    Dedup.admitIntoMinhashIndex(spark, delta.toDF(cols: _*), tmp, 0L, 0.8)
+    val log = Dedup.admissionLog(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // 10 admitted (indexed), 11 rejected (corpus dup), 12 skipped
+    assert(log === Set((0L, "s", 1L, 1L, 1L)))
+    // the skipped doc is NOT in the index...
+    val members = spark.read.parquet(s"$tmp/members")
+      .filter(graft.ops.Layout.committedBatchFilter(spark, tmp))
+      .select("doc_id").as[Long].collect().toSet
+    assert(members === Set(1L, 10L))
+    // ...so its exact copy in a later batch skips AGAIN (never rejected):
+    // the log's three-way split makes that visible instead of reporting a
+    // phantom "admission"
+    Dedup.admitIntoMinhashIndex(spark,
+      Seq((20L, "word", "en", "s", 4L)).toDF(cols: _*), tmp, 1L, 0.8)
+    val log2 = Dedup.admissionLog(spark, tmp)
+      .filter(col("batch") === 1L).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(log2 === Set((0L, 0L, 1L)))
+  }
+
   test("simhash: identical docs equal; near dups within small Hamming distance") {
     val fps = Dedup.simhashFingerprints(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
