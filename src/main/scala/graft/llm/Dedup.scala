@@ -376,6 +376,26 @@ object Dedup {
     }
   }
 
+  /** The memoized admission-demo root — corpus (doc_id % 10 != 0) base
+    * build + the delta (doc_id % 10 == 0) admitted as logical batch 0 —
+    * built once per (session, dir) on first use, the ahashIndexMart
+    * discipline (its own root: the dedup index lives apart from the
+    * text/vector serving root). Shared by q186 and `GET /admissions`. */
+  def admissionMart(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_mhadmit_" + graft.sec.SecDerive.pathKey(dir)
+    graft.sec.SecDerive.cachedCount(spark, dir, "minhash_admit_log") {
+      val docs = graft.Tables.documents(spark, dir)
+      writeMinhashIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), base)
+      admitIntoMinhashIndex(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), base,
+        batchId = 0L, threshold = 0.8)
+      1L
+    }
+    base
+  }
+
   private def writeIndexDelta(docs: DataFrame, indexPath: String,
       phys: Long, dynamic: Boolean): Unit = {
     val eligible = eligibleDocs(docs)

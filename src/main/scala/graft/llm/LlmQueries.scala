@@ -773,20 +773,8 @@ GROUP BY source ORDER BY source""")),
     // split computes, because the log and the index publish together (a
     // replayed admission cannot double a row: DedupSpec).
     Q("q186_admission_log",
-      (s, dir) => {
-        val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-          "/graft_mhadmit_" + graft.sec.SecDerive.pathKey(dir)
-        val docs = Tables.documents(s, dir)
-        graft.sec.SecDerive.cachedCount(s, dir, "minhash_admit_log") {
-          Dedup.writeMinhashIndex(
-            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), base)
-          Dedup.admitIntoMinhashIndex(s,
-            docs.filter(pmod(col("doc_id"), lit(10)) === 0), base,
-            batchId = 0L, threshold = 0.8)
-          1L
-        }
-        Dedup.admissionLog(s, base).orderBy("source")
-      },
+      (s, dir) =>
+        Dedup.admissionLog(s, Dedup.admissionMart(s, dir)).orderBy("source"),
       Some(s"""
 WITH $minhashCtes,
 dup AS (SELECT DISTINCT CASE WHEN doc_id_a % 10 = 0 THEN doc_id_a

@@ -260,7 +260,7 @@ object Layout {
     * manifest or the new complete one, never a partial list. A rename
     * collision means a second writer raced this publish: the single-
     * writer-per-root contract was broken, fail loudly. */
-  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[ops] def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, version: Long,
       m: Map[Long, Long]): Unit = {
     fs.mkdirs(dir)
@@ -404,6 +404,53 @@ object Layout {
     fs.delete(new org.apache.hadoop.fs.Path(dir, s"pending_$physicalId"),
       false)
     ()
+  }
+
+  /** One full delivery of `batchId` with PUBLISH-RETRY — the multi-writer
+    * recipe for the manifest protocol. The protocol's only cross-writer
+    * contention point is the manifest rename ([[publishManifest]]): data
+    * writes land under per-(logical-batch, gen) physical partitions that
+    * cannot collide across DIFFERENT logical batches, so when two writers
+    * race, the loser's delivery is fully written and invisible — exactly
+    * the crashed-before-finish state, which the protocol already defines
+    * as clean. Losing therefore needs only the PUBLISH re-attempted
+    * against the advanced manifest (finishBatchCommit re-reads the
+    * current version on every call); the data is never rewritten.
+    * [[beginBatchCommit]] is wrapped in the same retry for the one race
+    * it can hit (two writers' first contact with a pre-manifest root both
+    * publishing version 1).
+    *
+    * CONTRACT (spec-pinned in LayoutSpec): concurrent writers on
+    * DIFFERENT logical batches converge — every batch commits exactly
+    * once, no torn partition ever becomes visible. Concurrent writers on
+    * the SAME logical batch remain forbidden (one writer per logical
+    * batch): they share a physical id, and the second's
+    * [[clearPhysicalDelivery]] would read the first's pending marker as
+    * crash evidence and delete its in-flight files — indistinguishable
+    * from the crash recovery that marker exists to enable. Serialize
+    * same-batch delivery at the scheduler (streaming's epoch ownership
+    * does this for free). */
+  def commitWithRetry(spark: SparkSession, base: String, batchId: Long,
+      maxAttempts: Int = 5)(write: Long => Unit): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    def retrying[T](f: => T): T = {
+      var n = 0
+      var out: Option[T] = None
+      while (out.isEmpty) {
+        try out = Some(f)
+        catch {
+          case e: IllegalStateException =>
+            n += 1
+            if (n >= maxAttempts) throw e
+        }
+      }
+      out.get
+    }
+    val phys = retrying(beginBatchCommit(spark, base, batchId))
+    clearPhysicalDelivery(spark, base, phys)
+    write(phys)
+    retrying(finishBatchCommit(spark, base, phys))
+    phys
   }
 
   /** The read-side visibility predicate on `batch_id` — resolved from the

@@ -180,6 +180,7 @@ class GraftApi(spark: SparkSession, sfDir: String,
       case ("GET", List("quantile"))        => quantileEndpoint(ex, qp)
       case ("GET", List("versions"))        => versionsEndpoint(ex)
       case ("GET", List("diff"))            => diffEndpoint(ex, qp)
+      case ("GET", List("admissions"))      => admissionsEndpoint(ex, qp)
       case ("POST", List("query"))          => sqlEndpoint(ex)
       case _ =>
         reply(ex, 404, obj(_.put("detail", "Not Found")))
@@ -638,6 +639,49 @@ class GraftApi(spark: SparkSession, sfDir: String,
         from.foreach(e.put("physical_from", _))
         to.foreach(e.put("physical_to", _))
       }
+    })
+  }
+
+  // the minhash dedup index whose admission transaction wrote the audit
+  // log — built once per (session, dir) on first use (its own root, the
+  // ahashIndexBase discipline)
+  private lazy val admissionIndexBase: String =
+    graft.llm.Dedup.admissionMart(spark, sfDir)
+
+  /** The /admissions frame: the committed admission audit of the dedup
+    * index ([[graft.llm.Dedup.admissionLog]]), optionally filtered to one
+    * source or one admission batch, optionally pinned AS OF a past
+    * manifest version. Log-sized (sources × batches rows), never a
+    * corpus read. */
+  private[serve] def admissionsFrame(source: Option[String],
+      batch: Option[Long], asOf: Option[Long] = None): DataFrame = {
+    val log = graft.llm.Dedup.admissionLog(spark, admissionIndexBase, asOf)
+    val bySource = source.fold(log)(s => log.filter(col("source") === s))
+    batch.fold(bySource)(b => bySource.filter(col("batch") === b))
+      .orderBy("batch", "source")
+  }
+
+  /** GET /admissions[?source=s1&batch=0&as_of=2] — the exactly-once
+    * admission transaction's audit face, completing the serving
+    * convention (every persisted mart has one: /stats, /versions, /diff).
+    * Each row is one (batch, source) decision record: n_admitted indexed
+    * survivors, n_rejected near-dups of the corpus, n_skipped sub-2-token
+    * docs the index can never protect. The log publishes in the SAME
+    * manifest swap as its index delta, so these rows always describe
+    * exactly what the visible index holds; `as_of` time-travels both
+    * together (unknown/vacuumed versions 422). */
+  private def admissionsEndpoint(ex: HttpExchange,
+      qp: Map[String, String]): Unit = {
+    val batch = qp.get("batch").map(v => v.toLongOption.getOrElse(
+      throw new IllegalArgumentException("batch must be an integer")))
+    val cols = Seq("batch", "source", "n_admitted", "n_rejected",
+      "n_skipped")
+    val rows = admissionsFrame(qp.get("source"), batch, asOfParam(qp))
+      .collect() // log-sized: sources x batches
+    reply(ex, 200, obj { o =>
+      o.put("base", admissionIndexBase)
+      val arr = o.putArray("admissions")
+      rows.foreach(r => putRow(arr.addObject(), cols, r))
     })
   }
 

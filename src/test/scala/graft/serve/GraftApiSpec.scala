@@ -610,6 +610,51 @@ class GraftApiSpec extends SparkSpec {
     } finally api2.stop()
   }
 
+  test("GET /admissions serves the committed admission audit; filters, " +
+      "as_of refusals") {
+    val (code, body) = get("/admissions")
+    assert(code === 200)
+    val served = body.get("admissions").elements().asScala.map(e =>
+      (e.get("batch").asLong(), e.get("source").asText(),
+        e.get("n_admitted").asLong(), e.get("n_rejected").asLong(),
+        e.get("n_skipped").asLong())).toSet
+    // round-trip == the q186 frame after a REAL admission transaction
+    val expect = graft.llm.Dedup.admissionLog(spark,
+        graft.llm.Dedup.admissionMart(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(served === expect && served.nonEmpty)
+    // source filter restricts; an unknown source is an empty 200 (a
+    // filter, not a resource)
+    val aSource = served.head._2
+    val (c1, b1) = get(s"/admissions?source=$aSource")
+    assert(c1 === 200)
+    assert(b1.get("admissions").elements().asScala
+      .forall(_.get("source").asText() == aSource))
+    val (c2, b2) = get("/admissions?source=no_such_source")
+    assert(c2 === 200 && b2.get("admissions").size() === 0)
+    // batch filter: the demo root admitted exactly batch 0
+    val (c3, b3) = get("/admissions?batch=0")
+    assert(c3 === 200 && b3.get("admissions").size() === served.size)
+    val (c4, b4) = get("/admissions?batch=7")
+    assert(c4 === 200 && b4.get("admissions").size() === 0)
+    // refusals: non-numeric batch, unpublished/non-numeric as_of
+    assert(get("/admissions?batch=zero")._1 === 422)
+    assert(get("/admissions?as_of=9999")._1 === 422)
+    assert(get("/admissions?as_of=abc")._1 === 422)
+    // as_of the CURRENT version reproduces the current answer (log and
+    // index share one manifest)
+    val vs = graft.ops.Layout.manifestVersions(spark,
+      body.get("base").asText())
+    val (c5, b5) = get(s"/admissions?as_of=${vs.max}")
+    assert(c5 === 200)
+    assert(b5.get("admissions") === body.get("admissions"))
+    // as_of the PRE-admission version serves an empty log: version 1 is
+    // the base build, whose manifest holds no admission batch
+    val (c6, b6) = get(s"/admissions?as_of=${vs.min}")
+    assert(c6 === 200 && b6.get("admissions").size() === 0)
+  }
+
   // recurse through AQE query stages + reused exchanges to every file scan
   private def scans(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
