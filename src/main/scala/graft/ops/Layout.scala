@@ -258,23 +258,49 @@ object Layout {
   /** Publish manifest `version`: write the full pair list to a temp file,
     * then atomically rename into place — readers see the old complete
     * manifest or the new complete one, never a partial list. A rename
-    * collision means a second writer raced this publish: the single-
-    * writer-per-root contract was broken, fail loudly. */
+    * collision means a second writer raced this publish to the same
+    * version: fail loudly — the loser's delivery stays invisible (the
+    * crashed-before-finish state) and [[commitWithRetry]] is the recovery
+    * recipe. The temp name is WRITER-UNIQUE (uuid), not version-keyed:
+    * with a shared `.manifest-v.tmp` two racers corrupt each other's
+    * staging (winner renames the file out from under the loser's write)
+    * and surface as raw IO errors instead of the designed collision —
+    * found by the LayoutSpec contention gate.
+    *
+    * ATOMICITY SCOPE: collision detection rides on rename-refuses-
+    * existing-destination. HDFS guarantees that atomically server-side,
+    * so cross-process writers are safe there. Local/checksum filesystems
+    * implement rename as check-THEN-rename(2) — two publishers racing the
+    * same version inside the check window would BOTH "succeed" with the
+    * second silently clobbering the first (a lost manifest entry; the
+    * LayoutSpec six-writer gate reproduced it reliably). In-process
+    * publishers therefore serialize on a per-root JVM lock, which makes
+    * local-mode multi-threaded writers (tests, local[n] ingest) sound;
+    * cross-PROCESS multi-writer on a bare local/NFS filesystem is out of
+    * contract — the Delta LogStore position (their HDFSLogStore makes the
+    * same split). */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[ops] def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, version: Long,
       m: Map[Long, Long]): Unit = {
     fs.mkdirs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".manifest-$version.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".manifest-$version.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(
       m.toSeq.sorted.map { case (l, p) => s"$l $p\n" }.mkString.getBytes("UTF-8"))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(dir, f"manifest-$version%020d")
-    if (!fs.rename(tmp, dst)) {
+    val lock = publishLocks.computeIfAbsent(dir.toString, _ => new Object)
+    val renamed = lock.synchronized { fs.rename(tmp, dst) }
+    if (!renamed) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"concurrent manifest publish on $dir at version $version — " +
-          "the layout contract is one writer per root")
+          "a racing writer won this version; retry against the advanced " +
+          "manifest (Layout.commitWithRetry)")
     }
   }
 

@@ -127,6 +127,103 @@ class LayoutSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("manifest contention: the losing publisher leaves zero torn state; " +
+      "both recovery shapes converge") {
+    val root = Files.createTempDirectory("graft_contend").toString + "/t"
+    def put(phys: Long, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "v").write.mode("overwrite")
+        .parquet(s"$root/data/batch_id=$phys")
+    def visible(): Set[(Long, String)] =
+      spark.read.parquet(s"$root/data")
+        .filter(Layout.committedBatchFilter(spark, root))
+        .select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    Layout.initCommitLog(spark, root) // arm once, before any writer
+    // two writers, DIFFERENT logical batches, both fully written
+    val physA = Layout.beginBatchCommit(spark, root, 0L)
+    Layout.clearPhysicalDelivery(spark, root, physA)
+    put(physA, Seq((1L, "a")))
+    val physB = Layout.beginBatchCommit(spark, root, 1L)
+    Layout.clearPhysicalDelivery(spark, root, physB)
+    put(physB, Seq((2L, "b")))
+    // A reads the current manifest for its publish... and B's complete
+    // finish lands first — the interleaving publishManifest's rename
+    // collision exists to detect
+    val vStale = Layout.manifestVersions(spark, root).max
+    val mStale = Layout.manifestEntriesAt(spark, root, vStale)
+    Layout.finishBatchCommit(spark, root, physB) // B wins
+    val commits = new org.apache.hadoop.fs.Path(s"$root/_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the loser: A's stale publish attempt (same code path its
+    // finishBatchCommit runs, with the pre-race inputs) fails LOUDLY...
+    intercept[IllegalStateException] {
+      Layout.publishManifest(fs, commits, vStale + 1,
+        mStale + (0L -> physA))
+    }
+    // ...and leaves ZERO torn state: A stays invisible, B's delivery and
+    // the manifest catalog are untouched
+    assert(visible() === Set((2L, "b")))
+    assert(Layout.manifestEntriesAt(spark, root,
+      Layout.manifestVersions(spark, root).max) === Map(1L -> physB))
+    // recovery shape 1 — publish-only retry: the data is written, finish
+    // re-reads the advanced manifest and swaps cleanly
+    Layout.finishBatchCommit(spark, root, physA)
+    assert(visible() === Set((1L, "a"), (2L, "b")))
+    assert(Layout.manifestEntriesAt(spark, root,
+      Layout.manifestVersions(spark, root).max) ===
+      Map(0L -> physA, 1L -> physB))
+    // recovery shape 2 — the full fresh-begin replay (what a restarted
+    // writer that lost its in-memory state runs): same logical batch,
+    // rewrites byte-identically, exactly-once holds
+    val physA2 = Layout.commitWithRetry(spark, root, 0L)(p =>
+      put(p, Seq((1L, "a"))))
+    assert(visible() === Set((1L, "a"), (2L, "b")))
+    assert(Layout.logicalBatchLocal(physA2) === 0L)
+  }
+
+  test("commitWithRetry: six concurrent cross-batch writers all converge — " +
+      "every batch exactly once, no torn partition ever visible") {
+    val root = Files.createTempDirectory("graft_race").toString + "/t"
+    Layout.initCommitLog(spark, root) // first contact is single-writer
+    val n = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val gate = new java.util.concurrent.CyclicBarrier(n)
+    try {
+      val futures = (0 until n).map { b =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await() // maximize publish collisions
+            Layout.commitWithRetry(spark, root, b.toLong,
+                maxAttempts = 4 * n) { phys =>
+              Seq((b.toLong, s"w$b")).toDF("id", "v")
+                .write.mode("overwrite")
+                .parquet(s"$root/data/batch_id=$phys")
+            }
+          }
+        })
+      }
+      val phys = futures.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      assert(phys.map(Layout.logicalBatchLocal).sorted ===
+        (0 until n).map(_.toLong))
+    } finally pool.shutdownNow()
+    val got = spark.read.parquet(s"$root/data")
+      .filter(Layout.committedBatchFilter(spark, root))
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === (0 until n).map(b => (b.toLong, s"w$b")).toSet)
+    // the final manifest maps every logical batch to exactly one physical
+    val m = Layout.manifestEntriesAt(spark, root,
+      Layout.manifestVersions(spark, root).max)
+    assert(m.keySet === (0 until n).map(_.toLong).toSet)
+    // no pending markers left behind: every delivery retired its intent
+    val fs = new org.apache.hadoop.fs.Path(s"$root/_commits")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_commits"))
+      .map(_.getPath.getName).filter(_.startsWith("pending_"))
+    assert(pending.isEmpty, s"unretired intent markers: ${pending.toSeq}")
+  }
+
   test("schema-evolution read: added columns surface as nulls for old files") {
     val v1 = Files.createTempDirectory("graft_layout_v1").toString
     val v2 = Files.createTempDirectory("graft_layout_v2").toString
