@@ -687,6 +687,99 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       "rebuild resurrected the previous index's admissions")
   }
 
+  test("admission soak gate: canonicalize -> host stats -> streaming " +
+      "admission -> audit -> compaction -> as-of, the full crawl path " +
+      "end to end") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("mhsoak").toString
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def d(id: Long, t: String, src: String) = (id, t, "en", src, t.length.toLong)
+    val corpus = Seq(
+      d(1L, "alpha beta gamma delta epsilon zeta", "seed"),
+      d(2L, "one two three four five six seven", "seed"))
+    val b1 = Seq(
+      d(10L, "completely fresh text about columnar shuffles", "crawlA"),
+      d(11L, "alpha beta gamma delta epsilon zeta", "crawlA"), // corpus dup
+      d(12L, "tiny", "crawlA")) // one token: SKIPPED, never indexed
+    val b2 = Seq(
+      d(20L, "completely fresh text about columnar shuffles", "crawlB"), // dup of 10
+      d(21L, "another genuinely novel document body right here", "crawlB"))
+    val b3 = Seq(
+      d(30L, "third wave document with brand new content entirely", "crawlC"),
+      d(31L, "another genuinely novel document body right here", "crawlC")) // dup of 21
+    graft.llm.Dedup.writeMinhashIndex(corpus.toDF(cols: _*), s"$tmp/idx")
+
+    // the crawl tees into BOTH standing pipelines: url/host curation stats
+    // and dedup admission — each a streaming twin, fed the same batches
+    val memAdm = MemoryStream[(Long, String, String, String, Long)]
+    val memHost = MemoryStream[(Long, String, String, String, Long)]
+    val qAdm = StreamOps.minhashAdmissionStream(
+      memAdm.toDF().toDF(cols: _*), s"$tmp/idx", s"$tmp/ckA")
+    val qHost = StreamOps.hostStatsStream(
+      memHost.toDF().toDF(cols: _*), s"$tmp/hosts", s"$tmp/ckH")
+    var vMid = -1L
+    try {
+      Seq(b1, b2).foreach { b =>
+        memAdm.addData(b: _*); qAdm.processAllAvailable()
+        memHost.addData(b: _*); qHost.processAllAvailable()
+      }
+      vMid = graft.ops.Layout.manifestVersions(spark, s"$tmp/idx").max
+      memAdm.addData(b3: _*); qAdm.processAllAvailable()
+      memHost.addData(b3: _*); qHost.processAllAvailable()
+    } finally { qAdm.stop(); qHost.stop() }
+
+    // (1) curation stats: folded stream partials == the batch build over
+    // the whole crawl
+    assertSameRows(StreamOps.hostStatsRead(spark, s"$tmp/hosts"),
+      graft.llm.UrlCuration.hostStats(graft.llm.UrlCuration.urlMart(
+        (b1 ++ b2 ++ b3).toDF(cols: _*))), "soak host stats")
+
+    // (2) the audit: one decision row per (batch, source), exactly the
+    // arithmetic of the three micro-batches
+    def logOf(root: String): Set[(Long, String, Long, Long, Long)] =
+      graft.llm.Dedup.admissionLog(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    val wantLog = Set((0L, "crawlA", 1L, 1L, 1L), (1L, "crawlB", 1L, 1L, 0L),
+      (2L, "crawlC", 1L, 1L, 0L))
+    assert(logOf(s"$tmp/idx") === wantLog)
+
+    // (3) the streamed index == the batch build over corpus + survivors:
+    // same member set, and probe-identical on a fresh mixed delta
+    def members(root: String): Set[Long] =
+      spark.read.parquet(s"$root/members")
+        .filter(graft.ops.Layout.committedBatchFilter(spark, root))
+        .select("doc_id").as[Long].collect().toSet
+    assert(members(s"$tmp/idx") === Set(1L, 2L, 10L, 21L, 30L))
+    graft.llm.Dedup.writeMinhashIndex(
+      (corpus ++ Seq(b1(0), b2(1), b3(0))).toDF(cols: _*), s"$tmp/batchidx")
+    val probeDelta = Seq(
+      d(100L, b2(1)._2, "probe"), // dups an admitted survivor
+      d(101L, "an entirely unrelated probe document about planners", "probe"))
+      .toDF(cols: _*)
+    def pairsOf(root: String): Seq[(Long, Long, Double)] =
+      graft.llm.Dedup.probeMinhashIndex(spark, probeDelta, root, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val streamedPairs = pairsOf(s"$tmp/idx")
+    assert(streamedPairs === pairsOf(s"$tmp/batchidx"),
+      "streamed admission diverged from the batch build over the same docs")
+    assert(streamedPairs.nonEmpty, "probe fixture found nothing")
+
+    // (4) compaction folds batches, carries the audit, stays probe-identical
+    graft.llm.Dedup.compactMinhashIndex(spark, s"$tmp/idx", s"$tmp/cmp")
+    assert(pairsOf(s"$tmp/cmp") === streamedPairs)
+    assert(logOf(s"$tmp/cmp") === wantLog)
+
+    // (5) as-of: probing the pre-batch-3 version reproduces that
+    // snapshot's answer — doc 30's text is a dup NOW, unknown THEN
+    val delta30 = Seq(d(200L, b3(0)._2, "probe")).toDF(cols: _*)
+    assert(graft.llm.Dedup.probeMinhashIndex(spark, delta30, s"$tmp/idx", 0.8)
+      .count() > 0L)
+    assert(graft.llm.Dedup.probeMinhashIndex(spark, delta30, s"$tmp/idx", 0.8,
+      asOfVersion = Some(vMid)).count() === 0L)
+  }
+
   test("batch-0 crash replay: a sink that committed batch 0 but lost its " +
       "checkpoint re-drives it instead of refusing (phys-strided guard)") {
     // The stale-partition guard must resolve batch_id dirs through
