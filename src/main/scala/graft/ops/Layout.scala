@@ -603,13 +603,30 @@ object Layout {
     * exactly; only files ALL kept versions have superseded are deleted.
     * The default 1 keeps only the current snapshot's files — the original
     * all-or-nothing behavior, now a policy choice instead of the only
-    * option. Run it only once no reader planned before the superseding
-    * swap can still be collecting. Returns the number of directories
+    * option.
+    *
+    * `minAgeMs` is the GRACE WINDOW against the long-running-reader race:
+    * a reader that planned against version v before a superseding swap is
+    * still collecting from v's files, and a vacuum that reclaims them
+    * mid-collect fails the read. Version horizons can't see that reader;
+    * age can bound it: with `minAgeMs = h`, no delivery younger than `h`
+    * is reclaimed, so any reader that planned within the last `h` keeps
+    * its files (set it above the longest query you run — the Delta
+    * RETAIN-hours semantics; the version-counted horizon stays the
+    * deterministic, testable primary policy). Grace DEFERS, never
+    * breaks, the refusal invariant: a manifest file survives iff every
+    * physical it references survives — out-of-horizon manifests
+    * referencing an age-spared delivery stay readable (their vacuum
+    * completes on the next run past the window), and a physical
+    * referenced by any surviving manifest is never deleted, so an as-of
+    * read either reproduces its full snapshot or refuses; it never
+    * silently serves partial rows. Returns the number of directories
     * deleted. */
   def vacuumLayout(spark: SparkSession, base: String,
-      keepVersions: Int = 1): Long = {
+      keepVersions: Int = 1, minAgeMs: Long = 0L): Long = {
     require(keepVersions >= 1,
       s"KEEP must retain at least the current version, got $keepVersions")
+    require(minAgeMs >= 0L, s"minAgeMs must be >= 0, got $minAgeMs")
     val dir = commitsDir(base)
     val fs = fsOf(spark, dir)
     currentManifest(fs, dir) match {
@@ -619,23 +636,46 @@ object Layout {
           .sortBy(-_._1).take(keepVersions)
           .flatMap { case (_, p) => readManifestFile(fs, p).values }
           .toSet
-        val doomed = collectBatchDirs(fs,
+        // reclaim candidates: superseded and outside the keep horizon
+        val candidates = collectBatchDirs(fs,
             new org.apache.hadoop.fs.Path(base), depth = 4)
           .filter { case (id, _) =>
             id >= 0 && m.get(logicalBatchLocal(id)).exists(_ > id) &&
               !keptPhysicals.contains(id)
           }
+        val now = System.currentTimeMillis()
+        val sparedIds: Set[Long] =
+          if (minAgeMs <= 0L) Set.empty
+          else candidates.filter { case (_, p) =>
+            now - fs.getFileStatus(p).getModificationTime < minAgeMs
+          }.map(_._1).toSet
+        // Retire the manifests OUTSIDE the keep horizon whose snapshots
+        // this run breaks (with no grace: all of them — the original
+        // behavior): a version whose superseded files are gone must
+        // REFUSE time-travel reads (committedBatchFilterAt throws "no
+        // manifest version") and drop out of manifestVersions /
+        // GET /versions — otherwise an as_of read of a vacuumed snapshot
+        // silently serves partial/empty rows, indistinguishable from a
+        // genuinely empty version. Manifests referencing an age-spared
+        // delivery survive INTACT (their physicals are excluded from
+        // deletion below). Retirement runs BEFORE file deletion so a
+        // crash between the two leaves conservative refusals, never a
+        // serving manifest over missing files.
+        val (retiring, surviving) = listManifests(fs, dir)
+          .sortBy(-_._1).splitAt(keepVersions) match {
+            case (kept, rest) =>
+              val (r, s) = rest.partition { case (_, p) =>
+                !readManifestFile(fs, p).values.exists(sparedIds.contains)
+              }
+              (r, kept ++ s)
+          }
+        retiring.foreach { case (_, p) => fs.delete(p, false) }
+        val referenced: Set[Long] = surviving
+          .flatMap { case (_, p) => readManifestFile(fs, p).values }.toSet
+        val doomed = candidates.filter { case (id, _) =>
+          !sparedIds.contains(id) && !referenced.contains(id)
+        }
         doomed.foreach { case (_, p) => fs.delete(p, true) }
-        // Retire the manifests OUTSIDE the keep horizon too: a version
-        // whose superseded files are gone must REFUSE time-travel reads
-        // (committedBatchFilterAt throws "no manifest version") and drop
-        // out of manifestVersions / GET /versions — otherwise an as_of
-        // read of a vacuumed snapshot silently serves partial/empty rows,
-        // indistinguishable from a genuinely empty version, breaking the
-        // "an audit read must never silently serve a different snapshot"
-        // contract.
-        listManifests(fs, dir).sortBy(-_._1).drop(keepVersions)
-          .foreach { case (_, p) => fs.delete(p, false) }
         doomed.size.toLong
     }
   }

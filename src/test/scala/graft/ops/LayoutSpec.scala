@@ -224,6 +224,41 @@ class LayoutSpec extends SparkSpec {
     assert(pending.isEmpty, s"unretired intent markers: ${pending.toSeq}")
   }
 
+  test("vacuum grace window: young deliveries survive with their manifests " +
+      "intact; a vacuum past the window completes the retirement") {
+    val root = Files.createTempDirectory("graft_grace").toString + "/t"
+    (1 to 3).foreach { i =>
+      val p = Layout.beginBatchCommit(spark, root, 0L)
+      Seq((1L, s"v$i")).toDF("id", "t").withColumn("batch_id", lit(p))
+        .write.partitionBy("batch_id").mode("append").parquet(s"$root/t")
+      Layout.finishBatchCommit(spark, root, p)
+    }
+    val versions = Layout.manifestVersions(spark, root) // init + 3
+    def asOf(v: Long): Seq[String] =
+      spark.read.parquet(s"$root/t")
+        .filter(Layout.committedBatchFilterAt(spark, root, Some(v)))
+        .select("t").collect().map(_.getString(0)).toSeq
+    assert(asOf(versions(1)) === Seq("v1"))
+    // a long-running reader may still be collecting from the superseded
+    // deliveries: within the grace window NOTHING is reclaimed — and the
+    // refusal invariant defers WITH the files (every version stays fully
+    // readable, none serves partial rows)
+    assert(Layout.vacuumLayout(spark, root, keepVersions = 1,
+      minAgeMs = 3600L * 1000) === 0L)
+    // every version whose snapshot has files survives intact; only the
+    // init manifest (empty map — nothing age-spared to defer for) retires
+    // on schedule
+    assert(Layout.manifestVersions(spark, root) === versions.tail)
+    assert(asOf(versions(1)) === Seq("v1"))
+    assert(asOf(versions.last) === Seq("v3"))
+    // past the window (everything here is older than 0ms): the retirement
+    // completes — superseded dirs reclaimed, out-of-horizon versions refuse
+    assert(Layout.vacuumLayout(spark, root, keepVersions = 1) === 2L)
+    assert(Layout.manifestVersions(spark, root) === Seq(versions.last))
+    intercept[IllegalArgumentException] { asOf(versions(1)) }
+    assert(asOf(versions.last) === Seq("v3"))
+  }
+
   test("schema-evolution read: added columns surface as nulls for old files") {
     val v1 = Files.createTempDirectory("graft_layout_v1").toString
     val v2 = Files.createTempDirectory("graft_layout_v2").toString
