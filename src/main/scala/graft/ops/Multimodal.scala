@@ -188,6 +188,42 @@ object Multimodal {
         .localCheckpoint(false), // one encode+decode pass, two join sides
       maxHamming)
 
+  /** CROSS-MODAL near-dup: text near-dup pairs (the q21 MinHash/LSH tier)
+    * whose ATTACHED IMAGES do NOT near-dup — the caption-farm signature
+    * (one template text stamped onto many distinct images: product spam,
+    * stock-photo mills, auto-captioned scrapes). A text-only dedup would
+    * collapse these docs and silently throw away distinct visual training
+    * signal; this operator is the curation view that finds them.
+    *
+    * Composition, both legs already scale-shaped: the text leg is the
+    * banded MinHash pipeline ([[graft.llm.Dedup.minhashNearDupPairs]] —
+    * never all-pairs), and the image leg is a doc_id-keyed join of the
+    * pair set against the fingerprint frame with a direct 64-bit Hamming
+    * verify — PAIR-SET-sized, no image banding needed because the text
+    * pairs already bound the candidates. Pairs keep the q21 orientation
+    * (doc_id_a < doc_id_b); a pair is reported iff its images disagree
+    * past `imgMaxHamming` (the q135 near-dup threshold negated). Docs
+    * without a decoded fingerprint drop out (a cross-modal decision needs
+    * both modalities — inner join by design). */
+  def captionFarmPairs(docs: DataFrame, feats: DataFrame,
+      threshold: Double = 0.8, imgMaxHamming: Int = 8): DataFrame = {
+    def ham(x: Column, y: Column): Column = bit_count(x.bitwiseXOR(y))
+    val fa = feats.select(col("doc_id").as("doc_id_a"),
+      col("ahash_b0").as("xa0"), col("ahash_b1").as("xa1"),
+      col("ahash_b2").as("xa2"), col("ahash_b3").as("xa3"))
+    val fb = feats.select(col("doc_id").as("doc_id_b"),
+      col("ahash_b0").as("xb0"), col("ahash_b1").as("xb1"),
+      col("ahash_b2").as("xb2"), col("ahash_b3").as("xb3"))
+    graft.llm.Dedup.minhashNearDupPairs(docs, threshold)
+      .join(fa, "doc_id_a")
+      .join(fb, "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"),
+        (ham(col("xa0"), col("xb0")) + ham(col("xa1"), col("xb1")) +
+          ham(col("xa2"), col("xb2")) + ham(col("xa3"), col("xb3")))
+          .cast("long").as("img_hamming"))
+      .filter(col("img_hamming") > imgMaxHamming)
+  }
+
   /** The banded candidate join + Hamming verify over a precomputed
     * 4×16-bit fingerprint frame `(doc_id, <prefix>0..3)` — MODALITY-
     * GENERIC: the image tier, its recall audit, and the audio tier all
@@ -869,6 +905,35 @@ FROM fs GROUP BY doc_id ORDER BY doc_id""")),
       (s, dir) => ahashPairsFromIndex(s, ahashIndexMart(s, dir),
         maxHamming = 8).orderBy("doc_a", "doc_b"),
       Some(imageNearDupOracle)),
+
+    // CROSS-MODAL near-dup (caption-farm detection): text near-dup pairs
+    // whose images disagree — the q21 banded text chain joined against
+    // the decoded fingerprints with a direct Hamming verify. The oracle
+    // replays BOTH chains formula-side (the q138 recipe): the full
+    // minhash/LSH/jaccard CTE stack for the text pairs, and the
+    // generator-formula aHash chain NESTED inside its own WITH scope (the
+    // outer chain also names a `bands` CTE).
+    Q("q187_crossmodal_caption_farm",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        captionFarmPairs(Tables.documents(s, dir), imageFeatMart(s, dir))
+          .orderBy("doc_id_a", "doc_id_b")
+      },
+      Some(s"""
+WITH ${graft.llm.LlmQueries.minhashCtesShared},
+ib AS (WITH $imageBandsCtes
+       SELECT doc_id, ahash_b0, ahash_b1, ahash_b2, ahash_b3 FROM bands),
+tp AS (SELECT doc_id_a, doc_id_b, jaccard FROM j WHERE jaccard >= 0.8),
+xm AS (SELECT tp.doc_id_a, tp.doc_id_b, tp.jaccard,
+         CAST(bit_count(xor(a.ahash_b0, b.ahash_b0))
+            + bit_count(xor(a.ahash_b1, b.ahash_b1))
+            + bit_count(xor(a.ahash_b2, b.ahash_b2))
+            + bit_count(xor(a.ahash_b3, b.ahash_b3)) AS BIGINT)
+           AS img_hamming
+       FROM tp JOIN ib a ON a.doc_id = tp.doc_id_a
+               JOIN ib b ON b.doc_id = tp.doc_id_b)
+SELECT doc_id_a, doc_id_b, jaccard, img_hamming FROM xm
+WHERE img_hamming > 8 ORDER BY doc_id_a, doc_id_b""")),
 
     // Media curation gate: exposure / structure / clipping / energy flags
     // over decoded features, all integer-exact. The oracle replays both

@@ -179,6 +179,42 @@ class MultimodalSpec extends SparkSpec {
       s"compaction did not shrink the bands layout: $inF -> $outF")
   }
 
+  test("captionFarmPairs: same text + same image excluded; same text + " +
+      "different image reported; different texts never pair") {
+    val tpl = "subscribe now for daily deals and exclusive offers today"
+    val farm = Seq(
+      (1L, tpl, "en", "s1", tpl.length.toLong),
+      (2L, tpl, "en", "s2", tpl.length.toLong), // same text, SAME image as 1
+      (3L, tpl, "en", "s3", tpl.length.toLong), // same text, DIFFERENT image
+      (4L, "a genuinely different document body about parquet readers",
+        "en", "s4", 58L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // planted fingerprints (the synthetic generator keys images on doc_id,
+    // so identical images across docs only exist via an explicit frame —
+    // which is also the operator's contract: any fingerprint source works)
+    val feats = Seq(
+      (1L, 0x1234L, 0x00FFL, 0xAAAAL, 0x0F0FL),
+      (2L, 0x1234L, 0x00FFL, 0xAAAAL, 0x0F0FL),
+      (3L, 0xEDCBL, 0xFF00L, 0x5555L, 0xF0F0L), // bitwise-far from 1/2
+      (4L, 0x1234L, 0x00FFL, 0xAAAAL, 0x0F0FL)
+    ).toDF("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
+    val out = Multimodal.captionFarmPairs(farm, feats)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(p => (p._1, p._2))
+    // (1,2): texts identical but images identical too -> NOT a farm pair;
+    // (1,3) and (2,3): template text over a different image -> reported at
+    // full 64-bit disagreement; 4 never pairs (different text, despite
+    // sharing 1's image)
+    assert(out.map(p => (p._1, p._2)).toSeq === Seq((1L, 3L), (2L, 3L)))
+    assert(out.forall(p => p._3 === 1.0 && p._4 === 64L))
+    // threshold faces: at imgMaxHamming=64 nothing disagrees enough
+    assert(Multimodal.captionFarmPairs(farm, feats, imgMaxHamming = 64)
+      .count() === 0L)
+    // a doc with no fingerprint drops out (cross-modal needs both legs)
+    assert(Multimodal.captionFarmPairs(farm, feats.filter($"doc_id" =!= 3L))
+      .count() === 0L)
+  }
+
   test("mediaQualityGate: integer-exact flags, keep is their negation, both outcomes occur") {
     implicit val s = spark
     val gate = Multimodal.mediaQualityGate(
