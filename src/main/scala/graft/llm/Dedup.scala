@@ -248,7 +248,7 @@ object Dedup {
     * under ONE batch commit: delta docs near-dupping the indexed corpus
     * are rejected, survivors' bands/shingles/members land under the
     * delivery's physical partition, and a per-source
-    * (n_admitted, n_rejected) row set lands in the `admissions` table
+    * (n_admitted, n_rejected, n_skipped) row set lands in the `admissions` table
     * under the SAME partition — so the atomic manifest swap publishes the
     * decision and its audit record together (a crash between them cannot
     * leave an admitted batch with no report, or a report for an invisible

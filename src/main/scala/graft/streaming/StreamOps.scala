@@ -979,7 +979,7 @@ object StreamOps {
     * byte-identically. The flagged batch is materialized (eager
     * localCheckpoint) BEFORE the append so the index write never reads
     * the parquet dirs it is overwriting, and each batch's per-source
-    * (n_admitted, n_rejected) row set publishes in the SAME manifest swap
+    * (n_admitted, n_rejected, n_skipped) row set publishes in the SAME manifest swap
     * as its index delta ([[graft.llm.Dedup.admitIntoMinhashIndex]]) —
     * queryable via [[graft.llm.Dedup.admissionLog]]. Base index exists
     * first ([[graft.llm.Dedup.writeMinhashIndex]]); batch schema is the
