@@ -224,6 +224,24 @@ object Multimodal {
       .filter(col("img_hamming") > imgMaxHamming)
   }
 
+  /** The other cross-modal correlation ([[captionFarmPairs]]'s dual):
+    * image near-dup pairs whose docs come from DIFFERENT sources —
+    * stolen/scraped-content detection (the same image republished across
+    * hosts; within-source image reuse is ordinary pagination/theming and
+    * is excluded). Takes the verified pair table (the banded q135 tier,
+    * never all-pairs) and charges only two doc_id-keyed dimension joins —
+    * pair-set-sized, like the caption-farm leg. */
+  def stolenImagePairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("source_b")), "doc_b")
+      .filter(col("source_a") =!= col("source_b"))
+      .select("doc_a", "doc_b", "hamming", "source_a", "source_b")
+  }
+
   /** The banded candidate join + Hamming verify over a precomputed
     * 4×16-bit fingerprint frame `(doc_id, <prefix>0..3)` — MODALITY-
     * GENERIC: the image tier, its recall audit, and the audio tier all
@@ -934,6 +952,33 @@ xm AS (SELECT tp.doc_id_a, tp.doc_id_b, tp.jaccard,
                JOIN ib b ON b.doc_id = tp.doc_id_b)
 SELECT doc_id_a, doc_id_b, jaccard, img_hamming FROM xm
 WHERE img_hamming > 8 ORDER BY doc_id_a, doc_id_b""")),
+
+    // Stolen-content detection (the caption farm's dual): q135's verified
+    // image near-dup pairs restricted to DIFFERENT-source doc pairs — the
+    // same image republished across hosts. Oracle: the q135 banded pair
+    // chain plus the two dimension joins and the cross-source predicate.
+    Q("q188_stolen_images",
+      (s, dir) => stolenImagePairs(Tables.documents(s, dir),
+          imagePairsMart(s, dir))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""
+WITH $imageBandsCtes,
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.ahash_b0, b.ahash_b0))
+       + bit_count(xor(a.ahash_b1, b.ahash_b1))
+       + bit_count(xor(a.ahash_b2, b.ahash_b2))
+       + bit_count(xor(a.ahash_b3, b.ahash_b3)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+   AND (a.ahash_b0 = b.ahash_b0 OR a.ahash_b1 = b.ahash_b1
+     OR a.ahash_b2 = b.ahash_b2 OR a.ahash_b3 = b.ahash_b3))
+SELECT p.doc_a, p.doc_b, p.hamming,
+  da.source AS source_a, db.source AS source_b
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+WHERE p.hamming <= 8 AND da.source <> db.source
+ORDER BY doc_a, doc_b""")),
 
     // Media curation gate: exposure / structure / clipping / energy flags
     // over decoded features, all integer-exact. The oracle replays both

@@ -215,6 +215,28 @@ class MultimodalSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("stolenImagePairs: cross-source image matches reported, within-source " +
+      "reuse excluded") {
+    val srcDocs = Seq(
+      (1L, "t1", "en", "hostA", 2L),
+      (2L, "t2", "en", "hostA", 2L), // same image as 1, SAME source
+      (3L, "t3", "en", "hostB", 2L), // same image as 1, different source
+      (4L, "t4", "en", "hostC", 2L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Seq(
+      (1L, 2L, 0L),  // within-source: excluded
+      (1L, 3L, 2L),  // cross-source: reported
+      (2L, 3L, 2L),  // cross-source: reported
+      (3L, 4L, 7L)   // cross-source: reported
+    ).toDF("doc_a", "doc_b", "hamming")
+    val out = Multimodal.stolenImagePairs(srcDocs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).sortBy(p => (p._1, p._2))
+    assert(out.map(p => (p._1, p._2)).toSeq ===
+      Seq((1L, 3L), (2L, 3L), (3L, 4L)))
+    assert(out.forall(p => p._4 != p._5))
+  }
+
   test("mediaQualityGate: integer-exact flags, keep is their negation, both outcomes occur") {
     implicit val s = spark
     val gate = Multimodal.mediaQualityGate(
