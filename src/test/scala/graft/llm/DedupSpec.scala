@@ -300,6 +300,30 @@ class DedupSpec extends SparkSpec {
     assert(log2 === Set((0L, 0L, 1L)))
   }
 
+  test("probe/admit checkpoint hygiene: plain probes persist nothing; the " +
+      "admission transaction and index writes free every block they pin") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = real.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val delta = real.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("mhidx_leak_").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // base build + append + full admission + both plain probe faces, all
+    // materialized — a long-lived driver's steady-state loop
+    Dedup.writeMinhashIndex(old, tmp)
+    Dedup.probeMinhashIndex(spark, delta, tmp, 0.8).collect()
+    Dedup.probeMinhashDupDeltaIds(spark, delta, tmp, 0.8).collect()
+    Dedup.admitIntoMinhashIndex(spark, delta, tmp, 0L, 0.8)
+    Dedup.admissionLog(spark, tmp).collect()
+    // every localCheckpoint in the paths above is freed before return
+    // (writeIndexDelta after its writes; the admission transaction via
+    // freeCheckpoint; plain probes never checkpoint at all) — blocks
+    // accumulating here would pin executor storage across an admission
+    // stream's lifetime (the r16 ADVICE leak)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked checkpoint RDDs: $leaked")
+  }
+
   test("simhash: identical docs equal; near dups within small Hamming distance") {
     val fps = Dedup.simhashFingerprints(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
