@@ -155,12 +155,35 @@ object Dedup {
     * is impossible because the count is of the probe's own input. */
   val DefaultProbeBroadcastMaxDocs: Long = 100000L
 
+  /** Broadcast budget for the probe's CANDIDATE-derived frames
+    * (candidates, repPairs), which the delta-doc budget does NOT bound:
+    * they are pair-set sized (delta reps × matching corpus reps), so one
+    * small delta whose docs band-collide with millions of DISTINCT corpus
+    * texts (rep collapse only bounds exact dups) can blow past any
+    * doc-count budget. The guard is a measured count of the band-join
+    * output, taken ONLY when the delta itself qualified for broadcast
+    * (an over-budget delta already shuffles everything); over the budget
+    * the verify join degrades to the shuffled tier — a slower plan, never
+    * an oversized broadcast. Priced at one extra evaluation of the
+    * band join for plain probes (the admission path checkpoints the
+    * frame, so its count is a cache read). */
+  val DefaultProbeBroadcastMaxCandidatePairs: Long = 400000L
+
   /** Delta-side join shape: broadcast when the sizing decision says the
     * delta is small (the map-side-streaming plan), shuffled hash join with
     * the delta as build side otherwise — the strategy flip moves the
     * exchange, never the rows (spec-pinned). */
   private def sized(df: DataFrame, small: Boolean): DataFrame =
     if (small) broadcast(df) else df.hint("shuffle_hash")
+
+  /** The probe core's outputs plus its two sizing decisions: `smallDelta`
+    * bounds every DELTA-sized frame (membership, dup ids, bands, shingle
+    * sets — all ≤ delta docs), `smallVerify` additionally bounds the
+    * PAIR-SET-sized frames (candidates, repPairs) by the measured
+    * candidate count. smallVerify implies smallDelta. */
+  private final case class ProbeFrames(repPairs: DataFrame,
+      dMembers: DataFrame, newBands: DataFrame, newSets: DataFrame,
+      candidates: DataFrame, smallDelta: Boolean, smallVerify: Boolean)
 
   /** (doc_id, rep) membership of the eligible docs' exact-text groups —
     * rep = min doc_id per md5(normText), the exactDedup key. Every stage
@@ -268,13 +291,15 @@ object Dedup {
     // the probe core checkpoints the delta-derived frames, so the survivor
     // writes below reuse them instead of re-tokenizing the batch
     val vis = excludedVis(spark, indexPath, Some(batchId))
-    val (repPairs, dMembers, newBands, newSets, small) =
+    val pf =
       probeCore(spark, delta, indexPath, threshold, vis, materialize = true,
         broadcastMaxDocs)
+    val (dMembers, newBands, newSets, small) =
+      (pf.dMembers, pf.newBands, pf.newSets, pf.smallDelta)
     // groups admit or reject ATOMICALLY (exact-dup members share their
     // rep's pairs), so the decision is rep-level; eager-checkpointing it
     // severs the last read of the index files the append overwrites
-    val dupReps = repPairs.select(col("rep_new").as("rep")).distinct()
+    val dupReps = pf.repPairs.select(col("rep_new").as("rep")).distinct()
       .localCheckpoint()
     val phys = graft.ops.Layout.beginBatchCommit(spark, indexPath, batchId)
     graft.ops.Layout.clearPhysicalDelivery(spark, indexPath, phys)
@@ -321,7 +346,8 @@ object Dedup {
     // bound executor storage across a long-running admission stream: the
     // probe frames were checkpointed for reuse WITHIN this transaction;
     // retire their blocks now (the connectedComponents discipline)
-    Seq(dMembers, newBands, newSets, dupReps).foreach(freeCheckpoint)
+    Seq(dMembers, newBands, newSets, pf.candidates, dupReps)
+      .foreach(freeCheckpoint)
   }
 
   /** Release a localCheckpoint's executor blocks (the checkpointed frame
@@ -362,11 +388,19 @@ object Dedup {
           StructField("n_rejected", LongType),
           StructField("n_skipped", LongType))))
     } else {
-      val raw = spark.read.parquet(s"$indexPath/admissions")
+      // mergeSchema: a root upgraded mid-life has PRE-n_skipped parquet
+      // files next to new ones; without it the schema is inferred from
+      // whichever file wins — old winner silently zeroes NEW rows'
+      // n_skipped, new winner surfaces NULLs that NPE in getLong callers.
+      // Merged, old rows carry NULL in the new column; coalesce restores
+      // the "nothing was skipped-and-counted back then" semantics.
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(s"$indexPath/admissions")
         .filter(graft.ops.Layout.committedBatchFilterAt(spark, indexPath,
           asOfVersion))
       val withSkip =
-        if (raw.columns.contains("n_skipped")) raw
+        if (raw.columns.contains("n_skipped"))
+          raw.withColumn("n_skipped", coalesce(col("n_skipped"), lit(0L)))
         else raw.withColumn("n_skipped", lit(0L))
       // `batch` is a data column: live rows carry their admission batch,
       // compacted rows (folded under batch_id=-1) keep saying which
@@ -451,18 +485,24 @@ object Dedup {
       newDocs: DataFrame, indexPath: String,
       threshold: Double = 0.8,
       asOfVersion: Option[Long] = None,
-      broadcastMaxDocs: Long = DefaultProbeBroadcastMaxDocs): DataFrame = {
+      broadcastMaxDocs: Long = DefaultProbeBroadcastMaxDocs,
+      broadcastMaxCandidatePairs: Long =
+        DefaultProbeBroadcastMaxCandidatePairs,
+      knownDeltaDocs: Option[Long] = None): DataFrame = {
     val vis = graft.ops.Layout.committedBatchFilterAt(spark, indexPath,
       asOfVersion)
-    val (repPairs, dMembers, _, _, small) = probeCore(spark, newDocs,
-      indexPath, threshold, vis, materialize = false, broadcastMaxDocs)
+    val pf = probeCore(spark, newDocs,
+      indexPath, threshold, vis, materialize = false, broadcastMaxDocs,
+      broadcastMaxCandidatePairs, knownDeltaDocs)
     val idxMembers = spark.read.parquet(s"$indexPath/members").filter(vis)
       .select(col("doc_id").as("doc_id_old"), col("rep").as("rep_old"))
-    val dMem = dMembers
+    val dMem = pf.dMembers
       .select(col("doc_id").as("doc_id_new"), col("rep").as("rep_new"))
     idxMembers
-      .join(sized(repPairs, small), "rep_old") // index streams map-side
-      .join(sized(dMem, small), "rep_new")
+      // repPairs is pair-set sized: its broadcast rides the measured
+      // candidate budget, not just the delta-doc budget
+      .join(sized(pf.repPairs, pf.smallVerify), "rep_old")
+      .join(sized(dMem, pf.smallDelta), "rep_new")
       .select(least(col("doc_id_old"), col("doc_id_new")).as("doc_id_a"),
         greatest(col("doc_id_old"), col("doc_id_new")).as("doc_id_b"),
         col("jaccard"))
@@ -489,13 +529,20 @@ object Dedup {
       newDocs: DataFrame, indexPath: String,
       threshold: Double = 0.8,
       excludeLogicalBatch: Option[Long] = None,
-      broadcastMaxDocs: Long = DefaultProbeBroadcastMaxDocs): DataFrame = {
-    val (repPairs, dMembers, _, _, small) = probeCore(spark, newDocs,
+      broadcastMaxDocs: Long = DefaultProbeBroadcastMaxDocs,
+      broadcastMaxCandidatePairs: Long =
+        DefaultProbeBroadcastMaxCandidatePairs,
+      knownDeltaDocs: Option[Long] = None): DataFrame = {
+    val pf = probeCore(spark, newDocs,
       indexPath, threshold,
       excludedVis(spark, indexPath, excludeLogicalBatch),
-      materialize = false, broadcastMaxDocs)
-    dMembers.join(
-        sized(repPairs.select(col("rep_new").as("rep")).distinct(), small),
+      materialize = false, broadcastMaxDocs,
+      broadcastMaxCandidatePairs, knownDeltaDocs)
+    // distinct rep_new is DELTA-bounded (≤ delta reps) even when the
+    // pair set itself blew the candidate budget
+    pf.dMembers.join(
+        sized(pf.repPairs.select(col("rep_new").as("rep")).distinct(),
+          pf.smallDelta),
         Seq("rep"), "left_semi")
       .select("doc_id")
   }
@@ -526,22 +573,29 @@ object Dedup {
     * long-lived-driver leak); recomputing the delta-sized exact-group
     * window per consumer is the cheaper trade.
     *
-    * The sizing count is `dMembers.count()` when the frame is already
-    * checkpointed (free) and a raw `newDocs.count()` otherwise — a
+    * The delta sizing count is `knownDeltaDocs` when the caller already
+    * knows its batch size (the streaming admission path — skips the
+    * count action entirely), else `dMembers.count()` when the frame is
+    * already checkpointed (free), else a raw `newDocs.count()` — a
     * conservative upper bound (docs >= eligible >= reps), so an
     * over-estimate degrades to a shuffle, never to an oversized
-    * broadcast. */
+    * broadcast. The CANDIDATE count (`smallVerify`) is measured only
+    * when the delta qualified: it bounds the pair-set-sized frames the
+    * delta budget cannot (one hot delta text band-colliding with many
+    * distinct corpus texts). */
   private def probeCore(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, indexPath: String, threshold: Double,
       vis: org.apache.spark.sql.Column, materialize: Boolean,
-      broadcastMaxDocs: Long)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, Boolean) = {
+      broadcastMaxDocs: Long,
+      broadcastMaxCandidatePairs: Long = DefaultProbeBroadcastMaxCandidatePairs,
+      knownDeltaDocs: Option[Long] = None): ProbeFrames = {
     def keep(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(false) else df
     val eligible = eligibleDocs(newDocs)
     val dMembers = keep(exactGroupsOf(eligible))
     val small =
-      (if (materialize) dMembers.count() else newDocs.count()) <=
+      knownDeltaDocs.getOrElse(
+        if (materialize) dMembers.count() else newDocs.count()) <=
         broadcastMaxDocs
     val dReps = eligible.join(
       dMembers.filter(col("doc_id") === col("rep")).select("doc_id"),
@@ -550,18 +604,23 @@ object Dedup {
     val newSets = keep(shingleSetsOf(dReps))
     val idxBands = spark.read.parquet(s"$indexPath/bands").filter(vis)
     val sizedBands = sized(newBands, small)
-    val candidates = idxBands.join(sizedBands,
+    val candidates = keep(idxBands.join(sizedBands,
         idxBands("band_idx") === sizedBands("band_idx") &&
           idxBands("band_hash") === sizedBands("band_hash"))
       .select(idxBands("doc_id").as("rep_old"),
         sizedBands("doc_id").as("rep_new"))
-      .distinct()
+      .distinct())
+    // the pair-set guard: only priced when the broadcast tier is on the
+    // table at all; over budget the verify join flips to shuffled-hash
+    // with candidates as the build side (identical pairs, spec-pinned)
+    val smallVerify =
+      small && candidates.count() <= broadcastMaxCandidatePairs
     val idxSets = spark.read.parquet(s"$indexPath/shingles").filter(vis)
       .select(col("doc_id").as("rep_old"), col("shingle_set").as("sh_old"))
     val deltaSets = newSets
       .select(col("doc_id").as("rep_new"), col("shingle_set").as("sh_new"))
     val repPairs = idxSets
-      .join(sized(candidates, small), "rep_old") // index streams map-side
+      .join(sized(candidates, smallVerify), "rep_old") // index streams map-side
       .join(sized(deltaSets, small), "rep_new")
       .select(col("rep_old"), col("rep_new"),
         graft.expr.ThresholdedIntersectCount(col("sh_old"), col("sh_new"),
@@ -572,7 +631,8 @@ object Dedup {
         (col("icnt").cast("double") / (col("nsum") - col("icnt")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (repPairs, dMembers, newBands, newSets, small)
+    ProbeFrames(repPairs, dMembers, newBands, newSets, candidates,
+      small, smallVerify)
   }
 
   /** Offline compaction of a [[writeMinhashIndex]] layout into the
@@ -646,6 +706,125 @@ object Dedup {
         Selection.countParquetFiles(spark, s"$base/$t")
       }.sum
     (nFiles(inBase), nFiles(outBase))
+  }
+
+  /** Row-level DELETE (takedown) from a [[writeMinhashIndex]] layout: the
+    * doc_id set vanishes from `members`, and the rep-keyed `bands` /
+    * `shingles` rows follow the group algebra — a deleted rep whose
+    * exact-text group has SURVIVING members re-elects the minimum
+    * surviving member (sound without recomputing anything: every member
+    * shares the rep's normalized text, so the bands and shingle set are
+    * the new rep's own); a group whose members all die erases its
+    * bands/shingles rows outright. Post-delete probes are therefore
+    * pair-identical to an index built from scratch without the victims
+    * (q189's oracle pins it) — the fresh build's rep election is the
+    * same min-surviving-doc rule.
+    *
+    * Mechanism ([[graft.ops.Layout.takedownRewrite]]): only the AFFECTED
+    * deliveries rewrite — the batches holding victim member rows,
+    * re-pointed group memberships, or the deleted reps' bands/shingles
+    * (found by victim-pushed scans; victim lists are takedown-request
+    * sized, so the isin predicates push into parquet and the remap
+    * frames broadcast). The whole multi-batch result swaps in as ONE
+    * manifest version, then the mandatory vacuum destroys every
+    * pre-delete delivery and retires every pre-delete manifest: as-of
+    * reads of pre-delete versions refuse, because a legal delete that
+    * stays time-travelable is not a delete. The committed `admissions`
+    * audit rides through affected rewrites unchanged — the log records
+    * DECISIONS made at admission time, which a later takedown does not
+    * falsify. */
+  def deleteDocsFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, docIds: Seq[Long])
+      : graft.ops.Layout.TakedownReport = {
+    require(docIds.nonEmpty, "empty takedown set")
+    val victims = docIds.distinct
+    val vis = graft.ops.Layout.committedBatchFilter(spark, indexPath)
+    val members = spark.read.parquet(s"$indexPath/members").filter(vis)
+    // victim membership: which groups are touched (≤ |victims| rows)
+    val vm = members.filter(col("doc_id").isin(victims: _*))
+      .select("doc_id", "rep").collect()
+    if (vm.isEmpty)
+      return graft.ops.Layout.TakedownReport("minhash", 0L, 0L, 0L)
+    val victimSet = victims.toSet
+    val deletedReps = vm.map(_.getLong(1)).toSet.intersect(victimSet).toSeq
+    // re-election: min SURVIVING member per deleted rep (per-rep agg of a
+    // rep-pushed scan; output ≤ |victims| rows)
+    val repRemap: Map[Long, Long] =
+      if (deletedReps.isEmpty) Map.empty
+      else members
+        .filter(col("rep").isin(deletedReps: _*) &&
+          !col("doc_id").isin(victims: _*))
+        .groupBy("rep").agg(min("doc_id").as("new_rep"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val erasedReps = (deletedReps.toSet -- repRemap.keySet).toSeq
+    // affected deliveries: batches with victim member rows or re-pointed
+    // memberships, plus the batches holding the deleted reps' bands and
+    // shingles (a rep's rows may live in a different delivery than its
+    // members' — cross-batch exact dups after compaction folds)
+    val memberBatches = members
+      .filter(col("doc_id").isin(victims: _*) ||
+        (if (deletedReps.isEmpty) lit(false)
+         else col("rep").isin(deletedReps: _*)))
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    def repBatches(table: String): Seq[Long] =
+      if (deletedReps.isEmpty) Nil
+      else spark.read.parquet(s"$indexPath/$table").filter(vis)
+        .filter(col("doc_id").isin(deletedReps: _*))
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+    val affected = (memberBatches ++ repBatches("bands") ++
+      repBatches("shingles")).distinct.sorted
+    val remapDf = broadcast(
+      if (repRemap.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("old_rep",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("new_rep",
+              org.apache.spark.sql.types.LongType))))
+      else {
+        import spark.implicits._
+        repRemap.toSeq.toDF("old_rep", "new_rep")
+      })
+    // a rep-keyed row's fate: erased groups drop, re-elected groups
+    // rename to the new rep, untouched rows pass through
+    def renameOrDrop(df: DataFrame): DataFrame =
+      df.filter(if (erasedReps.isEmpty) lit(true)
+          else !col("doc_id").isin(erasedReps: _*))
+        .join(remapDf, col("doc_id") === col("old_rep"), "left")
+        .withColumn("doc_id", coalesce(col("new_rep"), col("doc_id")))
+        .drop("old_rep", "new_rep")
+    def put(df: DataFrame, table: String, phys: Long): Unit =
+      df.drop("batch_id").withColumn("batch_id", lit(phys))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$indexPath/$table")
+    val reclaimed = graft.ops.Layout.takedownRewrite(spark, indexPath,
+        affected) { (oldPhys, newPhys) =>
+      def delivery(table: String): Option[DataFrame] =
+        graft.ops.Layout.readDeliveryRows(spark, s"$indexPath/$table",
+          "", oldPhys)
+      delivery("bands").foreach(df => put(
+        renameOrDrop(df).sortWithinPartitions("band_idx", "band_hash"),
+        "bands", newPhys))
+      delivery("shingles").foreach(df => put(
+        renameOrDrop(df).sortWithinPartitions("doc_id"),
+        "shingles", newPhys))
+      delivery("members").foreach { df =>
+        put(df.filter(!col("doc_id").isin(victims: _*))
+          .join(remapDf, col("rep") === col("old_rep"), "left")
+          .withColumn("rep", coalesce(col("new_rep"), col("rep")))
+          .drop("old_rep", "new_rep"),
+          "members", newPhys)
+      }
+      // the audit rides through unchanged — decisions are history
+      delivery("admissions").foreach(df =>
+        put(df.coalesce(1), "admissions", newPhys))
+    }
+    graft.ops.Layout.TakedownReport("minhash", vm.length.toLong,
+      affected.size.toLong, reclaimed)
   }
 
   /** Connected components over the near-dup pair graph — the step that turns

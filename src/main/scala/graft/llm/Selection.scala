@@ -1251,6 +1251,133 @@ c AS (SELECT doc_id, source, t,
       countParquetFiles(spark, s"$outBase/postings"))
   }
 
+  /** Row-level DELETE (takedown) from a [[writeBm25Index]] layout: the
+    * victim docs' postings rows vanish and the per-delivery stats tables
+    * are RECOMPUTED from the delivery's surviving postings at rest —
+    * never subtracted, so there is no drift surface: postings rows are
+    * per (doc, term) and both stats are sums over docs, which makes the
+    * post-delete fold-read EXACTLY the one-shot stats over the corpus
+    * without the victims (q190's oracle pins the whole search). Only the
+    * deliveries whose postings hold victim rows rewrite (found by one
+    * doc_id-pushed postings scan; at 100 TB a doc→batch reverse map —
+    * e.g. the ingest ledger — would prune that scan, noted in SCALE.md),
+    * the multi-batch swap is one manifest version, and the mandatory
+    * vacuum destroys every pre-delete delivery and manifest
+    * ([[graft.ops.Layout.takedownRewrite]]). */
+  def deleteDocsFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, docIds: Seq[Long])
+      : graft.ops.Layout.TakedownReport = {
+    require(docIds.nonEmpty, "empty takedown set")
+    val victims = docIds.distinct
+    val vis = graft.ops.Layout.committedBatchFilter(spark, basePath)
+    // one victim-pushed scan finds the affected deliveries AND the
+    // matched-row count (per-batch rollup, collected — batches are
+    // manifest-sized)
+    val hits = spark.read.parquet(s"$basePath/postings").filter(vis)
+      .filter(col("doc_id").isin(victims: _*))
+      .groupBy(col("batch_id").cast("long").as("batch_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    if (hits.isEmpty)
+      return graft.ops.Layout.TakedownReport("bm25", 0L, 0L, 0L)
+    val affected = hits.map(_._1).toSeq.sorted
+    val reclaimed = graft.ops.Layout.takedownRewrite(spark, basePath,
+        affected) { (oldPhys, newPhys) =>
+      graft.ops.Layout.readDeliveryRows(spark, s"$basePath/postings",
+          "term_bucket=*", oldPhys).foreach { rows =>
+        val survivors = rows.filter(!col("doc_id").isin(victims: _*))
+        survivors
+          .drop("batch_id").withColumn("batch_id", lit(newPhys))
+          .repartition(col("term_bucket"))
+          .sortWithinPartitions("term_bucket", "batch_id", "term")
+          .write.mode("overwrite").partitionBy("term_bucket", "batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(s"$basePath/postings")
+        // stats recomputed at rest from THIS delivery's survivors — the
+        // writeBm25Index discipline applied per delivery
+        def putStats(df: DataFrame, table: String): Unit =
+          df.withColumn("batch_id", lit(newPhys))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(s"$basePath/$table")
+        // a delivery that lost ALL its postings writes no partitions —
+        // absent stats rows fold-read as zero contribution, exactly right
+        graft.ops.Layout.readDeliveryRows(spark, s"$basePath/postings",
+            "term_bucket=*", newPhys).foreach { atRest =>
+          putStats(TextAnalysis.bm25TermStatsFromPostings(atRest),
+            "term_stats")
+          putStats(TextAnalysis.bm25CorpusStatsFromPostings(atRest),
+            "corpus_stats")
+        }
+      }
+    }
+    graft.ops.Layout.TakedownReport("bm25", hits.map(_._2).sum,
+      affected.size.toLong, reclaimed)
+  }
+
+  /** Row-level DELETE (takedown) from a [[writeIvfadcIndex]] layout: the
+    * victim vec_ids' code rows and reassign-log rows vanish from every
+    * affected delivery; the trained geometry (centroids, codebook) is
+    * untouched — those are k-means/PQ AGGREGATES over the training set,
+    * not copies of any vector, and retraining them is the offline
+    * rebuild path (stated honestly: a takedown whose legal scope covers
+    * model parameters derived from the vector needs the rebuild). The
+    * law is at-rest row equality: codes(after) == codes(before) minus
+    * the victims' rows, so every search is exactly the pre-delete search
+    * with the victims' candidates gone (spec-pinned; searches are pure
+    * functions of codes + geometry). Same swap-then-mandatory-vacuum
+    * discipline as the other layouts. */
+  def deleteVecsFromIvfadcIndex(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, vecIds: Seq[Long])
+      : graft.ops.Layout.TakedownReport = {
+    require(vecIds.nonEmpty, "empty takedown set")
+    val victims = vecIds.distinct
+    val vis = graft.ops.Layout.committedBatchFilter(spark, basePath)
+    val hits = spark.read.parquet(s"$basePath/codes").filter(vis)
+      .filter(col("vec_id").isin(victims: _*))
+      .groupBy(col("batch_id").cast("long").as("batch_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // reassign rows can name a vec_id in batches whose codes were later
+    // shadowed — their deliveries must rewrite too
+    val reassignBatches = {
+      val p = new org.apache.hadoop.fs.Path(s"$basePath/reassign")
+      if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(p)) Seq.empty[Long]
+      else spark.read.parquet(s"$basePath/reassign").filter(vis)
+        .filter(col("vec_id").isin(victims: _*))
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+    }
+    if (hits.isEmpty && reassignBatches.isEmpty)
+      return graft.ops.Layout.TakedownReport("ivfadc", 0L, 0L, 0L)
+    val affected = (hits.map(_._1).toSeq ++ reassignBatches)
+      .distinct.sorted
+    val reclaimed = graft.ops.Layout.takedownRewrite(spark, basePath,
+        affected) { (oldPhys, newPhys) =>
+      graft.ops.Layout.readDeliveryRows(spark, s"$basePath/codes",
+          "cell=*", oldPhys).foreach { rows =>
+        rows.filter(!col("vec_id").isin(victims: _*))
+          .drop("batch_id").withColumn("batch_id", lit(newPhys))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell", "batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(s"$basePath/codes")
+      }
+      graft.ops.Layout.readDeliveryRows(spark, s"$basePath/reassign",
+          "", oldPhys).foreach { rows =>
+        rows.filter(!col("vec_id").isin(victims: _*))
+          .drop("batch_id").withColumn("batch_id", lit(newPhys))
+          .coalesce(1)
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(s"$basePath/reassign")
+      }
+    }
+    graft.ops.Layout.TakedownReport("ivfadc", hits.map(_._2).sum,
+      affected.size.toLong, reclaimed)
+  }
+
   /** Root-level compaction of a full [[retrievalIndex]]-shaped serving
     * root: the BM25 subtrees fold through [[compactBm25Index]], and the
     * sibling layouts a root carries — `ann/` (when present; compact it

@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** The designed manifest-publish race: a second writer won the version
+    * this publish targeted. The ONLY failure [[commitWithRetry]] retries —
+    * an unrelated IllegalStateException (stopped SparkContext, torn
+    * internal state) surfaces immediately instead of burning retry
+    * attempts re-running a publish that can never succeed. */
+  final class ManifestPublishConflict(msg: String)
+    extends IllegalStateException(msg)
+
   def bucketOf(cik: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
     pmod(conv(substring(md5(cik), 1, 15), 16, 10).cast("long"), lit(nBuckets)).cast("int")
 
@@ -197,14 +205,29 @@ object Layout {
 
   /** Physical partition id → logical batch id: base/legacy ids pass
     * through, stride-encoded delivery ids map back. The recency key for
-    * every latest-wins fold over `batch_id`. */
+    * every latest-wins fold over `batch_id`. Base REWRITES (row-level
+    * delete) deliver under negative physicals `-(2+gen)` — all of them
+    * map back to logical `-1`, so a rewritten base stays the oldest
+    * logical batch in every latest-wins fold, exactly like the original
+    * `batch_id=-1` directory it replaced. */
   def logicalBatch(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(c < GenStride, c)
+    when(c < -1L, -1L)
+      .when(c < GenStride, c)
       .otherwise(floor(c / GenStride).cast("long") - 1L)
 
   /** Driver-side twin of [[logicalBatch]]. */
   def logicalBatchLocal(p: Long): Long =
-    if (p < GenStride) p else p / GenStride - 1
+    if (p < -1L) -1L else if (p < GenStride) p else p / GenStride - 1
+
+  /** Delivery recency WITHIN one logical batch — the "which physical is
+    * newer" order vacuum and gen allocation use. For appended batches the
+    * physical id itself is monotone in gen (legacy raw ids < any
+    * stride-encoded delivery). The base's rewrite chain counts the other
+    * way (`-1` original, then `-2`, `-3`, …), so its rank is the rewrite
+    * gen: `-1 → -1`, `-(2+g) → g`. Ranks are only ever compared within
+    * one logical batch. */
+  private[ops] def deliveryRank(p: Long): Long =
+    if (p < -1L) -2L - p else p
 
   private def commitsDir(base: String) =
     new org.apache.hadoop.fs.Path(s"$base/_commits")
@@ -297,7 +320,7 @@ object Layout {
     val renamed = lock.synchronized { fs.rename(tmp, dst) }
     if (!renamed) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new ManifestPublishConflict(
         s"concurrent manifest publish on $dir at version $version — " +
           "a racing writer won this version; retry against the advanced " +
           "manifest (Layout.commitWithRetry)")
@@ -365,18 +388,31 @@ object Layout {
     * dynamic-overwrite rewrite. */
   def beginBatchCommit(spark: SparkSession, base: String,
       batchId: Long): Long = {
-    require(batchId >= 0 && batchId < GenStride - 1,
-      s"logical batch id out of range [0, ${GenStride - 1}): $batchId")
+    require(batchId >= -1 && batchId < GenStride - 1,
+      s"logical batch id out of range [-1, ${GenStride - 1}): $batchId")
     initCommitLog(spark, base)
     val dir = commitsDir(base)
     val m = currentManifest(fsOf(spark, dir), dir).map(_._2)
       .getOrElse(Map.empty[Long, Long])
-    val gen = m.get(batchId) match {
-      case Some(p) if p >= GenStride => p % GenStride + 1
-      case _ => 0L // never delivered, or a legacy raw-id delivery
+    if (batchId == -1L) {
+      // BASE REWRITE (row-level delete): the base's rewrite chain lives
+      // under negative physicals -(2+gen) so it can never collide with an
+      // appended batch's stride-encoded ids or a legacy raw id; once the
+      // manifest maps logical -1, committedBatchFilter serves the mapped
+      // physical INSTEAD of the raw batch_id=-1 directories
+      val gen = m.get(-1L) match {
+        case Some(p) if p < -1L => deliveryRank(p) + 1
+        case _ => 0L // base never rewritten
+      }
+      -2L - gen
+    } else {
+      val gen = m.get(batchId) match {
+        case Some(p) if p >= GenStride => p % GenStride + 1
+        case _ => 0L // never delivered, or a legacy raw-id delivery
+      }
+      require(gen < GenStride, s"gen counter exhausted for batch $batchId")
+      (batchId + 1) * GenStride + gen
     }
-    require(gen < GenStride, s"gen counter exhausted for batch $batchId")
-    (batchId + 1) * GenStride + gen
   }
 
   /** Claim a delivery and clear any CRASHED attempt's leftovers under the
@@ -432,6 +468,27 @@ object Layout {
     ()
   }
 
+  /** Commit SEVERAL deliveries in ONE manifest version — the row-level
+    * delete's swap: a takedown that rewrites N affected deliveries (the
+    * batches whose partitions held the victim rows, possibly including
+    * the base) must become visible atomically, or a read planned between
+    * two single-batch swaps would serve a half-deleted corpus. Same
+    * protocol as [[finishBatchCommit]]; the map update just carries N
+    * remaps instead of one. */
+  def finishMultiBatchCommit(spark: SparkSession, base: String,
+      physicalIds: Seq[Long]): Unit = {
+    require(physicalIds.nonEmpty, "nothing to commit")
+    initCommitLog(spark, base)
+    val dir = commitsDir(base)
+    val fs = fsOf(spark, dir)
+    val (v, m) = currentManifest(fs, dir).get
+    publishManifest(fs, dir, v + 1,
+      m ++ physicalIds.map(p => logicalBatchLocal(p) -> p))
+    physicalIds.foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"pending_$p"), false)
+    }
+  }
+
   /** One full delivery of `batchId` with PUBLISH-RETRY — the multi-writer
     * recipe for the manifest protocol. The protocol's only cross-writer
     * contention point is the manifest rename ([[publishManifest]]): data
@@ -463,9 +520,11 @@ object Layout {
       var n = 0
       var out: Option[T] = None
       while (out.isEmpty) {
+        // ONLY the designed publish collision retries; any other failure
+        // (including unrelated IllegalStateExceptions) surfaces at once
         try out = Some(f)
         catch {
-          case e: IllegalStateException =>
+          case e: ManifestPublishConflict =>
             n += 1
             if (n >= maxAttempts) throw e
         }
@@ -508,7 +567,7 @@ object Layout {
         s"$base has no commit log — no manifest versions to read AS OF")
       lit(true)
     } else {
-      val ids = version match {
+      val entries: Map[Long, Long] = version match {
         case Some(v) =>
           val ms = listManifests(fs, dir).toMap
           val p = ms.getOrElse(v, throw new IllegalArgumentException(
@@ -517,16 +576,15 @@ object Layout {
           // a vacuum can retire the file between the listing and this
           // read — surface the same clean refusal as a never-published
           // version, not a raw FileNotFoundException mid-plan
-          val m = try readManifestFile(fs, p) catch {
+          try readManifestFile(fs, p) catch {
             case _: java.io.FileNotFoundException =>
               throw new IllegalArgumentException(
                 s"no manifest version $v under $dir — retired by a " +
                   "concurrent vacuum between listing and read")
           }
-          m.values.toSeq
         case None =>
           currentManifest(fs, dir) match {
-            case Some((_, m)) => m.values.toSeq
+            case Some((_, m)) => m
             case None =>
               // toLongOption: a stray non-numeric file in _commits (editor
               // temp, _SUCCESS, half-written name) must not throw at plan
@@ -534,9 +592,16 @@ object Layout {
               fs.listStatus(dir).toSeq.map(_.getPath.getName)
                 .filter(_.startsWith("batch_"))
                 .flatMap(_.stripPrefix("batch_").toLongOption)
+                .map(p => p -> p).toMap
           }
       }
-      if (ids.isEmpty) col("batch_id") === -1L
+      val ids = entries.values.toSeq
+      // once the manifest maps logical -1 (a base REWRITE — row-level
+      // delete), the mapped physical IS the base: the raw batch_id=-1
+      // directories are the superseded pre-delete base and must not serve
+      if (entries.contains(-1L))
+        col("batch_id").isin(ids: _*)
+      else if (ids.isEmpty) col("batch_id") === -1L
       else col("batch_id") === -1L || col("batch_id").isin(ids: _*)
     }
   }
@@ -609,19 +674,32 @@ object Layout {
     * a reader that planned against version v before a superseding swap is
     * still collecting from v's files, and a vacuum that reclaims them
     * mid-collect fails the read. Version horizons can't see that reader;
-    * age can bound it: with `minAgeMs = h`, no delivery younger than `h`
-    * is reclaimed, so any reader that planned within the last `h` keeps
-    * its files (set it above the longest query you run — the Delta
-    * RETAIN-hours semantics; the version-counted horizon stays the
-    * deterministic, testable primary policy). Grace DEFERS, never
-    * breaks, the refusal invariant: a manifest file survives iff every
-    * physical it references survives — out-of-horizon manifests
-    * referencing an age-spared delivery stay readable (their vacuum
-    * completes on the next run past the window), and a physical
-    * referenced by any surviving manifest is never deleted, so an as-of
-    * read either reproduces its full snapshot or refuses; it never
-    * silently serves partial rows. Returns the number of directories
-    * deleted. */
+    * age can bound it — and the age that bounds it is TIME SINCE
+    * SUPERSESSION, not time since the delivery was written: a delivery
+    * written days ago and superseded a minute ago may still be serving a
+    * reader that planned seconds before the swap (the Delta RETAIN
+    * precedent ages remove-action timestamps, not file creation times).
+    * Supersession time is recovered from the manifests themselves: the
+    * oldest surviving manifest that no longer serves the delivery was
+    * published at (or after) the swap that superseded it, so its mtime
+    * upper-bounds reader staleness; if every manifest that ever served
+    * the delivery is already retired, the oldest surviving manifest's
+    * mtime stands in (the swap predates it — conservative, and a fixed
+    * timestamp, so the delivery still ages out of the window). With
+    * `minAgeMs = h`, any reader that planned within the last `h` keeps
+    * its files (set it above the longest query you run; the
+    * version-counted horizon stays the deterministic, testable primary
+    * policy). Grace DEFERS, never breaks, the refusal invariant: a
+    * manifest file survives iff every physical it references survives —
+    * out-of-horizon manifests referencing an age-spared delivery stay
+    * readable (their vacuum completes on the next run past the window),
+    * and a physical referenced by any surviving manifest is never
+    * deleted, so an as-of read either reproduces its full snapshot or
+    * refuses; it never silently serves partial rows. A manifest with no
+    * logical `-1` entry implicitly serves the raw `batch_id=-1` base, so
+    * a base superseded by a REWRITE (row-level delete) is reclaimable
+    * only once every manifest that implicitly served it retires.
+    * Returns the number of directories deleted. */
   def vacuumLayout(spark: SparkSession, base: String,
       keepVersions: Int = 1, minAgeMs: Long = 0L): Long = {
     require(keepVersions >= 1,
@@ -632,22 +710,57 @@ object Layout {
     currentManifest(fs, dir) match {
       case None => 0L
       case Some((_, m)) =>
-        val keptPhysicals: Set[Long] = listManifests(fs, dir)
-          .sortBy(-_._1).take(keepVersions)
-          .flatMap { case (_, p) => readManifestFile(fs, p).values }
-          .toSet
-        // reclaim candidates: superseded and outside the keep horizon
+        // one read per manifest, shared by every step below:
+        // (version, path, entries, mtime), ascending by version
+        val manifests = listManifests(fs, dir).sortBy(_._1).map {
+          case (v, p) =>
+            (v, p, readManifestFile(fs, p),
+              fs.getFileStatus(p).getModificationTime)
+        }
+        // the physicals a manifest SERVES: its entries, plus the raw base
+        // unless a base rewrite has remapped logical -1
+        def served(mm: Map[Long, Long]): Set[Long] =
+          mm.values.toSet + mm.getOrElse(-1L, -1L)
+        val keptManifests = manifests.sortBy(-_._1).take(keepVersions)
+        val keptPhysicals: Set[Long] =
+          keptManifests.flatMap(t => served(t._3)).toSet
+        // reclaim candidates: superseded (the current manifest maps their
+        // logical batch to a NEWER delivery — deliveryRank, so the base's
+        // negative rewrite chain orders correctly) and outside the keep
+        // horizon
         val candidates = collectBatchDirs(fs,
             new org.apache.hadoop.fs.Path(base), depth = 4)
           .filter { case (id, _) =>
-            id >= 0 && m.get(logicalBatchLocal(id)).exists(_ > id) &&
+            val l = logicalBatchLocal(id)
+            val cur = if (l == -1L) Some(m.getOrElse(-1L, -1L)) else m.get(l)
+            cur.exists(c => deliveryRank(c) > deliveryRank(id)) &&
               !keptPhysicals.contains(id)
           }
+        // supersession time of a candidate: mtime of the oldest surviving
+        // manifest published at-or-after the swap that superseded it
+        def supersededAt(id: Long): Long = {
+          val l = logicalBatchLocal(id)
+          def servesId(mm: Map[Long, Long]): Boolean =
+            (if (l == -1L) Some(mm.getOrElse(-1L, -1L)) else mm.get(l))
+              .contains(id)
+          manifests.find(t => servesId(t._3)) match {
+            case Some((v0, _, _, _)) =>
+              manifests.find(t => t._1 > v0 && !servesId(t._3))
+                // candidates are not served by the CURRENT manifest, so a
+                // superseding version always exists; the fallback only
+                // defends a concurrent publish racing this walk
+                .map(_._4).getOrElse(System.currentTimeMillis())
+            case None =>
+              // every manifest that served it is already retired: the
+              // swap predates the oldest surviving manifest
+              manifests.head._4
+          }
+        }
         val now = System.currentTimeMillis()
         val sparedIds: Set[Long] =
           if (minAgeMs <= 0L) Set.empty
-          else candidates.filter { case (_, p) =>
-            now - fs.getFileStatus(p).getModificationTime < minAgeMs
+          else candidates.filter { case (id, _) =>
+            now - supersededAt(id) < minAgeMs
           }.map(_._1).toSet
         // Retire the manifests OUTSIDE the keep horizon whose snapshots
         // this run breaks (with no grace: all of them — the original
@@ -661,23 +774,84 @@ object Layout {
         // deletion below). Retirement runs BEFORE file deletion so a
         // crash between the two leaves conservative refusals, never a
         // serving manifest over missing files.
-        val (retiring, surviving) = listManifests(fs, dir)
-          .sortBy(-_._1).splitAt(keepVersions) match {
+        val (retiring, surviving) = manifests.sortBy(-_._1)
+          .splitAt(keepVersions) match {
             case (kept, rest) =>
-              val (r, s) = rest.partition { case (_, p) =>
-                !readManifestFile(fs, p).values.exists(sparedIds.contains)
+              val (r, s) = rest.partition { case (_, _, mm, _) =>
+                !served(mm).exists(sparedIds.contains)
               }
               (r, kept ++ s)
           }
-        retiring.foreach { case (_, p) => fs.delete(p, false) }
-        val referenced: Set[Long] = surviving
-          .flatMap { case (_, p) => readManifestFile(fs, p).values }.toSet
+        retiring.foreach { case (_, p, _, _) => fs.delete(p, false) }
+        val referenced: Set[Long] =
+          surviving.flatMap(t => served(t._3)).toSet
         val doomed = candidates.filter { case (id, _) =>
           !sparedIds.contains(id) && !referenced.contains(id)
         }
         doomed.foreach { case (_, p) => fs.delete(p, true) }
         doomed.size.toLong
     }
+  }
+
+  // ------------------------------------------------------ row-level delete
+
+  /** One takedown's outcome — the `DELETE FROM LAYOUT` result row. */
+  final case class TakedownReport(kind: String, nMatchedRows: Long,
+      nRewrittenDeliveries: Long, nReclaimedDirs: Long)
+
+  /** Rows of ONE delivery of a batch-partitioned table — the rewrite
+    * read for row-level delete. Reads the delivery's `batch_id=<phys>`
+    * directories DIRECTLY (with `basePath` so partition columns still
+    * surface), for two load-bearing reasons: nothing outside the
+    * delivery is listed or scanned, and the relation's root paths are
+    * the partition directories rather than the table root — so the
+    * rewrite can write the SAME table (a different partition) without
+    * tripping Spark's same-path overwrite guard or checkpointing a
+    * delivery-sized frame. `nest` is the partition-glob prefix above
+    * `batch_id` (term_bucket=*, cell=*, band=* / vb=* nested, or
+    * empty). None when the delivery wrote no partition in this table
+    * (an empty frame under dynamic overwrite creates no directory).
+    */
+  def readDeliveryRows(spark: SparkSession, tablePath: String,
+      nest: String, phys: Long): Option[DataFrame] = {
+    val glob =
+      if (nest.isEmpty) s"$tablePath/batch_id=$phys"
+      else s"$tablePath/$nest/batch_id=$phys"
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(tablePath))
+    val hits = fs.globStatus(new org.apache.hadoop.fs.Path(glob))
+    if (hits == null || hits.isEmpty) None
+    else Some(spark.read.option("basePath", tablePath).parquet(glob))
+  }
+
+  /** The takedown swap: rewrite the AFFECTED deliveries (the batches
+    * whose partitions hold victim rows — possibly including the base,
+    * which rewrites under the negative physical chain) and make the
+    * whole multi-batch result visible in ONE manifest version, then run
+    * the MANDATORY vacuum that makes the delete physical: `keepVersions
+    * = 1`, no grace — a legal takedown must actually destroy the bytes,
+    * so every pre-delete manifest retires (as-of reads of pre-delete
+    * versions refuse, the vacuumed-version contract) and every
+    * superseded delivery's files are reclaimed before this returns.
+    * Crash-safe like any delivery: a crash before the swap leaves the
+    * old manifest serving the old (still-un-deleted) data and the retry
+    * self-heals through the pending markers; a crash between swap and
+    * vacuum leaves the delete VISIBLE and the next vacuum finishes the
+    * physical reclaim. Cost is proportional to the affected deliveries'
+    * size, not the corpus: an appended batch's takedown rewrites that
+    * batch only — the base rewrite is the expensive case, and still
+    * cheaper than an index rebuild (no text re-tokenized, no signatures
+    * or codes recomputed). Returns the number of directories the vacuum
+    * reclaimed. */
+  def takedownRewrite(spark: SparkSession, base: String,
+      oldPhysicals: Seq[Long])(rewriteOne: (Long, Long) => Unit): Long = {
+    val remaps = oldPhysicals.map { oldPhys =>
+      val phys = beginBatchCommit(spark, base, logicalBatchLocal(oldPhys))
+      clearPhysicalDelivery(spark, base, phys)
+      rewriteOne(oldPhys, phys)
+      phys
+    }
+    finishMultiBatchCommit(spark, base, remaps)
+    vacuumLayout(spark, base, keepVersions = 1, minAgeMs = 0L)
   }
 
   /** Every `batch_id=N` partition directory found under `p` (any table,

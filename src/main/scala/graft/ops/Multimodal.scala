@@ -574,6 +574,46 @@ object Multimodal {
       graft.llm.Selection.countParquetFiles(spark, s"$outBase/bands"))
   }
 
+  /** Row-level DELETE (takedown) from a [[writeAhashIndex]] layout: the
+    * victim docs' band rows vanish from every affected delivery — the
+    * aHash index is denormalized per row (each band row carries its own
+    * doc's four hash bands and nothing of any other doc), so deletion is
+    * pure row removal with no re-election algebra. Law: bands(after) ==
+    * bands(before) minus the victims' rows, making every point search
+    * and pair scan exactly the pre-delete one with the victims gone
+    * (spec-pinned). Same one-manifest-swap + mandatory-vacuum discipline
+    * as the other layouts ([[Layout.takedownRewrite]]): pre-delete as-of
+    * versions refuse after the vacuum. */
+  def deleteDocsFromAhashIndex(spark: SparkSession, basePath: String,
+      docIds: Seq[Long]): Layout.TakedownReport = {
+    require(docIds.nonEmpty, "empty takedown set")
+    val victims = docIds.distinct
+    val vis = Layout.committedBatchFilter(spark, basePath)
+    val hits = spark.read.parquet(s"$basePath/bands").filter(vis)
+      .filter(col("doc_id").isin(victims: _*))
+      .groupBy(col("batch_id").cast("long").as("batch_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    if (hits.isEmpty)
+      return Layout.TakedownReport("ahash", 0L, 0L, 0L)
+    val affected = hits.map(_._1).toSeq.sorted
+    val reclaimed = Layout.takedownRewrite(spark, basePath, affected) {
+      (oldPhys, newPhys) =>
+        Layout.readDeliveryRows(spark, s"$basePath/bands",
+            "band=*/vb=*", oldPhys).foreach { rows =>
+          rows.filter(!col("doc_id").isin(victims: _*))
+            .drop("batch_id").withColumn("batch_id", lit(newPhys))
+            .repartition(col("band"), col("vb"))
+            .sortWithinPartitions("band", "vb", "batch_id", "v")
+            .write.mode("overwrite").partitionBy("band", "vb", "batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(s"$basePath/bands")
+        }
+    }
+    Layout.TakedownReport("ahash", hits.map(_._2).sum,
+      affected.size.toLong, reclaimed)
+  }
+
   /** Point near-dup search FROM the index: the query image's four band
     * values prune to ≤ 4 (band, vb) directories (plus the pushed `v`
     * row-group filter — band rows are v-sorted within files); candidates'

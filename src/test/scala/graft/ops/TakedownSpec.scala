@@ -1,0 +1,345 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.llm.Selection
+
+/** Row-level DELETE (takedown) across the persisted serving layouts: the
+  * one lifecycle operation append/compact/vacuum could not express. The
+  * laws pinned here:
+  *
+  *   - minhash: post-delete probes == probes of an index built from
+  *     scratch without the victims (rep re-election and group erasure
+  *     included), and the committed admission audit survives;
+  *   - bm25: post-delete search == a fresh one-shot index over the
+  *     survivors (stats recomputed per delivery, never subtracted);
+  *   - ivfadc / ahash: at-rest row law — rows(after) == rows(before)
+  *     minus the victims' rows, geometry untouched;
+  *   - protocol: the base rewrites under the negative physical chain,
+  *     the whole multi-batch swap is ONE manifest version, and the
+  *     mandatory vacuum makes pre-delete as-of versions REFUSE — a
+  *     legal delete that stays time-travelable is not a delete;
+  *   - vacuum grace ages by SUPERSESSION time (manifest mtimes), not
+  *     delivery write time.
+  */
+class TakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String, source: String) =
+    (id, text, "en", source, text.length.toLong)
+
+  private val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+  private val t2 = "one two three four five six seven eight nine"
+  private val t3 = "completely different spark engine text entirely"
+  private val t4 = "unrelated takedown subject text here and now"
+  private val t5 = "novel appended document text for the admitted batch"
+  private val t6 = "another novel appended text sharing nothing at all"
+
+  test("minhash takedown: rep re-election + group erasure + cross-batch " +
+      "victims == fresh build without them; audit survives; pre-delete " +
+      "versions refuse") {
+    val base = Seq(
+      doc(10L, t1, "s1"), doc(20L, t1, "s1"), doc(30L, t1, "s2"),
+      doc(40L, t2, "s1"), doc(50L, t2, "s2"),
+      doc(60L, t3, "s1"), doc(70L, t4, "s2")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val admitted = Seq(doc(80L, t5, "s3"), doc(90L, t6, "s3"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("graft_tkdn_mh")
+      .toString + "/idx"
+    graft.llm.Dedup.writeMinhashIndex(base, root)
+    graft.llm.Dedup.admitIntoMinhashIndex(spark, admitted, root,
+      batchId = 0L)
+    val preVersions = Layout.manifestVersions(spark, root)
+    val preAudit = rows(graft.llm.Dedup.admissionLog(spark, root)
+      .orderBy("batch", "source"))
+
+    // victims: the G1 rep (10 — group survives, re-elects 20), the whole
+    // G2 group (40, 50 — erased), a singleton (70), and an ADMITTED
+    // batch-0 doc (80) — so both the base and the appended delivery rewrite
+    val report = graft.llm.Dedup.deleteDocsFromMinhashIndex(spark, root,
+      Seq(10L, 40L, 50L, 70L, 80L))
+    assert(report.kind === "minhash")
+    assert(report.nMatchedRows === 5L)
+    assert(report.nRewrittenDeliveries === 2L) // base + batch 0
+    assert(report.nReclaimedDirs > 0L)
+
+    // the base now serves from the negative rewrite chain; the raw
+    // batch_id=-1 directories are gone
+    val m = Layout.manifestEntriesAt(spark, root,
+      Layout.manifestVersions(spark, root).max)
+    assert(m(-1L) === -2L)
+    assert(Layout.logicalBatchLocal(-2L) === -1L)
+
+    // index content: victims gone, G1 renamed to its min surviving member
+    val vis = Layout.committedBatchFilter(spark, root)
+    val members = spark.read.parquet(s"$root/members").filter(vis)
+      .select("doc_id", "rep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(members.keySet === Set(20L, 30L, 60L, 90L))
+    assert(members(20L) === 20L && members(30L) === 20L)
+    val repIds = spark.read.parquet(s"$root/shingles").filter(vis)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repIds === Set(20L, 60L, 90L))
+    assert(spark.read.parquet(s"$root/bands").filter(vis)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
+      Set(20L, 60L, 90L))
+
+    // probe equality with a from-scratch index over the survivors
+    val fresh = java.nio.file.Files.createTempDirectory("graft_tkdn_mh2")
+      .toString + "/idx"
+    graft.llm.Dedup.writeMinhashIndex(Seq(
+      doc(20L, t1, "s1"), doc(30L, t1, "s2"), doc(60L, t3, "s1"),
+      doc(90L, t6, "s3")).toDF("doc_id", "text", "lang", "source",
+      "n_chars"), fresh)
+    val delta = Seq(doc(1000L, t1, "d"), doc(1001L, t2, "d"),
+      doc(1002L, t5, "d"), doc(1003L, t6, "d"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def probe(p: String): Seq[(Long, Long, Double)] =
+      graft.llm.Dedup.probeMinhashIndex(spark, delta, p, 0.8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val got = probe(root)
+    assert(got === probe(fresh))
+    assert(got.map(p => (p._1, p._2)) ===
+      Seq((20L, 1000L), (30L, 1000L), (90L, 1003L)))
+
+    // the committed audit is history — the takedown does not falsify it
+    assert(rows(graft.llm.Dedup.admissionLog(spark, root)
+      .orderBy("batch", "source")) === preAudit)
+    assert(preAudit.nonEmpty)
+
+    // pre-delete snapshots are DESTROYED, not just superseded: every
+    // pre-delete manifest version refuses after the mandatory vacuum
+    preVersions.foreach { v =>
+      intercept[IllegalArgumentException] {
+        spark.read.parquet(s"$root/members")
+          .filter(Layout.committedBatchFilterAt(spark, root, Some(v)))
+          .collect()
+      }
+    }
+
+    // a SECOND takedown on the same root extends the base rewrite chain
+    val r2 = graft.llm.Dedup.deleteDocsFromMinhashIndex(spark, root,
+      Seq(20L))
+    assert(r2.nMatchedRows === 1L)
+    assert(Layout.manifestEntriesAt(spark, root,
+      Layout.manifestVersions(spark, root).max)(-1L) === -3L)
+    val members2 = spark.read.parquet(s"$root/members")
+      .filter(Layout.committedBatchFilter(spark, root))
+      .select("doc_id", "rep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(members2.keySet === Set(30L, 60L, 90L))
+    assert(members2(30L) === 30L) // re-elected again
+    // an unindexed doc_id is a no-op takedown (already absent — succeed)
+    val r3 = graft.llm.Dedup.deleteDocsFromMinhashIndex(spark, root,
+      Seq(424242L))
+    assert(r3 === Layout.TakedownReport("minhash", 0L, 0L, 0L))
+  }
+
+  test("bm25 takedown: post-delete search and stats folds == a fresh " +
+      "one-shot index over the survivors") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tkdn_bm25")
+      .toString
+    Selection.writeBm25Index(docs.filter(col("doc_id") % 3 === 0),
+      s"$tmp/idx")
+    Selection.appendToBm25Index(docs.filter(col("doc_id") % 3 === 1),
+      s"$tmp/idx", batchId = 0L)
+    Selection.appendToBm25Index(docs.filter(col("doc_id") % 3 === 2),
+      s"$tmp/idx", batchId = 1L)
+    val victims = docs.filter(col("doc_id") % 17 === 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(victims.nonEmpty &&
+      victims.map(_ % 3).toSet.size === 3,
+      "fixture too thin: victims must span base and both appends")
+    val preVersions = Layout.manifestVersions(spark, s"$tmp/idx")
+    val report = Selection.deleteDocsFromBm25Index(spark, s"$tmp/idx",
+      victims)
+    assert(report.kind === "bm25" && report.nMatchedRows > 0L &&
+      report.nRewrittenDeliveries === 3L)
+
+    Selection.writeBm25Index(docs.filter(col("doc_id") % 17 =!= 5),
+      s"$tmp/fresh")
+    val terms = Seq("hash", "join", "window")
+    def search(base: String): Seq[(Long, Long)] =
+      Selection.bm25SearchIndex(spark, base, terms, topK = 20).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+        .toSeq
+    val got = search(s"$tmp/idx")
+    assert(got === search(s"$tmp/fresh") && got.nonEmpty)
+    assert(got.map(_._1).toSet.intersect(victims.toSet).isEmpty)
+    // stats fold == fresh one-shot stats (recompute-at-rest, no drift)
+    def termStats(base: String) =
+      Selection.bm25TermStatsRead(spark, base).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(termStats(s"$tmp/idx") === termStats(s"$tmp/fresh"))
+    def corpusStats(base: String) =
+      Selection.bm25CorpusStatsRead(spark, base).collect().head.toSeq
+    assert(corpusStats(s"$tmp/idx") === corpusStats(s"$tmp/fresh"))
+    // pre-delete versions refuse after the mandatory vacuum
+    preVersions.foreach { v =>
+      intercept[IllegalArgumentException] {
+        Layout.committedBatchFilterAt(spark, s"$tmp/idx", Some(v))
+      }
+    }
+  }
+
+  test("ivfadc takedown: at-rest row law on codes+reassign, frozen " +
+      "geometry untouched, incremental root search == survivor-only append") {
+    val rng = new scala.util.Random(17)
+    val centers = Array.fill(4)(Array.fill(64)(rng.nextGaussian() * 10))
+    val vecs = Seq.tabulate(160) { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.05).toFloat).toSeq,
+        i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val victims = Seq(3L, 85L, 120L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tkdn_pq")
+      .toString
+    Selection.writeIvfadcIndex(vecs, nlist = 8, s"$tmp/full")
+    // the incremental twin shares the frozen geometry; its codes arrive
+    // in two appended batches
+    def freeze(dst: String): Unit = {
+      spark.read.parquet(s"$tmp/full/cents").write.parquet(s"$dst/cents")
+      spark.read.parquet(s"$tmp/full/codebook")
+        .write.parquet(s"$dst/codebook")
+    }
+    freeze(s"$tmp/inc")
+    Selection.appendToIvfadcIndex(vecs.filter(col("vec_id") < 80),
+      s"$tmp/inc", batchId = 0L)
+    Selection.appendToIvfadcIndex(vecs.filter(col("vec_id") >= 80),
+      s"$tmp/inc", batchId = 1L)
+
+    def codesAt(base: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$base/codes")
+        .filter(Layout.committedBatchFilter(spark, base))
+        .select("vec_id", "m", "cell", "code").collect()
+        .map(_.toSeq).toSet
+    val preFull = codesAt(s"$tmp/full")
+    val preInc = codesAt(s"$tmp/inc")
+    val geomBefore = spark.read.parquet(s"$tmp/full/cents").collect()
+      .map(_.toSeq).toSet
+
+    // base-delivery rewrite (codes live in batch_id=-1)
+    val rFull = Selection.deleteVecsFromIvfadcIndex(spark, s"$tmp/full",
+      victims)
+    assert(rFull.kind === "ivfadc" && rFull.nRewrittenDeliveries === 1L)
+    assert(codesAt(s"$tmp/full") ===
+      preFull.filterNot(r => victims.contains(r.head)))
+    assert(spark.read.parquet(s"$tmp/full/cents").collect()
+      .map(_.toSeq).toSet === geomBefore)
+
+    // appended-delivery rewrite on the incremental root
+    val rInc = Selection.deleteVecsFromIvfadcIndex(spark, s"$tmp/inc",
+      victims)
+    assert(rInc.nRewrittenDeliveries === 2L)
+    assert(codesAt(s"$tmp/inc") ===
+      preInc.filterNot(r => victims.contains(r.head)))
+    assert(spark.read.parquet(s"$tmp/inc/reassign")
+      .filter(Layout.committedBatchFilter(spark, s"$tmp/inc"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+      .intersect(victims.toSet).isEmpty)
+
+    // searches are pure functions of (codes, geometry): the deleted
+    // incremental root == a root that only ever ingested the survivors
+    freeze(s"$tmp/ref")
+    Selection.appendToIvfadcIndex(
+      vecs.filter(col("vec_id") < 80 && !col("vec_id").isin(victims: _*)),
+      s"$tmp/ref", batchId = 0L)
+    Selection.appendToIvfadcIndex(
+      vecs.filter(col("vec_id") >= 80 && !col("vec_id").isin(victims: _*)),
+      s"$tmp/ref", batchId = 1L)
+    def search(base: String) =
+      Selection.ivfadcSearchIndex(spark, base,
+        vecs.filter(!col("vec_id").isin(victims: _*)),
+        nQueries = 4, k = 10, nprobe = 2, candidates = 64).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("rank"))).toSet
+    val inc = search(s"$tmp/inc")
+    assert(inc === search(s"$tmp/ref") && inc.nonEmpty)
+    assert(inc.map(_._2).intersect(victims.toSet).isEmpty)
+  }
+
+  test("ahash takedown: at-rest row law on band rows; pair scan == " +
+      "pre-delete pairs minus victim pairs; pre-delete versions refuse") {
+    implicit val s = spark
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tkdn_ah")
+      .toString
+    Multimodal.writeAhashIndex(corpus.filter(col("doc_id") % 2 === 0),
+      s"$tmp/idx")
+    Multimodal.appendToAhashIndex(corpus.filter(col("doc_id") % 2 === 1),
+      s"$tmp/idx", batchId = 0L)
+    def bandRows(): Set[Seq[Any]] =
+      spark.read.parquet(s"$tmp/idx/bands")
+        .filter(Layout.committedBatchFilter(spark, s"$tmp/idx"))
+        .select("doc_id", "band", "v").collect().map(_.toSeq).toSet
+    val pre = bandRows()
+    val indexed = pre.map(_.head.asInstanceOf[Long]).toSeq.sorted
+    // victims from both the base and the appended delivery
+    val victims = (indexed.filter(_ % 2 == 0).take(3) ++
+      indexed.filter(_ % 2 == 1).take(3)).toSeq
+    assert(victims.size === 6)
+    val prePairs = Multimodal.ahashPairsFromIndex(spark, s"$tmp/idx", 8)
+      .collect().map(_.toSeq).toSet
+    val preVersions = Layout.manifestVersions(spark, s"$tmp/idx")
+
+    val report = Multimodal.deleteDocsFromAhashIndex(spark, s"$tmp/idx",
+      victims)
+    assert(report.kind === "ahash" && report.nMatchedRows > 0L &&
+      report.nRewrittenDeliveries === 2L)
+    assert(bandRows() ===
+      pre.filterNot(r => victims.contains(r.head.asInstanceOf[Long])))
+    assert(Multimodal.ahashPairsFromIndex(spark, s"$tmp/idx", 8)
+      .collect().map(_.toSeq).toSet ===
+      prePairs.filterNot(r => victims.contains(r(0).asInstanceOf[Long]) ||
+        victims.contains(r(1).asInstanceOf[Long])))
+    preVersions.foreach { v =>
+      intercept[IllegalArgumentException] {
+        Layout.committedBatchFilterAt(spark, s"$tmp/idx", Some(v))
+      }
+    }
+  }
+
+  test("vacuum grace ages by SUPERSESSION time, not delivery write time: " +
+      "an old delivery superseded a moment ago is spared; a fresh " +
+      "delivery superseded long ago is reclaimed") {
+    val root = java.nio.file.Files.createTempDirectory("graft_grace2")
+      .toString + "/t"
+    def deliver(v: String): Long = {
+      val p = Layout.beginBatchCommit(spark, root, 0L)
+      Seq((1L, v)).toDF("id", "t").withColumn("batch_id", lit(p))
+        .write.partitionBy("batch_id").mode("append").parquet(s"$root/t")
+      Layout.finishBatchCommit(spark, root, p)
+      p
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dayMs = 24L * 3600 * 1000
+
+    val p1 = deliver("v1")
+    // the delivery DIRECTORY is 10 days old...
+    val dir1 = new org.apache.hadoop.fs.Path(s"$root/t/batch_id=$p1")
+    fs.setTimes(dir1, System.currentTimeMillis() - 10 * dayMs, -1)
+    // ...but it is superseded only NOW
+    deliver("v2")
+    // mtime-aged grace would reclaim it out from under a reader that
+    // planned against v1 seconds ago; supersession-aged grace spares it
+    assert(Layout.vacuumLayout(spark, root, keepVersions = 1,
+      minAgeMs = 3600L * 1000) === 0L)
+    assert(fs.exists(dir1), "old-mtime delivery reclaimed inside grace")
+
+    // the mirror case: superseded LONG ago (the superseding manifest is
+    // old), written recently — no live reader can still hold it, so the
+    // window must not spare it forever
+    val vMax = Layout.manifestVersions(spark, root).max
+    val supersedingManifest = new org.apache.hadoop.fs.Path(
+      s"$root/_commits", f"manifest-$vMax%020d")
+    fs.setTimes(supersedingManifest,
+      System.currentTimeMillis() - 10 * dayMs, -1)
+    assert(Layout.vacuumLayout(spark, root, keepVersions = 1,
+      minAgeMs = 3600L * 1000) === 1L)
+    assert(!fs.exists(dir1))
+  }
+}
