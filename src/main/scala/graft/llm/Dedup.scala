@@ -283,7 +283,9 @@ object Dedup {
   def admitIntoMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       delta: DataFrame, indexPath: String, batchId: Long,
       threshold: Double = 0.8,
-      broadcastMaxDocs: Long = DefaultProbeBroadcastMaxDocs): Unit = {
+      broadcastMaxDocs: Long = DefaultProbeBroadcastMaxDocs,
+      broadcastMaxCandidatePairs: Long =
+        DefaultProbeBroadcastMaxCandidatePairs): Unit = {
     require(batchId >= 0,
       s"batchId must be >= 0 (negative ids are reserved for the base/" +
         s"compacted partition batch_id=-1), got $batchId")
@@ -293,7 +295,7 @@ object Dedup {
     val vis = excludedVis(spark, indexPath, Some(batchId))
     val pf =
       probeCore(spark, delta, indexPath, threshold, vis, materialize = true,
-        broadcastMaxDocs)
+        broadcastMaxDocs, broadcastMaxCandidatePairs)
     val (dMembers, newBands, newSets, small) =
       (pf.dMembers, pf.newBands, pf.newSets, pf.smallDelta)
     // groups admit or reject ATOMICALLY (exact-dup members share their

@@ -795,6 +795,48 @@ LEFT JOIN (SELECT doc_id FROM sh WHERE len(s) > 0) elig
   ON elig.doc_id = delta.doc_id
 GROUP BY source ORDER BY source""")),
 
+    // Row-level TAKEDOWN under the manifest protocol — the delete tier of
+    // the index lifecycle (write/append/compact/vacuum/as-of/DELETE): the
+    // mart builds the corpus index, then deleteDocsFromMinhashIndex
+    // removes the victim set (corpus docs with doc_id % 17 = 5 — a residue
+    // class that holds live cross-pair participants at every tested SF,
+    // so the delete provably REMOVES probe pairs, it is never a no-op) —
+    // rep
+    // re-election, group erasure, affected-delivery rewrite, one-manifest
+    // swap, mandatory vacuum — and the probe runs against the POST-DELETE
+    // index. Oracle = the one-shot q21 chain over ALL documents with
+    // victim pairs excluded at the end: pair membership depends only on
+    // the two docs' texts, so post-hoc pair exclusion == building the
+    // chain over the corpus minus the victims — which is exactly the
+    // "post-delete == fresh build without the victims" law TakedownSpec
+    // pins structurally.
+    Q("q189_takedown_probe",
+      (s, dir) => {
+        val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_mhtd_" + graft.sec.SecDerive.pathKey(dir)
+        val docs = Tables.documents(s, dir)
+        graft.sec.SecDerive.cachedCount(s, dir, "minhash_takedown") {
+          Dedup.writeMinhashIndex(
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), base)
+          val victims = docs
+            .filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
+              pmod(col("doc_id"), lit(17)) === 5)
+            .select("doc_id").collect().map(_.getLong(0)).toSeq
+          Dedup.deleteDocsFromMinhashIndex(s, base, victims)
+          1L
+        }
+        Dedup.probeMinhashIndex(s,
+            docs.filter(pmod(col("doc_id"), lit(10)) === 0), base, 0.8)
+          .orderBy("doc_id_a", "doc_id_b")
+      },
+      Some(s"""
+WITH $minhashCtes
+SELECT doc_id_a, doc_id_b, jaccard FROM j
+WHERE jaccard >= 0.8 AND ((doc_id_a % 10 = 0) <> (doc_id_b % 10 = 0))
+  AND NOT (doc_id_a % 10 <> 0 AND doc_id_a % 17 = 5)
+  AND NOT (doc_id_b % 10 <> 0 AND doc_id_b % 17 = 5)
+ORDER BY doc_id_a, doc_id_b""")),
+
     // Near-dup CLUSTERING: connected components over the q21 pair graph —
     // the step that turns pairwise matches into dedup decisions (canonical
     // survivor = min doc_id per component). Oracle: recursive-CTE transitive

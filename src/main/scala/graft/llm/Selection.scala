@@ -903,6 +903,38 @@ object Selection {
   // count() job per (JVM, dir).
   import LlmQueries.{h60, tokCte, embCount}
 
+  /** The q100 BM25 scoring chain, parameterized by a corpus predicate —
+    * ONE copy shared by q100 (empty predicate) and q190 (the takedown
+    * query scores the corpus minus the victims), so the two oracles
+    * cannot drift. `corpusWhere` filters the tokenized corpus BEFORE the
+    * stats CTEs: df/n_docs/sum_dl all shift with the filter, which is
+    * exactly what the post-delete stats recompute must reproduce. */
+  private def bm25RankOracleSql(corpusWhere: String): String = s"""
+WITH $tokCte,
+tokf AS (SELECT * FROM tok$corpusWhere),
+d AS (SELECT doc_id, t, len(t)::BIGINT AS dl FROM tokf),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+       WHERE term IN ('hash', 'join', 'window')
+       GROUP BY doc_id, dl, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+c AS (SELECT tf.doc_id,
+        CAST(floor(
+          CAST(CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+          * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+          + 0.5) AS BIGINT) AS cm
+      FROM tf JOIN dfq USING (term), stats)
+SELECT doc_id, CAST(sum(cm) AS BIGINT) AS score_micro,
+  CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM c GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT 20"""
+
   /** The despanning oracle chain (tok → positional shared grams → islands →
     * span lists → cut corpus `c(doc_id, source, t, kept)`) — ONE copy
     * shared by q118 and every composition that consumes the despanned
@@ -2100,30 +2132,37 @@ FROM embeddings WHERE vec_id < 8 ORDER BY query_id""")),
     Q("q100_bm25_rank",
       (s, dir) => TextAnalysis.bm25Rank(Tables.documents(s, dir),
         Seq("hash", "join", "window")),
-      Some(s"""
-WITH $tokCte,
-d AS (SELECT doc_id, t, len(t)::BIGINT AS dl FROM tok),
-stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
-tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-       FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
-       WHERE term IN ('hash', 'join', 'window')
-       GROUP BY doc_id, dl, term),
-dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-c AS (SELECT tf.doc_id,
-        CAST(floor(
-          CAST(CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                   / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
-          * ((CAST(tf AS DOUBLE) * 2.2)
-             / (CAST(tf AS DOUBLE)
-                + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
-                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
-          + 0.5) AS BIGINT) AS cm
-      FROM tf JOIN dfq USING (term), stats)
-SELECT doc_id, CAST(sum(cm) AS BIGINT) AS score_micro,
-  CAST(count(*) AS BIGINT) AS n_terms_hit
-FROM c GROUP BY doc_id
-ORDER BY score_micro DESC, doc_id ASC LIMIT 20""")),
+      Some(bm25RankOracleSql(""))),
+
+    // Row-level TAKEDOWN over the persisted lexical index (the q189
+    // discipline applied to BM25): the mart builds base + two appended
+    // batches (so victims span base AND append deliveries), then
+    // deleteDocsFromBm25Index removes doc_id % 100 = 7 — affected
+    // deliveries rewrite, per-delivery stats recompute from the
+    // surviving postings at rest, one-manifest swap, mandatory vacuum —
+    // and the search serves from the post-delete layout. Oracle = the
+    // q100 scoring chain with the victims excluded from the corpus CTE:
+    // equality pins BOTH the postings row removal and the stats
+    // recompute (df, n_docs and avgdl all shift when docs leave).
+    Q("q190_takedown_bm25",
+      (s, dir) => {
+        val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_bmtd_" + graft.sec.SecDerive.pathKey(dir)
+        val docs = Tables.documents(s, dir)
+        graft.sec.SecDerive.cachedCount(s, dir, "bm25_takedown") {
+          writeBm25Index(docs.filter(col("doc_id") % 3 === 0), base)
+          appendToBm25Index(docs.filter(col("doc_id") % 3 === 1), base,
+            batchId = 0L)
+          appendToBm25Index(docs.filter(col("doc_id") % 3 === 2), base,
+            batchId = 1L)
+          val victims = docs.filter(col("doc_id") % 100 === 7)
+            .select("doc_id").collect().map(_.getLong(0)).toSeq
+          deleteDocsFromBm25Index(s, base, victims)
+          1L
+        }
+        bm25SearchIndex(s, base, Seq("hash", "join", "window"), topK = 20)
+      },
+      Some(bm25RankOracleSql(" WHERE doc_id % 100 <> 7"))),
 
     // IVFADC: residual-PQ within probed cells. Geometry scales with the
     // corpus (adaptiveNlist cells, 1/16 candidate fraction); the gate bound

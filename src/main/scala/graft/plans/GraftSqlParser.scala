@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   DESCRIBE LAYOUT '<base>'
   *   DIFF LAYOUT '<base>' VERSIONS <v1> TO <v2>
   *   SNAPSHOT LAYOUT '<base>' TABLE '<table>' [AS OF <v>] AS VIEW <name>
+  *   DELETE FROM LAYOUT '<base>' WHERE doc_id IN (<id>, ...)
   *
   * Without ZORDER BY the rewrite is the shuffle-free coalesce in
   * Layout.compact; with it, the same file-count sizing routes through
@@ -94,6 +95,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+AS\s+OF\s+(\d+))?\s+AS\s+VIEW\s+([A-Za-z_][A-Za-z0-9_]*)""" +
       """\s*;?\s*""").r
 
+  // DELETE FROM LAYOUT '<base>' WHERE doc_id IN (1, 2, ...) — row-level
+  // takedown over a persisted serving layout (the GDPR/DMCA operation a
+  // training-data warehouse cannot run as a query): rewrite only the
+  // affected deliveries without the victims, swap them in as ONE manifest
+  // version, then the MANDATORY vacuum destroys every pre-delete delivery
+  // and manifest (pre-delete AS OF versions refuse — a legal delete that
+  // stays time-travelable is not a delete). The layout KIND is sniffed
+  // from the tables on disk (minhash: shingles+members; bm25: postings;
+  // ivfadc: codes+cents; ahash: bands+bands_meta), so one statement
+  // fronts all four index families; `vec_id` is accepted as the id
+  // column for vector layouts.
+  private val DeleteLayout =
+    ("""(?is)\s*DELETE\s+FROM\s+LAYOUT\s+'([^']+)'""" +
+      """\s+WHERE\s+(doc_id|vec_id)\s+IN\s*""" +
+      """\(\s*(-?\d+(?:\s*,\s*-?\d+)*)\s*\)\s*;?\s*""").r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Compact(in, out, target, zx, zy) =>
       CompactCommand(in, out,
@@ -107,6 +124,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Analyze(in, out, cols) =>
       AnalyzeCommand(in, out,
         Option(cols).map(_.split(",").map(_.trim).toSeq))
+    case DeleteLayout(base, idCol, ids) =>
+      DeleteFromLayoutCommand(base, idCol,
+        ids.split(",").map(_.trim.toLong).toSeq)
     case Vacuum(base, keep) =>
       VacuumLayoutCommand(base, Option(keep).map(_.toInt).getOrElse(1))
     case Describe(base) => DescribeLayoutCommand(base)
@@ -251,6 +271,46 @@ case class DiffLayoutCommand(base: String, v1: Long, v2: Long)
         Row(l, change, from.map(java.lang.Long.valueOf).orNull,
           to.map(java.lang.Long.valueOf).orNull)
     }
+}
+
+/** Eager driver-side command node for DELETE FROM LAYOUT: sniff the
+  * layout kind from its tables on disk, dispatch to that family's
+  * takedown (Dedup / Selection / Multimodal delete functions — rewrite
+  * affected deliveries, one-manifest swap, mandatory vacuum), and return
+  * the audit row (kind, matched rows, rewritten deliveries, reclaimed
+  * dirs). The sniff order puts the most-specific table sets first:
+  * minhash (shingles+members) and ahash (bands+bands_meta) both carry a
+  * `bands` table, so the sidecar disambiguates. */
+case class DeleteFromLayoutCommand(base: String, idCol: String,
+    ids: Seq[Long]) extends LeafRunnableCommand {
+  private val LongT = org.apache.spark.sql.types.LongType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kind",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("matched_rows", LongT, nullable = false)(),
+    AttributeReference("rewritten_deliveries", LongT, nullable = false)(),
+    AttributeReference("reclaimed_dirs", LongT, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def has(t: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/$t")
+      p.getFileSystem(conf).exists(p)
+    }
+    val report =
+      if (has("shingles") && has("members"))
+        graft.llm.Dedup.deleteDocsFromMinhashIndex(spark, base, ids)
+      else if (has("postings"))
+        graft.llm.Selection.deleteDocsFromBm25Index(spark, base, ids)
+      else if (has("codes") && has("cents"))
+        graft.llm.Selection.deleteVecsFromIvfadcIndex(spark, base, ids)
+      else if (has("bands") && has("bands_meta"))
+        graft.ops.Multimodal.deleteDocsFromAhashIndex(spark, base, ids)
+      else throw new IllegalArgumentException(
+        s"$base is not a recognized serving layout (expected a minhash, " +
+          "bm25, ivfadc, or ahash index root)")
+    Seq(Row(report.kind, report.nMatchedRows, report.nRewrittenDeliveries,
+      report.nReclaimedDirs))
+  }
 }
 
 /** Eager driver-side command node for DESCRIBE LAYOUT: one row per

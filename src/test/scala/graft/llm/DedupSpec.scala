@@ -267,6 +267,51 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("candidate-pair guard: a HOT delta (one doc band-colliding with " +
+      "many distinct corpus texts) flips ONLY the verify join to the " +
+      "shuffled tier — pairs identical, delta frames still broadcast") {
+    // 60 DISTINCT corpus texts, all near-dups of one base sentence: rep
+    // collapse cannot fold them (different normalized texts), so a
+    // 1-doc delta probing the base text band-collides with most of the
+    // corpus — the pair-set blowup the delta-doc budget cannot see
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, s"$base variant$i", "en", "s", 80L))
+    val delta = Seq((1000L, base, "en", "d", 64L))
+    val tmp = java.nio.file.Files.createTempDirectory("mhidx_hot_").toString
+    Dedup.writeMinhashIndex(corpus.toDF(cols: _*), tmp)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plain = Dedup.probeMinhashIndex(spark, delta.toDF(cols: _*),
+        tmp, 0.5)
+      val guarded = Dedup.probeMinhashIndex(spark, delta.toDF(cols: _*),
+        tmp, 0.5, asOfVersion = None,
+        broadcastMaxDocs = Dedup.DefaultProbeBroadcastMaxDocs,
+        broadcastMaxCandidatePairs = 10L)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id_a", "doc_id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val plainPlan = plain.queryExecution.executedPlan.toString
+      val guardedPlan = guarded.queryExecution.executedPlan.toString
+      assert(plainPlan.contains("BroadcastHashJoin") &&
+        !plainPlan.contains("ShuffledHashJoin"),
+        "in-budget probe lost its all-broadcast plan")
+      // the guard flips the candidate-keyed verify join — and ONLY it:
+      // the delta-sized joins keep their broadcast tier
+      assert(guardedPlan.contains("ShuffledHashJoin"),
+        "over-budget candidates still broadcast")
+      assert(guardedPlan.contains("BroadcastHashJoin"),
+        "the candidate guard wrongly degraded the delta-sized joins too")
+      val got = pairs(guarded)
+      assert(got === pairs(plain) && got.size > 10,
+        "the verify-strategy flip changed the pair set")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("admission audit separates skipped sub-2-token docs from indexed " +
       "admissions — and documents that they are never dedup-protected") {
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")

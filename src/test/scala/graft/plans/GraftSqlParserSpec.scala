@@ -37,6 +37,41 @@ class GraftSqlParserSpec extends SparkSpec {
     intercept[Exception](spark.sql("COMPACT NONSENSE"))
   }
 
+  test("DELETE FROM LAYOUT sniffs the layout kind, runs the takedown, " +
+      "returns the audit row; non-layout roots refuse") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_sqldel_").toString + "/idx"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "s1", 30L),
+      (2L, "alpha beta gamma delta epsilon", "en", "s1", 30L),
+      (3L, "one two three four five six", "en", "s2", 27L),
+      (4L, "completely different text entirely here", "en", "s2", 40L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.llm.Dedup.writeMinhashIndex(docs, root)
+    val audit = spark.sql(
+      s"DELETE FROM LAYOUT '$root' WHERE doc_id IN (1, 3)")
+    assert(audit.columns.toSeq === Seq("kind", "matched_rows",
+      "rewritten_deliveries", "reclaimed_dirs"))
+    val r = audit.head
+    assert(r.getString(0) === "minhash")
+    assert(r.getLong(1) === 2L && r.getLong(2) === 1L)
+    // victim 1 re-elected to 2; victim 3's singleton group erased
+    val left = spark.read.parquet(s"$root/members")
+      .filter(graft.ops.Layout.committedBatchFilter(spark, root))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(left === Set(2L, 4L))
+    // a root that is no recognized index family refuses loudly
+    val plain = Files.createTempDirectory("graft_sqldel_plain_").toString
+    Seq((1L, "x")).toDF("id", "t").write.mode("overwrite")
+      .parquet(s"$plain/data")
+    val e = intercept[Exception](spark.sql(
+      s"DELETE FROM LAYOUT '$plain' WHERE doc_id IN (1)"))
+    assert(e.getMessage.contains("not a recognized serving layout"))
+    // ordinary DELETE still parses through Spark's parser
+    Seq((1L, "x")).toDF("id", "t").createOrReplaceTempView("del_probe")
+    intercept[Exception](spark.sql("DELETE FROM del_probe WHERE id = 1"))
+  }
+
   test("VACUUM LAYOUT and DESCRIBE LAYOUT drive the manifest protocol") {
     import org.apache.spark.sql.functions._
     import graft.ops.Layout
