@@ -296,14 +296,90 @@ object Layout {
     * implement rename as check-THEN-rename(2) — two publishers racing the
     * same version inside the check window would BOTH "succeed" with the
     * second silently clobbering the first (a lost manifest entry; the
-    * LayoutSpec six-writer gate reproduced it reliably). In-process
-    * publishers therefore serialize on a per-root JVM lock, which makes
-    * local-mode multi-threaded writers (tests, local[n] ingest) sound;
-    * cross-PROCESS multi-writer on a bare local/NFS filesystem is out of
-    * contract — the Delta LogStore position (their HDFSLogStore makes the
-    * same split). */
+    * LayoutSpec six-writer gate reproduced it reliably). Two serializers
+    * close the window: in-process publishers take a per-root JVM lock
+    * (cheap, covers tests and local[n] ingest), and the check+rename
+    * itself runs under the cross-process PUBLISH LEASE
+    * ([[acquirePublishLease]] — O_CREAT|O_EXCL, the one rename-adjacent
+    * primitive local filesystems make atomic), so two separate DRIVER
+    * processes on one local/NFS root are in contract too: the loser gets
+    * the designed [[ManifestPublishConflict]] and recovers via
+    * [[commitWithRetry]]. This goes one step past the Delta HDFSLogStore
+    * position, which leaves bare-local multi-process out of contract. */
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** CROSS-PROCESS publish lease: the JVM lock serializes in-process
+    * publishers, but two separate DRIVER processes on one local/NFS root
+    * share nothing — their check-then-rename windows can interleave and
+    * the second silently clobbers the first's manifest. The lease file
+    * (`_commits/.publish_lease`) closes that window with the one
+    * primitive local filesystems DO make atomic: O_CREAT|O_EXCL
+    * (`java.io.File.createNewFile`; HDFS-like filesystems get
+    * `create(overwrite=false)`, atomic server-side). Acquire → rename →
+    * release; a holder that died mid-publish is broken after
+    * [[PublishLeaseTtlMs]] (a publish is a rename — milliseconds — so
+    * the TTL is 4 orders of magnitude of headroom); contention waits
+    * briefly for the ms-scale hold, then surfaces the designed
+    * [[ManifestPublishConflict]] for [[commitWithRetry]] to absorb. The
+    * lease carries its writer's uuid, and release deletes only a lease
+    * that still carries it — a writer that somehow outlived its TTL
+    * cannot delete the lease a breaker re-acquired. */
+  private val PublishLeaseTtlMs: Long = 60000L
+
+  private def tryCreateExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, token: String): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      // ChecksumFileSystem.create(overwrite=false) is exists-then-create —
+      // NOT atomic; O_CREAT|O_EXCL via createNewFile is
+      val f = new java.io.File(p.toUri.getPath)
+      f.getParentFile.mkdirs()
+      if (!f.createNewFile()) false
+      else {
+        val w = new java.io.FileOutputStream(f)
+        try w.write(token.getBytes("UTF-8")) finally w.close()
+        true
+      }
+    case _ =>
+      try {
+        val out = fs.create(p, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+  }
+
+  private def acquirePublishLease(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): (org.apache.hadoop.fs.Path, String) = {
+    val lease = new org.apache.hadoop.fs.Path(dir, ".publish_lease")
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + 2000L
+    while (System.currentTimeMillis() < deadline) {
+      if (tryCreateExclusive(fs, lease, token)) return (lease, token)
+      val stale = try {
+        System.currentTimeMillis() -
+          fs.getFileStatus(lease).getModificationTime > PublishLeaseTtlMs
+      } catch { case _: java.io.FileNotFoundException => false /* released */ }
+      if (stale) { fs.delete(lease, false); () } // break a dead holder's lease
+      else Thread.sleep(20L) // healthy holder: a publish is ms-long
+    }
+    throw new ManifestPublishConflict(
+      s"publish lease on $dir held past the wait window — a concurrent " +
+        "writer is publishing; retry against the advanced manifest " +
+        "(Layout.commitWithRetry)")
+  }
+
+  private def releasePublishLease(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path, token: String): Unit =
+    try {
+      val in = fs.open(lease)
+      val held = try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8")
+      } finally in.close()
+      if (held == token) { fs.delete(lease, false); () }
+    } catch { case _: java.io.IOException => () /* already broken+replaced */ }
 
   private[ops] def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, version: Long,
@@ -317,7 +393,17 @@ object Layout {
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(dir, f"manifest-$version%020d")
     val lock = publishLocks.computeIfAbsent(dir.toString, _ => new Object)
-    val renamed = lock.synchronized { fs.rename(tmp, dst) }
+    // test seam: with the JVM lock disabled, the lease is the ONLY
+    // serializer — exactly a second driver process's view of this root
+    def critical[T](f: => T): T =
+      if (sys.props.get("graft.layout.disableJvmPublishLock")
+          .contains("true")) f
+      else lock.synchronized(f)
+    val renamed = critical {
+      val (lease, token) = acquirePublishLease(fs, dir)
+      try fs.rename(tmp, dst)
+      finally releasePublishLease(fs, lease, token)
+    }
     if (!renamed) {
       fs.delete(tmp, false)
       throw new ManifestPublishConflict(

@@ -224,6 +224,65 @@ class LayoutSpec extends SparkSpec {
     assert(pending.isEmpty, s"unretired intent markers: ${pending.toSeq}")
   }
 
+  test("publish lease is the cross-process serializer: six writers with " +
+      "the JVM lock DISABLED all converge, losers recover via " +
+      "commitWithRetry, the lease is released") {
+    // with the per-root JVM lock off, the O_CREAT|O_EXCL lease file is
+    // the ONLY thing between check-then-rename windows — exactly what a
+    // second driver process on this root would rely on
+    val root = Files.createTempDirectory("graft_lease").toString + "/t"
+    Layout.initCommitLog(spark, root)
+    System.setProperty("graft.layout.disableJvmPublishLock", "true")
+    try {
+      val n = 6
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val gate = new java.util.concurrent.CyclicBarrier(n)
+      try {
+        val futures = (0 until n).map { b =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              gate.await()
+              Layout.commitWithRetry(spark, root, b.toLong,
+                  maxAttempts = 4 * n) { phys =>
+                Seq((b.toLong, s"w$b")).toDF("id", "v")
+                  .write.mode("overwrite")
+                  .parquet(s"$root/data/batch_id=$phys")
+              }
+            }
+          })
+        }
+        val phys = futures.map(
+          _.get(180, java.util.concurrent.TimeUnit.SECONDS))
+        assert(phys.map(Layout.logicalBatchLocal).sorted ===
+          (0 until n).map(_.toLong))
+      } finally pool.shutdownNow()
+      // every batch exactly once — no clobbered manifest entry
+      val m = Layout.manifestEntriesAt(spark, root,
+        Layout.manifestVersions(spark, root).max)
+      assert(m.keySet === (0 until n).map(_.toLong).toSet)
+      val got = spark.read.parquet(s"$root/data")
+        .filter(Layout.committedBatchFilter(spark, root))
+        .select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === (0 until n).map(b => (b.toLong, s"w$b")).toSet)
+      // no lease left behind
+      val fs = new org.apache.hadoop.fs.Path(s"$root/_commits")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/_commits/.publish_lease")))
+      // a DEAD holder's lease (older than the TTL) is broken, not waited on
+      val lease = new org.apache.hadoop.fs.Path(
+        s"$root/_commits/.publish_lease")
+      fs.create(lease, true).close()
+      fs.setTimes(lease, System.currentTimeMillis() - 120000L, -1)
+      Layout.commitWithRetry(spark, root, 99L) { phys =>
+        Seq((99L, "late")).toDF("id", "v").write.mode("overwrite")
+          .parquet(s"$root/data/batch_id=$phys")
+      }
+      assert(!fs.exists(lease))
+    } finally System.clearProperty("graft.layout.disableJvmPublishLock")
+  }
+
   test("vacuum grace window: young deliveries survive with their manifests " +
       "intact; a vacuum past the window completes the retirement") {
     val root = Files.createTempDirectory("graft_grace").toString + "/t"
