@@ -490,9 +490,15 @@ object Dedup {
       broadcastMaxDocs: Long = DefaultProbeBroadcastMaxDocs,
       broadcastMaxCandidatePairs: Long =
         DefaultProbeBroadcastMaxCandidatePairs,
-      knownDeltaDocs: Option[Long] = None): DataFrame = {
-    val vis = graft.ops.Layout.committedBatchFilterAt(spark, indexPath,
+      knownDeltaDocs: Option[Long] = None,
+      excludeLogicalBatch: Option[Long] = None): DataFrame = {
+    // excludeLogicalBatch: the replay seam (probeMinhashDupDeltaIds
+    // contract) for streaming consumers that pair-probe their own batch
+    // after a crash-replayed admission — composes with as-of time travel
+    val vis0 = graft.ops.Layout.committedBatchFilterAt(spark, indexPath,
       asOfVersion)
+    val vis = excludeLogicalBatch.fold(vis0)(lb =>
+      vis0 && graft.ops.Layout.logicalBatch(col("batch_id")) =!= lit(lb))
     val pf = probeCore(spark, newDocs,
       indexPath, threshold, vis, materialize = false, broadcastMaxDocs,
       broadcastMaxCandidatePairs, knownDeltaDocs)

@@ -765,6 +765,66 @@ object Multimodal {
           .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3"),
         maxHamming = 8))
 
+  /** The caption-farm pair mart (q187's rows) — memoized like every
+    * serving mart, pair-set-sized; `GET /captionfarm` reads it. */
+  private[graft] def captionFarmMart(s: SparkSession, dir: String)
+      : DataFrame = {
+    implicit val sp: SparkSession = s
+    graft.sec.SecDerive.cached(s, dir, "media_captionfarm_pairs")(
+      captionFarmPairs(graft.Tables.documents(s, dir),
+        imageFeatMart(s, dir)))
+  }
+
+  /** The stolen-content pair mart (q188's rows) — `GET /stolen` reads
+    * it; pair-set-sized (the verified banded pairs plus two dimension
+    * joins, never all-pairs). */
+  private[graft] def stolenPairsMart(s: SparkSession, dir: String)
+      : DataFrame =
+    graft.sec.SecDerive.cached(s, dir, "media_stolen_pairs")(
+      stolenImagePairs(graft.Tables.documents(s, dir),
+        imagePairsMart(s, dir)))
+
+  /** Caption-farm detection at INGEST time — the cross-modal flag over
+    * the INCREMENTAL probe instead of the one-shot pair table: delta
+    * docs whose text near-dups the indexed corpus but whose image
+    * disagrees, computed when the batch arrives (when it is cheapest —
+    * the probe is already paid by admission, the flag adds one decode
+    * pass over the BATCH and a pair-set-sized fingerprint join).
+    * `corpusFeats` supplies the indexed side's fingerprints (the decoded
+    * feature mart or the aHash index at rest); the delta side decodes
+    * from the batch itself. `excludeLogicalBatch` is the replay seam
+    * (same contract as the admission probe): a re-driven micro-batch
+    * flags against the pre-delivery snapshot, so replay == once.
+    * Output = q187's schema (doc_id_a < doc_id_b, jaccard,
+    * img_hamming). */
+  def captionFarmProbe(spark: SparkSession, newDocs: DataFrame,
+      indexPath: String, corpusFeats: DataFrame, threshold: Double = 0.8,
+      imgMaxHamming: Int = 8,
+      excludeLogicalBatch: Option[Long] = None): DataFrame = {
+    implicit val sp: SparkSession = spark
+    def ham(x: Column, y: Column): Column = bit_count(x.bitwiseXOR(y))
+    val deltaFeats = imageFeatures(newDocs)
+      .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
+    val feats = corpusFeats
+      .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
+      .unionByName(deltaFeats)
+    val fa = feats.select(col("doc_id").as("doc_id_a"),
+      col("ahash_b0").as("xa0"), col("ahash_b1").as("xa1"),
+      col("ahash_b2").as("xa2"), col("ahash_b3").as("xa3"))
+    val fb = feats.select(col("doc_id").as("doc_id_b"),
+      col("ahash_b0").as("xb0"), col("ahash_b1").as("xb1"),
+      col("ahash_b2").as("xb2"), col("ahash_b3").as("xb3"))
+    graft.llm.Dedup.probeMinhashIndex(spark, newDocs, indexPath, threshold,
+        excludeLogicalBatch = excludeLogicalBatch)
+      .join(fa, "doc_id_a")
+      .join(fb, "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"),
+        (ham(col("xa0"), col("xb0")) + ham(col("xa1"), col("xb1")) +
+          ham(col("xa2"), col("xb2")) + ham(col("xa3"), col("xb3")))
+          .cast("long").as("img_hamming"))
+      .filter(col("img_hamming") > imgMaxHamming)
+  }
+
   /** The image CC label table (q140's rows) — ONE pointer-jumping CC per
     * (session, dir); q143's survivorship keys on these labels. Built
     * through the degenerate-safe direct path

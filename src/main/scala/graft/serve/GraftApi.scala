@@ -181,6 +181,8 @@ class GraftApi(spark: SparkSession, sfDir: String,
       case ("GET", List("versions"))        => versionsEndpoint(ex)
       case ("GET", List("diff"))            => diffEndpoint(ex, qp)
       case ("GET", List("admissions"))      => admissionsEndpoint(ex, qp)
+      case ("GET", List("captionfarm"))     => captionFarmEndpoint(ex, qp)
+      case ("GET", List("stolen"))          => stolenEndpoint(ex, qp)
       case ("POST", List("query"))          => sqlEndpoint(ex)
       case _ =>
         reply(ex, 404, obj(_.put("detail", "Not Found")))
@@ -681,6 +683,65 @@ class GraftApi(spark: SparkSession, sfDir: String,
     reply(ex, 200, obj { o =>
       o.put("base", admissionIndexBase)
       val arr = o.putArray("admissions")
+      rows.foreach(r => putRow(arr.addObject(), cols, r))
+    })
+  }
+
+  /** The /captionfarm frame: q187's caption-farm pair mart (text
+    * near-dups whose images disagree), optionally restricted to pairs
+    * touching one doc, most-text-similar first. Pair-mart-sized reads —
+    * never a corpus or decode pass per request (the mart memoizes both,
+    * the serving-mart doctrine). */
+  private[serve] def captionFarmFrame(docId: Option[Long], k: Int)
+      : DataFrame = {
+    val mart = graft.ops.Multimodal.captionFarmMart(spark, sfDir)
+    docId.fold(mart)(id =>
+        mart.filter(col("doc_id_a") === id || col("doc_id_b") === id))
+      .orderBy(col("jaccard").desc, col("doc_id_a").asc,
+        col("doc_id_b").asc)
+      .limit(k)
+  }
+
+  /** GET /captionfarm[?doc_id=42][&k=20] — cross-modal curation signal
+    * (q187 as a serving face): text near-duplicate pairs whose images
+    * DISAGREE, the caption-farm / template-spam shape. An empty list is
+    * a valid answer (a clean doc), so filters return 200 with no rows —
+    * the /admissions convention, not /related's 404 (here the pair LIST
+    * is the resource, not the doc). */
+  private def captionFarmEndpoint(ex: HttpExchange,
+      qp: Map[String, String]): Unit = {
+    val docId = qp.get("doc_id").map(parseInt("doc_id", _).toLong)
+    val k = intParam(qp, "k", 20, 1, 200)
+    val cols = Seq("doc_id_a", "doc_id_b", "jaccard", "img_hamming")
+    val rows = captionFarmFrame(docId, k).collect()
+    reply(ex, 200, obj { o =>
+      val arr = o.putArray("pairs")
+      rows.foreach(r => putRow(arr.addObject(), cols, r))
+    })
+  }
+
+  /** The /stolen frame: q188's cross-source image near-dup mart,
+    * optionally restricted to pairs touching one source, closest images
+    * first. */
+  private[serve] def stolenFrame(source: Option[String], k: Int)
+      : DataFrame = {
+    val mart = graft.ops.Multimodal.stolenPairsMart(spark, sfDir)
+    source.fold(mart)(s =>
+        mart.filter(col("source_a") === s || col("source_b") === s))
+      .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
+      .limit(k)
+  }
+
+  /** GET /stolen[?source=s1][&k=20] — stolen/scraped-content signal
+    * (q188 as a serving face): the same image republished across
+    * sources. Same empty-is-valid convention as /captionfarm. */
+  private def stolenEndpoint(ex: HttpExchange,
+      qp: Map[String, String]): Unit = {
+    val k = intParam(qp, "k", 20, 1, 200)
+    val cols = Seq("doc_a", "doc_b", "hamming", "source_a", "source_b")
+    val rows = stolenFrame(qp.get("source"), k).collect()
+    reply(ex, 200, obj { o =>
+      val arr = o.putArray("pairs")
       rows.foreach(r => putRow(arr.addObject(), cols, r))
     })
   }

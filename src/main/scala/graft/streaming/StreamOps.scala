@@ -1009,6 +1009,53 @@ object StreamOps {
       }
       .start()
 
+  /** [[minhashAdmissionStream]] + the INGEST-TIME caption-farm flag
+    * (q187's signal moved to where it is cheapest — the batch boundary,
+    * where the text probe is already paid by admission): after each
+    * micro-batch's admission transaction commits, the batch is
+    * pair-probed against the PRE-DELIVERY snapshot (the probe excludes
+    * the batch's own logical id — the admission replay seam, so a
+    * crash-replayed batch flags identically) and pairs whose images
+    * disagree land under `flagsPath/batch_id=<id>` via dynamic partition
+    * overwrite — replay rewrites the partition byte-identically instead
+    * of double-appending. `corpusFeats` is the indexed side's
+    * fingerprint store (the decoded feature mart or the aHash index at
+    * rest); the delta side decodes from the batch itself. The flag write
+    * is downstream of the admission commit: a crash between them replays
+    * the batch, the admission rewrite is idempotent, and the flag
+    * recompute is snapshot-pinned — flags == the batch spelling
+    * (StreamBatchEquivalenceSpec). */
+  def captionFarmAdmissionStream(docsStream: DataFrame, basePath: String,
+      checkpoint: String, corpusFeats: DataFrame, flagsPath: String,
+      threshold: Double = 0.8, imgMaxHamming: Int = 8): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        val sess = b.sparkSession
+        if (batchId == 0L) {
+          assertStreamOwnership(sess, basePath, checkpoint)
+          require(!Seq("bands", "shingles", "members", "admissions")
+              .exists(t => staleBatchPartitions(sess, s"$basePath/$t", 0)),
+            s"index root $basePath has batch partitions from a previous " +
+              "run but this stream is at batch 0 (new checkpoint): a " +
+              "re-admitted doc would self-reject against its old copy. " +
+              "Compact into a fresh root or reuse the original checkpoint.")
+        }
+        graft.llm.Dedup.admitIntoMinhashIndex(sess, b, basePath, batchId,
+          threshold)
+        graft.ops.Multimodal.captionFarmProbe(sess, b, basePath,
+            corpusFeats, threshold, imgMaxHamming,
+            excludeLogicalBatch = Some(batchId))
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1) // flag rows are pair-set-sized per micro-batch
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(flagsPath)
+        ()
+      }
+      .start()
+
   /** Fold the per-batch partials into the serving index: the (term, df)
     * table and the corpus scalar — the frames [[graft.llm.TextAnalysis
     * .bm25RankWith]] consumes. All sums are exact longs, so the fold equals

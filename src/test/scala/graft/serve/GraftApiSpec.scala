@@ -381,6 +381,74 @@ class GraftApiSpec extends SparkSpec {
     assert(get("/related")._1 === 422)
   }
 
+  test("GET /captionfarm round-trips the q187 frame; doc filter; " +
+      "empty filters are a valid 200") {
+    // the full mart, most-text-similar first — exactly the q187 rows
+    val expectAll = graft.ops.Multimodal
+      .captionFarmMart(spark, "/root/testdata/sf0.001")
+      .orderBy(org.apache.spark.sql.functions.col("jaccard").desc,
+        org.apache.spark.sql.functions.col("doc_id_a").asc,
+        org.apache.spark.sql.functions.col("doc_id_b").asc)
+      .limit(200).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(expectAll.nonEmpty, "fixture has no caption-farm pairs")
+    val (code, body) = get("/captionfarm?k=200")
+    assert(code === 200)
+    val pairs = body.get("pairs")
+    val got = (0 until pairs.size()).map { i =>
+      val p = pairs.get(i)
+      (p.get("doc_id_a").asLong(), p.get("doc_id_b").asLong(),
+        p.get("jaccard").asDouble(), p.get("img_hamming").asLong())
+    }
+    assert(got === expectAll.toSeq)
+    // doc filter: every returned pair touches the doc
+    val probe = expectAll.head._1
+    val (c2, b2) = get(s"/captionfarm?doc_id=$probe&k=50")
+    assert(c2 === 200)
+    val fp = b2.get("pairs")
+    assert(fp.size() > 0)
+    assert((0 until fp.size()).forall { i =>
+      fp.get(i).get("doc_id_a").asLong() == probe ||
+        fp.get(i).get("doc_id_b").asLong() == probe
+    })
+    // a clean doc is an empty 200 (the list is the resource), bad k 422s
+    assert(get("/captionfarm?doc_id=99999999")._2.get("pairs").size() === 0)
+    assert(get("/captionfarm?k=0")._1 === 422)
+  }
+
+  test("GET /stolen round-trips the q188 frame; source filter") {
+    val expect = graft.ops.Multimodal
+      .stolenPairsMart(spark, "/root/testdata/sf0.001")
+      .orderBy(org.apache.spark.sql.functions.col("hamming").asc,
+        org.apache.spark.sql.functions.col("doc_a").asc,
+        org.apache.spark.sql.functions.col("doc_b").asc)
+      .limit(200).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    assert(expect.nonEmpty, "fixture has no cross-source image pairs")
+    val (code, body) = get("/stolen?k=200")
+    assert(code === 200)
+    val pairs = body.get("pairs")
+    val got = (0 until pairs.size()).map { i =>
+      val p = pairs.get(i)
+      (p.get("doc_a").asLong(), p.get("doc_b").asLong(),
+        p.get("hamming").asLong(), p.get("source_a").asText(),
+        p.get("source_b").asText())
+    }
+    assert(got === expect.toSeq)
+    // source filter: every pair touches the source, and is a subset
+    val src = expect.head._4
+    val (c2, b2) = get(s"/stolen?source=$src&k=200")
+    assert(c2 === 200)
+    val fp = b2.get("pairs")
+    assert(fp.size() > 0)
+    assert((0 until fp.size()).forall { i =>
+      fp.get(i).get("source_a").asText() == src ||
+        fp.get(i).get("source_b").asText() == src
+    })
+    assert(get("/stolen?source=no_such_source")._2.get("pairs").size() === 0)
+  }
+
   test("GET /stats serves the ANALYZE mart; column filter; unknown column 404") {
     val (code, body) = get("/stats")
     assert(code === 200)

@@ -582,6 +582,72 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(pairs(s"$tmp/inc") === inc, "refused stream mutated the root")
   }
 
+  test("captionFarmAdmissionStream: per-micro-batch ingest-time flags == " +
+      "the batch captionFarmProbe; admission state unchanged by the flag leg") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("cfadmit").toString
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    def batchRows(f: org.apache.spark.sql.DataFrame) = f
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val b1 = batchRows(docs.filter(pmod(col("doc_id"), lit(20)) === 0))
+    val b2 = batchRows(docs.filter(pmod(col("doc_id"), lit(10)) === 0 &&
+      pmod(col("doc_id"), lit(20)) =!= 0))
+    // the fingerprint store: one decode pass over the whole fixture (the
+    // production shape is the growing feature mart / aHash index at rest)
+    val feats = {
+      implicit val sp = spark
+      graft.ops.Multimodal.imageFeatures(docs)
+        .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
+        .localCheckpoint(false)
+    }
+    graft.llm.Dedup.writeMinhashIndex(corpus, s"$tmp/idx")
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.captionFarmAdmissionStream(
+      mem.toDF().toDF(cols: _*), s"$tmp/idx", s"$tmp/ckpt", feats,
+      s"$tmp/flags")
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the batch twin: probe the PRE-delivery snapshot, then admit —
+    // exactly what the stream's post-commit excluded probe reproduces
+    graft.llm.Dedup.writeMinhashIndex(corpus, s"$tmp/twin")
+    def flagSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("doc_id_a", "doc_id_b", "img_hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    var totalFlags = 0
+    Seq((b1, 0L), (b2, 1L)).foreach { case (batch, id) =>
+      val bDF = batch.toDF(cols: _*)
+      val expect = flagSet(graft.ops.Multimodal.captionFarmProbe(
+        spark, bDF, s"$tmp/twin", feats))
+      graft.llm.Dedup.admitIntoMinhashIndex(spark, bDF, s"$tmp/twin", id)
+      val got = flagSet(spark.read.parquet(s"$tmp/flags")
+        .filter(col("batch_id") === id))
+      assert(got === expect, s"streamed flags diverged on batch $id")
+      totalFlags += got.size
+    }
+    assert(totalFlags > 0, "fixture produced no cross-modal flags")
+    // the flag leg is an OBSERVER: the admission state (index members +
+    // audit) is exactly minhashAdmissionStream's
+    def admitted(root: String): Set[Long] =
+      spark.read.parquet(s"$root/members")
+        .filter(graft.ops.Layout.committedBatchFilter(spark, root))
+        .select("doc_id").as[Long].collect().toSet
+    assert(admitted(s"$tmp/idx") === admitted(s"$tmp/twin"))
+    assert(graft.llm.Dedup.admissionLog(spark, s"$tmp/idx").collect()
+      .map(_.toSeq).toSet ===
+      graft.llm.Dedup.admissionLog(spark, s"$tmp/twin").collect()
+        .map(_.toSeq).toSet)
+  }
+
   test("minhashAdmissionStream: dups caught across micro-batches; streamed == " +
       "batch admit loop; replay-excluded probe makes redelivery idempotent") {
     implicit val sqlCtx = spark.sqlContext
