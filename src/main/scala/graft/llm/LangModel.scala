@@ -99,6 +99,45 @@ object LangModel {
   def lmCorpusStats(uni: DataFrame): DataFrame =
     uni.groupBy("lang").agg(sum("c_uni").as("n_tok"))
 
+  /** Sentinel hash for the capped-out vocabulary tail: [[TextOps.hash60]]
+    * yields non-negative 60-bit values, so -1 can never collide with a
+    * real token and the scoring probes (keyed on real hashes) never see
+    * the tail row — only [[lmCorpusStats]] sums it. */
+  val OovTailHash: Long = -1L
+
+  /** Bound the model broadcast by CONFIG instead of by the reference
+    * corpus (the SCALE.md audit row's "prune vocab if the reference
+    * corpus is unbounded"): keep the top `maxVocab` unigrams per language
+    * by count (ties broken by hash — a total order, so the cap is
+    * deterministic), FOLD the dropped tail's counts into one
+    * [[OovTailHash]] row per language, and drop bigram rows whose context
+    * token fell out of vocabulary. The fold is load-bearing:
+    * [[lmCorpusStats]] re-derives n_tok from the unigram table, so a
+    * tail row (instead of a plain drop) keeps every surviving score's
+    * denominator EXACTLY the uncapped reference token count — capping
+    * narrows the vocabulary, it never silently shrinks the corpus.
+    * Dropped tokens route to the tiers scoring already has: a bigram
+    * whose context survived still scores seen-bigram; one whose w2
+    * survived backs off to the unigram tier; everything else hits the
+    * OOV floor — deterministic, spec-pinned. Both capped tables stay
+    * shard-mergeable (counts are still sums; tail rows merge by
+    * addition under the same (lang, h) key). */
+  def capLmModel(uni: DataFrame, pair: DataFrame, maxVocab: Int)
+      : (DataFrame, DataFrame) = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("c_uni").desc, col("h").asc)
+    val ranked = uni.withColumn("__rn", row_number().over(w))
+    val kept = ranked.filter(col("__rn") <= maxVocab).drop("__rn")
+    val tail = ranked.filter(col("__rn") > maxVocab)
+      .groupBy("lang").agg(sum("c_uni").as("c_uni"))
+      .select(col("lang"), lit(OovTailHash).as("h"), col("c_uni"))
+    val cappedPair = pair.join(
+      kept.select(col("lang"), col("h").as("hp")),
+      Seq("lang", "hp"), "left_semi")
+    (kept.unionByName(tail), cappedPair)
+  }
+
   /** Counts are sums over docs, so doc-disjoint shards compose EXACTLY:
     * merged stats == one-shot stats over the union corpus (spec-pinned).
     * Same additivity law as [[TextAnalysis.mergeBm25TermStats]]. */
@@ -164,14 +203,20 @@ object LangModel {
   /** Persist the per-language reference model under `basePath/lm_model`:
     * the two count tables ARE the model (stupid backoff has no
     * normalization pass); totals re-derive from the unigrams at read so a
-    * later merged/appended model can never carry inconsistent totals. */
+    * later merged/appended model can never carry inconsistent totals —
+    * which [[capLmModel]]'s tail fold preserves, so `maxVocab` bounds
+    * the persisted (and broadcast) model size by config without moving
+    * any denominator. */
   def writeLmModel(docs: DataFrame, basePath: String,
-      refSource: String = RefSource): Unit = {
+      refSource: String = RefSource,
+      maxVocab: Option[Int] = None): Unit = {
     val ref = docs.filter(col("source") === refSource)
-    lmUnigramStats(ref).write.mode("overwrite")
-      .parquet(s"$basePath/lm_model/uni")
-    lmBigramStats(ref).write.mode("overwrite")
-      .parquet(s"$basePath/lm_model/pair")
+    val (uni, pair) = maxVocab match {
+      case Some(n) => capLmModel(lmUnigramStats(ref), lmBigramStats(ref), n)
+      case None => (lmUnigramStats(ref), lmBigramStats(ref))
+    }
+    uni.write.mode("overwrite").parquet(s"$basePath/lm_model/uni")
+    pair.write.mode("overwrite").parquet(s"$basePath/lm_model/pair")
   }
 
   /** Train-on-reference + score-everything convenience: the CCNet pass.

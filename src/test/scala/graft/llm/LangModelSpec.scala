@@ -68,6 +68,54 @@ class LangModelSpec extends SparkSpec {
     assert(sO.exceptAll(sM).count() === 0)
   }
 
+  test("vocab cap: totals preserved exactly, in-vocab scores unchanged, " +
+      "the capped-out tail absorbs deterministically into the OOV tiers") {
+    // reference: a:4 b:3 c:2, N=9; bigrams (a,a):3 (a,b):1 (b,b):2 (b,c):1
+    val ref = Seq((1L, "a a a a b b b c c", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val uni = LangModel.lmUnigramStats(
+      ref.filter(col("source") === "src0"))
+    val pair = LangModel.lmBigramStats(
+      ref.filter(col("source") === "src0"))
+    val (cUni, cPair) = LangModel.capLmModel(uni, pair, maxVocab = 2)
+    // the tail FOLDS, never drops: per-lang token totals are exact
+    assert(rows(LangModel.lmCorpusStats(cUni)) ===
+      rows(LangModel.lmCorpusStats(uni)))
+    // vocabulary is bounded by config: 2 kept rows + 1 tail row
+    assert(cUni.count() === 3)
+    assert(cUni.filter(col("h") === LangModel.OovTailHash)
+      .select("c_uni").head.getLong(0) === 2L) // c's folded count
+    // bigram rows whose context survived stay; the one c-context row
+    // ((c,c)) goes with its dropped context
+    assert(pair.count() === 5 && cPair.count() === 4)
+    def score(docs: org.apache.spark.sql.DataFrame,
+        u: org.apache.spark.sql.DataFrame,
+        p: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      LangModel.lmScoreWith(docs, u, p).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("avg_surprisal")).toMap
+    // a doc over KEPT vocabulary scores identically under the cap
+    val inVocab = Seq((10L, "a b", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(score(inVocab, cUni, cPair)(10L) ===
+      score(inVocab, uni, pair)(10L))
+    // a doc whose bigram is unseen and whose w2 is the capped-OUT token:
+    // uncapped backs off to c's unigram (ln(9/(2*0.4))), capped hits the
+    // OOV floor (ln(9/0.4)) — the tail is absorbed deterministically,
+    // and the N in both is the SAME 9 (the fold's whole point)
+    val oov = Seq((11L, "a c", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(score(oov, uni, pair)(11L) ===
+      micro(math.log(9.0) - math.log(2.0 * LangModel.Backoff)) / 1e6)
+    assert(score(oov, cUni, cPair)(11L) ===
+      micro(math.log(9.0) - math.log(LangModel.Backoff)) / 1e6)
+    // capped tables still shard-merge by addition (the tail rows share
+    // the sentinel key, so two capped shards fold like any other rows)
+    val merged = LangModel.mergeLmUnigramStats(cUni, cUni)
+    assert(merged.filter(col("h") === LangModel.OovTailHash)
+      .select("c_uni").head.getLong(0) === 4L)
+  }
+
   test("reference docs score lower than the rest (the calibration premise)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val scored = LangModel.lmScore(docs)
