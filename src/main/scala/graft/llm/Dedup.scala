@@ -307,8 +307,12 @@ object Dedup {
     graft.ops.Layout.clearPhysicalDelivery(spark, indexPath, phys)
     val keepRep = dupReps.select(col("rep").as("doc_id"))
     def put(df: DataFrame, table: String): Unit =
-      df.withColumn("batch_id", lit(phys))
-        .write.mode("overwrite").partitionBy("batch_id")
+      graft.ops.Layout.withIdBloom(
+          df.withColumn("batch_id", lit(phys)).write.mode("overwrite"),
+          (if (table == "members") Seq("doc_id", "rep")
+           else if (table == "admissions") Nil
+           else Seq("doc_id")): _*)
+        .partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$indexPath/$table")
     put(newBands.join(keepRep, Seq("doc_id"), "left_anti")
@@ -442,8 +446,14 @@ object Dedup {
       members.filter(col("doc_id") === col("rep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
     def put(df: DataFrame, table: String): Unit = {
-      val w = df.withColumn("batch_id", lit(phys))
-        .write.mode("overwrite").partitionBy("batch_id")
+      // identity-column blooms: free while dictionary-encoded, the skip
+      // structure for takedown victim scans at fallback NDV (Layout doc)
+      val idCols = if (table == "members") Seq("doc_id", "rep")
+        else Seq("doc_id")
+      val w = graft.ops.Layout.withIdBloom(
+        df.withColumn("batch_id", lit(phys))
+          .write.mode("overwrite"), idCols: _*)
+        .partitionBy("batch_id")
       // base build: static overwrite replaces the whole table dir (a fresh
       // index must not inherit stale appended partitions); delta: dynamic
       // overwrite touches only this delivery's partition
@@ -669,9 +679,13 @@ object Dedup {
       .select(col("doc_id").as("rep"), col("srep"))
       .localCheckpoint(false)
     def put(df: DataFrame, table: String, sortCols: Seq[String]): Unit =
-      df.sortWithinPartitions(sortCols.map(col): _*)
-        .withColumn("batch_id", lit(-1L))
-        .write.mode("overwrite").partitionBy("batch_id")
+      graft.ops.Layout.withIdBloom(
+          df.sortWithinPartitions(sortCols.map(col): _*)
+            .withColumn("batch_id", lit(-1L))
+            .write.mode("overwrite"),
+          (if (table == "members") Seq("doc_id", "rep")
+           else Seq("doc_id")): _*)
+        .partitionBy("batch_id")
         .parquet(s"$outBase/$table")
     put(spark.read.parquet(s"$inBase/members").filter(vis)
         .select("doc_id", "rep").join(repMap, "rep")
@@ -805,8 +819,13 @@ object Dedup {
         .withColumn("doc_id", coalesce(col("new_rep"), col("doc_id")))
         .drop("old_rep", "new_rep")
     def put(df: DataFrame, table: String, phys: Long): Unit =
-      df.drop("batch_id").withColumn("batch_id", lit(phys))
-        .write.mode("overwrite").partitionBy("batch_id")
+      graft.ops.Layout.withIdBloom(
+          df.drop("batch_id").withColumn("batch_id", lit(phys))
+            .write.mode("overwrite"),
+          (if (table == "members") Seq("doc_id", "rep")
+           else if (table == "admissions") Nil
+           else Seq("doc_id")): _*)
+        .partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$indexPath/$table")
     val reclaimed = graft.ops.Layout.takedownRewrite(spark, indexPath,

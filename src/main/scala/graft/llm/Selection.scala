@@ -520,7 +520,9 @@ object Selection {
       // later append's partition.
       .withColumn("batch_id", lit(-1L))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell", "batch_id")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#vec_id", "true")
+      .partitionBy("cell", "batch_id")
       .parquet(s"$basePath/codes")
     // arm the batch-commit visibility protocol (the BM25 layout's twin)
     graft.ops.Layout.initCommitLog(spark, basePath)
@@ -578,7 +580,9 @@ object Selection {
       .join(assigned.select("vec_id", "cell"), "vec_id")
       .withColumn("batch_id", lit(phys))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell", "batch_id")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#vec_id", "true")
+      .partitionBy("cell", "batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$basePath/codes")
     // Reassignment log: one (vec_id) row per appended vector under this
@@ -643,7 +647,9 @@ object Selection {
         col("s.cell").as("cell"), col("s.code").as("code"))
     latest.withColumn("batch_id", lit(-1L))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell", "batch_id")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#vec_id", "true")
+      .partitionBy("cell", "batch_id")
       .parquet(s"$outBase/codes")
     graft.ops.Layout.initCommitLog(spark, outBase)
     (nFiles(s"$inBase/codes"), nFiles(s"$outBase/codes"))
@@ -1322,7 +1328,9 @@ c AS (SELECT doc_id, source, t,
           .drop("batch_id").withColumn("batch_id", lit(newPhys))
           .repartition(col("term_bucket"))
           .sortWithinPartitions("term_bucket", "batch_id", "term")
-          .write.mode("overwrite").partitionBy("term_bucket", "batch_id")
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#doc_id", "true")
+          .partitionBy("term_bucket", "batch_id")
           .option("partitionOverwriteMode", "dynamic")
           .parquet(s"$basePath/postings")
         // stats recomputed at rest from THIS delivery's survivors — the
@@ -1392,7 +1400,9 @@ c AS (SELECT doc_id, source, t,
         rows.filter(!col("vec_id").isin(victims: _*))
           .drop("batch_id").withColumn("batch_id", lit(newPhys))
           .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell", "batch_id")
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#vec_id", "true")
+          .partitionBy("cell", "batch_id")
           .option("partitionOverwriteMode", "dynamic")
           .parquet(s"$basePath/codes")
       }

@@ -492,12 +492,12 @@ object Multimodal {
 
   private def writeAhashBatch(rows: DataFrame, basePath: String, nVb: Int,
       batchId: Long, dynamic: Boolean): Unit = {
-    val w = rows
+    val w = Layout.withIdBloom(rows
       .withColumn("vb", pmod(col("v"), lit(nVb)).cast("int"))
       .withColumn("batch_id", lit(batchId))
       .repartition(col("band"), col("vb"))
       .sortWithinPartitions("band", "vb", "batch_id", "v")
-      .write.mode("overwrite")
+      .write.mode("overwrite"), "doc_id")
       .partitionBy("band", "vb", "batch_id")
     (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
       .parquet(s"$basePath/bands")

@@ -224,6 +224,60 @@ class LayoutSpec extends SparkSpec {
     assert(pending.isEmpty, s"unretired intent markers: ${pending.toSeq}")
   }
 
+  test("withIdBloom: dormant while dictionary-encoded (byte-identical " +
+      "files), a real footer bloom at dictionary fallback; results " +
+      "identical either way") {
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_bloom").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    def bloomOf(dir: String): Boolean = {
+      val f = Layout.parquetFiles(dir).head
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        val rg = r.getFooter.getBlocks.get(0)
+        val c = rg.getColumns.asScala
+          .find(_.getPath.toDotString == "doc_id").get
+        r.getBloomFilterDataReader(rg).readBloomFilter(c) != null
+      } finally r.close()
+    }
+    def sizeOf(dir: String): Long =
+      Layout.parquetFiles(dir).map(_.length()).sum
+    import org.apache.spark.sql.functions.{col, md5}
+    // LOW-NDV tier: doc_id stays dictionary-encoded → parquet writes no
+    // bloom at all; the option is free (byte-identical files)
+    val small = spark.range(20000)
+      .select((col("id") % 64).as("doc_id"),
+        md5(col("id").cast("string")).as("term"))
+      .coalesce(1).sortWithinPartitions("term")
+    small.write.mode("overwrite").parquet(s"$tmp/plain")
+    Layout.withIdBloom(small.write.mode("overwrite"), "doc_id")
+      .parquet(s"$tmp/armed")
+    assert(!bloomOf(s"$tmp/armed") && !bloomOf(s"$tmp/plain"))
+    assert(sizeOf(s"$tmp/armed") === sizeOf(s"$tmp/plain"))
+    // FALLBACK tier (a 1 KiB dictionary page stands in for the 100 TB
+    // shape where a row group holds ~10^6 distinct ids): the chunk
+    // plain-encodes and the SAME option now materializes a footer bloom
+    val big = spark.range(20000)
+      .select(col("id").as("doc_id"),
+        md5(col("id").cast("string")).as("term"))
+      .coalesce(1).sortWithinPartitions("term")
+    Layout.withIdBloom(big.write.mode("overwrite"), "doc_id")
+      .option("parquet.dictionary.page.size", "1024")
+      .parquet(s"$tmp/fb_armed")
+    big.write.mode("overwrite")
+      .option("parquet.dictionary.page.size", "1024")
+      .parquet(s"$tmp/fb_plain")
+    assert(bloomOf(s"$tmp/fb_armed"), "fallback chunk carries no bloom")
+    assert(!bloomOf(s"$tmp/fb_plain"))
+    // and the skip structure never changes answers
+    def probe(dir: String): Seq[Long] =
+      spark.read.parquet(dir).filter(col("doc_id") === 1234L)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(probe(s"$tmp/fb_armed") === probe(s"$tmp/fb_plain"))
+  }
+
   test("publish lease is the cross-process serializer: six writers with " +
       "the JVM lock DISABLED all converge, losers recover via " +
       "commitWithRetry, the lease is released") {
