@@ -192,6 +192,39 @@ object Analyze {
     fact.join(dimSide, keys, joinType)
   }
 
+  /** One dimension leg of a stats-planned MULTI-way join: the dim frame,
+    * its persisted ANALYZE mart, and the equi-join key columns. */
+  final case class PlannedDim(dim: DataFrame, stats: DataFrame,
+      keys: Seq[String])
+
+  /** Order ONE star-shaped multi-way equi-join from the dims' ANALYZE
+    * marts — the step past [[joinPlannedByStats]]'s single decision that
+    * a 3-table plan needs: dims join smallest-estimated-first (the
+    * standard star heuristic — cheapest build sides earliest, the
+    * most-reducing legs applied before the intermediate widens), and
+    * each leg broadcasts iff ITS mart says it fits `maxRows`. Pure
+    * catalog reads (driver-side lookups of column-count-row frames —
+    * what a CBO's pg_statistic probe is), never a plan-time scan of any
+    * dim; a dim with no/empty mart orders LAST and gets no broadcast
+    * license (stale or missing stats degrade to a worse order or an
+    * extra exchange, never a wrong answer — inner equi-joins commute).
+    * Ties keep declaration order (stable sort), so the plan is
+    * deterministic under equal estimates. */
+  def multiJoinPlannedByStats(fact: DataFrame, dims: Seq[PlannedDim],
+      maxRows: Long = 1000000L): DataFrame = {
+    val sized = dims.map { d =>
+      val n = d.stats.agg(max(col("n_rows")).as("n")).collect()
+        .headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
+      (d, n)
+    }
+    sized.sortBy { case (_, n) => n.getOrElse(Long.MaxValue) }
+      .foldLeft(fact) { case (acc, (d, n)) =>
+        acc.join(
+          if (n.exists(_ <= maxRows)) broadcast(d.dim) else d.dim,
+          d.keys)
+      }
+  }
+
   private val docOracleCols =
     Seq("doc_id", "lang", "source", "n_chars")
 
@@ -213,6 +246,39 @@ object Analyze {
        |FROM documents""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    // The multi-way CBO face: facts ⋈ filings ⋈ companies ordered and
+    // broadcast-decided from the dims' persisted ANALYZE marts (the
+    // 3-table generalization of q92's single decision — what Postgres's
+    // planner does for the reference's screener joins, here owned by
+    // the engine). Oracle = the plain 3-way join; stats move order and
+    // exchanges, never rows. Strategy pinning under fabricated mart
+    // sizes lives in AnalyzeSpec.
+    Q("q191_multiway_stats_join",
+      (s, dir) => {
+        val sd = graft.sec.SecDerive
+        val filingsDim = sd.filings(s, dir).select(
+          col("accession_no").as("filing_accession_no"),
+          col("fiscal_year").as("filing_fiscal_year"))
+        val companiesDim = sd.companies(s, dir)
+          .select(col("cik"), col("ticker"))
+        multiJoinPlannedByStats(sd.facts(s, dir),
+          Seq(
+            PlannedDim(filingsDim, sd.filingsStats(s, dir),
+              Seq("filing_accession_no")),
+            PlannedDim(companiesDim, sd.companiesStats(s, dir),
+              Seq("cik"))))
+          .select(col("fact_id"), col("cik"), col("tag"), col("value"),
+            col("filing_fiscal_year"), col("ticker"))
+          .orderBy("fact_id")
+      },
+      Some(s"""${graft.sec.SecSql.basePrelude}
+SELECT f.fact_id, f.cik, f.tag, f.value,
+  fl.fiscal_year AS filing_fiscal_year, c.ticker
+FROM facts f
+JOIN filings fl ON fl.accession_no = f.filing_accession_no
+JOIN companies c ON c.cik = f.cik
+ORDER BY f.fact_id""")),
+
     // ANALYZE audit gate: exact per-column stats (oracle-checked) + the
     // HLL-NDV tolerance boolean — a bad estimate reds the hash.
     Q("q174_analyze_stats",

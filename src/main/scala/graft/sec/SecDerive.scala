@@ -223,6 +223,13 @@ object SecDerive {
       graft.ops.Analyze.columnStats(companies(spark, dir),
         Seq("cik", "ticker")))
 
+  /** ANALYZE stats of the filings dim — the second catalog row the
+    * multi-way stats-planned join (q191) orders by. */
+  def filingsStats(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "filings_stats")(
+      graft.ops.Analyze.columnStats(filings(spark, dir),
+        Seq("accession_no", "cik")))
+
   /** facts: one row per lineitem line. Narrow EAV fact table (schema.sql:26-40). */
   def facts(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "facts")(factsPlan(spark, dir))

@@ -151,6 +151,56 @@ class AnalyzeSpec extends SparkSpec {
       fact.join(dim, Seq("k")).orderBy("k", "x").collect().toSeq)
   }
 
+  test("multiJoinPlannedByStats: fabricated mart sizes pin the join ORDER " +
+      "and per-leg strategy; rows never move") {
+    val fact = Seq((1L, "a1", 10L), (2L, "a2", 20L), (1L, "a1", 30L))
+      .toDF("k", "acc", "x")
+    val d1 = Seq((1L, "en"), (2L, "fr")).toDF("k", "v1")
+    val d2 = Seq(("a1", 100L), ("a2", 200L)).toDF("acc", "v2")
+    def mart(nRows: Long) =
+      Seq((nRows, "k")).toDF("n_rows", "column_name")
+    def planned(n1: Long, n2: Long) =
+      Analyze.multiJoinPlannedByStats(fact, Seq(
+        Analyze.PlannedDim(d1, mart(n1), Seq("k")),
+        Analyze.PlannedDim(d2, mart(n2), Seq("acc"))),
+        maxRows = 1000L)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      // d1 tiny (broadcast, joins FIRST = deepest), d2 "huge" (shuffle,
+      // joins last = printed first in the top-down plan text)
+      val p1 = planned(2L, 5000000L).queryExecution.executedPlan.toString
+      assert(p1.contains("BroadcastHashJoin"))
+      assert(p1.contains("SortMergeJoin") || p1.contains("ShuffledHashJoin"))
+      val shuffledAt1 = math.max(p1.indexOf("SortMergeJoin"),
+        p1.indexOf("ShuffledHashJoin"))
+      assert(shuffledAt1 < p1.indexOf("BroadcastHashJoin"),
+        "the small dim did not join deepest")
+      // swap the fabricated sizes: the order AND the broadcast flip legs
+      val p2 = planned(5000000L, 2L).queryExecution.executedPlan.toString
+      val shuffledAt2 = math.max(p2.indexOf("SortMergeJoin"),
+        p2.indexOf("ShuffledHashJoin"))
+      assert(shuffledAt2 < p2.indexOf("BroadcastHashJoin"))
+      // the deepest (first-applied) join key follows the smaller mart:
+      // the broadcast side is d1 in p1 and d2 in p2
+      assert(p1.indexOf("v1") > 0 && p2.indexOf("v2") > 0)
+      // both dims over budget: no broadcast anywhere
+      val p3 = planned(5000L, 5000L).queryExecution.executedPlan.toString
+      assert(!p3.contains("BroadcastHashJoin"))
+      // rows identical under every fabricated catalog (using-joins float
+      // their keys to the front, so pin the projection before comparing)
+      val cols = Seq("k", "acc", "x", "v1", "v2")
+      val expect = fact.join(d1, Seq("k")).join(d2, Seq("acc"))
+        .select(cols.map(col): _*).orderBy("k", "x").collect().toSeq
+      Seq((2L, 5000000L), (5000000L, 2L), (5000L, 5000L)).foreach {
+        case (a, b) =>
+          assert(planned(a, b).select(cols.map(col): _*)
+            .orderBy("k", "x").collect().toSeq === expect)
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("statement without COLUMNS audits only non-string columns — " +
       "a text blob never lands in the mart by default") {
     val in = Files.createTempDirectory("graft_analyze_in2_").toString
