@@ -52,6 +52,19 @@ object Cms {
       GraftSqlBridge.expression(sketchCol),
       GraftSqlBridge.expression(key.cast("string"))))
 
+  /** Counter-wise DIFFERENCE of two serialized sketches — the takedown
+    * law run backwards: counters are sums of per-item contributions, so
+    * for a removed set R that IS a sub-multiset of the sketched corpus A,
+    * `subtract(cms(A), cms(R))` is BYTE-IDENTICAL to `cms(A \ R)` (the
+    * merge law's inverse; spec-pinned). Refuses loudly on geometry
+    * mismatch or a negative counter (proof R was not contained in A —
+    * a silent floor-at-zero would leave a sketch that matches NO corpus).
+    * HLL registers have no such inverse (max is not invertible), which
+    * is why HLL-bearing marts rebuild on takedown instead. */
+  def subtractOf(a: Column, b: Column): Column =
+    GraftSqlBridge.column(CmsSubtract(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   final class State(val depth: Int, val width: Int,
       val counters: Array[Long]) {
     def this(depth: Int, width: Int) =
@@ -224,4 +237,35 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): CmsEstimate = copy(left = l, right = r)
+}
+
+/** Scalar counter-wise sketch difference (see [[Cms.subtractOf]]) — a
+  * maintenance-path op over group-sized rows, like [[CmsEstimate]]. */
+case class CmsSubtract(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_cms_subtract"
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = Cms.deserialize(a.asInstanceOf[Array[Byte]])
+    val sb = Cms.deserialize(b.asInstanceOf[Array[Byte]])
+    require(sa.depth == sb.depth && sa.width == sb.width,
+      s"CMS geometry mismatch: ${sa.depth}x${sa.width} vs " +
+        s"${sb.depth}x${sb.width}")
+    val out = new Array[Long](sa.counters.length)
+    var i = 0
+    while (i < out.length) {
+      val d = sa.counters(i) - sb.counters(i)
+      if (d < 0) throw new IllegalArgumentException(
+        "CMS subtract underflow: the removed set is not contained in " +
+          "the sketched corpus — rebuild instead of subtracting")
+      out(i) = d
+      i += 1
+    }
+    new Cms.State(sa.depth, sa.width, out).serialize()
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CmsSubtract = copy(left = l, right = r)
 }

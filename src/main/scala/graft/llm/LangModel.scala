@@ -149,6 +149,40 @@ object LangModel {
     a.unionByName(b).groupBy("lang", "hp", "hb")
       .agg(sum("c_pair").as("c_pair"))
 
+  /** SUBTRACTIVE takedown for the reference-LM count tables — the shard
+    * law run backwards: counts are sums over docs, so removing docs
+    * subtracts exactly their own counts, and the result is row-identical
+    * to retraining on the reference corpus minus the removed docs
+    * (spec-pinned) at the cost of ONE pass over the REMOVED docs — never
+    * a reference-corpus rescan. Rows reaching zero DROP (a zero-count
+    * token was never "seen"; keeping it would move the unseen/backoff
+    * boundary), and rows driven NEGATIVE refuse loudly — that proves the
+    * removed frame was not part of the trained corpus, and a silently
+    * clamped model matches no corpus at all. Totals stay consistent for
+    * free: [[lmCorpusStats]] re-derives n_tok from the subtracted
+    * unigrams. The same law covers every plain-count stats mart (DSIR
+    * bucket counts, source mixtures); HLL-bearing marts have NO inverse
+    * (registers are maxima) and rebuild instead — stated at their
+    * SCALE.md rows. */
+  def subtractLmStats(uni: DataFrame, pair: DataFrame,
+      removedDocs: DataFrame): (DataFrame, DataFrame) = {
+    def sub(stats: DataFrame, removed: DataFrame, keys: Seq[String],
+        cnt: String): DataFrame = {
+      val r = removed.withColumnRenamed(cnt, "__rm")
+      val diff = when(col(cnt) - coalesce(col("__rm"), lit(0L)) < 0L,
+          raise_error(lit("LM subtract underflow: the removed docs were " +
+            "not part of the trained reference corpus — rebuild instead " +
+            "of subtracting")).cast("long"))
+        .otherwise(col(cnt) - coalesce(col("__rm"), lit(0L)))
+      stats.join(r, keys, "left")
+        .select((keys.map(col) :+ diff.as(cnt)): _*)
+        .filter(col(cnt) > 0L)
+    }
+    (sub(uni, lmUnigramStats(removedDocs), Seq("lang", "h"), "c_uni"),
+      sub(pair, lmBigramStats(removedDocs), Seq("lang", "hp", "hb"),
+        "c_pair"))
+  }
+
   /** Score documents under a trained model: per doc,
     * avg_surprisal = mean over its bigrams of −ln S(w2|w1) (nats, via the
     * integer-micro quantization described in the object scaladoc).
@@ -247,8 +281,12 @@ object LangModel {
   /** Shared oracle chain: bigram hash frame over all docs (with source so
     * the model CTEs can restrict to the reference slice), reference model
     * counts, and the three-tier backoff score — generated next to the Scala
-    * so the two spellings cannot drift. */
-  private def scoreCtes: String = s"""$tokCte,
+    * so the two spellings cannot drift. `refExtra` further restricts the
+    * REFERENCE slice (q192 trains on the reference minus a takedown set —
+    * one generated body, the q100/q190 no-drift discipline). */
+  private def scoreCtes: String = scoreCtesWhere("")
+
+  private def scoreCtesWhere(refExtra: String): String = s"""$tokCte,
 bi AS (SELECT doc_id, lang, source,
          unnest([{'hp': ${h60("t[i+1]")},
                   'hb': ${h60("t[i+1] || ' ' || t[i+2]")},
@@ -257,11 +295,12 @@ bi AS (SELECT doc_id, lang, source,
        FROM tok WHERE len(t) >= 2),
 bh AS (SELECT doc_id, lang, source, p.hp AS hp, p.hb AS hb, p.h2 AS h2
        FROM bi),
-rtok AS (SELECT lang, unnest(t) AS w FROM tok WHERE source = '$RefSource'),
+rtok AS (SELECT lang, unnest(t) AS w FROM tok
+         WHERE source = '$RefSource'$refExtra),
 uni AS (SELECT lang, ${h60("w")} AS h, CAST(count(*) AS BIGINT) AS c_uni
         FROM rtok GROUP BY 1, 2),
 pair AS (SELECT lang, hp, hb, CAST(count(*) AS BIGINT) AS c_pair
-         FROM bh WHERE source = '$RefSource' GROUP BY 1, 2, 3),
+         FROM bh WHERE source = '$RefSource'$refExtra GROUP BY 1, 2, 3),
 n AS (SELECT lang, CAST(sum(c_uni) AS BIGINT) AS n_tok FROM uni GROUP BY 1),
 s AS (SELECT bh.doc_id, bh.lang,
         CASE WHEN c_pair IS NOT NULL THEN
@@ -298,6 +337,27 @@ scored AS (SELECT doc_id, lang, n_bigrams,
     Q("q150_lm_perplexity",
       (s, dir) => lmScore(Tables.documents(s, dir)).orderBy("doc_id"),
       Some(s"""WITH $scoreCtes
+SELECT doc_id, lang, n_bigrams, avg_surprisal FROM scored
+ORDER BY doc_id""")),
+
+    // SUBTRACTIVE takedown of the trained model (the delete tier for
+    // plain-count stats marts): remove a doc_id set from the reference
+    // slice by subtracting its own counts — one pass over the REMOVED
+    // docs, never a reference rescan — and score everything through the
+    // subtracted model. Oracle = the same scoring chain RETRAINED on the
+    // reference minus the victims (one generated body, so the spellings
+    // cannot drift): equality pins subtract == retrain end-to-end,
+    // n_tok shifts included.
+    Q("q192_lm_subtractive_takedown",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ref = docs.filter(col("source") === RefSource)
+        val removed = ref.filter(pmod(col("doc_id"), lit(11)) === 3)
+        val (su, sp) = subtractLmStats(
+          lmUnigramStats(ref), lmBigramStats(ref), removed)
+        lmScoreWith(docs, su, sp).orderBy("doc_id")
+      },
+      Some(s"""WITH ${scoreCtesWhere(" AND doc_id % 11 <> 3")}
 SELECT doc_id, lang, n_bigrams, avg_surprisal FROM scored
 ORDER BY doc_id""")),
 

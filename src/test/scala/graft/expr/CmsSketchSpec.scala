@@ -64,6 +64,40 @@ class CmsSketchSpec extends SparkSpec {
     assert(java.util.Arrays.equals(sk(1), sk(13)))
   }
 
+  test("subtract law: removing a contained sub-multiset is byte-identical " +
+      "to sketching the survivors; underflow and shape mismatch refuse") {
+    val df = freqFixture.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val all = df.agg(Cms.sketch(col("v")).as("sk"))
+    val removedRows = df.filter(col("id") % 3 === 0)
+    val removed = removedRows.agg(Cms.sketch(col("v")).as("sk"))
+    val survivors = df.filter(col("id") % 3 =!= 0)
+      .agg(Cms.sketch(col("v")).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk")
+    val subtracted = all.crossJoin(
+        removed.withColumnRenamed("sk", "rm"))
+      .select(Cms.subtractOf(col("sk"), col("rm")).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(subtracted, survivors),
+      "subtracted sketch differs from the survivors' one-shot sketch")
+    // removing something the corpus never held: loud refusal, not a
+    // clamped sketch that matches no corpus
+    val foreign = Seq("never_sketched_token_zzz", "never_sketched_token_zzz")
+      .toDF("v").agg(Cms.sketch(col("v")).as("rm"))
+    val e = intercept[Exception] {
+      all.crossJoin(foreign)
+        .select(Cms.subtractOf(col("sk"), col("rm"))).collect()
+    }
+    assert(e.getMessage.contains("underflow") ||
+      e.getCause != null && e.getCause.getMessage.contains("underflow"))
+    // geometry mismatch refuses like the merge does
+    val other = Seq("x").toDF("v").agg(Cms.sketch(col("v"), 4, 64).as("rm"))
+    intercept[Exception] {
+      all.crossJoin(other)
+        .select(Cms.subtractOf(col("sk"), col("rm"))).collect()
+    }
+  }
+
   test("shape mismatch fails loudly, not silently wrong") {
     val a = Seq("x").toDF("v").agg(Cms.sketch(col("v"), 4, 64).as("sk"))
     val b = Seq("x").toDF("v").agg(Cms.sketch(col("v"), 4, 128).as("sk"))

@@ -116,6 +116,54 @@ class LangModelSpec extends SparkSpec {
       .select("c_uni").head.getLong(0) === 4L)
   }
 
+  test("subtractive takedown: subtract(train(all), removed) == " +
+      "train(all minus removed) row-for-row; foreign docs refuse") {
+    val ref = Seq(
+      (1L, "a a a a b b b c c", "en", "src0"),
+      (2L, "b c a b a c b a a", "en", "src0"),
+      (3L, "d d a b d c d a b", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val uni = LangModel.lmUnigramStats(ref)
+    val pair = LangModel.lmBigramStats(ref)
+    val removed = ref.filter(col("doc_id") === 2L)
+    val survivors = ref.filter(col("doc_id") =!= 2L)
+    val (su, sp) = LangModel.subtractLmStats(uni, pair, removed)
+    def uniSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(uniSet(su) === uniSet(LangModel.lmUnigramStats(survivors)))
+    assert(uniSet(sp) === uniSet(LangModel.lmBigramStats(survivors)))
+    // totals re-derive consistently from the subtracted unigrams
+    assert(uniSet(LangModel.lmCorpusStats(su)) ===
+      uniSet(LangModel.lmCorpusStats(
+        LangModel.lmUnigramStats(survivors))))
+    // scoring through the subtracted model == retrained model
+    val probe = Seq((10L, "a b c d", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    def sc(u: org.apache.spark.sql.DataFrame,
+        p: org.apache.spark.sql.DataFrame) =
+      LangModel.lmScoreWith(probe, u, p).collect().map(_.toSeq).toSeq
+    assert(sc(su, sp) ===
+      sc(LangModel.lmUnigramStats(survivors),
+        LangModel.lmBigramStats(survivors)))
+    // removing docs the model never trained on: loud refusal (a clamped
+    // model matches no corpus), never a silent floor at zero
+    val foreign = Seq((99L, "z z z z z z z z z z", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    // the foreign tokens just DROP OUT via the left join (they subtract
+    // from nothing) — underflow needs a token the model HAS, with a
+    // higher count in the removed frame than the model ever saw
+    val overdraft = Seq((99L, "a a a a a a a a a a a a a a", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val (ou, _) = LangModel.subtractLmStats(uni, pair, overdraft)
+    val e = intercept[Exception](ou.collect())
+    assert(e.getMessage.contains("underflow") ||
+      (e.getCause != null && e.getCause.getMessage.contains("underflow")))
+    // and a pure-foreign removal leaves the model untouched (nothing to
+    // subtract — its rows simply do not intersect)
+    val (fu, fp) = LangModel.subtractLmStats(uni, pair, foreign)
+    assert(uniSet(fu) === uniSet(uni) && uniSet(fp) === uniSet(pair))
+  }
+
   test("reference docs score lower than the rest (the calibration premise)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val scored = LangModel.lmScore(docs)
