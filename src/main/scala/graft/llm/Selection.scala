@@ -1420,6 +1420,38 @@ c AS (SELECT doc_id, source, t,
       affected.size.toLong, reclaimed)
   }
 
+  /** Root-level TAKEDOWN of a full [[retrievalIndex]]-shaped serving
+    * root — the operational unit a legal request actually names ("remove
+    * these documents from search"): the lexical leg deletes through
+    * [[deleteDocsFromBm25Index]] and the ANN leg (when the root carries
+    * one) through [[deleteVecsFromIvfadcIndex]] — by default under the
+    * same ids (the serving convention: a doc's vector row carries its
+    * doc_id), overridable when the two id spaces differ. Each leg runs
+    * its own affected-delivery rewrite + one-manifest swap + mandatory
+    * vacuum; the legs are separate roots with separate manifests, so the
+    * cross-leg boundary is eventually-consistent for the instant between
+    * the two swaps — same isolation unit the serving reads already have
+    * (each endpoint resolves ONE root's manifest). `quality_model/` and
+    * the reference-LM tables are AGGREGATES over the corpus
+    * (weights/counts, not copies of any document) — counts subtract
+    * through [[graft.llm.LangModel.subtractLmStats]] where that model is
+    * maintained; trained weights need the retrain path when the takedown's
+    * legal scope covers model parameters. Returns the per-leg reports. */
+  def takedownSearchRoot(spark: org.apache.spark.sql.SparkSession,
+      base: String, docIds: Seq[Long],
+      vecIds: Option[Seq[Long]] = None)
+      : Seq[graft.ops.Layout.TakedownReport] = {
+    val lex = deleteDocsFromBm25Index(spark, base, docIds)
+    val annPath = new org.apache.hadoop.fs.Path(s"$base/ann")
+    val ann =
+      if (annPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(annPath))
+        Some(deleteVecsFromIvfadcIndex(spark, s"$base/ann",
+          vecIds.getOrElse(docIds)))
+      else None
+    Seq(lex) ++ ann
+  }
+
   /** Root-level compaction of a full [[retrievalIndex]]-shaped serving
     * root: the BM25 subtrees fold through [[compactBm25Index]], and the
     * sibling layouts a root carries — `ann/` (when present; compact it

@@ -945,8 +945,13 @@ object Layout {
     * size, not the corpus: an appended batch's takedown rewrites that
     * batch only — the base rewrite is the expensive case, and still
     * cheaper than an index rebuild (no text re-tokenized, no signatures
-    * or codes recomputed). Returns the number of directories the vacuum
-    * reclaimed. */
+    * or codes recomputed). CONTRACT BOUNDARY: the victims must be a
+    * strict subset of the indexed corpus — a takedown that empties the
+    * layout entirely is the root's RETIREMENT ([[resetCommitLog]] +
+    * remove), not a rewrite; an all-empty parquet table cannot serve a
+    * read (no schema to infer), and "delete everything" deserves the
+    * louder operation anyway. Returns the number of directories the
+    * vacuum reclaimed. */
   def takedownRewrite(spark: SparkSession, base: String,
       oldPhysicals: Seq[Long])(rewriteOne: (Long, Long) => Unit): Long = {
     val remaps = oldPhysicals.map { oldPhys =>
@@ -960,17 +965,35 @@ object Layout {
   }
 
   /** Every `batch_id=N` partition directory found under `p` (any table,
-    * up to `depth` levels), with its parsed id. */
+    * up to `depth` levels), with its parsed id. NESTED layout roots are
+    * foreign territory: a subdirectory carrying its OWN `_commits` (a
+    * retrievalIndex-shaped root nests `ann/` under the lexical root) has
+    * deliveries that answer to ITS manifest — this walk skips the whole
+    * subtree, or the outer root's vacuum would read the inner root's
+    * partitions against the WRONG manifest and reclaim live data (the
+    * limiting case: an outer base rewrite maps logical −1, which makes
+    * every nested base's raw `batch_id=-1` look superseded). */
   private def collectBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, depth: Int)
       : Seq[(Long, org.apache.hadoop.fs.Path)] =
     if (depth < 0 || !fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+    else collectFromListing(fs,
+      fs.listStatus(p).toSeq.filter(_.isDirectory), depth)
+
+  private def collectFromListing(fs: org.apache.hadoop.fs.FileSystem,
+      dirs: Seq[org.apache.hadoop.fs.FileStatus], depth: Int)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] =
+    dirs.flatMap { st =>
       val n = st.getPath.getName
       if (n == "_commits") Nil
       else if (n.startsWith("batch_id="))
         n.stripPrefix("batch_id=").toLongOption.map(_ -> st.getPath).toSeq
-      else collectBatchDirs(fs, st.getPath, depth - 1)
+      else if (depth <= 0) Nil
+      else {
+        val sub = fs.listStatus(st.getPath).toSeq.filter(_.isDirectory)
+        if (sub.exists(_.getPath.getName == "_commits")) Nil // nested root
+        else collectFromListing(fs, sub, depth - 1)
+      }
     }
 
   /** Driver-side twin of [[bucketOf]] — literally the same md5 arithmetic

@@ -434,4 +434,47 @@ object PropertiesSpec extends Properties("graft") {
         horizonOk &&
         asOf(versions.last) == Seq(s"v$d")
     }
+
+  // ----- Row-level delete law (r18): for ANY corpus/victim split, the
+  // post-takedown minhash index answers probes exactly like an index
+  // built from scratch without the victims — rep re-election, group
+  // erasure, and the batch-partition rewrite all under one generator.
+  // Exact/near-dup structure arises naturally from the tiny token pool.
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "omega",
+    "sigma")
+  private val textGen =
+    Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+  private val corpusGen = for {
+    n <- Gen.choose(4, 12)
+    texts <- Gen.listOfN(n, textGen)
+    // strict subset: deleting EVERY indexed doc is the root's retirement
+    // (resetCommitLog / remove), not a takedown — the documented contract
+    victims <- Gen.someOf(0 until n) suchThat (_.size < n)
+  } yield (texts, victims.toSet)
+
+  property("minhash takedown == fresh build without the victims (probe law)") =
+    Prop.forAll(corpusGen, Gen.listOfN(2, textGen)) {
+      case ((texts, victimIdx), deltaTexts) =>
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val corpus = texts.zipWithIndex.map { case (t, i) =>
+          (i.toLong, t, "en", "s", t.length.toLong)
+        }
+        val victims = victimIdx.map(_.toLong).toSeq.sorted
+        val delta = deltaTexts.zipWithIndex.map { case (t, i) =>
+          (1000L + i, t, "en", "d", t.length.toLong)
+        }.toDF(cols: _*)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_tkdn_prop_").toString
+        llm.Dedup.writeMinhashIndex(corpus.toDF(cols: _*), s"$tmp/idx")
+        if (victims.nonEmpty)
+          llm.Dedup.deleteDocsFromMinhashIndex(spark, s"$tmp/idx", victims)
+        llm.Dedup.writeMinhashIndex(
+          corpus.filterNot(c => victimIdx.contains(c._1.toInt))
+            .toDF(cols: _*), s"$tmp/fresh")
+        def probe(p: String): Seq[(Long, Long)] =
+          llm.Dedup.probeMinhashIndex(spark, delta, p, 0.8)
+            .select("doc_id_a", "doc_id_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        probe(s"$tmp/idx") == probe(s"$tmp/fresh")
+    }
 }

@@ -302,6 +302,41 @@ class TakedownSpec extends SparkSpec {
     }
   }
 
+  test("takedownSearchRoot: one call scrubs a full serving root — the " +
+      "lexical leg and the ANN leg both drop the victims") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_tkdn_root")
+      .toString + "/serve"
+    Selection.writeBm25Index(docs, root)
+    // the ANN leg keyed by the SAME id space (the serving convention)
+    val rng = new scala.util.Random(7)
+    val vecs = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
+      .map(id => (id, Seq.fill(16)((rng.nextGaussian()).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    Selection.writeIvfadcIndex(vecs, nlist = 4, s"$root/ann")
+    val victims = docs.filter(col("doc_id") % 17 === 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val reports = Selection.takedownSearchRoot(spark, root, victims)
+    assert(reports.map(_.kind) === Seq("bm25", "ivfadc"))
+    assert(reports.forall(_.nMatchedRows > 0L))
+    // both serving legs are victim-free
+    val hits = Selection.bm25SearchIndex(spark, root,
+        Seq("hash", "join", "window"), topK = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty && hits.intersect(victims.toSet).isEmpty)
+    val annIds = spark.read.parquet(s"$root/ann/codes")
+      .filter(Layout.committedBatchFilter(spark, s"$root/ann"))
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(annIds.nonEmpty && annIds.intersect(victims.toSet).isEmpty)
+    // a root without an ANN leg takes the lexical-only path
+    val lexOnly = java.nio.file.Files
+      .createTempDirectory("graft_tkdn_root2").toString + "/serve"
+    Selection.writeBm25Index(docs, lexOnly)
+    assert(Selection.takedownSearchRoot(spark, lexOnly, victims)
+      .map(_.kind) === Seq("bm25"))
+  }
+
   test("vacuum grace ages by SUPERSESSION time, not delivery write time: " +
       "an old delivery superseded a moment ago is spared; a fresh " +
       "delivery superseded long ago is reclaimed") {
