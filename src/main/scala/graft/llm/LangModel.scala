@@ -156,16 +156,37 @@ object LangModel {
     * (spec-pinned) at the cost of ONE pass over the REMOVED docs — never
     * a reference-corpus rescan. Rows reaching zero DROP (a zero-count
     * token was never "seen"; keeping it would move the unseen/backoff
-    * boundary), and rows driven NEGATIVE refuse loudly — that proves the
-    * removed frame was not part of the trained corpus, and a silently
-    * clamped model matches no corpus at all. Totals stay consistent for
-    * free: [[lmCorpusStats]] re-derives n_tok from the subtracted
-    * unigrams. The same law covers every plain-count stats mart (DSIR
-    * bucket counts, source mixtures); HLL-bearing marts have NO inverse
+    * boundary), and a SEEN key driven NEGATIVE refuses loudly — counts
+    * higher than the model ever held prove the removed frame was not part
+    * of the trained corpus, and a silently clamped model matches no
+    * corpus at all. A removed key the model never saw at all is IGNORED
+    * by default (the left join comes from the stats side — spec-pinned):
+    * that is the correct semantics when the removal frame is the victims'
+    * full text but the model was trained capped/filtered. `strict = true`
+    * adds the containment check for callers who want a wholly-foreign
+    * removal to refuse too: any removed key absent from the model throws
+    * (one anti-join count over the removal-sized stats — never a
+    * reference rescan). Totals stay consistent for free:
+    * [[lmCorpusStats]] re-derives n_tok from the subtracted unigrams.
+    * The same law covers every plain-count stats mart (DSIR bucket
+    * counts, source mixtures); HLL-bearing marts have NO inverse
     * (registers are maxima) and rebuild instead — stated at their
     * SCALE.md rows. */
   def subtractLmStats(uni: DataFrame, pair: DataFrame,
-      removedDocs: DataFrame): (DataFrame, DataFrame) = {
+      removedDocs: DataFrame, strict: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val rmUni = lmUnigramStats(removedDocs)
+    val rmPair = lmBigramStats(removedDocs)
+    if (strict) {
+      val foreign =
+        rmUni.join(uni, Seq("lang", "h"), "left_anti").count() +
+          rmPair.join(pair, Seq("lang", "hp", "hb"), "left_anti").count()
+      require(foreign == 0L,
+        s"LM subtract containment violation: $foreign removed n-gram keys " +
+          "never appeared in the trained model — the removed docs were " +
+          "not (all) part of the trained reference corpus; rebuild " +
+          "instead of subtracting")
+    }
     def sub(stats: DataFrame, removed: DataFrame, keys: Seq[String],
         cnt: String): DataFrame = {
       val r = removed.withColumnRenamed(cnt, "__rm")
@@ -178,9 +199,8 @@ object LangModel {
         .select((keys.map(col) :+ diff.as(cnt)): _*)
         .filter(col(cnt) > 0L)
     }
-    (sub(uni, lmUnigramStats(removedDocs), Seq("lang", "h"), "c_uni"),
-      sub(pair, lmBigramStats(removedDocs), Seq("lang", "hp", "hb"),
-        "c_pair"))
+    (sub(uni, rmUni, Seq("lang", "h"), "c_uni"),
+      sub(pair, rmPair, Seq("lang", "hp", "hb"), "c_pair"))
   }
 
   /** Score documents under a trained model: per doc,

@@ -346,7 +346,7 @@ object Layout {
     * cannot delete the lease a breaker re-acquired. */
   private val PublishLeaseTtlMs: Long = 60000L
 
-  private def tryCreateExclusive(fs: org.apache.hadoop.fs.FileSystem,
+  private[ops] def tryCreateExclusive(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, token: String): Boolean = fs match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
          _: org.apache.hadoop.fs.RawLocalFileSystem =>
@@ -375,12 +375,16 @@ object Layout {
     val deadline = System.currentTimeMillis() + 2000L
     while (System.currentTimeMillis() < deadline) {
       if (tryCreateExclusive(fs, lease, token)) return (lease, token)
-      val stale = try {
-        System.currentTimeMillis() -
-          fs.getFileStatus(lease).getModificationTime > PublishLeaseTtlMs
-      } catch { case _: java.io.FileNotFoundException => false /* released */ }
-      if (stale) { fs.delete(lease, false); () } // break a dead holder's lease
-      else Thread.sleep(20L) // healthy holder: a publish is ms-long
+      val observed = try {
+        Some(fs.getFileStatus(lease).getModificationTime)
+      } catch { case _: java.io.FileNotFoundException => None /* released */ }
+      observed match {
+        case Some(m)
+            if System.currentTimeMillis() - m > PublishLeaseTtlMs =>
+          breakStaleLease(fs, lease, m); () // dead holder: break, then re-race
+        case Some(_) => Thread.sleep(20L) // healthy holder: a publish is ms-long
+        case None => () // released between create attempt and stat: re-race now
+      }
     }
     throw new ManifestPublishConflict(
       s"publish lease on $dir held past the wait window — a concurrent " +
@@ -388,14 +392,58 @@ object Layout {
         "(Layout.commitWithRetry)")
   }
 
+  /** Break a dead holder's lease WITHOUT the double-breaker race: with a
+    * bare `fs.delete`, breaker A can stat a stale lease, breaker B break
+    * it and RE-ACQUIRE, and A's unconditional delete then removes B's
+    * fresh lease — two holders, the exact clobber window the lease closes.
+    * Here the break is (1) guarded by an mtime re-check against what the
+    * staleness scan observed, (2) executed as a RENAME to a breaker-unique
+    * tombstone — of N concurrent breakers exactly one rename wins (the
+    * source vanishes for the rest), and (3) identity-verified after the
+    * rename (the delete-if-mine discipline [[releasePublishLease]]
+    * follows): a tombstone whose mtime is not the observed stale lease's
+    * means a break+re-acquire slipped inside the stat→rename window, and
+    * the fresh lease is renamed straight back. Returns true iff THIS
+    * caller retired the stale lease. */
+  private[ops] def breakStaleLease(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path, observedMtime: Long): Boolean = {
+    val cur = try fs.getFileStatus(lease).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return false }
+    if (cur != observedMtime) return false // already broken + re-acquired
+    val tomb = new org.apache.hadoop.fs.Path(lease.getParent,
+      s"${lease.getName}.broken.${java.util.UUID.randomUUID()}")
+    val renamed = try fs.rename(lease, tomb)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) return false // another breaker won this race
+    val tombM = try Some(fs.getFileStatus(tomb).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    if (tombM.contains(observedMtime)) { fs.delete(tomb, false); true }
+    else {
+      // stole a FRESH lease (break+re-acquire inside the stat→rename
+      // window): restore it. If a new lease appeared at the path in the
+      // meantime the restore fails — retire the tombstone then (the
+      // displaced holder's verified release is already a no-op: the token
+      // at the path is not its own), rather than leaving a stray lease
+      // file the TTL scan would misread.
+      if (!fs.rename(tomb, lease)) { fs.delete(tomb, false); () }
+      false
+    }
+  }
+
   private def releasePublishLease(fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path, token: String): Unit =
     try {
       val in = fs.open(lease)
       val held = try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8")
+        // read to EOF: a single read() may legally return fewer bytes than
+        // the 36-byte uuid (HDFS-like streams), which would make held !=
+        // token, leave the lease behind, and stall every publisher on
+        // conflict retries until the TTL break
+        val buf = new java.io.ByteArrayOutputStream()
+        val arr = new Array[Byte](64)
+        var n = in.read(arr)
+        while (n >= 0) { buf.write(arr, 0, n); n = in.read(arr) }
+        buf.toString("UTF-8")
       } finally in.close()
       if (held == token) { fs.delete(lease, false); () }
     } catch { case _: java.io.IOException => () /* already broken+replaced */ }

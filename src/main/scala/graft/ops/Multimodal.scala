@@ -808,6 +808,12 @@ object Multimodal {
     val feats = corpusFeats
       .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
       .unionByName(deltaFeats)
+      // one fingerprint row per doc: when corpusFeats already covers the
+      // delta docs (a whole-corpus feature mart — the production shape),
+      // the union holds each delta doc twice and every flagged pair would
+      // join (and persist) twice; the decode is deterministic, so the two
+      // rows are identical and either survivor is correct
+      .dropDuplicates("doc_id")
     val fa = feats.select(col("doc_id").as("doc_id_a"),
       col("ahash_b0").as("xa0"), col("ahash_b1").as("xa1"),
       col("ahash_b2").as("xa2"), col("ahash_b3").as("xa3"))

@@ -162,6 +162,15 @@ class LangModelSpec extends SparkSpec {
     // subtract — its rows simply do not intersect)
     val (fu, fp) = LangModel.subtractLmStats(uni, pair, foreign)
     assert(uniSet(fu) === uniSet(uni) && uniSet(fp) === uniSet(pair))
+    // strict containment: the same foreign removal REFUSES up front —
+    // every removed key must be a key the model holds
+    val se = intercept[IllegalArgumentException](
+      LangModel.subtractLmStats(uni, pair, foreign, strict = true))
+    assert(se.getMessage.contains("containment"))
+    // while a genuinely-contained removal passes strict unchanged
+    val (cu, cp) = LangModel.subtractLmStats(uni, pair, removed,
+      strict = true)
+    assert(uniSet(cu) === uniSet(su) && uniSet(cp) === uniSet(sp))
   }
 
   test("reference docs score lower than the rest (the calibration premise)") {

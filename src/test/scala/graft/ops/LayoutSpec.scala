@@ -337,6 +337,56 @@ class LayoutSpec extends SparkSpec {
     } finally System.clearProperty("graft.layout.disableJvmPublishLock")
   }
 
+  test("lease break is single-winner: concurrent breakers of one stale " +
+      "lease race the rename, exactly one retires it") {
+    val dir = Files.createTempDirectory("graft_break").toString
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/.publish_lease")
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lease, true).close()
+    val staleM = System.currentTimeMillis() - 120000L
+    fs.setTimes(lease, staleM, -1)
+    val observed = fs.getFileStatus(lease).getModificationTime
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val gate = new java.util.concurrent.CyclicBarrier(n)
+    try {
+      val wins = (0 until n).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            gate.await()
+            Layout.breakStaleLease(fs, lease, observed)
+          }
+        })
+      }.count(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(wins === 1) // the old delete-based break let several "win"
+    } finally pool.shutdownNow()
+    assert(!fs.exists(lease))
+  }
+
+  test("lease break refuses a FRESH lease: a breaker holding a stale " +
+      "observation cannot remove the lease a faster breaker re-acquired " +
+      "(the double-breaker TOCTOU)") {
+    val dir = Files.createTempDirectory("graft_break2").toString
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/.publish_lease")
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lease, true).close()
+    fs.setTimes(lease, System.currentTimeMillis() - 120000L, -1)
+    val observed = fs.getFileStatus(lease).getModificationTime
+    // breaker B: breaks the stale lease and RE-ACQUIRES with its own token
+    assert(Layout.breakStaleLease(fs, lease, observed))
+    assert(Layout.tryCreateExclusive(fs, lease, "token-B"))
+    // breaker A now executes ITS break against the stale observation: it
+    // must refuse — B's fresh lease survives byte-identically
+    assert(!Layout.breakStaleLease(fs, lease, observed))
+    val in = fs.open(lease)
+    val held = try {
+      val buf = new Array[Byte](64)
+      val k = in.read(buf)
+      new String(buf, 0, k, "UTF-8")
+    } finally in.close()
+    assert(held === "token-B")
+  }
+
   test("vacuum grace window: young deliveries survive with their manifests " +
       "intact; a vacuum past the window completes the retirement") {
     val root = Files.createTempDirectory("graft_grace").toString + "/t"
