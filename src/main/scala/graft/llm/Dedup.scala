@@ -201,6 +201,58 @@ object Dedup {
       .withColumn("rep", min("doc_id").over(Window.partitionBy("__th")))
       .select("doc_id", "rep")
 
+  // ---------------------------------------------------------------------------
+  // Takedown registry: the standing re-admission block
+  // ---------------------------------------------------------------------------
+
+  /** Reserved logical-batch LANE for the takedown registry (the highest id
+    * [[graft.ops.Layout.beginBatchCommit]] accepts). The registry cannot
+    * ride an affected delivery's rewrite: a crash-REPLAYED admission of
+    * that logical batch would re-deliver it under a fresh physical and
+    * silently supersede the registry rows with it. In its own lane, each
+    * takedown supersedes only the PREVIOUS registry delivery (carrying its
+    * rows forward), no admission batch can ever collide with it, and the
+    * registry swaps in the same manifest version as the delete itself.
+    * Admission/append batch ids are required to stay below it. */
+  val RegistryBatch: Long = graft.ops.Layout.GenStride - 2
+
+  /** Content key of an exact-text group: md5 over the canonical (sorted,
+    * distinct — [[shingleSetsOf]]'s invariant) shingle-hash set. Key
+    * equality IS shingle-set equality (md5 collisions aside), which is
+    * exactly the class of re-crawls the registry must refuse: a doc whose
+    * set equals a destroyed doc's would have paired with it at jaccard
+    * 1.0 — the content the takedown erased. One-way 60-bit hashes of word
+    * 2-grams, then md5 — the registry retains NO recoverable text. */
+  private def contentKey(shingleSet: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    md5(concat_ws(",", transform(shingleSet, x => x.cast("string"))))
+
+  /** The committed takedown registry of a [[writeMinhashIndex]] root: one
+    * (content_key, doc_id) row per DESTROYED doc — doc_id is the audit
+    * trail back to the takedown request, content_key the standing block
+    * [[admitIntoMinhashIndex]] consults. Registry-sized (cumulative
+    * takedown requests), never corpus-sized. Empty frame when no takedown
+    * has ever run. `asOfVersion` shares the index's refusal contract. */
+  def takedownRegistry(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, asOfVersion: Option[Long] = None): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/takedowns")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      asOfVersion.foreach(_ =>
+        graft.ops.Layout.committedBatchFilterAt(spark, indexPath,
+          asOfVersion))
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("content_key", StringType),
+          StructField("doc_id", LongType))))
+    } else
+      spark.read.parquet(s"$indexPath/takedowns")
+        .filter(graft.ops.Layout.committedBatchFilterAt(spark, indexPath,
+          asOfVersion))
+        .select("content_key", "doc_id")
+  }
+
   /** Persist the corpus's MinHash dedup index — three tables under
     * `indexPath`, every one partitioned by `batch_id` and governed by the
     * Layout manifest protocol ([[graft.ops.Layout.initCommitLog]]), the
@@ -225,13 +277,19 @@ object Dedup {
   def writeMinhashIndex(docs: DataFrame, indexPath: String): Unit = {
     val spark = docs.sparkSession
     graft.ops.Layout.resetCommitLog(spark, indexPath)
-    // a rebuild must not resurrect the PREVIOUS index's audit: initCommitLog's
-    // directory-walk backfill would re-publish a leftover admissions batch
-    // partition into the fresh manifest, serving the old index's per-source
-    // counts as the new index's committed history
-    val adm = new org.apache.hadoop.fs.Path(s"$indexPath/admissions")
-    val fs = adm.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(adm)) { fs.delete(adm, true); () }
+    // a rebuild must not resurrect the PREVIOUS index's audit or registry:
+    // initCommitLog's directory-walk backfill would re-publish leftover
+    // batch partitions into the fresh manifest, serving the old index's
+    // per-source counts (admissions) or re-admission blocks (takedowns) as
+    // the new index's committed state. The registry is INDEX-lifecycle
+    // state: a fresh build's corpus must already honor outstanding
+    // takedowns (that is what the takedown deleted from), and the new
+    // index's standing obligations start from its own deletes.
+    Seq("admissions", "takedowns").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
     writeIndexDelta(docs, indexPath, phys = -1L, dynamic = false)
     graft.ops.Layout.initCommitLog(spark, indexPath)
   }
@@ -255,9 +313,10 @@ object Dedup {
     * [[compactMinhashIndex]] folds them. */
   def appendMinhashIndex(docs: DataFrame, indexPath: String,
       batchId: Long): Unit = {
-    require(batchId >= 0,
-      s"batchId must be >= 0 (negative ids are reserved for the base/" +
-        s"compacted partition batch_id=-1), got $batchId")
+    require(batchId >= 0 && batchId < RegistryBatch,
+      s"batchId must be in [0, $RegistryBatch) (negative ids are reserved " +
+        s"for the base, $RegistryBatch for the takedown registry lane), " +
+        s"got $batchId")
     val spark = docs.sparkSession
     val phys = graft.ops.Layout.beginBatchCommit(spark, indexPath, batchId)
     // a recovery delivery smaller than the crashed attempt must REPLACE
@@ -286,9 +345,10 @@ object Dedup {
       broadcastMaxDocs: Long = DefaultProbeBroadcastMaxDocs,
       broadcastMaxCandidatePairs: Long =
         DefaultProbeBroadcastMaxCandidatePairs): Unit = {
-    require(batchId >= 0,
-      s"batchId must be >= 0 (negative ids are reserved for the base/" +
-        s"compacted partition batch_id=-1), got $batchId")
+    require(batchId >= 0 && batchId < RegistryBatch,
+      s"batchId must be in [0, $RegistryBatch) (negative ids are reserved " +
+        s"for the base, $RegistryBatch for the takedown registry lane), " +
+        s"got $batchId")
     // ONE shingle/band pass over the delta, shared by probe and append:
     // the probe core checkpoints the delta-derived frames, so the survivor
     // writes below reuse them instead of re-tokenizing the batch
@@ -303,9 +363,30 @@ object Dedup {
     // severs the last read of the index files the append overwrites
     val dupReps = pf.repPairs.select(col("rep_new").as("rep")).distinct()
       .localCheckpoint()
+    // TAKEDOWN REGISTRY consult: delta groups whose content key matches a
+    // destroyed doc's are REFUSED outright — a re-crawled copy of
+    // taken-down content must not re-enter the index, or DELETE FROM
+    // LAYOUT's legal guarantee evaporates at the next crawl batch. The
+    // decision is rep-level like the dup decision (every group member
+    // shares the rep's text, hence its key); the registry lives in its own
+    // reserved batch lane (never this batch's logical id, so the replay
+    // seam cannot hide it) and is registry-sized (cumulative takedown
+    // requests — legal-process scale), so the broadcast is unconditional.
+    // Blocked takes precedence over rejected: content under a takedown is
+    // refused as taken down even when copies of it still survive in the
+    // index (a partial-group takedown).
+    val blockedReps = newSets
+      .select(col("doc_id").as("rep"),
+        contentKey(col("shingle_set")).as("__ck"))
+      .join(broadcast(takedownRegistry(spark, indexPath)
+          .select(col("content_key").as("__ck")).distinct()),
+        Seq("__ck"), "left_semi")
+      .select("rep")
+      .localCheckpoint()
     val phys = graft.ops.Layout.beginBatchCommit(spark, indexPath, batchId)
     graft.ops.Layout.clearPhysicalDelivery(spark, indexPath, phys)
     val keepRep = dupReps.select(col("rep").as("doc_id"))
+      .unionByName(blockedReps.select(col("rep").as("doc_id")))
     def put(df: DataFrame, table: String): Unit =
       graft.ops.Layout.withIdBloom(
           df.withColumn("batch_id", lit(phys)).write.mode("overwrite"),
@@ -319,32 +400,42 @@ object Dedup {
       .sortWithinPartitions("band_idx", "band_hash"), "bands")
     put(newSets.join(keepRep, Seq("doc_id"), "left_anti")
       .sortWithinPartitions("doc_id"), "shingles")
-    put(dMembers.join(dupReps, Seq("rep"), "left_anti"), "members")
+    put(dMembers.join(dupReps, Seq("rep"), "left_anti")
+      .join(blockedReps, Seq("rep"), "left_anti"), "members")
     val dupIds = dMembers.join(dupReps, Seq("rep"), "left_semi")
+      .select("doc_id")
+    val blockedIds = dMembers.join(blockedReps, Seq("rep"), "left_semi")
       .select("doc_id")
     // `batch` rides as a DATA column (not just the partition id):
     // compaction folds the audit into the base partition, and rows must
     // keep saying which admission batch they record — folding them under
     // live logical ids instead would collide with a post-compaction
     // stream's own batch ids in the manifest.
-    // Three disjoint outcomes per delta doc: ADMITTED (eligible survivor —
+    // FOUR disjoint outcomes per delta doc: ADMITTED (eligible survivor —
     // its bands/shingles/members landed above, so the count equals what
-    // the index now protects), REJECTED (near-dupped the corpus), and
-    // SKIPPED (fewer than 2 tokens — no shingles exist, so the doc is
-    // never indexed and NEVER dedup-protected: an exact copy of it in a
-    // later batch skips again rather than rejecting; set-Jaccard has no
-    // opinion on empty sets, and counting such docs as "admitted" would
-    // make the log promise protection the index cannot give).
+    // the index now protects), REJECTED (near-dupped the corpus),
+    // BLOCKED (matched the takedown registry — refused as taken-down
+    // content, precedence over rejected), and SKIPPED (fewer than 2
+    // tokens — no shingles exist, so the doc is never indexed and NEVER
+    // dedup-protected: an exact copy of it in a later batch skips again
+    // rather than rejecting; set-Jaccard has no opinion on empty sets,
+    // and counting such docs as "admitted" would make the log promise
+    // protection the index cannot give).
     val eligIds = dMembers.select("doc_id").withColumn("__elig", lit(true))
     put(delta
       .join(sized(dupIds.withColumn("__dup", lit(true)), small),
         Seq("doc_id"), "left")
+      .join(sized(blockedIds.withColumn("__blk", lit(true)), small),
+        Seq("doc_id"), "left")
       .join(sized(eligIds, small), Seq("doc_id"), "left")
       .groupBy("source").agg(
-        sum(when(col("__dup").isNull && col("__elig").isNotNull, 1L)
+        sum(when(col("__dup").isNull && col("__blk").isNull &&
+            col("__elig").isNotNull, 1L)
           .otherwise(0L)).as("n_admitted"),
-        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_rejected"),
-        sum(when(col("__elig").isNull, 1L).otherwise(0L)).as("n_skipped"))
+        sum(when(col("__dup").isNotNull && col("__blk").isNull, 1L)
+          .otherwise(0L)).as("n_rejected"),
+        sum(when(col("__elig").isNull, 1L).otherwise(0L)).as("n_skipped"),
+        sum(when(col("__blk").isNotNull, 1L).otherwise(0L)).as("n_blocked"))
       .withColumn("batch", lit(batchId))
       .coalesce(1), // sources-sized
       "admissions")
@@ -352,7 +443,7 @@ object Dedup {
     // bound executor storage across a long-running admission stream: the
     // probe frames were checkpointed for reuse WITHIN this transaction;
     // retire their blocks now (the connectedComponents discipline)
-    Seq(dMembers, newBands, newSets, pf.candidates, dupReps)
+    Seq(dMembers, newBands, newSets, pf.candidates, dupReps, blockedReps)
       .foreach(freeCheckpoint)
   }
 
@@ -392,27 +483,29 @@ object Dedup {
           StructField("source", StringType),
           StructField("n_admitted", LongType),
           StructField("n_rejected", LongType),
-          StructField("n_skipped", LongType))))
+          StructField("n_skipped", LongType),
+          StructField("n_blocked", LongType))))
     } else {
-      // mergeSchema: a root upgraded mid-life has PRE-n_skipped parquet
-      // files next to new ones; without it the schema is inferred from
-      // whichever file wins — old winner silently zeroes NEW rows'
-      // n_skipped, new winner surfaces NULLs that NPE in getLong callers.
-      // Merged, old rows carry NULL in the new column; coalesce restores
-      // the "nothing was skipped-and-counted back then" semantics.
+      // mergeSchema: a root upgraded mid-life has PRE-n_skipped (and
+      // pre-n_blocked) parquet files next to new ones; without it the
+      // schema is inferred from whichever file wins — old winner silently
+      // zeroes NEW rows' columns, new winner surfaces NULLs that NPE in
+      // getLong callers. Merged, old rows carry NULL in the new columns;
+      // coalesce restores the "nothing was counted back then" semantics.
       val raw = spark.read.option("mergeSchema", "true")
         .parquet(s"$indexPath/admissions")
         .filter(graft.ops.Layout.committedBatchFilterAt(spark, indexPath,
           asOfVersion))
-      val withSkip =
-        if (raw.columns.contains("n_skipped"))
-          raw.withColumn("n_skipped", coalesce(col("n_skipped"), lit(0L)))
-        else raw.withColumn("n_skipped", lit(0L))
+      val filled = Seq("n_skipped", "n_blocked").foldLeft(raw) { (df, c) =>
+        if (df.columns.contains(c))
+          df.withColumn(c, coalesce(col(c), lit(0L)))
+        else df.withColumn(c, lit(0L))
+      }
       // `batch` is a data column: live rows carry their admission batch,
       // compacted rows (folded under batch_id=-1) keep saying which
       // batch they recorded
-      withSkip.select(col("batch"), col("source"), col("n_admitted"),
-        col("n_rejected"), col("n_skipped"))
+      filled.select(col("batch"), col("source"), col("n_admitted"),
+        col("n_rejected"), col("n_skipped"), col("n_blocked"))
     }
   }
 
@@ -722,6 +815,27 @@ object Dedup {
         .write.mode("overwrite").partitionBy("batch_id")
         .parquet(s"$outBase/admissions")
     }
+    // the takedown REGISTRY rides compaction the same way the audit does —
+    // a compacted index stays bound by every standing takedown, or the
+    // fold would silently re-open re-admission. It keeps its reserved
+    // lane (never folds to the base): a later takedown on the compacted
+    // root supersedes it in place, exactly as on the original root. The
+    // gen-0 lane physical is backfilled into the fresh manifest by
+    // initCommitLog's directory walk below.
+    val tkOut = new org.apache.hadoop.fs.Path(s"$outBase/takedowns")
+    val tkFs = tkOut.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tkFs.exists(tkOut)) { tkFs.delete(tkOut, true); () }
+    val tkIn = new org.apache.hadoop.fs.Path(s"$inBase/takedowns")
+    if (tkIn.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(tkIn)) {
+      spark.read.parquet(s"$inBase/takedowns").filter(vis)
+        .select("content_key", "doc_id")
+        .withColumn("batch_id",
+          lit((RegistryBatch + 1) * graft.ops.Layout.GenStride))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$outBase/takedowns")
+    }
     graft.ops.Layout.initCommitLog(spark, outBase)
     def nFiles(base: String): Long =
       Seq("bands", "shingles", "members").map { t =>
@@ -797,6 +911,37 @@ object Dedup {
         .collect().map(_.getLong(0)).toSeq
     val affected = (memberBatches ++ repBatches("bands") ++
       repBatches("shingles")).distinct.sorted
+    // REGISTRY delivery: remember WHAT was destroyed (content keys + the
+    // victim ids for audit) so [[admitIntoMinhashIndex]] can refuse a
+    // re-crawled copy — a takedown is a STANDING obligation, not a
+    // one-shot row erase. Keys are captured from the victims' groups'
+    // shingle sets BEFORE the rewrite destroys them (every group member
+    // shares its rep's text, hence its key); previous registry rows carry
+    // forward (each takedown supersedes only the prior registry delivery
+    // in the reserved lane), and the whole thing publishes in the SAME
+    // manifest swap as the delete below. All frames are victim- or
+    // registry-sized.
+    val groupReps = vm.map(_.getLong(1)).distinct.toSeq
+    val repKeys = spark.read.parquet(s"$indexPath/shingles").filter(vis)
+      .filter(col("doc_id").isin(groupReps: _*))
+      .select(col("doc_id").as("rep"),
+        contentKey(col("shingle_set")).as("content_key"))
+    val vmDf = {
+      import spark.implicits._
+      vm.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("doc_id", "rep")
+    }
+    val regPhys = graft.ops.Layout.beginBatchCommit(spark, indexPath,
+      RegistryBatch)
+    graft.ops.Layout.clearPhysicalDelivery(spark, indexPath, regPhys)
+    takedownRegistry(spark, indexPath)
+      .unionByName(vmDf.join(broadcast(repKeys), "rep")
+        .select("content_key", "doc_id"))
+      .distinct() // a re-deleted doc registers once
+      .withColumn("batch_id", lit(regPhys))
+      .coalesce(1) // registry-sized
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$indexPath/takedowns")
     val remapDf = broadcast(
       if (repRemap.isEmpty)
         spark.createDataFrame(
@@ -829,7 +974,7 @@ object Dedup {
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$indexPath/$table")
     val reclaimed = graft.ops.Layout.takedownRewrite(spark, indexPath,
-        affected) { (oldPhys, newPhys) =>
+        affected, extraDeliveries = Seq(regPhys)) { (oldPhys, newPhys) =>
       def delivery(table: String): Option[DataFrame] =
         graft.ops.Layout.readDeliveryRows(spark, s"$indexPath/$table",
           "", oldPhys)

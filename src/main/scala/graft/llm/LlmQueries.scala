@@ -788,7 +788,8 @@ SELECT CAST(0 AS BIGINT) AS batch, source,
   CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
     AS n_rejected,
   CAST(sum(CASE WHEN elig.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_skipped
+    AS n_skipped,
+  CAST(0 AS BIGINT) AS n_blocked
 FROM delta
 LEFT JOIN dup ON dup.doc_id = delta.doc_id
 LEFT JOIN (SELECT doc_id FROM sh WHERE len(s) > 0) elig
@@ -836,6 +837,72 @@ WHERE jaccard >= 0.8 AND ((doc_id_a % 10 = 0) <> (doc_id_b % 10 = 0))
   AND NOT (doc_id_a % 10 <> 0 AND doc_id_a % 17 = 5)
   AND NOT (doc_id_b % 10 <> 0 AND doc_id_b % 17 = 5)
 ORDER BY doc_id_a, doc_id_b""")),
+
+    // The takedown REGISTRY closing the loop q189 opens: DELETE destroys
+    // rows, the registry makes it a STANDING obligation — a re-crawled
+    // copy of taken-down content is REFUSED at the next admission
+    // (n_blocked, the fourth audit outcome) instead of sailing back into
+    // the index. Chain: build the corpus index, take down the q189 victim
+    // class, then admit a delta = the natural delta docs PLUS exact
+    // re-crawls of every victim under fresh doc_ids; read the committed
+    // admission log. Oracle: blocked = delta docs whose (sorted distinct)
+    // shingle set equals a destroyed doc's — the registry's content-key
+    // semantics spelled as set equality (key equality IS set equality);
+    // rejected = non-blocked delta docs near-dupping the POST-DELETE
+    // corpus (q189's surviving-pair arithmetic); skipped = shingle-less.
+    Q("q193_takedown_registry",
+      (s, dir) => {
+        val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_mhreg_" + graft.sec.SecDerive.pathKey(dir)
+        val docs = Tables.documents(s, dir)
+        graft.sec.SecDerive.cachedCount(s, dir, "minhash_registry") {
+          val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          Dedup.writeMinhashIndex(corpus, base)
+          val victims = corpus.filter(pmod(col("doc_id"), lit(17)) === 5)
+            .select("doc_id").collect().map(_.getLong(0)).toSeq
+          Dedup.deleteDocsFromMinhashIndex(s, base, victims)
+          val recrawl = docs
+            .filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
+              pmod(col("doc_id"), lit(17)) === 5)
+            .withColumn("doc_id", col("doc_id") + lit(100000000L))
+          Dedup.admitIntoMinhashIndex(s,
+            docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+              .unionByName(recrawl),
+            base, batchId = 0L, threshold = 0.8)
+          1L
+        }
+        Dedup.admissionLog(s, base).orderBy("batch", "source")
+      },
+      Some(s"""
+WITH $minhashCtes,
+vict AS (SELECT doc_id, list_sort(s) AS vkey FROM sh
+         WHERE doc_id % 10 <> 0 AND doc_id % 17 = 5 AND len(s) > 0),
+delta AS (SELECT doc_id AS src_id, doc_id, source FROM documents
+          WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id AS src_id, doc_id + 100000000 AS doc_id, source
+          FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 17 = 5),
+flags AS (SELECT d.doc_id, d.source,
+            len(sh.s) > 0 AS elig,
+            (len(sh.s) > 0 AND EXISTS (SELECT 1 FROM vict v
+                                       WHERE v.vkey = list_sort(sh.s)))
+              AS blocked
+          FROM delta d JOIN sh ON sh.doc_id = d.src_id),
+dup AS (SELECT DISTINCT CASE WHEN doc_id_a % 10 = 0 THEN doc_id_a
+                             ELSE doc_id_b END AS doc_id
+        FROM j WHERE jaccard >= 0.8
+          AND ((doc_id_a % 10 = 0) <> (doc_id_b % 10 = 0))
+          AND NOT (doc_id_a % 10 <> 0 AND doc_id_a % 17 = 5)
+          AND NOT (doc_id_b % 10 <> 0 AND doc_id_b % 17 = 5))
+SELECT CAST(0 AS BIGINT) AS batch, source,
+  CAST(sum(CASE WHEN elig AND NOT blocked AND dup.doc_id IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+  CAST(sum(CASE WHEN NOT blocked AND dup.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+  CAST(sum(CASE WHEN NOT elig THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+  CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+FROM flags LEFT JOIN dup ON dup.doc_id = flags.doc_id
+GROUP BY source ORDER BY source""")),
 
     // Near-dup CLUSTERING: connected components over the q21 pair graph —
     // the step that turns pairwise matches into dedup decisions (canonical

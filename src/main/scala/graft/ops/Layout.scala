@@ -1001,14 +1001,18 @@ object Layout {
     * louder operation anyway. Returns the number of directories the
     * vacuum reclaimed. */
   def takedownRewrite(spark: SparkSession, base: String,
-      oldPhysicals: Seq[Long])(rewriteOne: (Long, Long) => Unit): Long = {
+      oldPhysicals: Seq[Long], extraDeliveries: Seq[Long] = Nil)
+      (rewriteOne: (Long, Long) => Unit): Long = {
     val remaps = oldPhysicals.map { oldPhys =>
       val phys = beginBatchCommit(spark, base, logicalBatchLocal(oldPhys))
       clearPhysicalDelivery(spark, base, phys)
       rewriteOne(oldPhys, phys)
       phys
     }
-    finishMultiBatchCommit(spark, base, remaps)
+    // extraDeliveries: physicals the CALLER already began and wrote (the
+    // takedown REGISTRY delivery) — included in the same one-version swap
+    // so the delete and its standing re-admission block publish together
+    finishMultiBatchCommit(spark, base, remaps ++ extraDeliveries)
     vacuumLayout(spark, base, keepVersions = 1, minAgeMs = 0L)
   }
 

@@ -677,7 +677,7 @@ class GraftApi(spark: SparkSession, sfDir: String,
     val batch = qp.get("batch").map(v => v.toLongOption.getOrElse(
       throw new IllegalArgumentException("batch must be an integer")))
     val cols = Seq("batch", "source", "n_admitted", "n_rejected",
-      "n_skipped")
+      "n_skipped", "n_blocked")
     val rows = admissionsFrame(qp.get("source"), batch, asOfParam(qp))
       .collect() // log-sized: sources x batches
     reply(ex, 200, obj { o =>

@@ -137,6 +137,71 @@ class TakedownSpec extends SparkSpec {
     assert(r3 === Layout.TakedownReport("minhash", 0L, 0L, 0L))
   }
 
+  test("takedown registry: a re-crawled copy of deleted content is " +
+      "REFUSED and audited (n_blocked); replay leaves registry and index " +
+      "unmoved; a second takedown extends it; it rides compaction") {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val base = Seq(
+      doc(10L, t1, "s1"), doc(20L, t1, "s1"), // t1 group: partial takedown
+      doc(40L, t2, "s1"),                     // t2 group: fully erased
+      doc(60L, t3, "s2")
+    ).toDF(cols: _*)
+    val root = java.nio.file.Files.createTempDirectory("graft_tkdn_reg")
+      .toString + "/idx"
+    graft.llm.Dedup.writeMinhashIndex(base, root)
+    graft.llm.Dedup.deleteDocsFromMinhashIndex(spark, root, Seq(10L, 40L))
+    def regRows(p: String): Set[(String, Long)] =
+      graft.llm.Dedup.takedownRegistry(spark, p).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val reg1 = regRows(root)
+    assert(reg1.map(_._2) === Set(10L, 40L))
+    // 10 and 20 share t1, so their registered key equals 20's group key;
+    // 40's key is t2's
+    assert(reg1.size === 2)
+
+    // re-crawl: an exact copy of the ERASED t2, an exact copy of t1
+    // (copies of which still survive as doc 20 — blocked must take
+    // precedence over rejected), a fresh doc, and a shingle-less doc
+    val delta = Seq(doc(100L, t2, "d"), doc(101L, t1, "d"),
+      doc(102L, t5, "d"), doc(103L, "word", "d")).toDF(cols: _*)
+    graft.llm.Dedup.admitIntoMinhashIndex(spark, delta, root, batchId = 0L)
+    def logRows(p: String): Set[(Long, String, Long, Long, Long, Long)] =
+      graft.llm.Dedup.admissionLog(spark, p).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val log1 = logRows(root)
+    assert(log1 === Set((0L, "d", 1L, 0L, 1L, 2L)))
+    def memberIds(p: String): Set[Long] =
+      spark.read.parquet(s"$p/members")
+        .filter(Layout.committedBatchFilter(spark, p))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mem1 = memberIds(root)
+    assert(mem1 === Set(20L, 60L, 102L)) // blocked docs never indexed
+
+    // REPLAY the same batch: decision, log, index and registry unmoved
+    graft.llm.Dedup.admitIntoMinhashIndex(spark, delta, root, batchId = 0L)
+    assert(logRows(root) === log1)
+    assert(memberIds(root) === mem1)
+    assert(regRows(root) === reg1)
+
+    // a SECOND takedown extends the registry (prior rows carry forward)
+    graft.llm.Dedup.deleteDocsFromMinhashIndex(spark, root, Seq(60L))
+    val reg2 = regRows(root)
+    assert(reg2.map(_._2) === Set(10L, 40L, 60L))
+    assert(reg2.intersect(reg1) === reg1)
+
+    // the registry rides compaction: the compacted root still refuses
+    val out = java.nio.file.Files.createTempDirectory("graft_tkdn_reg2")
+      .toString + "/idx"
+    graft.llm.Dedup.compactMinhashIndex(spark, root, out)
+    assert(regRows(out) === reg2)
+    graft.llm.Dedup.admitIntoMinhashIndex(spark,
+      Seq(doc(200L, t3, "d2"), doc(201L, t6, "d2")).toDF(cols: _*),
+      out, batchId = 0L)
+    assert(logRows(out).contains((0L, "d2", 1L, 0L, 0L, 1L)))
+    assert(!memberIds(out).contains(200L))
+  }
+
   test("bm25 takedown: post-delete search and stats folds == a fresh " +
       "one-shot index over the survivors") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
