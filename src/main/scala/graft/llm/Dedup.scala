@@ -873,7 +873,18 @@ object Dedup {
       indexPath: String, docIds: Seq[Long])
       : graft.ops.Layout.TakedownReport = {
     require(docIds.nonEmpty, "empty takedown set")
-    val victims = docIds.distinct
+    // optimistic concurrency (Layout.takedownWithRetry): discovery pins
+    // the manifest version it scanned; a concurrent commit refuses the
+    // swap and the WHOLE discovery re-runs over the advanced snapshot
+    graft.ops.Layout.takedownWithRetry(spark, indexPath)(observed =>
+      deleteDocsFromMinhashIndexOnce(spark, indexPath, docIds.distinct,
+        observed))
+  }
+
+  private def deleteDocsFromMinhashIndexOnce(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      victims: Seq[Long], observedVersion: Option[Long])
+      : graft.ops.Layout.TakedownReport = {
     val vis = graft.ops.Layout.committedBatchFilter(spark, indexPath)
     val members = spark.read.parquet(s"$indexPath/members").filter(vis)
     // victim membership: which groups are touched (≤ |victims| rows)
@@ -974,7 +985,8 @@ object Dedup {
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$indexPath/$table")
     val reclaimed = graft.ops.Layout.takedownRewrite(spark, indexPath,
-        affected, extraDeliveries = Seq(regPhys)) { (oldPhys, newPhys) =>
+        affected, extraDeliveries = Seq(regPhys),
+        expectedVersion = observedVersion) { (oldPhys, newPhys) =>
       def delivery(table: String): Option[DataFrame] =
         graft.ops.Layout.readDeliveryRows(spark, s"$indexPath/$table",
           "", oldPhys)

@@ -1306,7 +1306,18 @@ c AS (SELECT doc_id, source, t,
       basePath: String, docIds: Seq[Long])
       : graft.ops.Layout.TakedownReport = {
     require(docIds.nonEmpty, "empty takedown set")
-    val victims = docIds.distinct
+    // optimistic concurrency: discovery pins the manifest version; a
+    // racing commit refuses the swap and discovery re-runs
+    // (Layout.takedownWithRetry contract)
+    graft.ops.Layout.takedownWithRetry(spark, basePath)(observed =>
+      deleteDocsFromBm25IndexOnce(spark, basePath, docIds.distinct,
+        observed))
+  }
+
+  private def deleteDocsFromBm25IndexOnce(
+      spark: org.apache.spark.sql.SparkSession, basePath: String,
+      victims: Seq[Long], observedVersion: Option[Long])
+      : graft.ops.Layout.TakedownReport = {
     val vis = graft.ops.Layout.committedBatchFilter(spark, basePath)
     // one victim-pushed scan finds the affected deliveries AND the
     // matched-row count (per-batch rollup, collected — batches are
@@ -1320,7 +1331,7 @@ c AS (SELECT doc_id, source, t,
       return graft.ops.Layout.TakedownReport("bm25", 0L, 0L, 0L)
     val affected = hits.map(_._1).toSeq.sorted
     val reclaimed = graft.ops.Layout.takedownRewrite(spark, basePath,
-        affected) { (oldPhys, newPhys) =>
+        affected, expectedVersion = observedVersion) { (oldPhys, newPhys) =>
       graft.ops.Layout.readDeliveryRows(spark, s"$basePath/postings",
           "term_bucket=*", oldPhys).foreach { rows =>
         val survivors = rows.filter(!col("doc_id").isin(victims: _*))
@@ -1371,7 +1382,16 @@ c AS (SELECT doc_id, source, t,
       basePath: String, vecIds: Seq[Long])
       : graft.ops.Layout.TakedownReport = {
     require(vecIds.nonEmpty, "empty takedown set")
-    val victims = vecIds.distinct
+    // optimistic concurrency: same contract as deleteDocsFromBm25Index
+    graft.ops.Layout.takedownWithRetry(spark, basePath)(observed =>
+      deleteVecsFromIvfadcIndexOnce(spark, basePath, vecIds.distinct,
+        observed))
+  }
+
+  private def deleteVecsFromIvfadcIndexOnce(
+      spark: org.apache.spark.sql.SparkSession, basePath: String,
+      victims: Seq[Long], observedVersion: Option[Long])
+      : graft.ops.Layout.TakedownReport = {
     val vis = graft.ops.Layout.committedBatchFilter(spark, basePath)
     val hits = spark.read.parquet(s"$basePath/codes").filter(vis)
       .filter(col("vec_id").isin(victims: _*))
@@ -1394,7 +1414,7 @@ c AS (SELECT doc_id, source, t,
     val affected = (hits.map(_._1).toSeq ++ reassignBatches)
       .distinct.sorted
     val reclaimed = graft.ops.Layout.takedownRewrite(spark, basePath,
-        affected) { (oldPhys, newPhys) =>
+        affected, expectedVersion = observedVersion) { (oldPhys, newPhys) =>
       graft.ops.Layout.readDeliveryRows(spark, s"$basePath/codes",
           "cell=*", oldPhys).foreach { rows =>
         rows.filter(!col("vec_id").isin(victims: _*))

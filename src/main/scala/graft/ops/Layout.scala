@@ -29,6 +29,17 @@ object Layout {
   final class ManifestPublishConflict(msg: String)
     extends IllegalStateException(msg)
 
+  /** A takedown's optimistic-concurrency failure: the root's manifest
+    * advanced between the takedown's victim-discovery scans and its swap,
+    * so a concurrent append may have delivered victim-bearing rows the
+    * rewrite never saw. DISTINCT from [[ManifestPublishConflict]] on
+    * purpose: the publish-only retry ([[commitWithRetry]]) must never
+    * absorb it — recovery is re-running DISCOVERY against the advanced
+    * manifest ([[takedownWithRetry]]), not re-publishing a stale
+    * rewrite. */
+  final class TakedownConcurrencyConflict(msg: String)
+    extends IllegalStateException(msg)
+
   def bucketOf(cik: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
     pmod(conv(substring(md5(cik), 1, 15), 16, 10).cast("long"), lit(nBuckets)).cast("int")
 
@@ -627,19 +638,74 @@ object Layout {
     * the base) must become visible atomically, or a read planned between
     * two single-batch swaps would serve a half-deleted corpus. Same
     * protocol as [[finishBatchCommit]]; the map update just carries N
-    * remaps instead of one. */
+    * remaps instead of one.
+    *
+    * `expectedVersion` is the takedown's OPTIMISTIC CONCURRENCY pin: the
+    * manifest version the victim-discovery scans resolved. A swap against
+    * any other version refuses ([[TakedownConcurrencyConflict]]) — an
+    * append that committed between discovery and swap may have delivered
+    * victim-bearing rows the rewrite never scanned, and publishing over
+    * it would merge them in cleanly with nothing left to detect the leak.
+    * The check composes with the publish collision: the swap publishes
+    * exactly expected+1, so a racer that publishes first surfaces as the
+    * designed [[ManifestPublishConflict]] even inside the read→rename
+    * window. Either way recovery is [[takedownWithRetry]]'s re-discovery,
+    * and the already-written rewrite deliveries stay invisible (the
+    * crashed-before-finish state the protocol defines as clean). */
   def finishMultiBatchCommit(spark: SparkSession, base: String,
-      physicalIds: Seq[Long]): Unit = {
+      physicalIds: Seq[Long], expectedVersion: Option[Long] = None): Unit = {
     require(physicalIds.nonEmpty, "nothing to commit")
     initCommitLog(spark, base)
     val dir = commitsDir(base)
     val fs = fsOf(spark, dir)
     val (v, m) = currentManifest(fs, dir).get
+    expectedVersion.filter(_ != v).foreach { ev =>
+      throw new TakedownConcurrencyConflict(
+        s"manifest on $base advanced from version $ev to $v between " +
+          "victim discovery and the takedown swap — a concurrent writer " +
+          "committed rows the rewrite never scanned; re-run discovery " +
+          "against the advanced manifest (Layout.takedownWithRetry)")
+    }
     publishManifest(fs, dir, v + 1,
       m ++ physicalIds.map(p => logicalBatchLocal(p) -> p))
     physicalIds.foreach { p =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"pending_$p"), false)
     }
+  }
+
+  /** Run a takedown's discovery + rewrite with the optimistic concurrency
+    * loop: `body` receives the manifest version the root currently serves
+    * (to pass to [[takedownRewrite]] as its `expectedVersion`) and must
+    * re-derive EVERYTHING — victim scans, affected deliveries, registry
+    * rows — from that snapshot, so a retry sees whatever the racing
+    * writer committed. CONTRACT (spec-pinned): an append racing a
+    * takedown either commits before the swap (the takedown refuses, this
+    * loop re-discovers over the appended rows, and the retried rewrite
+    * scrubs them too) or commits after (it probed the post-delete,
+    * registry-armed index). No interleaving lets a victim-bearing row
+    * survive unscanned — the quiesce requirement the r18 contract had to
+    * state is now enforced, not assumed. A failed attempt's deliveries
+    * self-heal through the pending markers exactly like any crashed
+    * delivery. */
+  def takedownWithRetry[T](spark: SparkSession, base: String,
+      maxAttempts: Int = 5)(body: Option[Long] => T): T = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var n = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      // observe BEFORE body resolves its visibility predicate: a commit
+      // landing between the two makes the pin conservative (refuse+retry),
+      // never permissive
+      val observed = manifestVersions(spark, base).lastOption
+      try out = Some(body(observed))
+      catch {
+        case e: TakedownConcurrencyConflict =>
+          n += 1; if (n >= maxAttempts) throw e
+        case e: ManifestPublishConflict =>
+          n += 1; if (n >= maxAttempts) throw e
+      }
+    }
+    out.get
   }
 
   /** One full delivery of `batchId` with PUBLISH-RETRY — the multi-writer
@@ -1001,7 +1067,8 @@ object Layout {
     * louder operation anyway. Returns the number of directories the
     * vacuum reclaimed. */
   def takedownRewrite(spark: SparkSession, base: String,
-      oldPhysicals: Seq[Long], extraDeliveries: Seq[Long] = Nil)
+      oldPhysicals: Seq[Long], extraDeliveries: Seq[Long] = Nil,
+      expectedVersion: Option[Long] = None)
       (rewriteOne: (Long, Long) => Unit): Long = {
     val remaps = oldPhysicals.map { oldPhys =>
       val phys = beginBatchCommit(spark, base, logicalBatchLocal(oldPhys))
@@ -1011,8 +1078,11 @@ object Layout {
     }
     // extraDeliveries: physicals the CALLER already began and wrote (the
     // takedown REGISTRY delivery) — included in the same one-version swap
-    // so the delete and its standing re-admission block publish together
-    finishMultiBatchCommit(spark, base, remaps ++ extraDeliveries)
+    // so the delete and its standing re-admission block publish together.
+    // expectedVersion: the optimistic pin from takedownWithRetry — refuse
+    // the swap if anything committed since discovery.
+    finishMultiBatchCommit(spark, base, remaps ++ extraDeliveries,
+      expectedVersion)
     vacuumLayout(spark, base, keepVersions = 1, minAgeMs = 0L)
   }
 

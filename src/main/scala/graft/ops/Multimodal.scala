@@ -587,7 +587,17 @@ object Multimodal {
   def deleteDocsFromAhashIndex(spark: SparkSession, basePath: String,
       docIds: Seq[Long]): Layout.TakedownReport = {
     require(docIds.nonEmpty, "empty takedown set")
-    val victims = docIds.distinct
+    // optimistic concurrency: discovery pins the manifest version; a
+    // racing commit refuses the swap and discovery re-runs
+    // (Layout.takedownWithRetry contract)
+    Layout.takedownWithRetry(spark, basePath)(observed =>
+      deleteDocsFromAhashIndexOnce(spark, basePath, docIds.distinct,
+        observed))
+  }
+
+  private def deleteDocsFromAhashIndexOnce(spark: SparkSession,
+      basePath: String, victims: Seq[Long],
+      observedVersion: Option[Long]): Layout.TakedownReport = {
     val vis = Layout.committedBatchFilter(spark, basePath)
     val hits = spark.read.parquet(s"$basePath/bands").filter(vis)
       .filter(col("doc_id").isin(victims: _*))
@@ -597,7 +607,8 @@ object Multimodal {
     if (hits.isEmpty)
       return Layout.TakedownReport("ahash", 0L, 0L, 0L)
     val affected = hits.map(_._1).toSeq.sorted
-    val reclaimed = Layout.takedownRewrite(spark, basePath, affected) {
+    val reclaimed = Layout.takedownRewrite(spark, basePath, affected,
+        expectedVersion = observedVersion) {
       (oldPhys, newPhys) =>
         Layout.readDeliveryRows(spark, s"$basePath/bands",
             "band=*/vb=*", oldPhys).foreach { rows =>

@@ -387,6 +387,52 @@ class LayoutSpec extends SparkSpec {
     assert(held === "token-B")
   }
 
+  test("takedown vs concurrent append: the swap refuses when the manifest " +
+      "advanced past discovery; takedownWithRetry re-discovers and " +
+      "converges — no victim row survives unscanned") {
+    val root = Files.createTempDirectory("graft_tkdn_race").toString + "/t"
+    def write(phys: Long, ids: Seq[Long]): Unit =
+      ids.toDF("id").withColumn("batch_id", lit(phys))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$root/data")
+    Layout.commitWithRetry(spark, root, 0L)(p => write(p, Seq(1L, 7L)))
+    val victim = 7L
+    var attempts = 0
+    Layout.takedownWithRetry(spark, root) { observed =>
+      attempts += 1
+      val vis = Layout.committedBatchFilter(spark, root)
+      val affected = spark.read.parquet(s"$root/data").filter(vis)
+        .filter(col("id") === victim)
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      if (attempts == 1) {
+        // the racer: an append carrying ANOTHER copy of the victim lands
+        // between this takedown's discovery and its swap
+        Layout.commitWithRetry(spark, root, 1L)(p =>
+          write(p, Seq(9L, victim)))
+      }
+      Layout.takedownRewrite(spark, root, affected,
+          expectedVersion = observed) { (oldPhys, newPhys) =>
+        Layout.readDeliveryRows(spark, s"$root/data", "", oldPhys)
+          .foreach { rows =>
+            rows.filter(col("id") =!= victim)
+              .drop("batch_id").withColumn("batch_id", lit(newPhys))
+              .write.mode("overwrite").partitionBy("batch_id")
+              .option("partitionOverwriteMode", "dynamic")
+              .parquet(s"$root/data")
+          }
+      }
+    }
+    // attempt 1 refused (the racer won the version); attempt 2 saw the
+    // racer's delivery in discovery and scrubbed its victim copy too
+    assert(attempts === 2)
+    val got = spark.read.parquet(s"$root/data")
+      .filter(Layout.committedBatchFilter(spark, root))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 9L))
+  }
+
   test("vacuum grace window: young deliveries survive with their manifests " +
       "intact; a vacuum past the window completes the retirement") {
     val root = Files.createTempDirectory("graft_grace").toString + "/t"
