@@ -104,6 +104,48 @@ object Events {
   }
 
   val queries: Seq[Q] = Seq(
+    // GENERIC data-layout DELETE — the takedown extended from the four
+    // serving-index families to the SOURCE-OF-TRUTH corpus, where a legal
+    // request actually starts: the day-partitioned events root is written
+    // under the manifest protocol (Layout.writeDataLayout: event_date
+    // partitions for pruning, batch_id deliveries for the lifecycle),
+    // base + one appended delivery, then DELETE FROM LAYOUT scrubs a
+    // victim event_id set spanning BOTH deliveries via the same
+    // affected-rewrite + one-swap + mandatory-vacuum recipe (under the
+    // optimistic-concurrency loop). Victim class event_id % 9973 = 4 is
+    // takedown-request-sized at every SF (1 row at sf0.001, ~100 at sf1)
+    // and always non-empty, so the delete provably removes rows. Oracle =
+    // the events table minus the victims.
+    Q("q194_generic_takedown",
+      (s, dir) => {
+        val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          "/graft_evtd_" + graft.sec.SecDerive.pathKey(dir)
+        graft.sec.SecDerive.cachedCount(s, dir, "events_takedown") {
+          val ev = Tables.events(s, dir)
+          Layout.writeEventsByDayCommitted(
+            ev.filter(pmod(col("event_id"), lit(3)) =!= 0), base)
+          Layout.appendDataLayout(
+            ev.filter(pmod(col("event_id"), lit(3)) === 0)
+              .withColumn("event_date", to_date(col("ts")))
+              .repartition(col("event_date")),
+            base, Seq("event_date"), batchId = 0L)
+          val victims = ev
+            .filter(pmod(col("event_id"), lit(9973)) === 4)
+            .select("event_id").collect().map(_.getLong(0)).toSeq
+          s.sql(s"DELETE FROM LAYOUT '$base' WHERE event_id IN " +
+            s"(${victims.mkString(", ")})").collect()
+          1L
+        }
+        Layout.readDataLayout(s, base)
+          .select("event_id", "user_id", "event_type", "value",
+            "event_date")
+          .orderBy("event_id")
+      },
+      Some("""
+SELECT event_id, user_id, event_type, value, CAST(ts AS DATE) AS event_date
+FROM events WHERE event_id % 9973 <> 4
+ORDER BY event_id""")),
+
     Q("q61_range_frame",
       (s, dir) => trailingFeatures(Tables.events(s, dir)).orderBy("event_id"),
       Some("""

@@ -1153,6 +1153,161 @@ object Layout {
       .drop("term_bucket", "batch_id")
   }
 
+  // ------------------------------------------- generic committed data layout
+
+  /** Generic MANIFEST-PROTOCOL data layout — the source-of-truth shape:
+    * ANY table written with `partitionCols` plus the innermost `batch_id`
+    * delivery partition is governed by the same manifest law as the four
+    * serving-index families, which buys it the full lifecycle the indexes
+    * already have: exactly-once appends ([[appendDataLayout]]), snapshot
+    * reads + as-of time travel ([[readDataLayout]]), vacuum, and — the
+    * point — row-level DELETE ([[deleteFromDataLayout]]). A takedown
+    * legally STARTS at the source-of-truth corpus (the day-partitioned
+    * events root, a z-ordered table, the shredded landing), not at the
+    * serving indexes; before this, those roots could not be scrubbed.
+    * The base write lands under `batch_id=-1` (always visible), exactly
+    * the index-family convention. */
+  def writeDataLayout(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    resetCommitLog(spark, path)
+    df.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite")
+      .partitionBy((partitionCols :+ "batch_id"): _*)
+      .parquet(path)
+    initCommitLog(spark, path)
+  }
+
+  /** Exactly-once append of one logical batch into a [[writeDataLayout]]
+    * root — [[commitWithRetry]] end to end: the delivery lands under its
+    * own physical partition and becomes visible in one manifest swap; a
+    * replay rewrites byte-identically. Returns the physical id. */
+  def appendDataLayout(df: DataFrame, path: String,
+      partitionCols: Seq[String], batchId: Long): Long = {
+    val spark = df.sparkSession
+    commitWithRetry(spark, path, batchId) { phys =>
+      df.withColumn("batch_id", lit(phys))
+        .write.mode("overwrite")
+        .partitionBy((partitionCols :+ "batch_id"): _*)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    }
+  }
+
+  /** Snapshot read of a [[writeDataLayout]] root: one manifest
+    * resolution, invisible deliveries pruned as directories, the
+    * `batch_id` plumbing column dropped. `asOfVersion` time-travels with
+    * the usual refusal contract. */
+  def readDataLayout(spark: SparkSession, path: String,
+      asOfVersion: Option[Long] = None): DataFrame =
+    spark.read.parquet(path)
+      .filter(committedBatchFilterAt(spark, path, asOfVersion))
+      .drop("batch_id")
+
+  /** Row-level DELETE from a generic [[writeDataLayout]] root — the same
+    * recipe as the index families (victim-pushed discovery, affected-
+    * delivery-only rewrite, one-manifest swap, MANDATORY vacuum so
+    * pre-delete as-of versions refuse), generalized over an arbitrary
+    * schema: rows whose `keyCol` is in the victim set vanish, every other
+    * column and the partition layout ride through unchanged. Runs under
+    * the optimistic-concurrency loop ([[takedownWithRetry]]). Derived
+    * file marts (z-order envelopes, ANALYZE stats) describe files this
+    * rewrite replaces — refresh them after (the zorder wrapper does).
+    *
+    * `reshape` re-imposes WRITE-ORDER layout on the rewritten delivery
+    * (it receives the survivor frame with its new `batch_id` already
+    * set): the plain rewrite preserves in-file row order but lets the
+    * scan merge small files into coarser ones, which is sound but erodes
+    * file-level min/max pruning — a z-ordered base would lose its
+    * skipping power at every takedown until the next compaction. The
+    * zorder wrapper passes its range-exchange + in-file sort here. */
+  def deleteFromDataLayout(spark: SparkSession, path: String,
+      partitionCols: Seq[String], keyCol: String, ids: Seq[Long],
+      reshape: DataFrame => DataFrame = identity)
+      : TakedownReport = {
+    require(ids.nonEmpty, "empty takedown set")
+    val victims = ids.distinct
+    takedownWithRetry(spark, path) { observed =>
+      val vis = committedBatchFilter(spark, path)
+      val hits = spark.read.parquet(path).filter(vis)
+        .filter(col(keyCol).isin(victims: _*))
+        .groupBy(col("batch_id").cast("long").as("batch_id"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      if (hits.isEmpty) TakedownReport("data", 0L, 0L, 0L)
+      else {
+        val affected = hits.map(_._1).toSeq.sorted
+        val nest = partitionCols.map(c => s"$c=*").mkString("/")
+        val reclaimed = takedownRewrite(spark, path, affected,
+            expectedVersion = observed) { (oldPhys, newPhys) =>
+          readDeliveryRows(spark, path, nest, oldPhys).foreach { rows =>
+            withIdBloom(
+                reshape(rows.filter(!col(keyCol).isin(victims: _*))
+                    .drop("batch_id").withColumn("batch_id", lit(newPhys)))
+                  .write.mode("overwrite"), keyCol)
+              .partitionBy((partitionCols :+ "batch_id"): _*)
+              .option("partitionOverwriteMode", "dynamic")
+              .parquet(path)
+          }
+        }
+        TakedownReport("data", hits.map(_._2).sum, affected.size.toLong,
+          reclaimed)
+      }
+    }
+  }
+
+  /** [[deleteFromDataLayout]] with the partition structure DISCOVERED
+    * from the directories — the `DELETE FROM LAYOUT` SQL face for generic
+    * data roots, where the statement names only the root and the key
+    * column. Walks the first partition chain down to `batch_id=` (parquet
+    * partition trees are uniform by construction). */
+  def deleteFromDataLayoutAuto(spark: SparkSession, path: String,
+      keyCol: String, ids: Seq[Long]): TakedownReport =
+    deleteFromDataLayout(spark, path,
+      discoverPartitionCols(fsOf(spark, new org.apache.hadoop.fs.Path(path)),
+        new org.apache.hadoop.fs.Path(path)),
+      keyCol, ids)
+
+  private[ops] def discoverPartitionCols(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    var cols = Vector.empty[String]
+    var cur = root
+    while (true) {
+      val part = fs.listStatus(cur).toSeq.filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(p => p.getName != "_commits" && p.getName.contains("="))
+      part.find(_.getName.startsWith("batch_id=")) match {
+        case Some(_) => return cols
+        case None =>
+          val next = part.headOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"$root is not a batch-committed data layout (no batch_id= " +
+                "partition level found)"))
+          cols :+= next.getName.takeWhile(_ != '=')
+          cur = next
+      }
+    }
+    cols
+  }
+
+  /** [[writeEventsByDay]] under the manifest protocol — day partitions
+    * for pruning, `batch_id` deliveries for the lifecycle (append /
+    * as-of / DELETE). */
+  def writeEventsByDayCommitted(events: DataFrame, path: String): Unit =
+    writeDataLayout(
+      events.withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date")),
+      path, Seq("event_date"))
+
+  /** [[eventsBetween]] over the committed layout: the date predicate and
+    * the visibility predicate are BOTH partition filters — invisible
+    * deliveries and out-of-range days prune as directories. */
+  def eventsBetweenCommitted(spark: SparkSession, path: String,
+      fromDate: String, toDate: String): DataFrame =
+    readDataLayout(spark, path)
+      .filter(col("event_date") >= fromDate && col("event_date") <= toDate)
+
   /** Event-time layout: day-partitioned directories, the standard
     * append-only fact layout — each day's load lands in its own directory,
     * time-range predicates prune to the covered days (PartitionFilters, no

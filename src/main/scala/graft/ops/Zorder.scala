@@ -122,6 +122,64 @@ object Zorder {
     (inFiles.size, Layout.parquetFiles(outPath).size)
   }
 
+  /** [[writeZordered]] under the MANIFEST PROTOCOL: the z-ordered base
+    * lands in the `batch_id=-1` delivery directory (z-range file
+    * partitioning and in-file sort preserved within the delivery), which
+    * makes the layout row-level DELETE-able —
+    * [[Layout.deleteFromDataLayout]] with no partition columns. Layout is
+    * still write-order, not schema; readers go through
+    * [[Layout.readDataLayout]]. */
+  def writeZorderedCommitted(df: DataFrame, path: String, x: Column,
+      y: Column, nFiles: Int): Unit = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) { fs.delete(root, true); () } // fresh-root semantics
+    writeZordered(df, s"$path/batch_id=-1", x, y, nFiles)
+    Layout.initCommitLog(spark, path)
+  }
+
+  /** Row-level DELETE from a [[writeZorderedCommitted]] root, preserving
+    * the LAYOUT and refreshing the derived envelope mart:
+    *
+    *   - the rewrite re-imposes the z-order write shape (fresh bounds
+    *     over the survivors, range exchange on the interleaved key,
+    *     in-file sort — the `reshape` hook of
+    *     [[Layout.deleteFromDataLayout]]) at the delivery's pre-delete
+    *     file count, so a takedown does not erode the table's skipping
+    *     power until the next compaction;
+    *   - the file-envelope mart is rewritten over the post-delete files —
+    *     it described files the rewrite replaced, and a stale row naming
+    *     a vanished file would break the pruned read outright.
+    *
+    * Envelope-pruned reads stay EXACT by construction (pruning consults
+    * only the refreshed mart; the exact predicate re-applies on the
+    * scanned rows) — spec-pinned. */
+  def deleteFromZorderedLayout(spark: SparkSession, path: String,
+      envPath: String, x: Column, y: Column, keyCol: String,
+      ids: Seq[Long]): Layout.TakedownReport = {
+    val nFiles = math.max(1, Layout.parquetFiles(path).size)
+    val rep = Layout.deleteFromDataLayout(spark, path, Nil, keyCol, ids,
+      reshape = df => {
+        val bounds = df.agg(
+          min(x.cast("long")).as("__x_mn"), max(x.cast("long")).as("__x_mx"),
+          min(y.cast("long")).as("__y_mn"), max(y.cast("long")).as("__y_mx"))
+        df.crossJoin(broadcast(bounds))
+          .withColumn("__z", zvalue(
+            scaled(x, col("__x_mn"), col("__x_mx")),
+            scaled(y, col("__y_mn"), col("__y_mx"))))
+          .repartitionByRange(nFiles, col("__z"))
+          // partition column FIRST (constant within the delivery): the
+          // parquet writer's required ordering prefix is satisfied, so no
+          // writer-inserted sort can disturb the z order
+          .sortWithinPartitions("batch_id", "__z")
+          .drop("__z", "__x_mn", "__x_mx", "__y_mn", "__y_mx")
+      })
+    if (rep.nRewrittenDeliveries > 0L)
+      writeFileEnvelopes(spark, path, envPath, x, y)
+    rep
+  }
+
   /** The single-dimension baseline: range-layout on x alone (what a
     * conventional sort-by-key table gives you). */
   def writeRangeOrdered(df: DataFrame, path: String, x: Column,

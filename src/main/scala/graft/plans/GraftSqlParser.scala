@@ -95,8 +95,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+AS\s+OF\s+(\d+))?\s+AS\s+VIEW\s+([A-Za-z_][A-Za-z0-9_]*)""" +
       """\s*;?\s*""").r
 
-  // DELETE FROM LAYOUT '<base>' WHERE doc_id IN (1, 2, ...) — row-level
-  // takedown over a persisted serving layout (the GDPR/DMCA operation a
+  // DELETE FROM LAYOUT '<base>' WHERE <id_col> IN (1, 2, ...) — row-level
+  // takedown over a persisted layout (the GDPR/DMCA operation a
   // training-data warehouse cannot run as a query): rewrite only the
   // affected deliveries without the victims, swap them in as ONE manifest
   // version, then the MANDATORY vacuum destroys every pre-delete delivery
@@ -104,11 +104,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // stays time-travelable is not a delete). The layout KIND is sniffed
   // from the tables on disk (minhash: shingles+members; bm25: postings;
   // ivfadc: codes+cents; ahash: bands+bands_meta), so one statement
-  // fronts all four index families; `vec_id` is accepted as the id
-  // column for vector layouts.
+  // fronts all four index families (doc_id/vec_id is the id column
+  // there); ANY OTHER batch-committed root (Layout.writeDataLayout — the
+  // day-partitioned events root, a z-ordered table, the shredded landing)
+  // takes the generic affected-delivery rewrite keyed on the statement's
+  // OWN id column — a takedown legally starts at the source-of-truth
+  // corpus, not at the serving indexes.
   private val DeleteLayout =
     ("""(?is)\s*DELETE\s+FROM\s+LAYOUT\s+'([^']+)'""" +
-      """\s+WHERE\s+(doc_id|vec_id)\s+IN\s*""" +
+      """\s+WHERE\s+([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*""" +
       """\(\s*(-?\d+(?:\s*,\s*-?\d+)*)\s*\)\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
@@ -305,9 +309,15 @@ case class DeleteFromLayoutCommand(base: String, idCol: String,
         graft.llm.Selection.deleteVecsFromIvfadcIndex(spark, base, ids)
       else if (has("bands") && has("bands_meta"))
         graft.ops.Multimodal.deleteDocsFromAhashIndex(spark, base, ids)
+      else if (has("_commits"))
+        // any other batch-committed root is a GENERIC data layout: the
+        // affected-delivery rewrite keyed on the statement's id column,
+        // partition structure discovered from the directories
+        graft.ops.Layout.deleteFromDataLayoutAuto(spark, base, idCol, ids)
       else throw new IllegalArgumentException(
-        s"$base is not a recognized serving layout (expected a minhash, " +
-          "bm25, ivfadc, or ahash index root)")
+        s"$base is not a recognized serving layout or batch-committed " +
+          "data layout (expected a minhash, bm25, ivfadc, or ahash index " +
+          "root, or a Layout.writeDataLayout root carrying _commits)")
     Seq(Row(report.kind, report.nMatchedRows, report.nRewrittenDeliveries,
       report.nReclaimedDirs))
   }

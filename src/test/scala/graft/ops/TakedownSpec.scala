@@ -367,6 +367,100 @@ class TakedownSpec extends SparkSpec {
     }
   }
 
+  test("generic data-layout takedown (day-partitioned events): post-delete " +
+      "read == fresh write minus victims; pre-delete versions refuse; " +
+      "the SQL face sniffs kind=data") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_tkdn_ev")
+      .toString + "/t"
+    Layout.writeEventsByDayCommitted(ev.filter(col("event_id") % 2 === 0),
+      root)
+    Layout.appendDataLayout(
+      ev.filter(col("event_id") % 2 =!= 0)
+        .withColumn("event_date", to_date(col("ts"))),
+      root, Seq("event_date"), batchId = 0L)
+    val preVersions = Layout.manifestVersions(spark, root)
+    // victims span both deliveries
+    val victims = Seq(4L, 7L, 100L, 101L)
+    val rep = spark.sql(s"DELETE FROM LAYOUT '$root' WHERE event_id IN " +
+      s"(${victims.mkString(", ")})").collect().head
+    assert(rep.getString(0) === "data")
+    assert(rep.getLong(1) === 4L) // matched rows
+    assert(rep.getLong(2) === 2L) // both deliveries rewrote
+    // post-delete == fresh committed write without the victims
+    val fresh = java.nio.file.Files.createTempDirectory("graft_tkdn_ev2")
+      .toString + "/t"
+    Layout.writeEventsByDayCommitted(
+      ev.filter(!col("event_id").isin(victims: _*)), fresh)
+    def read(p: String): Set[Seq[Any]] =
+      rows(Layout.readDataLayout(spark, p)
+        .select("event_id", "user_id", "event_type", "value", "event_date"))
+        .toSet
+    assert(read(root) === read(fresh))
+    assert(read(root).nonEmpty)
+    // day pruning still works over the post-delete layout
+    val d0 = Layout.eventsBetweenCommitted(spark, root,
+      "2024-01-01", "2024-01-01")
+    assert(d0.select("event_date").distinct().count() === 1L)
+    // pre-delete snapshots refuse after the mandatory vacuum
+    preVersions.foreach { v =>
+      intercept[IllegalArgumentException] {
+        Layout.readDataLayout(spark, root, Some(v)).collect()
+      }
+    }
+    // an absent victim set is a clean no-op
+    assert(Layout.deleteFromDataLayout(spark, root, Seq("event_date"),
+      "event_id", Seq(424242L)) === Layout.TakedownReport("data", 0L, 0L, 0L))
+  }
+
+  test("z-ordered layout takedown: rows vanish, the envelope mart " +
+      "refreshes, and the envelope-pruned read stays EXACT over the " +
+      "post-delete files") {
+    val o = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val xCol = col("o_custkey")
+    val yCol = datediff(to_date(col("o_orderdate")),
+      lit("1990-01-01").cast("date"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tkdn_z")
+      .toString
+    val (root, env) = (s"$tmp/z", s"$tmp/env")
+    Zorder.writeZorderedCommitted(o, root, xCol, yCol, nFiles = 16)
+    Zorder.writeFileEnvelopes(spark, root, env, xCol, yCol)
+    val victims = o.filter(col("o_orderkey") % 11 === 3)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(victims.nonEmpty)
+    val rep = Zorder.deleteFromZorderedLayout(spark, root, env, xCol, yCol,
+      "o_orderkey", victims)
+    assert(rep.kind === "data" && rep.nMatchedRows === victims.size.toLong)
+    // rows vanished, everything else intact
+    val back = Layout.readDataLayout(spark, root)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val expect = o.filter(!col("o_orderkey").isin(victims: _*))
+    assert(back.exceptAll(expect).unionByName(expect.exceptAll(back))
+      .count() === 0L)
+    // the refreshed envelope mart names only live files, and the pruned
+    // read == the exact filter over the post-delete layout
+    val bounds = o.agg(
+      min(xCol.cast("long")).as("x_mn"), max(xCol.cast("long")).as("x_mx"),
+      min(yCol.cast("long")).as("y_mn"), max(yCol.cast("long")).as("y_mx"))
+      .collect().head
+    def mid(mn: Long, mx: Long, f: Double): Long =
+      mn + math.floor((mx - mn).toDouble * f).toLong
+    val (xMn, xMx) = (bounds.getLong(0), bounds.getLong(1))
+    val (yMn, yMx) = (bounds.getLong(2), bounds.getLong(3))
+    val (rowsDf, scanned, total) = Zorder.envelopePrunedReadDist(spark,
+      root, env, xCol, yCol,
+      mid(xMn, xMx, 0.45), mid(xMn, xMx, 0.55),
+      mid(yMn, yMx, 0.45), mid(yMn, yMx, 0.55))
+    val exact = expect.filter(
+      xCol.cast("long").between(mid(xMn, xMx, 0.45), mid(xMn, xMx, 0.55)) &&
+        yCol.cast("long").between(mid(yMn, yMx, 0.45), mid(yMn, yMx, 0.55)))
+    assert(rowsDf.select("o_orderkey").exceptAll(exact.select("o_orderkey"))
+      .unionByName(exact.select("o_orderkey")
+        .exceptAll(rowsDf.select("o_orderkey"))).count() === 0L)
+    assert(scanned < total)
+  }
+
   test("takedownSearchRoot: one call scrubs a full serving root — the " +
       "lexical leg and the ANN leg both drop the victims") {
     import spark.implicits._
