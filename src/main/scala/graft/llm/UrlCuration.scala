@@ -131,6 +131,57 @@ object UrlCuration {
       .groupBy("domain", "host", "canon_url")
       .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars"))
 
+  /** SUBTRACTIVE takedown for the url-keyed host-stats mart — the shard
+    * law run backwards (the [[LangModel.subtractLmStats]] discipline):
+    * the maintained mart is per-(domain, host, canon_url) SUMS, so
+    * removing docs subtracts exactly their own keyed partial and the
+    * result is row-identical to rebuilding from the surviving corpus
+    * (q195 pins it) at the cost of one pass over the REMOVED docs. A key
+    * driven NEGATIVE refuses loudly — counts higher than the mart ever
+    * held prove the removed frame was not part of the maintained corpus;
+    * a key reaching zero DROPS (the url was never crawled in the
+    * surviving world — keeping it would mint phantom n_urls). The
+    * finalize step ([[hostStatsFromShards]]) then re-derives every
+    * host-level number from the subtracted partials, so dup-share and
+    * avg-chars can never drift from the counts. */
+  def subtractHostStatsShards(maintained: DataFrame,
+      removed: DataFrame): DataFrame = {
+    val keys = Seq("domain", "host", "canon_url")
+    val r = removed.select(col("domain"), col("host"), col("canon_url"),
+      col("n_docs").as("__rm_docs"), col("sum_chars").as("__rm_chars"))
+    def diff(cnt: String, rm: String) =
+      when(col(cnt) - coalesce(col(rm), lit(0L)) < 0L,
+        raise_error(lit("host-stats subtract underflow: the removed docs " +
+          "were not part of the maintained mart — rebuild instead of " +
+          "subtracting")).cast("long"))
+        .otherwise(col(cnt) - coalesce(col(rm), lit(0L)))
+    maintained.join(r, keys, "left")
+      .select(col("domain"), col("host"), col("canon_url"),
+        diff("n_docs", "__rm_docs").as("n_docs"),
+        diff("sum_chars", "__rm_chars").as("sum_chars"))
+      .filter(col("n_docs") > 0L)
+  }
+
+  /** The HLL-register tier REFUSES subtraction — registers are
+    * register-wise MAXIMA over hashed observations and have no inverse; a
+    * silently "subtracted" sketch would keep counting vanished urls
+    * forever, which is exactly the corruption [[subtractHostStatsShards]]'
+    * underflow guard exists to make impossible in the exact tier. The
+    * delete path for this mart is the RE-FOLD: merge the surviving
+    * shards ([[mergeHostStatsShardsHll]] == the rebuild, q168's
+    * byte-identity law) or re-sketch the surviving mart
+    * ([[hostStatsShardHll]]). Declared as a method (not just a doc note)
+    * so no caller can pattern-match the exact tier's API shape onto the
+    * sketch tier and corrupt it silently. */
+  def subtractHostStatsShardsHll(maintained: DataFrame,
+      removed: DataFrame): DataFrame =
+    throw new UnsupportedOperationException(
+      "HLL register vectors are register-wise maxima — a sketch has no " +
+        "inverse, and a silently subtracted register would keep counting " +
+        "removed urls. Re-fold the surviving shards instead: " +
+        "mergeHostStatsShardsHll(surviving) equals the rebuild (the q168 " +
+        "byte-identity law), or re-sketch via hostStatsShardHll.")
+
   /** Finalize merged url-keyed partials to the [[hostStats]] table —
     * n_urls = one row per surviving url key, no DISTINCT needed. */
   def hostStatsFromShards(merged: DataFrame,
@@ -355,6 +406,33 @@ FROM mart GROUP BY canon_url ORDER BY canon_url""")),
           .orderBy("domain", "host")
       },
       Some(hostStatsOracle)),
+
+    // SUBTRACTIVE takedown of the maintained host-stats mart (the delete
+    // tier for url-keyed partials): remove a victim doc class by
+    // subtracting its own keyed partial from the maintained mart — one
+    // pass over the REMOVED docs, never a corpus rescan — then finalize.
+    // Oracle = the host table REBUILT over the surviving corpus (the
+    // same CTE chain with the victims filtered at the mart), so equality
+    // pins subtract == rebuild end to end, n_urls key-drops included.
+    Q("q195_hoststats_subtract",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val maintained = hostStatsShard(urlMart(docs))
+        val removed = hostStatsShard(urlMart(
+          docs.filter(pmod(col("doc_id"), lit(23)) === 7)))
+        hostStatsFromShards(subtractHostStatsShards(maintained, removed))
+          .orderBy("domain", "host")
+      },
+      Some(s"""WITH $martCtes,
+surv AS (SELECT * FROM mart WHERE doc_id % 23 <> 7)
+SELECT domain, host, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls,
+  CAST(((count(*) - count(DISTINCT canon_url)) * 1000000) // count(*)
+    AS BIGINT) AS dup_share_micros,
+  CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars,
+  ((count(*) - count(DISTINCT canon_url)) * 1000000) // count(*) >= 500000
+    AS blocklist_candidate
+FROM surv GROUP BY domain, host ORDER BY domain, host""")),
 
     // HLL distinct-URL audit per host: exact count (the oracle-checkable
     // column) + the sketch's within-tolerance boolean (the self-audit

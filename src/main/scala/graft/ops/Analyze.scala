@@ -105,6 +105,26 @@ object Analyze {
       cols: Seq[String] = DocumentCols): DataFrame =
     finalizeWide(mergeWide(shards, cols), cols)
 
+  /** Table-stats shards REFUSE subtraction — they carry HLL NDV registers
+    * (register-wise maxima) and per-column min/max (fold maxima/minima),
+    * and maxima have no inverse: a "subtracted" stats mart would keep
+    * reporting a deleted row's min, max and distinct mass forever, and
+    * the stats-planned joins ([[joinPlannedByStats]]) would keep sizing
+    * from vanished rows. The delete path is the RE-FOLD:
+    * [[statsFromShards]] over the surviving shards (== the rebuild, the
+    * q175 law) or a fresh ANALYZE of the post-delete table — which the
+    * takedown recipes already prescribe for rewritten files. Declared as
+    * a method so the exact-tier subtract API shape cannot be
+    * pattern-matched onto this mart silently (the
+    * UrlCuration.subtractHostStatsShardsHll discipline). */
+  def subtractStatsShards(maintained: DataFrame,
+      removed: DataFrame): DataFrame =
+    throw new UnsupportedOperationException(
+      "table-stats shards carry HLL NDV registers and min/max — maxima " +
+        "have no inverse, so there is no sound subtract. Re-fold the " +
+        "surviving shards (statsFromShards == the rebuild, the q175 " +
+        "law) or re-ANALYZE the post-delete table.")
+
   /** The audit tier: exact NDV via count(DISTINCT) (Expand ×k — test scale
     * only) alongside the HLL estimate, emitting the exact columns plus the
     * within-tolerance boolean q174's oracle pins to TRUE. */

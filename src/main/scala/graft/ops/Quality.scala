@@ -210,6 +210,30 @@ object Quality {
         greatest(least(col("v"), lit(hi)), lit(lo)), lit(lo), lit(hi)))
       .groupBy("b").agg(count(lit(1)).as("c"))
 
+  /** Bin-wise SUBTRACTIVE takedown for a fixed-domain histogram mart —
+    * the shard law run backwards: bins are aligned integer counts
+    * (shards of one mart share [lo, hi] by the ANALYZE ... HISTOGRAM
+    * DOMAIN contract, which is exactly what makes the removed rows'
+    * shard subtract bin-for-bin), so subtract == rebuild over the
+    * surviving rows (q196 pins it) at the cost of one pass over the
+    * REMOVED rows. A bin driven NEGATIVE refuses loudly (the removed
+    * frame was not part of the maintained histogram — the
+    * CmsSubtract/subtractLmStats discipline); bins reaching zero drop
+    * (absent bins read as zero in every fold and quantile walk). */
+  def subtractHistogramShard(hist: DataFrame,
+      removed: DataFrame): DataFrame = {
+    val r = removed.select(col("b"), col("c").as("__rm"))
+    hist.join(r, Seq("b"), "left")
+      .select(col("b"),
+        when(col("c") - coalesce(col("__rm"), lit(0L)) < 0L,
+          raise_error(lit("histogram subtract underflow: the removed " +
+            "rows were not part of the maintained histogram (or were " +
+            "binned over a different domain) — rebuild instead of " +
+            "subtracting")).cast("long"))
+          .otherwise(col("c") - coalesce(col("__rm"), lit(0L))).as("c"))
+      .filter(col("c") > 0L)
+  }
+
   /** Exact rank-based quantile from a maintained histogram + one band
     * pass over the at-rest corpus: the histogram (streamed or batch —
     * the fold is exact, so it doesn't matter which) locates the
@@ -291,6 +315,30 @@ object Quality {
   }
 
   val queries: Seq[Q] = Seq(
+    // Bin-wise SUBTRACTIVE takedown of a maintained histogram mart (the
+    // delete tier for aligned-bin shards): subtract the victim rows' own
+    // shard from the maintained histogram over the SAME domain, refuse
+    // underflow. Oracle = the histogram REBUILT over the surviving rows —
+    // the binning arithmetic (clamp + min/max scale) is generated from
+    // the same Scala as the layout key (Zorder.scaledSql), so the two
+    // spellings cannot drift.
+    Q("q196_histogram_subtract",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val maintained = histogramShard(docs, col("n_chars"), 0L, 2000L)
+        val removed = histogramShard(
+          docs.filter(pmod(col("doc_id"), lit(23)) === 7),
+          col("n_chars"), 0L, 2000L)
+        subtractHistogramShard(maintained, removed).orderBy("b")
+      },
+      Some {
+        val bin = Zorder.scaledSql(
+          "greatest(least(CAST(n_chars AS BIGINT), 2000), 0)", "0", "2000")
+        s"""SELECT $bin AS b, CAST(count(*) AS BIGINT) AS c
+FROM documents WHERE doc_id % 23 <> 7
+GROUP BY 1 ORDER BY b"""
+      }),
+
     // The banded exact quantile, applied: the exact P90 n_chars cutoff
     // (length thresholds are a standard curation signal) computed WITHOUT
     // a global sort, then the per-source keep counts at/above it. The

@@ -158,4 +158,31 @@ class UrlCurationSpec extends SparkSpec {
     assert(r.getAs[Long]("avg_chars") === 61L / 3L)
     assert(!r.getAs[Boolean]("blocklist_candidate"))
   }
+
+  test("host-stats subtract == rebuild on surviving docs; underflow " +
+      "refuses; the HLL tier refuses outright with the re-fold recipe") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val victims = docs.filter(col("doc_id") % 7 === 2)
+    val survivors = docs.filter(col("doc_id") % 7 =!= 2)
+    val maintained = UrlCuration.hostStatsShard(UrlCuration.urlMart(docs))
+    val removed = UrlCuration.hostStatsShard(UrlCuration.urlMart(victims))
+    val sub = UrlCuration.hostStatsFromShards(
+      UrlCuration.subtractHostStatsShards(maintained, removed))
+    val rebuilt = UrlCuration.hostStats(UrlCuration.urlMart(survivors))
+    assert(sub.exceptAll(rebuilt).unionByName(rebuilt.exceptAll(sub))
+      .count() === 0L)
+    assert(rebuilt.count() > 0L)
+    // underflow: removing MORE than the mart holds refuses loudly
+    val overdraft = UrlCuration.hostStatsShard(
+      UrlCuration.urlMart(docs.unionByName(victims)))
+    val e = intercept[Exception](UrlCuration.subtractHostStatsShards(
+      maintained, overdraft).collect())
+    assert(e.getMessage.contains("underflow") ||
+      (e.getCause != null && e.getCause.getMessage.contains("underflow")))
+    // the sketch tier has no inverse: loud refusal naming the re-fold
+    val hll = UrlCuration.hostStatsShardHll(UrlCuration.urlMart(docs))
+    val rf = intercept[UnsupportedOperationException](
+      UrlCuration.subtractHostStatsShardsHll(hll, hll))
+    assert(rf.getMessage.contains("Re-fold"))
+  }
 }

@@ -237,4 +237,42 @@ class AnalyzeSpec extends SparkSpec {
     assert(Analyze.joinPlannedByStats(fact, dim, emptyStats, Seq("k"))
       .orderBy("k").collect().map(_.getAs[Long]("x")).toSeq === Seq(10L, 20L))
   }
+
+  test("stats-mart delete tiers: table-stats shards refuse subtraction " +
+      "with the re-fold recipe (maxima have no inverse); re-folding the " +
+      "surviving shards equals the rebuild; histogram underflow refuses") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val survivors = docs.filter(col("doc_id") % 7 =!= 2)
+    val shardA = Analyze.statsShard(survivors.filter(col("doc_id") % 2 === 0))
+    val shardB = Analyze.statsShard(survivors.filter(col("doc_id") % 2 =!= 0))
+    // the refusal: no silent subtract of a register-bearing mart
+    val e = intercept[UnsupportedOperationException](
+      Analyze.subtractStatsShards(shardA, shardB))
+    assert(e.getMessage.contains("Re-fold") ||
+      e.getMessage.contains("re-fold") ||
+      e.getMessage.contains("statsFromShards"))
+    // the prescribed delete path: re-fold surviving shards == rebuild
+    val refolded = Analyze.statsFromShards(shardA.unionByName(shardB))
+    val rebuilt = Analyze.columnStats(survivors)
+    assert(refolded.exceptAll(rebuilt).unionByName(rebuilt.exceptAll(refolded))
+      .count() === 0L)
+    // histogram tier: a removed frame the mart never held refuses loudly
+    val hist = Quality.histogramShard(docs, col("n_chars"), 0L, 2000L)
+    val foreign = Quality.histogramShard(
+      docs.unionByName(docs), col("n_chars"), 0L, 2000L)
+    val he = intercept[Exception](
+      Quality.subtractHistogramShard(hist, foreign).collect())
+    assert(he.getMessage.contains("underflow") ||
+      (he.getCause != null && he.getCause.getMessage.contains("underflow")))
+    // and the sound subtract equals the rebuild (q196's law, pinned here
+    // at the frame level too)
+    val removedShard = Quality.histogramShard(
+      docs.filter(col("doc_id") % 7 === 2), col("n_chars"), 0L, 2000L)
+    val sub = Quality.subtractHistogramShard(hist, removedShard)
+    val freshHist = Quality.histogramShard(survivors, col("n_chars"),
+      0L, 2000L)
+    assert(sub.exceptAll(freshHist).unionByName(freshHist.exceptAll(sub))
+      .count() === 0L)
+  }
 }
