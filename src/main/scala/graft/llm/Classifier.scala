@@ -186,6 +186,24 @@ object Classifier {
       .orderBy("j")
   }
 
+  /** Retrain the quality classifier after a takedown whose legal scope
+    * covers MODEL PARAMETERS: logreg weights are gradient aggregates over
+    * a training corpus that included the victims, and gradients have no
+    * sound row-level inverse (each round's weights feed the next round's
+    * sigmoid — subtraction would need the full optimization replayed
+    * anyway). So the delete tier for this family IS the retrain: one
+    * [[logregTrain]] over the surviving corpus. Deterministic
+    * (integer-micro arithmetic end to end), so the equality law holds
+    * exactly: retrained weights == a fresh train on corpus-minus-victims
+    * (ClassifierSpec). */
+  def retrainClassifierAfterTakedown(docs: DataFrame,
+      victimDocIds: Seq[Long], rounds: Int,
+      lrMicro: Long = 2000000L, nf: Int = NumFeatures): DataFrame = {
+    require(victimDocIds.nonEmpty, "empty takedown set")
+    logregTrain(docs.filter(!col("doc_id").isin(victimDocIds.distinct: _*)),
+      rounds, lrMicro, nf)
+  }
+
   /** Calibration report over the scored corpus: bucket docs into score
     * deciles (floor(s_micro/100000), clamped to 9) and report per-bucket
     * volume and teacher-rule agreement — the curve a curation operator

@@ -175,6 +175,20 @@ object LangModel {
   def subtractLmStats(uni: DataFrame, pair: DataFrame,
       removedDocs: DataFrame, strict: Boolean = false)
       : (DataFrame, DataFrame) = {
+    // a CAPPED model ([[capLmModel]]) cannot subtract: the folded tail
+    // row hides which removed tokens it absorbed, so the removed docs'
+    // out-of-vocab counts would silently SURVIVE inside the tail and
+    // every denominator would keep counting the deleted corpus — the
+    // same silent corruption the HLL refusal guards against. Retrain
+    // instead ([[retrainLmModelAfterTakedown]] / [[capLmModel]] over the
+    // surviving reference).
+    if (!uni.filter(col("h") === lit(OovTailHash)).isEmpty)
+      throw new UnsupportedOperationException(
+        "capped LM model: the folded vocabulary tail hides the removed " +
+          "docs' out-of-vocab counts, so subtraction would silently keep " +
+          "deleted mass in every score's denominator. Retrain on the " +
+          "surviving reference instead (retrainLmModelAfterTakedown, or " +
+          "capLmModel over freshly-trained stats).")
     val rmUni = lmUnigramStats(removedDocs)
     val rmPair = lmBigramStats(removedDocs)
     if (strict) {
@@ -271,6 +285,24 @@ object LangModel {
     }
     uni.write.mode("overwrite").parquet(s"$basePath/lm_model/uni")
     pair.write.mode("overwrite").parquet(s"$basePath/lm_model/pair")
+  }
+
+  /** Retrain the PERSISTED reference model after a takedown — the delete
+    * tier for trained/capped LM models: [[subtractLmStats]] covers the
+    * uncapped count tables exactly, but a capped model's folded tail has
+    * no inverse (the subtract guard refuses it), and a takedown whose
+    * legal scope covers MODEL PARAMETERS wants the weights themselves
+    * re-derived from the surviving reference either way. One pass over
+    * the surviving reference slice; equality law (LangModelSpec): the
+    * retrained tables == [[writeLmModel]] over docs-minus-victims —
+    * training is deterministic count arithmetic. */
+  def retrainLmModelAfterTakedown(docs: DataFrame, basePath: String,
+      victimDocIds: Seq[Long], refSource: String = RefSource,
+      maxVocab: Option[Int] = None): Unit = {
+    require(victimDocIds.nonEmpty, "empty takedown set")
+    writeLmModel(
+      docs.filter(!col("doc_id").isin(victimDocIds.distinct: _*)),
+      basePath, refSource, maxVocab)
   }
 
   /** Train-on-reference + score-everything convenience: the CCNet pass.

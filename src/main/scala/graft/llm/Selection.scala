@@ -1440,6 +1440,31 @@ c AS (SELECT doc_id, source, t,
       affected.size.toLong, reclaimed)
   }
 
+  /** GEOMETRY REBUILD after a takedown whose legal scope covers MODEL
+    * PARAMETERS — the operation that discharges the honest note
+    * [[deleteVecsFromIvfadcIndex]] has carried since it landed: the row
+    * delete removes the victims' code rows, but the trained geometry
+    * (k-means cell directory, residual PQ codebooks) remains an
+    * aggregate over a training set that INCLUDED the victims. Rebuild =
+    * retrain BOTH geometry stages from the surviving vectors and
+    * re-encode them into a fresh base under the same root
+    * ([[writeIvfadcIndex]]'s fresh-root semantics: every pre-retrain
+    * manifest retires, so no as-of read can decode old codes against the
+    * new geometry, and the stale reassign log is cleared). Equality law
+    * (TakedownSpec): the retrained root is table-identical to a fresh
+    * [[writeIvfadcIndex]] over corpus-minus-victims — train and encode
+    * are deterministic integer/double arithmetic. Cost: a full rebuild
+    * BY DESIGN (that is what retraining means); the at-rest row delete
+    * stays the cheap default when the legal scope is the rows. */
+  def retrainIvfadcAfterTakedown(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, vectors: DataFrame, victimVecIds: Seq[Long],
+      nlist: Int): Unit = {
+    require(victimVecIds.nonEmpty, "empty takedown set")
+    writeIvfadcIndex(
+      vectors.filter(!col("vec_id").isin(victimVecIds.distinct: _*)),
+      nlist, basePath)
+  }
+
   /** Root-level TAKEDOWN of a full [[retrievalIndex]]-shaped serving
     * root — the operational unit a legal request actually names ("remove
     * these documents from search"): the lexical leg deletes through

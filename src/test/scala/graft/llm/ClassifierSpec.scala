@@ -83,4 +83,23 @@ class ClassifierSpec extends SparkSpec {
     // bit-identical to the in-session one
     assert(viaTable.toSeq === inline.toSeq && viaTable.nonEmpty)
   }
+
+  test("retrainClassifierAfterTakedown == a fresh train on the surviving " +
+      "corpus (gradients have no row-level inverse; the delete tier IS " +
+      "the retrain)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val victims = docs.filter(org.apache.spark.sql.functions.col("doc_id")
+      % 11 === 5).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(victims.nonEmpty)
+    val retrained = Classifier.retrainClassifierAfterTakedown(
+      docs, victims, rounds = 3).collect().map(_.toSeq).toSeq
+    val fresh = Classifier.logregTrain(
+      docs.filter(!org.apache.spark.sql.functions.col("doc_id")
+        .isin(victims: _*)), rounds = 3).collect().map(_.toSeq).toSeq
+    assert(retrained === fresh && retrained.nonEmpty)
+    // and the weights actually moved vs the victim-inclusive model
+    val full = Classifier.logregTrain(docs, rounds = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(full !== fresh)
+  }
 }

@@ -173,6 +173,37 @@ class LangModelSpec extends SparkSpec {
     assert(uniSet(cu) === uniSet(su) && uniSet(cp) === uniSet(sp))
   }
 
+  test("capped models refuse subtraction (the folded tail hides removed " +
+      "mass); the retrain operation == a fresh train on the survivors") {
+    val ref = Seq(
+      (1L, "a a a a b b b c c", "en", "src0"),
+      (2L, "b c a b a c b a a", "en", "src0"),
+      (3L, "d d a b d c d a b", "en", "src0"),
+      (4L, "scored probe text here", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val (cuni, cpair) = LangModel.capLmModel(
+      LangModel.lmUnigramStats(ref.filter(col("source") === "src0")),
+      LangModel.lmBigramStats(ref.filter(col("source") === "src0")),
+      maxVocab = 2)
+    val removed = ref.filter(col("doc_id") === 2L)
+    val e = intercept[UnsupportedOperationException](
+      LangModel.subtractLmStats(cuni, cpair, removed))
+    assert(e.getMessage.contains("Retrain") ||
+      e.getMessage.contains("retrain"))
+    // the prescribed path: retrain the persisted model on the survivors
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm_retrain")
+      .toString
+    LangModel.retrainLmModelAfterTakedown(ref, s"$tmp/a",
+      victimDocIds = Seq(2L), maxVocab = Some(2))
+    LangModel.writeLmModel(ref.filter(col("doc_id") =!= 2L), s"$tmp/b",
+      maxVocab = Some(2))
+    Seq("uni", "pair").foreach { t =>
+      val a = spark.read.parquet(s"$tmp/a/lm_model/$t")
+      val b = spark.read.parquet(s"$tmp/b/lm_model/$t")
+      assert(a.exceptAll(b).unionByName(b.exceptAll(a)).count() === 0L)
+    }
+  }
+
   test("reference docs score lower than the rest (the calibration premise)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val scored = LangModel.lmScore(docs)

@@ -496,6 +496,42 @@ class TakedownSpec extends SparkSpec {
       .map(_.kind) === Seq("bm25"))
   }
 
+  test("geometry rebuild after takedown: retrainIvfadcAfterTakedown == a " +
+      "fresh writeIvfadcIndex over corpus-minus-victims, table for table; " +
+      "pre-retrain snapshots refuse") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tkdn_geom")
+      .toString
+    val (root, fresh) = (s"$tmp/idx", s"$tmp/fresh")
+    Selection.writeIvfadcIndex(emb, nlist = 8, root)
+    val preVersions = Layout.manifestVersions(spark, root)
+    val victims = emb.filter(col("vec_id") % 13 === 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(victims.nonEmpty)
+    Selection.retrainIvfadcAfterTakedown(spark, root, emb, victims,
+      nlist = 8)
+    Selection.writeIvfadcIndex(
+      emb.filter(!col("vec_id").isin(victims: _*)), nlist = 8, fresh)
+    def table(base: String, t: String): org.apache.spark.sql.DataFrame =
+      spark.read.parquet(s"$base/$t")
+    Seq("cents", "codebook", "codes").foreach { t =>
+      val a = table(root, t)
+      val b = table(fresh, t)
+      assert(a.exceptAll(b).unionByName(b.exceptAll(a)).count() === 0L,
+        s"table $t differs between retrained and fresh roots")
+      assert(a.count() > 0L)
+    }
+    // no victim code row survived the retrain — including on disk: the
+    // rebuild's static overwrite replaced every data file, so there is no
+    // victim-bearing byte left for ANY read path to reach (resetCommitLog
+    // restarts history at version 1 — the new v1 describes the retrained
+    // snapshot, never the old one)
+    assert(table(root, "codes").filter(col("vec_id").isin(victims: _*))
+      .count() === 0L)
+    assert(Layout.manifestVersions(spark, root) === Seq(1L))
+    assert(preVersions === Seq(1L))
+  }
+
   test("vacuum grace ages by SUPERSESSION time, not delivery write time: " +
       "an old delivery superseded a moment ago is spared; a fresh " +
       "delivery superseded long ago is reclaimed") {
