@@ -1220,17 +1220,43 @@ object Layout {
     * scan merge small files into coarser ones, which is sound but erodes
     * file-level min/max pruning — a z-ordered base would lose its
     * skipping power at every takedown until the next compaction. The
-    * zorder wrapper passes its range-exchange + in-file sort here. */
+    * zorder wrapper passes its range-exchange + in-file sort here.
+    *
+    * Victim-set TIERS (the r18 verdict's #7): legally-typical takedown
+    * sets ride the driver as pushed `isin` predicates — the victim scan
+    * skips row groups and the filter stays codegen'd. Past
+    * `victimFrameMaxIds` (a 10^7-victim purge — a whole-source recall,
+    * not a request list) the isin literal list itself becomes the
+    * bottleneck (plan size, per-row linear scan), so both the discovery
+    * scan and the rewrite filter flip to JOINS against a victim
+    * DataFrame: a broadcast semi/anti join over the distinct victim
+    * frame — the sized-degrade recipe, identical rows (spec-pinned). */
+  val DefaultVictimFrameMaxIds: Int = 100000
+
   def deleteFromDataLayout(spark: SparkSession, path: String,
       partitionCols: Seq[String], keyCol: String, ids: Seq[Long],
-      reshape: DataFrame => DataFrame = identity)
+      reshape: DataFrame => DataFrame = identity,
+      victimFrameMaxIds: Int = DefaultVictimFrameMaxIds)
       : TakedownReport = {
     require(ids.nonEmpty, "empty takedown set")
     val victims = ids.distinct
+    val joinTier = victims.size > victimFrameMaxIds
+    // the victim frame for the join tier (victim-set sized; broadcast —
+    // 10^7 longs is tens of MB, inside the executor broadcast budget, and
+    // the alternative was a plan LITERAL of the same size)
+    lazy val victimDf = {
+      import spark.implicits._
+      broadcast(victims.toDF(keyCol))
+    }
+    def victimRows(df: DataFrame): DataFrame =
+      if (joinTier) df.join(victimDf, Seq(keyCol), "left_semi")
+      else df.filter(col(keyCol).isin(victims: _*))
+    def survivorRows(df: DataFrame): DataFrame =
+      if (joinTier) df.join(victimDf, Seq(keyCol), "left_anti")
+      else df.filter(!col(keyCol).isin(victims: _*))
     takedownWithRetry(spark, path) { observed =>
       val vis = committedBatchFilter(spark, path)
-      val hits = spark.read.parquet(path).filter(vis)
-        .filter(col(keyCol).isin(victims: _*))
+      val hits = victimRows(spark.read.parquet(path).filter(vis))
         .groupBy(col("batch_id").cast("long").as("batch_id"))
         .agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1))
@@ -1242,7 +1268,7 @@ object Layout {
             expectedVersion = observed) { (oldPhys, newPhys) =>
           readDeliveryRows(spark, path, nest, oldPhys).foreach { rows =>
             withIdBloom(
-                reshape(rows.filter(!col(keyCol).isin(victims: _*))
+                reshape(survivorRows(rows)
                     .drop("batch_id").withColumn("batch_id", lit(newPhys)))
                   .write.mode("overwrite"), keyCol)
               .partitionBy((partitionCols :+ "batch_id"): _*)

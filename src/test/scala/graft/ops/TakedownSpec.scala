@@ -413,6 +413,30 @@ class TakedownSpec extends SparkSpec {
       "event_id", Seq(424242L)) === Layout.TakedownReport("data", 0L, 0L, 0L))
   }
 
+  test("victim-frame join tier: a takedown set past the isin budget " +
+      "flips discovery and rewrite to joins — rows identical to the " +
+      "isin tier") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tkdn_vf")
+      .toString
+    Layout.writeEventsByDayCommitted(ev, s"$tmp/a")
+    Layout.writeEventsByDayCommitted(ev, s"$tmp/b")
+    val victims = ev.filter(col("event_id") % 5 === 1)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    val ra = Layout.deleteFromDataLayout(spark, s"$tmp/a",
+      Seq("event_date"), "event_id", victims) // isin tier (under budget)
+    val rb = Layout.deleteFromDataLayout(spark, s"$tmp/b",
+      Seq("event_date"), "event_id", victims,
+      victimFrameMaxIds = 1) // forced join tier
+    assert(ra.nMatchedRows === rb.nMatchedRows && ra.nMatchedRows > 0L)
+    assert(ra.nRewrittenDeliveries === rb.nRewrittenDeliveries)
+    def read(p: String): Set[Seq[Any]] =
+      rows(Layout.readDataLayout(spark, p)
+        .select("event_id", "user_id", "event_type", "value")).toSet
+    assert(read(s"$tmp/a") === read(s"$tmp/b"))
+    assert(read(s"$tmp/a").nonEmpty)
+  }
+
   test("z-ordered layout takedown: rows vanish, the envelope mart " +
       "refreshes, and the envelope-pruned read stays EXACT over the " +
       "post-delete files") {
