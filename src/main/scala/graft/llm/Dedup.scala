@@ -509,6 +509,37 @@ object Dedup {
     }
   }
 
+  /** The memoized takedown-registry root — corpus (doc_id % 10 != 0)
+    * base build, the q189 victim class (% 17 == 5) DELETED (which
+    * registers their content keys), then a delta of the natural
+    * (% 10 == 0) docs plus exact re-crawls of every victim under fresh
+    * ids admitted as logical batch 0 — so the committed admission log
+    * carries all four outcomes including n_blocked. Built once per
+    * (session, dir); shared by q193 and `GET /takedowns`. */
+  def registryMart(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_mhreg_" + graft.sec.SecDerive.pathKey(dir)
+    graft.sec.SecDerive.cachedCount(spark, dir, "minhash_registry") {
+      val docs = graft.Tables.documents(spark, dir)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      writeMinhashIndex(corpus, base)
+      val victims = corpus.filter(pmod(col("doc_id"), lit(17)) === 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      deleteDocsFromMinhashIndex(spark, base, victims)
+      val recrawl = docs
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
+          pmod(col("doc_id"), lit(17)) === 5)
+        .withColumn("doc_id", col("doc_id") + lit(100000000L))
+      admitIntoMinhashIndex(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .unionByName(recrawl),
+        base, batchId = 0L, threshold = 0.8)
+      1L
+    }
+    base
+  }
+
   /** The memoized admission-demo root — corpus (doc_id % 10 != 0) base
     * build + the delta (doc_id % 10 == 0) admitted as logical batch 0 —
     * built once per (session, dir) on first use, the ahashIndexMart

@@ -851,28 +851,9 @@ ORDER BY doc_id_a, doc_id_b""")),
     // rejected = non-blocked delta docs near-dupping the POST-DELETE
     // corpus (q189's surviving-pair arithmetic); skipped = shingle-less.
     Q("q193_takedown_registry",
-      (s, dir) => {
-        val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-          "/graft_mhreg_" + graft.sec.SecDerive.pathKey(dir)
-        val docs = Tables.documents(s, dir)
-        graft.sec.SecDerive.cachedCount(s, dir, "minhash_registry") {
-          val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-          Dedup.writeMinhashIndex(corpus, base)
-          val victims = corpus.filter(pmod(col("doc_id"), lit(17)) === 5)
-            .select("doc_id").collect().map(_.getLong(0)).toSeq
-          Dedup.deleteDocsFromMinhashIndex(s, base, victims)
-          val recrawl = docs
-            .filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
-              pmod(col("doc_id"), lit(17)) === 5)
-            .withColumn("doc_id", col("doc_id") + lit(100000000L))
-          Dedup.admitIntoMinhashIndex(s,
-            docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-              .unionByName(recrawl),
-            base, batchId = 0L, threshold = 0.8)
-          1L
-        }
-        Dedup.admissionLog(s, base).orderBy("batch", "source")
-      },
+      (s, dir) =>
+        Dedup.admissionLog(s, Dedup.registryMart(s, dir))
+          .orderBy("batch", "source"),
       Some(s"""
 WITH $minhashCtes,
 vict AS (SELECT doc_id, list_sort(s) AS vkey FROM sh

@@ -181,6 +181,7 @@ class GraftApi(spark: SparkSession, sfDir: String,
       case ("GET", List("versions"))        => versionsEndpoint(ex)
       case ("GET", List("diff"))            => diffEndpoint(ex, qp)
       case ("GET", List("admissions"))      => admissionsEndpoint(ex, qp)
+      case ("GET", List("takedowns"))       => takedownsEndpoint(ex, qp)
       case ("GET", List("captionfarm"))     => captionFarmEndpoint(ex, qp)
       case ("GET", List("stolen"))          => stolenEndpoint(ex, qp)
       case ("POST", List("query"))          => sqlEndpoint(ex)
@@ -684,6 +685,45 @@ class GraftApi(spark: SparkSession, sfDir: String,
       o.put("base", admissionIndexBase)
       val arr = o.putArray("admissions")
       rows.foreach(r => putRow(arr.addObject(), cols, r))
+    })
+  }
+
+  /** The /takedowns frame: the standing takedown registry of the demo
+    * registry root — one (content_key, doc_id) row per destroyed doc,
+    * optionally filtered to one doc_id, optionally AS OF a past manifest
+    * version. Registry-sized (cumulative takedown requests), never a
+    * corpus read. */
+  private[serve] def takedownsFrame(docId: Option[Long],
+      asOf: Option[Long] = None): DataFrame = {
+    val base = graft.llm.Dedup.registryMart(spark, sfDir)
+    val reg = graft.llm.Dedup.takedownRegistry(spark, base, asOf)
+    docId.fold(reg)(id => reg.filter(col("doc_id") === id))
+      .orderBy("doc_id")
+  }
+
+  /** GET /takedowns[?doc_id=85&as_of=3] — the takedown registry's audit
+    * face, completing the serving convention (every persisted mart has
+    * one: /stats, /versions, /diff, /admissions). Each row is one
+    * destroyed doc: `doc_id` is the audit trail back to the takedown
+    * request, `content_key` the standing re-admission block the
+    * admission transaction consults (one-way hash — no recoverable
+    * text). An empty list is a valid 200 (a root with no takedowns);
+    * unknown/vacuumed as_of versions 422. */
+  private def takedownsEndpoint(ex: HttpExchange,
+      qp: Map[String, String]): Unit = {
+    val docId = qp.get("doc_id").map(v => v.toLongOption.getOrElse(
+      throw new IllegalArgumentException("doc_id must be an integer")))
+    val rows = takedownsFrame(docId, asOfParam(qp))
+      .collect() // registry-sized
+    reply(ex, 200, obj { o =>
+      o.put("base", graft.llm.Dedup.registryMart(spark, sfDir))
+      o.put("n_takedowns", rows.length)
+      val arr = o.putArray("takedowns")
+      rows.foreach { r =>
+        val ro = arr.addObject()
+        ro.put("content_key", r.getString(0))
+        ro.put("doc_id", r.getLong(1))
+      }
     })
   }
 

@@ -723,6 +723,30 @@ class GraftApiSpec extends SparkSpec {
     assert(c6 === 200 && b6.get("admissions").size() === 0)
   }
 
+  test("GET /takedowns serves the standing registry: rows == " +
+      "takedownRegistry of the registry mart; doc_id filter; refusals") {
+    val (code, body) = get("/takedowns")
+    assert(code === 200)
+    val served = body.get("takedowns").elements().asScala.map(e =>
+      (e.get("content_key").asText(), e.get("doc_id").asLong())).toSet
+    val base = graft.llm.Dedup.registryMart(spark, "/root/testdata/sf0.001")
+    val expect = graft.llm.Dedup.takedownRegistry(spark, base)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(served === expect && served.nonEmpty)
+    assert(body.get("n_takedowns").asInt() === served.size)
+    // doc_id filter: one victim's row only
+    val aDoc = served.head._2
+    val (c1, b1) = get(s"/takedowns?doc_id=$aDoc")
+    assert(c1 === 200 && b1.get("takedowns").size() === 1)
+    assert(b1.get("takedowns").get(0).get("doc_id").asLong() === aDoc)
+    // an unregistered doc is an empty 200 (a filter, not a resource)
+    val (c2, b2) = get("/takedowns?doc_id=424242")
+    assert(c2 === 200 && b2.get("takedowns").size() === 0)
+    // refusals: non-numeric doc_id, unknown as_of
+    assert(get("/takedowns?doc_id=zero")._1 === 422)
+    assert(get("/takedowns?as_of=9999")._1 === 422)
+  }
+
   // recurse through AQE query stages + reused exchanges to every file scan
   private def scans(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
