@@ -35,6 +35,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("l_discount") && p.contains("l_quantity"))
   }
 
+  test("committed events layout: the date range AND the manifest " +
+      "visibility are both PartitionFilters — invisible deliveries and " +
+      "out-of-range days prune as directories, not row filters") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_plan_ev")
+      .toString + "/t"
+    graft.ops.Layout.writeEventsByDayCommitted(ev, root)
+    val p = graft.ops.Layout.eventsBetweenCommitted(spark, root,
+        "2024-01-01", "2024-01-02")
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(pf.contains("event_date"),
+      s"date range must be a partition filter:\n$p")
+    assert(pf.contains("batch_id"),
+      s"manifest visibility must be a partition filter:\n$p")
+  }
+
   test("top-k plans TakeOrderedAndProject, not a global sort") {
     assert(plan("q13_topk_orders").contains("TakeOrderedAndProject"))
     assert(plan("q11_screener").contains("TakeOrderedAndProject"))
