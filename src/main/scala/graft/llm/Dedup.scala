@@ -253,6 +253,18 @@ object Dedup {
         .select("content_key", "doc_id")
   }
 
+  /** One registry-lane table's committed rows, None when the table has
+    * never been written — the read side of the takedown registry and its
+    * near-copy QUARANTINE (`takedowns_bands` / `takedowns_shingles`). */
+  private def laneTable(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, table: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/$table")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$indexPath/$table")
+      .filter(graft.ops.Layout.committedBatchFilter(spark, indexPath)))
+  }
+
   /** Persist the corpus's MinHash dedup index — three tables under
     * `indexPath`, every one partitioned by `batch_id` and governed by the
     * Layout manifest protocol ([[graft.ops.Layout.initCommitLog]]), the
@@ -285,7 +297,8 @@ object Dedup {
     // state: a fresh build's corpus must already honor outstanding
     // takedowns (that is what the takedown deleted from), and the new
     // index's standing obligations start from its own deletes.
-    Seq("admissions", "takedowns").foreach { t =>
+    Seq("admissions", "takedowns", "takedowns_bands",
+        "takedowns_shingles").foreach { t =>
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$t")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) { fs.delete(p, true); () }
@@ -375,13 +388,50 @@ object Dedup {
     // Blocked takes precedence over rejected: content under a takedown is
     // refused as taken down even when copies of it still survive in the
     // index (a partial-group takedown).
-    val blockedReps = newSets
+    val exactBlocked = newSets
       .select(col("doc_id").as("rep"),
         contentKey(col("shingle_set")).as("__ck"))
       .join(broadcast(takedownRegistry(spark, indexPath)
           .select(col("content_key").as("__ck")).distinct()),
         Seq("__ck"), "left_semi")
       .select("rep")
+    // the near-copy QUARANTINE tier (present only when a takedown ran
+    // with nearCopyBlock): delta reps are LSH-probed against the
+    // quarantined victims' bands and verified against their shingle sets
+    // at the admission threshold — the same band/verify machinery as the
+    // index probe, with the quarantine (registry-sized) broadcast. A near
+    // copy whose only near-dup partners were the DELETED docs is refused
+    // here instead of sailing into the index.
+    val nearBlocked =
+      (laneTable(spark, indexPath, "takedowns_bands"),
+        laneTable(spark, indexPath, "takedowns_shingles")) match {
+        case (Some(qb), Some(qs)) =>
+          val cand = newBands
+            .join(broadcast(qb.select(col("doc_id").as("__qrep"),
+              col("band_idx"), col("band_hash"))),
+              Seq("band_idx", "band_hash"))
+            .select(col("doc_id").as("rep"), col("__qrep"))
+            .distinct()
+          Some(cand
+            .join(newSets.select(col("doc_id").as("rep"),
+              col("shingle_set").as("__sh_new")), Seq("rep"))
+            .join(broadcast(qs.select(col("doc_id").as("__qrep"),
+              col("shingle_set").as("__sh_q"))), Seq("__qrep"))
+            .select(col("rep"),
+              graft.expr.ThresholdedIntersectCount(col("__sh_new"),
+                col("__sh_q"),
+                graft.expr.ThresholdedIntersectCount.jaccardBound(
+                  size(col("__sh_new")) + size(col("__sh_q")),
+                  threshold)).as("__icnt"),
+              (size(col("__sh_new")) + size(col("__sh_q"))).as("__nsum"))
+            .filter(col("__icnt").cast("double") /
+              (col("__nsum") - col("__icnt")).cast("double") >=
+              lit(threshold))
+            .select("rep").distinct())
+        case _ => None
+      }
+    val blockedReps = nearBlocked.fold(exactBlocked)(nb =>
+        exactBlocked.unionByName(nb).distinct())
       .localCheckpoint()
     val phys = graft.ops.Layout.beginBatchCommit(spark, indexPath, batchId)
     graft.ops.Layout.clearPhysicalDelivery(spark, indexPath, phys)
@@ -517,16 +567,18 @@ object Dedup {
     * carries all four outcomes including n_blocked. Built once per
     * (session, dir); shared by q193 and `GET /takedowns`. */
   def registryMart(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
+      dir: String, nearCopyBlock: Boolean = false): String = {
+    val suffix = if (nearCopyBlock) "near_" else ""
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-      "/graft_mhreg_" + graft.sec.SecDerive.pathKey(dir)
-    graft.sec.SecDerive.cachedCount(spark, dir, "minhash_registry") {
+      s"/graft_mhreg_$suffix" + graft.sec.SecDerive.pathKey(dir)
+    graft.sec.SecDerive.cachedCount(spark, dir,
+        s"minhash_registry_$suffix") {
       val docs = graft.Tables.documents(spark, dir)
       val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       writeMinhashIndex(corpus, base)
       val victims = corpus.filter(pmod(col("doc_id"), lit(17)) === 5)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
-      deleteDocsFromMinhashIndex(spark, base, victims)
+      deleteDocsFromMinhashIndex(spark, base, victims, nearCopyBlock)
       val recrawl = docs
         .filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
           pmod(col("doc_id"), lit(17)) === 5)
@@ -846,26 +898,29 @@ object Dedup {
         .write.mode("overwrite").partitionBy("batch_id")
         .parquet(s"$outBase/admissions")
     }
-    // the takedown REGISTRY rides compaction the same way the audit does —
-    // a compacted index stays bound by every standing takedown, or the
-    // fold would silently re-open re-admission. It keeps its reserved
-    // lane (never folds to the base): a later takedown on the compacted
-    // root supersedes it in place, exactly as on the original root. The
-    // gen-0 lane physical is backfilled into the fresh manifest by
-    // initCommitLog's directory walk below.
-    val tkOut = new org.apache.hadoop.fs.Path(s"$outBase/takedowns")
-    val tkFs = tkOut.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (tkFs.exists(tkOut)) { tkFs.delete(tkOut, true); () }
-    val tkIn = new org.apache.hadoop.fs.Path(s"$inBase/takedowns")
-    if (tkIn.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(tkIn)) {
-      spark.read.parquet(s"$inBase/takedowns").filter(vis)
-        .select("content_key", "doc_id")
-        .withColumn("batch_id",
-          lit((RegistryBatch + 1) * graft.ops.Layout.GenStride))
-        .coalesce(1)
-        .write.mode("overwrite").partitionBy("batch_id")
-        .parquet(s"$outBase/takedowns")
+    // the takedown REGISTRY (and its near-copy quarantine) ride
+    // compaction the same way the audit does — a compacted index stays
+    // bound by every standing takedown, or the fold would silently
+    // re-open re-admission. They keep their reserved lane (never fold to
+    // the base): a later takedown on the compacted root supersedes the
+    // lane in place, exactly as on the original root. The gen-0 lane
+    // physical is backfilled into the fresh manifest by initCommitLog's
+    // directory walk below.
+    Seq("takedowns", "takedowns_bands", "takedowns_shingles").foreach { t =>
+      val out = new org.apache.hadoop.fs.Path(s"$outBase/$t")
+      val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (ofs.exists(out)) { ofs.delete(out, true); () }
+      val in = new org.apache.hadoop.fs.Path(s"$inBase/$t")
+      if (in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(in)) {
+        spark.read.parquet(s"$inBase/$t").filter(vis)
+          .drop("batch_id")
+          .withColumn("batch_id",
+            lit((RegistryBatch + 1) * graft.ops.Layout.GenStride))
+          .coalesce(1)
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$outBase/$t")
+      }
     }
     graft.ops.Layout.initCommitLog(spark, outBase)
     def nFiles(base: String): Long =
@@ -900,8 +955,21 @@ object Dedup {
     * audit rides through affected rewrites unchanged — the log records
     * DECISIONS made at admission time, which a later takedown does not
     * falsify. */
+  /** `nearCopyBlock = true` additionally QUARANTINES the victim groups'
+    * LSH bands and verify shingle sets in the registry lane
+    * (`takedowns_bands` / `takedowns_shingles` — still one-way 60-bit
+    * hashes, no recoverable text), so the admission transaction refuses
+    * not just exact re-crawls but NEAR COPIES of taken-down content at
+    * the admission threshold — a paraphrased re-upload whose only
+    * near-dup partners were the deleted docs would otherwise sail back
+    * in. Off by default: the exact-key registry is the minimal standing
+    * obligation; quarantining richer fingerprints is the caller's
+    * explicit escalation (q197 runs it; q193 pins the default). Existing
+    * quarantine rows ALWAYS carry forward regardless of the flag — each
+    * takedown supersedes the whole lane delivery. */
   def deleteDocsFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, docIds: Seq[Long])
+      indexPath: String, docIds: Seq[Long],
+      nearCopyBlock: Boolean = false)
       : graft.ops.Layout.TakedownReport = {
     require(docIds.nonEmpty, "empty takedown set")
     // optimistic concurrency (Layout.takedownWithRetry): discovery pins
@@ -909,12 +977,13 @@ object Dedup {
     // swap and the WHOLE discovery re-runs over the advanced snapshot
     graft.ops.Layout.takedownWithRetry(spark, indexPath)(observed =>
       deleteDocsFromMinhashIndexOnce(spark, indexPath, docIds.distinct,
-        observed))
+        observed, nearCopyBlock))
   }
 
   private def deleteDocsFromMinhashIndexOnce(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
-      victims: Seq[Long], observedVersion: Option[Long])
+      victims: Seq[Long], observedVersion: Option[Long],
+      nearCopyBlock: Boolean)
       : graft.ops.Layout.TakedownReport = {
     val vis = graft.ops.Layout.committedBatchFilter(spark, indexPath)
     val members = spark.read.parquet(s"$indexPath/members").filter(vis)
@@ -975,15 +1044,49 @@ object Dedup {
     val regPhys = graft.ops.Layout.beginBatchCommit(spark, indexPath,
       RegistryBatch)
     graft.ops.Layout.clearPhysicalDelivery(spark, indexPath, regPhys)
-    takedownRegistry(spark, indexPath)
-      .unionByName(vmDf.join(broadcast(repKeys), "rep")
-        .select("content_key", "doc_id"))
-      .distinct() // a re-deleted doc registers once
-      .withColumn("batch_id", lit(regPhys))
-      .coalesce(1) // registry-sized
-      .write.mode("overwrite").partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(s"$indexPath/takedowns")
+    def putLane(df: DataFrame, table: String): Unit =
+      df.withColumn("batch_id", lit(regPhys))
+        .coalesce(1) // registry-sized
+        .write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$indexPath/$table")
+    putLane(
+      takedownRegistry(spark, indexPath)
+        .unionByName(vmDf.join(broadcast(repKeys), "rep")
+          .select("content_key", "doc_id"))
+        .distinct(), // a re-deleted doc registers once
+      "takedowns")
+    // the near-copy QUARANTINE: victim groups' bands + verify sets, read
+    // from the PRE-delete snapshot (the files still exist — this runs
+    // before the rewrite). Existing quarantine rows carry forward
+    // UNCONDITIONALLY: each takedown supersedes the whole lane delivery,
+    // and the vacuum would otherwise reclaim them with it.
+    val qNewBands =
+      if (nearCopyBlock)
+        Some(spark.read.parquet(s"$indexPath/bands").filter(vis)
+          .filter(col("doc_id").isin(groupReps: _*))
+          .select("doc_id", "band_idx", "band_hash"))
+      else None
+    val qNewSets =
+      if (nearCopyBlock)
+        Some(spark.read.parquet(s"$indexPath/shingles").filter(vis)
+          .filter(col("doc_id").isin(groupReps: _*))
+          .select("doc_id", "shingle_set"))
+      else None
+    def laneCarry(table: String, cols: Seq[String],
+        fresh: Option[DataFrame]): Unit = {
+      val old = laneTable(spark, indexPath, table)
+        .map(_.select(cols.map(col): _*))
+      val merged = (old, fresh) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
+        case (a, b) => a.orElse(b)
+      }
+      merged.foreach(putLane(_, table))
+    }
+    laneCarry("takedowns_bands", Seq("doc_id", "band_idx", "band_hash"),
+      qNewBands)
+    laneCarry("takedowns_shingles", Seq("doc_id", "shingle_set"),
+      qNewSets)
     val remapDf = broadcast(
       if (repRemap.isEmpty)
         spark.createDataFrame(

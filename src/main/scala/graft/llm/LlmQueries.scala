@@ -885,6 +885,58 @@ SELECT CAST(0 AS BIGINT) AS batch, source,
 FROM flags LEFT JOIN dup ON dup.doc_id = flags.doc_id
 GROUP BY source ORDER BY source""")),
 
+    // The NEAR-COPY quarantine tier over the same chain: the takedown
+    // runs with nearCopyBlock=true, so the registry lane also holds the
+    // victims' bands + verify sets and the admission refuses NEAR copies
+    // of taken-down content at the admission threshold — a delta doc
+    // whose only near-dup partners were the deleted docs is blocked here
+    // where q193's exact-key tier would admit it. Oracle: blocked =
+    // exact set equality OR a >= 0.8 pair against a victim (the `j`
+    // chain provides exactly those pairs); rejected = non-blocked dups
+    // of the SURVIVING corpus.
+    Q("q197_takedown_nearblock",
+      (s, dir) =>
+        Dedup.admissionLog(s,
+            Dedup.registryMart(s, dir, nearCopyBlock = true))
+          .orderBy("batch", "source"),
+      Some(s"""
+WITH $minhashCtes,
+vict AS (SELECT doc_id, list_sort(s) AS vkey FROM sh
+         WHERE doc_id % 10 <> 0 AND doc_id % 17 = 5 AND len(s) > 0),
+delta AS (SELECT doc_id AS src_id, doc_id, source FROM documents
+          WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id AS src_id, doc_id + 100000000 AS doc_id, source
+          FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 17 = 5),
+flags AS (SELECT d.doc_id, d.source,
+            len(sh.s) > 0 AS elig,
+            (len(sh.s) > 0 AND (
+               EXISTS (SELECT 1 FROM vict v
+                       WHERE v.vkey = list_sort(sh.s))
+               OR EXISTS (SELECT 1 FROM j
+                          WHERE jaccard >= 0.8 AND
+                            ((doc_id_a = d.src_id AND doc_id_b % 10 <> 0
+                              AND doc_id_b % 17 = 5)
+                             OR (doc_id_b = d.src_id AND doc_id_a % 10 <> 0
+                                 AND doc_id_a % 17 = 5)))))
+              AS blocked
+          FROM delta d JOIN sh ON sh.doc_id = d.src_id),
+dup AS (SELECT DISTINCT CASE WHEN doc_id_a % 10 = 0 THEN doc_id_a
+                             ELSE doc_id_b END AS doc_id
+        FROM j WHERE jaccard >= 0.8
+          AND ((doc_id_a % 10 = 0) <> (doc_id_b % 10 = 0))
+          AND NOT (doc_id_a % 10 <> 0 AND doc_id_a % 17 = 5)
+          AND NOT (doc_id_b % 10 <> 0 AND doc_id_b % 17 = 5))
+SELECT CAST(0 AS BIGINT) AS batch, source,
+  CAST(sum(CASE WHEN elig AND NOT blocked AND dup.doc_id IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+  CAST(sum(CASE WHEN NOT blocked AND dup.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+  CAST(sum(CASE WHEN NOT elig THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+  CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+FROM flags LEFT JOIN dup ON dup.doc_id = flags.doc_id
+GROUP BY source ORDER BY source""")),
+
     // Near-dup CLUSTERING: connected components over the q21 pair graph —
     // the step that turns pairwise matches into dedup decisions (canonical
     // survivor = min doc_id per component). Oracle: recursive-CTE transitive

@@ -769,7 +769,11 @@ object StreamOps {
           val n = st.getPath.getName
           n.startsWith("batch_id=") &&
             n.stripPrefix("batch_id=").toLongOption.forall { id =>
-              id != -1L && graft.ops.Layout.logicalBatchLocal(id) != 0L
+              // negative ids are the BASE and its takedown-rewrite chain
+              // (batch_id=-2, -3, … — logically batch -1): a takedown'd
+              // root must accept a fresh admission stream, not refuse on
+              // behalf of content that was deliberately destroyed
+              id >= 0L && graft.ops.Layout.logicalBatchLocal(id) != 0L
             }
         }
       else fs.listStatus(p).filter(_.isDirectory)

@@ -367,6 +367,57 @@ class TakedownSpec extends SparkSpec {
     }
   }
 
+  test("near-copy quarantine: nearCopyBlock=true blocks a paraphrase of " +
+      "taken-down content at the threshold; the default exact tier " +
+      "admits it; the quarantine rides compaction") {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val tLong = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val tNear = tLong + " extra" // 19/20 shared shingles: jaccard 0.95
+    val base = Seq(doc(40L, tLong, "s1"), doc(60L, t3, "s2"))
+      .toDF(cols: _*)
+    val delta = Seq(doc(100L, tNear, "d"), doc(101L, t5, "d"))
+      .toDF(cols: _*)
+    def build(near: Boolean): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft_tkdn_nc")
+        .toString + "/idx"
+      graft.llm.Dedup.writeMinhashIndex(base, root)
+      graft.llm.Dedup.deleteDocsFromMinhashIndex(spark, root, Seq(40L),
+        nearCopyBlock = near)
+      graft.llm.Dedup.admitIntoMinhashIndex(spark, delta, root,
+        batchId = 0L)
+      root
+    }
+    def log(p: String): Set[(Long, Long, Long, Long)] =
+      rows(graft.llm.Dedup.admissionLog(spark, p)
+        .select("n_admitted", "n_rejected", "n_skipped", "n_blocked"))
+        .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+          r(2).asInstanceOf[Long], r(3).asInstanceOf[Long])).toSet
+    def members(p: String): Set[Long] =
+      spark.read.parquet(s"$p/members")
+        .filter(Layout.committedBatchFilter(spark, p))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact tier: the paraphrase's only near-dup partner was DELETED, so
+    // it sails in — exactly the gap the quarantine closes
+    val exact = build(near = false)
+    assert(log(exact) === Set((2L, 0L, 0L, 0L)))
+    assert(members(exact).contains(100L))
+    // quarantine tier: the paraphrase is refused and never indexed
+    val near = build(near = true)
+    assert(log(near) === Set((1L, 0L, 0L, 1L)))
+    assert(members(near) === Set(60L, 101L))
+    // the quarantine rides compaction: the compacted root still refuses
+    val out = java.nio.file.Files.createTempDirectory("graft_tkdn_nc2")
+      .toString + "/idx"
+    graft.llm.Dedup.compactMinhashIndex(spark, near, out)
+    graft.llm.Dedup.admitIntoMinhashIndex(spark,
+      Seq(doc(200L, tLong + " other", "d2")).toDF(cols: _*),
+      out, batchId = 1L)
+    assert(graft.llm.Dedup.admissionLog(spark, out)
+      .filter(col("batch") === 1L).select("n_blocked")
+      .collect().head.getLong(0) === 1L)
+  }
+
   test("generic data-layout takedown (day-partitioned events): post-delete " +
       "read == fresh write minus victims; pre-delete versions refuse; " +
       "the SQL face sniffs kind=data") {

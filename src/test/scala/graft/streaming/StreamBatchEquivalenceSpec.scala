@@ -1311,4 +1311,59 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       assert(viaStream === batch, s"cutoff diverged at q=$qq")
     }
   }
+
+  test("minhashAdmissionStream refuses re-crawled taken-down content: the " +
+      "registry is consulted per micro-batch, streamed == batch, replay " +
+      "leaves the blocked decision unmoved") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mhadmit_reg").toString
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def d(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val tGone = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(d(1L, tGone),
+      d(2L, "one two three four five six seven eight"))
+    val batch1 = Seq(
+      d(10L, tGone),                                         // BLOCKED
+      d(11L, "completely fresh text about columnar shuffles")) // admit
+    Seq("idx", "twin").foreach { r =>
+      graft.llm.Dedup.writeMinhashIndex(corpus.toDF(cols: _*), s"$tmp/$r")
+      graft.llm.Dedup.deleteDocsFromMinhashIndex(spark, s"$tmp/$r", Seq(1L))
+    }
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.minhashAdmissionStream(
+      mem.toDF().toDF(cols: _*), s"$tmp/idx", s"$tmp/ckpt")
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.llm.Dedup.admitIntoMinhashIndex(spark, batch1.toDF(cols: _*),
+      s"$tmp/twin", batchId = 0L)
+    def log(r: String): Set[Seq[Any]] =
+      rows(graft.llm.Dedup.admissionLog(spark, s"$tmp/$r")).toSet
+    def members(r: String): Set[Long] =
+      spark.read.parquet(s"$tmp/$r/members")
+        .filter(graft.ops.Layout.committedBatchFilter(spark, s"$tmp/$r"))
+        .select("doc_id").as[Long].collect().toSet
+    assert(log("idx") === log("twin"))
+    assert(log("idx") === Set(Seq[Any](0L, "s", 1L, 0L, 0L, 1L)))
+    assert(members("idx") === members("twin"))
+    assert(members("idx") === Set(2L, 11L)) // 10 refused, never indexed
+    // replay: a re-driven first batch decides identically (the registry
+    // lane is never the excluded logical batch)
+    val mem2 = MemoryStream[(Long, String, String, String, Long)]
+    val q2 = StreamOps.minhashAdmissionStream(
+      mem2.toDF().toDF(cols: _*), s"$tmp/idx", s"$tmp/ckpt2")
+    val e = intercept[Exception] { // fresh checkpoint over admitted root
+      try { mem2.addData(batch1: _*); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    assert(e.getMessage != null) // stale-batch guard refuses — the replay
+    // seam itself is pinned by the existing admission-stream test; here
+    // the batch-level replay law:
+    graft.llm.Dedup.admitIntoMinhashIndex(spark, batch1.toDF(cols: _*),
+      s"$tmp/twin", batchId = 0L) // re-delivery of the same batch
+    assert(log("twin") === log("idx"))
+    assert(members("twin") === Set(2L, 11L))
+  }
 }
