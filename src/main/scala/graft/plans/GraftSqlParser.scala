@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   DESCRIBE LAYOUT '<base>'
   *   DIFF LAYOUT '<base>' VERSIONS <v1> TO <v2>
   *   SNAPSHOT LAYOUT '<base>' TABLE '<table>' [AS OF <v>] AS VIEW <name>
-  *   DELETE FROM LAYOUT '<base>' WHERE doc_id IN (<id>, ...)
+  *   DELETE FROM LAYOUT '<base>' WHERE <id_col> IN (<id>, ...)
+  *     [QUARANTINE NEAR COPIES]
   *
   * Without ZORDER BY the rewrite is the shuffle-free coalesce in
   * Layout.compact; with it, the same file-count sizing routes through
@@ -110,10 +111,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // takes the generic affected-delivery rewrite keyed on the statement's
   // OWN id column — a takedown legally starts at the source-of-truth
   // corpus, not at the serving indexes.
+  // The optional QUARANTINE NEAR COPIES suffix escalates a minhash-root
+  // takedown from the exact-key registry to the near-copy quarantine
+  // (Dedup.deleteDocsFromMinhashIndex(nearCopyBlock = true)): paraphrases
+  // of the deleted content are refused at the admission threshold, not
+  // just byte-identical re-crawls. Only the text admission gate has a
+  // quarantine — the suffix refuses on any other layout kind rather than
+  // silently doing less than the statement promises.
   private val DeleteLayout =
     ("""(?is)\s*DELETE\s+FROM\s+LAYOUT\s+'([^']+)'""" +
       """\s+WHERE\s+([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*""" +
-      """\(\s*(-?\d+(?:\s*,\s*-?\d+)*)\s*\)\s*;?\s*""").r
+      """\(\s*(-?\d+(?:\s*,\s*-?\d+)*)\s*\)""" +
+      """(\s+QUARANTINE\s+NEAR\s+COPIES)?\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Compact(in, out, target, zx, zy) =>
@@ -128,9 +137,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Analyze(in, out, cols) =>
       AnalyzeCommand(in, out,
         Option(cols).map(_.split(",").map(_.trim).toSeq))
-    case DeleteLayout(base, idCol, ids) =>
+    case DeleteLayout(base, idCol, ids, quarantine) =>
       DeleteFromLayoutCommand(base, idCol,
-        ids.split(",").map(_.trim.toLong).toSeq)
+        ids.split(",").map(_.trim.toLong).toSeq,
+        nearCopyBlock = quarantine != null)
     case Vacuum(base, keep) =>
       VacuumLayoutCommand(base, Option(keep).map(_.toInt).getOrElse(1))
     case Describe(base) => DescribeLayoutCommand(base)
@@ -286,7 +296,8 @@ case class DiffLayoutCommand(base: String, v1: Long, v2: Long)
   * minhash (shingles+members) and ahash (bands+bands_meta) both carry a
   * `bands` table, so the sidecar disambiguates. */
 case class DeleteFromLayoutCommand(base: String, idCol: String,
-    ids: Seq[Long]) extends LeafRunnableCommand {
+    ids: Seq[Long], nearCopyBlock: Boolean = false)
+    extends LeafRunnableCommand {
   private val LongT = org.apache.spark.sql.types.LongType
   override val output: Seq[Attribute] = Seq(
     AttributeReference("kind",
@@ -300,21 +311,31 @@ case class DeleteFromLayoutCommand(base: String, idCol: String,
       val p = new org.apache.hadoop.fs.Path(s"$base/$t")
       p.getFileSystem(conf).exists(p)
     }
+    def noQuarantine(kind: String): Unit = require(!nearCopyBlock,
+      s"QUARANTINE NEAR COPIES is only supported on minhash dedup-index " +
+        s"roots (the text admission gate) — $base is a $kind layout; " +
+        "refusing rather than silently doing less than the statement " +
+        "promises")
     val report =
       if (has("shingles") && has("members"))
-        graft.llm.Dedup.deleteDocsFromMinhashIndex(spark, base, ids)
-      else if (has("postings"))
+        graft.llm.Dedup.deleteDocsFromMinhashIndex(spark, base, ids,
+          nearCopyBlock)
+      else if (has("postings")) {
+        noQuarantine("bm25")
         graft.llm.Selection.deleteDocsFromBm25Index(spark, base, ids)
-      else if (has("codes") && has("cents"))
+      } else if (has("codes") && has("cents")) {
+        noQuarantine("ivfadc")
         graft.llm.Selection.deleteVecsFromIvfadcIndex(spark, base, ids)
-      else if (has("bands") && has("bands_meta"))
+      } else if (has("bands") && has("bands_meta")) {
+        noQuarantine("ahash")
         graft.ops.Multimodal.deleteDocsFromAhashIndex(spark, base, ids)
-      else if (has("_commits"))
+      } else if (has("_commits")) {
         // any other batch-committed root is a GENERIC data layout: the
         // affected-delivery rewrite keyed on the statement's id column,
         // partition structure discovered from the directories
+        noQuarantine("generic data")
         graft.ops.Layout.deleteFromDataLayoutAuto(spark, base, idCol, ids)
-      else throw new IllegalArgumentException(
+      } else throw new IllegalArgumentException(
         s"$base is not a recognized serving layout or batch-committed " +
           "data layout (expected a minhash, bm25, ivfadc, or ahash index " +
           "root, or a Layout.writeDataLayout root carrying _commits)")

@@ -70,6 +70,27 @@ class GraftSqlParserSpec extends SparkSpec {
     // ordinary DELETE still parses through Spark's parser
     Seq((1L, "x")).toDF("id", "t").createOrReplaceTempView("del_probe")
     intercept[Exception](spark.sql("DELETE FROM del_probe WHERE id = 1"))
+    // QUARANTINE NEAR COPIES: parses, arms the near-copy quarantine on a
+    // minhash root (the lane tables appear), and REFUSES on non-minhash
+    // kinds rather than silently doing less than the statement promises
+    val root2 = Files.createTempDirectory("graft_sqldel2_").toString + "/idx"
+    graft.llm.Dedup.writeMinhashIndex(docs, root2)
+    val r2 = spark.sql(s"DELETE FROM LAYOUT '$root2' WHERE doc_id IN (3) " +
+      "QUARANTINE NEAR COPIES").head
+    assert(r2.getString(0) === "minhash" && r2.getLong(1) === 1L)
+    val fs = new org.apache.hadoop.fs.Path(root2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root2/takedowns_bands")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root2/takedowns_shingles")))
+    val evRoot = Files.createTempDirectory("graft_sqldel_ev_").toString + "/t"
+    graft.ops.Layout.writeDataLayout(
+      Seq((1L, "a"), (2L, "b")).toDF("event_id", "v"), evRoot, Nil)
+    val qe = intercept[Exception](spark.sql(
+      s"DELETE FROM LAYOUT '$evRoot' WHERE event_id IN (1) " +
+        "QUARANTINE NEAR COPIES"))
+    assert(qe.getMessage.contains("only supported on minhash"))
   }
 
   test("VACUUM LAYOUT and DESCRIBE LAYOUT drive the manifest protocol") {
