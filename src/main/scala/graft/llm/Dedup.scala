@@ -74,7 +74,7 @@ object Dedup {
     * q21). Shared by the one-shot pair run and the incremental probe —
     * a doc's bands/shingles depend only on its own text, which is exactly
     * why an incremental index is sound. */
-  private def eligibleDocs(docs: DataFrame): DataFrame =
+  private[llm] def eligibleDocs(docs: DataFrame): DataFrame =
     graft.Tables.spread(docs)
       .filter(size(toks(col("text"))) >= 2)
 
@@ -84,7 +84,7 @@ object Dedup {
     * whose ~n²/2^32 per-doc collision rate would quietly shrink distinct
     * sets): at 2^60 a collision is ~n²/2^61, so the hash-set Jaccard equals
     * the string-set Jaccard, and both engines hash identically anyway. */
-  private def shingleSetsOf(eligible: DataFrame): DataFrame =
+  private[llm] def shingleSetsOf(eligible: DataFrame): DataFrame =
     eligible.select(
       col("doc_id"),
       array_sort(array_distinct(
@@ -92,7 +92,7 @@ object Dedup {
 
   /** Exploded (doc_id, band_idx, band_hash) rows of the docs' signatures —
     * the LSH bucket keys both the self-join and the index probe match on. */
-  private def bandsOf(eligible: DataFrame): DataFrame =
+  private[llm] def bandsOf(eligible: DataFrame): DataFrame =
     minhashSignatures(eligible)
       .select(col("doc_id"), explode(lshBands(col("sig"))).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
@@ -169,6 +169,32 @@ object Dedup {
     * frame, so its count is a cache read). */
   val DefaultProbeBroadcastMaxCandidatePairs: Long = 400000L
 
+  /** Broadcast budget for the takedown REGISTRY / QUARANTINE lanes the
+    * admission transaction consults, counted in committed lane ROWS (one
+    * registry row per destroyed doc; one quarantine band row per victim
+    * rep × band; one quarantine shingle row per victim rep). "Registry-
+    * sized — legal-process scale" is the common case, not a bound: one
+    * whole-source legal recall (the 10^7-victim case
+    * [[graft.ops.Layout]]'s victim-frame tier anticipates) quarantines
+    * 10^7 docs' band rows and full shingle arrays — tens of GB that must
+    * NOT be broadcast to every executor. Each lane is counted
+    * independently (one footer-backed count of a lane-sized parquet
+    * read); under the budget the lane broadcasts and the delta streams
+    * map-side, over it the consult degrades to the shuffled-hash tier —
+    * the identical-rows/strategy-only flip [[probeCore]]'s delta budget
+    * already pins. 100k rows of keys/bands stays well inside a 1-4 GiB
+    * executor budget; the shingle-set lane's rows are heavier, but so are
+    * the delta shingle rows the same default bounds in the probe. */
+  val DefaultRegistryBroadcastMaxRows: Long = 100000L
+
+  /** Row cap per parquet file of a registry/quarantine LANE delivery.
+    * Takedown-request-sized lanes coalesce to ONE file (the common case —
+    * a handful of rows; one file keeps the consult's count/footer reads
+    * O(1)); a whole-source recall's lane shards into ceil(rows / cap)
+    * files so no single writer task materializes a multi-GB lane
+    * partition. */
+  val DefaultRegistryLaneMaxRowsPerFile: Long = 1000000L
+
   /** Delta-side join shape: broadcast when the sizing decision says the
     * delta is small (the map-side-streaming plan), shuffled hash join with
     * the delta as build side otherwise — the strategy flip moves the
@@ -195,7 +221,7 @@ object Dedup {
     * degenerate-duplication guard for the incremental tier: 10^4
     * identical crawls in the corpus cost the probe ONE band row per
     * band, not 10^4 candidates per colliding delta doc. */
-  private def exactGroupsOf(eligible: DataFrame): DataFrame =
+  private[llm] def exactGroupsOf(eligible: DataFrame): DataFrame =
     eligible
       .select(col("doc_id"), md5(normText(col("text"))).as("__th"))
       .withColumn("rep", min("doc_id").over(Window.partitionBy("__th")))
@@ -357,7 +383,9 @@ object Dedup {
       threshold: Double = 0.8,
       broadcastMaxDocs: Long = DefaultProbeBroadcastMaxDocs,
       broadcastMaxCandidatePairs: Long =
-        DefaultProbeBroadcastMaxCandidatePairs): Unit = {
+        DefaultProbeBroadcastMaxCandidatePairs,
+      registryBroadcastMaxRows: Long = DefaultRegistryBroadcastMaxRows)
+      : Unit = {
     require(batchId >= 0 && batchId < RegistryBatch,
       s"batchId must be in [0, $RegistryBatch) (negative ids are reserved " +
         s"for the base, $RegistryBatch for the takedown registry lane), " +
@@ -376,62 +404,21 @@ object Dedup {
     // severs the last read of the index files the append overwrites
     val dupReps = pf.repPairs.select(col("rep_new").as("rep")).distinct()
       .localCheckpoint()
-    // TAKEDOWN REGISTRY consult: delta groups whose content key matches a
-    // destroyed doc's are REFUSED outright — a re-crawled copy of
-    // taken-down content must not re-enter the index, or DELETE FROM
-    // LAYOUT's legal guarantee evaporates at the next crawl batch. The
-    // decision is rep-level like the dup decision (every group member
-    // shares the rep's text, hence its key); the registry lives in its own
-    // reserved batch lane (never this batch's logical id, so the replay
-    // seam cannot hide it) and is registry-sized (cumulative takedown
-    // requests — legal-process scale), so the broadcast is unconditional.
-    // Blocked takes precedence over rejected: content under a takedown is
-    // refused as taken down even when copies of it still survive in the
-    // index (a partial-group takedown).
-    val exactBlocked = newSets
-      .select(col("doc_id").as("rep"),
-        contentKey(col("shingle_set")).as("__ck"))
-      .join(broadcast(takedownRegistry(spark, indexPath)
-          .select(col("content_key").as("__ck")).distinct()),
-        Seq("__ck"), "left_semi")
-      .select("rep")
-    // the near-copy QUARANTINE tier (present only when a takedown ran
-    // with nearCopyBlock): delta reps are LSH-probed against the
-    // quarantined victims' bands and verified against their shingle sets
-    // at the admission threshold — the same band/verify machinery as the
-    // index probe, with the quarantine (registry-sized) broadcast. A near
-    // copy whose only near-dup partners were the DELETED docs is refused
-    // here instead of sailing into the index.
-    val nearBlocked =
-      (laneTable(spark, indexPath, "takedowns_bands"),
-        laneTable(spark, indexPath, "takedowns_shingles")) match {
-        case (Some(qb), Some(qs)) =>
-          val cand = newBands
-            .join(broadcast(qb.select(col("doc_id").as("__qrep"),
-              col("band_idx"), col("band_hash"))),
-              Seq("band_idx", "band_hash"))
-            .select(col("doc_id").as("rep"), col("__qrep"))
-            .distinct()
-          Some(cand
-            .join(newSets.select(col("doc_id").as("rep"),
-              col("shingle_set").as("__sh_new")), Seq("rep"))
-            .join(broadcast(qs.select(col("doc_id").as("__qrep"),
-              col("shingle_set").as("__sh_q"))), Seq("__qrep"))
-            .select(col("rep"),
-              graft.expr.ThresholdedIntersectCount(col("__sh_new"),
-                col("__sh_q"),
-                graft.expr.ThresholdedIntersectCount.jaccardBound(
-                  size(col("__sh_new")) + size(col("__sh_q")),
-                  threshold)).as("__icnt"),
-              (size(col("__sh_new")) + size(col("__sh_q"))).as("__nsum"))
-            .filter(col("__icnt").cast("double") /
-              (col("__nsum") - col("__icnt")).cast("double") >=
-              lit(threshold))
-            .select("rep").distinct())
-        case _ => None
-      }
-    val blockedReps = nearBlocked.fold(exactBlocked)(nb =>
-        exactBlocked.unionByName(nb).distinct())
+    // TAKEDOWN REGISTRY + near-copy QUARANTINE consult (sized per lane —
+    // [[blockedRepsForDelta]]): delta groups whose content key matches a
+    // destroyed doc's, or that near-dup a quarantined victim at the
+    // admission threshold, are REFUSED outright — a re-crawled or
+    // paraphrased copy of taken-down content must not re-enter the index,
+    // or DELETE FROM LAYOUT's legal guarantee evaporates at the next
+    // crawl batch. The decision is rep-level like the dup decision (every
+    // group member shares the rep's text, hence its key/fingerprints);
+    // the registry lives in its own reserved batch lane (never this
+    // batch's logical id, so the replay seam cannot hide it). Blocked
+    // takes precedence over rejected: content under a takedown is refused
+    // as taken down even when copies of it still survive in the index (a
+    // partial-group takedown).
+    val blockedReps = blockedRepsForDelta(spark, indexPath, newBands,
+        newSets, threshold, registryBroadcastMaxRows)
       .localCheckpoint()
     val phys = graft.ops.Layout.beginBatchCommit(spark, indexPath, batchId)
     graft.ops.Layout.clearPhysicalDelivery(spark, indexPath, phys)
@@ -495,6 +482,79 @@ object Dedup {
     // retire their blocks now (the connectedComponents discipline)
     Seq(dMembers, newBands, newSets, pf.candidates, dupReps, blockedReps)
       .foreach(freeCheckpoint)
+  }
+
+  /** The admission transaction's standing-obligation consult: delta REPS
+    * whose content key matches the takedown registry (exact re-crawls of
+    * destroyed content) plus, when a takedown ran with `nearCopyBlock`,
+    * reps that LSH-collide with the QUARANTINED victims' bands and verify
+    * against their shingle sets at the admission threshold (paraphrased
+    * re-uploads). `newBands` / `newSets` are the delta reps' band and
+    * shingle-set frames (the probe core's one tokenize pass — the
+    * transaction reuses its checkpoints here). Returned LAZY; the
+    * transaction checkpoints it once.
+    *
+    * SIZED like every other consult in this file, NOT broadcast
+    * unconditionally: "registry-sized — legal-process scale" is the
+    * common case, not a bound — one whole-source legal recall (the 10^7-
+    * victim case [[graft.ops.Layout]]'s victim-frame tier anticipates)
+    * quarantines 10^7 docs' band rows and full shingle arrays, tens of
+    * GB that would OOM every executor at exactly the scale the feature
+    * exists for. So each lane's committed row count (one lane-sized
+    * parquet count, O(lane files) footer reads) decides broadcast vs
+    * shuffled-hash PER LANE against `registryBroadcastMaxRows`: under
+    * budget the lane broadcasts and the delta streams map-side (the
+    * design-intent plan for takedown-request-sized lanes), over it the
+    * exact consult becomes a shuffled semi-join on the content key and
+    * the quarantine probe a shuffled band-join + shuffled verify.
+    * Strategy moves, the blocked set does not (spec-pinned, the
+    * [[probeCore]] degrade discipline). */
+  private[llm] def blockedRepsForDelta(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      newBands: DataFrame, newSets: DataFrame, threshold: Double,
+      registryBroadcastMaxRows: Long = DefaultRegistryBroadcastMaxRows)
+      : DataFrame = {
+    val registry = takedownRegistry(spark, indexPath)
+    val regSmall = registry.count() <= registryBroadcastMaxRows
+    val exactBlocked = newSets
+      .select(col("doc_id").as("rep"),
+        contentKey(col("shingle_set")).as("__ck"))
+      .join(sized(registry.select(col("content_key").as("__ck")).distinct(),
+          regSmall),
+        Seq("__ck"), "left_semi")
+      .select("rep")
+    val nearBlocked =
+      (laneTable(spark, indexPath, "takedowns_bands"),
+        laneTable(spark, indexPath, "takedowns_shingles")) match {
+        case (Some(qb), Some(qs)) =>
+          val qbSmall = qb.count() <= registryBroadcastMaxRows
+          val qsSmall = qs.count() <= registryBroadcastMaxRows
+          val cand = newBands
+            .join(sized(qb.select(col("doc_id").as("__qrep"),
+              col("band_idx"), col("band_hash")), qbSmall),
+              Seq("band_idx", "band_hash"))
+            .select(col("doc_id").as("rep"), col("__qrep"))
+            .distinct()
+          Some(cand
+            .join(newSets.select(col("doc_id").as("rep"),
+              col("shingle_set").as("__sh_new")), Seq("rep"))
+            .join(sized(qs.select(col("doc_id").as("__qrep"),
+              col("shingle_set").as("__sh_q")), qsSmall), Seq("__qrep"))
+            .select(col("rep"),
+              graft.expr.ThresholdedIntersectCount(col("__sh_new"),
+                col("__sh_q"),
+                graft.expr.ThresholdedIntersectCount.jaccardBound(
+                  size(col("__sh_new")) + size(col("__sh_q")),
+                  threshold)).as("__icnt"),
+              (size(col("__sh_new")) + size(col("__sh_q"))).as("__nsum"))
+            .filter(col("__icnt").cast("double") /
+              (col("__nsum") - col("__icnt")).cast("double") >=
+              lit(threshold))
+            .select("rep").distinct())
+        case _ => None
+      }
+    nearBlocked.fold(exactBlocked)(nb =>
+      exactBlocked.unionByName(nb).distinct())
   }
 
   /** Release a localCheckpoint's executor blocks (the checkpointed frame
@@ -969,7 +1029,8 @@ object Dedup {
     * takedown supersedes the whole lane delivery. */
   def deleteDocsFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, docIds: Seq[Long],
-      nearCopyBlock: Boolean = false)
+      nearCopyBlock: Boolean = false,
+      laneMaxRowsPerFile: Long = DefaultRegistryLaneMaxRowsPerFile)
       : graft.ops.Layout.TakedownReport = {
     require(docIds.nonEmpty, "empty takedown set")
     // optimistic concurrency (Layout.takedownWithRetry): discovery pins
@@ -977,13 +1038,13 @@ object Dedup {
     // swap and the WHOLE discovery re-runs over the advanced snapshot
     graft.ops.Layout.takedownWithRetry(spark, indexPath)(observed =>
       deleteDocsFromMinhashIndexOnce(spark, indexPath, docIds.distinct,
-        observed, nearCopyBlock))
+        observed, nearCopyBlock, laneMaxRowsPerFile))
   }
 
   private def deleteDocsFromMinhashIndexOnce(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       victims: Seq[Long], observedVersion: Option[Long],
-      nearCopyBlock: Boolean)
+      nearCopyBlock: Boolean, laneMaxRowsPerFile: Long)
       : graft.ops.Layout.TakedownReport = {
     val vis = graft.ops.Layout.committedBatchFilter(spark, indexPath)
     val members = spark.read.parquet(s"$indexPath/members").filter(vis)
@@ -1044,12 +1105,26 @@ object Dedup {
     val regPhys = graft.ops.Layout.beginBatchCommit(spark, indexPath,
       RegistryBatch)
     graft.ops.Layout.clearPhysicalDelivery(spark, indexPath, regPhys)
-    def putLane(df: DataFrame, table: String): Unit =
-      df.withColumn("batch_id", lit(regPhys))
-        .coalesce(1) // registry-sized
+    def putLane(df: DataFrame, table: String): Unit = {
+      // sized lane delivery: takedown-request-sized lanes coalesce to ONE
+      // file (O(1) footer reads for the admission consult's lane count);
+      // a whole-source recall shards into ceil(rows / cap) files so no
+      // single writer task materializes a multi-GB lane partition. The
+      // lane frame is deterministic (committed old lane ∪ victim-derived
+      // rows), so pricing the shard count with one extra evaluation is
+      // safe — and the big case this guards is exactly the one worth it.
+      val shards = math.max(1L,
+        (df.count() + laneMaxRowsPerFile - 1) / laneMaxRowsPerFile).toInt
+      // coalesce can only shrink; the over-cap tier must WIDEN a
+      // few-partition lane frame, which takes the round-robin exchange —
+      // paid only when the lane is already multi-GB
+      val sharded =
+        if (shards == 1) df.coalesce(1) else df.repartition(shards)
+      sharded.withColumn("batch_id", lit(regPhys))
         .write.mode("overwrite").partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$indexPath/$table")
+    }
     putLane(
       takedownRegistry(spark, indexPath)
         .unionByName(vmDf.join(broadcast(repKeys), "rep")

@@ -551,4 +551,90 @@ class DedupSpec extends SparkSpec {
     assert(labels.count(_._3) === 1 && labels.find(_._3).get._1 === 0L)
     assert(!labels.exists(_._1 == 30000L), "distinct doc leaked into a cluster")
   }
+
+  test("sized registry/quarantine consult: an over-budget lane flips the " +
+      "exact consult and the quarantine probe to the shuffled tier — " +
+      "blocked set identical; the lane write shards past the row cap") {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val tLong = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val tNear = tLong + " extra" // 19/20 shared shingles: jaccard 0.95
+    val keep = "a genuinely distinct technical document body"
+    val base = Seq(
+      (40L, tLong, "en", "s1", tLong.length.toLong),
+      (60L, keep, "en", "s2", keep.length.toLong)).toDF(cols: _*)
+    val delta = Seq(
+      (100L, tNear, "en", "d", tNear.length.toLong), // near copy → quarantine
+      (101L, tLong, "en", "d", tLong.length.toLong), // exact re-crawl → registry
+      (102L, "fresh unrelated prose about query planning", "en", "d", 43L))
+      .toDF(cols: _*)
+    def build(cap: Long): String = {
+      val root = java.nio.file.Files
+        .createTempDirectory("mhidx_reg_sz_").toString + "/idx"
+      Dedup.writeMinhashIndex(base, root)
+      Dedup.deleteDocsFromMinhashIndex(spark, root, Seq(40L),
+        nearCopyBlock = true, laneMaxRowsPerFile = cap)
+      root
+    }
+    // shard-cap leg: a 1-row cap splits the quarantine band lane into one
+    // parquet file per row — and the committed read is file-count blind
+    val root = build(cap = 1L)
+    def laneParts(p: String, table: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p, table))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    assert(laneParts(root, "takedowns_bands") > 1,
+      "over-cap lane delivery did not shard")
+    assert(laneParts(root, "takedowns") === 1,
+      "a 1-row registry lane should stay one file")
+    // consult flip leg: same lanes, budget 0 → every lane join shuffles
+    val eligible = Dedup.eligibleDocs(delta)
+    val dm = Dedup.exactGroupsOf(eligible)
+    val dReps = eligible.join(
+      dm.filter(col("doc_id") === col("rep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val nb = Dedup.bandsOf(dReps)
+    val ns = Dedup.shingleSetsOf(dReps)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val small = Dedup.blockedRepsForDelta(spark, root, nb, ns, 0.8)
+      val big = Dedup.blockedRepsForDelta(spark, root, nb, ns, 0.8, 0L)
+      val smallPlan = small.queryExecution.executedPlan.toString
+      val bigPlan = big.queryExecution.executedPlan.toString
+      assert(smallPlan.contains("BroadcastHashJoin"),
+        "under-budget consult lost its broadcast-lane plan")
+      assert(!bigPlan.contains("BroadcastHashJoin") &&
+        bigPlan.contains("ShuffledHashJoin"),
+        "over-budget consult still broadcasts the lane")
+      def reps(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("rep").as[Long].collect().toSet
+      val got = reps(big)
+      assert(got === reps(small) && got === Set(100L, 101L),
+        s"the consult strategy flip changed the blocked set: $got")
+      // ...and the full transaction under budget 0 commits the same
+      // index state and audit as the broadcast tier on a twin root
+      val root2 = build(cap = Dedup.DefaultRegistryLaneMaxRowsPerFile)
+      Dedup.admitIntoMinhashIndex(spark, delta, root, 0L, 0.8)
+      Dedup.admitIntoMinhashIndex(spark, delta, root2, 0L, 0.8,
+        registryBroadcastMaxRows = 0L)
+      def state(p: String): (Set[Long], Set[Seq[Any]]) = (
+        spark.read.parquet(s"$p/members")
+          .filter(graft.ops.Layout.committedBatchFilter(spark, p))
+          .select("doc_id").as[Long].collect().toSet,
+        Dedup.admissionLog(spark, p)
+          .select("batch", "source", "n_admitted", "n_rejected",
+            "n_skipped", "n_blocked")
+          .collect().map(_.toSeq).toSet)
+      val (mem, logRows) = state(root)
+      assert(state(root2) === ((mem, logRows)),
+        "shuffled-consult admission committed a different index/audit state")
+      assert(mem === Set(60L, 102L), s"blocked docs reached members: $mem")
+      assert(logRows.exists(r => r.contains(2L)),
+        s"expected n_blocked=2 in the audit: $logRows")
+    } finally spark.conf.set(key, prev)
+  }
 }
