@@ -279,6 +279,19 @@ object Dedup {
         .select("content_key", "doc_id")
   }
 
+  /** Sized registry-lane delivery: takedown-request-sized lanes coalesce
+    * to ONE file (O(1) footer reads for the admission consult's lane
+    * count); a whole-source recall shards into ceil(rows / cap) files —
+    * via the round-robin exchange, since coalesce can only shrink — so
+    * no single writer task materializes a multi-GB lane partition. Lane
+    * frames are deterministic (committed old lane ∪ victim-derived
+    * rows), so pricing the shard count with one extra evaluation is
+    * safe, and the big case this guards is exactly the one worth it. */
+  private def laneSharded(df: DataFrame, cap: Long): DataFrame = {
+    val shards = math.max(1L, (df.count() + cap - 1) / cap).toInt
+    if (shards == 1) df.coalesce(1) else df.repartition(shards)
+  }
+
   /** One registry-lane table's committed rows, None when the table has
     * never been written — the read side of the takedown registry and its
     * near-copy QUARANTINE (`takedowns_bands` / `takedowns_shingles`). */
@@ -312,25 +325,73 @@ object Dedup {
     * >= 0, the writeIvfadcIndex convention) and clears any previous
     * commit log — Overwrite means a fresh index, not a fresh base under
     * stale appends. */
-  def writeMinhashIndex(docs: DataFrame, indexPath: String): Unit = {
+  def writeMinhashIndex(docs: DataFrame, indexPath: String,
+      dropTakedowns: Boolean = false): Unit = {
     val spark = docs.sparkSession
-    graft.ops.Layout.resetCommitLog(spark, indexPath)
-    // a rebuild must not resurrect the PREVIOUS index's audit or registry:
-    // initCommitLog's directory-walk backfill would re-publish leftover
-    // batch partitions into the fresh manifest, serving the old index's
-    // per-source counts (admissions) or re-admission blocks (takedowns) as
-    // the new index's committed state. The registry is INDEX-lifecycle
-    // state: a fresh build's corpus must already honor outstanding
-    // takedowns (that is what the takedown deleted from), and the new
-    // index's standing obligations start from its own deletes.
-    Seq("admissions", "takedowns", "takedowns_bands",
-        "takedowns_shingles").foreach { t =>
+    // a rebuild must not resurrect the PREVIOUS index's AUDIT
+    // (initCommitLog's directory-walk backfill would re-publish leftover
+    // admission batches, serving the old index's per-source counts as the
+    // new index's committed state) — but the takedown REGISTRY and its
+    // quarantine are NOT index state: they are standing legal
+    // obligations, index-independent one-way content keys that outlive
+    // any one build. "A fresh build's corpus must already honor
+    // outstanding takedowns" (the pre-r20 contract) is precisely the
+    // assumption an operator under legal pressure breaks — rebuild from a
+    // stale corpus snapshot and every outstanding takedown silently
+    // evaporates. So by default the lanes CARRY FORWARD, and the rebuild
+    // REFUSES — before touching anything — if the fresh corpus itself
+    // contains an exact-key copy of a registered victim (carrying a
+    // registry while serving the victim from the base is incoherent).
+    // `dropTakedowns = true` is the caller's explicit acknowledgment that
+    // the obligations end here. Near copies in the fresh corpus are not
+    // checked (exact key is the base-build contract; the quarantine tier
+    // guards the admission door).
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val laneNames = Seq("takedowns", "takedowns_bands",
+      "takedowns_shingles")
+    def laneExists(t: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$indexPath/$t")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      p.getFileSystem(hconf).exists(p)
+    }
+    val carried: Seq[(String, DataFrame)] =
+      if (dropTakedowns || !laneExists("takedowns")) Nil
+      else {
+        // capture committed lane rows BEFORE the reset retires their
+        // manifest (eager checkpoints — file-independent from here on)
+        val lanes =
+          ("takedowns" -> takedownRegistry(spark, indexPath)
+            .localCheckpoint()) +:
+          laneNames.tail.flatMap(t => laneTable(spark, indexPath, t)
+            .map(df => t -> df.drop("batch_id").localCheckpoint()))
+        val nViol = shingleSetsOf(eligibleDocs(docs))
+          .select(contentKey(col("shingle_set")).as("__ck"))
+          .join(broadcast(lanes.head._2
+            .select(col("content_key").as("__ck")).distinct()),
+            Seq("__ck"), "left_semi")
+          .count()
+        require(nViol == 0L,
+          s"rebuild refused: $nViol corpus doc(s) carry the exact " +
+            "content key of a registered takedown victim. Purge them " +
+            "from the corpus, or pass dropTakedowns = true to " +
+            "explicitly end the standing obligations with this rebuild.")
+        lanes
+      }
+    graft.ops.Layout.resetCommitLog(spark, indexPath)
+    (Seq("admissions") ++ laneNames).foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/$t")
+      val fs = p.getFileSystem(hconf)
       if (fs.exists(p)) { fs.delete(p, true); () }
     }
     writeIndexDelta(docs, indexPath, phys = -1L, dynamic = false)
-    graft.ops.Layout.initCommitLog(spark, indexPath)
+    carried.foreach { case (t, rows) =>
+      laneSharded(rows, DefaultRegistryLaneMaxRowsPerFile)
+        .withColumn("batch_id",
+          lit((RegistryBatch + 1) * graft.ops.Layout.GenStride)) // gen-0
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$indexPath/$t")
+    }
+    graft.ops.Layout.initCommitLog(spark, indexPath) // backfills the lanes
+    carried.foreach { case (_, rows) => freeCheckpoint(rows) }
   }
 
   /** Admit a new delta into the index — typically the probe's SURVIVORS
@@ -1105,26 +1166,12 @@ object Dedup {
     val regPhys = graft.ops.Layout.beginBatchCommit(spark, indexPath,
       RegistryBatch)
     graft.ops.Layout.clearPhysicalDelivery(spark, indexPath, regPhys)
-    def putLane(df: DataFrame, table: String): Unit = {
-      // sized lane delivery: takedown-request-sized lanes coalesce to ONE
-      // file (O(1) footer reads for the admission consult's lane count);
-      // a whole-source recall shards into ceil(rows / cap) files so no
-      // single writer task materializes a multi-GB lane partition. The
-      // lane frame is deterministic (committed old lane ∪ victim-derived
-      // rows), so pricing the shard count with one extra evaluation is
-      // safe — and the big case this guards is exactly the one worth it.
-      val shards = math.max(1L,
-        (df.count() + laneMaxRowsPerFile - 1) / laneMaxRowsPerFile).toInt
-      // coalesce can only shrink; the over-cap tier must WIDEN a
-      // few-partition lane frame, which takes the round-robin exchange —
-      // paid only when the lane is already multi-GB
-      val sharded =
-        if (shards == 1) df.coalesce(1) else df.repartition(shards)
-      sharded.withColumn("batch_id", lit(regPhys))
+    def putLane(df: DataFrame, table: String): Unit =
+      laneSharded(df, laneMaxRowsPerFile)
+        .withColumn("batch_id", lit(regPhys))
         .write.mode("overwrite").partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$indexPath/$table")
-    }
     putLane(
       takedownRegistry(spark, indexPath)
         .unionByName(vmDf.join(broadcast(repKeys), "rep")

@@ -450,44 +450,144 @@ object Multimodal {
     * never bucket differently than the writer — the aHash twin of the
     * BM25/IVFADC serving layouts, sharing their append/commit lifecycle
     * ([[Layout.initCommitLog]]). */
-  def writeAhashIndex(docs: DataFrame, basePath: String, nVb: Int = 64)(
+  def writeAhashIndex(docs: DataFrame, basePath: String, nVb: Int = 64,
+      dropTakedowns: Boolean = false)(
       implicit spark: SparkSession): Unit =
-    writeAhashIndexFromFeats(imageFeatures(docs), basePath, nVb)
+    writeAhashIndexFromFeats(imageFeatures(docs), basePath, nVb,
+      dropTakedowns)
 
   /** [[writeAhashIndex]] over an ALREADY-DECODED feature frame — the mart
     * path ([[ahashIndexMart]]) feeds the session's shared decode pass in
-    * here instead of paying a second one for the index build. */
+    * here instead of paying a second one for the index build.
+    *
+    * A rebuild over a root with a standing takedown REGISTRY carries the
+    * registry forward by default (its rows are index-independent one-way
+    * fingerprints — the legal obligation outlives any one build) and
+    * REFUSES — before touching anything — if the fresh corpus itself
+    * contains an exact-fingerprint copy of a registered victim: carrying
+    * a registry while serving the victim from the base would be
+    * incoherent. `dropTakedowns = true` is the caller's explicit
+    * acknowledgment that the obligations end here. NEAR copies in the
+    * fresh corpus are not checked (the exact key is the base-build
+    * contract; the quarantine tier guards the admission door). The ingest
+    * AUDIT always clears — it records the OLD index's decisions. */
   private def writeAhashIndexFromFeats(feats: DataFrame, basePath: String,
-      nVb: Int = 64)(implicit spark: SparkSession): Unit = {
+      nVb: Int = 64, dropTakedowns: Boolean = false)(
+      implicit spark: SparkSession): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val lanePath = new org.apache.hadoop.fs.Path(s"$basePath/takedowns")
+    val laneFs = lanePath.getFileSystem(hconf)
+    val carried: Option[DataFrame] =
+      if (!laneFs.exists(lanePath)) None
+      else if (dropTakedowns) { laneFs.delete(lanePath, true); None }
+      else {
+        // capture the committed lane BEFORE the reset retires its
+        // manifest (eager checkpoint — file-independent from here on)
+        val rows = ahashTakedownRegistry(spark, basePath).localCheckpoint()
+        val nViol = feats
+          .join(broadcast(rows.select(col("ahash_b0"), col("ahash_b1"),
+            col("ahash_b2"), col("ahash_b3")).distinct()),
+            Seq("ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3"),
+            "left_semi")
+          .count()
+        require(nViol == 0L,
+          s"rebuild refused: $nViol corpus doc(s) carry the exact " +
+            "fingerprint of a registered takedown victim. Purge them " +
+            "from the corpus, or pass dropTakedowns = true to " +
+            "explicitly end the standing obligations with this rebuild.")
+        Some(rows)
+      }
     // a full rewrite may change the bucketing geometry (nVb): retire the
     // old manifests so no as_of read can decode a retired snapshot's band
     // keys with the NEW sidecar's geometry (Layout.resetCommitLog doc)
     Layout.resetCommitLog(spark, basePath)
+    // never resurrect the previous index's ingest audit
+    val admPath = new org.apache.hadoop.fs.Path(s"$basePath/admissions")
+    val admFs = admPath.getFileSystem(hconf)
+    if (admFs.exists(admPath)) { admFs.delete(admPath, true); () }
     writeAhashBatch(ahashBandRowsFromFeats(feats), basePath, nVb, -1L,
       dynamic = false)
     spark.range(1).select(lit(nVb).as("n_vb"))
       .write.mode("overwrite").parquet(s"$basePath/bands_meta")
-    Layout.initCommitLog(spark, basePath)
+    carried.foreach { rows =>
+      laneFs.delete(lanePath, true)
+      rows
+        .withColumn("batch_id",
+          lit((RegistryBatch + 1) * Layout.GenStride)) // gen-0 lane phys
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$basePath/takedowns")
+    }
+    Layout.initCommitLog(spark, basePath) // backfills the carried lane
+    carried.foreach { rows =>
+      rows.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
   }
 
   /** Ingest a doc-disjoint image batch under its delivery's PHYSICAL
     * partitions (the [[Layout.beginBatchCommit]] manifest protocol):
     * reads keep serving the previous delivery until the atomic manifest
     * swap at [[Layout.finishBatchCommit]], so a concurrent near-dup read
-    * never sees half a batch's band rows — or a vanished batch. */
+    * never sees half a batch's band rows — or a vanished batch.
+    *
+    * MEDIA TAKEDOWN REGISTRY consult: batch docs whose decoded aHash
+    * fingerprint matches a [[deleteDocsFromAhashIndex]]-registered victim
+    * (exact 64-bit match always; Hamming <= `registryMaxHamming` when the
+    * takedown escalated with `nearCopyBlock`) are REFUSED — a taken-down
+    * image re-crawled under fresh caption text must not re-enter the
+    * index through this, the media modality's only ingest door. The
+    * per-batch (n_ingested, n_blocked) audit publishes in the SAME
+    * manifest swap as the band rows ([[ahashAdmissionLog]] reads it).
+    * Replay-invariant by construction: the consult reads only the
+    * reserved registry lane, never the batch's own delivery. */
   def appendToAhashIndex(newDocs: DataFrame, basePath: String,
-      batchId: Long)(implicit spark: SparkSession): Unit = {
-    require(batchId >= 0,
-      s"batchId must be >= 0 (negative ids are reserved for the base/" +
-        s"compacted partition batch_id=-1), got $batchId")
+      batchId: Long, registryMaxHamming: Int = 3,
+      registryBroadcastMaxRows: Long =
+        graft.llm.Dedup.DefaultRegistryBroadcastMaxRows)(
+      implicit spark: SparkSession): Unit = {
+    require(batchId >= 0 && batchId < RegistryBatch,
+      s"batchId must be in [0, $RegistryBatch) (negative ids are reserved " +
+        s"for the base/compacted partition, $RegistryBatch for the " +
+        s"takedown registry lane), got $batchId")
     val nVb = spark.read.parquet(s"$basePath/bands_meta").head().getInt(0)
+    // ONE decode pass shared by the registry consult and the band write
+    val feats = imageFeatures(newDocs).localCheckpoint(false)
+    val blocked = ahashRegistryBlockedIds(spark, basePath, feats,
+        registryMaxHamming, registryBroadcastMaxRows)
+      .localCheckpoint()
     val phys = Layout.beginBatchCommit(spark, basePath, batchId)
     // a recovery delivery smaller than the crashed attempt must REPLACE
     // its partials, not inherit them (Layout.clearPhysicalDelivery doc)
     Layout.clearPhysicalDelivery(spark, basePath, phys)
-    writeAhashBatch(ahashBandRows(newDocs), basePath, nVb, phys,
-      dynamic = true)
+    writeAhashBatch(
+      ahashBandRowsFromFeats(
+        feats.join(blocked, Seq("doc_id"), "left_anti")),
+      basePath, nVb, phys, dynamic = true)
+    // the audit rides the same swap — TWO outcomes here (the aHash root
+    // is an index, not a dedup gate: non-blocked docs always ingest)
+    newDocs.select("doc_id", "source")
+      .join(blocked.withColumn("__blk", lit(true)), Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        sum(when(col("__blk").isNull, 1L).otherwise(0L)).as("n_ingested"),
+        sum(when(col("__blk").isNotNull, 1L).otherwise(0L)).as("n_blocked"))
+      .withColumn("batch", lit(batchId)) // data column; rides compaction
+      .withColumn("batch_id", lit(phys))
+      .coalesce(1) // sources-sized
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$basePath/admissions")
     Layout.finishBatchCommit(spark, basePath, phys)
+    Seq(feats, blocked).foreach { df =>
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
   }
 
   private def writeAhashBatch(rows: DataFrame, basePath: String, nVb: Int,
@@ -565,10 +665,32 @@ object Multimodal {
     spark.read.parquet(s"$inBase/bands_meta")
       .write.mode("overwrite").parquet(s"$outBase/bands_meta")
     val nVb = spark.read.parquet(s"$inBase/bands_meta").head().getInt(0)
-    val rows = spark.read.parquet(s"$inBase/bands")
-      .filter(Layout.committedBatchFilter(spark, inBase))
+    val vis = Layout.committedBatchFilter(spark, inBase)
+    val rows = spark.read.parquet(s"$inBase/bands").filter(vis)
       .drop("vb", "batch_id")
     writeAhashBatch(rows, outBase, nVb, -1L, dynamic = false)
+    // the media takedown REGISTRY rides compaction in its reserved lane
+    // (the compactMinhashIndex law: a compacted index stays bound by
+    // every standing takedown), and the ingest AUDIT folds into the base
+    // with its `batch` data column intact — compaction must not erase
+    // either. A stale table in a REUSED outBase is removed either way.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def carry(table: String, toBatch: Long, fold: DataFrame => DataFrame)
+        : Unit = {
+      val out = new org.apache.hadoop.fs.Path(s"$outBase/$table")
+      val ofs = out.getFileSystem(hconf)
+      if (ofs.exists(out)) { ofs.delete(out, true); () }
+      val in = new org.apache.hadoop.fs.Path(s"$inBase/$table")
+      if (in.getFileSystem(hconf).exists(in)) {
+        fold(spark.read.parquet(s"$inBase/$table").filter(vis))
+          .drop("batch_id").withColumn("batch_id", lit(toBatch))
+          .coalesce(1)
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$outBase/$table")
+      }
+    }
+    carry("admissions", -1L, identity)
+    carry("takedowns", (RegistryBatch + 1) * Layout.GenStride, identity)
     Layout.initCommitLog(spark, outBase)
     (graft.llm.Selection.countParquetFiles(spark, s"$inBase/bands"),
       graft.llm.Selection.countParquetFiles(spark, s"$outBase/bands"))
@@ -585,19 +707,23 @@ object Multimodal {
     * as the other layouts ([[Layout.takedownRewrite]]): pre-delete as-of
     * versions refuse after the vacuum. */
   def deleteDocsFromAhashIndex(spark: SparkSession, basePath: String,
-      docIds: Seq[Long]): Layout.TakedownReport = {
+      docIds: Seq[Long], nearCopyBlock: Boolean = false,
+      laneMaxRowsPerFile: Long =
+        graft.llm.Dedup.DefaultRegistryLaneMaxRowsPerFile)
+      : Layout.TakedownReport = {
     require(docIds.nonEmpty, "empty takedown set")
     // optimistic concurrency: discovery pins the manifest version; a
     // racing commit refuses the swap and discovery re-runs
     // (Layout.takedownWithRetry contract)
     Layout.takedownWithRetry(spark, basePath)(observed =>
       deleteDocsFromAhashIndexOnce(spark, basePath, docIds.distinct,
-        observed))
+        observed, nearCopyBlock, laneMaxRowsPerFile))
   }
 
   private def deleteDocsFromAhashIndexOnce(spark: SparkSession,
       basePath: String, victims: Seq[Long],
-      observedVersion: Option[Long]): Layout.TakedownReport = {
+      observedVersion: Option[Long], nearCopyBlock: Boolean,
+      laneMaxRowsPerFile: Long): Layout.TakedownReport = {
     val vis = Layout.committedBatchFilter(spark, basePath)
     val hits = spark.read.parquet(s"$basePath/bands").filter(vis)
       .filter(col("doc_id").isin(victims: _*))
@@ -607,7 +733,38 @@ object Multimodal {
     if (hits.isEmpty)
       return Layout.TakedownReport("ahash", 0L, 0L, 0L)
     val affected = hits.map(_._1).toSeq.sorted
+    // MEDIA REGISTRY delivery: persist the victims' aHash fingerprints
+    // (already one-way 64-bit hashes — no recoverable pixels) BEFORE the
+    // rewrite destroys their band rows, so [[appendToAhashIndex]] refuses
+    // a re-crawled copy of a taken-down image — the same standing-
+    // obligation law as the text registry (graft.llm.Dedup). Band rows
+    // are denormalized (each carries its doc's full four bands), so the
+    // capture is one victim-pushed scan. `near_block` records the
+    // takedown's escalation: true rows also refuse NEAR copies (Hamming-
+    // banded, the quarantine tier). Previous registry rows carry forward
+    // — each takedown supersedes only the prior lane delivery — and the
+    // lane publishes in the SAME manifest swap as the delete below.
+    val vfp = spark.read.parquet(s"$basePath/bands").filter(vis)
+      .filter(col("doc_id").isin(victims: _*))
+      .select(col("doc_id"), col("ahash_b0"), col("ahash_b1"),
+        col("ahash_b2"), col("ahash_b3"))
+      .distinct()
+      .withColumn("near_block", lit(nearCopyBlock))
+    val regPhys = Layout.beginBatchCommit(spark, basePath, RegistryBatch)
+    Layout.clearPhysicalDelivery(spark, basePath, regPhys)
+    val lane = ahashTakedownRegistry(spark, basePath)
+      .unionByName(vfp).distinct()
+    // sized lane delivery (the Dedup.putLane discipline): one file in the
+    // takedown-request-sized common case, sharded past the row cap
+    val shards = math.max(1L,
+      (lane.count() + laneMaxRowsPerFile - 1) / laneMaxRowsPerFile).toInt
+    (if (shards == 1) lane.coalesce(1) else lane.repartition(shards))
+      .withColumn("batch_id", lit(regPhys))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$basePath/takedowns")
     val reclaimed = Layout.takedownRewrite(spark, basePath, affected,
+        extraDeliveries = Seq(regPhys),
         expectedVersion = observedVersion) {
       (oldPhys, newPhys) =>
         Layout.readDeliveryRows(spark, s"$basePath/bands",
@@ -620,9 +777,121 @@ object Multimodal {
             .option("partitionOverwriteMode", "dynamic")
             .parquet(s"$basePath/bands")
         }
+        // the ingest audit rides through unchanged — decisions are history
+        Layout.readDeliveryRows(spark, s"$basePath/admissions",
+            "", oldPhys).foreach { rows =>
+          rows.drop("batch_id").withColumn("batch_id", lit(newPhys))
+            .coalesce(1)
+            .write.mode("overwrite").partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(s"$basePath/admissions")
+        }
     }
     Layout.TakedownReport("ahash", hits.map(_._2).sum,
       affected.size.toLong, reclaimed)
+  }
+
+  /** Reserved registry-lane batch id — the [[graft.llm.Dedup.RegistryBatch]]
+    * convention shared across every index family with a takedown registry. */
+  private def RegistryBatch: Long = graft.llm.Dedup.RegistryBatch
+
+  /** The committed media takedown registry of a [[writeAhashIndex]] root:
+    * one (four-band fingerprint, doc_id, near_block) row per DESTROYED
+    * image — the doc_id is the audit trail back to the takedown request,
+    * the fingerprint the standing block [[appendToAhashIndex]] consults
+    * (exact always; Hamming-near when `near_block`). Registry-sized,
+    * never corpus-sized; empty frame when no takedown has ever run. */
+  def ahashTakedownRegistry(spark: SparkSession, basePath: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$basePath/takedowns")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      asOfVersion.foreach(_ =>
+        Layout.committedBatchFilterAt(spark, basePath, asOfVersion))
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("ahash_b0", LongType),
+          StructField("ahash_b1", LongType),
+          StructField("ahash_b2", LongType),
+          StructField("ahash_b3", LongType),
+          StructField("near_block", BooleanType))))
+    } else
+      spark.read.parquet(s"$basePath/takedowns")
+        .filter(Layout.committedBatchFilterAt(spark, basePath, asOfVersion))
+        .select("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3",
+          "near_block")
+  }
+
+  /** Batch doc ids refused by the media registry: exact fingerprint
+    * matches against every registered victim, plus Hamming <=
+    * `maxHamming` matches against the `near_block` rows via the SAME
+    * 4×16 banding as the index probe (a candidate within Hamming 3
+    * shares at least one intact band — pigeonhole — so the banded
+    * candidate set has recall 1 at the default tier). SIZED like the
+    * text registry consult ([[graft.llm.Dedup.blockedRepsForDelta]]):
+    * the lane's committed row count decides broadcast vs shuffled-hash —
+    * a whole-source recall's registry must not broadcast tens of GB to
+    * every executor. Returned lazy. */
+  private[ops] def ahashRegistryBlockedIds(spark: SparkSession,
+      basePath: String, feats: DataFrame, maxHamming: Int,
+      registryBroadcastMaxRows: Long): DataFrame = {
+    val reg = ahashTakedownRegistry(spark, basePath)
+    val regSmall = reg.count() <= registryBroadcastMaxRows
+    def sized(df: DataFrame): DataFrame =
+      if (regSmall) broadcast(df) else df.hint("shuffle_hash")
+    val exact = feats
+      .join(sized(reg.select(col("ahash_b0"), col("ahash_b1"),
+          col("ahash_b2"), col("ahash_b3")).distinct()),
+        Seq("ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3"), "left_semi")
+      .select("doc_id")
+    val nearRows = reg.filter(col("near_block"))
+      .select(col("doc_id").as("__vid"), col("ahash_b0").as("__v0"),
+        col("ahash_b1").as("__v1"), col("ahash_b2").as("__v2"),
+        col("ahash_b3").as("__v3"))
+    def ham(x: Column, y: Column): Column = bit_count(x.bitwiseXOR(y))
+    val qBands = feats.select(col("doc_id"),
+        col("ahash_b0"), col("ahash_b1"), col("ahash_b2"), col("ahash_b3"),
+        posexplode(array(col("ahash_b0"), col("ahash_b1"),
+          col("ahash_b2"), col("ahash_b3"))).as(Seq("__band", "__bv")))
+    val vBands = nearRows.select(col("__vid"), col("__v0"), col("__v1"),
+        col("__v2"), col("__v3"),
+        posexplode(array(col("__v0"), col("__v1"), col("__v2"),
+          col("__v3"))).as(Seq("__band", "__bv")))
+    val near = qBands
+      .join(sized(vBands), Seq("__band", "__bv"))
+      .filter(ham(col("ahash_b0"), col("__v0")) +
+        ham(col("ahash_b1"), col("__v1")) +
+        ham(col("ahash_b2"), col("__v2")) +
+        ham(col("ahash_b3"), col("__v3")) <= lit(maxHamming))
+      .select("doc_id")
+    exact.unionByName(near).distinct()
+  }
+
+  /** The committed media-ingest audit: one (batch, source, n_ingested,
+    * n_blocked) row per source per COMMITTED ingest batch — published in
+    * the same manifest swap as the batch's band rows, so the log and the
+    * index are always consistent. Pre-registry roots (no admissions
+    * table) read as an empty log. */
+  def ahashAdmissionLog(spark: SparkSession, basePath: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$basePath/admissions")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      asOfVersion.foreach(_ =>
+        Layout.committedBatchFilterAt(spark, basePath, asOfVersion))
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("batch", LongType),
+          StructField("source", StringType),
+          StructField("n_ingested", LongType),
+          StructField("n_blocked", LongType))))
+    } else
+      spark.read.parquet(s"$basePath/admissions")
+        .filter(Layout.committedBatchFilterAt(spark, basePath, asOfVersion))
+        .select("batch", "source", "n_ingested", "n_blocked")
   }
 
   /** Point near-dup search FROM the index: the query image's four band
@@ -892,6 +1161,46 @@ object Multimodal {
           (!(col("too_dark") || col("too_bright") || col("low_structure") ||
             col("quiet") || col("clipped"))).as("keep"))
     }
+
+  /** The image-twin doc_id offset: ≡ 0 mod 256, 13 and 18, so doc_id and
+    * doc_id + ImgTwinOffset render byte-identical images under
+    * [[MediaCodec.pixel]] (7d is mod-256, the cross term uses d%13, the
+    * height d%18) at equal n_chars — the "same image re-crawled under a
+    * fresh doc_id" fixture for the media-registry chain, far above any
+    * real doc_id so twin ids never collide with corpus ids. */
+  private[graft] val ImgTwinOffset: Long = 29952L * 100000L
+
+  /** The media-registry chain mart (q198/q199): build the aHash index
+    * over the 90% corpus, take down the doc_id%23==7 victim class (with
+    * the near escalation when `nearCopyBlock`), then ingest a delta =
+    * the held-out 10% plus an exact re-crawl of every victim under a
+    * fresh [[ImgTwinOffset]] twin id. Memoized per (session, dir, tier)
+    * like every chain mart. */
+  private[graft] def ahashRegistryMart(s: SparkSession, dir: String,
+      nearCopyBlock: Boolean = false): String = {
+    implicit val sp: SparkSession = s
+    val tier = if (nearCopyBlock) "near" else "exact"
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft_ahreg_${tier}_" + graft.sec.SecDerive.pathKey(dir)
+    graft.sec.SecDerive.cachedCount(s, dir, s"ahash_registry_$tier") {
+      val docs = Tables.documents(s, dir)
+      writeAhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), base)
+      val victims = docs
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
+          pmod(col("doc_id"), lit(23)) === 7)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      deleteDocsFromAhashIndex(s, base, victims, nearCopyBlock)
+      val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
+            pmod(col("doc_id"), lit(23)) === 7)
+          .withColumn("doc_id", col("doc_id") + lit(ImgTwinOffset)))
+      appendToAhashIndex(delta, base, 0L)
+      1L
+    }
+    base
+  }
 
   /** The persisted aHash index for a data dir — built once per
     * (session, dir), the [[graft.sec.SecDerive.cachedCount]] mart
@@ -1391,7 +1700,74 @@ reach AS (SELECT src, dst FROM edges
 labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
            FROM reach GROUP BY src)
 SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
-FROM labels ORDER BY doc_id""")))
+FROM labels ORDER BY doc_id""")),
+
+    // The MEDIA takedown registry closing the modality gap q193 closed
+    // for text: deleteDocsFromAhashIndex persists the victims' one-way
+    // fingerprints in the reserved registry lane, and the ingest door
+    // (appendToAhashIndex / the aHash ingest stream) REFUSES a re-crawled
+    // copy of a taken-down image — even under fresh caption text and a
+    // fresh doc_id. The chain: build the index over the 90% corpus, take
+    // down the doc_id%23==7 victim class, ingest a delta = the held-out
+    // 10% plus an exact re-crawl of every victim (the +ImgTwinOffset
+    // image twin — the offset is ≡0 mod 256/13/18, so the rendered image
+    // is byte-identical: a re-crawl, not a re-key); read the committed
+    // ingest audit. Oracle: blocked = delta docs whose formula-derived
+    // fingerprint equals a victim's — registry semantics spelled as
+    // four-band equality.
+    Q("q198_media_takedown_registry",
+      (s, dir) => ahashAdmissionLog(s, ahashRegistryMart(s, dir))
+        .orderBy("batch", "source"),
+      Some(s"""
+WITH $imageBandsCtes,
+vict AS (SELECT * FROM bands WHERE doc_id % 10 <> 0 AND doc_id % 23 = 7),
+delta AS (SELECT doc_id AS src_id, doc_id, source FROM documents
+          WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id AS src_id, doc_id + $ImgTwinOffset AS doc_id, source
+          FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 23 = 7),
+fl AS (SELECT d.doc_id, d.source,
+         EXISTS (SELECT 1 FROM vict v
+                 WHERE v.ahash_b0 = b.ahash_b0 AND v.ahash_b1 = b.ahash_b1
+                   AND v.ahash_b2 = b.ahash_b2 AND v.ahash_b3 = b.ahash_b3)
+           AS blocked
+       FROM delta d JOIN bands b ON b.doc_id = d.src_id)
+SELECT CAST(0 AS BIGINT) AS batch, source,
+  CAST(sum(CASE WHEN NOT blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_ingested,
+  CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+FROM fl GROUP BY source ORDER BY source""")),
+
+    // The media quarantine escalation (q197's law, image modality): the
+    // takedown runs with nearCopyBlock=true, so the ingest door refuses
+    // NEAR copies — any delta image within Hamming 3 of a registered
+    // victim's fingerprint, found through the same 4×16 banding as the
+    // index probe (recall 1 at Hamming <= 3 by pigeonhole). Oracle:
+    // blocked = min four-band Hamming to a victim <= 3 (exact matches
+    // are Hamming 0, subsumed).
+    Q("q199_media_takedown_nearblock",
+      (s, dir) => ahashAdmissionLog(s,
+          ahashRegistryMart(s, dir, nearCopyBlock = true))
+        .orderBy("batch", "source"),
+      Some(s"""
+WITH $imageBandsCtes,
+vict AS (SELECT * FROM bands WHERE doc_id % 10 <> 0 AND doc_id % 23 = 7),
+delta AS (SELECT doc_id AS src_id, doc_id, source FROM documents
+          WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id AS src_id, doc_id + $ImgTwinOffset AS doc_id, source
+          FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 23 = 7),
+fl AS (SELECT d.doc_id, d.source,
+         EXISTS (SELECT 1 FROM vict v
+                 WHERE bit_count(xor(v.ahash_b0, b.ahash_b0))
+                     + bit_count(xor(v.ahash_b1, b.ahash_b1))
+                     + bit_count(xor(v.ahash_b2, b.ahash_b2))
+                     + bit_count(xor(v.ahash_b3, b.ahash_b3)) <= 3)
+           AS blocked
+       FROM delta d JOIN bands b ON b.doc_id = d.src_id)
+SELECT CAST(0 AS BIGINT) AS batch, source,
+  CAST(sum(CASE WHEN NOT blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_ingested,
+  CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+FROM fl GROUP BY source ORDER BY source""")))
 
   /** The q135/q137 oracle: banded candidate OR-join over formula-derived
     * hashes + full Hamming verify — shared by the inline and index tiers,

@@ -647,4 +647,182 @@ class TakedownSpec extends SparkSpec {
       minAgeMs = 3600L * 1000) === 1L)
     assert(!fs.exists(dir1))
   }
+
+  // doc_id and doc_id+ImgTwinOffset render IDENTICAL images — the "same
+  // image re-crawled under a fresh doc_id" fixture (Multimodal's doc).
+  private val ImgTwinOffset = Multimodal.ImgTwinOffset
+
+  test("media takedown registry: a re-crawled copy of a taken-down image " +
+      "is refused at ingest and audited; replay decides identically; " +
+      "non-victim re-crawls and fresh images ingest") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val base = (1L to 8L).map(i => doc(i, "img base text " + i, "s1"))
+      .toDF(cols: _*)
+    val root = java.nio.file.Files.createTempDirectory("graft_tkdn_mreg")
+      .toString + "/idx"
+    Multimodal.writeAhashIndex(base, root)
+    val rep = Multimodal.deleteDocsFromAhashIndex(spark, root, Seq(3L, 5L))
+    assert(rep.nMatchedRows > 0L)
+    // registry captured the victims' fingerprints (one-way, no pixels)
+    assert(singleCol[Long](Multimodal.ahashTakedownRegistry(spark, root)
+      .select("doc_id").orderBy("doc_id")) === Seq(3L, 5L))
+    // delta: victim re-crawl (identical image, fresh id), non-victim
+    // re-crawl (image still served — an index ingests it), fresh image
+    val delta = Seq(
+      doc(3L + ImgTwinOffset, "img base text 3", "d"), // blocked
+      doc(4L + ImgTwinOffset, "img base text 4", "d"), // ingests
+      doc(1000L, "fresh image text padded out", "d"))  // ingests
+      .toDF(cols: _*)
+    def committedIds(p: String): Set[Long] =
+      spark.read.parquet(s"$p/bands")
+        .filter(Layout.committedBatchFilter(spark, p))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    Multimodal.appendToAhashIndex(delta, root, batchId = 0L)
+    def audit(): Seq[Seq[Any]] =
+      rows(Multimodal.ahashAdmissionLog(spark, root)
+        .orderBy("batch", "source"))
+    assert(audit() === Seq(Seq(0L, "d", 2L, 1L)),
+      s"expected (ingested=2, blocked=1): ${audit()}")
+    val post = committedIds(root)
+    assert(!post.contains(3L + ImgTwinOffset),
+      "a re-crawled copy of taken-down content re-entered the index")
+    assert(post.contains(4L + ImgTwinOffset) && post.contains(1000L))
+    // replay: a re-driven delivery of the same logical batch decides and
+    // lands byte-identically (the q193 invariant, media modality)
+    Multimodal.appendToAhashIndex(delta, root, batchId = 0L)
+    assert(audit() === Seq(Seq(0L, "d", 2L, 1L)))
+    assert(committedIds(root) === post)
+  }
+
+  test("media registry near escalation + sized consult: nearCopyBlock " +
+      "blocks Hamming-near fingerprints; over-budget lane flips to the " +
+      "shuffled tier with the blocked set unchanged; the registry rides " +
+      "compaction and rebuild, and rebuild refuses a victim-bearing corpus") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val base = (1L to 8L).map(i => doc(i, "img base text " + i, "s1"))
+      .toDF(cols: _*)
+    def build(near: Boolean): String = {
+      val r = java.nio.file.Files.createTempDirectory("graft_tkdn_mnear")
+        .toString + "/idx"
+      Multimodal.writeAhashIndex(base, r)
+      Multimodal.deleteDocsFromAhashIndex(spark, r, Seq(3L),
+        nearCopyBlock = near)
+      r
+    }
+    val exactRoot = build(near = false)
+    val nearRoot = build(near = true)
+    // fabricated probe feats: the victim's exact fingerprint, a 1-bit
+    // neighbor, and a far fingerprint
+    val vfp = Multimodal.ahashTakedownRegistry(spark, nearRoot)
+      .select("ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val feats = Seq(
+      (100L, vfp(0), vfp(1), vfp(2), vfp(3)),              // exact
+      (101L, vfp(0) ^ 1L, vfp(1), vfp(2), vfp(3)),         // hamming 1
+      (102L, ~vfp(0) & 0xFFFFL, ~vfp(1) & 0xFFFFL,
+        ~vfp(2) & 0xFFFFL, ~vfp(3) & 0xFFFFL))             // far
+      .toDF("doc_id", "ahash_b0", "ahash_b1", "ahash_b2", "ahash_b3")
+    def blockedAt(p: String, budget: Long): Set[Long] =
+      Multimodal.ahashRegistryBlockedIds(spark, p, feats, 3, budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dflt = graft.llm.Dedup.DefaultRegistryBroadcastMaxRows
+    assert(blockedAt(exactRoot, dflt) === Set(100L),
+      "exact tier must block only the identical fingerprint")
+    assert(blockedAt(nearRoot, dflt) === Set(100L, 101L),
+      "near escalation must also block the Hamming-1 neighbor")
+    // sized flip: budget 0 degrades the lane joins to the shuffled tier
+    // with an identical blocked set (the Dedup strategy-flip law)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val small = Multimodal.ahashRegistryBlockedIds(spark, nearRoot,
+        feats, 3, dflt)
+      val big = Multimodal.ahashRegistryBlockedIds(spark, nearRoot,
+        feats, 3, 0L)
+      assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val bigPlan = big.queryExecution.executedPlan.toString
+      assert(!bigPlan.contains("BroadcastHashJoin") &&
+        bigPlan.contains("ShuffledHashJoin"))
+      assert(big.select("doc_id").collect().map(_.getLong(0)).toSet ===
+        Set(100L, 101L))
+    } finally spark.conf.set(key, prev)
+    // compaction carry: the compacted root still refuses
+    val out = java.nio.file.Files.createTempDirectory("graft_tkdn_mcmp")
+      .toString + "/idx"
+    Multimodal.compactAhashIndex(spark, nearRoot, out)
+    assert(blockedAt(out, dflt) === Set(100L, 101L),
+      "the registry did not ride compaction")
+    // rebuild carry: a clean-corpus rebuild keeps the standing block...
+    val clean = base.filter(col("doc_id") =!= 3L)
+    Multimodal.writeAhashIndex(clean, nearRoot)
+    assert(blockedAt(nearRoot, dflt) === Set(100L, 101L),
+      "the registry did not survive the rebuild")
+    // ...a victim-bearing corpus REFUSES before touching the root...
+    val preIds = spark.read.parquet(s"$nearRoot/bands")
+      .filter(Layout.committedBatchFilter(spark, nearRoot))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val recrawl = clean.unionByName(
+      Seq(doc(3L + ImgTwinOffset, "img base text 3", "s1")).toDF(cols: _*))
+    intercept[IllegalArgumentException] {
+      Multimodal.writeAhashIndex(recrawl, nearRoot)
+    }
+    assert(spark.read.parquet(s"$nearRoot/bands")
+      .filter(Layout.committedBatchFilter(spark, nearRoot))
+      .select("doc_id").collect().map(_.getLong(0)).toSet === preIds,
+      "the refused rebuild mutated the root")
+    // ...and dropTakedowns=true is the explicit end of the obligations
+    Multimodal.writeAhashIndex(recrawl, nearRoot, dropTakedowns = true)
+    assert(blockedAt(nearRoot, dflt) === Set.empty[Long])
+  }
+
+  test("minhash rebuild carries the takedown registry: a stale-corpus " +
+      "rebuild keeps re-crawls blocked (and quarantined paraphrases " +
+      "refused); a victim-bearing corpus refuses; dropTakedowns=true " +
+      "explicitly ends the obligations") {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val tLong = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val tNear = tLong + " extra"
+    val base = Seq(doc(40L, tLong, "s1"), doc(60L, t3, "s2"))
+      .toDF(cols: _*)
+    val root = java.nio.file.Files.createTempDirectory("graft_tkdn_rbld")
+      .toString + "/idx"
+    graft.llm.Dedup.writeMinhashIndex(base, root)
+    graft.llm.Dedup.deleteDocsFromMinhashIndex(spark, root, Seq(40L),
+      nearCopyBlock = true)
+    // REBUILD from a stale corpus snapshot (victim already purged): the
+    // registry must carry, or the takedown silently evaporates
+    val clean = Seq(doc(60L, t3, "s2"), doc(61L, t4, "s2")).toDF(cols: _*)
+    graft.llm.Dedup.writeMinhashIndex(clean, root)
+    val delta = Seq(
+      doc(100L, tLong, "d"),  // exact re-crawl → blocked (registry)
+      doc(101L, tNear, "d"),  // paraphrase → blocked (quarantine)
+      doc(102L, t5, "d"))     // fresh → admitted
+      .toDF(cols: _*)
+    graft.llm.Dedup.admitIntoMinhashIndex(spark, delta, root, 0L)
+    assert(rows(graft.llm.Dedup.admissionLog(spark, root)
+      .select("n_admitted", "n_rejected", "n_skipped", "n_blocked")) ===
+      Seq(Seq(1L, 0L, 0L, 2L)))
+    // a victim-bearing corpus refuses, leaving the root intact
+    val recrawl = clean.unionByName(
+      Seq(doc(200L, tLong, "s9")).toDF(cols: _*))
+    intercept[IllegalArgumentException] {
+      graft.llm.Dedup.writeMinhashIndex(recrawl, root)
+    }
+    assert(singleCol[Long](
+      graft.llm.Dedup.takedownRegistry(spark, root).select("doc_id"))
+      === Seq(40L), "the refused rebuild damaged the registry")
+    // the explicit acknowledgment drops the lanes; the re-crawl admits
+    graft.llm.Dedup.writeMinhashIndex(recrawl, root, dropTakedowns = true)
+    assert(graft.llm.Dedup.takedownRegistry(spark, root).count() === 0L)
+    graft.llm.Dedup.admitIntoMinhashIndex(spark,
+      Seq(doc(300L, t6, "d2")).toDF(cols: _*), root, 1L)
+    assert(rows(graft.llm.Dedup.admissionLog(spark, root)
+      .select("n_admitted", "n_rejected", "n_skipped", "n_blocked")) ===
+      Seq(Seq(1L, 0L, 0L, 0L)))
+  }
 }
