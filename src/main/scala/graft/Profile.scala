@@ -23,6 +23,7 @@ object Profile {
     val taskMs = new AtomicLong
     val shufWrite = new AtomicLong
     val shufRead = new AtomicLong
+    val verbose = sys.env.get("SPARK_GRAFT_PROFILE_VERBOSE").contains("1")
     override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       stages.incrementAndGet()
@@ -31,6 +32,8 @@ object Profile {
       taskMs.addAndGet(m.executorRunTime)
       shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      if (verbose && m.executorRunTime >= 300)
+        println(f"    stage=${sc.stageInfo.stageId}%5d tasks=${sc.stageInfo.numTasks}%4d run_ms=${m.executorRunTime}%7d cpu_ms=${m.executorCpuTime / 1000000}%7d deser_ms=${m.executorDeserializeTime}%6d ${sc.stageInfo.name.take(110)}")
       ()
     }
     def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0); shufWrite.set(0); shufRead.set(0) }
@@ -39,24 +42,32 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment knob: SPARK_GRAFT_CONF="k=v;k=v" layered on top
+    for (kv <- sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(";"));
+         Array(k, v) <- Seq(kv.split("=", 2)) if k.nonEmpty)
+      builder = builder.config(k, v)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // Bench's untimed warmup (same scaffold: bucketed SEC tables + marts)
+    // Bench's untimed warmup (same scaffold: bucketed SEC tables + marts).
+    // SPARK_GRAFT_PROFILE_NOWARM=1 skips it so a whole-JVM profiler (JFR)
+    // sees only the queries under test — only valid for non-SEC queries.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_regionkey").count()
       .write.format("noop").mode("overwrite").save()
-    if (sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "1") != "0")
-      graft.sec.SecDerive.installBucketed(spark, sfDir,
-        java.nio.file.Files.createTempDirectory("graft_bkt").toString)
-    graft.sec.SecDerive.facts(spark, sfDir).count()
-    graft.sec.SecDerive.filings(spark, sfDir).count()
-    graft.sec.SecDerive.ratiosV3(spark, sfDir).count()
+    if (!sys.env.get("SPARK_GRAFT_PROFILE_NOWARM").contains("1")) {
+      if (sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "1") != "0")
+        graft.sec.SecDerive.installBucketed(spark, sfDir,
+          java.nio.file.Files.createTempDirectory("graft_bkt").toString)
+      graft.sec.SecDerive.facts(spark, sfDir).count()
+      graft.sec.SecDerive.filings(spark, sfDir).count()
+      graft.sec.SecDerive.ratiosV3(spark, sfDir).count()
+    }
 
     val counter = new Counter
     spark.sparkContext.addSparkListener(counter)

@@ -439,9 +439,11 @@ ORDER BY doc_id""")),
           lmBigramStats(refB))
         val oneU = lmUnigramStats(ref)
         val oneP = lmBigramStats(ref)
+        // multiset symmetric difference in ONE ±1-weighted aggregate —
+        // value-identical to the exceptAll-both-ways count at half the
+        // scans (LlmQueries.symDiffCount doc)
         def diffCount(a: DataFrame, b: DataFrame, as: String): DataFrame =
-          a.exceptAll(b).unionByName(b.exceptAll(a))
-            .agg(count(lit(1)).as(as))
+          LlmQueries.symDiffCount(a, b, as)
         val sMerged = lmScoreWith(docs, mergedU, mergedP)
         val sOne = lmScoreWith(docs, oneU, oneP)
         diffCount(mergedU, oneU, "n_uni_diff")

@@ -182,6 +182,30 @@ object LlmQueries {
           .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id"))),
         "ckey"))
 
+  /** Multiset symmetric-difference cardinality of two same-schema frames,
+    * as a 1-row (`as`: long) frame — VALUE-identical to the gate spelling
+    * `a.exceptAll(b).unionByName(b.exceptAll(a)).agg(count(*))` (both
+    * compute Σ |multiplicity_a − multiplicity_b|), at half the cost: the
+    * exceptAll pair scans EACH input twice and runs two aggregate+generate
+    * rewrites; this scans each side once into ONE ±1-weighted aggregate
+    * (guide §2.3 — aggregate before you shuffle). Grouping normalizes
+    * NaN/-0.0 exactly like exceptAll's (both route through the same
+    * aggregate machinery). */
+  private[llm] def symDiffCount(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, as: String)
+      : org.apache.spark.sql.DataFrame = {
+    val cols = a.columns.toSeq.map(org.apache.spark.sql.functions.col)
+    a.withColumn("__w", org.apache.spark.sql.functions.lit(1L))
+      .unionByName(b.withColumn("__w", org.apache.spark.sql.functions.lit(-1L)))
+      .groupBy(cols: _*)
+      .agg(org.apache.spark.sql.functions.sum("__w").as("__d"))
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.abs(
+            org.apache.spark.sql.functions.col("__d"))),
+        org.apache.spark.sql.functions.lit(0L)).as(as))
+  }
+
   // ---------------------------------------------------------------------------
   // DuckDB SQL fragments
   // ---------------------------------------------------------------------------

@@ -280,15 +280,14 @@ object Selection {
     val sub = subvectors(Tables.spread(embeddings))
     var cb = pqCodebook(embeddings)
     for (_ <- 1 to iters) {
-      val assigned = sub.join(broadcast(cb), "m")
-        .select(col("vec_id"), col("m"), col("sv"),
-          struct(l2sq(col("sv"), col("cw")).as("d2"), col("code").as("code"))
-            .as("dc"))
-        .groupBy("vec_id", "m")
-        // sv is functionally determined by (vec_id, m): first() is exact
-        .agg(min("dc").as("best"), first("sv").as("sv"))
+      // in-row argmin over the broadcast codebook (see [[codeFold]]) — the
+      // old min(struct) groupBy forced a SortAggregate (struct buffers are
+      // not hash-aggregable) that sorted all N·M·Ks candidate rows
+      val assigned = sub.crossJoin(codebookAsRow(cb))
+        .withColumn("__ss", Similarity.dot(col("sv"), col("sv")))
+        .select(col("vec_id"), col("m"), col("sv"), codeFold.as("code"))
       val means = assigned
-        .select(col("m"), col("best.code").as("code"),
+        .select(col("m"), col("code"),
           posexplode(col("sv")).as(Seq("dim", "v")))
         .groupBy("m", "code", "dim")
         .agg((sum(col("v").cast(dec)).cast("double") /
@@ -307,20 +306,66 @@ object Selection {
     cb
   }
 
+  /** The codebook folded into ONE broadcast array row `__cb`, indexed by
+    * subspace: element m+1 holds that subspace's (code, cw) list sorted by
+    * code. M·Ks rows (128 doubles-wide) — trivially one row at any corpus
+    * size. `coalesce(1)` keeps both fold aggregates exchange-free (a
+    * single input partition satisfies any clustered distribution). */
+  private def codebookAsRow(codebook: DataFrame): DataFrame =
+    broadcast(codebook.coalesce(1)
+      .groupBy("m")
+      .agg(array_sort(collect_list(struct(col("code"), col("cw"),
+        Similarity.dot(col("cw"), col("cw")).as("cc")))).as("cws"))
+      .coalesce(1)
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("cws")))),
+        e => e.getField("cws")).as("__cb")))
+
+  /** Per-(sv, m) argmin over the broadcast codebook row: array_min over
+    * the Ks (d2, code) structs — natural struct ordering is exactly the
+    * old `min(struct(d2, code))` (d2 asc, ties to the lowest code),
+    * evaluated in-row instead of through a sort-based aggregate. d2 is
+    * [[l2sq]] with both squared norms HOISTED: |sv|² once per row (the
+    * `__ss` column callers project) and |cw|² once per codeword (the `cc`
+    * field [[codebookAsRow]] precomputes) — identical IEEE value
+    * ((ss − 2·a·b) + cc, the l2sq association), one dot per codeword. */
+  private def codeFold: Column =
+    array_min(
+      transform(element_at(col("__cb"), col("m") + 1), e =>
+        struct((col("__ss") - lit(2.0) * Similarity.dot(col("sv"),
+          e.getField("cw")) + e.getField("cc")).as("d2"),
+          e.getField("code").as("code")))).getField("code")
+
+  /** The nprobe nearest cells per query as (query_id, cell, qres =
+    * qv − centroid) — the assignFold recipe on the query side: in-row
+    * fold over the broadcast cell directory with hoisted norms, no
+    * queries × nlist materialization, no window exchange+sort. */
+  private def probeFold(queries: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame =
+    queries.crossJoin(Similarity.centsAsRow(cents))
+      .withColumn("__qe", sqrt(Similarity.dot(col("qv"), col("qv"))))
+      .select(col("query_id"), col("qv"),
+        posexplode(slice(array_sort(
+          transform(col("__cents"), c =>
+            struct(Similarity.rankKey(
+              Similarity.dot(col("qv"), c.getField("cent")) /
+                (col("__qe") * c.getField("cn"))).as("__ns"),
+              c.getField("cell").as("cell"),
+              c.getField("cent").as("cent")))), 1, nprobe))
+          .as(Seq("__p", "__sc")))
+      .select(col("query_id"), col("__sc").getField("cell").as("cell"),
+        zip_with(col("qv"), col("__sc").getField("cent"),
+          (a, b) => a - b).as("qres"))
+
   /** Encode every vector: per subspace, the L2-nearest codeword (ties break
-    * to the lowest code id via the struct min — deterministic). Output:
-    * (vec_id, m, code). Scale shape: vectors x (M * Ks broadcast) with a
-    * keyed min — linear in corpus size, no shuffle beyond the final
-    * (vec_id, m) reduction. */
+    * to the lowest code id — deterministic). Output: (vec_id, m, code).
+    * Scale shape: one NARROW pass — the argmin folds over the broadcast
+    * codebook per row ([[codeFold]]), so encode shuffles nothing at any
+    * corpus size (the old keyed-min reduction is gone). */
   def pqEncode(embeddings: DataFrame, codebook: DataFrame): DataFrame =
     subvectors(Tables.spread(embeddings))
-      .join(broadcast(codebook), "m")
-      .select(col("vec_id"), col("m"),
-        struct(l2sq(col("sv"), col("cw")).as("d2"), col("code").as("code"))
-          .as("dc"))
-      .groupBy("vec_id", "m")
-      .agg(min("dc").as("best"))
-      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+      .crossJoin(codebookAsRow(codebook))
+      .withColumn("__ss", Similarity.dot(col("sv"), col("sv")))
+      .select(col("vec_id"), col("m"), codeFold.as("code"))
 
   /** Asymmetric-distance-computation search with exact re-rank: build the
     * query-to-codeword distance table (nQueries * M * Ks rows — broadcast),
@@ -407,8 +452,7 @@ object Selection {
     // the kmeansTrain loop's eager form) so merely CONSTRUCTING the query
     // (Explain, plan pins) runs no job; the first action materializes it
     // and the rest reuse it.
-    val assigned = Similarity.ivfAssignWith(embeddings, cents)
-      .join(cents, "cell")
+    val assigned = Similarity.ivfAssignWithCent(embeddings, cents)
       .select(col("vec_id"), col("cell"),
         zip_with(col("embedding").cast("array<double>"), col("cent"),
           (a, b) => a - b).as("embedding"))
@@ -420,15 +464,10 @@ object Selection {
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv"))
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("cell").asc)
-    val probed = queries.crossJoin(cents)
-      .select(col("query_id"), col("qv"), col("cell"), col("cent"),
-        Similarity.cosine(col("qv"), col("cent")).as("sim"))
-      .withColumn("__p", row_number().over(wProbe))
-      .filter(col("__p") <= nprobe)
-      .select(col("query_id"), col("cell"),
-        zip_with(col("qv"), col("cent"), (a, b) => a - b).as("qres"))
+    // nprobe nearest cells per query: the same in-row fold as assignment
+    // (the old spelling materialized queries × nlist rows through a
+    // window exchange+sort just to keep nprobe per query)
+    val probed = probeFold(queries, cents, nprobe)
     val dt = probed
       .select(col("query_id"), col("cell"),
         posexplode(transform(sequence(lit(0), lit(PqM - 1)),
@@ -503,8 +542,7 @@ object Selection {
     val cents = broadcast(spark.read.parquet(s"$basePath/cents"))
     // residuals, shared by codebook training and encode (the ivfadcTopK
     // lazy-localCheckpoint pattern — three consumers, one assignment pass)
-    val assigned = Similarity.ivfAssignWith(embeddings, cents)
-      .join(cents, "cell")
+    val assigned = Similarity.ivfAssignWithCent(embeddings, cents)
       .select(col("vec_id"), col("cell"),
         zip_with(col("embedding").cast("array<double>"), col("cent"),
           (a, b) => a - b).as("embedding"))
@@ -569,8 +607,7 @@ object Selection {
     // its partials, not inherit them (Layout.clearPhysicalDelivery doc)
     graft.ops.Layout.clearPhysicalDelivery(spark, basePath, phys)
     val cents = broadcast(spark.read.parquet(s"$basePath/cents"))
-    val assigned = Similarity.ivfAssignWith(newEmbeddings, cents)
-      .join(cents, "cell")
+    val assigned = Similarity.ivfAssignWithCent(newEmbeddings, cents)
       .select(col("vec_id"), col("cell"),
         zip_with(col("embedding").cast("array<double>"), col("cent"),
           (a, b) => a - b).as("embedding"))
@@ -686,15 +723,10 @@ object Selection {
       asOfVersion: Option[Long] = None): DataFrame = {
     val cents = broadcast(spark.read.parquet(s"$basePath/cents"))
     val cb = spark.read.parquet(s"$basePath/codebook")
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("cell").asc)
-    val probed = queries.crossJoin(cents)
-      .select(col("query_id"), col("qv"), col("cell"), col("cent"),
-        Similarity.cosine(col("qv"), col("cent")).as("sim"))
-      .withColumn("__p", row_number().over(wProbe))
-      .filter(col("__p") <= nprobe)
-      .select(col("query_id"), col("cell"),
-        zip_with(col("qv"), col("cent"), (a, b) => a - b).as("qres"))
+    // nprobe nearest cells per query: the in-row fold over the broadcast
+    // cell directory (the ivfadcTopK shape — the old spelling ranked
+    // queries × nlist rows through a window exchange+sort)
+    val probed = probeFold(queries, cents, nprobe)
     val dt = probed
       .select(col("query_id"), col("cell"),
         posexplode(transform(sequence(lit(0), lit(PqM - 1)),
@@ -907,7 +939,7 @@ object Selection {
   // DuckDB SQL fragments and the memoized embeddings count are shared with
   // LlmQueries (private[llm]) — one copy to keep mirrors from drifting, one
   // count() job per (JVM, dir).
-  import LlmQueries.{h60, tokCte, embCount}
+  import LlmQueries.{h60, tokCte, embCount, symDiffCount}
 
   /** The q100 BM25 scoring chain, parameterized by a corpus predicate —
     * ONE copy shared by q100 (empty predicate) and q190 (the takedown
@@ -2372,9 +2404,9 @@ FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""")),
           .select(col("vec_id").as("doc_id"), col("sem_rank"))
         val fusedBrute = rrfFuse(lexTxt, semBrute, 10)
         val lexAgg = lexTxt.agg(count(lit(1)).as("n_lex"))
-        val diffAgg = lexIdx.exceptAll(lexTxt)
-          .unionByName(lexTxt.exceptAll(lexIdx))
-          .agg(count(lit(1)).as("n_lex_diff"))
+        // one ±1-weighted aggregate — value-identical to the exceptAll
+        // pair at half the scans (LlmQueries.symDiffCount doc)
+        val diffAgg = symDiffCount(lexIdx, lexTxt, "n_lex_diff")
         val ovAgg = fusedIdx.select("doc_id")
           .join(fusedBrute.select("doc_id"), "doc_id")
           .agg(count(lit(1)).as("n_overlap"))
@@ -2417,12 +2449,8 @@ FROM f ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""")),
           .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
         val fusedBrute = rrfFuse3(lexTxt, sem, phraseLeg(phrTxt, 50), 10)
         val phrAgg = phrTxt.agg(count(lit(1)).as("n_phr"))
-        val phrDiff = phrIdx.exceptAll(phrTxt)
-          .unionByName(phrTxt.exceptAll(phrIdx))
-          .agg(count(lit(1)).as("n_phr_diff"))
-        val fusedDiff = fusedIdx.exceptAll(fusedBrute)
-          .unionByName(fusedBrute.exceptAll(fusedIdx))
-          .agg(count(lit(1)).as("n_fused_diff"))
+        val phrDiff = symDiffCount(phrIdx, phrTxt, "n_phr_diff")
+        val fusedDiff = symDiffCount(fusedIdx, fusedBrute, "n_fused_diff")
         phrAgg.crossJoin(phrDiff).crossJoin(fusedDiff)
           .select(lit(0L).as("query_id"),
             (col("n_phr") >= 1 && col("n_phr_diff") === 0)

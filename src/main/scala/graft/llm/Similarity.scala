@@ -273,19 +273,39 @@ object Similarity {
   /** Assignment against an explicit centroid table `(cell, cent)` — the seam
     * that lets [[kmeansTrain]]ed centroids drive the same quantizer. The
     * centroid side is always broadcast (nlist ≪ corpus); assignment is one
-    * narrow pass + a per-vector argmax window. */
-  def ivfAssignWith(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = broadcast(centroids.select(col("cell"), col("cent")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cell").asc)
-    // the corpus × nlist cosine pass is the cost of assignment — spread it
-    graft.Tables.spread(embeddings).join(cents)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
-        cosine(col("embedding"), col("cent")).as("sim"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    * narrow pass: the argmax folds over the broadcast cell directory
+    * per vector (see [[ivfAssignRanked]]), so NOTHING shuffles. */
+  def ivfAssignWith(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignRanked(embeddings, centroids, 1)
       .select("vec_id", "label", "embedding", "cell")
-  }
+
+  /** The nlist-row cell directory folded into ONE array row (sorted by
+    * cell — unique, so order is deterministic), broadcast to every task.
+    * `coalesce(1)` keeps the fold exchange-free: a global aggregate over a
+    * single input partition needs no partial/final split, so the whole
+    * broadcast subtree is one job. nlist ≪ corpus by the adaptive rule
+    * (occupancy ~128), so the array row is always broadcast-sized. */
+  private[llm] def centsAsRow(centroids: DataFrame): DataFrame =
+    broadcast(centroids.coalesce(1)
+      .select(struct(col("cell"), col("cent"),
+        sqrt(dot(col("cent"), col("cent"))).as("cn")).as("__c"))
+      .agg(array_sort(collect_list(col("__c"))).as("__cents")))
+
+  /** Per-element ranking key for the assignment folds: NATURAL struct
+    * ordering on (__ns, cell) must equal the window spelling
+    * `orderBy(sim.desc, cell.asc)`, so __ns = −sim with NaN mapped to
+    * −∞ (Spark sorts double NaN largest, so DESC puts it first; −∞ is
+    * first ascending). ±0.0: −(+0.0) = −0.0 < +0.0 = −(−0.0) ascending,
+    * matching +0.0-before-−0.0 descending. Natural ordering compares via
+    * the compiled TypeOrdering — measured ~2× cheaper per element than a
+    * when()-chain comparator lambda (interpreted expression tree per
+    * comparison). The cosine is algebraically the [[cosine]] spelling
+    * with both norms HOISTED: sqrt(dot(v,v)) once per row (`se`),
+    * sqrt(dot(c,c)) once per centroid (the `cn` field [[centsAsRow]]
+    * precomputes) — identical IEEE value, one dot per element instead of
+    * three. */
+  private[llm] def rankKey(simCol: Column): Column =
+    when(isnan(simCol), lit(Double.NegativeInfinity)).otherwise(-simCol)
 
   /** One Lloyd (k-means) refinement step for the IVF coarse quantizer: the
     * offline pass production runs to tighten [[ivfAssign]]'s seeded
@@ -298,7 +318,13 @@ object Similarity {
   def kmeansStep(embeddings: DataFrame, nlist: Int): DataFrame =
     kmeansStepWith(embeddings, seedCentroids(embeddings, nlist))
 
-  /** One Lloyd step against explicit centroids (see [[kmeansStep]]). */
+  /** One Lloyd step against explicit centroids (see [[kmeansStep]]).
+    * Output stays (cell, dim, centroid) — q53's declared shape.
+    * (r20 note: an all-Dim-sums-in-one-aggregate spelling was tried to
+    * drop the second exchange; it DOUBLED the stage's CPU — 64 decimal
+    * buffers make the generated aggregate update pathological — so the
+    * narrow explode + (cell, dim) partial-agg stays. Its exchange carries
+    * only ≤ nlist × Dim partial rows per task, already scale-safe.) */
   def kmeansStepWith(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
     ivfAssignWith(embeddings, centroids)
@@ -470,20 +496,58 @@ object Similarity {
   /** THE rank-kept assignment: every vector's top `maxProbes` cells with
     * the rank column preserved — the one spelling of the
     * cosine-desc/cell-asc assignment order that [[ivfAssignMulti]] and
-    * the q121 recall audit both consume (rn <= 1 of this window IS
+    * the q121 recall audit both consume (rank 1 of this fold IS
     * [[ivfAssignWith]]'s assignment; a tie-break change here is the only
-    * place the probe tiers' ordering can move). */
+    * place the probe tiers' ordering can move).
+    *
+    * Shape (r20): the old spelling joined the corpus against the
+    * broadcast directory (materializing corpus × nlist rows) and ranked
+    * them through a vec_id window — i.e. the WHOLE cross product crossed
+    * an exchange and a sort just to keep the top rows per vector. The
+    * fold spelling ranks each vector's nlist candidate cells INSIDE the
+    * row (transform over the broadcast directory array + array_sort with
+    * [[simCellCmp]] + slice), so assignment is a genuinely narrow pass:
+    * zero exchanges at ANY corpus size, identical output (same cosine
+    * expression per (vector, cell), same order, same tie-breaks —
+    * oracle-hash-pinned by q53/q82/q88/q104/q113/q121). */
   private[llm] def ivfAssignRanked(embeddings: DataFrame,
-      centroids: DataFrame, maxProbes: Int): DataFrame = {
-    val cents = broadcast(centroids.select(col("cell"), col("cent")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cell").asc)
-    graft.Tables.spread(embeddings).join(cents)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
-        cosine(col("embedding"), col("cent")).as("sim"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxProbes)
+      centroids: DataFrame, maxProbes: Int): DataFrame =
+    assignFold(embeddings, centroids, maxProbes, withCent = false)
       .select("vec_id", "label", "embedding", "cell", "__rn")
+
+  /** [[ivfAssignWith]] with the winning cell's CENTROID carried in-row —
+    * the IVFADC family's residual step needs (v − centroid), and carrying
+    * `cent` out of the fold saves the cents re-join it used to pay. */
+  def ivfAssignWithCent(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    assignFold(embeddings, centroids, 1, withCent = true)
+      .select("vec_id", "label", "embedding", "cell", "cent")
+
+  private def assignFold(embeddings: DataFrame, centroids: DataFrame,
+      maxProbes: Int, withCent: Boolean): DataFrame = {
+    val entry = (c: Column) => {
+      val sim = dot(col("embedding"), c.getField("cent")) /
+        (col("__se") * c.getField("cn"))
+      val base = Seq(rankKey(sim).as("__ns"), c.getField("cell").as("cell"))
+      struct((if (withCent) base :+ c.getField("cent").as("cent")
+              else base): _*)
+    }
+    val ranked = transform(col("__cents"), entry)
+    val extra = if (withCent)
+      Seq(col("__sc").getField("cent").as("cent")) else Nil
+    val base = graft.Tables.spread(embeddings).crossJoin(centsAsRow(centroids))
+      .withColumn("__se", sqrt(dot(col("embedding"), col("embedding"))))
+    val picked =
+      if (maxProbes == 1)
+        // array_min IS rank 1 of the natural order — O(nlist), no sort
+        base.select(col("vec_id"), col("label"), col("embedding"),
+          lit(0).as("__p"), array_min(ranked).as("__sc"))
+      else
+        base.select(col("vec_id"), col("label"), col("embedding"),
+          posexplode(slice(array_sort(ranked), 1, maxProbes))
+            .as(Seq("__p", "__sc")))
+    picked.select(Seq(col("vec_id"), col("label"), col("embedding"),
+      col("__sc").getField("cell").as("cell"),
+      (col("__p") + 1).cast("int").as("__rn")) ++ extra: _*)
   }
 
   /** The IVF-cell tier of [[nearDupPairs]] — the 100 TB path for q34's

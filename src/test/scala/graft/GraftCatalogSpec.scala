@@ -143,7 +143,11 @@ class GraftCatalogSpec extends SparkSpec {
         spark.read.parquet(s"$root/cents")))
     val inline = jobsDuring(
       SparkEntry.queries("q114_selection_pipeline_v2")(spark, dir))
-    assert(written < inline / 4,
+    // r20 recalibration: the fold-based assignment kernel cut the INLINE
+    // path's construction jobs too (fewer exchanges/checkpoint feeds per
+    // Lloyd round), so the honest contrast is 3× — a leak would put
+    // written at ≈ inline, far above either bar
+    assert(written < inline / 3,
       s"written-geometry construction ran $written jobs vs inline's " +
         s"$inline — training is leaking into the written path")
     // registered through the catalog: same rows as the inline-trained
