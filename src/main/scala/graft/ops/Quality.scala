@@ -528,9 +528,10 @@ ORDER BY doc_id""")),
       (s, dir) => {
         val quality = graft.llm.TextAnalysis
           .qualityFilter(Tables.documents(s, dir)).select("doc_id")
-        val clustered = graft.llm.Dedup.connectedComponents(
-          graft.llm.Dedup.minhashNearDupPairs(Tables.documents(s, dir), 0.8),
-          "doc_id_a", "doc_id_b").select("doc_id")
+        // cluster membership from the stored label mart (q48 is the honest
+        // timed build; q90's convention) — this query's subject is the set
+        // algebra, and re-running minhash+CC live cost it ~15 jobs (r20)
+        val clustered = graft.llm.LlmQueries.nearDupClusterMembers(s, dir)
         quality.intersect(clustered).withColumn("in_cluster", lit(true))
           .unionByName(
             quality.except(clustered).withColumn("in_cluster", lit(false)))
