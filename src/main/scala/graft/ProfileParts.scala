@@ -18,8 +18,6 @@ object ProfileParts {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_regionkey").count()
-      .write.format("noop").mode("overwrite").save()
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(
@@ -30,7 +28,6 @@ object ProfileParts {
         }
       })
     def time(name: String)(f: => DataFrame): Unit = {
-      // twice, report both (JIT/codegen warm)
       for (i <- 1 to 2) {
         jobs.set(0)
         val t0 = System.nanoTime()
@@ -41,28 +38,33 @@ object ProfileParts {
       }
     }
 
-    import graft.llm.{Similarity, Selection}
-    val emb = Tables.embeddings(spark, sfDir)
-    val n = emb.count()
-    val nlist = Similarity.adaptiveNlist(n)
-    println(s"n=$n nlist=$nlist")
+    // q142 band-bucket distribution at this SF (VERDICT r19 item #6):
+    // per (band, value) bucket, how many DISTINCT fingerprints collide —
+    // the candidate rep-pair space is sum over buckets of C(k, 2).
+    val feats = graft.ops.Multimodal.audioFpMartProbe(spark, sfDir)
+    val groups = feats.groupBy((0 to 3).map(i => col(s"afp_b$i")): _*)
+      .agg(count(lit(1)).as("members"))
+    val nG = groups.count()
+    val nD = feats.count()
+    println(s"docs=$nD distinctFp=$nG dupFactor=${nD.toDouble / nG}")
+    val bands = groups.select(posexplode(
+      array((0 to 3).map(i => col(s"afp_b$i")): _*)).as(Seq("band", "v")))
+    val dist = bands.groupBy("band", "v").agg(count(lit(1)).as("k"))
+    dist.groupBy("band").agg(count(lit(1)).as("buckets"),
+        max("k").as("max_k"),
+        sum(col("k") * (col("k") - 1) / 2).as("cand_pairs"))
+      .orderBy("band").show(10, false)
+    println("top buckets:")
+    dist.orderBy(col("k").desc).show(12, false)
 
-    // isolate: fold assign vs 64-sum means
-    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
-    val seeds = Similarity.seedCentroids(emb, nlist)
-    time("assign(fold) only")(Similarity.ivfAssignWith(emb, seeds))
-    time("means explode(old)")(Similarity.ivfAssignWith(emb, seeds)
-      .select(col("cell"), posexplode(col("embedding").cast("array<double>"))
-        .as(Seq("dim", "v")))
-      .groupBy("cell", "dim")
-      .agg((sum(col("v").cast(dec)).cast("double") /
-        count(lit(1)).cast("double")).as("centroid")))
-    time("means 64-sum(new)")(Similarity.kmeansStepWith(emb, seeds))
-    time("means 64-sum double-probe")(Similarity.ivfAssignWith(emb, seeds)
-      .select(col("cell"), col("embedding").cast("array<double>").as("v"))
-      .groupBy("cell")
-      .agg(count(lit(1)).as("__n"), (0 until 64).map(d =>
-        sum(element_at(col("v"), d + 1)).as(s"__s$d")): _*))
+    // wall check: the banded pair kernel at this SF
+    val q142 = graft.ops.Multimodal.queries
+      .find(_.name == "q142_audio_neardup").get
+    println("q142 output rows = " + q142.run(spark, sfDir).count())
+    time("q142 bandedPairs")(q142.run(spark, sfDir))
+    val q144 = graft.ops.Multimodal.queries
+      .find(_.name == "q144_audio_neardup_recall").get
+    time("q144 recall")(q144.run(spark, sfDir))
     spark.stop()
   }
 }

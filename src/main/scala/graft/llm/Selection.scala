@@ -342,16 +342,9 @@ object Selection {
   private def probeFold(queries: DataFrame, cents: DataFrame,
       nprobe: Int): DataFrame =
     queries.crossJoin(Similarity.centsAsRow(cents))
-      .withColumn("__qe", sqrt(Similarity.dot(col("qv"), col("qv"))))
       .select(col("query_id"), col("qv"),
-        posexplode(slice(array_sort(
-          transform(col("__cents"), c =>
-            struct(Similarity.rankKey(
-              Similarity.dot(col("qv"), c.getField("cent")) /
-                (col("__qe") * c.getField("cn"))).as("__ns"),
-              c.getField("cell").as("cell"),
-              c.getField("cent").as("cent")))), 1, nprobe))
-          .as(Seq("__p", "__sc")))
+        posexplode(graft.expr.NearestCells(col("qv"), col("__cents"),
+          nprobe, withCent = true)).as(Seq("__p", "__sc")))
       .select(col("query_id"), col("__sc").getField("cell").as("cell"),
         zip_with(col("qv"), col("__sc").getField("cent"),
           (a, b) => a - b).as("qres"))

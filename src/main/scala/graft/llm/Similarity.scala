@@ -291,21 +291,8 @@ object Similarity {
         sqrt(dot(col("cent"), col("cent"))).as("cn")).as("__c"))
       .agg(array_sort(collect_list(col("__c"))).as("__cents")))
 
-  /** Per-element ranking key for the assignment folds: NATURAL struct
-    * ordering on (__ns, cell) must equal the window spelling
-    * `orderBy(sim.desc, cell.asc)`, so __ns = −sim with NaN mapped to
-    * −∞ (Spark sorts double NaN largest, so DESC puts it first; −∞ is
-    * first ascending). ±0.0: −(+0.0) = −0.0 < +0.0 = −(−0.0) ascending,
-    * matching +0.0-before-−0.0 descending. Natural ordering compares via
-    * the compiled TypeOrdering — measured ~2× cheaper per element than a
-    * when()-chain comparator lambda (interpreted expression tree per
-    * comparison). The cosine is algebraically the [[cosine]] spelling
-    * with both norms HOISTED: sqrt(dot(v,v)) once per row (`se`),
-    * sqrt(dot(c,c)) once per centroid (the `cn` field [[centsAsRow]]
-    * precomputes) — identical IEEE value, one dot per element instead of
-    * three. */
-  private[llm] def rankKey(simCol: Column): Column =
-    when(isnan(simCol), lit(Double.NegativeInfinity)).otherwise(-simCol)
+  // The assignment ordering semantics (−sim with NaN→−∞, cell tie-break,
+  // hoisted norms) live in the native kernel: [[graft.expr.NearestCells]].
 
   /** One Lloyd (k-means) refinement step for the IVF coarse quantizer: the
     * offline pass production runs to tighten [[ivfAssign]]'s seeded
@@ -524,30 +511,15 @@ object Similarity {
 
   private def assignFold(embeddings: DataFrame, centroids: DataFrame,
       maxProbes: Int, withCent: Boolean): DataFrame = {
-    val entry = (c: Column) => {
-      val sim = dot(col("embedding"), c.getField("cent")) /
-        (col("__se") * c.getField("cn"))
-      val base = Seq(rankKey(sim).as("__ns"), c.getField("cell").as("cell"))
-      struct((if (withCent) base :+ c.getField("cent").as("cent")
-              else base): _*)
-    }
-    val ranked = transform(col("__cents"), entry)
     val extra = if (withCent)
       Seq(col("__sc").getField("cent").as("cent")) else Nil
-    val base = graft.Tables.spread(embeddings).crossJoin(centsAsRow(centroids))
-      .withColumn("__se", sqrt(dot(col("embedding"), col("embedding"))))
-    val picked =
-      if (maxProbes == 1)
-        // array_min IS rank 1 of the natural order — O(nlist), no sort
-        base.select(col("vec_id"), col("label"), col("embedding"),
-          lit(0).as("__p"), array_min(ranked).as("__sc"))
-      else
-        base.select(col("vec_id"), col("label"), col("embedding"),
-          posexplode(slice(array_sort(ranked), 1, maxProbes))
-            .as(Seq("__p", "__sc")))
-    picked.select(Seq(col("vec_id"), col("label"), col("embedding"),
-      col("__sc").getField("cell").as("cell"),
-      (col("__p") + 1).cast("int").as("__rn")) ++ extra: _*)
+    graft.Tables.spread(embeddings).crossJoin(centsAsRow(centroids))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        posexplode(graft.expr.NearestCells(col("embedding"), col("__cents"),
+          maxProbes, withCent)).as(Seq("__p", "__sc")))
+      .select(Seq(col("vec_id"), col("label"), col("embedding"),
+        col("__sc").getField("cell").as("cell"),
+        (col("__p") + 1).cast("int").as("__rn")) ++ extra: _*)
   }
 
   /** The IVF-cell tier of [[nearDupPairs]] — the 100 TB path for q34's
