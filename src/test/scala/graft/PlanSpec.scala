@@ -106,6 +106,19 @@ class PlanSpec extends SparkSpec {
     assert(plan("q28_fingerprint").contains("graft_window_mins"))
   }
 
+  test("IVF assignment is the exchange-free NearestCells fold (r20): no corpus window, no corpus exchange") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val p = graft.llm.Similarity.ivfAssignWith(emb,
+      graft.llm.Similarity.seedCentroids(emb, 8))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_nearest_cells"), s"expected the native kernel:\n$p")
+    assert(!p.contains("Window"), s"assignment ranked through a window again:\n$p")
+    // the only exchange allowed is the directory's own 1-row fold; the
+    // CORPUS side must reach the explode without shuffling
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shuffled for assignment:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark side (corpus never shuffles on grams)") {
     val p = plan("q50_decontaminate")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
