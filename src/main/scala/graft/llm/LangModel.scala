@@ -69,12 +69,9 @@ object LangModel {
       .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(0), size(col("t")) - 2),
-          i => struct(
-            hash60(element_at(col("t"), i + 1)).as("hp"),
-            hash60(concat(element_at(col("t"), i + 1), lit(" "),
-              element_at(col("t"), i + 2))).as("hb"),
-            hash60(element_at(col("t"), i + 2)).as("h2")))).as("p"))
+        // native kernel == the transform(sequence(...), struct(hash60 x3))
+        // spelling (interpreted lambda per pair), hashing each token once
+        explode(graft.expr.BigramHash3Seq(col("t"))).as("p"))
       .select(col("doc_id"), col("lang"), col("p.hp").as("hp"),
         col("p.hb").as("hb"), col("p.h2").as("h2"))
 

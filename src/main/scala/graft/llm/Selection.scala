@@ -1752,9 +1752,11 @@ win$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$r GROUP BY pair
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("source"),
-        explode(transform(sequence(lit(0), size(col("t")) - 2),
-          i => pmod(hash60(concat(element_at(col("t"), i + 1), lit(" "),
-            element_at(col("t"), i + 2))), lit(buckets.toLong)))).as("b"))
+        // ShingleHashSeq(t, 2, p) == pmod(hash60(w1 || ' ' || w2), p) per
+        // adjacent pair (hash60 is non-negative, so % == pmod), natively
+        // instead of the interpreted transform lambda
+        explode(graft.expr.ShingleHashSeq(col("t"), 2, buckets.toLong))
+          .as("b"))
       .groupBy("doc_id", "source", "b")
       .agg(count(lit(1)).as("c"))
 

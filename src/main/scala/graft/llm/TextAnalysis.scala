@@ -436,11 +436,10 @@ object TextAnalysis {
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("t")) - 2),
-          i => struct(
-            hash60(element_at(col("t"), i + 1)).as("hp"),
-            hash60(concat(element_at(col("t"), i + 1), lit(" "),
-              element_at(col("t"), i + 2))).as("hb")))).as("p"))
+        // native kernel (graft.expr.BigramHash3Seq) == the interpreted
+        // transform/struct spelling; h2 rides along unused (token hashes
+        // are computed once either way)
+        explode(graft.expr.BigramHash3Seq(col("t"))).as("p"))
       .select(col("doc_id"), col("p.hp").as("hp"), col("p.hb").as("hb"))
     val pairCnt = bi.groupBy("hp", "hb").agg(count(lit(1)).as("c_pair"))
     val prevCnt = pairCnt.groupBy("hp").agg(sum("c_pair").as("c_prev"))
@@ -465,13 +464,20 @@ object TextAnalysis {
     * pair-keyed count with map-side partials. Top-k via
     * TakeOrderedAndProject. */
   def bpePairCounts(docs: DataFrame, topK: Int = 20): DataFrame =
+    // count over DISTINCT words x multiplicity: pair counts are additive
+    // over equal words (sum(wcnt x pairs-in-word) == count over every
+    // occurrence, exact integers), so the explode+count runs on the
+    // vocabulary, not the corpus — the shuffle carries distinct-word
+    // partials either way, but the per-row pair work collapses by the
+    // corpus's word-repetition factor (guide §2.3 aggregate early)
     graft.Tables.spread(docs)
       .select(explode(toks(col("text"))).as("word"))
       .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
       .select(explode(expr(
         "transform(sequence(0, length(word) - 2), i -> substring(word, i + 1, 2))"))
-        .as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .as("pair"), col("wcnt"))
+      .groupBy("pair").agg(sum("wcnt").as("cnt"))
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(topK)
 
@@ -506,25 +512,34 @@ object TextAnalysis {
     // upstream of the first exchange, and an under-split input serializes
     // them — measured here at 11.3 CPU-s doing ~1.4 effective cores of work
     // (wall 8.1 s → 2.0 s with the spread in).
+    // The trainer counts over DISTINCT words x multiplicity: a pair count
+    // is additive over equal words (sum(wcnt x pairs-in-word) equals the
+    // per-occurrence count exactly, in integers), so every round's explode
+    // + count runs on the VOCABULARY, not the corpus. The distinct table
+    // is eagerly localCheckpointed (vocabulary-sized) so the per-round
+    // winner jobs replay the replace chain from it instead of
+    // re-tokenizing the corpus each round (JFR: the regex split + lower
+    // of toks dominated the post-kernel profile). The wrap itself is the
+    // native byte-pass kernel (graft.expr.BpeKernels): the old
+    // concat_ws/transform/filter/split HOF chain evaluated interpreted
+    // per (word x char) and disabled whole-stage codegen.
     val words = graft.Tables.spread(docs.select(col("text")))
       .select(explode(toks(col("text"))).as("w0"))
       .select(regexp_replace(col("w0"), US, "").as("word"))
       .filter(length(col("word")) >= 2)
-      .select(concat_ws("", transform(
-        filter(split(col("word"), ""), c => c =!= ""),
-        c => wrap(c))).as("seq"))
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .select(graft.expr.BpeWrap(col("word")).as("seq"), col("wcnt"))
+      .localCheckpoint()
     var seqs = words
     var out: Option[DataFrame] = None
     for (r <- 1 to rounds) {
-      val syms = split(
-        regexp_replace(col("seq"), s"^$US|$US$$", ""), US + US)
+      // native adjacent-pair kernel == the syms split + pair transform;
+      // sub-2-symbol seqs yield the empty array, which explode drops
+      // (the old filter(size >= 2) guard)
       val counts = seqs
-        .select(syms.as("s"))
-        .filter(size(col("s")) >= 2)
-        .select(explode(transform(sequence(lit(0), size(col("s")) - 2),
-          i => concat(element_at(col("s"), i + 1), lit(" "),
-            element_at(col("s"), i + 2)))).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .select(explode(graft.expr.BpeAdjacentPairs(col("seq"))).as("pair"),
+          col("wcnt"))
+        .groupBy("pair").agg(sum("wcnt").as("cnt"))
       val winner = counts
         .orderBy(col("cnt").desc, col("pair").asc).limit(1)
         .select(lit(r.toLong).as("round"), col("pair"), col("cnt"))
@@ -540,7 +555,7 @@ object TextAnalysis {
           .select(when(col("a").isNull, col("seq"))
             .otherwise(replace(col("seq"),
               concat(wrap(col("a")), wrap(col("b"))),
-              wrap(concat(col("a"), col("b"))))).as("seq"))
+              wrap(concat(col("a"), col("b"))))).as("seq"), col("wcnt"))
       }
     }
     out.get.orderBy("round")
@@ -579,26 +594,23 @@ object TextAnalysis {
     def wrap(c: Column): Column = concat(lit(US), c, lit(US))
     val wRank = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("pair").asc)
+    // distinct-word x multiplicity counting + eager vocabulary checkpoint
+    // (see bpeTrainRounds): exact same integers, vocabulary-sized rounds
     var seqs = graft.Tables.spread(docs.select(col("text")))
       .select(explode(toks(col("text"))).as("w0"))
       .select(regexp_replace(col("w0"), US, "").as("word"))
       .filter(length(col("word")) >= 2)
-      .select(concat_ws("", transform(
-        filter(split(col("word"), ""), c => c =!= ""),
-        c => wrap(c))).as("seq"))
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .select(graft.expr.BpeWrap(col("word")).as("seq"), col("wcnt"))
+      .localCheckpoint()
     var out: Option[DataFrame] = None
     for (r <- 1 to rounds) {
-      val syms = split(
-        regexp_replace(col("seq"), s"^$US|$US$$", ""), US + US)
       // ranked top-`batch` candidates; the rank window runs on ≤batch rows
       // (post-limit), so the un-partitioned window is a non-issue
       val ranked = seqs
-        .select(syms.as("s"))
-        .filter(size(col("s")) >= 2)
-        .select(explode(transform(sequence(lit(0), size(col("s")) - 2),
-          i => concat(element_at(col("s"), i + 1), lit(" "),
-            element_at(col("s"), i + 2)))).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .select(explode(graft.expr.BpeAdjacentPairs(col("seq"))).as("pair"),
+          col("wcnt"))
+        .groupBy("pair").agg(sum("wcnt").as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc).limit(batch)
         .withColumn("rk", row_number().over(wRank).cast("long"))
         .withColumn("ab", split(col("pair"), " "))
@@ -628,7 +640,7 @@ object TextAnalysis {
             .select(when(col("a").isNull, col("seq"))
               .otherwise(replace(col("seq"),
                 concat(wrap(col("a")), wrap(col("b"))),
-                wrap(concat(col("a"), col("b"))))).as("seq"))
+                wrap(concat(col("a"), col("b"))))).as("seq"), col("wcnt"))
         }
         seqs = s
       }
@@ -658,13 +670,11 @@ object TextAnalysis {
     * shipped; encode is then a single narrow pass + one keyed agg — this
     * query keeps train+encode in one plan so the oracle can replay both. */
   def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame = {
-    val US = "\u001f"
-    val syms = (seq: Column) => split(
-      regexp_replace(seq, s"^$US|$US$$", ""), US + US)
     bpeSegment(docs, rounds)
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("nch"),
-        size(syms(col("seq"))).cast("long").as("ntok"))
+        // == size(syms(seq)) of the old split spelling, as a native pass
+        graft.expr.BpeSymbolCount(col("seq")).as("ntok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("nch").as("n_chars_seg"),
         sum("ntok").as("n_tokens"))
@@ -678,29 +688,33 @@ object TextAnalysis {
   def bpeSegment(docs: DataFrame, rounds: Int = 3): DataFrame = {
     val US = "\u001f"
     def wrap(c: Column): Column = concat(lit(US), c, lit(US))
-    val syms = (seq: Column) => split(
-      regexp_replace(seq, s"^$US|$US$$", ""), US + US)
     // Train on the SAME corpus as bpeTrainRounds — no doc_id filter here;
     // null-doc rows count toward the winners and are dropped only in the
     // consumers' final aggregation, so the learned merge table is exactly
     // the one the trainer ships.
-    var seqs = graft.Tables.spread(docs.select(col("doc_id"), col("text")))
+    val wordsAll = graft.Tables.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(toks(col("text"))).as("w0"))
       .select(col("doc_id"), regexp_replace(col("w0"), US, "").as("word"))
       .filter(length(col("word")) >= 2)
+    // the TRAINER side counts over distinct words x multiplicity (exact
+    // same integers as per-occurrence counting; see bpeTrainRounds) from
+    // one eager vocabulary-sized checkpoint, so the per-round winner jobs
+    // never re-tokenize the corpus; the doc-carrying segmentation chain
+    // below stays per-occurrence and is evaluated ONCE by the consumer's
+    // final action (no count ever touches it mid-loop anymore)
+    var wseqs = wordsAll
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .select(graft.expr.BpeWrap(col("word")).as("seq"), col("wcnt"))
+      .localCheckpoint()
+    var seqs = wordsAll
       .select(col("doc_id"), col("word"),
         length(col("word")).cast("long").as("nch"),
-        concat_ws("", transform(
-          filter(split(col("word"), ""), c => c =!= ""),
-          c => wrap(c))).as("seq"))
+        graft.expr.BpeWrap(col("word")).as("seq"))
     for (r <- 1 to rounds) {
-      val winner = seqs
-        .select(syms(col("seq")).as("s"))
-        .filter(size(col("s")) >= 2)
-        .select(explode(transform(sequence(lit(0), size(col("s")) - 2),
-          i => concat(element_at(col("s"), i + 1), lit(" "),
-            element_at(col("s"), i + 2)))).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val winner = wseqs
+        .select(explode(graft.expr.BpeAdjacentPairs(col("seq"))).as("pair"),
+          col("wcnt"))
+        .groupBy("pair").agg(sum("wcnt").as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc).limit(1)
         .localCheckpoint(false)
       val ab = winner.select(split(col("pair"), " ").as("ab"))
@@ -716,6 +730,12 @@ object TextAnalysis {
             .otherwise(replace(col("seq"),
               concat(wrap(col("a")), wrap(col("b"))),
               wrap(concat(col("a"), col("b"))))).as("seq"))
+      if (r < rounds)
+        wseqs = wseqs.join(broadcast(ab), lit(true), "left")
+          .select(when(col("a").isNull, col("seq"))
+            .otherwise(replace(col("seq"),
+              concat(wrap(col("a")), wrap(col("b"))),
+              wrap(concat(col("a"), col("b"))))).as("seq"), col("wcnt"))
     }
     seqs
   }
@@ -728,12 +748,10 @@ object TextAnalysis {
     * symbols), never corpus-sized; the oracle replays the identical merge
     * chain and unnests the same symbols. */
   def bpeVocab(docs: DataFrame, rounds: Int = 3): DataFrame = {
-    val US = "\u001f"
-    val syms = (seq: Column) => split(
-      regexp_replace(seq, s"^$US|$US$$", ""), US + US)
     bpeSegment(docs, rounds)
       .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), explode(syms(col("seq"))).as("token"))
+      .select(col("doc_id"),
+        explode(graft.expr.BpeSymbols(col("seq"))).as("token"))
       .groupBy("token")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
@@ -780,13 +798,10 @@ object TextAnalysis {
     * per-round corpus passes are paid at training time, not per encode. */
   def bpeEncodeWith(docs: DataFrame, merges: DataFrame,
       maxMerges: Int): DataFrame = {
-    val US = "\u001f"
-    val syms = (seq: Column) => split(
-      regexp_replace(seq, s"^$US|$US$$", ""), US + US)
     bpeSegmentWith(docs, merges, maxMerges)
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("nch"),
-        size(syms(col("seq"))).cast("long").as("ntok"))
+        graft.expr.BpeSymbolCount(col("seq")).as("ntok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("nch").as("n_chars_seg"),
         sum("ntok").as("n_tokens"))
@@ -813,9 +828,7 @@ object TextAnalysis {
       .select(col("doc_id"), regexp_replace(col("w0"), US, "").as("word"))
       .filter(length(col("word")) >= 2)
       .select(col("doc_id"), length(col("word")).cast("long").as("nch"),
-        concat_ws("", transform(
-          filter(split(col("word"), ""), c => c =!= ""),
-          c => wrap(c))).as("seq"))
+        graft.expr.BpeWrap(col("word")).as("seq"))
     for (i <- 1 to maxMerges) {
       val mi = ranked.filter(col("grk") === i).select(col("a"), col("b"))
       seqs = seqs.join(broadcast(mi), lit(true), "left")
@@ -838,12 +851,10 @@ object TextAnalysis {
     * tier and the per-corpus cost here is one no-shuffle encode pass. */
   def bpeVocabWith(docs: DataFrame, merges: DataFrame,
       maxMerges: Int): DataFrame = {
-    val US = "\u001f"
-    val syms = (seq: Column) => split(
-      regexp_replace(seq, s"^$US|$US$$", ""), US + US)
     bpeSegmentWith(docs, merges, maxMerges)
       .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), explode(syms(col("seq"))).as("token"))
+      .select(col("doc_id"),
+        explode(graft.expr.BpeSymbols(col("seq"))).as("token"))
       .groupBy("token")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
