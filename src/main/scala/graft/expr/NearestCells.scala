@@ -62,12 +62,24 @@ case class NearestCells(vec: Expression, cents: Expression, maxProbes: Int,
 
   override def checkInputDataTypes(): TypeCheckResult =
     (vec.dataType, cents.dataType) match {
+      // field TYPES validated too, not just names (ADVICE r20): eval reads
+      // cell via getLong/getInt, cent via getArray of float|double and cn
+      // via getDouble — a frame that analyzed with, say, a float cn would
+      // otherwise silently read garbage at eval time
       case (ArrayType(FloatType | DoubleType, _), ArrayType(st: StructType, _))
-          if st.fieldNames.take(3).sameElements(Array("cell", "cent", "cn")) =>
+          if st.fieldNames.take(3).sameElements(Array("cell", "cent", "cn")) &&
+            (st("cell").dataType == LongType ||
+              st("cell").dataType == IntegerType) &&
+            (st("cent").dataType match {
+              case ArrayType(FloatType | DoubleType, _) => true
+              case _ => false
+            }) &&
+            st("cn").dataType == DoubleType =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (array<float|double>, " +
-          s"array<struct<cell, cent, cn>>), got ${vec.dataType.sql} " +
+          s"array<struct<cell: int|bigint, cent: array<float|double>, " +
+          s"cn: double>>), got ${vec.dataType.sql} " +
           s"and ${cents.dataType.sql}")
     }
 

@@ -199,6 +199,19 @@ object Dedup {
     * delta is small (the map-side-streaming plan), shuffled hash join with
     * the delta as build side otherwise — the strategy flip moves the
     * exchange, never the rows (spec-pinned). */
+  /** Budget probe: decides `count(df) <= budget` as
+    * `df.limit(budget + 1).count() <= budget` — the identical predicate
+    * (min(count, budget+1) <= budget ⟺ count <= budget, for budget >= 0),
+    * but the LocalLimit stops every partition after budget+1 rows instead
+    * of counting the world. On the lazy probe path the candidate-pair
+    * pricing previously recomputed the WHOLE delta-tokenize + band-join
+    * lineage just to take its count; the bounded probe prices the same
+    * decision on a prefix. Strategy flips are unchanged at every budget
+    * (DedupSpec pins the flip legs, including budget 0). */
+  private def withinBudget(df: DataFrame, budget: Long): Boolean =
+    if (budget < 0 || budget >= Int.MaxValue) df.count() <= budget
+    else df.limit(budget.toInt + 1).count() <= budget
+
   private def sized(df: DataFrame, small: Boolean): DataFrame =
     if (small) broadcast(df) else df.hint("shuffle_hash")
 
@@ -279,18 +292,18 @@ object Dedup {
         .select("content_key", "doc_id")
   }
 
-  /** Sized registry-lane delivery: takedown-request-sized lanes coalesce
-    * to ONE file (O(1) footer reads for the admission consult's lane
-    * count); a whole-source recall shards into ceil(rows / cap) files —
-    * via the round-robin exchange, since coalesce can only shrink — so
-    * no single writer task materializes a multi-GB lane partition. Lane
-    * frames are deterministic (committed old lane ∪ victim-derived
-    * rows), so pricing the shard count with one extra evaluation is
-    * safe, and the big case this guards is exactly the one worth it. */
-  private def laneSharded(df: DataFrame, cap: Long): DataFrame = {
-    val shards = math.max(1L, (df.count() + cap - 1) / cap).toInt
-    if (shards == 1) df.coalesce(1) else df.repartition(shards)
-  }
+  /** Sized registry-lane delivery: one writer task, files split every
+    * `cap` rows by the writer itself (`maxRecordsPerFile`) — a
+    * takedown-request-sized lane lands as ONE file (O(1) footer reads
+    * for the admission consult's lane count), a whole-source recall as
+    * ceil(rows / cap) bounded files. The r20 spelling priced an explicit
+    * shard count with a `df.count()` job plus a round-robin exchange per
+    * lane write; the writer-side split delivers the identical file
+    * layout (DedupSpec pins both tiers) with neither — the one trade is
+    * that the rare giant-recall lane is written by one sequential task
+    * instead of `shards` parallel ones, bounded-memory either way. */
+  private def laneSharded(df: DataFrame, cap: Long): DataFrame =
+    df.coalesce(1)
 
   /** One registry-lane table's committed rows, None when the table has
     * never been written — the read side of the takedown registry and its
@@ -387,7 +400,9 @@ object Dedup {
       laneSharded(rows, DefaultRegistryLaneMaxRowsPerFile)
         .withColumn("batch_id",
           lit((RegistryBatch + 1) * graft.ops.Layout.GenStride)) // gen-0
-        .write.mode("overwrite").partitionBy("batch_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", DefaultRegistryLaneMaxRowsPerFile)
+        .partitionBy("batch_id")
         .parquet(s"$indexPath/$t")
     }
     graft.ops.Layout.initCommitLog(spark, indexPath) // backfills the lanes
@@ -576,7 +591,7 @@ object Dedup {
       registryBroadcastMaxRows: Long = DefaultRegistryBroadcastMaxRows)
       : DataFrame = {
     val registry = takedownRegistry(spark, indexPath)
-    val regSmall = registry.count() <= registryBroadcastMaxRows
+    val regSmall = withinBudget(registry, registryBroadcastMaxRows)
     val exactBlocked = newSets
       .select(col("doc_id").as("rep"),
         contentKey(col("shingle_set")).as("__ck"))
@@ -588,8 +603,8 @@ object Dedup {
       (laneTable(spark, indexPath, "takedowns_bands"),
         laneTable(spark, indexPath, "takedowns_shingles")) match {
         case (Some(qb), Some(qs)) =>
-          val qbSmall = qb.count() <= registryBroadcastMaxRows
-          val qsSmall = qs.count() <= registryBroadcastMaxRows
+          val qbSmall = withinBudget(qb, registryBroadcastMaxRows)
+          val qsSmall = withinBudget(qs, registryBroadcastMaxRows)
           val cand = newBands
             .join(sized(qb.select(col("doc_id").as("__qrep"),
               col("band_idx"), col("band_hash")), qbSmall),
@@ -908,10 +923,11 @@ object Dedup {
       if (materialize) df.localCheckpoint(false) else df
     val eligible = eligibleDocs(newDocs)
     val dMembers = keep(exactGroupsOf(eligible))
-    val small =
-      knownDeltaDocs.getOrElse(
-        if (materialize) dMembers.count() else newDocs.count()) <=
-        broadcastMaxDocs
+    val small = knownDeltaDocs match {
+      case Some(n) => n <= broadcastMaxDocs
+      case None => withinBudget(
+        if (materialize) dMembers else newDocs, broadcastMaxDocs)
+    }
     val dReps = eligible.join(
       dMembers.filter(col("doc_id") === col("rep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
@@ -929,7 +945,7 @@ object Dedup {
     // table at all; over budget the verify join flips to shuffled-hash
     // with candidates as the build side (identical pairs, spec-pinned)
     val smallVerify =
-      small && candidates.count() <= broadcastMaxCandidatePairs
+      small && withinBudget(candidates, broadcastMaxCandidatePairs)
     val idxSets = spark.read.parquet(s"$indexPath/shingles").filter(vis)
       .select(col("doc_id").as("rep_old"), col("shingle_set").as("sh_old"))
     val deltaSets = newSets
@@ -1171,6 +1187,7 @@ object Dedup {
         .withColumn("batch_id", lit(regPhys))
         .write.mode("overwrite").partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", laneMaxRowsPerFile)
         .parquet(s"$indexPath/$table")
     putLane(
       takedownRegistry(spark, indexPath)

@@ -1764,9 +1764,10 @@ ORDER BY probes""")),
 
     // The serve-many half: per-doc micro-sigmoid score under the trained
     // model, top-20 — scoring is one narrow pass with the 5-row model
-    // table broadcast (at production the model comes from a written
-    // table; the inline train here keeps the query self-contained and
-    // the oracle end-to-end).
+    // table broadcast. The model comes from the memoized
+    // quality_model_mart (the stored-mart convention, r20): q126 is the
+    // honest timed TRAIN build; this query reads the mart and measures
+    // scoring only. The oracle still replays the full train+score chain.
     Q("q127_quality_classifier_score",
       (s, dir) => Classifier.logregScore(Tables.documents(s, dir),
         qualityModel(s, dir)).limit(20),

@@ -64,8 +64,22 @@ object Similarity {
     * so fixed nlist degenerates quadratically exactly like fixed R did for
     * LSH (q57 measured 6.4× wall for 10× vectors at nlist=16). Resolves to
     * 16 (= the generated oracle geometry) for every N ≤ 2048. */
-  def adaptiveNlist(n: Long): Int =
-    math.max(16, ((n + 127) / 128).toInt)
+  def adaptiveNlist(n: Long): Int = {
+    val nlist = (n + 127) / 128
+    // Geometry guard for the one-row directory fold (centsAsRow /
+    // NearestCells): the whole cell directory lives in a single broadcast
+    // InternalRow, so nlist × (dim + struct overhead) must stay far under
+    // the 2³¹ single-row array-element limit AND broadcast-sized. 2²⁴
+    // cells ≈ 16.8M × (8-dim cent + cell + cn) ≈ 1.3 GB is the practical
+    // broadcast ceiling — at occupancy 128 that is a 2×10⁹-vector corpus;
+    // past it, shard the directory (coarse-quantize hierarchically)
+    // rather than silently overflowing the fold.
+    require(nlist <= (1L << 24),
+      s"adaptiveNlist($n) = $nlist exceeds the one-row cell-directory " +
+        "bound (2^24 cells): the broadcast directory fold would not fit " +
+        "a single InternalRow/broadcast — shard the directory instead")
+    math.max(16, nlist.toInt)
+  }
 
   /** Strict left-fold dot product of two vector columns, elementwise-cast to
     * double. Backed by the codegen'd native expression (graft.expr.DotProduct)

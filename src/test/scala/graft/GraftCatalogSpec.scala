@@ -150,6 +150,12 @@ class GraftCatalogSpec extends SparkSpec {
     assert(written < inline / 3,
       s"written-geometry construction ran $written jobs vs inline's " +
         s"$inline — training is leaking into the written path")
+    // absolute ceiling (ADVICE r20): the ratio bar ratchets looser every
+    // time the inline path gets cheaper; a real leak also has to clear
+    // this fixed bound, which lazy-scan footer/listing jobs never approach
+    assert(written <= 4,
+      s"written-geometry construction ran $written jobs — more than " +
+        "footer/listing work; training is leaking into the written path")
     // registered through the catalog: same rows as the inline-trained
     // view (doubles round-trip parquet exactly, so assignment is
     // bit-identical)
