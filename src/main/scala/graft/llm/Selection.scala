@@ -395,32 +395,36 @@ object Selection {
     rerankTopK(adc, embeddings, queries, k, candidates, salts)
   }
 
-  /** Shared ADC tail: salted two-phase candidate rank on approximate
-    * distance, then exact-cosine re-rank of the survivors (used by flat PQ
-    * and IVFADC). */
+  /** Shared ADC tail: candidate rank on approximate distance, then
+    * exact-cosine re-rank of the survivors (used by flat PQ and IVFADC).
+    * Both ranks run as the native bounded aggregate
+    * [[graft.expr.TopKOrdIds]] — identical pair sets/ranks to the salted
+    * two-phase window spelling (spec-pinned), with each rank costing ONE
+    * exchange and no sorts instead of two exchange+sort passes: partial
+    * aggregation bounds every map task's output at `candidates` (or k)
+    * pairs per query, the same straggler guarantee the salt phase
+    * provided. `salts` retained for API stability (subsumed by map-side
+    * truncation). */
   private def rerankTopK(adc: DataFrame, embeddings: DataFrame,
       queries: DataFrame, k: Int, candidates: Long, salts: Int): DataFrame = {
-    val wCandLocal = Window
-      .partitionBy(col("query_id"), pmod(hash(col("vec_id")), lit(salts)))
-      .orderBy(col("adc").asc, col("vec_id").asc)
-    val wCand = Window.partitionBy("query_id")
-      .orderBy(col("adc").asc, col("vec_id").asc)
-    val cand = adc
-      .withColumn("__c_local", row_number().over(wCandLocal).cast("long"))
-      .filter(col("__c_local") <= candidates)
-      .withColumn("__c", row_number().over(wCand).cast("long"))
-      .filter(col("__c") <= candidates)
-      .select("query_id", "vec_id")
-    val wRank = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
+    require(candidates <= Int.MaxValue, s"candidates=$candidates")
+    val cand = adc.groupBy("query_id")
+      .agg(graft.expr.TopKOrdIds(col("adc"), col("vec_id"),
+        candidates.toInt, desc = false).as("__top"))
+      .select(col("query_id"), explode(col("__top.id")).as("vec_id"))
     cand
       .join(embeddings.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v")), "vec_id")
       .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("vec_id"),
         Similarity.cosine(col("v"), col("qv")).as("cosine"))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
+      .groupBy("query_id")
+      .agg(graft.expr.TopKOrdIds(col("cosine"), col("vec_id"), k,
+        desc = true).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
+      .select(col("query_id"), col("__t.id").as("vec_id"),
+        col("__t.ord").as("cosine"),
+        (col("__p") + 1).cast("long").as("rank"))
   }
 
   /** IVFADC (the PQ paper's index-scale scheme, Jégou et al. §V): vectors

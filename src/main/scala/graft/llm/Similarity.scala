@@ -675,24 +675,24 @@ object Similarity {
         cosine(col("embedding"), col("q_emb")).as("cosine"))
   }
 
-  /** The salted two-phase per-query top-k over a (query_id, vec_id,
-    * cosine) frame — identical results to the single-window spelling
-    * (global top-k = top-k of the union of local top-ks), without the
-    * low-cardinality-partition straggler. */
+  /** Per-query top-k over a (query_id, vec_id, cosine) frame via the
+    * native bounded aggregate [[graft.expr.TopKOrdIds]] — identical
+    * results to the salted two-phase window spelling it replaces (ranked
+    * by cosine DESC, vec_id ASC; TopKOrdIdsSpec pins the parity), at ONE
+    * exchange and zero sorts: partial aggregation ships at most k pairs
+    * per (query, map task), which is the same anti-straggler bound the
+    * (query_id, salt) local-rank phase bought with a second
+    * exchange+sort. `salts` is retained in the public signatures for API
+    * stability; the aggregate's map-side truncation subsumes it. */
   private def rankPerQuery(scored: DataFrame, k: Int,
-      salts: Int): DataFrame = {
-    val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"), pmod(hash(col("vec_id")), lit(salts)))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    val wGlobal = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    scored
-      .withColumn("__r_local", row_number().over(wLocal))
-      .filter(col("__r_local") <= k)
-      .withColumn("rank", row_number().over(wGlobal).cast("long"))
-      .filter(col("rank") <= k)
-      .drop("__r_local")
-  }
+      salts: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.expr.TopKOrdIds(col("cosine"), col("vec_id"), k,
+        desc = true).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
+      .select(col("query_id"), col("__t.id").as("vec_id"),
+        col("__t.ord").as("cosine"),
+        (col("__p") + 1).cast("long").as("rank"))
 
   /** Contrastive training pairs for embedder fine-tuning: per query
     * anchor, its top-kPos near-duplicates (label 1 — the positives a

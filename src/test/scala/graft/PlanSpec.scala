@@ -216,12 +216,16 @@ class PlanSpec extends SparkSpec {
       s"expected the range conjuncts in PushedFilters:\n$p")
   }
 
-  test("hard negatives ranks two-phase (salted local window before global)") {
+  test("hard negatives ranks via the bounded top-k aggregate (r21), no windows") {
     val p = SparkEntry.queries("q72_hard_negatives")(spark, dir)
       .queryExecution.executedPlan.toString
-    // two window operators: (query_id, salt) then query_id
-    assert("\\bWindow\\b".r.findAllIn(p).size >= 2, p)
-    assert(p.contains("pmod") || p.contains("hash("), p)
+    // ObjectHashAggregate over graft_topk_ord_ids with a partial (map-side,
+    // k-bounded) stage — the straggler guarantee the salted two-phase
+    // window spelling (r20) bought with a second exchange+sort
+    assert(p.contains("partial_graft_topk_ord_ids"),
+      s"top-k not partial-aggregated map-side:\n$p")
+    assert(!"\\bWindow\\b".r.findAllIn(p).hasNext,
+      s"window rank re-appeared:\n$p")
   }
 
   test("full-param screener keeps the q11 shape: broadcast dim + top-k, no global sort") {
